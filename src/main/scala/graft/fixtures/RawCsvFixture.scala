@@ -1,0 +1,82 @@
+package graft.fixtures
+
+import java.nio.file.{Files, Paths, Path}
+import java.nio.charset.StandardCharsets
+
+/** Deterministic synthetic raw CSVs reproducing the reference's input
+  * contract exactly (FIXTURES.md §A): season+cityletter filenames, BOM'd
+  * Chinese header, embedded English header as data row 1, messy values
+  * (invalid ROC dates, zero unit prices, garbage numerics, >2³¹ totals).
+  *
+  * Used by the golden end-to-end tests and by the q20_building_pipeline
+  * oracle query (whose expected output is the literal VALUES table below —
+  * derived by hand from the reference semantics, SURVEY §2.4).
+  */
+object RawCsvFixture {
+
+  val header: Seq[String] = Seq(
+    "鄉鎮市區", "交易標的", "土地位置建物門牌", "土地移轉總面積平方公尺",
+    "建物移轉總面積平方公尺", "建築完成年月", "交易年月日", "總價元", "單價元平方公尺")
+
+  private val englishHeaderRow = Seq(
+    "township dist", "transaction sign", "position", "land area m2",
+    "building area m2", "completion date", "transaction date", "total price",
+    "unit price m2")
+
+  /** file → rows (all strings, raw form). */
+  val files: Map[String, Seq[Seq[String]]] = Map(
+    // city letter index 6 = 'g' → 宜蘭縣
+    "101S4_g_lvr_land_a.csv" -> Seq(
+      // valid building txn; area is an exact multiple of 3.30579; total > 2³¹
+      Seq("礁溪鄉", "房地(含車位)", "大湖段572地號", "100", "661.158", "0990101", "1100718", "5000000000", "15000"),
+      // invalid ROC date (Feb 30) → dropped by F3
+      Seq("礁溪鄉", "房地", "青仔地段100地號", "50", "33.0579", "0850605", "1050230", "4000000", "0"),
+      // land-only row → dropped by the building filter, kept by land
+      Seq("頭城鎮", "土地", "下埔段339地號", "330.579", "", "", "1020505", "12000000", "36299"),
+      // 車位 → dropped by both pipelines
+      Seq("礁溪鄉", "車位", "大忠段111地號", "0", "10", "1001231", "1011111", "800000", "0"),
+      // zero unit price → E5 repair = 3000000/100 → 30000 → ping 99173.7;
+      // 6-digit ROC year 099 → 2010-11-22
+      Seq("宜蘭市", "房地", "民權段55地號", "0", "100", "", "0991122", "3000000", "0")),
+    // city letter 'a' → 台北市
+    "110S1_a_lvr_land_a.csv" -> Seq(
+      // total exactly 2³¹ (the reference's 32-bit cast would overflow here)
+      Seq("中正區", "房地(含車位)", "幸福段88地號", "", "45.5", "1080101", "1100101", "2147483648", "12345.6"),
+      // garbage numerics → NULL casts; land row for the land pipeline
+      Seq("大安區", "土地", "和平段1小段2地號", "165.2895", "", "0770707", "0880808", "9000000", "54.5"),
+      // garbage everywhere: area/total/unit all NULL after cast
+      Seq("大安區", "房地", "信義段9地號", "", "abc", "0770707", "0880808", "xyz", "")))
+
+  /** Write the fixture files under a stable temp dir; idempotent. */
+  def writeDefault(): String =
+    write(Paths.get(sys.props("java.io.tmpdir"), "graft-raw-fixture")).toString
+
+  def write(dir: Path): Path = {
+    Files.createDirectories(dir)
+    files.foreach { case (name, rows) =>
+      val sb = new StringBuilder
+      sb.append("﻿").append(header.mkString(",")).append("\n")
+      sb.append(englishHeaderRow.mkString(",")).append("\n")
+      rows.foreach(r => sb.append(r.mkString(",")).append("\n"))
+      Files.write(dir.resolve(name), sb.toString.getBytes(StandardCharsets.UTF_8))
+    }
+    dir
+  }
+
+  /** Expected building-pipeline output (q20 projection), derived by hand:
+    * rows 2/3/4 of file g and row 2 of file a are filtered; ping values are
+    * HALF_UP(x, 2) of the double arithmetic. */
+  val expectedBuildingSql: String = """
+    SELECT * FROM (VALUES
+      ('宜蘭縣', '礁溪鄉', '大湖段572地號', CAST(200.0 AS DOUBLE), DATE '2021-07-18', CAST(5000000000 AS BIGINT), CAST(49586.85 AS DOUBLE)),
+      ('宜蘭縣', '宜蘭市', '民權段55地號', CAST(30.25 AS DOUBLE), DATE '2010-11-22', CAST(3000000 AS BIGINT), CAST(99173.7 AS DOUBLE)),
+      ('台北市', '中正區', '幸福段88地號', CAST(13.76 AS DOUBLE), DATE '2021-01-01', CAST(2147483648 AS BIGINT), CAST(40811.96 AS DOUBLE)),
+      ('台北市', '大安區', '信義段9地號', CAST(NULL AS DOUBLE), DATE '1999-08-08', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE))
+    ) AS t(city, township_dist, position, building_area_ping, transaction_date, total_price, unit_price_ping)"""
+
+  /** Expected land-pipeline output (for the golden ScalaTest; row g3 and a2):
+    * section extracted by E7; a2 area 165.2895 = 50 ping exactly. */
+  val expectedLand: Seq[(String, String, String, String, Double, String, Long, Double)] = Seq(
+    ("宜蘭縣", "頭城鎮", "下埔段339地號", "下埔段", 100.0, "2013-05-05", 12000000L, 119996.87),
+    ("台北市", "大安區", "和平段1小段2地號", "和平段1小段", 50.0, "1988-08-08", 9000000L, 180.17))
+}

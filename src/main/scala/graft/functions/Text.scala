@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline operators (north star):
+  * normalization, tokenization, shingling, md5-based min-wise hashing,
+  * quality stats, language-ID scoring.
+  *
+  * Design constraint: every primitive is a pure native-column expression
+  * whose semantics are reproducible in ANSI-ish SQL (the DuckDB oracle), so
+  * the dedup/fingerprint operators built on top are hash-checkable. That is
+  * why hashing is md5-based (identical across engines) rather than
+  * xxhash64/murmur (engine-specific seeds).
+  *
+  * At 100 TB these all stay inside whole-stage codegen — no UDFs, no
+  * collect; the only shuffles are the groupBy/join steps of the operators
+  * that consume them.
+  */
+object Text {
+
+  /** Canonical text normalization for fingerprinting: lowercase, collapse
+    * whitespace runs to single spaces, trim. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace tokenization of normalized text → array<string>. */
+  def tokens(text: Column): Column = split(normalize(text), " ")
+
+  /** Token count (whitespace): empty/NULL-safe. */
+  def tokenCount(text: Column): Column =
+    when(length(normalize(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** BPE-ish subword-count proxy: letter runs + digit runs + individual
+    * symbol characters (a cheap, deterministic stand-in for a real
+    * tokenizer's piece count). RE2-safe — no lookarounds — so the oracle
+    * engine computes the identical quantity. */
+  def bpeishTokenCount(text: Column): Column = {
+    val s = normalize(text)
+    val letterRuns = greatest(size(split(s, "[a-z]+")) - 1, lit(0))
+    val digitRuns = greatest(size(split(s, "[0-9]+")) - 1, lit(0))
+    val symbolChars = length(regexp_replace(s, "[a-z0-9 ]", ""))
+    letterRuns + digitRuns + symbolChars
+  }
+
+  /** Word n-gram shingles over normalized text → array<string> of
+    * space-joined n-grams (distinct not applied — callers choose). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    // slide an n-window: for i in 0..size-n, join toks[i..i+n)
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => when(i + n <= size(toks),
+          concat_ws(" ", slice(toks, i + lit(1), lit(n))))),
+      s => s.isNotNull)
+  }
+
+  /** Min-wise hash of a shingle set under seed `j`: min over shingles of
+    * md5(j || ':' || shingle), compared lexicographically. A string-min
+    * MinHash — engine-portable (md5 is identical everywhere), and a valid
+    * min-wise permutation family for Jaccard estimation. */
+  def minhash(shingleArr: Column, seed: Int): Column =
+    array_min(transform(shingleArr, s => md5(concat(lit(seed + ":"), s))))
+
+  /** Document fingerprint: md5 of normalized text (exact-dup key). */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** Quality score in [0,1]: blend of length sanity, punctuation ratio and
+    * mean word length (deterministic arithmetic only — oracle-expressible). */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val nTok = tokenCount(text).cast("double")
+    val punct = punctCount(text).cast("double")
+    val lenOk = least(len / lit(200.0), lit(1.0))
+    val punctRatio = least(punct / greatest(nTok, lit(1.0)), lit(1.0))
+    val meanWord = len / greatest(nTok, lit(1.0))
+    val wordOk = when(meanWord >= 3 && meanWord <= 10, lit(1.0)).otherwise(lit(0.5))
+    round((lenOk * 0.4 + (lit(1.0) - punctRatio) * 0.3 + wordOk * 0.3), 6)
+  }
+
+  /** Count non-overlapping regex matches in a string (match-count =
+    * split-parts − 1; identical trick works in the oracle engine). */
+  def matchCount(text: Column, pattern: String): Column = {
+    val c = size(split(text, pattern)) - 1
+    when(text.isNull, lit(null)).otherwise(greatest(c, lit(0)))
+  }
+
+  /** n-gram-heuristic language ID over a fixed marker table: per language,
+    * count marker-word hits in the normalized text; argmax wins, 'und' when
+    * nothing matches. Marker lists are deliberately tiny and deterministic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " ist "),
+    "fr" -> Seq(" le ", " la ", " et ", " est "),
+    "es" -> Seq(" el ", " los ", " y ", " es "),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), normalize(text), lit(" "))
+    // Markers contain no regex metacharacters, so they double as patterns
+    // verbatim in both Spark (java.util.regex) and the oracle (RE2).
+    langMarkers.map { case (lang, markers) =>
+      lang -> markers.map(m => matchCount(padded, m)).reduce(_ + _)
+    }
+  }
+
+  /** Predicted language: argmax of marker scores (ties broken by language
+    * code order), 'und' if all scores are 0. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce(greatest(_, _))
+    scores.sortBy(_._1).foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && best > 0, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector primitives over `array<float>` embedding columns (north star:
+  * similarity search, embedding near-dup). All pure native expressions:
+  * `zip_with` + `aggregate` compile to codegen'd loops — no UDF, no
+  * ser/de, distributable to any number of executors.
+  *
+  * Precision contract: elements are cast to double BEFORE any arithmetic and
+  * accumulation runs in array-index order, so the result is bit-deterministic
+  * and reproducible by the oracle engine.
+  */
+object Vectors {
+
+  private def sumArr(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two equal-length vectors (double accumulation). */
+  def dot(a: Column, b: Column): Column =
+    sumArr(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(sumArr(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  /** Cosine similarity; NULL when either vector has zero norm (÷0→NULL under
+    * non-ANSI semantics — deliberate, mirrors the engine-wide convention). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** Squared euclidean distance. */
+  def l2sq(a: Column, b: Column): Column =
+    sumArr(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }))
+
+  /** Random-hyperplane LSH signature: `planes` sign bits packed into a long.
+    * Plane weights are derived deterministically from md5(plane:dim) — no
+    * RNG, identical across engines/runs. Used to bucket ANN candidates so
+    * the pairwise search is per-bucket, not all-pairs (the 100 TB path). */
+  def hyperplaneSig(vec: Column, planes: Int, dims: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val s = (0 until dims).map { d =>
+        element_at(vec, d + 1).cast("double") * lit(planeWeight(p, d).toDouble)
+      }.reduce(_ + _)
+      when(s >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** weight(p,d): first 6 hex digits of md5("p:d") minus 2^23 (zero-mean
+    * deterministic pseudo-randoms) — the same value md5-capable SQL
+    * reproduces, so LSH bucketing stays oracle-checkable. */
+  def planeWeight(p: Int, d: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+      .take(3).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) - (1L << 23)
+  }
+}

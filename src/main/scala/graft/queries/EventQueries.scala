@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Registry.table
+
+/** Event-stream analytics over `events` — the batch formulations of the
+  * streaming operators (tumbling windows, sessionization, semi-structured
+  * extraction). The live Structured Streaming path (watermarks, append mode,
+  * session_window state) is exercised in the test suite; these queries pin
+  * the SEMANTICS against the oracle so the streaming versions have a golden
+  * batch answer to agree with.
+  */
+object EventQueries {
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- Tumbling time-window aggregation ---------------------------------
+    // Scale: group key is (hour, type) — partial agg collapses before the
+    // shuffle; with streaming this is the watermarked windowed agg.
+    Q("q40_event_window", (s, dir) => {
+      val e = table(s, dir, "events")
+      e.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+    }, Some("""
+      SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        MIN(value) AS min_value, MAX(value) AS max_value
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) GROUP BY 1, 2"""), headline = true),
+
+    // ---- Sessionization (gaps-and-islands) --------------------------------
+    // 30-minute inactivity gap; integer microsecond arithmetic only (no FP).
+    // Scale: one shuffle on user_id; in-partition sort by (ts, event_id);
+    // the streaming twin is session_window/flatMapGroupsWithState.
+    Q("q41_sessionize", (s, dir) => {
+      val e = table(s, dir, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      val sessions = e
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("dur_us")).as("max_session_us"),
+          sum(col("dur_us")).as("total_session_us"))
+    }, Some("""
+      SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n_events) AS BIGINT) AS n_events,
+        MAX(dur_us) AS max_session_us, CAST(SUM(dur_us) AS BIGINT) AS total_session_us
+      FROM (
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+          MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us
+        FROM (
+          SELECT user_id, ts,
+            SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM (
+            SELECT user_id, ts, event_id,
+              CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                   THEN 1 ELSE 0 END AS new_session
+            FROM (
+              SELECT user_id, ts, event_id,
+                LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id) AS prev_us
+              FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events))))
+        GROUP BY user_id, session_id)
+      GROUP BY user_id""")),
+
+    // ---- Semi-structured extraction ---------------------------------------
+    // props is a JSON-ish string; the regex form keeps both engines on the
+    // exact same parse (Spark also offers from_json — tested in the suite).
+    Q("q42_json_extract", (s, dir) => {
+      val e = table(s, dir, "events")
+      e.withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(-?[0-9]+)", 1).cast("long"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          countDistinct(col("k")).as("n_distinct_k"))
+    }, Some("""
+      SELECT k % 10 AS k_bucket, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS sum_k,
+        COUNT(DISTINCT k) AS n_distinct_k
+      FROM (SELECT CAST(NULLIF(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1), '') AS BIGINT) AS k
+            FROM events)
+      GROUP BY 1""")),
+
+    // ---- Running / moving window over an ordered stream -------------------
+    // Per-user running event count + moving 5-event average value.
+    Q("q43_running_window", (s, dir) => {
+      val e = table(s, dir, "events")
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      e.filter(col("user_id") < 20)
+        .withColumn("running_n", count(lit(1)).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("moving_sum", sum(col("value").cast("decimal(18,2)")).over(
+          byUser.rowsBetween(-4, Window.currentRow)).cast("double"))
+        .select(col("event_id"), col("user_id"), col("running_n"), col("moving_sum"))
+    }, Some("""
+      SELECT event_id, user_id,
+        COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) WHERE user_id < 20"""))
+  )
+}

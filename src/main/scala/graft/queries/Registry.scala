@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable operator exercise: a Spark query over the driver corpus
+  * (`dir` = sf directory) and, when SQL-expressible, the equivalent DuckDB
+  * SQL the driver hash-compares against (correctness gate, BASELINE.md t2).
+  *
+  * Numeric discipline (why these queries look the way they do):
+  *  - double SUMs go through DECIMAL casts (exact — FP summation order is
+  *    nondeterministic in BOTH engines, so a raw double sum can differ from
+  *    itself run to run, never mind across engines);
+  *  - averages are exact-decimal sums cast to double then divided by a
+  *    count — two deterministic IEEE ops, bit-identical everywhere;
+  *  - per-row double arithmetic keeps an identical expression tree on both
+  *    sides (single IEEE ops are deterministic);
+  *  - computed integers are long on both sides; ties in any top-k are broken
+  *    by a unique key.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+object Registry {
+
+  /** Oracle-side SQL replica of Spark's double round (SURVEY §7.4.3):
+    * Spark rounds the SHORTEST DECIMAL REPR of the double (BigDecimal
+    * .valueOf → setScale HALF_UP); DuckDB's round(double) rounds the exact
+    * binary value, so quotients landing on .xx5 diverge. VARCHAR→DECIMAL
+    * reproduces the shortest-repr semantics exactly. */
+  def sroundSql(x: String, scale: Int): String =
+    s"round(CAST(CAST(($x) AS VARCHAR) AS DECIMAL(38,20)), $scale)"
+
+  /** Engine-wide session contract (SURVEY §7.4.6): non-ANSI NULL-on-bad-cast
+    * and ÷0→NULL semantics (Spark 4 flipped the default to ANSI), UTC, and
+    * HALF_UP-compatible rounding. Applied at every entry point so the
+    * contract holds regardless of who built the session. */
+  def ensureSessionContract(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    ensureSessionContract(spark)
+    table0(spark, dir, name)
+  }
+
+  private def table0(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's TimestampType
+      // (µs) rejects outright; read the raw int64 nanos and truncate to µs.
+      // The oracle side applies the matching CAST(ts AS TIMESTAMP) (ns→µs).
+      import org.apache.spark.sql.functions._
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      // integer `div`, not `/` — double division would lose precision on
+      // ~1.7e18-ns epoch values (> 2^53)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Full battery: relational parity + house-price semantics + LLM-pipeline
+    * operators. Order = SURVEY §2 inventory order, then north star. */
+  lazy val all: Seq[Q] =
+    Relational.queries ++ HousePriceQueries.queries ++ TextQueries.queries ++
+      VectorQueries.queries ++ EventQueries.queries
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Registry.table
+
+/** General relational surface (SURVEY §2.5/§2.6): aggregation, joins
+  * (broadcast/shuffle/semi/anti/range), windows, top-k, set ops,
+  * rollup/cube, distinct counting. Each paired with DuckDB oracle SQL.
+  *
+  * Scale notes are per-query; the common theme: group-by keys are
+  * low-cardinality (partial aggregation collapses map-side), dimension joins
+  * are broadcast (no shuffle of the fact table), and sorts are top-k
+  * (TakeOrderedAndProject — never a full global sort).
+  */
+object Relational {
+
+  /** Exact sum of a 2-decimal double column: decimal-cast (exact) then one
+    * double conversion. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  private val DSUM = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- A5/aggregation: TPC-H Q1-shaped pricing summary ------------------
+    // Scale: 2-key groupBy → partial agg collapses each task to ≤6 rows;
+    // shuffle is a few KB regardless of input size. Filter pushed to scan.
+    Q("q01_pricing_summary", (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus"""), headline = true),
+
+    // ---- F-family: filter + projection (pushdown exercise) ----------------
+    // Scale: predicate + 3-col projection reach the parquet scan
+    // (PushedFilters/ReadSchema) — reads a fraction of the file.
+    Q("q02_filter_project", (s, dir) => {
+      table(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 200000.0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0""")),
+
+    // ---- Join: shuffle join fact⋈fact-sized side ---------------------------
+    // Scale: customer is the smaller side; at 100 TB this is a shuffle join
+    // on c_custkey = o_custkey — AQE handles skew; output is 5 rows.
+    Q("q03_join_agg", (s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("c_custkey")).as("n_customers"))
+    }, Some(s"""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+        ${DSUM("o_totalprice")} AS sum_price,
+        COUNT(DISTINCT c_custkey) AS n_customers
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment"""), headline = true),
+
+    // ---- Star join: broadcast the dimension chain -------------------------
+    // Scale: supplier/nation/region are tiny → broadcast() all three; the
+    // fact table is never shuffled. This is THE 100 TB join shape.
+    Q("q04_star_join", (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val su = table(s, dir, "supplier")
+      val na = table(s, dir, "nation")
+      val re = table(s, dir, "region")
+      li.join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(na), su("s_nationkey") === na("n_nationkey"))
+        .join(broadcast(re), na("n_regionkey") === re("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    }, Some("""
+      SELECT r_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name"""), headline = true),
+
+    // ---- Window: latest order per customer --------------------------------
+    // Scale: single hash-partition by customer + in-partition sort; no
+    // global sort. Unique o_orderkey tiebreak ⇒ deterministic.
+    Q("q05_window_latest", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
+          col("o_totalprice").as("latest_price"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey AS latest_orderkey, o_totalprice AS latest_price
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+              ROW_NUMBER() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate DESC, o_orderkey DESC) rn
+            FROM orders) WHERE rn = 1""")),
+
+    // ---- Top-k: TakeOrderedAndProject, not a global sort ------------------
+    Q("q06_topk", (s, dir) => {
+      table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .limit(25)
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25""")),
+
+    // ---- Set ops: INTERSECT / EXCEPT / UNION (set semantics) --------------
+    Q("q08_setops", (s, dir) => {
+      val o = table(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val i = a.intersect(b).agg(count(lit(1)).as("n")).withColumn("op", lit("intersect"))
+      val e = a.except(b).agg(count(lit(1)).as("n")).withColumn("op", lit("except"))
+      val u = a.union(b).distinct().agg(count(lit(1)).as("n")).withColumn("op", lit("union"))
+      i.unionByName(e).unionByName(u).select(col("op"), col("n"))
+    }, Some("""
+      SELECT 'intersect' AS op, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+        INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='F')
+      UNION ALL
+      SELECT 'except' AS op, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+        EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='F')
+      UNION ALL
+      SELECT 'union' AS op, COUNT(*) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus='O'
+        UNION SELECT o_custkey FROM orders WHERE o_orderstatus='F')""")),
+
+    // ---- Rollup subtotals --------------------------------------------------
+    Q("q09_rollup", (s, dir) => {
+      val c = table(s, dir, "customer")
+      val n = table(s, dir, "nation")
+      val r = table(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(dsum(col("c_acctbal")).as("sum_bal"), count(lit(1)).as("n_cust"))
+    }, Some(s"""
+      SELECT r_name, n_name, ${DSUM("c_acctbal")} AS sum_bal, COUNT(*) AS n_cust
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)""")),
+
+    // ---- Cube --------------------------------------------------------------
+    Q("q10_cube", (s, dir) => {
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+    }, Some(s"""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        ${DSUM("o_totalprice")} AS sum_price
+      FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""")),
+
+    // ---- Semi/anti joins ---------------------------------------------------
+    // Scale: left_semi/left_anti never materialize the right side's payload;
+    // broadcast when the key set is small.
+    Q("q11_semi_anti", (s, dir) => {
+      val c = table(s, dir, "customer")
+      val bigOrders = table(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      val semi = c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("has_big_order"))
+      val anti = c.join(bigOrders, c("c_custkey") === bigOrders("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .withColumn("kind", lit("no_big_order"))
+      semi.unionByName(anti).select(col("kind"), col("c_mktsegment"), col("n"))
+    }, Some("""
+      SELECT 'has_big_order' AS kind, c_mktsegment, COUNT(*) AS n FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      GROUP BY c_mktsegment
+      UNION ALL
+      SELECT 'no_big_order' AS kind, c_mktsegment, COUNT(*) AS n FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+      GROUP BY c_mktsegment""")),
+
+    // ---- Range (non-equi) join --------------------------------------------
+    // Scale: equi-key narrows first (orderkey), range predicate filters
+    // within the joined pairs — never a pure theta join.
+    Q("q12_range_join", (s, dir) => {
+      val o = table(s, dir, "orders")
+      val li = table(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") >= o("o_orderdate") &&
+          li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("sum_price"))
+    }, Some(s"""
+      SELECT o_orderpriority, COUNT(*) AS n_lines, ${DSUM("l_extendedprice")} AS sum_price
+      FROM orders JOIN lineitem
+        ON o_orderkey = l_orderkey
+        AND l_shipdate >= o_orderdate
+        AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+      GROUP BY o_orderpriority""")),
+
+    // ---- Aggregate variants: distinct count, conditional agg, min/max -----
+    Q("q13_agg_variants", (s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_discounted"),
+          count(lit(1)).as("n"))
+    }, Some("""
+      SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(DISTINCT l_suppkey) AS n_supps,
+        MIN(l_extendedprice) AS min_price,
+        MAX(l_extendedprice) AS max_price,
+        CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- Approx distinct: Spark HLL sketch (no cross-engine oracle —
+    // sketches differ by design; driver records rows-only) ------------------
+    Q("q14_approx_distinct", (s, dir) => {
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("n"))
+    }, None)
+  )
+}

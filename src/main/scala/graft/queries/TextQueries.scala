@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.functions.Text._
+import graft.queries.Registry.table
+
+/** North-star text operators over `documents`: quality stats, language ID,
+  * token counting, fingerprinting, exact + MinHash/SimHash/Jaccard dedup.
+  *
+  * Hashing is md5-based throughout so the DuckDB oracle reproduces every
+  * value bit-for-bit (SURVEY-level design choice: engine-portable hashes
+  * beat engine-private xxhash for verifiability; at 100 TB md5 of short
+  * shingles is still cheap relative to shuffle).
+  */
+object TextQueries {
+
+  /** SQL fragment: normalized text (lower, collapse whitespace, trim). */
+  private val NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  /** SQL fragment: whitespace token list of normalized text. */
+  private val TOKS = s"string_split($NORM, ' ')"
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- Text quality / stats --------------------------------------------
+    Q("q21_text_stats", (s, dir) => {
+      val d = table(s, dir, "documents")
+      d.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(tokenCount(col("text")).cast("long")).as("sum_tokens"),
+          sum(bpeishTokenCount(col("text")).cast("long")).as("sum_bpeish"),
+          sum(punctCount(col("text")).cast("long")).as("sum_punct"),
+          (sum(qualityScore(col("text")).cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("avg_quality"))
+    }, Some(s"""
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END) AS BIGINT) AS sum_tokens,
+        CAST(SUM(GREATEST(len(string_split_regex($NORM,'[a-z]+'))-1,0)
+          + GREATEST(len(string_split_regex($NORM,'[0-9]+'))-1,0)
+          + len(regexp_replace($NORM,'[a-z0-9 ]','','g'))) AS BIGINT) AS sum_bpeish,
+        CAST(SUM(len(text) - len(regexp_replace(text,'[.,;:!?]','','g'))) AS BIGINT) AS sum_punct,
+        CAST(SUM(CAST(${Registry.sroundSql(s"""
+            LEAST(len(text)/200.0, 1.0)*0.4
+          + (1.0 - LEAST((len(text) - len(regexp_replace(text,'[.,;:!?]','','g')))
+               / GREATEST(CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END, 1), 1.0))*0.3
+          + (CASE WHEN len(text) / GREATEST(CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END, 1)
+                  BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)*0.3""", 6)} AS DECIMAL(18,6))) AS DOUBLE)
+          / COUNT(*) AS avg_quality
+      FROM documents GROUP BY lang""")),
+
+    // ---- Language ID (n-gram marker heuristic) ----------------------------
+    Q("q22_langid", (s, dir) => {
+      val d = table(s, dir, "documents")
+      d.withColumn("predicted", langId(col("text")))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+    }, Some {
+      val padded = s"' ' || $NORM || ' '"
+      val scoreSql = Text.langMarkers.map { case (lang, markers) =>
+        val cnt = markers.map(m => s"(len(string_split_regex($padded, '$m')) - 1)")
+          .mkString(" + ")
+        s"($cnt) AS s_$lang"
+      }.mkString(", ")
+      val langs = Text.langMarkers.map(_._1).sorted
+      val best = s"GREATEST(${Text.langMarkers.map("s_" + _._1).mkString(",")})"
+      val caseArms = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'").mkString(" ")
+      s"""
+      SELECT lang, CASE $caseArms ELSE 'und' END AS predicted, COUNT(*) AS n
+      FROM (SELECT lang, $best AS best, * FROM
+             (SELECT lang, $scoreSql FROM documents))
+      GROUP BY 1, 2"""
+    }),
+
+    // ---- Exact dedup via normalized-text fingerprint ----------------------
+    // Scale: one shuffle on the 16-byte fingerprint — the canonical
+    // hash-groupBy dedup; skew-free because fingerprints are uniform.
+    Q("q23_dedup_exact", (s, dir) => {
+      val d = table(s, dir, "documents")
+      d.groupBy(fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+    }, Some(s"""
+      SELECT md5($NORM) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1""")),
+
+    // ---- MinHash signatures (the LSH building block) ----------------------
+    // String-min minhash over word 3-shingles, 6 seeds; banded into 3 bands
+    // of 2 for the LSH bucket key. Verified value-for-value by the oracle.
+    Q("q24_minhash_sig", (s, dir) => {
+      val d = table(s, dir, "documents")
+      val sh = array_distinct(shingles(col("text"), 3))
+      val sigs = (0 until 6).map(j => minhash(col("sh"), j).as(s"mh_$j"))
+      val withSig = d.withColumn("sh", sh)
+        .select((col("doc_id") +: sigs): _*)
+      withSig
+        .withColumn("band_0", md5(concat_ws("|", col("mh_0"), col("mh_1"))))
+        .withColumn("band_1", md5(concat_ws("|", col("mh_2"), col("mh_3"))))
+        .withColumn("band_2", md5(concat_ws("|", col("mh_4"), col("mh_5"))))
+    }, Some {
+      val shSql = s"list_distinct(list_transform(generate_series(1, GREATEST(len(toks)-2, 0)), i -> array_to_string(toks[i:i+2], ' ')))"
+      val mh = (0 until 6).map(j =>
+        s"list_min(list_transform(sh, x -> md5('$j:' || x))) AS mh_$j").mkString(", ")
+      s"""
+      SELECT doc_id, mh_0, mh_1, mh_2, mh_3, mh_4, mh_5,
+        md5(mh_0 || '|' || mh_1) AS band_0,
+        md5(mh_2 || '|' || mh_3) AS band_1,
+        md5(mh_4 || '|' || mh_5) AS band_2
+      FROM (SELECT doc_id, $mh FROM
+             (SELECT doc_id, $shSql AS sh FROM
+               (SELECT doc_id, $TOKS AS toks FROM documents)))"""
+    }),
+
+    // ---- n-gram Jaccard near-dup scores -----------------------------------
+    // Scale: candidate pairs come from an equi-join on `source` (stand-in
+    // for an LSH band key) — never an unconstrained cross join.
+    Q("q25_ngram_jaccard", (s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("sh", array_distinct(shingles(col("text"), 2)))
+        .select(col("doc_id"), col("source"), col("sh"))
+      val a = d.as("a"); val b = d.as("b")
+      a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("jac",
+          size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+            size(array_union(col("a.sh"), col("b.sh"))).cast("double"))
+        .filter(col("jac") >= 0.08)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jac"))
+    }, Some {
+      val shSql = s"list_distinct(list_transform(generate_series(1, GREATEST(len($TOKS)-1, 0)), i -> array_to_string(($TOKS)[i:i+1], ' ')))"
+      s"""
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
+      FROM (SELECT doc_id, source, $shSql AS sh FROM documents) a
+      JOIN (SELECT doc_id, source, $shSql AS sh FROM documents) b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.08"""
+    }),
+
+    // ---- SimHash fingerprints --------------------------------------------
+    // 32-bit simhash: per token md5, hex digit b/4 → bit (b%4); majority
+    // vote over tokens (with multiplicity) sets result bit b.
+    Q("q26_simhash", (s, dir) => {
+      val d = table(s, dir, "documents")
+      val toks = tokens(col("text"))
+      val sim = (0 until 32).map { b =>
+        val pos = b / 4 + 1
+        val shift = b % 4
+        val votes = aggregate(toks, lit(0L), (acc, t) => {
+          val digit = conv(substring(md5(t), pos, 1), 16, 10).cast("int")
+          val bit = shiftright(digit, shift) % 2
+          acc + (bit * 2 - 1)
+        })
+        when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      d.select(col("doc_id"), sim.as("simhash"))
+    }, Some {
+      val bitSql = (0 until 32).map { b =>
+        val pos = b / 4 + 1
+        val shift = b % 4
+        s"""CASE WHEN list_sum(list_transform(toks, t ->
+             ((CAST(('0x' || substr(md5(t), $pos, 1)) AS INT) >> $shift) % 2) * 2 - 1)) > 0
+           THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"""
+      }.mkString(" + ")
+      s"""
+      SELECT doc_id, $bitSql AS simhash
+      FROM (SELECT doc_id, $TOKS AS toks FROM documents)"""
+    }),
+
+    // ---- Token counting by source ----------------------------------------
+    Q("q27_token_count", (s, dir) => {
+      val d = table(s, dir, "documents")
+      d.groupBy(col("source"))
+        .agg(sum(tokenCount(col("text")).cast("long")).as("ws_tokens"),
+          sum(bpeishTokenCount(col("text")).cast("long")).as("bpeish_tokens"),
+          count(lit(1)).as("n_docs"))
+    }, Some(s"""
+      SELECT source,
+        CAST(SUM(CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END) AS BIGINT) AS ws_tokens,
+        CAST(SUM(GREATEST(len(string_split_regex($NORM,'[a-z]+'))-1,0)
+          + GREATEST(len(string_split_regex($NORM,'[0-9]+'))-1,0)
+          + len(regexp_replace($NORM,'[a-z0-9 ]','','g'))) AS BIGINT) AS bpeish_tokens,
+        COUNT(*) AS n_docs
+      FROM documents GROUP BY source""")),
+
+    // ---- Binary/multimodal metadata plumbing ------------------------------
+    // Opaque payloads as binary + typed metadata; decode stays a stub (no
+    // media libs in-container) but the schema/partition path is real.
+    Q("q28_binary_meta", (s, dir) => {
+      val d = table(s, dir, "documents")
+      d.withColumn("payload", col("text").cast("binary"))
+        .groupBy(col("source"))
+        .agg(sum(length(col("payload")).cast("long")).as("sum_bytes"),
+          countDistinct(md5(col("payload"))).as("n_distinct_payloads"))
+    }, Some("""
+      SELECT source, CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+        COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+      FROM documents GROUP BY source"""))
+  )
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors._
+import graft.queries.Registry.table
+
+/** North-star similarity search over `embeddings` (array<float>, 64-dim).
+  *
+  * Precision contract shared with the oracle: every element is cast to
+  * double BEFORE arithmetic and accumulated in index order — the dot
+  * products are bit-identical across engines, so thresholds and top-k
+  * boundaries agree exactly.
+  */
+object VectorQueries {
+
+  private val DIMS = 64
+
+  /** SQL: in-order double dot product of two list<float> columns. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, $DIMS), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+  private def normSql(a: String): String =
+    s"sqrt(list_sum(list_transform(generate_series(1, $DIMS), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- Brute-force cosine top-k (the correctness baseline) --------------
+    // Scale: the query vector broadcasts (1 row); the scan is embarrassingly
+    // parallel; top-k is TakeOrderedAndProject (per-partition heap + driver
+    // merge of k), never a global sort.
+    Q("q30_ann_bruteforce", (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .withColumn("cos", cosine(col("embedding"), col("qvec")))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .select(col("vec_id"), col("cos"))
+        .limit(20)
+    }, Some(s"""
+      SELECT vec_id, ${cosSql("embedding", "qvec")} AS cos
+      FROM embeddings, (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+      WHERE vec_id <> 0
+      ORDER BY cos DESC, vec_id ASC LIMIT 20"""), headline = true),
+
+    // ---- Embedding-cosine near-dup pairs ----------------------------------
+    // Scale: pairs constrained to an equi-join on `label` (stand-in for an
+    // LSH/IVF bucket key) — per-bucket quadratic, not global quadratic.
+    Q("q31_embed_neardup", (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val a = e.as("a"); val b = e.as("b")
+      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+        .filter(col("cos") > 0.25)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+    }, Some(s"""
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        ${cosSql("a.embedding", "b.embedding")} AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ${cosSql("a.embedding", "b.embedding")} > 0.25"""), headline = true),
+
+    // ---- LSH signatures (the ANN scale path's bucket key) -----------------
+    // 8 deterministic md5-derived hyperplanes → 8-bit signature; candidate
+    // generation joins on the signature instead of scanning everything.
+    Q("q32_ann_lsh_sig", (s, dir) => {
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          hyperplaneSig(col("embedding"), planes = 8, dims = DIMS).as("sig"))
+    }, Some {
+      val bitTerms = (0 until 8).map { p =>
+        val weights = (0 until DIMS)
+          .map(d => s"CAST(embedding[${d + 1}] AS DOUBLE) * ${planeWeight(p, d).toDouble}")
+          .mkString(" + ")
+        s"CASE WHEN ($weights) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $bitTerms AS sig FROM embeddings"
+    }),
+
+    // ---- Centroid-style aggregation over vectors --------------------------
+    // Per-label mean vector norm: exercises array aggregation semantics.
+    // Sums are per-dimension in index order; the outer SUM over rows uses a
+    // decimal cast of the rounded per-row norm to stay order-independent.
+    Q("q33_vector_stats", (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      e.withColumn("nrm", round(norm(col("embedding")), 6))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("nrm").cast("decimal(18,6)")).cast("double").as("sum_norm"))
+    }, Some(s"""
+      SELECT label, COUNT(*) AS n,
+        CAST(SUM(CAST(${Registry.sroundSql(normSql("embedding"), 6)} AS DECIMAL(18,6))) AS DOUBLE) AS sum_norm
+      FROM embeddings GROUP BY label"""))
+  )
+}
