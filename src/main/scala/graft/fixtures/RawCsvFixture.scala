@@ -78,5 +78,5 @@ object RawCsvFixture {
     * section extracted by E7; a2 area 165.2895 = 50 ping exactly. */
   val expectedLand: Seq[(String, String, String, String, Double, String, Long, Double)] = Seq(
     ("宜蘭縣", "頭城鎮", "下埔段339地號", "下埔段", 100.0, "2013-05-05", 12000000L, 119996.87),
-    ("台北市", "大安區", "和平段1小段2地號", "和平段1小段", 50.0, "1988-08-08", 9000000L, 180.17))
+    ("台北市", "大安區", "和平段1小段2地號", "和平段1小段", 50.0, "1999-08-08", 9000000L, 180.17))
 }

@@ -44,15 +44,23 @@ object Text {
   }
 
   /** Word n-gram shingles over normalized text → array<string> of
-    * space-joined n-grams (distinct not applied — callers choose). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    // slide an n-window: for i in 0..size-n, join toks[i..i+n)
-    filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => when(i + n <= size(toks),
-          concat_ws(" ", slice(toks, i + lit(1), lit(n))))),
-      s => s.isNotNull)
+    * space-joined n-grams (distinct not applied — callers choose).
+    *
+    * Implementation: zip the token array with its k-shifted copies and join
+    * per element. CRITICAL perf property: a lambda body must never reference
+    * an outer expression like tokens(text) — Catalyst re-evaluates embedded
+    * outer expressions PER ELEMENT (the original formulation re-ran
+    * normalize+split ~|tokens| times per row). Here tokens appear only at
+    * projection level (n+1 references, CSE-collapsible), and the lambda
+    * touches nothing but its own struct argument. */
+  def shingles(text: Column, n: Int): Column = shinglesOfTokens(tokens(text), n)
+
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
+    val shifted = (0 until n).map(k =>
+      slice(toks, lit(k + 1), greatest(size(toks) - n + 1, lit(0))))
+    val zipped = arrays_zip(shifted: _*)
+    transform(zipped, s =>
+      concat_ws(" ", (0 until n).map(k => s.getField(k.toString)): _*))
   }
 
   /** Min-wise hash of a shingle set under seed `j`: min over shingles of
@@ -64,6 +72,14 @@ object Text {
 
   /** Document fingerprint: md5 of normalized text (exact-dup key). */
   def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Distinct word-n-gram shingles hashed to 60-bit longs (first 15 hex
+    * digits of md5 — reproducible in any md5-capable engine). Set ops over
+    * long arrays are far cheaper than over shingle strings: this is the
+    * representation pairwise Jaccard should run on at scale. */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(array_distinct(shingles(text, n)),
+      s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
 
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
@@ -82,11 +98,13 @@ object Text {
     round((lenOk * 0.4 + (lit(1.0) - punctRatio) * 0.3 + wordOk * 0.3), 6)
   }
 
-  /** Count non-overlapping regex matches in a string (match-count =
-    * split-parts − 1; identical trick works in the oracle engine). */
-  def matchCount(text: Column, pattern: String): Column = {
-    val c = size(split(text, pattern)) - 1
-    when(text.isNull, lit(null)).otherwise(greatest(c, lit(0)))
+  /** Count non-overlapping occurrences of a LITERAL marker in a string:
+    * (len(s) − len(replace(s, m, ''))) / len(m). Literal `replace` beats a
+    * regex split by an order of magnitude and has identical left-to-right
+    * non-overlapping semantics in the oracle engine. */
+  def matchCount(text: Column, marker: String): Column = {
+    val removed = call_function("replace", text, lit(marker))
+    ((length(text) - length(removed)) / lit(marker.length)).cast("int")
   }
 
   /** n-gram-heuristic language ID over a fixed marker table: per language,

@@ -13,16 +13,26 @@ import org.apache.spark.sql.functions._
   * and reproducible by the oracle engine.
   */
 object Vectors {
+  import org.apache.spark.sql.graft.bridge.{column, expression}
 
   private def sumArr(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two equal-length vectors (double accumulation). */
+  /** Dot product of two equal-length float vectors (double accumulation in
+    * index order — codegen'd kernel; see VectorExprs for why not zip_with). */
   def dot(a: Column, b: Column): Column =
+    column(DotProductF(expression(a), expression(b)))
+
+  /** Reference formulation via higher-order functions (same doubles as
+    * `dot`; kept for cross-checking the kernel in tests). */
+  def dotHof(a: Column, b: Column): Column =
     sumArr(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
-  /** L2 norm. */
-  def norm(a: Column): Column =
+  /** L2 norm (codegen'd kernel). */
+  def norm(a: Column): Column = column(NormL2F(expression(a)))
+
+  /** Reference formulation of norm via higher-order functions. */
+  def normHof(a: Column): Column =
     sqrt(sumArr(transform(a, x => x.cast("double") * x.cast("double"))))
 
   /** Cosine similarity; NULL when either vector has zero norm (÷0→NULL under

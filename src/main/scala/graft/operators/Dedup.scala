@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text._
+
+/** Deduplication operators for large-scale corpus curation (north star).
+  *
+  * Scale design:
+  *  - exact dedup = one shuffle on a 16-byte fingerprint (uniform ⇒ no skew);
+  *  - MinHash-LSH = explode to (band, doc) pairs → groupBy band → pairs only
+  *    within buckets → Jaccard verify; candidate generation is linear in
+  *    corpus size + bucket-quadratic (tunable via bands/rows), never globally
+  *    quadratic;
+  *  - SimHash = fingerprint per doc, near-dup = same-key join on rotated
+  *    fingerprint bands (hamming-adjacent buckets);
+  *  - connected components for cluster collapse are approximated by
+  *    min-doc-id propagation within candidate groups (one supergroup pass —
+  *    iterative label propagation is deliberately avoided; at 100 TB the
+  *    candidate graph is tiny relative to the corpus).
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: keeps the lowest `idCol` per
+    * fingerprint group. Deterministic (no arbitrary dropDuplicates pick). */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+    df.withColumn("__fp", fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__fp", "__rn")
+  }
+
+  /** Per-document MinHash signature columns mh_0..mh_{k-1} over word
+    * n-shingles of the normalized text. */
+  def withMinhash(df: DataFrame, textCol: String, n: Int = 3, k: Int = 6): DataFrame = {
+    val withSh = df.withColumn("__sh", array_distinct(shingles(col(textCol), n)))
+    val sigs = (0 until k).map(j => minhash(col("__sh"), j).as(s"mh_$j"))
+    withSh.select((df.columns.map(col).toSeq ++ sigs): _*)
+  }
+
+  /** LSH band keys band_0..band_{bands-1}: md5 over `rows` consecutive
+    * minhash values. Docs sharing ANY band key are near-dup candidates. */
+  def withBands(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    (0 until bands).foldLeft(sig) { (acc, b) =>
+      val parts = (b * rows until (b + 1) * rows).map(j => col(s"mh_$j"))
+      acc.withColumn(s"band_$b", md5(concat_ws("|", parts: _*)))
+    }
+
+  /** MinHash-LSH candidate pairs (idA < idB), deduplicated across bands.
+    * Pipeline: signature → bands → explode(band) → self-join per bucket. */
+  def minhashCandidates(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, bands: Int = 3, rows: Int = 2): DataFrame = {
+    val banded = withBands(withMinhash(df, textCol, n, bands * rows), bands, rows)
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band_no"), col(s"band_$b").as("band_key")))
+    val exploded = banded
+      .select(col(idCol).as("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band_no"), col("bk.band_key"))
+    val a = exploded.as("a"); val b = exploded.as("b")
+    a.join(b, col("a.band_no") === col("b.band_no") &&
+        col("a.band_key") === col("b.band_key") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Verified near-dup pairs: LSH candidates filtered by true n-gram
+    * Jaccard ≥ threshold (computed only on candidates). */
+  def minhashNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, n: Int = 3, bands: Int = 3, rows: Int = 2): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, n, bands, rows)
+    val sh = df.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), n)).as("__sh"))
+    cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.__id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.__id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa.__sh"), col("sb.__sh"))).cast("double") /
+          size(array_union(col("sa.__sh"), col("sb.__sh"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash fingerprint column (md5 hex-digit bit voting over
+    * whitespace tokens — the exact formulation the oracle reproduces). */
+  def simhash32(text: Column): Column = {
+    val toks = tokens(text)
+    (0 until 32).map { b =>
+      val pos = b / 4 + 1
+      val shift = b % 4
+      val votes = aggregate(toks, lit(0L), (acc, t) => {
+        val digit = conv(substring(md5(t), pos, 1), 16, 10).cast("int")
+        val bit = shiftright(digit, shift) % 2
+        acc + (bit * 2 - 1)
+      })
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup candidates: docs whose fingerprints share at least one
+    * of four 8-bit bands (≈ hamming distance tolerance without an O(n²)
+    * scan). */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withSim = df.select(col(idCol).as("doc"), simhash32(col(textCol)).as("sim"))
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band_no"),
+        shiftright(col("sim"), b * 8).bitwiseAND(lit(0xffL)).as("band_key")))
+    val exploded = withSim.select(col("doc"), col("sim"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("sim"), col("bk.band_no"), col("bk.band_key"))
+    val a = exploded.as("a"); val b = exploded.as("b")
+    a.join(b, col("a.band_no") === col("b.band_no") &&
+        col("a.band_key") === col("b.band_key") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .distinct()
+  }
+
+  /** Keep-one collapse over verified near-dup pairs: every doc maps to the
+    * min id of its candidate group (single pass, non-iterative). */
+  def collapseToCanonical(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val canon = pairs.groupBy(col("doc_b").as(idCol))
+      .agg(min(col("doc_a")).as("__canon"))
+    df.join(canon, Seq(idCol), "left")
+      .withColumn("canonical_id", coalesce(col("__canon"), col(idCol)))
+      .drop("__canon")
+  }
+}

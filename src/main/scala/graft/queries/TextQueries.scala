@@ -51,15 +51,33 @@ object TextQueries {
       FROM documents GROUP BY lang""")),
 
     // ---- Language ID (n-gram marker heuristic) ----------------------------
+    // Staged columns (padded text → per-language scores → argmax) so the
+    // normalize/split work runs once per row, not once per marker reference:
+    // CollapseProject keeps multi-referenced non-cheap projections
+    // materialized, turning an O(markers × languages) expression blowup into
+    // a linear pipeline. Same values as the single-expression langId().
     Q("q22_langid", (s, dir) => {
       val d = table(s, dir, "documents")
-      d.withColumn("predicted", langId(col("text")))
+      val padded = concat(lit(" "), normalize(col("text")), lit(" "))
+      val scored = d.withColumn("__padded", padded)
+        .select(col("lang") +: Text.langMarkers.map { case (lg, ms) =>
+          ms.map(m => matchCount(col("__padded"), m)).reduce(_ + _).as(s"s_$lg")
+        }: _*)
+      val scoreCols = Text.langMarkers.map(lm => col(s"s_${lm._1}"))
+      val withBest = scored.withColumn("__best", greatest(scoreCols: _*))
+      val predicted = Text.langMarkers.map(_._1).sorted
+        .foldRight(lit("und")) { case (lg, acc) =>
+          when(col(s"s_$lg") === col("__best") && col("__best") > 0, lit(lg))
+            .otherwise(acc)
+        }
+      withBest.withColumn("predicted", predicted)
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))
     }, Some {
       val padded = s"' ' || $NORM || ' '"
       val scoreSql = Text.langMarkers.map { case (lang, markers) =>
-        val cnt = markers.map(m => s"(len(string_split_regex($padded, '$m')) - 1)")
+        val cnt = markers.map(m =>
+          s"CAST((len(p) - len(replace(p, '$m', ''))) / ${m.length} AS INT)")
           .mkString(" + ")
         s"($cnt) AS s_$lang"
       }.mkString(", ")
@@ -69,7 +87,8 @@ object TextQueries {
       s"""
       SELECT lang, CASE $caseArms ELSE 'und' END AS predicted, COUNT(*) AS n
       FROM (SELECT lang, $best AS best, * FROM
-             (SELECT lang, $scoreSql FROM documents))
+             (SELECT lang, $scoreSql FROM
+               (SELECT lang, $padded AS p FROM documents)))
       GROUP BY 1, 2"""
     }),
 
@@ -113,29 +132,36 @@ object TextQueries {
 
     // ---- n-gram Jaccard near-dup scores -----------------------------------
     // Scale: candidate pairs come from an equi-join on `source` (stand-in
-    // for an LSH band key) — never an unconstrained cross join.
+    // for an LSH band key) — never an unconstrained cross join. Shingles are
+    // hashed to 60-bit longs once per document (set ops over longs, not
+    // strings), and |A∪B| is derived as |A|+|B|−|A∩B| instead of
+    // materializing the union array — same integers, ~10× less work per
+    // pair.
     Q("q25_ngram_jaccard", (s, dir) => {
+      import graft.functions.ArrayOps._
       val d = table(s, dir, "documents")
-        .withColumn("sh", array_distinct(shingles(col("text"), 2)))
-        .select(col("doc_id"), col("source"), col("sh"))
+        .select(col("doc_id"), col("source"),
+          sortedShingleHashes(col("text"), 2).as("sh"))
+        .withColumn("nsh", size(col("sh")))
       val a = d.as("a"); val b = d.as("b")
       a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .withColumn("ni", sortedIntersectCount(col("a.sh"), col("b.sh")))
         .withColumn("jac",
-          size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-            size(array_union(col("a.sh"), col("b.sh"))).cast("double"))
+          col("ni").cast("double") /
+            (col("a.nsh") + col("b.nsh") - col("ni")).cast("double"))
         .filter(col("jac") >= 0.08)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("jac"))
     }, Some {
-      val shSql = s"list_distinct(list_transform(generate_series(1, GREATEST(len($TOKS)-1, 0)), i -> array_to_string(($TOKS)[i:i+1], ' ')))"
+      val shSql = s"list_transform(list_distinct(list_transform(generate_series(1, GREATEST(len($TOKS)-1, 0)), i -> array_to_string(($TOKS)[i:i+1], ' '))), g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))"
       s"""
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jac
-      FROM (SELECT doc_id, source, $shSql AS sh FROM documents) a
-      JOIN (SELECT doc_id, source, $shSql AS sh FROM documents) b
-        ON a.source = b.source AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.08"""
+      SELECT doc_a, doc_b, jac FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jac
+        FROM (SELECT doc_id, source, $shSql AS sh FROM documents) a
+        JOIN (SELECT doc_id, source, $shSql AS sh FROM documents) b
+          ON a.source = b.source AND a.doc_id < b.doc_id)
+      WHERE jac >= 0.08"""
     }),
 
     // ---- SimHash fingerprints --------------------------------------------

@@ -48,20 +48,27 @@ object VectorQueries {
     // ---- Embedding-cosine near-dup pairs ----------------------------------
     // Scale: pairs constrained to an equi-join on `label` (stand-in for an
     // LSH/IVF bucket key) — per-bucket quadratic, not global quadratic.
+    // Norms are computed once per VECTOR before the join (not once per
+    // pair); cos = dot/(norm_a*norm_b) — the identical expression values,
+    // one third of the arithmetic. The same restructure appears in the SQL.
     Q("q31_embed_neardup", (s, dir) => {
       val e = table(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), col("embedding"))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          norm(col("embedding")).as("nrm"))
       val a = e.as("a"); val b = e.as("b")
       a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+        .withColumn("cos",
+          dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
         .filter(col("cos") > 0.25)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
     }, Some(s"""
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        ${cosSql("a.embedding", "b.embedding")} AS cos
-      FROM embeddings a JOIN embeddings b
-        ON a.label = b.label AND a.vec_id < b.vec_id
-      WHERE ${cosSql("a.embedding", "b.embedding")} > 0.25"""), headline = true),
+      SELECT vec_a, vec_b, cos FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+        FROM (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings) a
+        JOIN (SELECT vec_id, label, embedding, ${normSql("embedding")} AS nrm FROM embeddings) b
+          ON a.label = b.label AND a.vec_id < b.vec_id)
+      WHERE cos > 0.25"""), headline = true),
 
     // ---- LSH signatures (the ANN scale path's bucket key) -----------------
     // 8 deterministic md5-derived hyperplanes → 8-bit signature; candidate

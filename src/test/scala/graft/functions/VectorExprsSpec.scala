@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.Registry
+
+/** The codegen'd vector kernels must produce BIT-IDENTICAL doubles to the
+  * higher-order-function formulations (which in turn mirror the oracle SQL).
+  */
+class VectorExprsSpec extends SparkSpec {
+
+  private lazy val emb = Registry.table(spark, sf0001, "embeddings")
+
+  test("DotProductF == zip_with/aggregate formulation, bitwise") {
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val n = emb.crossJoin(q)
+      .select(Vectors.dot(col("embedding"), col("qvec")).as("fast"),
+        Vectors.dotHof(col("embedding"), col("qvec")).as("ref"))
+      .filter(col("fast") =!= col("ref")) // NaN-safe: no NaNs in this data
+      .count()
+    assert(n === 0)
+  }
+
+  test("NormL2F == transform/aggregate formulation, bitwise") {
+    val n = emb
+      .select(Vectors.norm(col("embedding")).as("fast"),
+        Vectors.normHof(col("embedding")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(n === 0)
+  }
+
+  test("SortedIntersectCount matches array_intersect size on hashed shingles") {
+    import graft.functions.ArrayOps._
+    val d = Registry.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), sortedShingleHashes(col("text"), 2).as("sh"))
+    val a = d.as("a"); val b = d.as("b")
+    val n = a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(sortedIntersectCount(col("a.sh"), col("b.sh")).as("fast"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(n === 0)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "THE QUICK  brown fox jumps over the lazy dog near the river bank today"), // exact dup after normalize
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup (1 word)
+    (4L, "completely different content about spark query engines and columnar formats"),
+    (5L, "completely different content about spark query engines and columnar format")) // near dup of 4
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per normalized-text group") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds planted near-dup pairs, skips unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))  // identical after normalization
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(4L, 5L)).size == 1 &&
+      Set(a, b).intersect(Set(1L, 2L, 3L)).size == 1 }) // no cross-cluster pairs
+  }
+
+  test("simhash: near-identical docs have close fingerprints, unrelated far") {
+    val sims = docs.select($"doc_id", Dedup.simhash32($"text").as("sim"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sims(1L) === sims(2L)) // identical token multiset after normalize
+    assert(hamming(sims(1L), sims(3L)) < hamming(sims(1L), sims(4L)))
+  }
+
+  test("simhashCandidates buckets near-dups together") {
+    val cands = Dedup.simhashCandidates(docs, "text", "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("collapseToCanonical maps dup group members to min id") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
+    val out = Dedup.collapseToCanonical(docs, pairs, "doc_id")
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(out(2L) === 1L)
+    assert(out(4L) === 4L)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.Registry
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Registry.table(spark, sf0001, "embeddings")
+  private lazy val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+
+  test("brute-force top-k: scores sorted, self excluded by caller filter") {
+    val out = Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), query, 10)
+      .as[(Long, Double)].collect()
+    assert(out.length === 10)
+    assert(out.map(_._2).toSeq === out.map(_._2).sortBy(-_).toSeq)
+    assert(out.forall(p => p._2 <= 1.0 + 1e-12 && p._2 >= -1.0 - 1e-12))
+  }
+
+  test("identical vector has cosine 1 and ranks first") {
+    val out = Similarity.bruteForceTopK(emb, query, 1).as[(Long, Double)].collect()
+    assert(out.head._1 === 0L)
+    assert(math.abs(out.head._2 - 1.0) < 1e-12)
+  }
+
+  test("LSH top-k: query's own bucket contains the query vector (recall@self)") {
+    val out = Similarity.lshTopK(emb, query, 5).as[(Long, Double)].collect()
+    assert(out.nonEmpty)
+    assert(out.head._1 === 0L) // self lands in its own bucket with cos 1
+  }
+
+  test("near-dup pairs: bucketed by label, all above threshold, a<b") {
+    val pairs = Similarity.nearDupPairs(emb, "label", 0.2)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.forall(p => p._3 > 0.2))
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat and the dog is on the mat and it is fine"),
+    (2L, "der Hund und die Katze ist hier und der Ball ist rot"),
+    (3L, "xyzzy qwerty"),
+    (4L, "這是一個測試的句子在這裡了"))
+    .toDF("doc_id", "text")
+
+  test("langId picks marker-dominant language, 'und' when no markers") {
+    val out = TextAnalysis.enrich(docs).select("doc_id", "lang_pred")
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+    assert(out(3L) === "und")
+    assert(out(4L) === "zh")
+  }
+
+  test("enrich attaches quality/tokens/fingerprint; quality in [0,1]") {
+    val rows = TextAnalysis.enrich(docs).collect()
+    rows.foreach { r =>
+      val q = r.getAs[Double]("quality")
+      assert(q >= 0.0 && q <= 1.0)
+      assert(r.getAs[Int]("n_tokens") > 0)
+      assert(r.getAs[String]("fingerprint").length === 32)
+    }
+  }
+
+  test("filterByQuality drops low-quality docs") {
+    val kept = TextAnalysis.filterByQuality(docs, 0.5).count()
+    assert(kept < docs.count())
+    assert(kept > 0)
+  }
+
+  test("qualityReport aggregates per key") {
+    val rep = TextAnalysis.qualityReport(docs.withColumn("src",
+      org.apache.spark.sql.functions.lit("s")), "src").collect().head
+    assert(rep.getAs[Long]("n_docs") === 4L)
+    assert(rep.getAs[Long]("total_tokens") > 0)
+  }
+}
