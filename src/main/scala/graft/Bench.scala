@@ -27,14 +27,22 @@ object Bench {
     // shapes are identical across scale factors, so this populates the
     // whole-stage-codegen class cache and JIT before any timed run (first
     // execution otherwise pays ~1-4 s of Janino compilation per query).
+    // Materialize EVERY output row and column: a bare count() lets the
+    // optimizer prune the query's projections (string/vector kernels would
+    // be benchmarked as no-ops). toRdd consumes the final physical plan.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreachPartition { it =>
+        while (it.hasNext) it.next()
+      }
+
     val warmDir = "/root/testdata/sf0.001"
     queries.Registry.all.foreach { q =>
-      try q.run(spark, warmDir).count() catch { case _: Throwable => () }
+      try materialize(q.run(spark, warmDir)) catch { case _: Throwable => () }
     }
 
     val results = queries.Registry.all.map { q =>
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count() }
+      try { materialize(q.run(spark, sfDir)) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
       q.name -> (System.nanoTime() - t0) / 1e9

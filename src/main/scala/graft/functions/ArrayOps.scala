@@ -76,4 +76,8 @@ object ArrayOps {
   /** Sorted hashed-shingle representation ready for pairwise intersection. */
   def sortedShingleHashes(text: Column, n: Int): Column =
     array_sort(Text.shingleHashes(text, n))
+
+  /** Same over a staged token-array column (see shingleHashesOfTokens). */
+  def sortedShingleHashesOfTokens(toks: Column, n: Int): Column =
+    array_sort(Text.shingleHashesOfTokens(toks, n))
 }

@@ -78,7 +78,13 @@ object Text {
     * long arrays are far cheaper than over shingle strings: this is the
     * representation pairwise Jaccard should run on at scale. */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(array_distinct(shingles(text, n)),
+    shingleHashesOfTokens(tokens(text), n)
+
+  /** Same, over a pre-materialized token array column — callers staging
+    * `tokens(text)` once in a projection avoid recomputing normalize+split
+    * for each of the n+1 shifted references. */
+  def shingleHashesOfTokens(toks: Column, n: Int): Column =
+    transform(array_distinct(shinglesOfTokens(toks, n)),
       s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
 
   /** Punctuation character count. */

@@ -36,7 +36,8 @@ object Dedup {
   /** Per-document MinHash signature columns mh_0..mh_{k-1} over word
     * n-shingles of the normalized text. */
   def withMinhash(df: DataFrame, textCol: String, n: Int = 3, k: Int = 6): DataFrame = {
-    val withSh = df.withColumn("__sh", array_distinct(shingles(col(textCol), n)))
+    val withSh = df.withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__sh", array_distinct(shinglesOfTokens(col("__toks"), n)))
     val sigs = (0 until k).map(j => minhash(col("__sh"), j).as(s"mh_$j"))
     withSh.select((df.columns.map(col).toSeq ++ sigs): _*)
   }
@@ -86,8 +87,14 @@ object Dedup {
   }
 
   /** 32-bit SimHash fingerprint column (md5 hex-digit bit voting over
-    * whitespace tokens — the exact formulation the oracle reproduces). */
-  def simhash32(text: Column): Column = {
+    * whitespace tokens — the exact semantics the oracle reproduces), as the
+    * one-pass codegen'd kernel. */
+  def simhash32(text: Column): Column =
+    graft.functions.SimHash.simhash32(tokens(text))
+
+  /** Reference formulation via composed expressions (one md5 per token PER
+    * BIT — 32× the hashing; kept only to cross-check the kernel in tests). */
+  def simhash32Ref(text: Column): Column = {
     val toks = tokens(text)
     (0 until 32).map { b =>
       val pos = b / 4 + 1

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, Vectors}
+import graft.operators.{Dedup, Similarity}
+import graft.queries.Registry.table
+
+/** Second coverage batch: generators/explode, string & date function
+  * surface, statistical aggregates, scalar subqueries, pivot, and the FULL
+  * LSH candidate-generation paths (MinHash bands, SimHash bands, hyperplane
+  * ANN) — the Spark side runs the scalable explode+equi-join plans from the
+  * operator library; the oracle reproduces the same SETS with OR-joins
+  * (fine at oracle scale, not at 100 TB — that asymmetry is the point).
+  */
+object Extended {
+
+  private val DSUM = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** SQL for the q24-identical minhash signature relation. */
+  private def minhashSigSql(nMinhash: Int): String = {
+    val NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val TOKS = s"string_split($NORM, ' ')"
+    val shSql = s"list_distinct(list_transform(generate_series(1, GREATEST(len(toks)-2, 0)), i -> array_to_string(toks[i:i+2], ' ')))"
+    val mh = (0 until nMinhash).map(j =>
+      s"list_min(list_transform(sh, x -> md5('$j:' || x))) AS mh_$j").mkString(", ")
+    s"""(SELECT doc_id, mh_0, mh_1, mh_2, mh_3, mh_4, mh_5,
+        md5(mh_0 || '|' || mh_1) AS band_0,
+        md5(mh_2 || '|' || mh_3) AS band_1,
+        md5(mh_4 || '|' || mh_5) AS band_2
+      FROM (SELECT doc_id, $mh FROM
+             (SELECT doc_id, $shSql AS sh FROM
+               (SELECT doc_id, $TOKS AS toks FROM documents))))"""
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- Generator / explode / lateral view -------------------------------
+    // Scale: explode before aggregate is map-side; the groupBy shuffles only
+    // (shingle, partial-count) pairs.
+    Q("q50_explode_terms", (s, dir) => {
+      val d = table(s, dir, "documents")
+      d.withColumn("__toks", Text.tokens(col("text")))
+        .select(explode(Text.shinglesOfTokens(col("__toks"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20)
+    }, Some {
+      val NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+      val TOKS = s"string_split($NORM, ' ')"
+      s"""
+      SELECT bigram, COUNT(*) AS n FROM (
+        SELECT unnest(list_transform(generate_series(1, GREATEST(len($TOKS)-1, 0)),
+          i -> array_to_string(($TOKS)[i:i+1], ' '))) AS bigram
+        FROM documents)
+      GROUP BY bigram HAVING COUNT(*) >= 20"""
+    }),
+
+    // ---- String function surface ------------------------------------------
+    Q("q51_string_funcs", (s, dir) => {
+      val c = table(s, dir, "customer")
+      c.select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("key_padded"),
+        substring(col("c_name"), 10, 6).as("name_digits"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_trans"),
+        levenshtein(col("c_name"), lit("Customer#000000000")).as("lev"),
+        length(col("c_name")).as("name_len"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string")).as("joined"))
+    }, Some("""
+      SELECT c_custkey,
+        upper(c_mktsegment) AS seg_upper,
+        lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_padded,
+        substr(c_name, 10, 6) AS name_digits,
+        reverse(c_mktsegment) AS seg_rev,
+        translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_trans,
+        levenshtein(c_name, 'Customer#000000000') AS lev,
+        CAST(length(c_name) AS INT) AS name_len,
+        concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS joined
+      FROM customer""")),
+
+    // ---- Date/time function surface ---------------------------------------
+    // dayofweek alignment: Spark is 1=Sunday, the oracle engine 0=Sunday.
+    Q("q52_date_funcs", (s, dir) => {
+      val o = table(s, dir, "orders")
+      o.select(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          weekofyear(col("o_orderdate")).cast("long").as("woy"),
+          last_day(col("o_orderdate")).as("month_end"),
+          date_add(to_date(col("o_orderdate")), 90).as("due_date"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since_epoch_start"))
+        .groupBy(col("yr"), col("qtr"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("mo")).as("n_months"),
+          countDistinct(col("dow")).as("n_dows"),
+          countDistinct(col("woy")).as("n_weeks"),
+          max(col("month_end")).as("max_month_end"),
+          max(col("due_date")).as("max_due"),
+          max(col("days_since_epoch_start")).as("max_days"))
+    }, Some("""
+      SELECT yr, qtr, COUNT(*) AS n,
+        COUNT(DISTINCT mo) AS n_months, COUNT(DISTINCT dow) AS n_dows,
+        COUNT(DISTINCT woy) AS n_weeks, MAX(month_end) AS max_month_end,
+        MAX(due_date) AS max_due, MAX(days_since_epoch_start) AS max_days
+      FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+          CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+          CAST(month(o_orderdate) AS BIGINT) AS mo,
+          CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+          CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+          last_day(o_orderdate) AS month_end,
+          CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE) AS due_date,
+          date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch_start
+        FROM orders)
+      GROUP BY yr, qtr""")),
+
+    // ---- Statistical aggregates -------------------------------------------
+    // Exact interpolated median + corr/stddev. These merge partial states in
+    // partition order, so both sides round to 6 decimals (noise ~1e-12,
+    // far below the rounding step).
+    Q("q53_stats_agg", (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(stddev_samp(col("l_discount")), 6).as("discount_sd"),
+          count(lit(1)).as("n"))
+    }, Some(s"""
+      SELECT l_returnflag,
+        ${Registry.sroundSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS median_price,
+        ${Registry.sroundSql("corr(l_quantity, l_extendedprice)", 6)} AS qty_price_corr,
+        ${Registry.sroundSql("stddev_samp(l_discount)", 6)} AS discount_sd,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- Scalar subquery ---------------------------------------------------
+    Q("q54_scalar_subquery", (s, dir) => {
+      val o = table(s, dir, "orders")
+      val avgDf = o.agg(
+        (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_price"))
+      o.crossJoin(broadcast(avgDf))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n_above_avg"))
+    }, Some(s"""
+      SELECT o_orderstatus, COUNT(*) AS n_above_avg FROM orders
+      WHERE o_totalprice > (SELECT ${DSUM("o_totalprice")} / COUNT(*) FROM orders)
+      GROUP BY o_orderstatus""")),
+
+    // ---- Pivot -------------------------------------------------------------
+    Q("q55_pivot", (s, dir) => {
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O", "P"))
+    }, Some("""
+      SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+      FROM orders GROUP BY o_orderpriority""")),
+
+    // ---- MinHash-LSH candidate pairs (the full dedup scale path) ----------
+    // Spark: explode (band_no, band_key) → equi-join per bucket → distinct.
+    // Oracle: OR-join over the three band keys — same SET, quadratic plan
+    // (viable only at oracle scale).
+    Q("q56_minhash_lsh_pairs", (s, dir) => {
+      Dedup.minhashCandidates(table(s, dir, "documents"), "text", "doc_id",
+        n = 3, bands = 3, rows = 2)
+    }, Some(s"""
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ${minhashSigSql(6)} a JOIN ${minhashSigSql(6)} b
+        ON a.doc_id < b.doc_id
+        AND (a.band_0 = b.band_0 OR a.band_1 = b.band_1 OR a.band_2 = b.band_2)""")),
+
+    // ---- SimHash candidate pairs ------------------------------------------
+    Q("q57_simhash_pairs", (s, dir) => {
+      Dedup.simhashCandidates(table(s, dir, "documents"), "text", "doc_id")
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+    }, Some {
+      val bitSql = (0 until 32).map { b =>
+        val pos = b / 4 + 1
+        val shift = b % 4
+        s"""CASE WHEN list_sum(list_transform(toks, t ->
+             ((CAST(('0x' || substr(md5(t), $pos, 1)) AS INT) >> $shift) % 2) * 2 - 1)) > 0
+           THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"""
+      }.mkString(" + ")
+      val NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+      val simRel = s"""(SELECT doc_id, $bitSql AS sim FROM
+        (SELECT doc_id, string_split($NORM, ' ') AS toks FROM documents))"""
+      s"""
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+      FROM $simRel a JOIN $simRel b
+        ON a.doc_id < b.doc_id
+        AND ((a.sim & 255) = (b.sim & 255)
+          OR ((a.sim >> 8) & 255) = ((b.sim >> 8) & 255)
+          OR ((a.sim >> 16) & 255) = ((b.sim >> 16) & 255)
+          OR ((a.sim >> 24) & 255) = ((b.sim >> 24) & 255))"""
+    }),
+
+    // ---- LSH-bucketed approximate top-k (the ANN scale path) --------------
+    Q("q58_ann_lsh_topk", (s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val query = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.lshTopK(e, query, k = 10)
+    }, Some {
+      val DIMS = 64
+      def dotSql(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, $DIMS), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+      def normSql(a: String) =
+        s"sqrt(list_sum(list_transform(generate_series(1, $DIMS), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))"
+      val bitTerms = (0 until 8).map { p =>
+        val weights = (0 until DIMS)
+          .map(d => s"CAST(embedding[${d + 1}] AS DOUBLE) * ${Vectors.planeWeight(p, d).toDouble}")
+          .mkString(" + ")
+        s"CASE WHEN ($weights) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+      s"""
+      WITH sigs AS (SELECT vec_id, embedding, $bitTerms AS sig FROM embeddings),
+      q AS (SELECT embedding AS qvec, sig AS qsig FROM sigs WHERE vec_id = 0),
+      masks AS (SELECT unnest([0,1,2,4,8,16,32,64,128]) AS m)
+      SELECT s.vec_id,
+        ${dotSql("s.embedding", "q.qvec")} / (${normSql("s.embedding")} * ${normSql("q.qvec")}) AS cos
+      FROM sigs s, q, masks
+      WHERE s.sig = xor(q.qsig, CAST(m AS BIGINT))
+      ORDER BY cos DESC, s.vec_id ASC LIMIT 10"""
+    })
+  )
+}

@@ -64,7 +64,7 @@ object Registry {
     * operators. Order = SURVEY §2 inventory order, then north star. */
   lazy val all: Seq[Q] =
     Relational.queries ++ HousePriceQueries.queries ++ TextQueries.queries ++
-      VectorQueries.queries ++ EventQueries.queries
+      VectorQueries.queries ++ EventQueries.queries ++ Extended.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

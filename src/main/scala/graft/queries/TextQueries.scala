@@ -108,9 +108,9 @@ object TextQueries {
     // of 2 for the LSH bucket key. Verified value-for-value by the oracle.
     Q("q24_minhash_sig", (s, dir) => {
       val d = table(s, dir, "documents")
-      val sh = array_distinct(shingles(col("text"), 3))
       val sigs = (0 until 6).map(j => minhash(col("sh"), j).as(s"mh_$j"))
-      val withSig = d.withColumn("sh", sh)
+      val withSig = d.withColumn("__toks", tokens(col("text")))
+        .withColumn("sh", array_distinct(shinglesOfTokens(col("__toks"), 3)))
         .select((col("doc_id") +: sigs): _*)
       withSig
         .withColumn("band_0", md5(concat_ws("|", col("mh_0"), col("mh_1"))))
@@ -140,8 +140,9 @@ object TextQueries {
     Q("q25_ngram_jaccard", (s, dir) => {
       import graft.functions.ArrayOps._
       val d = table(s, dir, "documents")
+        .withColumn("__toks", tokens(col("text")))
         .select(col("doc_id"), col("source"),
-          sortedShingleHashes(col("text"), 2).as("sh"))
+          sortedShingleHashesOfTokens(col("__toks"), 2).as("sh"))
         .withColumn("nsh", size(col("sh")))
       val a = d.as("a"); val b = d.as("b")
       a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
@@ -169,18 +170,8 @@ object TextQueries {
     // vote over tokens (with multiplicity) sets result bit b.
     Q("q26_simhash", (s, dir) => {
       val d = table(s, dir, "documents")
-      val toks = tokens(col("text"))
-      val sim = (0 until 32).map { b =>
-        val pos = b / 4 + 1
-        val shift = b % 4
-        val votes = aggregate(toks, lit(0L), (acc, t) => {
-          val digit = conv(substring(md5(t), pos, 1), 16, 10).cast("int")
-          val bit = shiftright(digit, shift) % 2
-          acc + (bit * 2 - 1)
-        })
-        when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      d.select(col("doc_id"), sim.as("simhash"))
+      d.select(col("doc_id"),
+        graft.operators.Dedup.simhash32(col("text")).as("simhash"))
     }, Some {
       val bitSql = (0 until 32).map { b =>
         val pos = b / 4 + 1

@@ -30,6 +30,15 @@ class VectorExprsSpec extends SparkSpec {
     assert(n === 0)
   }
 
+  test("SimHash32 kernel == composed-expression formulation") {
+    val d = Registry.table(spark, sf0001, "documents")
+    val n = d.select(graft.operators.Dedup.simhash32(col("text")).as("fast"),
+        graft.operators.Dedup.simhash32Ref(col("text")).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(n === 0)
+  }
+
   test("SortedIntersectCount matches array_intersect size on hashed shingles") {
     import graft.functions.ArrayOps._
     val d = Registry.table(spark, sf0001, "documents")
