@@ -166,6 +166,21 @@ object Extended {
         CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS P
       FROM orders GROUP BY o_orderpriority""")),
 
+    // ---- GROUPING SETS (via the spark.sql surface) ------------------------
+    Q("q59_grouping_sets", (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(s"""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+          COUNT(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    }, Some(s"""
+      SELECT o_orderstatus, o_orderpriority,
+        ${DSUM("o_totalprice")} AS sum_price, COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")),
+
     // ---- MinHash-LSH candidate pairs (the full dedup scale path) ----------
     // Spark: explode (band_no, band_key) → equi-join per bucket → distinct.
     // Oracle: OR-join over the three band keys — same SET, quadratic plan

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.queries.Registry
+
+/** The streaming aggregates must agree with their oracle-pinned batch twins
+  * when the stream is fully drained (complete/update modes over a finite
+  * backlog). */
+class EventStreamSpec extends SparkSpec {
+
+  // stage the events table (µs-truncated) as a parquet "stream input" dir
+  private lazy val streamDir: String = {
+    val d = Files.createTempDirectory("graft-events-stream").toString
+    Registry.table(spark, sf0001, "events").write.mode("overwrite").parquet(d)
+    d
+  }
+
+  private lazy val batchEvents = spark.read.parquet(streamDir)
+
+  test("watermarked hourly window agg matches the batch aggregation") {
+    val stream = EventStream.read(spark, streamDir, batchEvents.schema)
+    val q = EventStream.hourlyStats(stream).writeStream
+      .format("memory").queryName("hourly").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("hourly")
+      .orderBy("hour", "event_type").collect().toSeq
+    val batch = EventStream.hourlyStats(batchEvents.withColumn("dummy", lit(1)))
+      .orderBy("hour", "event_type").collect().toSeq
+    // batch reuse of the same streaming transform (no watermark effect on
+    // complete data)
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("session windows: gap merge matches batch sessionization counts") {
+    val stream = EventStream.read(spark, streamDir, batchEvents.schema)
+    val q = EventStream.sessions(stream).writeStream
+      .format("memory").queryName("sessions").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("sessions")
+    // must agree with the oracle-pinned batch sessionization (q41): same
+    // total session count and per-user counts
+    val batchSessions = Registry.byName("q41_sessionize").run(spark, sf0001)
+      .select(col("user_id"), col("n_sessions"))
+    val streamedCounts = streamed.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val mismatches = streamedCounts.as("a")
+      .join(batchSessions.as("b"), "user_id")
+      .filter(col("a.n_sessions") =!= col("b.n_sessions"))
+      .count()
+    assert(mismatches === 0)
+    assert(streamed.count() > 0)
+  }
+}
