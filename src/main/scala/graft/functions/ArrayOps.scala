@@ -77,7 +77,12 @@ object ArrayOps {
   def sortedShingleHashes(text: Column, n: Int): Column =
     array_sort(Text.shingleHashes(text, n))
 
-  /** Same over a staged token-array column (see shingleHashesOfTokens). */
+  /** Same over a staged token-array column — one-pass kernel (sorted
+    * distinct 60-bit hashes emitted directly; see TextKernels). */
   def sortedShingleHashesOfTokens(toks: Column, n: Int): Column =
+    TextKernels.shingleHashes(toks, n)
+
+  /** Composed-expression reference form (kept for bitwise cross-checks). */
+  def sortedShingleHashesOfTokensRef(toks: Column, n: Int): Column =
     array_sort(Text.shingleHashesOfTokens(toks, n))
 }

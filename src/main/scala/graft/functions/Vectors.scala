@@ -51,7 +51,12 @@ object Vectors {
     * Plane weights are derived deterministically from md5(plane:dim) — no
     * RNG, identical across engines/runs. Used to bucket ANN candidates so
     * the pairwise search is per-bucket, not all-pairs (the 100 TB path). */
-  def hyperplaneSig(vec: Column, planes: Int, dims: Int): Column = {
+  def hyperplaneSig(vec: Column, planes: Int, dims: Int): Column =
+    TextKernels.hyperplaneSig(vec, planes, dims)
+
+  /** Composed-expression reference form: a 512-term tree (slow to codegen,
+    * kept for bitwise cross-checks of the kernel). */
+  def hyperplaneSigRef(vec: Column, planes: Int, dims: Int): Column = {
     val bits = (0 until planes).map { p =>
       val s = (0 until dims).map { d =>
         element_at(vec, d + 1).cast("double") * lit(planeWeight(p, d).toDouble)

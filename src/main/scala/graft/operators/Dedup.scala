@@ -36,10 +36,10 @@ object Dedup {
   /** Per-document MinHash signature columns mh_0..mh_{k-1} over word
     * n-shingles of the normalized text. */
   def withMinhash(df: DataFrame, textCol: String, n: Int = 3, k: Int = 6): DataFrame = {
-    val withSh = df.withColumn("__toks", tokens(col(textCol)))
-      .withColumn("__sh", array_distinct(shinglesOfTokens(col("__toks"), n)))
-    val sigs = (0 until k).map(j => minhash(col("__sh"), j).as(s"mh_$j"))
-    withSh.select((df.columns.map(col).toSeq ++ sigs): _*)
+    val withToks = df.withColumn("__toks", tokens(col(textCol)))
+    val sigs = (0 until k).map(j =>
+      graft.functions.TextKernels.minhashHex(col("__toks"), n, j).as(s"mh_$j"))
+    withToks.select((df.columns.map(col).toSeq ++ sigs): _*)
   }
 
   /** LSH band keys band_0..band_{bands-1}: md5 over `rows` consecutive

@@ -107,10 +107,11 @@ object TextQueries {
     // String-min minhash over word 3-shingles, 6 seeds; banded into 3 bands
     // of 2 for the LSH bucket key. Verified value-for-value by the oracle.
     Q("q24_minhash_sig", (s, dir) => {
+      import graft.functions.TextKernels
       val d = table(s, dir, "documents")
-      val sigs = (0 until 6).map(j => minhash(col("sh"), j).as(s"mh_$j"))
+      val sigs = (0 until 6).map(j =>
+        TextKernels.minhashHex(col("__toks"), 3, j).as(s"mh_$j"))
       val withSig = d.withColumn("__toks", tokens(col("text")))
-        .withColumn("sh", array_distinct(shinglesOfTokens(col("__toks"), 3)))
         .select((col("doc_id") +: sigs): _*)
       withSig
         .withColumn("band_0", md5(concat_ws("|", col("mh_0"), col("mh_1"))))

@@ -39,6 +39,40 @@ class VectorExprsSpec extends SparkSpec {
     assert(n === 0)
   }
 
+  test("MinHashHex kernel == composed array_min(md5) formulation") {
+    import org.apache.spark.sql.functions.array_distinct
+    val d = Registry.table(spark, sf0001, "documents")
+      .withColumn("__toks", Text.tokens(col("text")))
+      .withColumn("__sh", array_distinct(Text.shinglesOfTokens(col("__toks"), 3)))
+    val n = d.select(
+        TextKernels.minhashHex(col("__toks"), 3, 2).as("fast"),
+        Text.minhash(col("__sh"), 2).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(n === 0)
+  }
+
+  test("ShingleHashes kernel == composed sort(distinct(hash)) formulation") {
+    import graft.functions.ArrayOps._
+    val d = Registry.table(spark, sf0001, "documents")
+      .withColumn("__toks", Text.tokens(col("text")))
+    val n = d.select(
+        sortedShingleHashesOfTokens(col("__toks"), 2).as("fast"),
+        sortedShingleHashesOfTokensRef(col("__toks"), 2).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(n === 0)
+  }
+
+  test("HyperplaneSig kernel == composed 512-term expression tree") {
+    val n = emb.select(
+        Vectors.hyperplaneSig(col("embedding"), 8, 64).as("fast"),
+        Vectors.hyperplaneSigRef(col("embedding"), 8, 64).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(n === 0)
+  }
+
   test("SortedIntersectCount matches array_intersect size on hashed shingles") {
     import graft.functions.ArrayOps._
     val d = Registry.table(spark, sf0001, "documents")
