@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+import graft.functions._
+
+/** SQL surface for the engine's custom expressions: `roc_date`,
+  * `simhash32`, `minhash_hex`, `shingle_hashes`, `hyperplane_sig`,
+  * `dot_f`, `norm_f`, `sorted_intersect_count` become callable from
+  * `spark.sql(...)`.
+  *
+  * Two wirings:
+  *  - `GraftExtensions` for session construction
+  *    (`SparkSession.builder().withExtensions(new GraftExtensions)` or
+  *    `spark.sql.extensions=graft.GraftExtensions`);
+  *  - `GraftFunctions.register(spark)` for an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftFunctions.defs
+  override def apply(e: SparkSessionExtensions): Unit =
+    defs.foreach { case (name, builder) =>
+      e.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            "graft", name),
+          (args: Seq[Expression]) => builder(args)))
+    }
+}
+
+object GraftFunctions {
+
+  private def intLit(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
+  private def arity(name: String, n: Int)(
+      f: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      require(args.length == n,
+        s"$name expects $n argument(s), got ${args.length}")
+      f(args)
+    }
+
+  val defs: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "roc_date" -> arity("roc_date", 1)(args => RocDate(args.head)),
+    "simhash32" -> arity("simhash32", 1)(args => SimHash32(args.head)),
+    "minhash_hex" -> arity("minhash_hex", 3)(args =>
+      MinHashHexExpr(args.head, intLit(args(1)), intLit(args(2)))),
+    "shingle_hashes" -> arity("shingle_hashes", 2)(args =>
+      ShingleHashesExpr(args.head, intLit(args(1)))),
+    "hyperplane_sig" -> arity("hyperplane_sig", 3)(args =>
+      HyperplaneSigExpr(args.head, intLit(args(1)), intLit(args(2)))),
+    "dot_f" -> arity("dot_f", 2)(args => DotProductF(args.head, args(1))),
+    "norm_f" -> arity("norm_f", 1)(args => NormL2F(args.head)),
+    "sorted_intersect_count" -> arity("sorted_intersect_count", 2)(args =>
+      SortedIntersectCount(args.head, args(1))))
+
+  /** Register all engine functions on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    defs.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
+}

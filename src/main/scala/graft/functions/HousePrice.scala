@@ -50,17 +50,25 @@ object HousePrice {
 
   /** E2+E3: ROC calendar string → DATE. '1100718' → 2021-07-18
     * (year = leading digits + 1911; month/day = fixed-width trailing 4).
-    * Invalid month/day/garbage → NULL via to_date's non-ANSI semantics,
-    * which is exactly the reference's F3 validity filter for free.
-    * Accepts 6-digit (ROC year < 100) and 7-digit forms. */
-  def rocToDate(roc: Column): Column = {
+    * Invalid month/day/garbage → NULL — exactly the reference's F3 validity
+    * filter for free. Accepts 6-digit (ROC year < 100) and 7-digit forms;
+    * anything longer is malformed under the data contract → NULL.
+    * Implemented as the codegen'd RocDate expression (single byte pass). */
+  def rocToDate(roc: Column): Column =
+    graft.functions.RocDate.rocDate(roc.cast("string"))
+
+  /** Composed-expression reference form of E2 (kept for cross-checks; on
+    * the contract domain of 6/7-digit strings it equals rocToDate —
+    * it additionally "accepts" malformed 8+-digit strings by accident,
+    * which the kernel deliberately rejects). */
+  def rocToDateRef(roc: Column): Column = {
     val digits = roc.cast("string")
     val n = length(digits)
     val yr = digits.substr(lit(1), n - 4).cast("int") + 1911
     val mo = substring(digits, -4, 2)
     val dy = substring(digits, -2, 2)
     // concat_ws (E8) folds year-month-day join; to_date validates strictly.
-    when(n >= 6 && digits.rlike("^[0-9]+$"),
+    when(n >= 6 && n <= 7 && digits.rlike("^[0-9]+$"),
       to_date(concat_ws("-", yr.cast("string"), mo, dy), "yyyy-M-d"))
   }
 
