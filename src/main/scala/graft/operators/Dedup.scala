@@ -61,6 +61,11 @@ object Dedup {
     val exploded = banded
       .select(col(idCol).as("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band_no"), col("bk.band_key"))
+      // materialize once: a self-join's two sides don't share work (no
+      // exchange to reuse under a broadcast join), so without this the
+      // whole minhash pipeline runs twice. At warehouse scale this is a
+      // written signature table rather than a cache.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = exploded.as("a"); val b = exploded.as("b")
     a.join(b, col("a.band_no") === col("b.band_no") &&
         col("a.band_key") === col("b.band_key") && col("a.doc") < col("b.doc"))
@@ -119,6 +124,7 @@ object Dedup {
     val exploded = withSim.select(col("doc"), col("sim"),
       explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("sim"), col("bk.band_no"), col("bk.band_key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = exploded.as("a"); val b = exploded.as("b")
     a.join(b, col("a.band_no") === col("b.band_no") &&
         col("a.band_key") === col("b.band_key") && col("a.doc") < col("b.doc"))

@@ -51,6 +51,38 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style approximate top-k: a deterministic coarse quantizer (the
+    * `nCells` lowest-id vectors act as centroids) partitions the corpus into
+    * cells by nearest centroid; a query scores only the `nProbe` cells whose
+    * centroids are closest to it. The 100 TB shape: cell assignment is a
+    * broadcast argmin at ingest (write-once, partition-by-cell), and each
+    * query reads nProbe/nCells of the data. */
+  def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = embeddings.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+    // assign every vector to its nearest centroid (broadcast argmin)
+    val byVec = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("d2").asc, col("cell_id").asc)
+    val assigned = embeddings.crossJoin(broadcast(centroids))
+      .withColumn("d2", l2sq(col(vecCol), col("centroid")))
+      .withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col(vecCol), col("cell_id"))
+    // the query probes its nProbe nearest cells
+    val probed = query.crossJoin(broadcast(centroids))
+      .withColumn("d2", l2sq(col("qvec"), col("centroid")))
+      .orderBy(col("d2").asc, col("cell_id").asc)
+      .limit(nProbe)
+      .select(col("qvec"), col("cell_id"))
+    assigned.join(broadcast(probed), Seq("cell_id"))
+      .withColumn("cos", cosine(col(vecCol), col("qvec")))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .select(col(idCol), col("cos"))
+      .limit(k)
+  }
+
   /** All near-duplicate pairs above a cosine threshold, bucketed by an
     * equi-join key (label / LSH signature) to avoid the global cross join. */
   def nearDupPairs(embeddings: DataFrame, bucketCol: String, threshold: Double,

@@ -195,6 +195,11 @@ object Extended {
         AND (a.band_0 = b.band_0 OR a.band_1 = b.band_1 OR a.band_2 = b.band_2)""")),
 
     // ---- SimHash candidate pairs ------------------------------------------
+    // NB the synthetic corpus is statistically self-similar (shared small
+    // vocabulary), so simhash values cluster and the standard 4×8-bit
+    // banding yields dense candidates (~2.5M pairs at sf0.1) — that's the
+    // operator's true semantics on this data, verified identically by the
+    // oracle; real corpora are far sparser in band space.
     Q("q57_simhash_pairs", (s, dir) => {
       Dedup.simhashCandidates(table(s, dir, "documents"), "text", "doc_id")
         .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))

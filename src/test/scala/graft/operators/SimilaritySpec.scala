@@ -30,6 +30,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._1 === 0L) // self lands in its own bucket with cos 1
   }
 
+  test("IVF top-k: self-recall and high overlap with brute force") {
+    val exact = Similarity.bruteForceTopK(emb, query, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val approx = Similarity.ivfTopK(emb, query, 10, nCells = 16, nProbe = 6)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(approx.contains(0L)) // query vector finds itself
+    // approximate: require meaningful overlap with the exact answer
+    assert((exact intersect approx).size >= 4,
+      s"overlap too low: exact=$exact approx=$approx")
+  }
+
   test("near-dup pairs: bucketed by label, all above threshold, a<b") {
     val pairs = Similarity.nearDupPairs(emb, "label", 0.2)
       .as[(Long, Long, Double)].collect()

@@ -36,6 +36,37 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("watermark drops late data in append mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStream.hourlyStats(events, watermark = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((t("2024-01-01 10:05:00"), "click", 1.0))
+      q.processAllAvailable()
+      // advance the watermark far past hour 10 (12:00 - 30min > 11:00)
+      input.addData((t("2024-01-01 12:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // hour-10 window is now closed and emitted; a late hour-10 event must be dropped
+      input.addData((t("2024-01-01 10:10:00"), "click", 99.0))
+      // push the watermark again so everything pending flushes
+      input.addData((t("2024-01-01 14:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val hour10 = spark.table("late_test")
+        .filter(col("hour") === t("2024-01-01 10:00:00")).collect()
+      assert(hour10.length === 1)
+      assert(hour10.head.getAs[Long]("n") === 1L) // the late 99.0 event was dropped
+    } finally q.stop()
+  }
+
   test("session windows: gap merge matches batch sessionization counts") {
     val stream = EventStream.read(spark, streamDir, batchEvents.schema)
     val q = EventStream.sessions(stream).writeStream
