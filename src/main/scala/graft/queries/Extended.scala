@@ -226,6 +226,41 @@ object Extended {
           OR ((a.sim >> 24) & 255) = ((b.sim >> 24) & 255))"""
     }),
 
+    // ---- As-of join (time-series) -----------------------------------------
+    // For every non-signup event: the latest signup event_id of the same
+    // user at-or-before its timestamp. Union+window formulation on both
+    // sides (one shuffle on user_id — the native-as-of lower bound).
+    Q("q60_asof_join", (s, dir) => {
+      val e = table(s, dir, "events")
+      val left = e.filter(col("event_type") =!= "signup")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val right = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_id"))
+      graft.operators.AsOfJoin.asof(left, right, "user_id", "ts", "signup_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("asof_signup_id").isNotNull, 1L).otherwise(0L)).as("n_with_signup"),
+          sum(coalesce(col("asof_signup_id"), lit(0L))).as("sum_signup_ids"))
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN asof_signup_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_signup,
+        CAST(SUM(COALESCE(asof_signup_id, 0)) AS BIGINT) AS sum_signup_ids
+      FROM (
+        SELECT user_id, ts, event_id, event_type, tag,
+          last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+            ORDER BY ts ASC, tag ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_id
+        FROM (
+          SELECT user_id, ts, event_id, event_type, 1 AS tag, CAST(NULL AS BIGINT) AS v
+          FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+          WHERE event_type <> 'signup'
+          UNION ALL
+          SELECT user_id, ts, NULL, NULL, 0 AS tag, event_id AS v
+          FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+          WHERE event_type = 'signup'))
+      WHERE tag = 1
+      GROUP BY event_type""")),
+
     // ---- LSH-bucketed approximate top-k (the ANN scale path) --------------
     Q("q58_ann_lsh_topk", (s, dir) => {
       val e = table(s, dir, "embeddings")
