@@ -31,6 +31,14 @@ object EventStream {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exactly-once event dedup: duplicate event_ids within the
+    * watermark horizon are dropped (state evicted beyond it) — the
+    * streaming twin of exact dedup for at-least-once upstream producers. */
+  def deduped(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_id")
+
   /** Session windows per user with a 30-minute inactivity gap — the
     * streaming twin of the batch gaps-and-islands sessionization (q41). */
   def sessions(events: DataFrame, gap: String = "30 minutes",

@@ -67,6 +67,32 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val q = EventStream.deduped(events).writeStream
+      .format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((1L, t("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // the same event redelivered in a later micro-batch
+      input.addData((1L, t("2024-01-01 10:00:00"), 1.0),
+        (2L, t("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").select("event_id").as[Long]
+        .collect().sorted.toSeq
+      assert(got === Seq(1L, 2L)) // id 1 appears once despite redelivery
+    } finally q.stop()
+  }
+
   test("session windows: gap merge matches batch sessionization counts") {
     val stream = EventStream.read(spark, streamDir, batchEvents.schema)
     val q = EventStream.sessions(stream).writeStream
