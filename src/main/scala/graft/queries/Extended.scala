@@ -226,6 +226,50 @@ object Extended {
           OR ((a.sim >> 24) & 255) = ((b.sim >> 24) & 255))"""
     }),
 
+    // ---- Window-function variants -----------------------------------------
+    Q("q61_window_variants", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          rank().over(w).cast("long").as("rk"),
+          dense_rank().over(w).cast("long").as("drk"))
+    }, Some("""
+      SELECT o_orderkey, o_orderstatus,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        lead(o_orderkey, 1) OVER w AS next_key,
+        lag(o_orderkey, 1) OVER w AS prev_key,
+        percent_rank() OVER w AS pr,
+        cume_dist() OVER w AS cd,
+        CAST(rank() OVER w AS BIGINT) AS rk,
+        CAST(dense_rank() OVER w AS BIGINT) AS drk
+      FROM orders WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice ASC, o_orderkey ASC)""")),
+
+    // ---- Unpivot / melt ----------------------------------------------------
+    Q("q62_unpivot", (s, dir) => {
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "metric", "val")
+    }, Some("""
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, metric, val
+      FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+                     FROM lineitem WHERE l_orderkey < 100)
+            ON l_quantity, l_discount, l_tax INTO NAME metric VALUE val)""")),
+
     // ---- As-of join (time-series) -----------------------------------------
     // For every non-signup event: the latest signup event_id of the same
     // user at-or-before its timestamp. Union+window formulation on both
