@@ -16,6 +16,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes: everything to python objects with rounded floats
     def norm(v):
+        # list-typed cells (numpy arrays / lists) -> tuples so equality and
+        # sorting behave scalar-wise
+        if hasattr(v, "tolist") and not hasattr(v, "timestamp"):
+            v = v.tolist()
+        if isinstance(v, (list, tuple)):
+            return tuple(norm(x) for x in v)
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return None
         if isinstance(v, float):

@@ -77,4 +77,53 @@ object Multimodal {
   /** End-to-end: payloads → features, joined back to metadata. */
   def withFeatures(media: DataFrame): DataFrame =
     media.join(extractFeatures(media).drop("n_bytes"), Seq("media_id"))
+
+  /** STUB resize: a real deployment decodes, scales to `w`×`h`, re-encodes.
+    * The stub keeps the batch shape and metadata contract honest —
+    * deterministic truncation of the payload proportional to the target
+    * area so downstream size accounting is exercised. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(metadataSchema)
+    media.select(metadataSchema.fieldNames.map(col): _*)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload =
+            if (r.isNullAt(6)) Array.emptyByteArray else r.getAs[Array[Byte]](6)
+          val scaled = java.util.Arrays.copyOf(
+            payload, math.min(payload.length, math.max(1, w * h / 64)))
+          Row(r.getLong(0), r.getString(1), r.getString(2),
+            Integer.valueOf(w), Integer.valueOf(h),
+            if (r.isNullAt(5)) null else java.lang.Long.valueOf(r.getLong(5)),
+            scaled)
+        }
+      }(outEnc)
+  }
+
+  /** STUB frame sampling for video payloads: every `everyNth` chunk of the
+    * payload becomes one "frame" row (media_id, frame_no, frame bytes) —
+    * the explode shape a real decoder's keyframe sampler produces. */
+  def sampleFrames(media: DataFrame, everyNth: Int = 4, chunk: Int = 256): DataFrame = {
+    val frameSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(frameSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload =
+            if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          val nChunks = math.max(1, payload.length / chunk)
+          (0 until nChunks by everyNth).map { i =>
+            val from = i * chunk
+            val until = math.min(payload.length, from + chunk)
+            Row(r.getLong(0), Integer.valueOf(i),
+              java.util.Arrays.copyOfRange(payload, from, math.max(from, until)))
+          }
+        }
+      }(outEnc)
+  }
 }

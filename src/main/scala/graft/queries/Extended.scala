@@ -226,6 +226,25 @@ object Extended {
           OR ((a.sim >> 24) & 255) = ((b.sim >> 24) & 255))"""
     }),
 
+    // ---- Array aggregation / array functions ------------------------------
+    // collect_list order is nondeterministic — sort_array canonicalizes it
+    // (same discipline the oracle applies with ORDER BY inside list()).
+    Q("q63_array_agg", (s, dir) => {
+      table(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(sort_array(collect_list(col("s_suppkey"))).as("supp_ids"),
+          count(lit(1)).as("n"))
+        .withColumn("first_two", slice(col("supp_ids"), 1, 2))
+        .withColumn("has_zero", array_contains(col("supp_ids"), 0L))
+        .withColumn("n_ids", size(col("supp_ids")).cast("long"))
+    }, Some("""
+      SELECT s_nationkey, list(s_suppkey ORDER BY s_suppkey) AS supp_ids,
+        COUNT(*) AS n,
+        (list(s_suppkey ORDER BY s_suppkey))[1:2] AS first_two,
+        list_contains(list(s_suppkey ORDER BY s_suppkey), 0) AS has_zero,
+        CAST(len(list(s_suppkey ORDER BY s_suppkey)) AS BIGINT) AS n_ids
+      FROM supplier GROUP BY s_nationkey""")),
+
     // ---- Window-function variants -----------------------------------------
     Q("q61_window_variants", (s, dir) => {
       import org.apache.spark.sql.expressions.Window

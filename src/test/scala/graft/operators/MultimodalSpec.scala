@@ -31,4 +31,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() === 50)
     assert(out.columns.contains("feature") && out.columns.contains("payload"))
   }
+
+  test("resize stub: schema contract intact, dimensions set, payload bounded") {
+    val out = Multimodal.resize(media, 64, 64)
+    assert(out.schema.fieldNames.toSeq === Multimodal.metadataSchema.fieldNames.toSeq)
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[Int]("width") === 64))
+    assert(rows.forall(r => r.getAs[Array[Byte]]("payload").length <= 64))
+  }
+
+  test("frame sampling stub: explode shape with stride") {
+    val frames = Multimodal.sampleFrames(media, everyNth = 2, chunk = 64)
+    assert(frames.columns.toSeq === Seq("media_id", "frame_no", "frame"))
+    assert(frames.count() >= 50) // at least one frame per document
+    val strides = frames.select("frame_no").distinct()
+      .collect().map(_.getInt(0))
+    assert(strides.forall(_ % 2 === 0))
+  }
 }
