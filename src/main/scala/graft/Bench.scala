@@ -21,7 +21,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Warm-up: run EVERY query once at the smallest scale factor — plan
     // shapes are identical across scale factors, so this populates the

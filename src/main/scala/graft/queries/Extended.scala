@@ -229,18 +229,24 @@ object Extended {
     // ---- Array aggregation / array functions ------------------------------
     // collect_list order is nondeterministic — sort_array canonicalizes it
     // (same discipline the oracle applies with ORDER BY inside list()).
+    // Array-typed OUTPUT columns are serialized to strings: the driver's
+    // checker hashes pandas rows, and raw list cells are unhashable there
+    // (r01 q63 failure) — the array ops themselves still run on real arrays.
     Q("q63_array_agg", (s, dir) => {
       table(s, dir, "supplier")
         .groupBy(col("s_nationkey"))
-        .agg(sort_array(collect_list(col("s_suppkey"))).as("supp_ids"),
+        .agg(sort_array(collect_list(col("s_suppkey"))).as("__ids"),
           count(lit(1)).as("n"))
-        .withColumn("first_two", slice(col("supp_ids"), 1, 2))
-        .withColumn("has_zero", array_contains(col("supp_ids"), 0L))
-        .withColumn("n_ids", size(col("supp_ids")).cast("long"))
+        .withColumn("supp_ids", array_join(col("__ids").cast("array<string>"), ","))
+        .withColumn("first_two",
+          array_join(slice(col("__ids"), 1, 2).cast("array<string>"), ","))
+        .withColumn("has_zero", array_contains(col("__ids"), 0L))
+        .withColumn("n_ids", size(col("__ids")).cast("long"))
+        .drop("__ids")
     }, Some("""
-      SELECT s_nationkey, list(s_suppkey ORDER BY s_suppkey) AS supp_ids,
-        COUNT(*) AS n,
-        (list(s_suppkey ORDER BY s_suppkey))[1:2] AS first_two,
+      SELECT s_nationkey, COUNT(*) AS n,
+        array_to_string(list(s_suppkey ORDER BY s_suppkey), ',') AS supp_ids,
+        array_to_string((list(s_suppkey ORDER BY s_suppkey))[1:2], ',') AS first_two,
         list_contains(list(s_suppkey ORDER BY s_suppkey), 0) AS has_zero,
         CAST(len(list(s_suppkey ORDER BY s_suppkey)) AS BIGINT) AS n_ids
       FROM supplier GROUP BY s_nationkey""")),

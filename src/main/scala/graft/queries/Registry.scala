@@ -40,6 +40,13 @@ object Registry {
   def ensureSessionContract(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Spark 4.1's tentative single-pass resolver can't analyze glob reads:
+    // it throws FileNotFoundException (logged with a full stack — pure noise
+    // that pollutes Verify/Bench output) before the fixed-point analyzer
+    // silently takes over. Pin the legacy analyzer; it also avoids paying
+    // for dual analysis on every query.
+    spark.conf.set("spark.sql.analyzer.singlePassResolver.enabledTentatively", "false")
+    spark.conf.set("spark.sql.analyzer.singlePassResolver.enabled", "false")
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
