@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import graft.functions._
 
 /** SQL surface for the engine's custom expressions: `roc_date`,
-  * `simhash32`, `minhash_hex`, `shingle_hashes`, `hyperplane_sig`,
+  * `simhash32`/`simhash64`, `minhash_hex`, `shingle_hashes`, `hyperplane_sig`,
   * `dot_f`, `norm_f`, `sorted_intersect_count` become callable from
   * `spark.sql(...)`.
   *
@@ -43,7 +43,8 @@ object GraftFunctions {
 
   val defs: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "roc_date" -> arity("roc_date", 1)(args => RocDate(args.head)),
-    "simhash32" -> arity("simhash32", 1)(args => SimHash32(args.head)),
+    "simhash32" -> arity("simhash32", 1)(args => SimHashExpr(args.head, 32)),
+    "simhash64" -> arity("simhash64", 1)(args => SimHashExpr(args.head, 64)),
     "minhash_hex" -> arity("minhash_hex", 3)(args =>
       MinHashHexExpr(args.head, intLit(args(1)), intLit(args(2)))),
     "shingle_hashes" -> arity("shingle_hashes", 2)(args =>
