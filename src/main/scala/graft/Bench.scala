@@ -35,20 +35,34 @@ object Bench {
         while (it.hasNext) it.next()
       }
 
+    // optional subset for local iteration: SPARK_GRAFT_ONLY=q57,q60
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val battery = queries.Registry.all
+      .filter(q => only.forall(_.contains(q.name)))
+
     val warmDir = "/root/testdata/sf0.001"
-    queries.Registry.all.foreach { q =>
+    battery.foreach { q =>
       try materialize(q.run(spark, warmDir)) catch { case _: Throwable => () }
     }
+    spark.catalog.clearCache()
 
     // best of two runs: single-shot timings at this scale carry ±15% noise
     // from GC/AQE scheduling; min is the standard stable estimator.
-    val results = queries.Registry.all.map { q =>
+    val results = battery.map { q =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { materialize(q.run(spark, sfDir)) }
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries that persist intermediates (LSH candidate tables) must
+        // not leave cached blocks behind: a same-plan rerun would silently
+        // time the cached read instead of the query, and accumulated caches
+        // degrade every LATER query's timing (observed as a creeping
+        // regression in whatever runs last in the battery).
+        spark.catalog.clearCache()
+        dt
       }
       q.name -> times.min
     }

@@ -91,11 +91,16 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 32-bit SimHash fingerprint column (md5 hex-digit bit voting over
+  /** `bits`-wide SimHash fingerprint column (md5 hex-digit bit voting over
     * whitespace tokens — the exact semantics the oracle reproduces), as the
-    * one-pass codegen'd kernel. */
-  def simhash32(text: Column): Column =
-    graft.functions.SimHash.simhash32(tokens(text))
+    * one-pass codegen'd kernel. Prefix-stable: bits 0..31 of the 64-bit
+    * fingerprint ARE the 32-bit fingerprint. */
+  def simhash(text: Column, bits: Int): Column =
+    graft.functions.SimHash.simhash(tokens(text), bits)
+
+  /** 32-bit SimHash fingerprint column (kept for compact-fingerprint use;
+    * banding should prefer 64-bit — see [[simhashCandidates]]). */
+  def simhash32(text: Column): Column = simhash(text, 32)
 
   /** Reference formulation via composed expressions (one md5 per token PER
     * BIT — 32× the hashing; kept only to cross-check the kernel in tests). */
@@ -114,13 +119,41 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: docs whose fingerprints share at least one
-    * of four 8-bit bands (≈ hamming distance tolerance without an O(n²)
-    * scan). */
-  def simhashCandidates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val withSim = df.select(col(idCol).as("doc"), simhash32(col(textCol)).as("sim"))
-    val bandCols = (0 until 4).map(b =>
-      struct(lit(b).as("band_no"),
-        shiftright(col("sim"), b * 8).bitwiseAND(lit(0xffL)).as("band_key")))
+    * of `bands` (bits/bands)-wide bands (≈ hamming-distance tolerance
+    * without an O(n²) scan).
+    *
+    * Scale: bucket count per band is 2^(bits/bands), so candidate pairs grow
+    * O(n² / 2^(bits/bands)). The 64-bit/4-band default gives 65,536 keys per
+    * band; the old 32-bit/4-band shape (256 keys) is bucket-quadratic at
+    * warehouse scale — callers wanting the compact fingerprint can still ask
+    * for it explicitly. `subBits > 0` additionally splits every bucket by
+    * that many bits borrowed from the NEXT band's range (wrapping): bucket
+    * sizes shrink 2^subBits× at the cost of recall (pairs that differ in a
+    * borrowed bit are dropped) — the hot-bucket safety valve for corpora
+    * whose fingerprints cluster. subBits = 0 (default) is exact banding. */
+  def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 64, bands: Int = 4, subBits: Int = 0): DataFrame = {
+    require(bands >= 2 && bits % bands == 0,
+      s"bits ($bits) must split evenly across bands ($bands)")
+    val width = bits / bands
+    require(width + subBits <= 63, "band key must fit in a positive Long")
+    val mask = (1L << (width + subBits)) - 1
+    val withSim = df.select(col(idCol).as("doc"),
+      simhash(col(textCol), bits).as("sim"))
+    // band b = bits [b*width, (b+1)*width + subBits), wrapping at `bits` —
+    // rotate so the borrowed high bits exist even for the last band
+    def rotated(b: Int): Column = {
+      val lo = b * width
+      // unsigned shift: a 64-bit fingerprint with bit 63 set is a negative
+      // Long, and an arithmetic shift would smear sign bits into the
+      // borrowed-subBits positions
+      val base = shiftrightunsigned(col("sim"), lo)
+      val wrapped = if (lo == 0) base
+        else base.bitwiseOR(shiftleft(col("sim"), bits - lo))
+      wrapped.bitwiseAND(lit(mask))
+    }
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band_no"), rotated(b).as("band_key")))
     val exploded = withSim.select(col("doc"), col("sim"),
       explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("sim"), col("bk.band_no"), col("bk.band_key"))

@@ -195,17 +195,20 @@ object Extended {
         AND (a.band_0 = b.band_0 OR a.band_1 = b.band_1 OR a.band_2 = b.band_2)""")),
 
     // ---- SimHash candidate pairs ------------------------------------------
-    // NB the synthetic corpus is statistically self-similar (shared small
-    // vocabulary), so simhash values cluster and the standard 4×8-bit
-    // banding yields dense candidates (~2.5M pairs at sf0.1) — that's the
-    // operator's true semantics on this data, verified identically by the
-    // oracle; real corpora are far sparser in band space.
+    // 64-bit fingerprint, 4×16-bit bands = 65,536 keys per band. The old
+    // 32-bit/4×8-bit shape had only 256 keys per band — on this statistically
+    // self-similar synthetic corpus (shared small vocabulary) that meant
+    // ~2.5M candidate pairs at sf0.1 and O(n²/256) growth, the one named
+    // 100 TB scale-killer. Same md5 bit-vote semantics, reproduced by the
+    // oracle bit for bit (bit 63 makes the BIGINT negative on both sides;
+    // shift+mask band keys agree regardless of sign).
     Q("q57_simhash_pairs", (s, dir) => {
-      Dedup.simhashCandidates(table(s, dir, "documents"), "text", "doc_id")
+      Dedup.simhashCandidates(table(s, dir, "documents"), "text", "doc_id",
+          bits = 64, bands = 4)
         .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
     }, Some {
-      val bitSql = (0 until 32).map { b =>
+      val bitSql = (0 until 64).map { b =>
         val pos = b / 4 + 1
         val shift = b % 4
         s"""CASE WHEN list_sum(list_transform(toks, t ->
@@ -215,15 +218,17 @@ object Extended {
       val NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
       val simRel = s"""(SELECT doc_id, $bitSql AS sim FROM
         (SELECT doc_id, string_split($NORM, ' ') AS toks FROM documents))"""
+      val bandEq = (0 until 4).map { b =>
+        val lo = b * 16
+        if (lo == 0) "(a.sim & 65535) = (b.sim & 65535)"
+        else s"((a.sim >> $lo) & 65535) = ((b.sim >> $lo) & 65535)"
+      }.mkString("\n          OR ")
       s"""
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
       FROM $simRel a JOIN $simRel b
         ON a.doc_id < b.doc_id
-        AND ((a.sim & 255) = (b.sim & 255)
-          OR ((a.sim >> 8) & 255) = ((b.sim >> 8) & 255)
-          OR ((a.sim >> 16) & 255) = ((b.sim >> 16) & 255)
-          OR ((a.sim >> 24) & 255) = ((b.sim >> 24) & 255))"""
+        AND ($bandEq)"""
     }),
 
     // ---- Array aggregation / array functions ------------------------------
