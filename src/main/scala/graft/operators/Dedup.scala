@@ -54,18 +54,18 @@ object Dedup {
     * Pipeline: signature → bands → explode(band) → self-join per bucket. */
   def minhashCandidates(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, bands: Int = 3, rows: Int = 2): DataFrame = {
+      n: Int = 3, bands: Int = 3, rows: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val banded = withBands(withMinhash(df, textCol, n, bands * rows), bands, rows)
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band_no"), col(s"band_$b").as("band_key")))
-    val exploded = banded
+    val exploded = scope.persist(banded
       .select(col(idCol).as("doc"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("bk.band_no"), col("bk.band_key"))
+      .select(col("doc"), col("bk.band_no"), col("bk.band_key")))
       // materialize once: a self-join's two sides don't share work (no
       // exchange to reuse under a broadcast join), so without this the
       // whole minhash pipeline runs twice. At warehouse scale this is a
-      // written signature table rather than a cache.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // written signature table rather than a cache; release via `scope`.
     val a = exploded.as("a"); val b = exploded.as("b")
     a.join(b, col("a.band_no") === col("b.band_no") &&
         col("a.band_key") === col("b.band_key") && col("a.doc") < col("b.doc"))
@@ -77,8 +77,9 @@ object Dedup {
     * Jaccard ≥ threshold (computed only on candidates). */
   def minhashNearDups(
       df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, n: Int = 3, bands: Int = 3, rows: Int = 2): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, n, bands, rows)
+      threshold: Double, n: Int = 3, bands: Int = 3, rows: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, n, bands, rows, scope)
     val sh = df.select(col(idCol).as("__id"),
       array_distinct(shingles(col(textCol), n)).as("__sh"))
     cands
@@ -132,7 +133,8 @@ object Dedup {
     * borrowed bit are dropped) — the hot-bucket safety valve for corpora
     * whose fingerprints cluster. subBits = 0 (default) is exact banding. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      bits: Int = 64, bands: Int = 4, subBits: Int = 0): DataFrame = {
+      bits: Int = 64, bands: Int = 4, subBits: Int = 0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     require(bands >= 2 && bits % bands == 0,
       s"bits ($bits) must split evenly across bands ($bands)")
     val width = bits / bands
@@ -154,10 +156,9 @@ object Dedup {
     }
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band_no"), rotated(b).as("band_key")))
-    val exploded = withSim.select(col("doc"), col("sim"),
+    val exploded = scope.persist(withSim.select(col("doc"), col("sim"),
       explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("sim"), col("bk.band_no"), col("bk.band_key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc"), col("sim"), col("bk.band_no"), col("bk.band_key")))
     val a = exploded.as("a"); val b = exploded.as("b")
     a.join(b, col("a.band_no") === col("b.band_no") &&
         col("a.band_key") === col("b.band_key") && col("a.doc") < col("b.doc"))

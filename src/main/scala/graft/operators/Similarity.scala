@@ -13,6 +13,15 @@ import graft.functions.Vectors._
   * the corpus). The LSH path buckets by deterministic random-hyperplane
   * signatures so candidate generation is an equi-join on the signature —
   * the 100 TB shape where scanning everything per query is off the table.
+  *
+  * LSH tuning (planes × probeRadius): `planes` bits give 2^planes buckets,
+  * so one probe scans ~1/2^planes of the corpus; multi-probe at hamming
+  * radius r scans sum(C(planes, 0..r)) buckets. Raising planes cuts
+  * per-probe cost 2× per bit but loses recall (near neighbors disagree on
+  * more bits); raising probeRadius buys that recall back at linear probe
+  * cost. At 100 TB the operating point is high planes (16-24 ⇒ each bucket
+  * is ~1e-5..1e-7 of the corpus, written bucket-partitioned at ingest) with
+  * radius 1-2; the defaults here (8, 1) match the small reference corpora.
   */
 object Similarity {
 
@@ -31,19 +40,23 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame =
     embeddings.withColumn("sig", hyperplaneSig(col(vecCol), planes, dims))
 
-  /** Approximate top-k: only candidates in the query's LSH bucket (plus
-    * hamming-1 neighbor buckets for recall) are scored. `querySig` must be
-    * computed with the same planes/dims. */
+  /** Approximate top-k: only candidates in the query's LSH bucket (plus all
+    * neighbor buckets within hamming distance `probeRadius`, for recall) are
+    * scored. The query-side signature must use the same planes/dims. */
   def lshTopK(embeddings: DataFrame, query: DataFrame, k: Int,
-      planes: Int = 8, dims: Int = 64,
+      planes: Int = 8, dims: Int = 64, probeRadius: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= planes,
+      s"probeRadius must be in 0..$planes, got $probeRadius")
     val sigged = withLshSignature(embeddings, planes, dims, vecCol)
     val qsig = withLshSignature(query.withColumnRenamed("qvec", vecCol), planes, dims, vecCol)
       .withColumnRenamed(vecCol, "qvec")
-    // query bucket + all hamming-1 buckets (flip each bit)
+    // all masks with <= probeRadius bits set: query bucket (0), then every
+    // hamming-1, hamming-2, ... neighbor bucket
+    val masks: Seq[Long] = (0 to probeRadius).flatMap(r =>
+      (0 until planes).combinations(r).map(_.map(p => 1L << p).sum))
     val neighborSigs = qsig.select(col("qvec"),
-      explode(array((col("sig") +:
-        (0 until planes).map(p => col("sig").bitwiseXOR(lit(1L << p)))): _*)).as("sig"))
+      explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
     sigged.join(broadcast(neighborSigs), Seq("sig"))
       .withColumn("cos", cosine(col(vecCol), col("qvec")))
       .orderBy(col("cos").desc, col(idCol).asc)
@@ -62,13 +75,20 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = embeddings.orderBy(col(idCol).asc).limit(nCells)
       .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
-    // assign every vector to its nearest centroid (broadcast argmin)
-    val byVec = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("d2").asc, col("cell_id").asc)
-    val assigned = embeddings.crossJoin(broadcast(centroids))
-      .withColumn("d2", l2sq(col(vecCol), col("centroid")))
-      .withColumn("rk", row_number().over(byVec))
-      .filter(col("rk") === 1)
+    // assign every vector to its nearest centroid MAP-SIDE: the centroid
+    // table collapses to a single array row, broadcast onto every vector,
+    // and the argmin is an array_min over (d2, cell_id) structs — struct
+    // ordering gives the d2-then-lowest-cell_id tie-break. No exchange
+    // touches the corpus before assignment (a Window.partitionBy(vec_id)
+    // argmin here would shuffle the whole corpus for a per-row decision).
+    val centArr = centroids
+      .agg(sort_array(collect_list(struct(col("cell_id"), col("centroid"))))
+        .as("__cents"))
+    val assigned = embeddings.crossJoin(broadcast(centArr))
+      .withColumn("cell_id",
+        array_min(transform(col("__cents"), c =>
+          struct(l2sq(col(vecCol), c.getField("centroid")).as("d2"),
+            c.getField("cell_id").as("cell_id")))).getField("cell_id"))
       .select(col(idCol), col(vecCol), col("cell_id"))
     // the query probes its nProbe nearest cells
     val probed = query.crossJoin(broadcast(centroids))
