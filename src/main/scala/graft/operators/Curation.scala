@@ -20,31 +20,44 @@ object Curation {
 
   final case class Result(curated: DataFrame, summary: DataFrame)
 
+  /** Cache lifecycle (single-pass guarantee): every stage boundary the
+    * summary counts re-read (`exact`, `collapsed`, the LSH signature table
+    * inside [[Dedup.minhashNearDups]]) is persisted under one [[CacheScope]]
+    * for the duration of the call and released before returning — the input
+    * is scanned twice (n_input + materializing the exact-dedup cache) and
+    * every downstream count reads a cache, never the dedup DAG again. The
+    * returned `curated` frame is lazy as usual: the caller's action
+    * recomputes its lineage once, with nothing left pinned in executor
+    * memory. */
   def run(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       minQuality: Double = 0.3,
       jaccardThreshold: Double = 0.5): Result = {
-    val total = docs.count()
+    val scope = new CacheScope
+    try {
+      val exact = scope.persist(Dedup.exact(docs, textCol, idCol))
 
-    val exact = Dedup.exact(docs, textCol, idCol)
+      val nearPairs =
+        Dedup.minhashNearDups(exact, textCol, idCol, jaccardThreshold, scope = scope)
+      val collapsed = scope.persist(
+        Dedup.collapseToCanonical(exact, nearPairs, idCol)
+          .filter(col("canonical_id") === col(idCol))
+          .drop("canonical_id"))
 
-    val nearPairs = Dedup.minhashNearDups(exact, textCol, idCol, jaccardThreshold)
-    val collapsed = Dedup.collapseToCanonical(exact, nearPairs, idCol)
-      .filter(col("canonical_id") === col(idCol))
-      .drop("canonical_id")
+      val filtered = TextAnalysis.filterByQuality(collapsed, minQuality, textCol)
+      val curated = TextAnalysis.enrich(filtered, textCol)
 
-    val filtered = TextAnalysis.filterByQuality(collapsed, minQuality, textCol)
-    val curated = TextAnalysis.enrich(filtered, textCol)
-
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val nExact = exact.count()
-    val nCollapsed = collapsed.count()
-    val nFinal = curated.count()
-    val summary = Seq((total, nExact, nCollapsed, nFinal))
-      .toDF("n_input", "n_after_exact_dedup", "n_after_near_dedup", "n_curated")
-    Result(curated, summary)
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val total = docs.count()
+      val nExact = exact.count()         // materializes `exact` (the one dedup pass over the input)
+      val nCollapsed = collapsed.count() // LSH over the cached `exact`; materializes `collapsed`
+      val nFinal = curated.count()       // map-side over the cached `collapsed`
+      val summary = Seq((total, nExact, nCollapsed, nFinal))
+        .toDF("n_input", "n_after_exact_dedup", "n_after_near_dedup", "n_curated")
+      Result(curated, summary)
+    } finally scope.unpersistAll()
   }
 }

@@ -27,4 +27,30 @@ class CurationSpec extends SparkSpec {
     assert(res.curated.columns.contains("lang_pred"))
     assert(res.curated.columns.contains("quality"))
   }
+
+  test("summary is computed in a single pass and releases its caches") {
+    // Count input-scan tasks via an opaque mapPartitions barrier (Catalyst
+    // can neither prune nor skip it), with a fixed partition count.
+    val nPart = 4
+    val acc = spark.sparkContext.longAccumulator("input-scans")
+    val docs = spark.range(0, 120, 1, nPart)
+      .mapPartitions { it => acc.add(1); it }
+      .map(i => (i.toLong, s"document number $i with some shared words and tail $i"))
+      .toDF("doc_id", "text")
+
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val res = Curation.run(docs, minQuality = 0.0, jaccardThreshold = 0.9)
+    res.summary.collect()
+
+    // one scan for n_input + one to materialize the exact-dedup cache; the
+    // near-dup, collapse, and curated counts must all read caches (the old
+    // 4x-recompute shape scans the input ~5 times here)
+    assert(acc.value === 2L * nPart,
+      s"expected 2 input passes (${2 * nPart} tasks), saw ${acc.value} tasks")
+
+    // and nothing new stays pinned after run() returns
+    val cachedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedAfter <= cachedBefore,
+      s"run() leaked persisted RDDs: $cachedBefore before, $cachedAfter after")
+  }
 }
