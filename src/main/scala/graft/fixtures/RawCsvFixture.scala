@@ -37,7 +37,12 @@ object RawCsvFixture {
       Seq("礁溪鄉", "車位", "大忠段111地號", "0", "10", "1001231", "1011111", "800000", "0"),
       // zero unit price → E5 repair = 3000000/100 → 30000 → ping 99173.7;
       // 6-digit ROC year 099 → 2010-11-22
-      Seq("宜蘭市", "房地", "民權段55地號", "0", "100", "", "0991122", "3000000", "0")),
+      Seq("宜蘭市", "房地", "民權段55地號", "0", "100", "", "0991122", "3000000", "0"),
+      // land row, zero unit price → E5 repair over LAND area (1500000/66.1158
+      // → 22687.47 → ping 75000.01); position has no 段 → section NULL
+      Seq("冬山鄉", "土地", "羅東鎮中正路100號", "66.1158", "", "", "1070203", "1500000", "0"),
+      // land row with invalid ROC month (13) → dropped by F3
+      Seq("五結鄉", "土地", "隱形段1地號", "33.0579", "", "", "1021332", "777777", "100")),
     // city letter 'a' → 台北市
     "110S1_a_lvr_land_a.csv" -> Seq(
       // total exactly 2³¹ (the reference's 32-bit cast would overflow here)
@@ -45,7 +50,10 @@ object RawCsvFixture {
       // garbage numerics → NULL casts; land row for the land pipeline
       Seq("大安區", "土地", "和平段1小段2地號", "165.2895", "", "0770707", "0880808", "9000000", "54.5"),
       // garbage everywhere: area/total/unit all NULL after cast
-      Seq("大安區", "房地", "信義段9地號", "", "abc", "0770707", "0880808", "xyz", "")))
+      Seq("大安區", "房地", "信義段9地號", "", "abc", "0770707", "0880808", "xyz", ""),
+      // land row, garbage area → NULL area ⇒ repair ÷NULL ⇒ NULL price;
+      // greedy E7 match keeps the LAST 段 (multi-段 position)
+      Seq("中山區", "土地", "長安段三小段5地號", "xyz", "", "", "1111111", "5000000", "0")))
 
   /** Write the fixture files under a stable temp dir; idempotent. */
   def writeDefault(): String =
@@ -74,9 +82,24 @@ object RawCsvFixture {
       ('台北市', '大安區', '信義段9地號', CAST(NULL AS DOUBLE), DATE '1999-08-08', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE))
     ) AS t(city, township_dist, position, building_area_ping, transaction_date, total_price, unit_price_ping)"""
 
-  /** Expected land-pipeline output (for the golden ScalaTest; row g3 and a2):
-    * section extracted by E7; a2 area 165.2895 = 50 ping exactly. */
-  val expectedLand: Seq[(String, String, String, String, Double, String, Long, Double)] = Seq(
-    ("宜蘭縣", "頭城鎮", "下埔段339地號", "下埔段", 100.0, "2013-05-05", 12000000L, 119996.87),
-    ("台北市", "大安區", "和平段1小段2地號", "和平段1小段", 50.0, "1999-08-08", 9000000L, 180.17))
+  /** Expected land-pipeline output (q64 projection and the golden ScalaTest),
+    * derived by hand, ordered by total_price desc: E7 section extraction is
+    * greedy to the LAST 段 and NULL on no-match; the garbage-area row keeps
+    * NULL area AND NULL repaired price (÷NULL); the zero-unit-price row takes
+    * the E5 repair over the LAND area (1500000/66.1158 → 22687.47 → ping
+    * 75000.01). */
+  val expectedLand: Seq[(String, String, String, Option[String], Option[Double], String, Long, Option[Double])] = Seq(
+    ("宜蘭縣", "頭城鎮", "下埔段339地號", Some("下埔段"), Some(100.0), "2013-05-05", 12000000L, Some(119996.87)),
+    ("台北市", "大安區", "和平段1小段2地號", Some("和平段1小段"), Some(50.0), "1999-08-08", 9000000L, Some(180.17)),
+    ("台北市", "中山區", "長安段三小段5地號", Some("長安段三小段"), None, "2022-11-11", 5000000L, None),
+    ("宜蘭縣", "冬山鄉", "羅東鎮中正路100號", None, Some(20.0), "2018-02-03", 1500000L, Some(75000.01)))
+
+  /** The same expectation as a DuckDB VALUES table (q64's oracle). */
+  val expectedLandSql: String = """
+    SELECT * FROM (VALUES
+      ('宜蘭縣', '頭城鎮', '下埔段339地號', '下埔段', CAST(100.0 AS DOUBLE), DATE '2013-05-05', CAST(12000000 AS BIGINT), CAST(119996.87 AS DOUBLE)),
+      ('台北市', '大安區', '和平段1小段2地號', '和平段1小段', CAST(50.0 AS DOUBLE), DATE '1999-08-08', CAST(9000000 AS BIGINT), CAST(180.17 AS DOUBLE)),
+      ('台北市', '中山區', '長安段三小段5地號', '長安段三小段', CAST(NULL AS DOUBLE), DATE '2022-11-11', CAST(5000000 AS BIGINT), CAST(NULL AS DOUBLE)),
+      ('宜蘭縣', '冬山鄉', '羅東鎮中正路100號', CAST(NULL AS VARCHAR), CAST(20.0 AS DOUBLE), DATE '2018-02-03', CAST(1500000 AS BIGINT), CAST(75000.01 AS DOUBLE))
+    ) AS t(city, township_dist, position, section, land_area_ping, transaction_date, total_price, unit_price_ping)"""
 }

@@ -119,6 +119,18 @@ object HousePriceQueries {
         .select(col("city"), col("township_dist"), col("position"),
           col("building_area_ping"), col("transaction_date"),
           col("total_price"), col("unit_price_ping"))
-    }, Some(graft.fixtures.RawCsvFixture.expectedBuildingSql))
+    }, Some(graft.fixtures.RawCsvFixture.expectedBuildingSql)),
+
+    // ---- Full land-pipeline golden run ------------------------------------
+    // The reference's second (and larger) dataflow: 土地-only filter, E7
+    // section extraction (greedy, NULL on no-match), repair over the LAND
+    // area, NULL-propagating casts. Same VALUES-oracle scheme as q20.
+    Q("q64_land_pipeline", (s, _) => {
+      val dir = graft.fixtures.RawCsvFixture.writeDefault()
+      graft.operators.Pipelines.land(s, dir + "/*_a.csv")
+        .select(col("city"), col("township_dist"), col("position"),
+          col("section"), col("land_area_ping"), col("transaction_date"),
+          col("total_price"), col("unit_price_ping"))
+    }, Some(graft.fixtures.RawCsvFixture.expectedLandSql))
   )
 }

@@ -36,15 +36,17 @@ class PipelinesSpec extends SparkSpec {
       .orderBy(col("total_price").desc)
       .collect()
     assert(got.length === RawCsvFixture.expectedLand.length)
+    def opt[T](r: org.apache.spark.sql.Row, f: String): Option[T] =
+      if (r.isNullAt(r.fieldIndex(f))) None else Some(r.getAs[T](f))
     got.zip(RawCsvFixture.expectedLand).foreach { case (r, (city, town, pos, sec, areaPing, date, total, pricePing)) =>
       assert(r.getAs[String]("city") === city)
       assert(r.getAs[String]("township_dist") === town)
       assert(r.getAs[String]("position") === pos)
-      assert(r.getAs[String]("section") === sec)
-      assert(r.getAs[Double]("land_area_ping") === areaPing)
+      assert(opt[String](r, "section") === sec)
+      assert(opt[Double](r, "land_area_ping") === areaPing)
       assert(r.getAs[java.sql.Date]("transaction_date").toString === date)
       assert(r.getAs[Long]("total_price") === total)
-      assert(r.getAs[Double]("unit_price_ping") === pricePing)
+      assert(opt[Double](r, "unit_price_ping") === pricePing)
     }
   }
 
