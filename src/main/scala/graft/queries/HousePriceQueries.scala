@@ -131,6 +131,26 @@ object HousePriceQueries {
         .select(col("city"), col("township_dist"), col("position"),
           col("section"), col("land_area_ping"), col("transaction_date"),
           col("total_price"), col("unit_price_ping"))
-    }, Some(graft.fixtures.RawCsvFixture.expectedLandSql))
+    }, Some(graft.fixtures.RawCsvFixture.expectedLandSql)),
+
+    // ---- Warehouse round trip (S5 + A5): write, read back, analyze --------
+    // The reference's one real deployment path: load the cleaned table into
+    // the warehouse (partitioned city × txn_year), query it later with a
+    // filter that partition-prunes (WarehouseSpec asserts the pruned scan for
+    // this exact shape), and run the README's avg-price-by-year analytic.
+    Q("q65_warehouse_roundtrip", (s, _) => {
+      val raw = graft.fixtures.RawCsvFixture.writeDefault()
+      val wh = java.nio.file.Paths
+        .get(sys.props("java.io.tmpdir"), "graft-warehouse-q65").toString
+      graft.sources.Warehouse.overwrite(
+        graft.operators.Pipelines.building(s, raw + "/*_a.csv"), wh)
+      val back = graft.sources.Warehouse.read(s, wh)
+        .filter(col("city") === "宜蘭縣" && col("txn_year") >= 2010)
+      graft.operators.Pipelines.avgPriceByYear(back, byCity = true)
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('宜蘭縣', CAST(2010 AS INTEGER), CAST(99173.7 AS DOUBLE), CAST(1 AS BIGINT)),
+        ('宜蘭縣', CAST(2021 AS INTEGER), CAST(49586.85 AS DOUBLE), CAST(1 AS BIGINT))
+      ) AS t(city, txn_year, avg_unit_price_ping, n_txns)"""))
   )
 }

@@ -51,6 +51,27 @@ class WarehouseSpec extends SparkSpec {
     assert(selected.partitionCount === 1, selected.toString)
   }
 
+  test("q65 round-trip read shape prunes partitions before the analytic") {
+    // the exact filter q65_warehouse_roundtrip applies after its write: the
+    // scan must select only the two 宜蘭縣 partitions with txn_year >= 2010,
+    // not read the warehouse and filter rows
+    load()
+    val back = Warehouse.read(spark, whDir)
+      .filter(col("city") === "宜蘭縣" && col("txn_year") >= 2010)
+    val scans = back.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount === 2,
+      scans.head.selectedPartitions.toString) // 宜蘭縣×2010 and 宜蘭縣×2021 only
+    // and the analytic over the pruned read returns the q65 oracle rows
+    val agg = Pipelines.avgPriceByYear(back, byCity = true)
+      .orderBy(col("txn_year")).collect()
+    assert(agg.map(r => (r.getAs[Int]("txn_year"),
+      r.getAs[Double]("avg_unit_price_ping"), r.getAs[Long]("n_txns"))).toSeq ===
+      Seq((2010, 99173.7, 1L), (2021, 49586.85, 1L)))
+  }
+
   test("column projection reaches the parquet scan (ReadSchema pruning)") {
     load()
     val df = Warehouse.read(spark, whDir).select("total_price")
