@@ -47,10 +47,13 @@ object Bench {
     }
     spark.catalog.clearCache()
 
-    // best of two runs: single-shot timings at this scale carry ±15% noise
-    // from GC/AQE scheduling; min is the standard stable estimator.
+    // best of three runs: single-shot timings at this scale carry ±15% noise
+    // from GC/AQE scheduling, and a pause can span two consecutive runs of
+    // the same query (r4 recorded q03 at 1.74s where its steady state is
+    // ~0.5s — unreproducible afterwards; see BENCH_NOTES.md). min of three
+    // is robust to a single straddling pause at +~50% bench wall-clock.
     val results = battery.map { q =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { materialize(q.run(spark, sfDir)) }
         catch { case e: Throwable =>
