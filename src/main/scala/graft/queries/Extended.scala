@@ -32,6 +32,22 @@ object Extended {
                (SELECT doc_id, $TOKS AS toks FROM documents))))"""
   }
 
+  /** SQL for the q57-identical 64-bit SimHash fingerprint relation (md5
+    * hex-digit bit voting over whitespace tokens, bit 63 included — the
+    * BIGINT goes negative on both engines identically). */
+  private lazy val simhash64Sql: String = {
+    val bitSql = (0 until 64).map { b =>
+      val pos = b / 4 + 1
+      val shift = b % 4
+      s"""CASE WHEN list_sum(list_transform(toks, t ->
+           ((CAST(('0x' || substr(md5(t), $pos, 1)) AS INT) >> $shift) % 2) * 2 - 1)) > 0
+         THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"""
+    }.mkString(" + ")
+    val NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    s"""(SELECT doc_id, $bitSql AS sim FROM
+      (SELECT doc_id, string_split($NORM, ' ') AS toks FROM documents))"""
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- Generator / explode / lateral view -------------------------------
@@ -208,16 +224,6 @@ object Extended {
         .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
     }, Some {
-      val bitSql = (0 until 64).map { b =>
-        val pos = b / 4 + 1
-        val shift = b % 4
-        s"""CASE WHEN list_sum(list_transform(toks, t ->
-             ((CAST(('0x' || substr(md5(t), $pos, 1)) AS INT) >> $shift) % 2) * 2 - 1)) > 0
-           THEN CAST(${1L << b} AS BIGINT) ELSE 0 END"""
-      }.mkString(" + ")
-      val NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-      val simRel = s"""(SELECT doc_id, $bitSql AS sim FROM
-        (SELECT doc_id, string_split($NORM, ' ') AS toks FROM documents))"""
       val bandEq = (0 until 4).map { b =>
         val lo = b * 16
         if (lo == 0) "(a.sim & 65535) = (b.sim & 65535)"
@@ -226,7 +232,40 @@ object Extended {
       s"""
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
-      FROM $simRel a JOIN $simRel b
+      FROM $simhash64Sql a JOIN $simhash64Sql b
+        ON a.doc_id < b.doc_id
+        AND ($bandEq)"""
+    }),
+
+    // ---- SimHash candidates with the hot-bucket sub-split valve -----------
+    // subBits=2 borrows two bits from the NEXT band's range into each band
+    // key (wrapping): bucket sizes shrink ~4×, trading the recall the
+    // Scaladoc documents (a pair differing in a borrowed bit is dropped).
+    // Oracle formulation avoids the rotate: band-key equality with borrowed
+    // bits ⟺ exact-band equality AND equality on the 2 borrowed bits — so
+    // the oracle is the q57 condition AND a masked compare at the borrow
+    // offset, which also proves the containment (q66 ⊆ q57) structurally.
+    Q("q66_simhash_pairs_sub", (s, dir) => {
+      Dedup.simhashCandidates(table(s, dir, "documents"), "text", "doc_id",
+          bits = 64, bands = 4, subBits = 2)
+        .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+    }, Some {
+      val bandEq = (0 until 4).map { b =>
+        val lo = b * 16
+        val borrowLo = ((b + 1) * 16) % 64
+        val exact =
+          if (lo == 0) "(a.sim & 65535) = (b.sim & 65535)"
+          else s"((a.sim >> $lo) & 65535) = ((b.sim >> $lo) & 65535)"
+        val borrowed =
+          if (borrowLo == 0) "(a.sim & 3) = (b.sim & 3)"
+          else s"((a.sim >> $borrowLo) & 3) = ((b.sim >> $borrowLo) & 3)"
+        s"($exact AND $borrowed)"
+      }.mkString("\n          OR ")
+      s"""
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+      FROM $simhash64Sql a JOIN $simhash64Sql b
         ON a.doc_id < b.doc_id
         AND ($bandEq)"""
     }),

@@ -42,6 +42,27 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("subBits sub-split: pairs ⊆ exact banding, buckets measurably shrink") {
+    // Narrow 8-bit band keys (bits=32/bands=4) force random band collisions
+    // on a 300-doc corpus, so the sub-split has something to split; all
+    // hashing is deterministic md5, so the counts are stable run to run.
+    val docs = graft.queries.Registry.table(spark, sf0001, "documents")
+      .limit(300).select("doc_id", "text")
+    def pairs(subBits: Int): Set[(Long, Long)] =
+      Dedup.simhashCandidates(docs, "text", "doc_id",
+          bits = 32, bands = 4, subBits = subBits)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = pairs(0)
+    val sub = pairs(2)
+    assert(exact.nonEmpty)
+    // containment: a pair matching on band+borrowed bits matches the band
+    assert(sub.subsetOf(exact), s"${(sub -- exact).take(5)} not in exact set")
+    // the valve actually splits: ~2^2 fewer random collisions survive
+    assert(sub.size < exact.size,
+      s"sub-split did not shrink: ${sub.size} vs ${exact.size}")
+    info(s"exact-band pairs=${exact.size}, subBits=2 pairs=${sub.size}")
+  }
+
   test("collapseToCanonical maps dup group members to min id") {
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
     val out = Dedup.collapseToCanonical(docs, pairs, "doc_id")

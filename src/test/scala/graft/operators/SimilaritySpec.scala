@@ -30,6 +30,22 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head._1 === 0L) // self lands in its own bucket with cos 1
   }
 
+  test("LSH top-k recall@10 is measured and grows with probe radius") {
+    val exact = Similarity.bruteForceTopK(emb, query, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    def recallAt10(radius: Int): Double = {
+      val got = Similarity.lshTopK(emb, query, 10, probeRadius = radius)
+        .as[(Long, Double)].collect().map(_._1).toSet
+      (exact intersect got).size / 10.0
+    }
+    val r1 = recallAt10(1)
+    val r2 = recallAt10(2)
+    info(f"recall@10: probeRadius=1 → $r1%.2f, probeRadius=2 → $r2%.2f")
+    // radius-2 probes a superset of radius-1's buckets ⇒ recall can only grow
+    assert(r2 >= r1, f"radius-2 recall $r2%.2f < radius-1 recall $r1%.2f")
+    assert(r2 > 0.0) // and the widened probe actually finds true neighbors
+  }
+
   test("IVF top-k: self-recall and high overlap with brute force") {
     val exact = Similarity.bruteForceTopK(emb, query, 10)
       .as[(Long, Double)].collect().map(_._1).toSet
