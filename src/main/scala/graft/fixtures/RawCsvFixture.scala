@@ -73,14 +73,16 @@ object RawCsvFixture {
 
   /** Expected building-pipeline output (q20 projection), derived by hand:
     * rows 2/3/4 of file g and row 2 of file a are filtered; ping values are
-    * HALF_UP(x, 2) of the double arithmetic. */
+    * HALF_UP(x, 2) of the double arithmetic; completion_date_iso is the
+    * optional §1.2 ROC conversion — NULL on the empty-string row, never a
+    * row filter. */
   val expectedBuildingSql: String = """
     SELECT * FROM (VALUES
-      ('宜蘭縣', '礁溪鄉', '大湖段572地號', CAST(200.0 AS DOUBLE), DATE '2021-07-18', CAST(5000000000 AS BIGINT), CAST(49586.85 AS DOUBLE)),
-      ('宜蘭縣', '宜蘭市', '民權段55地號', CAST(30.25 AS DOUBLE), DATE '2010-11-22', CAST(3000000 AS BIGINT), CAST(99173.7 AS DOUBLE)),
-      ('台北市', '中正區', '幸福段88地號', CAST(13.76 AS DOUBLE), DATE '2021-01-01', CAST(2147483648 AS BIGINT), CAST(40811.96 AS DOUBLE)),
-      ('台北市', '大安區', '信義段9地號', CAST(NULL AS DOUBLE), DATE '1999-08-08', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE))
-    ) AS t(city, township_dist, position, building_area_ping, transaction_date, total_price, unit_price_ping)"""
+      ('宜蘭縣', '礁溪鄉', '大湖段572地號', CAST(200.0 AS DOUBLE), DATE '2021-07-18', CAST(5000000000 AS BIGINT), CAST(49586.85 AS DOUBLE), DATE '2010-01-01'),
+      ('宜蘭縣', '宜蘭市', '民權段55地號', CAST(30.25 AS DOUBLE), DATE '2010-11-22', CAST(3000000 AS BIGINT), CAST(99173.7 AS DOUBLE), CAST(NULL AS DATE)),
+      ('台北市', '中正區', '幸福段88地號', CAST(13.76 AS DOUBLE), DATE '2021-01-01', CAST(2147483648 AS BIGINT), CAST(40811.96 AS DOUBLE), DATE '2019-01-01'),
+      ('台北市', '大安區', '信義段9地號', CAST(NULL AS DOUBLE), DATE '1999-08-08', CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), DATE '1988-07-07')
+    ) AS t(city, township_dist, position, building_area_ping, transaction_date, total_price, unit_price_ping, completion_date_iso)"""
 
   /** Expected land-pipeline output (q64 projection and the golden ScalaTest),
     * derived by hand, ordered by total_price desc: E7 section extraction is

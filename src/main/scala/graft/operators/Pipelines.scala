@@ -19,8 +19,23 @@ object Pipelines {
     * dropped) → casts → zero-unit-price repair → m²→ping.
     * E5 uses the Beam semantics (divide by area, etl_pipeline_beam.py:99);
     * the Spark file's divide-by-zero-column at :73-74 is a reference bug we
-    * do not reproduce (SURVEY §7.4.2). */
-  def building(spark: SparkSession, glob: String): DataFrame =
+    * do not reproduce (SURVEY §7.4.2).
+    *
+    * `convertCompletionDate` (SURVEY §1.2): the reference keeps 建築完成年月
+    * as a raw ROC string (etl_pipeline_spark.py:44,59-61 converts only the
+    * transaction date); this engine also offers the conversion — an appended
+    * `completion_date_iso` DATE column (NULL on empty/invalid, same E2
+    * kernel), without dropping rows (only an invalid TRANSACTION date is a
+    * row filter). Default off keeps the reference-shaped schema. */
+  def building(spark: SparkSession, glob: String,
+      convertCompletionDate: Boolean = false): DataFrame = {
+    val base = buildingBase(spark, glob)
+    if (convertCompletionDate)
+      base.withColumn("completion_date_iso", rocToDate(col("completion_date")))
+    else base
+  }
+
+  private def buildingBase(spark: SparkSession, glob: String): DataFrame =
     CsvIngest.readRaw(spark, glob)
       .filter(col(Raw.transactionSign).startsWith("房地"))
       .select(

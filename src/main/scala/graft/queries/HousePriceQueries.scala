@@ -115,10 +115,12 @@ object HousePriceQueries {
     // expected rows. The one non-corpus query: its oracle is a VALUES table.
     Q("q20_building_pipeline", (s, _) => {
       val dir = graft.fixtures.RawCsvFixture.writeDefault()
-      graft.operators.Pipelines.building(s, dir + "/*_a.csv")
+      graft.operators.Pipelines.building(s, dir + "/*_a.csv",
+          convertCompletionDate = true)
         .select(col("city"), col("township_dist"), col("position"),
           col("building_area_ping"), col("transaction_date"),
-          col("total_price"), col("unit_price_ping"))
+          col("total_price"), col("unit_price_ping"),
+          col("completion_date_iso"))
     }, Some(graft.fixtures.RawCsvFixture.expectedBuildingSql)),
 
     // ---- Full land-pipeline golden run ------------------------------------

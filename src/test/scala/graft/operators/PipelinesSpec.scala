@@ -50,6 +50,18 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("completion_date ROC conversion is offered as an option (SURVEY §1.2)") {
+    val df = Pipelines.building(spark, dir + "/*_a.csv", convertCompletionDate = true)
+    val iso = df.select(col("position"), col("completion_date_iso")).collect()
+      .map(r => r.getString(0) -> Option(r.getDate(1)).map(_.toString)).toMap
+    assert(iso("大湖段572地號") === Some("2010-01-01")) // ROC 0990101
+    assert(iso("幸福段88地號") === Some("2019-01-01"))  // ROC 1080101
+    assert(iso("民權段55地號") === None)                // empty string → NULL, row kept
+    // default output keeps the reference-shaped schema
+    assert(!Pipelines.building(spark, dir + "/*_a.csv")
+      .columns.contains("completion_date_iso"))
+  }
+
   test("avgPriceByYear answers the reference's demonstrated analytics query") {
     val out = Pipelines.avgPriceByYear(Pipelines.building(spark, dir + "/*_a.csv"))
       .orderBy(col("txn_year")).collect()
