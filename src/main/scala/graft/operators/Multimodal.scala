@@ -8,16 +8,23 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with typed metadata, processed batch-wise per
   * partition.
   *
-  * The decode step itself is a STUB (no media libraries ship in this
-  * environment) — deterministic fake features derived from the payload
-  * bytes — but the Spark-side plumbing is real and tested: schema contract,
-  * binary batching via mapPartitions (the JVM analogue of arrow-batched
-  * pandas UDFs: one iterator per partition, amortized per-batch setup),
-  * partition sizing, and the metadata join-back.
+  * What is REAL vs STUB here:
+  *  - image decode + resize: REAL, via the JDK's own codecs
+  *    (`javax.imageio` — PNG/JPEG/BMP/GIF), headless-safe;
+  *  - audio metadata: REAL, via a RIFF/WAVE chunk parse (PCM duration,
+  *    sample rate, channels);
+  *  - video frame extraction: STUB (the JDK ships no video codec) — the
+  *    chunked explode reproduces a keyframe sampler's output shape;
+  *  - learned feature extraction ([[extractFeatures]]): STUB feature MODEL
+  *    (byte-histogram moments stand in for an embedding network); the batch
+  *    plumbing around it is the real contract.
   *
-  * Scale notes: payloads never pass through a shuffle — feature extraction
-  * is map-side; only the (id, features) projection moves. Partition sizing
-  * for ~100 MB binary batches is the caller's `maxPartitionBytes` concern.
+  * All decode work runs batch-wise via mapPartitions (the JVM analogue of
+  * arrow-batched pandas UDFs: one iterator per partition, per-partition
+  * codec init amortized across the batch). Scale notes: payloads never pass
+  * through a shuffle — decode is map-side; only (id, metadata/feature)
+  * projections move. Partition sizing for ~100 MB binary batches is the
+  * caller's `maxPartitionBytes` concern.
   */
 object Multimodal {
 
@@ -48,10 +55,11 @@ object Multimodal {
       lit(null).cast("long").as("duration_ms"),
       col(textCol).cast("binary").as("payload"))
 
-  /** STUB decode/feature-extract: a real deployment swaps the body for a
-    * JNI/FFI call into a codec (the batch shape — one partition iterator,
-    * per-batch init — is exactly what that call needs). The fake feature is
-    * deterministic: 8 floats derived from byte histogram moments. */
+  /** STUB feature MODEL: a real deployment swaps the body for an embedding
+    * network (the batch shape — one partition iterator, per-batch init — is
+    * exactly what that call needs; intrinsic decode is already real, see
+    * [[decodeMedia]]). The stand-in feature is deterministic: 8 floats
+    * derived from byte histogram moments. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -78,12 +86,46 @@ object Multimodal {
   def withFeatures(media: DataFrame): DataFrame =
     media.join(extractFeatures(media).drop("n_bytes"), Seq("media_id"))
 
-  /** STUB resize: a real deployment decodes, scales to `w`×`h`, re-encodes.
-    * The stub keeps the batch shape and metadata contract honest —
-    * deterministic truncation of the payload proportional to the target
-    * area so downstream size accounting is exercised. */
+  /** Schema of [[decodeMedia]]: recovered intrinsic metadata. */
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("n_bytes", LongType)))
+
+  /** REAL decode of intrinsic metadata from the payload bytes, map-side:
+    * images through `javax.imageio` (PNG/JPEG/BMP/GIF — whatever the JDK's
+    * registry reads), audio through the RIFF/WAVE parse. Undecodable or
+    * unsupported payloads (including video) yield NULL width/height/
+    * duration — never an exception, never a dropped row. */
+  def decodeMedia(media: DataFrame): DataFrame = {
+    val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(decodedSchema)
+    media.select(col("media_id"), col("media_type"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val mtype = if (r.isNullAt(1)) null else r.getString(1)
+          val bytes = if (r.isNullAt(2)) Array.emptyByteArray else r.getAs[Array[Byte]](2)
+          val img = decodeImage(bytes)
+          val wavMeta = if (img.isEmpty) Wav.parse(bytes) else None
+          Row(id, mtype,
+            img.map(i => Integer.valueOf(i.getWidth)).orNull,
+            img.map(i => Integer.valueOf(i.getHeight)).orNull,
+            wavMeta.map(m => java.lang.Long.valueOf(m.durationMs)).orNull,
+            java.lang.Long.valueOf(bytes.length.toLong))
+        }
+      }(outEnc)
+  }
+
+  /** REAL image resize: decode (JDK codecs), scale to `w`×`h` with bilinear
+    * Graphics2D, re-encode as PNG. Undecodable payloads keep the row with a
+    * NULL payload and NULL dimensions — the explicit decode-failure marker a
+    * downstream quality filter keys on (silent pass-through would let a
+    * corrupt payload masquerade as resized). */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
-    val spark = media.sparkSession
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(metadataSchema)
     media.select(metadataSchema.fieldNames.map(col): _*)
@@ -91,14 +133,66 @@ object Multimodal {
         rows.map { r =>
           val payload =
             if (r.isNullAt(6)) Array.emptyByteArray else r.getAs[Array[Byte]](6)
-          val scaled = java.util.Arrays.copyOf(
-            payload, math.min(payload.length, math.max(1, w * h / 64)))
-          Row(r.getLong(0), r.getString(1), r.getString(2),
-            Integer.valueOf(w), Integer.valueOf(h),
-            if (r.isNullAt(5)) null else java.lang.Long.valueOf(r.getLong(5)),
-            scaled)
+          decodeImage(payload) match {
+            case Some(src) =>
+              val dst = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = dst.createGraphics()
+              g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(src, 0, 0, w, h, null)
+              g.dispose()
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", out)
+              Row(r.getLong(0), r.getString(1), "image/png",
+                Integer.valueOf(w), Integer.valueOf(h),
+                if (r.isNullAt(5)) null else java.lang.Long.valueOf(r.getLong(5)),
+                out.toByteArray)
+            case None =>
+              Row(r.getLong(0), r.getString(1), r.getString(2),
+                null, null,
+                if (r.isNullAt(5)) null else java.lang.Long.valueOf(r.getLong(5)),
+                null)
+          }
         }
       }(outEnc)
+  }
+
+  /** ImageIO.read returns null (or throws, for truncated headers) on bytes
+    * it cannot decode; normalize both to None. */
+  private def decodeImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (bytes.isEmpty) None
+    else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** Minimal RIFF/WAVE reader: walks the chunk list for `fmt ` + `data` and
+    * derives PCM duration. Pure byte arithmetic — no audio device, no
+    * javax.sound pipeline (which needs a registered audio system). */
+  private[operators] object Wav {
+    final case class Meta(sampleRate: Int, channels: Int, durationMs: Long)
+
+    def parse(b: Array[Byte]): Option[Meta] = {
+      def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+      def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+      if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var byteRate = 0; var sampleRate = 0; var channels = 0
+      var dataSize = -1L
+      while (off + 8 <= b.length && (byteRate == 0 || dataSize < 0)) {
+        val id = tag(off); val size = le32(off + 4)
+        if (id == "fmt " && off + 24 <= b.length) {
+          channels = le16(off + 10)
+          sampleRate = le32(off + 12)
+          byteRate = le32(off + 16)
+        } else if (id == "data") dataSize = size.toLong & 0xffffffffL
+        off += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      if (byteRate > 0 && dataSize >= 0)
+        Some(Meta(sampleRate, channels, dataSize * 1000 / byteRate))
+      else None
+    }
   }
 
   /** STUB frame sampling for video payloads: every `everyNth` chunk of the

@@ -203,8 +203,8 @@ object TextQueries {
       FROM documents GROUP BY source""")),
 
     // ---- Binary/multimodal metadata plumbing ------------------------------
-    // Opaque payloads as binary + typed metadata; decode stays a stub (no
-    // media libs in-container) but the schema/partition path is real.
+    // Opaque payloads as binary + typed metadata over the driver corpus;
+    // intrinsic decode is gated separately by q67.
     Q("q28_binary_meta", (s, dir) => {
       val d = table(s, dir, "documents")
       d.withColumn("payload", col("text").cast("binary"))
@@ -214,6 +214,26 @@ object TextQueries {
     }, Some("""
       SELECT source, CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
         COUNT(DISTINCT md5(text)) AS n_distinct_payloads
-      FROM documents GROUP BY source"""))
+      FROM documents GROUP BY source""")),
+
+    // ---- Multimodal intrinsic decode (REAL, JDK codecs) -------------------
+    // Payloads the fixture encodes with the JDK's own PNG/JPEG/BMP writers
+    // plus a hand-built PCM WAV; decodeMedia must RECOVER the dimensions /
+    // duration from the bytes map-side. The undecodable video row keeps its
+    // row with NULL intrinsics. The oracle is the construction parameters —
+    // a genuine end-to-end decode gate, not byte bookkeeping.
+    Q("q67_media_decode", (s, _) => {
+      graft.operators.Multimodal
+        .decodeMedia(graft.fixtures.MediaFixture.frame(s))
+        .select(col("media_id"), col("media_type"), col("width"),
+          col("height"), col("duration_ms"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'image', 32, 16, CAST(NULL AS BIGINT)),
+        (CAST(2 AS BIGINT), 'image', 64, 48, CAST(NULL AS BIGINT)),
+        (CAST(3 AS BIGINT), 'image', 8, 8, CAST(NULL AS BIGINT)),
+        (CAST(4 AS BIGINT), 'audio', NULL, NULL, CAST(500 AS BIGINT)),
+        (CAST(5 AS BIGINT), 'video', NULL, NULL, CAST(NULL AS BIGINT))
+      ) AS t(media_id, media_type, width, height, duration_ms)"""))
   )
 }

@@ -32,12 +32,41 @@ class MultimodalSpec extends SparkSpec {
     assert(out.columns.contains("feature") && out.columns.contains("payload"))
   }
 
-  test("resize stub: schema contract intact, dimensions set, payload bounded") {
-    val out = Multimodal.resize(media, 64, 64)
+  test("decodeMedia recovers real dimensions/duration from payload bytes") {
+    val out = Multimodal.decodeMedia(graft.fixtures.MediaFixture.frame(spark))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (Option(r.getAs[Integer]("width")), Option(r.getAs[Integer]("height")),
+          Option(r.getAs[java.lang.Long]("duration_ms")))).toMap
+    assert(out(1L) === ((Some(32), Some(16), None)))  // PNG
+    assert(out(2L) === ((Some(64), Some(48), None)))  // JPEG
+    assert(out(3L) === ((Some(8), Some(8), None)))    // BMP
+    assert(out(4L) === ((None, None, Some(500L))))    // 8 kHz × 500 ms WAV
+    assert(out(5L) === ((None, None, None)))          // undecodable, row kept
+  }
+
+  test("resize really rescales: output decodes to the target dimensions") {
+    val out = Multimodal.resize(graft.fixtures.MediaFixture.frame(spark), 10, 7)
     assert(out.schema.fieldNames.toSeq === Multimodal.metadataSchema.fieldNames.toSeq)
-    val rows = out.collect()
-    assert(rows.forall(_.getAs[Int]("width") === 64))
-    assert(rows.forall(r => r.getAs[Array[Byte]]("payload").length <= 64))
+    val rows = out.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    // every decodable image comes back as a real 10×7 PNG
+    Seq(1L, 2L, 3L).foreach { id =>
+      val r = rows(id)
+      assert(r.getAs[Integer]("width") === 10 && r.getAs[Integer]("height") === 7)
+      val reDecoded = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      assert(reDecoded.getWidth === 10 && reDecoded.getHeight === 7)
+    }
+    // undecodable payloads keep the row with the explicit NULL failure marker
+    val bad = rows(5L)
+    assert(bad.isNullAt(bad.fieldIndex("payload")))
+    assert(bad.isNullAt(bad.fieldIndex("width")))
+  }
+
+  test("WAV RIFF parser: sample rate, channels, duration; garbage rejected") {
+    val meta = Multimodal.Wav.parse(graft.fixtures.MediaFixture.wav(44100, 1250))
+    assert(meta === Some(Multimodal.Wav.Meta(44100, 1, 1250L)))
+    assert(Multimodal.Wav.parse(Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.Wav.parse(graft.fixtures.MediaFixture.image(4, 4, "png")) === None)
   }
 
   test("frame sampling stub: explode shape with stride") {
