@@ -87,6 +87,41 @@ object VectorQueries {
       s"SELECT vec_id, $bitTerms AS sig FROM embeddings"
     }),
 
+    // ---- Embedding near-dup pairs over the REAL bucket key ----------------
+    // q31's shape with the label stand-in replaced by the hyperplane LSH
+    // signature (q32) — the actual 100 TB bucketing: candidate pairs only
+    // within the 2^planes signature buckets, cosine-verified. The oracle
+    // composes the q32 signature SQL with the q31 pair SQL.
+    Q("q68_embed_neardup_lsh", (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          hyperplaneSig(col("embedding"), planes = 8, dims = DIMS).as("sig"),
+          col("embedding"), norm(col("embedding")).as("nrm"))
+      val a = e.as("a"); val b = e.as("b")
+      a.join(b, col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos",
+          dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+        .filter(col("cos") > 0.25)
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+    }, Some {
+      val bitTerms = (0 until 8).map { p =>
+        val weights = (0 until DIMS)
+          .map(d => s"CAST(embedding[${d + 1}] AS DOUBLE) * ${planeWeight(p, d).toDouble}")
+          .mkString(" + ")
+        s"CASE WHEN ($weights) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+      val sigRel =
+        s"""(SELECT vec_id, $bitTerms AS sig, embedding,
+              ${normSql("embedding")} AS nrm FROM embeddings)"""
+      s"""
+      SELECT vec_a, vec_b, cos FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+        FROM $sigRel a JOIN $sigRel b
+          ON a.sig = b.sig AND a.vec_id < b.vec_id)
+      WHERE cos > 0.25"""
+    }),
+
     // ---- Centroid-style aggregation over vectors --------------------------
     // Per-label mean vector norm: exercises array aggregation semantics.
     // Sums are per-dimension in index order; the outer SUM over rows uses a
