@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, key-based sampling and dataset splitting — the
+  * reproducibility primitives of a training-data pipeline. Unlike
+  * `df.sample`/`sampleBy` (RNG seeded per partition, so results change with
+  * partitioning, task retries, and engine version), these derive every
+  * decision from a hash of a stable KEY: the same row lands in the same
+  * sample/split on every engine, every rerun, every repartition — which is
+  * what makes held-out sets trustworthy and experiments repeatable.
+  *
+  * Scale shape: pure map-side expressions (one md5 per row, codegen'd
+  * built-ins) — no shuffle, no state; filters push through like any other
+  * predicate. md5 (not xxhash64/murmur) keeps the bucket function portable
+  * across engines — the same discipline as the dedup operators.
+  */
+object Sampling {
+
+  val BUCKETS = 10000
+
+  /** Uniform bucket in [0, BUCKETS) from the first 8 md5 hex digits of the
+    * key — 32 uniform bits, far more than the 10^4 resolution needs. */
+  def hashBucket(key: Column): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(BUCKETS.toLong))
+
+  /** Keep a deterministic `fraction` of rows by key (0.0..1.0, resolution
+    * 1/BUCKETS). Stable under repartitioning and reruns; sampling by the
+    * SAME key at a larger fraction yields a superset (nested samples —
+    * bucket < f1·B ⊆ bucket < f2·B for f1 ≤ f2). */
+  def sample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    df.filter(hashBucket(col(keyCol)) < math.round(fraction * BUCKETS))
+  }
+
+  /** Assign every row a split label by hash bucket: `weights` are
+    * (label, weight) in priority order, normalized over their sum; each
+    * label owns a contiguous bucket range, so splits are disjoint, exhaust
+    * the data, and are stable under reruns/repartitioning. */
+  def withSplit(df: DataFrame, keyCol: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val cuts = weights.map(_._2 / total).scanLeft(0.0)(_ + _)
+      .map(c => math.round(c * BUCKETS)).tail
+    // last cut is exactly BUCKETS by construction → otherwise is unreachable,
+    // but keep the final label there so no bucket can ever map to NULL
+    val bucket = hashBucket(col(keyCol))
+    val expr = weights.init.zip(cuts.init).foldRight(
+      lit(weights.last._1): Column) { case (((label, _), cut), rest) =>
+      when(bucket < cut, lit(label)).otherwise(rest)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
+  /** The same bucket function as DuckDB SQL (oracle parity). */
+  def hashBucketSql(keyExpr: String): String =
+    s"(CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % $BUCKETS)"
+}

@@ -235,5 +235,36 @@ object TextQueries {
         (CAST(4 AS BIGINT), 'audio', NULL, NULL, CAST(500 AS BIGINT)),
         (CAST(5 AS BIGINT), 'video', NULL, NULL, CAST(NULL AS BIGINT))
       ) AS t(media_id, media_type, width, height, duration_ms)"""))
-  )
+  ) ++ samplingQueries
+
+  // ---- Deterministic sampling / splitting (reproducibility primitives) ----
+  private def samplingQueries: Seq[Q] = {
+    import graft.operators.Sampling
+    Seq(
+      // Keyed hash sampling: same rows on every engine/rerun/partitioning —
+      // the oracle recomputes the identical md5 bucket and must select the
+      // identical subset (count AND id-sum per group).
+      Q("q69_deterministic_sample", (s, dir) => {
+        Sampling.sample(table(s, dir, "documents"), "doc_id", 0.25)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+      }, Some(s"""
+        SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM documents
+        WHERE ${Sampling.hashBucketSql("doc_id")} < ${Sampling.BUCKETS / 4}
+        GROUP BY source""")),
+
+      // Train/val/test split by hash bucket: disjoint, exhaustive, stable.
+      Q("q70_hash_split", (s, dir) => {
+        Sampling.withSplit(table(s, dir, "documents"), "doc_id")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+      }, Some(s"""
+        SELECT CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split,
+          COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM (SELECT doc_id, ${Sampling.hashBucketSql("doc_id")} AS b FROM documents)
+        GROUP BY 1""")))
+  }
 }

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.Registry
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Registry.table(spark, sf0001, "documents")
+
+  test("sample is deterministic and invariant under repartitioning") {
+    val a = Sampling.sample(docs, "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.sample(docs.repartition(17), "doc_id", 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty && a.size < docs.count())
+  }
+
+  test("samples at growing fractions nest (larger fraction ⊇ smaller)") {
+    val s10 = Sampling.sample(docs, "doc_id", 0.10)
+      .select("doc_id").as[Long].collect().toSet
+    val s40 = Sampling.sample(docs, "doc_id", 0.40)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s10.subsetOf(s40))
+  }
+
+  test("sample fraction is honored within hash-uniformity tolerance") {
+    val n = docs.count().toDouble
+    val k = Sampling.sample(docs, "doc_id", 0.25).count().toDouble
+    assert(math.abs(k / n - 0.25) < 0.05, s"got ${k / n}")
+    assert(Sampling.sample(docs, "doc_id", 0.0).count() === 0L)
+    assert(Sampling.sample(docs, "doc_id", 1.0).count() === n.toLong)
+  }
+
+  test("withSplit is disjoint, exhaustive, and roughly proportioned") {
+    val out = Sampling.withSplit(docs, "doc_id")
+    assert(out.count() === docs.count())             // exhaustive
+    assert(out.filter(col("split").isNull).count() === 0L)
+    val byLabel = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byLabel.keySet === Set("train", "val", "test")) // disjoint labels only
+    val n = docs.count().toDouble
+    assert(math.abs(byLabel("train") / n - 0.9) < 0.05)
+    // determinism: every doc keeps its split on a rerun
+    val again = Sampling.withSplit(docs.repartition(13), "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val first = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(first === again)
+  }
+}
