@@ -87,6 +87,19 @@ object Text {
     transform(array_distinct(shinglesOfTokens(toks, n)),
       s => conv(substring(md5(s), 1, 15), 16, 10).cast("long"))
 
+  /** Repeated-n-gram ratio in [0,1]: 1 − |distinct shingles| / |shingles|
+    * (0 for texts shorter than n tokens). The Gopher-style repetition
+    * signal — high values mark boilerplate/spam for the quality floor.
+    * Codegen CSE evaluates the shingle array once per row despite the two
+    * references (same-projection subexpression elimination). */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    val total = size(sh)
+    when(total <= 0, lit(0.0)).otherwise(
+      round(lit(1.0) -
+        size(array_distinct(sh)).cast("double") / total.cast("double"), 6))
+  }
+
   /** Punctuation character count. */
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,;:!?]", ""))

@@ -235,7 +235,30 @@ object TextQueries {
         (CAST(4 AS BIGINT), 'audio', NULL, NULL, CAST(500 AS BIGINT)),
         (CAST(5 AS BIGINT), 'video', NULL, NULL, CAST(NULL AS BIGINT))
       ) AS t(media_id, media_type, width, height, duration_ms)"""))
-  ) ++ samplingQueries
+  ) ++ samplingQueries ++ Seq(
+
+    // ---- Repeated-n-gram ratio (Gopher-style repetition signal) ----------
+    // Map-side per-doc ratio over trigram shingles; aggregate per source
+    // with an exact-decimal sum and a boilerplate threshold count.
+    Q("q71_repetition", (s, dir) => {
+      table(s, dir, "documents")
+        .withColumn("rep", repetitionRatio(col("text"), 3))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rep").cast("decimal(18,6)")).cast("double").as("sum_rep"),
+          sum(when(col("rep") > 0.2, 1L).otherwise(0L)).as("n_repetitive"))
+    }, Some {
+      val sh = s"list_transform(generate_series(1, GREATEST(len($TOKS)-2, 0)), i -> array_to_string(($TOKS)[i:i+2], ' '))"
+      val rep = s"""CASE WHEN len(sh) <= 0 THEN 0.0
+        ELSE ${Registry.sroundSql("1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)", 6)} END"""
+      s"""
+      SELECT source, COUNT(*) AS n,
+        CAST(SUM(CAST(rep AS DECIMAL(18,6))) AS DOUBLE) AS sum_rep,
+        CAST(SUM(CASE WHEN rep > 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+      FROM (SELECT source, $rep AS rep
+            FROM (SELECT source, $sh AS sh FROM documents))
+      GROUP BY source"""
+    }))
 
   // ---- Deterministic sampling / splitting (reproducibility primitives) ----
   private def samplingQueries: Seq[Q] = {

@@ -37,6 +37,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept > 0)
   }
 
+  test("repetitionRatio: boilerplate high, varied text zero, short text zero") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val out = Seq(
+      (1L, "buy now " * 20),                                    // pure repetition
+      (2L, "the quick brown fox jumps over one lazy sleeping dog"), // all-distinct trigrams
+      (3L, "two words"))                                        // shorter than n
+      .toDF("id", "text")
+      .select(col("id"), graft.functions.Text.repetitionRatio(col("text"), 3).as("rep"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) > 0.9)
+    assert(out(2L) === 0.0)
+    assert(out(3L) === 0.0)
+  }
+
   test("qualityReport aggregates per key") {
     val rep = TextAnalysis.qualityReport(docs.withColumn("src",
       org.apache.spark.sql.functions.lit("s")), "src").collect().head
