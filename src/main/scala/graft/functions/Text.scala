@@ -90,10 +90,17 @@ object Text {
   /** Repeated-n-gram ratio in [0,1]: 1 − |distinct shingles| / |shingles|
     * (0 for texts shorter than n tokens). The Gopher-style repetition
     * signal — high values mark boilerplate/spam for the quality floor.
-    * Codegen CSE evaluates the shingle array once per row despite the two
-    * references (same-projection subexpression elimination). */
-  def repetitionRatio(text: Column, n: Int = 3): Column = {
-    val sh = shingles(text, n)
+    *
+    * PERF: prefer staging the shingle array in its own projection
+    * (`withColumn("__sh", shingles(...))` then [[repetitionRatioOf]]) — the
+    * conditional references here sit in CaseWhen branches, which Spark's
+    * subexpression elimination does not hoist, so the inline form hashes
+    * the shingles up to twice per row. */
+  def repetitionRatio(text: Column, n: Int = 3): Column =
+    repetitionRatioOf(shingles(text, n))
+
+  /** Ratio over a pre-staged shingle-array column. */
+  def repetitionRatioOf(sh: Column): Column = {
     val total = size(sh)
     when(total <= 0, lit(0.0)).otherwise(
       round(lit(1.0) -

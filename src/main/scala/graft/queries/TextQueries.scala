@@ -242,7 +242,10 @@ object TextQueries {
     // with an exact-decimal sum and a boilerplate threshold count.
     Q("q71_repetition", (s, dir) => {
       table(s, dir, "documents")
-        .withColumn("rep", repetitionRatio(col("text"), 3))
+        // stage the shingle array: CollapseProject keeps multi-referenced
+        // non-cheap aliases materialized, so it computes once per row
+        .withColumn("__sh", shingles(col("text"), 3))
+        .withColumn("rep", repetitionRatioOf(col("__sh")))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
           sum(col("rep").cast("decimal(18,6)")).cast("double").as("sum_rep"),
