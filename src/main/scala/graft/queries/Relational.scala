@@ -246,13 +246,25 @@ object Relational {
         COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag""")),
 
-    // ---- Approx distinct: Spark HLL sketch (no cross-engine oracle —
-    // sketches differ by design; driver records rows-only) ------------------
+    // ---- Approx distinct: Spark HLL sketch --------------------------------
+    // Sketch values differ across engines by design, so the ESTIMATE is not
+    // oracle-comparable — but the sketch's CONTRACT is: HLL++ at the default
+    // rsd=0.05 must land within ±5·rsd of the exact count (25σ — loose
+    // enough to be engine-stable, tight enough that a broken sketch fails).
+    // The query therefore emits the exact count plus a bounded-error flag,
+    // and the oracle asserts the same exact count with the flag true.
     Q("q14_approx_distinct", (s, dir) => {
       table(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(approx_count_distinct(col("l_partkey")).as("__approx"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n"))
-    }, None)
+        .select(col("l_returnflag"), col("exact_parts"), col("n"),
+          (abs(col("__approx") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.25).as("approx_within_bound"))
+    }, Some("""
+      SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        COUNT(*) AS n, TRUE AS approx_within_bound
+      FROM lineitem GROUP BY l_returnflag"""))
   )
 }
