@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   *   1. exact dedup (fingerprint groupBy, keep lowest id);
   *   2. MinHash-LSH near-dup detection → collapse to canonical ids, keep
   *      only canonical representatives;
-  *   3. quality floor;
+  *   3. quality floor + optional repetition (boilerplate) ceiling;
   *   4. enrichment (language, quality, token counts, fingerprint).
   *
   * Scale shape: stages 1-2 are the only shuffles (fingerprint, band key);
@@ -34,7 +34,8 @@ object Curation {
       textCol: String = "text",
       idCol: String = "doc_id",
       minQuality: Double = 0.3,
-      jaccardThreshold: Double = 0.5): Result = {
+      jaccardThreshold: Double = 0.5,
+      maxRepetition: Double = 1.0): Result = {
     val scope = new CacheScope
     try {
       val exact = scope.persist(Dedup.exact(docs, textCol, idCol))
@@ -46,7 +47,14 @@ object Curation {
           .filter(col("canonical_id") === col(idCol))
           .drop("canonical_id"))
 
-      val filtered = TextAnalysis.filterByQuality(collapsed, minQuality, textCol)
+      val qualityFloor = TextAnalysis.filterByQuality(collapsed, minQuality, textCol)
+      // optional boilerplate ceiling (Gopher repetition signal); 1.0 = off
+      val filtered =
+        if (maxRepetition >= 1.0) qualityFloor
+        else qualityFloor
+          .withColumn("__sh", graft.functions.Text.shingles(col(textCol), 3))
+          .filter(graft.functions.Text.repetitionRatioOf(col("__sh")) <= maxRepetition)
+          .drop("__sh")
       val curated = TextAnalysis.enrich(filtered, textCol)
 
       val spark = docs.sparkSession

@@ -154,6 +154,30 @@ object Extended {
         COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag""")),
 
+    // ---- Approx quantile: the documented at-scale swap for q53 ------------
+    // Exact percentile is per-group sort-based — fine at few groups, wrong
+    // at 100 TB; approx_percentile is the mergeable-sketch replacement. As
+    // with q14, the sketch VALUE is engine-private but its CONTRACT is
+    // checkable: accuracy=10000 bounds rank error to n/10⁴, so the estimate
+    // must land between the exact p40 and p60 (thousands of ranks of slack).
+    // The oracle pins the exact median and asserts the flag.
+    Q("q72_approx_quantile", (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      li.groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, array(0.4, 0.5, 0.6))").as("__p"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("__approx"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          round(col("__p").getItem(1), 4).as("exact_median"), col("n"),
+          (col("__approx") >= col("__p").getItem(0) &&
+            col("__approx") <= col("__p").getItem(2)).as("approx_within_bound"))
+    }, Some(s"""
+      SELECT l_returnflag,
+        ${Registry.sroundSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS exact_median,
+        COUNT(*) AS n, TRUE AS approx_within_bound
+      FROM lineitem GROUP BY l_returnflag""")),
+
     // ---- Scalar subquery ---------------------------------------------------
     Q("q54_scalar_subquery", (s, dir) => {
       val o = table(s, dir, "orders")

@@ -28,6 +28,21 @@ class CurationSpec extends SparkSpec {
     assert(res.curated.columns.contains("quality"))
   }
 
+  test("maxRepetition floor drops boilerplate that survives quality scoring") {
+    val base = Registry.table(spark, sf0001, "documents").limit(50)
+    val spam = Seq((9100L,
+      "click here buy now " * 30 + "limited offer!", "en", "srcY", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = base.unionByName(spam)
+    val lax = Curation.run(docs, minQuality = 0.1)
+    val strict = Curation.run(docs, minQuality = 0.1, maxRepetition = 0.5)
+    val laxIds = lax.curated.select("doc_id").as[Long].collect().toSet
+    val strictIds = strict.curated.select("doc_id").as[Long].collect().toSet
+    assert(laxIds.contains(9100L))     // repetition invisible to quality score
+    assert(!strictIds.contains(9100L)) // the repetition ceiling catches it
+    assert(strictIds.subsetOf(laxIds))
+  }
+
   test("summary is computed in a single pass and releases its caches") {
     // Count input-scan tasks via an opaque mapPartitions barrier (Catalyst
     // can neither prune nor skip it), with a fixed partition count.
