@@ -50,18 +50,29 @@ object Dedup {
       acc.withColumn(s"band_$b", md5(concat_ws("|", parts: _*)))
     }
 
+  /** Exploded LSH signature table — one (doc, band_no, band_key) row per
+    * band per document. THIS is the relation a 100 TB deployment writes at
+    * ingest (partitioned/bucketed by band_key) so later batches dedup
+    * against it without re-hashing the corpus ([[minhashCandidatesAgainst]]).
+    */
+  def signatureTable(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, bands: Int = 3, rows: Int = 2): DataFrame = {
+    val banded = withBands(withMinhash(df, textCol, n, bands * rows), bands, rows)
+    val bandCols = (0 until bands).map(b =>
+      struct(lit(b).as("band_no"), col(s"band_$b").as("band_key")))
+    banded
+      .select(col(idCol).as("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band_no"), col("bk.band_key"))
+  }
+
   /** MinHash-LSH candidate pairs (idA < idB), deduplicated across bands.
     * Pipeline: signature → bands → explode(band) → self-join per bucket. */
   def minhashCandidates(
       df: DataFrame, textCol: String, idCol: String,
       n: Int = 3, bands: Int = 3, rows: Int = 2,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val banded = withBands(withMinhash(df, textCol, n, bands * rows), bands, rows)
-    val bandCols = (0 until bands).map(b =>
-      struct(lit(b).as("band_no"), col(s"band_$b").as("band_key")))
-    val exploded = scope.persist(banded
-      .select(col(idCol).as("doc"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("bk.band_no"), col("bk.band_key")))
+    val exploded = scope.persist(signatureTable(df, textCol, idCol, n, bands, rows))
       // materialize once: a self-join's two sides don't share work (no
       // exchange to reuse under a broadcast join), so without this the
       // whole minhash pipeline runs twice. At warehouse scale this is a
@@ -70,6 +81,27 @@ object Dedup {
     a.join(b, col("a.band_no") === col("b.band_no") &&
         col("a.band_key") === col("b.band_key") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+  }
+
+  /** Incremental-ingest candidates: pairs touching the NEW batch only —
+    * new×existing and new×new, never existing×existing. `existingSigs` is a
+    * previously written [[signatureTable]]; the old corpus is NOT re-hashed
+    * and (at scale, with both sides bucketed by band_key) not even
+    * re-shuffled. Emits (doc_a < doc_b) like [[minhashCandidates]], so
+    * running it per batch and unioning reproduces exactly the full-corpus
+    * candidate set. */
+  def minhashCandidatesAgainst(
+      newDf: DataFrame, existingSigs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, bands: Int = 3, rows: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val newSigs = scope.persist(signatureTable(newDf, textCol, idCol, n, bands, rows))
+    val a = newSigs.as("a")
+    val b = existingSigs.unionByName(newSigs).as("b")
+    a.join(b, col("a.band_no") === col("b.band_no") &&
+        col("a.band_key") === col("b.band_key") && col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"))
       .distinct()
   }
 

@@ -234,6 +234,28 @@ object Extended {
         ON a.doc_id < b.doc_id
         AND (a.band_0 = b.band_0 OR a.band_1 = b.band_1 OR a.band_2 = b.band_2)""")),
 
+    // ---- Incremental MinHash-LSH candidates (the ingest shape) ------------
+    // New batch = source 'src0'; existing corpus = everything else, hashed
+    // ONCE into a signature table the new batch joins against. Pairs touch
+    // the new batch only (new×old ∪ new×new) — running this per batch and
+    // unioning reproduces the full-corpus q56 set (DedupSpec proves the
+    // identity). The oracle filters the full band-join to new-touching pairs.
+    Q("q73_minhash_incremental", (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val newBatch = docs.filter(col("source") === "src0")
+      val existing = Dedup.signatureTable(
+        docs.filter(col("source") =!= "src0"), "text", "doc_id",
+        n = 3, bands = 3, rows = 2)
+      Dedup.minhashCandidatesAgainst(newBatch, existing, "text", "doc_id",
+        n = 3, bands = 3, rows = 2)
+    }, Some(s"""
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ${minhashSigSql(6)} a JOIN ${minhashSigSql(6)} b
+        ON a.doc_id < b.doc_id
+        AND (a.band_0 = b.band_0 OR a.band_1 = b.band_1 OR a.band_2 = b.band_2)
+      WHERE a.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')
+         OR b.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')""")),
+
     // ---- SimHash candidate pairs ------------------------------------------
     // 64-bit fingerprint, 4×16-bit bands = 65,536 keys per band. The old
     // 32-bit/4×8-bit shape had only 256 keys per band — on this statistically

@@ -42,6 +42,24 @@ class DedupSpec extends SparkSpec {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("incremental candidates: per-batch union reproduces the full-corpus set") {
+    val corpus = graft.queries.Registry.table(spark, sf0001, "documents")
+      .limit(200).select("doc_id", "text")
+    val cut = 150L
+    val existing = corpus.filter($"doc_id" < cut)
+    val newBatch = corpus.filter($"doc_id" >= cut)
+    val full = Dedup.minhashCandidates(corpus, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val oldOnly = Dedup.minhashCandidates(existing, "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    val inc = Dedup.minhashCandidatesAgainst(newBatch,
+        Dedup.signatureTable(existing, "text", "doc_id"), "text", "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(inc.forall { case (a, b) => a >= cut || b >= cut }) // touches new
+    assert(inc.intersect(oldOnly).isEmpty)                     // no old×old
+    assert(oldOnly.union(inc) === full)                        // exact identity
+  }
+
   test("subBits sub-split: pairs ⊆ exact banding, buckets measurably shrink") {
     // Narrow 8-bit band keys (bits=32/bands=4) force random band collisions
     // on a 300-doc corpus, so the sub-split has something to split; all
