@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 /** Streaming event analytics (SURVEY §2.6 streaming surface): watermarked
@@ -38,6 +39,65 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicates("event_id")
+
+  /** Running per-user baseline carried across micro-batches. */
+  final case class SpikeState(n: Long, sum: Double)
+
+  /** An emitted anomaly: the value exceeded `factor`× the user's baseline. */
+  final case class Spike(user_id: Long, ts: java.sql.Timestamp,
+      value: Double, baseline: Double)
+
+  /** Custom arbitrary state (the `flatMapGroupsWithState` surface —
+    * semantics no built-in window/agg expresses): per-user spike detection
+    * against a RUNNING baseline. Each user's state is the (count, sum) of
+    * every value seen so far; an event whose value exceeds `factor`× the
+    * baseline mean is emitted the moment it arrives — not at window close,
+    * which is why an aggregation cannot express this (emission is per-event
+    * and depends on order, and the baseline must NOT include the spike
+    * itself before testing it).
+    *
+    * Scale/state shape: one tiny state row per user key, shuffled once by
+    * user; EventTimeTimeout evicts users idle for a day past the watermark,
+    * bounding state exactly like the built-in windows bound theirs. */
+  def spikes(events: DataFrame, factor: Double = 3.0, minHistory: Int = 3,
+      watermark: String = "2 hours"): Dataset[Spike] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SpikeState, Spike](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[SpikeState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(SpikeState(0L, 0.0))
+            val out = Seq.newBuilder[Spike]
+            val rs = rows.toSeq
+            // event-time order within the batch; cross-batch order is the
+            // stream's arrival order, as for any stateful streaming op
+            rs.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
+              if (st.n >= minHistory) {
+                val mean = st.sum / st.n
+                if (mean > 0 && v > factor * mean) out += Spike(user, ts, v, mean)
+              }
+              st = SpikeState(st.n + 1, st.sum + v)
+            }
+            state.update(st)
+            // evict users idle for a day of EVENT time: anchor the timeout
+            // to this batch's max event time, NOT the watermark — a
+            // watermark-relative timestamp (0 on the first batch) falls
+            // below the next batch's watermark and Spark expires the state
+            // before the key's next data is processed (measured: the
+            // baseline silently reset every batch)
+            state.setTimeoutTimestamp(rs.map(_._2.getTime).max + 86400000L)
+            out.result().iterator
+          }
+      }
+  }
 
   /** Session windows per user with a 30-minute inactivity gap — the
     * streaming twin of the batch gaps-and-islands sessionization (q41). */

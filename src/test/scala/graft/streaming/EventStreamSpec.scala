@@ -93,6 +93,37 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom state: spikes emit per event against the running baseline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val q = EventStream.spikes(events, factor = 3.0, minHistory = 3)
+      .writeStream.format("memory").queryName("spikes")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // batch 1: baseline builds (history < 3 → nothing can emit)
+      input.addData((1L, t("2024-01-01 10:00:00"), 10.0),
+        (1L, t("2024-01-01 10:01:00"), 10.0),
+        (1L, t("2024-01-01 10:02:00"), 10.0))
+      q.processAllAvailable()
+      // batch 2: state carried across batches — 100 > 3×mean(10) spikes,
+      // 11 does not; the spike inflates the baseline for later events
+      input.addData((1L, t("2024-01-01 10:03:00"), 11.0),
+        (1L, t("2024-01-01 10:04:00"), 100.0),
+        (2L, t("2024-01-01 10:04:00"), 500.0)) // user 2 has no history → silent
+      q.processAllAvailable()
+      val got = spark.table("spikes")
+        .as[EventStream.Spike].collect().toSeq
+      assert(got.map(s => (s.user_id, s.value)) === Seq((1L, 100.0)))
+      assert(math.abs(got.head.baseline - 10.25) < 1e-9) // mean(10,10,10,11)
+    } finally q.stop()
+  }
+
   test("session windows: gap merge matches batch sessionization counts") {
     val stream = EventStream.read(spark, streamDir, batchEvents.schema)
     val q = EventStream.sessions(stream).writeStream
