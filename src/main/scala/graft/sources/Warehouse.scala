@@ -34,4 +34,24 @@ object Warehouse {
   /** Read the warehouse back; filters on city/txn_year prune partitions. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact an append-accumulated warehouse into `dst`: the small-files
+    * problem is the operational cost of S7 at scale (every `append` batch
+    * adds a file per partition; a year of daily loads = hundreds of files
+    * per partition, and scan planning degrades with file COUNT, not size).
+    * One shuffle keyed by the partition columns rewrites each (city, year)
+    * as a single file (splittable: `maxRecordsPerFile` re-splits the giants)
+    * sorted by transaction_date, so parquet row-group stats support date
+    * range skipping within the partition. Callers swap `dst` for the old
+    * path once the write commits — same publish discipline as overwrite. */
+  def compact(spark: SparkSession, src: String, dst: String,
+      maxRecordsPerFile: Long = 1L << 22): Unit =
+    read(spark, src)
+      .repartition(col("city"), col("txn_year"))
+      .sortWithinPartitions(col("city"), col("txn_year"), col("transaction_date"))
+      .write
+      .partitionBy("city", "txn_year")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(SaveMode.Overwrite)
+      .parquet(dst)
 }

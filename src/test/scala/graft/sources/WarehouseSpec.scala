@@ -72,6 +72,34 @@ class WarehouseSpec extends SparkSpec {
       Seq((2010, 99173.7, 1L), (2021, 49586.85, 1L)))
   }
 
+  test("compact collapses append-accumulated small files, preserving data") {
+    load()
+    // three more append batches → ≥4 files in every populated partition
+    (1 to 3).foreach { _ =>
+      Warehouse.append(Pipelines.building(spark, rawDir + "/*_a.csv"), whDir)
+    }
+    def dataFiles(p: String) = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .filter(f => f.toString.endsWith(".parquet")).toSeq
+    }
+    val before = dataFiles(whDir).size
+    val rowsBefore = Warehouse.read(spark, whDir).orderBy("position", "total_price")
+      .drop("txn_year").collect().toSeq // txn_year dtype differs (partition-inferred)
+
+    val dst = Files.createTempDirectory("graft-wh-compact").toString + "/building"
+    Warehouse.compact(spark, whDir, dst)
+    val after = dataFiles(dst)
+    val nPartitions = Warehouse.read(spark, whDir)
+      .select("city", "txn_year").distinct().count()
+    assert(after.size === nPartitions, s"expected 1 file/partition, got: $after")
+    assert(after.size < before)
+    val rowsAfter = Warehouse.read(spark, dst).orderBy("position", "total_price")
+      .drop("txn_year").collect().toSeq
+    assert(rowsAfter === rowsBefore) // byte-identical rows, 4x fewer files
+    load() // restore the 1-batch layout for other tests
+  }
+
   test("column projection reaches the parquet scan (ReadSchema pruning)") {
     load()
     val df = Warehouse.read(spark, whDir).select("total_price")
