@@ -69,6 +69,20 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Wav.parse(graft.fixtures.MediaFixture.image(4, 4, "png")) === None)
   }
 
+  test("property: WAV encode→parse round-trips across rates and durations") {
+    // deterministic grid over the PCM parameter space; duration_ms must
+    // round-trip exactly for every rate whose sample count is integral
+    for (rate <- Seq(8000, 16000, 22050, 44100, 48000);
+         ms <- Seq(40, 500, 1000, 2500)) {
+      val parsed = Multimodal.Wav.parse(graft.fixtures.MediaFixture.wav(rate, ms))
+      assert(parsed.isDefined, s"rate=$rate ms=$ms failed to parse")
+      assert(parsed.get.sampleRate === rate)
+      // dataSize*1000/byteRate re-derives ms exactly when rate*ms/1000 is whole
+      val expectMs = (rate * ms / 1000) * 1000L / rate
+      assert(parsed.get.durationMs === expectMs, s"rate=$rate ms=$ms")
+    }
+  }
+
   test("frame sampling stub: explode shape with stride") {
     val frames = Multimodal.sampleFrames(media, everyNth = 2, chunk = 64)
     assert(frames.columns.toSeq === Seq("media_id", "frame_no", "frame"))

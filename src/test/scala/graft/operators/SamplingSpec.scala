@@ -35,6 +35,26 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sample(docs, "doc_id", 1.0).count() === n.toLong)
   }
 
+  test("property: buckets are uniform and key-type-stable across key domains") {
+    // one Spark pass over three key shapes: dense longs, sparse longs,
+    // strings — the bucket distribution must stay uniform for all of them
+    // (a biased bucket function silently skews every sample and split)
+    val n = 20000
+    val keyed = spark.range(n).toDF("id")
+      .withColumn("dense", col("id"))
+      .withColumn("sparse", col("id") * 1000003L + 17L)
+      .withColumn("str", concat(lit("doc-"), col("id")))
+    Seq("dense", "sparse", "str").foreach { k =>
+      val perBucket = keyed
+        .withColumn("b", Sampling.hashBucket(col(k)) % 100) // 100 coarse cells
+        .groupBy("b").count().as[(Long, Long)].collect().toMap
+      assert(perBucket.size === 100, s"$k: empty cells")
+      val (mn, mx) = (perBucket.values.min, perBucket.values.max)
+      // expected 200/cell; binomial 5σ ≈ ±70
+      assert(mn > 130 && mx < 270, s"$k: bucket skew [$mn, $mx]")
+    }
+  }
+
   test("withSplit is disjoint, exhaustive, and roughly proportioned") {
     val out = Sampling.withSplit(docs, "doc_id")
     assert(out.count() === docs.count())             // exhaustive
