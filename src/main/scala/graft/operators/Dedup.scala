@@ -167,6 +167,26 @@ object Dedup {
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
       bits: Int = 64, bands: Int = 4, subBits: Int = 0,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val exploded = scope.persist(
+      simhashBanded(df, textCol, idCol, bits, bands, subBits))
+    val a = exploded.as("a"); val b = exploded.as("b")
+    a.join(b, col("a.band_no") === col("b.band_no") &&
+        col("a.band_key") === col("b.band_key") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .distinct()
+  }
+
+  /** Exploded SimHash band table — one (doc, sim, band_no, band_key) row
+    * per band per document; the simhash analogue of [[signatureTable]] for
+    * write-at-ingest incremental dedup. Band b covers fingerprint bits
+    * [b·width, (b+1)·width + subBits) wrapping at `bits` (rotation so the
+    * borrowed high bits exist even for the last band); unsigned shifts keep
+    * a sign-bit-set fingerprint from smearing into the borrowed positions.
+    * Parameters must match between the stored table and later
+    * [[simhashCandidatesAgainst]] calls. */
+  def simhashBanded(df: DataFrame, textCol: String, idCol: String,
+      bits: Int = 64, bands: Int = 4, subBits: Int = 0): DataFrame = {
     require(bands >= 2 && bits % bands == 0,
       s"bits ($bits) must split evenly across bands ($bands)")
     val width = bits / bands
@@ -174,13 +194,8 @@ object Dedup {
     val mask = (1L << (width + subBits)) - 1
     val withSim = df.select(col(idCol).as("doc"),
       simhash(col(textCol), bits).as("sim"))
-    // band b = bits [b*width, (b+1)*width + subBits), wrapping at `bits` —
-    // rotate so the borrowed high bits exist even for the last band
     def rotated(b: Int): Column = {
       val lo = b * width
-      // unsigned shift: a 64-bit fingerprint with bit 63 set is a negative
-      // Long, and an arithmetic shift would smear sign bits into the
-      // borrowed-subBits positions
       val base = shiftrightunsigned(col("sim"), lo)
       val wrapped = if (lo == 0) base
         else base.bitwiseOR(shiftleft(col("sim"), bits - lo))
@@ -188,14 +203,29 @@ object Dedup {
     }
     val bandCols = (0 until bands).map(b =>
       struct(lit(b).as("band_no"), rotated(b).as("band_key")))
-    val exploded = scope.persist(withSim.select(col("doc"), col("sim"),
-      explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc"), col("sim"), col("bk.band_no"), col("bk.band_key")))
-    val a = exploded.as("a"); val b = exploded.as("b")
+    withSim.select(col("doc"), col("sim"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("sim"), col("bk.band_no"), col("bk.band_key"))
+  }
+
+  /** Incremental-ingest SimHash candidates: new×existing ∪ new×new, never
+    * existing×existing — same batch-union identity as
+    * [[minhashCandidatesAgainst]] (per-batch runs unioned reproduce the
+    * full-corpus [[simhashCandidates]] set). */
+  def simhashCandidatesAgainst(
+      newDf: DataFrame, existingSigs: DataFrame, textCol: String, idCol: String,
+      bits: Int = 64, bands: Int = 4, subBits: Int = 0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val newSigs = scope.persist(
+      simhashBanded(newDf, textCol, idCol, bits, bands, subBits))
+    val a = newSigs.as("a")
+    val b = existingSigs.unionByName(newSigs).as("b")
     a.join(b, col("a.band_no") === col("b.band_no") &&
-        col("a.band_key") === col("b.band_key") && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
-        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+        col("a.band_key") === col("b.band_key") && col("a.doc") =!= col("b.doc"))
+      .select(least(col("a.doc"), col("b.doc")).as("doc_a"),
+        greatest(col("a.doc"), col("b.doc")).as("doc_b"),
+        when(col("a.doc") < col("b.doc"), col("a.sim")).otherwise(col("b.sim")).as("sim_a"),
+        when(col("a.doc") < col("b.doc"), col("b.sim")).otherwise(col("a.sim")).as("sim_b"))
       .distinct()
   }
 

@@ -60,6 +60,26 @@ class DedupSpec extends SparkSpec {
     assert(oldOnly.union(inc) === full)                        // exact identity
   }
 
+  test("incremental simhash candidates: batch union identity holds too") {
+    val corpus = graft.queries.Registry.table(spark, sf0001, "documents")
+      .limit(200).select("doc_id", "text")
+    val cut = 150L
+    val existing = corpus.filter($"doc_id" < cut)
+    val newBatch = corpus.filter($"doc_id" >= cut)
+    // narrow 8-bit keys force enough collisions to make the identity non-trivial
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.simhashCandidates(df, "text", "doc_id", bits = 32, bands = 4)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val full = pairsOf(corpus)
+    val oldOnly = pairsOf(existing)
+    val inc = Dedup.simhashCandidatesAgainst(newBatch,
+        Dedup.simhashBanded(existing, "text", "doc_id", bits = 32, bands = 4),
+        "text", "doc_id", bits = 32, bands = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(inc.forall { case (a, b) => a >= cut || b >= cut })
+    assert(oldOnly.union(inc) === full)
+  }
+
   test("subBits sub-split: pairs ⊆ exact banding, buckets measurably shrink") {
     // Narrow 8-bit band keys (bits=32/bands=4) force random band collisions
     // on a 300-doc corpus, so the sub-split has something to split; all
