@@ -111,6 +111,20 @@ object Text {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
 
+  /** Tiny deterministic English stopword list for the ratio signal. */
+  val stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is", "that")
+
+  /** Stopword-token ratio (≈[0,1]): literal-replace hit counting over the
+    * space-padded normalized text ÷ token count. The classic prose signal —
+    * near-zero marks code/tables/keyword spam. Same non-overlapping replace
+    * semantics as [[matchCount]] (an immediately repeated stopword counts
+    * once — shared-space undercount, identical in the oracle engine). */
+  def stopwordRatio(text: Column): Column = {
+    val padded = concat(lit(" "), normalize(text), lit(" "))
+    val hits = stopwords.map(w => matchCount(padded, s" $w ")).reduce(_ + _)
+    round(hits.cast("double") / greatest(tokenCount(text), lit(1)).cast("double"), 6)
+  }
+
   /** Quality score in [0,1]: blend of length sanity, punctuation ratio and
     * mean word length (deterministic arithmetic only — oracle-expressible). */
   def qualityScore(text: Column): Column = {

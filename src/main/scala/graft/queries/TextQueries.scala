@@ -32,15 +32,24 @@ object TextQueries {
           sum(tokenCount(col("text")).cast("long")).as("sum_tokens"),
           sum(bpeishTokenCount(col("text")).cast("long")).as("sum_bpeish"),
           sum(punctCount(col("text")).cast("long")).as("sum_punct"),
+          sum(stopwordRatio(col("text")).cast("decimal(18,6)")).cast("double")
+            .as("sum_stopword_ratio"),
           (sum(qualityScore(col("text")).cast("decimal(18,6)")).cast("double") /
             count(lit(1))).as("avg_quality"))
-    }, Some(s"""
+    }, Some {
+      val P = s"(' ' || $NORM || ' ')"
+      val hitsSql = Text.stopwords.map(w =>
+        s"CAST((len($P) - len(replace($P, ' $w ', ''))) / ${w.length + 2} AS INT)")
+        .mkString(" + ")
+      val ntokSql = s"GREATEST(CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END, 1)"
+      s"""
       SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         CAST(SUM(CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END) AS BIGINT) AS sum_tokens,
         CAST(SUM(GREATEST(len(string_split_regex($NORM,'[a-z]+'))-1,0)
           + GREATEST(len(string_split_regex($NORM,'[0-9]+'))-1,0)
           + len(regexp_replace($NORM,'[a-z0-9 ]','','g'))) AS BIGINT) AS sum_bpeish,
         CAST(SUM(len(text) - len(regexp_replace(text,'[.,;:!?]','','g'))) AS BIGINT) AS sum_punct,
+        CAST(SUM(CAST(${Registry.sroundSql(s"CAST($hitsSql AS DOUBLE) / $ntokSql", 6)} AS DECIMAL(18,6))) AS DOUBLE) AS sum_stopword_ratio,
         CAST(SUM(CAST(${Registry.sroundSql(s"""
             LEAST(len(text)/200.0, 1.0)*0.4
           + (1.0 - LEAST((len(text) - len(regexp_replace(text,'[.,;:!?]','','g')))
@@ -48,7 +57,8 @@ object TextQueries {
           + (CASE WHEN len(text) / GREATEST(CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END, 1)
                   BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)*0.3""", 6)} AS DECIMAL(18,6))) AS DOUBLE)
           / COUNT(*) AS avg_quality
-      FROM documents GROUP BY lang""")),
+      FROM documents GROUP BY lang"""
+    }),
 
     // ---- Language ID (n-gram marker heuristic) ----------------------------
     // Staged columns (padded text → per-language scores → argmax) so the
