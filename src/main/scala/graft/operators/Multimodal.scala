@@ -96,10 +96,13 @@ object Multimodal {
     StructField("n_bytes", LongType)))
 
   /** REAL decode of intrinsic metadata from the payload bytes, map-side:
-    * images through `javax.imageio` (PNG/JPEG/BMP/GIF — whatever the JDK's
-    * registry reads), audio through the RIFF/WAVE parse. Undecodable or
-    * unsupported payloads (including video) yield NULL width/height/
-    * duration — never an exception, never a dropped row. */
+    * image dimensions from the codec HEADER only (`ImageReader.getWidth` —
+    * never materializing the raster: a 50-MP JPEG costs a few header bytes
+    * here, not 200 MB of decoded pixels), audio through the RIFF/WAVE
+    * parse. The media_type column routes each payload to its own probe;
+    * rows with an unknown/NULL type try both (both probes are header-cheap).
+    * Undecodable or unsupported payloads (including video) yield NULL
+    * width/height/duration — never an exception, never a dropped row. */
   def decodeMedia(media: DataFrame): DataFrame = {
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(decodedSchema)
@@ -109,16 +112,39 @@ object Multimodal {
           val id = r.getLong(0)
           val mtype = if (r.isNullAt(1)) null else r.getString(1)
           val bytes = if (r.isNullAt(2)) Array.emptyByteArray else r.getAs[Array[Byte]](2)
-          val img = decodeImage(bytes)
-          val wavMeta = if (img.isEmpty) Wav.parse(bytes) else None
+          val dims =
+            if (mtype == "image" || mtype == null) imageDims(bytes) else None
+          val wavMeta =
+            if ((mtype == "audio" || mtype == null) && dims.isEmpty) Wav.parse(bytes)
+            else None
           Row(id, mtype,
-            img.map(i => Integer.valueOf(i.getWidth)).orNull,
-            img.map(i => Integer.valueOf(i.getHeight)).orNull,
+            dims.map(d => Integer.valueOf(d._1)).orNull,
+            dims.map(d => Integer.valueOf(d._2)).orNull,
             wavMeta.map(m => java.lang.Long.valueOf(m.durationMs)).orNull,
             java.lang.Long.valueOf(bytes.length.toLong))
         }
       }(outEnc)
   }
+
+  /** Header-only image dimensions: find a reader for the byte signature and
+    * ask it for width/height — no raster decode. */
+  private def imageDims(bytes: Array[Byte]): Option[(Int, Int)] =
+    if (bytes.isEmpty) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            Some((reader.getWidth(0), reader.getHeight(0)))
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => None }
 
   /** REAL image resize: decode (JDK codecs), scale to `w`×`h` with bilinear
     * Graphics2D, re-encode as PNG. Undecodable payloads keep the row with a
@@ -175,19 +201,24 @@ object Multimodal {
       def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
       def le32(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
         ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
-      def tag(o: Int) = new String(b, o, 4, "US-ASCII")
+      def tag(o: Int) = new String(b, o.toInt, 4, "US-ASCII")
       if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
-      var off = 12
+      // offsets as Long, chunk sizes as UNSIGNED 32-bit: a corrupt/hostile
+      // size field must neither loop forever (negative step), overflow the
+      // offset, nor index past the buffer — this parser runs on arbitrary
+      // payload bytes under decodeMedia's never-throw contract
+      var off = 12L
       var byteRate = 0; var sampleRate = 0; var channels = 0
       var dataSize = -1L
       while (off + 8 <= b.length && (byteRate == 0 || dataSize < 0)) {
-        val id = tag(off); val size = le32(off + 4)
+        val id = tag(off.toInt)
+        val size = le32(off.toInt + 4).toLong & 0xffffffffL
         if (id == "fmt " && off + 24 <= b.length) {
-          channels = le16(off + 10)
-          sampleRate = le32(off + 12)
-          byteRate = le32(off + 16)
-        } else if (id == "data") dataSize = size.toLong & 0xffffffffL
-        off += 8 + size + (size & 1) // chunks are word-aligned
+          channels = le16(off.toInt + 10)
+          sampleRate = le32(off.toInt + 12)
+          byteRate = le32(off.toInt + 16)
+        } else if (id == "data") dataSize = size
+        off += 8 + size + (size & 1) // chunks are word-aligned; step >= 8
       }
       if (byteRate > 0 && dataSize >= 0)
         Some(Meta(sampleRate, channels, dataSize * 1000 / byteRate))

@@ -29,7 +29,11 @@ object Sampling {
   /** Keep a deterministic `fraction` of rows by key (0.0..1.0, resolution
     * 1/BUCKETS). Stable under repartitioning and reruns; sampling by the
     * SAME key at a larger fraction yields a superset (nested samples —
-    * bucket < f1·B ⊆ bucket < f2·B for f1 ≤ f2). */
+    * bucket < f1·B ⊆ bucket < f2·B for f1 ≤ f2).
+    *
+    * NULL keys: a NULL key has no bucket, so the row is excluded at every
+    * fraction (same rule as [[withSplit]], which gives NULL keys a NULL
+    * split label) — an unkeyed row must never drift between samples. */
   def sample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
     df.filter(hashBucket(col(keyCol)) < math.round(fraction * BUCKETS))
@@ -38,7 +42,10 @@ object Sampling {
   /** Assign every row a split label by hash bucket: `weights` are
     * (label, weight) in priority order, normalized over their sum; each
     * label owns a contiguous bucket range, so splits are disjoint, exhaust
-    * the data, and are stable under reruns/repartitioning. */
+    * the KEYED data, and are stable under reruns/repartitioning. A NULL key
+    * gets a NULL label (never silently the last split — an unkeyed row in
+    * the held-out set would contaminate it), consistent with [[sample]]
+    * dropping NULL keys. */
   def withSplit(df: DataFrame, keyCol: String,
       weights: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
       splitCol: String = "split"): DataFrame = {
@@ -49,11 +56,12 @@ object Sampling {
     // last cut is exactly BUCKETS by construction → otherwise is unreachable,
     // but keep the final label there so no bucket can ever map to NULL
     val bucket = hashBucket(col(keyCol))
-    val expr = weights.init.zip(cuts.init).foldRight(
+    val labeled = weights.init.zip(cuts.init).foldRight(
       lit(weights.last._1): Column) { case (((label, _), cut), rest) =>
       when(bucket < cut, lit(label)).otherwise(rest)
     }
-    df.withColumn(splitCol, expr)
+    df.withColumn(splitCol,
+      when(bucket.isNull, lit(null).cast("string")).otherwise(labeled))
   }
 
   /** The same bucket function as DuckDB SQL (oracle parity). */

@@ -155,11 +155,11 @@ object TextQueries {
         .select(col("doc_id"), col("source"),
           sortedShingleHashesOfTokens(col("__toks"), 2).as("sh"))
         .withColumn("nsh", size(col("sh")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // persisted: a self-join's two sides don't share work, so without
-        // this the shingle hashing runs twice (same rationale as
-        // Dedup.minhashCandidates); bench/driver sessions clear caches
-        // between queries
+        // NOT persisted: the double shingle hashing of the self-join costs
+        // ~10% here, but a query function has no release point, and a
+        // session-lifetime cache per call is the exact leak class
+        // CacheScope exists to prevent — operators that CAN release
+        // (Dedup/Curation) persist; fire-and-return queries must not
       val a = d.as("a"); val b = d.as("b")
       a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
         .withColumn("ni", sortedIntersectCount(col("a.sh"), col("b.sh")))

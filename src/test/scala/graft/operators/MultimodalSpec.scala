@@ -69,6 +69,21 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Wav.parse(graft.fixtures.MediaFixture.image(4, 4, "png")) === None)
   }
 
+  test("WAV parser survives hostile chunk sizes (no hang, no throw)") {
+    def riff(chunkSize: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(64)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(56).put("WAVE".getBytes("US-ASCII"))
+      b.put("junk".getBytes("US-ASCII")).putInt(chunkSize) // hostile size field
+      b.array()
+    }
+    // -8 as signed would step the offset by 0 (infinite loop); huge values
+    // would overflow an Int offset — both must just return None
+    assert(Multimodal.Wav.parse(riff(-8)) === None)
+    assert(Multimodal.Wav.parse(riff(0x7ffffff8)) === None)
+    assert(Multimodal.Wav.parse(riff(0)) === None)
+  }
+
   test("property: WAV encode→parse round-trips across rates and durations") {
     // deterministic grid over the PCM parameter space; duration_ms must
     // round-trip exactly for every rate whose sample count is integral

@@ -55,6 +55,17 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("NULL keys: excluded from every sample, NULL split label") {
+    val withNulls = spark.range(100).toDF("id")
+      .withColumn("key", when(col("id") % 10 === 0, lit(null)).otherwise(col("id")))
+    // a NULL key has no bucket: never sampled at any fraction...
+    assert(Sampling.sample(withNulls, "key", 1.0).count() === 90L)
+    // ...and never lands in a split (especially not the held-out tail)
+    val split = Sampling.withSplit(withNulls, "key")
+    assert(split.filter(col("key").isNull && col("split").isNotNull).count() === 0L)
+    assert(split.filter(col("key").isNotNull && col("split").isNull).count() === 0L)
+  }
+
   test("withSplit is disjoint, exhaustive, and roughly proportioned") {
     val out = Sampling.withSplit(docs, "doc_id")
     assert(out.count() === docs.count())             // exhaustive
