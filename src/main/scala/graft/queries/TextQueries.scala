@@ -19,6 +19,14 @@ object TextQueries {
   private val NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   /** SQL fragment: whitespace token list of normalized text. */
   private val TOKS = s"string_split($NORM, ' ')"
+  /** SQL fragment: the q21 quality-score blend (Spark-round parity),
+    * shared by q21 and the q74 curation gate. */
+  private lazy val QUALITY_SQL = Registry.sroundSql(s"""
+            LEAST(len(text)/200.0, 1.0)*0.4
+          + (1.0 - LEAST((len(text) - len(regexp_replace(text,'[.,;:!?]','','g')))
+               / GREATEST(CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END, 1), 1.0))*0.3
+          + (CASE WHEN len(text) / GREATEST(CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END, 1)
+                  BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)*0.3""", 6)
 
   val queries: Seq[Q] = Seq(
 
@@ -50,12 +58,7 @@ object TextQueries {
           + len(regexp_replace($NORM,'[a-z0-9 ]','','g'))) AS BIGINT) AS sum_bpeish,
         CAST(SUM(len(text) - len(regexp_replace(text,'[.,;:!?]','','g'))) AS BIGINT) AS sum_punct,
         CAST(SUM(CAST(${Registry.sroundSql(s"CAST($hitsSql AS DOUBLE) / $ntokSql", 6)} AS DECIMAL(18,6))) AS DOUBLE) AS sum_stopword_ratio,
-        CAST(SUM(CAST(${Registry.sroundSql(s"""
-            LEAST(len(text)/200.0, 1.0)*0.4
-          + (1.0 - LEAST((len(text) - len(regexp_replace(text,'[.,;:!?]','','g')))
-               / GREATEST(CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END, 1), 1.0))*0.3
-          + (CASE WHEN len(text) / GREATEST(CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END, 1)
-                  BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)*0.3""", 6)} AS DECIMAL(18,6))) AS DOUBLE)
+        CAST(SUM(CAST($QUALITY_SQL AS DECIMAL(18,6))) AS DOUBLE)
           / COUNT(*) AS avg_quality
       FROM documents GROUP BY lang"""
     }),
@@ -251,6 +254,50 @@ object TextQueries {
         (CAST(5 AS BIGINT), 'video', NULL, NULL, CAST(NULL AS BIGINT))
       ) AS t(media_id, media_type, width, height, duration_ms)"""))
   ) ++ samplingQueries ++ Seq(
+
+    // ---- End-to-end curation summary (the composed flagship, hash-gated) --
+    // Every stage of Curation.run re-derived independently in SQL: exact
+    // dedup = one survivor per md5 fingerprint; near-dup = MinHash-LSH
+    // bands (3×2, seeds 0..5) → true trigram Jaccard ≥ 0.5; collapse keeps
+    // docs never appearing as a pair's doc_b; quality floor = the shared
+    // q21 blend ≥ 0.3. The four counts must match Spark's single-pass run.
+    Q("q74_curation_summary", (s, dir) => {
+      graft.operators.Curation.run(table(s, dir, "documents")).summary
+    }, Some {
+      val sh3 = s"list_distinct(list_transform(generate_series(1, GREATEST(len($TOKS)-2, 0)), i -> array_to_string(($TOKS)[i:i+2], ' ')))"
+      val mh = (0 until 6).map(j =>
+        s"list_min(list_transform(sh, x -> md5('$j:' || x))) AS mh_$j").mkString(", ")
+      s"""
+      WITH surv AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($NORM)),
+      ssh AS (
+        SELECT d.doc_id, $sh3 AS sh FROM documents d JOIN surv USING (doc_id)),
+      sig AS (
+        SELECT doc_id,
+          md5(mh_0 || '|' || mh_1) AS b0,
+          md5(mh_2 || '|' || mh_3) AS b1,
+          md5(mh_4 || '|' || mh_5) AS b2
+        FROM (SELECT doc_id, $mh FROM ssh)),
+      ver AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)
+        JOIN ssh sa ON sa.doc_id = a.doc_id
+        JOIN ssh sb ON sb.doc_id = b.doc_id
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          >= 0.5),
+      kept AS (
+        SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT db FROM ver)),
+      cur AS (
+        SELECT k.doc_id FROM kept k JOIN documents d USING (doc_id)
+        WHERE $QUALITY_SQL >= 0.3)
+      SELECT
+        (SELECT COUNT(*) FROM documents) AS n_input,
+        (SELECT COUNT(*) FROM surv) AS n_after_exact_dedup,
+        (SELECT COUNT(*) FROM kept) AS n_after_near_dedup,
+        (SELECT COUNT(*) FROM cur) AS n_curated"""
+    }),
 
     // ---- Repeated-n-gram ratio (Gopher-style repetition signal) ----------
     // Map-side per-doc ratio over trigram shingles; aggregate per source
