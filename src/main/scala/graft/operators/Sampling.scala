@@ -12,9 +12,14 @@ import org.apache.spark.sql.functions._
   * what makes held-out sets trustworthy and experiments repeatable.
   *
   * Scale shape: pure map-side expressions (one md5 per row, codegen'd
-  * built-ins) — no shuffle, no state; filters push through like any other
-  * predicate. md5 (not xxhash64/murmur) keeps the bucket function portable
-  * across engines — the same discipline as the dedup operators.
+  * built-ins) — no shuffle, no state. md5 (not xxhash64/murmur) keeps the
+  * bucket function portable across engines — the same discipline as the
+  * dedup operators. Note the bucket predicate is an EXPRESSION over the
+  * key, so it cannot prune file IO (the scan still reads every row and
+  * filters map-side — cheap, but not free at 100 TB): a deployment that
+  * samples the same table repeatedly should materialize `hashBucket` as a
+  * partition/bucketing column at write time, turning every later sample
+  * into a metadata-only prune.
   */
 object Sampling {
 
