@@ -22,27 +22,40 @@ object Curation {
 
   /** Cache lifecycle (single-pass guarantee): every stage boundary the
     * summary counts re-read (`exact`, `collapsed`, the LSH signature table
-    * inside [[Dedup.minhashNearDups]]) is persisted under one [[CacheScope]]
-    * for the duration of the call and released before returning — the input
-    * is scanned twice (n_input + materializing the exact-dedup cache) and
-    * every downstream count reads a cache, never the dedup DAG again. The
-    * returned `curated` frame is lazy as usual: the caller's action
-    * recomputes its lineage once, with nothing left pinned in executor
-    * memory. */
+    * inside [[Dedup.minhashNearDups]]) is persisted under a [[CacheScope]]
+    * for the duration of the call — the input is scanned twice (n_input +
+    * materializing the exact-dedup cache) and every downstream count reads
+    * a cache, never the dedup DAG again.
+    *
+    * `resultScope` decides what survives the call. None (default): all
+    * caches are released before returning — nothing stays pinned, and a
+    * later action on the returned lazy `curated` recomputes its lineage
+    * from the input (including both sides of the LSH self-join). A caller
+    * that will CONSUME `curated` should pass its own scope: `collapsed` —
+    * the materialized frame `curated` is a map-side projection of — then
+    * stays cached until the caller releases the scope, making the
+    * consuming action one cheap pass:
+    * {{{
+    * val scope = new CacheScope
+    * val res = Curation.run(docs, resultScope = Some(scope))
+    * res.curated.write.parquet(out)  // map-side over the cached collapse
+    * scope.unpersistAll()
+    * }}} */
   def run(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       minQuality: Double = 0.3,
       jaccardThreshold: Double = 0.5,
-      maxRepetition: Double = 1.0): Result = {
+      maxRepetition: Double = 1.0,
+      resultScope: Option[CacheScope] = None): Result = {
     val scope = new CacheScope
     try {
       val exact = scope.persist(Dedup.exact(docs, textCol, idCol))
 
       val nearPairs =
         Dedup.minhashNearDups(exact, textCol, idCol, jaccardThreshold, scope = scope)
-      val collapsed = scope.persist(
+      val collapsed = resultScope.getOrElse(scope).persist(
         Dedup.collapseToCanonical(exact, nearPairs, idCol)
           .filter(col("canonical_id") === col(idCol))
           .drop("canonical_id"))

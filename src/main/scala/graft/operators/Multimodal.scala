@@ -147,19 +147,24 @@ object Multimodal {
     } catch { case _: Exception => None }
 
   /** REAL image resize: decode (JDK codecs), scale to `w`×`h` with bilinear
-    * Graphics2D, re-encode as PNG. Undecodable payloads keep the row with a
-    * NULL payload and NULL dimensions — the explicit decode-failure marker a
-    * downstream quality filter keys on (silent pass-through would let a
-    * corrupt payload masquerade as resized). */
+    * Graphics2D, re-encode as PNG. Routing matches [[decodeMedia]]: only
+    * rows typed `image` (or untyped) are decoded — audio/video rows pass
+    * through UNTOUCHED (an image operation must never erase a valid WAV).
+    * An undecodable IMAGE payload keeps its row with a NULL payload and
+    * NULL dimensions — the explicit decode-failure marker a downstream
+    * quality filter keys on (silent pass-through would let a corrupt
+    * payload masquerade as resized). */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(metadataSchema)
     media.select(metadataSchema.fieldNames.map(col): _*)
       .mapPartitions { rows =>
         rows.map { r =>
+          val mtype = if (r.isNullAt(1)) null else r.getString(1)
           val payload =
             if (r.isNullAt(6)) Array.emptyByteArray else r.getAs[Array[Byte]](6)
-          decodeImage(payload) match {
+          if (mtype != null && mtype != "image") r
+          else decodeImage(payload) match {
             case Some(src) =>
               val dst = new java.awt.image.BufferedImage(
                 w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -60,13 +60,19 @@ object Sampling {
       .map(c => math.round(c * BUCKETS)).tail
     // last cut is exactly BUCKETS by construction → otherwise is unreachable,
     // but keep the final label there so no bucket can ever map to NULL
-    val bucket = hashBucket(col(keyCol))
+    // stage the bucket in its own projection: its references live in
+    // CaseWhen branches, which subexpression elimination does not hoist —
+    // inline, every labeled row would recompute the md5 up to
+    // weights.size+1 times (the same trap Text.repetitionRatio documents)
+    val bucket = col("__bucket")
     val labeled = weights.init.zip(cuts.init).foldRight(
       lit(weights.last._1): Column) { case (((label, _), cut), rest) =>
       when(bucket < cut, lit(label)).otherwise(rest)
     }
-    df.withColumn(splitCol,
-      when(bucket.isNull, lit(null).cast("string")).otherwise(labeled))
+    df.withColumn("__bucket", hashBucket(col(keyCol)))
+      .withColumn(splitCol,
+        when(bucket.isNull, lit(null).cast("string")).otherwise(labeled))
+      .drop("__bucket")
   }
 
   /** The same bucket function as DuckDB SQL (oracle parity). */

@@ -142,8 +142,10 @@ object HousePriceQueries {
     // this exact shape), and run the README's avg-price-by-year analytic.
     Q("q65_warehouse_roundtrip", (s, _) => {
       val raw = graft.fixtures.RawCsvFixture.writeDefault()
-      val wh = java.nio.file.Paths
-        .get(sys.props("java.io.tmpdir"), "graft-warehouse-q65").toString
+      // per-invocation dir: a fixed path would race two JVMs running the
+      // registry concurrently (one Overwrite deleting files mid-read)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-warehouse-q65").toString + "/wh"
       graft.sources.Warehouse.overwrite(
         graft.operators.Pipelines.building(s, raw + "/*_a.csv"), wh)
       val back = graft.sources.Warehouse.read(s, wh)

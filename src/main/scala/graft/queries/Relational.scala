@@ -249,7 +249,7 @@ object Relational {
     // ---- Approx distinct: Spark HLL sketch --------------------------------
     // Sketch values differ across engines by design, so the ESTIMATE is not
     // oracle-comparable — but the sketch's CONTRACT is: HLL++ at the default
-    // rsd=0.05 must land within ±5·rsd of the exact count (25σ — loose
+    // rsd=0.05 must land within ±5·rsd of the exact count (5σ — loose
     // enough to be engine-stable, tight enough that a broken sketch fails).
     // The query therefore emits the exact count plus a bounded-error flag,
     // and the oracle asserts the same exact count with the flag true.

@@ -23,6 +23,16 @@ object VectorQueries {
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
 
+  /** SQL: the 8-plane hyperplane LSH signature (shared by q32 and q68 so
+    * the gated signature definition cannot drift between them). */
+  private lazy val hyperplaneSigSql: String =
+    (0 until 8).map { p =>
+      val weights = (0 until DIMS)
+        .map(d => s"CAST(embedding[${d + 1}] AS DOUBLE) * ${planeWeight(p, d).toDouble}")
+        .mkString(" + ")
+      s"CASE WHEN ($weights) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+
   val queries: Seq[Q] = Seq(
 
     // ---- Brute-force cosine top-k (the correctness baseline) --------------
@@ -77,15 +87,7 @@ object VectorQueries {
       table(s, dir, "embeddings")
         .select(col("vec_id"),
           hyperplaneSig(col("embedding"), planes = 8, dims = DIMS).as("sig"))
-    }, Some {
-      val bitTerms = (0 until 8).map { p =>
-        val weights = (0 until DIMS)
-          .map(d => s"CAST(embedding[${d + 1}] AS DOUBLE) * ${planeWeight(p, d).toDouble}")
-          .mkString(" + ")
-        s"CASE WHEN ($weights) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"
-      }.mkString(" + ")
-      s"SELECT vec_id, $bitTerms AS sig FROM embeddings"
-    }),
+    }, Some(s"SELECT vec_id, $hyperplaneSigSql AS sig FROM embeddings")),
 
     // ---- Embedding near-dup pairs over the REAL bucket key ----------------
     // q31's shape with the label stand-in replaced by the hyperplane LSH
@@ -104,14 +106,8 @@ object VectorQueries {
         .filter(col("cos") > 0.25)
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
     }, Some {
-      val bitTerms = (0 until 8).map { p =>
-        val weights = (0 until DIMS)
-          .map(d => s"CAST(embedding[${d + 1}] AS DOUBLE) * ${planeWeight(p, d).toDouble}")
-          .mkString(" + ")
-        s"CASE WHEN ($weights) >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END"
-      }.mkString(" + ")
       val sigRel =
-        s"""(SELECT vec_id, $bitTerms AS sig, embedding,
+        s"""(SELECT vec_id, $hyperplaneSigSql AS sig, embedding,
               ${normSql("embedding")} AS nrm FROM embeddings)"""
       s"""
       SELECT vec_a, vec_b, cos FROM (

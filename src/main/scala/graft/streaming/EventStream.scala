@@ -66,6 +66,11 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .select(col("user_id").cast("long"), col("ts"), col("value").cast("double"))
+      // a single NULL in any field would throw in the non-nullable tuple
+      // encoder and wedge the query permanently (checkpoint restart replays
+      // the same poison row); drop unkeyed/unvalued events like the
+      // aggregating siblings do implicitly
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("value").isNotNull)
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SpikeState, Spike](

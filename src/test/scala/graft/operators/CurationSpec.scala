@@ -68,4 +68,28 @@ class CurationSpec extends SparkSpec {
     assert(cachedAfter <= cachedBefore,
       s"run() leaked persisted RDDs: $cachedBefore before, $cachedAfter after")
   }
+
+  test("resultScope keeps the collapse hot for consuming curated") {
+    val nPart = 4
+    val acc = spark.sparkContext.longAccumulator("input-scans")
+    val docs = spark.range(0, 120, 1, nPart)
+      .mapPartitions { it => acc.add(1); it }
+      .map(i => (i.toLong, s"document number $i with some shared words and tail $i"))
+      .toDF("doc_id", "text")
+
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val scope = new CacheScope
+    val res = Curation.run(docs, minQuality = 0.0, jaccardThreshold = 0.9,
+      resultScope = Some(scope))
+    val afterRun = acc.value // the summary's two passes
+    res.curated.collect()    // map-side over the scope-cached collapse
+    assert(acc.value === afterRun,
+      s"consuming curated rescanned the input (${acc.value - afterRun} tasks)")
+    // the caller-owned release drops every block the run pinned (a later
+    // action on curated may still reuse session shuffle files — that's
+    // Spark's normal lineage recompute, not a cache leak)
+    scope.unpersistAll(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore)
+    assert(res.curated.count() > 0) // still computable after release
+  }
 }

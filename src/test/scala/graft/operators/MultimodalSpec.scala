@@ -44,8 +44,15 @@ class MultimodalSpec extends SparkSpec {
     assert(out(5L) === ((None, None, None)))          // undecodable, row kept
   }
 
-  test("resize really rescales: output decodes to the target dimensions") {
-    val out = Multimodal.resize(graft.fixtures.MediaFixture.frame(spark), 10, 7)
+  test("resize really rescales images; non-images pass through untouched") {
+    import org.apache.spark.sql.Row
+    val base = graft.fixtures.MediaFixture.frame(spark)
+    // plant a CORRUPT image-typed row: only this class earns the NULL marker
+    val corrupt = spark.createDataFrame(
+      java.util.Arrays.asList(Row(6L, "image", "image/png", null, null, null,
+        Array.tabulate[Byte](64)(i => (i * 7).toByte))),
+      Multimodal.metadataSchema)
+    val out = Multimodal.resize(base.unionByName(corrupt), 10, 7)
     assert(out.schema.fieldNames.toSeq === Multimodal.metadataSchema.fieldNames.toSeq)
     val rows = out.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
     // every decodable image comes back as a real 10×7 PNG
@@ -56,8 +63,17 @@ class MultimodalSpec extends SparkSpec {
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
       assert(reDecoded.getWidth === 10 && reDecoded.getHeight === 7)
     }
-    // undecodable payloads keep the row with the explicit NULL failure marker
-    val bad = rows(5L)
+    // audio/video rows pass through with their payloads INTACT — an image
+    // op must never erase a valid WAV
+    Seq(4L, 5L).foreach { id =>
+      val r = rows(id)
+      assert(!r.isNullAt(r.fieldIndex("payload")))
+      assert(r.getAs[Array[Byte]]("payload").length > 0)
+    }
+    assert(Multimodal.Wav.parse(rows(4L).getAs[Array[Byte]]("payload"))
+      .exists(_.durationMs == 500L))
+    // only the corrupt IMAGE row gets the explicit decode-failure marker
+    val bad = rows(6L)
     assert(bad.isNullAt(bad.fieldIndex("payload")))
     assert(bad.isNullAt(bad.fieldIndex("width")))
   }
