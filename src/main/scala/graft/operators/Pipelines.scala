@@ -82,6 +82,47 @@ object Pipelines {
         col("transaction_date"), col("total_price"),
         priceM2ToPing(col("unit_price_m2")).as("unit_price_ping"))
 
+  /** Per-stage row accounting for the building pipeline, with ZERO extra
+    * passes: the reference logs how many rows each cleaning stage dropped;
+    * Spark's `Observation` API collects the same counts as a side effect of
+    * whatever action the caller runs on the returned frame (metrics fire
+    * when the action completes — no second scan, no cache).
+    *
+    * Metrics: `n_class` (rows surviving the 房地* class filter, i.e. past
+    * F1/F2) and `n_valid_date` (rows additionally surviving F3) — dropped =
+    * differences between stages and the final count the caller already has.
+    */
+  def buildingObserved(spark: SparkSession, glob: String):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation("building_stages")
+    val classed = CsvIngest.readRaw(spark, glob)
+      .filter(col(Raw.transactionSign).startsWith("房地"))
+      .observe(obs,
+        count(lit(1)).as("n_class"),
+        sum(when(rocToDate(col(Raw.transactionDate)).isNotNull, 1L)
+          .otherwise(0L)).as("n_valid_date"))
+    val df = classed
+      .select(
+        cityFromFilename(col("source_file")).as("city"),
+        col(Raw.townshipDist).as("township_dist"),
+        col(Raw.transactionSign).as("transaction_sign"),
+        col(Raw.position).as("position"),
+        col(Raw.buildingAreaM2).cast("double").as("building_area_m2"),
+        col(Raw.completionDate).as("completion_date"),
+        rocToDate(col(Raw.transactionDate)).as("transaction_date"),
+        col(Raw.totalPrice).cast("long").as("total_price"),
+        col(Raw.unitPriceM2).cast("double").as("unit_price_m2"))
+      .filter(col("transaction_date").isNotNull)
+      .withColumn("unit_price_m2",
+        repairUnitPrice(col("unit_price_m2"), col("total_price"), col("building_area_m2")))
+      .select(
+        col("city"), col("township_dist"), col("transaction_sign"), col("position"),
+        m2ToPing(col("building_area_m2")).as("building_area_ping"),
+        col("completion_date"), col("transaction_date"), col("total_price"),
+        priceM2ToPing(col("unit_price_m2")).as("unit_price_ping"))
+    (df, obs)
+  }
+
   /** A5 (README.md:103-106): the reference's one demonstrated analytical
     * query — average unit price by transaction year (and optionally city).
     * Partition-prunes when run over the warehouse (partitioned by city/year).

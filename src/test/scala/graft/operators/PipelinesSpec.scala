@@ -72,6 +72,18 @@ class PipelinesSpec extends SparkSpec {
     assert(y2021.getAs[Double]("avg_unit_price_ping") === 45199.41)
   }
 
+  test("buildingObserved reports per-stage drop counts from one action") {
+    val (df, obs) = Pipelines.buildingObserved(spark, dir + "/*_a.csv")
+    val finalRows = df.count() // the one action; metrics fire as a side effect
+    val m = obs.get
+    // fixture: 5 of the 11 data rows carry the 房地 prefix; one of those
+    // has an invalid ROC date (Feb 30) → 4 valid, nothing dropped after
+    assert(m("n_class") === 5L)      // rows past the class filter
+    assert(m("n_valid_date") === 4L) // minus the invalid-date row
+    assert(finalRows === 4L)
+    assert(df.columns.toSeq === Pipelines.building(spark, dir + "/*_a.csv").columns.toSeq)
+  }
+
   test("dual-header filter: English header row never leaks into output") {
     val b = Pipelines.building(spark, dir + "/*_a.csv").select("township_dist")
     val l = Pipelines.land(spark, dir + "/*_a.csv").select("township_dist")
