@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vectors._
@@ -73,23 +73,8 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = embeddings.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
-    // assign every vector to its nearest centroid MAP-SIDE: the centroid
-    // table collapses to a single array row, broadcast onto every vector,
-    // and the argmin is an array_min over (d2, cell_id) structs — struct
-    // ordering gives the d2-then-lowest-cell_id tie-break. No exchange
-    // touches the corpus before assignment (a Window.partitionBy(vec_id)
-    // argmin here would shuffle the whole corpus for a per-row decision).
-    val centArr = centroids
-      .agg(sort_array(collect_list(struct(col("cell_id"), col("centroid"))))
-        .as("__cents"))
-    val assigned = embeddings.crossJoin(broadcast(centArr))
-      .withColumn("cell_id",
-        array_min(transform(col("__cents"), c =>
-          struct(l2sq(col(vecCol), c.getField("centroid")).as("d2"),
-            c.getField("cell_id").as("cell_id")))).getField("cell_id"))
-      .select(col(idCol), col(vecCol), col("cell_id"))
+    val centroids = ivfCentroids(embeddings, nCells, idCol, vecCol)
+    val assigned = assignCells(embeddings, centroids, idCol, vecCol)
     // the query probes its nProbe nearest cells
     val probed = query.crossJoin(broadcast(centroids))
       .withColumn("d2", l2sq(col("qvec"), col("centroid")))
@@ -97,6 +82,77 @@ object Similarity {
       .limit(nProbe)
       .select(col("qvec"), col("cell_id"))
     assigned.join(broadcast(probed), Seq("cell_id"))
+      .withColumn("cos", cosine(col(vecCol), col("qvec")))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .select(col(idCol), col("cos"))
+      .limit(k)
+  }
+
+  /** Deterministic coarse quantizer: the `nCells` lowest-id vectors. */
+  private def ivfCentroids(embeddings: DataFrame, nCells: Int,
+      idCol: String, vecCol: String): DataFrame =
+    embeddings.orderBy(col(idCol).asc).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+
+  /** Assign every vector to its nearest centroid MAP-SIDE: the centroid
+    * table collapses to a single array row, broadcast onto every vector,
+    * and the argmin is an array_min over (d2, cell_id) structs — struct
+    * ordering gives the d2-then-lowest-cell_id tie-break. No exchange
+    * touches the corpus before assignment (a Window.partitionBy(vec_id)
+    * argmin here would shuffle the whole corpus for a per-row decision). */
+  private def assignCells(embeddings: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val centArr = centroids
+      .agg(sort_array(collect_list(struct(col("cell_id"), col("centroid"))))
+        .as("__cents"))
+    embeddings.crossJoin(broadcast(centArr))
+      .withColumn("cell_id",
+        array_min(transform(col("__cents"), c =>
+          struct(l2sq(col(vecCol), c.getField("centroid")).as("d2"),
+            c.getField("cell_id").as("cell_id")))).getField("cell_id"))
+      .select(col(idCol), col(vecCol), col("cell_id"))
+  }
+
+  /** Write the IVF index to disk: every vector assigned to its nearest
+    * centroid (broadcast argmin, no corpus shuffle beyond the partition
+    * write), stored as parquet PARTITIONED BY cell — the write-once ingest
+    * the [[ivfTopK]] scale notes describe. Queries against the stored index
+    * read only their probed cells via partition pruning (metadata-only
+    * cell selection, no full-index scan). */
+  def ivfWriteIndex(embeddings: DataFrame, path: String,
+      nCells: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val centroids = ivfCentroids(embeddings, nCells, idCol, vecCol)
+    assignCells(embeddings, centroids, idCol, vecCol)
+      .write
+      .partitionBy("cell_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  /** Approximate top-k against a stored IVF index: the query's nProbe
+    * nearest cells become a LITERAL partition filter on the index read, so
+    * the scan touches nProbe/nCells of the data and the pruning is decided
+    * from partition metadata alone — no data file is opened for an
+    * unprobed cell. The probed ids are resolved on the driver: that is a
+    * collect of ≤ nProbe values bounded by the QUANTIZER size (never by
+    * data scale), the same class of driver-side decision as a broadcast
+    * threshold — and what turns a runtime join into static pruning. The
+    * same embeddings table that built the index supplies the centroid
+    * definition (deterministic: lowest `nCells` ids). */
+  def ivfTopKFromIndex(spark: SparkSession, path: String, embeddings: DataFrame,
+      query: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = ivfCentroids(embeddings, nCells, idCol, vecCol)
+    val probedCells: Array[Long] = query.crossJoin(broadcast(centroids))
+      .withColumn("d2", l2sq(col("qvec"), col("centroid")))
+      .orderBy(col("d2").asc, col("cell_id").asc)
+      .limit(nProbe)
+      .select(col("cell_id").cast("long"))
+      .collect().map(_.getLong(0))
+    spark.read.parquet(path)
+      .filter(col("cell_id").isin(probedCells: _*))
+      .crossJoin(broadcast(query))
       .withColumn("cos", cosine(col(vecCol), col("qvec")))
       .orderBy(col("cos").desc, col(idCol).asc)
       .select(col(idCol), col("cos"))

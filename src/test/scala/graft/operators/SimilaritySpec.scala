@@ -57,6 +57,32 @@ class SimilaritySpec extends SparkSpec {
       s"overlap too low: exact=$exact approx=$approx")
   }
 
+  test("stored IVF index: probed cells prune partitions; results match in-memory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
+    Similarity.ivfWriteIndex(emb, dir, nCells = 16)
+    val fromIndex = Similarity.ivfTopKFromIndex(
+      spark, dir, emb, query, 10, nCells = 16, nProbe = 4)
+    // identical results to the in-memory path (same quantizer, same probes)
+    val inMem = Similarity.ivfTopK(emb, query, 10, nCells = 16, nProbe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(fromIndex.as[(Long, Double)].collect().toSeq === inMem)
+    // and the index read touches only the nProbe cell partitions — the
+    // pruning is metadata-only, decided before any data is read (unwrap
+    // the AQE root: its leaves hide the scan)
+    val plan = fromIndex.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("graft-ivf")) => f
+    }
+    assert(scans.nonEmpty, s"no index scan found in:\n$plan")
+    assert(scans.head.selectedPartitions.partitionCount === 4,
+      s"expected 4 probed-cell partitions, got ${scans.head.selectedPartitions.partitionCount}")
+  }
+
   test("near-dup pairs: bucketed by label, all above threshold, a<b") {
     val pairs = Similarity.nearDupPairs(emb, "label", 0.2)
       .as[(Long, Long, Double)].collect()
