@@ -229,6 +229,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Line-level dedup across the corpus (the CCNet/RefinedWeb boilerplate
+    * pass): a line occurring in ≥ `minDocs` DISTINCT documents is removed
+    * from EVERY document; remaining lines are reassembled in their original
+    * order. Cookie banners, nav bars, and license footers repeat across
+    * pages while real prose does not — this removes them without touching
+    * whole-document dedup.
+    *
+    * Scale shape: explode to (doc, pos, line) → one aggregation on the line
+    * (uniform hash key) for the document-frequency → left-anti join back →
+    * one aggregation on the doc id to reassemble (order restored by
+    * sorting (pos, line) structs inside the group, so collect_list's
+    * nondeterministic order never shows). Every doc survives — a fully
+    * boilerplate document comes back as the empty string, keeping row
+    * accounting intact. */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+      minDocs: Int = 2, sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF(idCol, "__pos", "__line")
+    val boilerplate = lines.groupBy(col("__line"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__line"))
+    val rebuilt = lines.join(boilerplate, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line")), sep).as("__clean"))
+    df.drop(textCol)
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .drop("__clean")
+  }
+
   /** Keep-one collapse over verified near-dup pairs: every doc maps to the
     * min id of its candidate group (single pass, non-iterative). */
   def collapseToCanonical(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {

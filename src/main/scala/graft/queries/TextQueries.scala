@@ -255,6 +255,31 @@ object TextQueries {
       ) AS t(media_id, media_type, width, height, duration_ms)"""))
   ) ++ samplingQueries ++ Seq(
 
+    // ---- Line-level boilerplate dedup (CCNet/RefinedWeb pass) -------------
+    // The corpus has no line structure, so the gate runs the operator over
+    // an inline fixture (q20/q67 pattern): a line in ≥2 distinct docs is
+    // removed everywhere, within-doc repeats survive, a fully-boilerplate
+    // doc comes back empty (row kept). Oracle = the hand-derived result.
+    Q("q75_line_dedup", (s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "alpha beta\nCOOKIE NOTICE\ngamma"),
+        (2L, "COOKIE NOTICE\ndelta"),
+        (3L, "epsilon\nzeta"),
+        (4L, "COOKIE NOTICE"),
+        (5L, "echo\necho\nfoxtrot"))
+        .toDF("doc_id", "text")
+      graft.operators.Dedup.lineDedup(docs, "text", "doc_id")
+        .select(col("doc_id"), col("text"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'alpha beta' || chr(10) || 'gamma'),
+        (CAST(2 AS BIGINT), 'delta'),
+        (CAST(3 AS BIGINT), 'epsilon' || chr(10) || 'zeta'),
+        (CAST(4 AS BIGINT), ''),
+        (CAST(5 AS BIGINT), 'echo' || chr(10) || 'echo' || chr(10) || 'foxtrot')
+      ) AS t(doc_id, text)""")),
+
     // ---- End-to-end curation summary (the composed flagship, hash-gated) --
     // Every stage of Curation.run re-derived independently in SQL: exact
     // dedup = one survivor per md5 fingerprint; near-dup = MinHash-LSH

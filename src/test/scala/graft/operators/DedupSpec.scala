@@ -101,6 +101,24 @@ class DedupSpec extends SparkSpec {
     info(s"exact-band pairs=${exact.size}, subBits=2 pairs=${sub.size}")
   }
 
+  test("lineDedup removes cross-doc boilerplate lines, keeps within-doc repeats") {
+    val docs = Seq(
+      (1L, "alpha beta\nCOOKIE NOTICE\ngamma"),
+      (2L, "COOKIE NOTICE\ndelta"),
+      (3L, "epsilon\nzeta"),
+      (4L, "COOKIE NOTICE"),          // fully boilerplate → empty, row kept
+      (5L, "echo\necho\nfoxtrot"))    // repeats within ONE doc only → kept
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "text", "doc_id")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out(1L) === "alpha beta\ngamma")
+    assert(out(2L) === "delta")
+    assert(out(3L) === "epsilon\nzeta")
+    assert(out(4L) === "")
+    assert(out(5L) === "echo\necho\nfoxtrot")
+    assert(out.size === 5)
+  }
+
   test("collapseToCanonical maps dup group members to min id") {
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
     val out = Dedup.collapseToCanonical(docs, pairs, "doc_id")
