@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Sequence packing: assign documents to training bins of ≈ `maxTokens`
+  * tokens — the step that turns a curated corpus into dense context-window
+  * batches (padding waste ∝ how badly you pack).
+  *
+  * Distributed shape: a GLOBAL greedy first-fit is inherently sequential,
+  * so packing is per-shard — documents are sharded by a deterministic hash
+  * of their id (stable across reruns, like [[Sampling]]), and each shard
+  * packs independently with a running token sum over a window PARTITIONED
+  * by shard (never a single global window: that is one task sorting the
+  * world). Bin id = floor(exclusive-cumsum / maxTokens) — the standard
+  * streaming-fill approximation: a document straddling a boundary joins
+  * the bin its first token lands in, so bins overflow by at most one
+  * document and never split one.
+  *
+  * Scale: one shuffle on the shard key; window state is a running sum.
+  * nShards sizes the parallelism — at 100 TB it is thousands, here it is
+  * small so tests can reason about exact bins.
+  */
+object Packing {
+
+  /** Per-document bin assignment: adds `shard`, `n_tokens`, `bin`. */
+  def assignBins(df: DataFrame, textCol: String, idCol: String,
+      maxTokens: Long, nShards: Int = 8): DataFrame = {
+    require(maxTokens > 0 && nShards > 0, "maxTokens and nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard",
+        pmod(Sampling.hashBucket(col(idCol)), lit(nShards.toLong)))
+      .withColumn("n_tokens", Text.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      // explicit floor: values are nonnegative, but floor (not a bare
+      // cast) keeps the rounding rule identical in any SQL re-derivation
+      .withColumn("bin",
+        floor((col("__cum") - col("n_tokens")) / maxTokens).cast("long"))
+      .drop("__cum")
+  }
+
+  /** Bin-level packing report: how full the bins actually are. */
+  def binStats(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+}

@@ -280,6 +280,30 @@ object TextQueries {
         (CAST(5 AS BIGINT), 'echo' || chr(10) || 'echo' || chr(10) || 'foxtrot')
       ) AS t(doc_id, text)""")),
 
+    // ---- Sequence packing (token bins per shard) --------------------------
+    // Per-shard streaming fill: hash-sharded docs, running token sum over a
+    // PARTITIONED window (never a global sort), bin = floor(exclusive-cumsum
+    // / maxTokens). The oracle re-derives the same window arithmetic.
+    Q("q76_token_packing", (s, dir) => {
+      graft.operators.Packing.binStats(
+        graft.operators.Packing.assignBins(
+          table(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", maxTokens = 500L, nShards = 4))
+    }, Some {
+      val ntok = s"CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END"
+      val bucket = graft.operators.Sampling.hashBucketSql("doc_id")
+      s"""
+      SELECT shard, bin, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM (
+        SELECT shard, n_tokens,
+          CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 500.0) AS BIGINT) AS bin
+        FROM (SELECT doc_id, ($bucket) % 4 AS shard, $ntok AS n_tokens
+              FROM documents))
+      GROUP BY shard, bin"""
+    }),
+
     // ---- End-to-end curation summary (the composed flagship, hash-gated) --
     // Every stage of Curation.run re-derived independently in SQL: exact
     // dedup = one survivor per md5 fingerprint; near-dup = MinHash-LSH
