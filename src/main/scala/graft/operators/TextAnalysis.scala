@@ -34,4 +34,31 @@ object TextAnalysis {
   def filterByQuality(df: DataFrame, minQuality: Double,
       textCol: String = "text"): DataFrame =
     df.filter(qualityScore(col(textCol)) >= minQuality)
+
+  /** CCNet-style perplexity proxy: per-document mean negative log
+    * probability of its tokens under the CORPUS'S OWN unigram distribution.
+    * Low = built from common tokens (prose-like for this corpus), high =
+    * rare-token-heavy (jargon, noise, other languages). The classic cheap
+    * stand-in for an LM perplexity filter.
+    *
+    * Scale shape: one explode+groupBy shuffle builds the unigram table,
+    * one shuffle join on the token scores every occurrence, one groupBy on
+    * the doc id averages — all keys uniform. Per-token logs are rounded
+    * then summed as decimals so the per-doc mean is independent of join
+    * order (FP sums are order-nondeterministic; see Registry notes).
+    *
+    * Returns (idCol, n_scored_tokens, unigram_nll). */
+  def unigramNll(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val counts = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+    val total = counts.agg(sum(col("__cnt")).as("__total"))
+    toks.join(counts, Seq("__tok"))
+      .crossJoin(broadcast(total))
+      .withColumn("__nll", round(-log(col("__cnt") / col("__total")), 6))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_scored_tokens"),
+        (sum(col("__nll").cast("decimal(28,6)")).cast("double") /
+          count(lit(1))).as("unigram_nll"))
+  }
 }

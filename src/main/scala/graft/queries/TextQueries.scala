@@ -280,6 +280,37 @@ object TextQueries {
         (CAST(5 AS BIGINT), 'echo' || chr(10) || 'echo' || chr(10) || 'foxtrot')
       ) AS t(doc_id, text)""")),
 
+    // ---- Unigram NLL (CCNet-style perplexity proxy) -----------------------
+    // Per-doc mean -ln p(token) under the corpus's own unigram model,
+    // aggregated per source. ln differs across libm in the last ulp, so
+    // per-token values are rounded to 6 dp before the decimal sum (flip
+    // probability ~1e-10 per eval — the same tolerance class as sround).
+    Q("q77_unigram_nll", (s, dir) => {
+      val d = table(s, dir, "documents")
+      val scored = graft.operators.TextAnalysis.unigramNll(
+        d.select(col("doc_id"), col("text")))
+      d.select(col("doc_id"), col("source")).join(scored, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(round(col("unigram_nll"), 6).cast("decimal(28,6)"))
+            .cast("double").as("sum_nll"))
+    }, Some {
+      val perTok = Registry.sroundSql("-ln(cnt / total)", 6)
+      s"""
+      WITH toks AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+      counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
+      perdoc AS (
+        SELECT doc_id,
+          CAST(SUM(CAST($perTok AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS unigram_nll
+        FROM toks JOIN counts USING (tok) CROSS JOIN tot
+        GROUP BY doc_id)
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(CAST(${Registry.sroundSql("unigram_nll", 6)} AS DECIMAL(28,6))) AS DOUBLE) AS sum_nll
+      FROM perdoc JOIN documents USING (doc_id)
+      GROUP BY source"""
+    }),
+
     // ---- Sequence packing (token bins per shard) --------------------------
     // Per-shard streaming fill: hash-sharded docs, running token sum over a
     // PARTITIONED window (never a global sort), bin = floor(exclusive-cumsum

@@ -52,6 +52,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === 0.0)
   }
 
+  test("unigramNll: rare-token docs score higher than common-token docs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the the the the"),            // only the most common token
+      (2L, "the the the zyzzyva qoph"),           // mixes in two rare tokens
+      (3L, "xylotomy zyzzyva qoph vexillology"))  // all rare
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_scored_tokens"), r.getAs[Double]("unigram_nll"))).toMap
+    assert(out(1L)._1 === 6L)
+    assert(out(1L)._2 < out(2L)._2 && out(2L)._2 < out(3L)._2)
+    // doc 1: p(the) = 9/15 → nll = round(-ln(0.6), 6)
+    assert(math.abs(out(1L)._2 - 0.510826) < 1e-9)
+  }
+
   test("qualityReport aggregates per key") {
     val rep = TextAnalysis.qualityReport(docs.withColumn("src",
       org.apache.spark.sql.functions.lit("s")), "src").collect().head
