@@ -47,6 +47,26 @@ object Vectors {
       d * d
     }))
 
+  /** Max-abs scale for int8 quantization: the per-vector factor mapping
+    * [-maxabs, maxabs] onto [-127, 127]. Zero vectors get scale 0 (their
+    * quantized form is all zeros). */
+  def maxAbsScale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double")))) / lit(127.0)
+
+  /** Int8 scalar quantization against a pre-staged scale COLUMN (stage it
+    * with withColumn — an outer expression inside the lambda would be
+    * re-evaluated per element): 4× smaller embedding storage with bounded
+    * error |x − dequant(x)| ≤ scale/2. HALF_UP rounding, reproducible by
+    * the oracle's decimal round. */
+  def quantizeInt8(vec: Column, scaleCol: Column): Column =
+    transform(vec, x =>
+      when(scaleCol === 0.0, lit(0))
+        .otherwise(round(x.cast("double") / scaleCol)).cast("byte"))
+
+  /** Reconstruction from int8 codes + scale. */
+  def dequantizeInt8(q: Column, scaleCol: Column): Column =
+    transform(q, b => b.cast("double") * scaleCol)
+
   /** Random-hyperplane LSH signature: `planes` sign bits packed into a long.
     * Plane weights are derived deterministically from md5(plane:dim) — no
     * RNG, identical across engines/runs. Used to bucket ANN candidates so

@@ -118,6 +118,46 @@ object VectorQueries {
       WHERE cos > 0.25"""
     }),
 
+    // ---- Int8 scalar quantization (4× embedding storage) ------------------
+    // Max-abs per-vector scale, HALF_UP codes, bounded reconstruction error
+    // |x − q·s| ≤ s/2. The gate is exact where exactness exists (integer
+    // code checksums) and a contract flag where FP noise lives (violation
+    // count of the half-step bound, expected 0 — same pattern as q14/q72).
+    Q("q78_int8_quantization", (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .withColumn("__scale", maxAbsScale(col("embedding")))
+        .withColumn("__q", quantizeInt8(col("embedding"), col("__scale")))
+        .withColumn("__dq", dequantizeInt8(col("__q"), col("__scale")))
+        .withColumn("__checksum",
+          aggregate(col("__q"), lit(0L), (acc, b) => acc + b.cast("long")))
+        .withColumn("__maxerr", array_max(zip_with(col("embedding"), col("__dq"),
+          (a, b) => abs(a.cast("double") - b))))
+      e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("__checksum")).as("code_checksum"),
+          sum(when(col("__maxerr") <= col("__scale") * 0.5000001, 0L)
+            .otherwise(1L)).as("n_violations"))
+    }, Some {
+      val x = "CAST(embedding[i] AS DOUBLE)"
+      val qi = s"CASE WHEN scale = 0 THEN 0 ELSE CAST(${Registry.sroundSql(s"$x / scale", 0)} AS INT) END"
+      s"""
+      SELECT label, COUNT(*) AS n_vectors,
+        CAST(SUM(checksum) AS BIGINT) AS code_checksum,
+        CAST(SUM(CASE WHEN maxerr <= scale * 0.5000001 THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+      FROM (
+        SELECT label, scale,
+          CAST(list_sum(q) AS BIGINT) AS checksum,
+          list_max(list_transform(generate_series(1, $DIMS),
+            i -> abs(CAST(embedding[i] AS DOUBLE) - q[i] * scale))) AS maxerr
+        FROM (
+          SELECT label, embedding, scale,
+            list_transform(generate_series(1, $DIMS), i -> $qi) AS q
+          FROM (SELECT label, embedding,
+                  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+                FROM embeddings)))
+      GROUP BY label"""
+    }),
+
     // ---- Centroid-style aggregation over vectors --------------------------
     // Per-label mean vector norm: exercises array aggregation semantics.
     // Sums are per-dimension in index order; the outer SUM over rows uses a

@@ -85,4 +85,29 @@ class VectorExprsSpec extends SparkSpec {
       .count()
     assert(n === 0)
   }
+
+  test("int8 quantization: bounded error, exact round-trip structure") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),     // zero vector → all-zero codes
+      (3L, Array(127.0f, -127.0f, 63.5f, 1.0f)))
+      .toDF("id", "vec")
+      .withColumn("scale", Vectors.maxAbsScale(col("vec")))
+      .withColumn("q", Vectors.quantizeInt8(col("vec"), col("scale")))
+      .withColumn("dq", Vectors.dequantizeInt8(col("q"), col("scale")))
+    val rows = vecs.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // max element always maps to ±127; zero vector stays zero
+    assert(rows(1L).getAs[scala.collection.Seq[Byte]]("q").head === 127.toByte)
+    assert(rows(2L).getAs[scala.collection.Seq[Byte]]("q").forall(_ === 0.toByte))
+    assert(rows(3L).getAs[scala.collection.Seq[Byte]]("q").take(2).toSeq === Seq(127.toByte, -127.toByte))
+    // reconstruction error bounded by half a quantization step everywhere
+    rows.values.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("vec"); val dq = r.getAs[scala.collection.Seq[Double]]("dq")
+      val s = r.getAs[Double]("scale")
+      v.zip(dq).foreach { case (x, y) =>
+        assert(math.abs(x.toDouble - y) <= s * 0.5000001, s"$x vs $y (scale $s)")
+      }
+    }
+  }
 }
