@@ -53,7 +53,10 @@ object RawCsvFixture {
       Seq("大安區", "房地", "信義段9地號", "", "abc", "0770707", "0880808", "xyz", ""),
       // land row, garbage area → NULL area ⇒ repair ÷NULL ⇒ NULL price;
       // greedy E7 match keeps the LAST 段 (multi-段 position)
-      Seq("中山區", "土地", "長安段三小段5地號", "xyz", "", "", "1111111", "5000000", "0")))
+      Seq("中山區", "土地", "長安段三小段5地號", "xyz", "", "", "1111111", "5000000", "0"),
+      // land row with a QUOTED comma-bearing position (real LVR files carry
+      // quoted addresses) — the csv reader must keep it one field
+      Seq("萬華區", "土地", "\"艋舺大道88號, 5樓\"", "33.0579", "", "", "1000101", "2000000", "100")))
 
   /** Write the fixture files under a stable temp dir; idempotent. */
   def writeDefault(): String =
@@ -94,6 +97,7 @@ object RawCsvFixture {
     ("宜蘭縣", "頭城鎮", "下埔段339地號", Some("下埔段"), Some(100.0), "2013-05-05", 12000000L, Some(119996.87)),
     ("台北市", "大安區", "和平段1小段2地號", Some("和平段1小段"), Some(50.0), "1999-08-08", 9000000L, Some(180.17)),
     ("台北市", "中山區", "長安段三小段5地號", Some("長安段三小段"), None, "2022-11-11", 5000000L, None),
+    ("台北市", "萬華區", "艋舺大道88號, 5樓", None, Some(10.0), "2011-01-01", 2000000L, Some(330.58)),
     ("宜蘭縣", "冬山鄉", "羅東鎮中正路100號", None, Some(20.0), "2018-02-03", 1500000L, Some(75000.01)))
 
   /** The same expectation as a DuckDB VALUES table (q64's oracle). */
@@ -102,6 +106,7 @@ object RawCsvFixture {
       ('宜蘭縣', '頭城鎮', '下埔段339地號', '下埔段', CAST(100.0 AS DOUBLE), DATE '2013-05-05', CAST(12000000 AS BIGINT), CAST(119996.87 AS DOUBLE)),
       ('台北市', '大安區', '和平段1小段2地號', '和平段1小段', CAST(50.0 AS DOUBLE), DATE '1999-08-08', CAST(9000000 AS BIGINT), CAST(180.17 AS DOUBLE)),
       ('台北市', '中山區', '長安段三小段5地號', '長安段三小段', CAST(NULL AS DOUBLE), DATE '2022-11-11', CAST(5000000 AS BIGINT), CAST(NULL AS DOUBLE)),
+      ('台北市', '萬華區', '艋舺大道88號, 5樓', CAST(NULL AS VARCHAR), CAST(10.0 AS DOUBLE), DATE '2011-01-01', CAST(2000000 AS BIGINT), CAST(330.58 AS DOUBLE)),
       ('宜蘭縣', '冬山鄉', '羅東鎮中正路100號', CAST(NULL AS VARCHAR), CAST(20.0 AS DOUBLE), DATE '2018-02-03', CAST(1500000 AS BIGINT), CAST(75000.01 AS DOUBLE))
     ) AS t(city, township_dist, position, section, land_area_ping, transaction_date, total_price, unit_price_ping)"""
 }

@@ -76,7 +76,7 @@ class PipelinesSpec extends SparkSpec {
     val (df, obs) = Pipelines.buildingObserved(spark, dir + "/*_a.csv")
     val finalRows = df.count() // the one action; metrics fire as a side effect
     val m = obs.get
-    // fixture: 5 of the 11 data rows carry the 房地 prefix; one of those
+    // fixture: 5 of the 12 data rows carry the 房地 prefix; one of those
     // has an invalid ROC date (Feb 30) → 4 valid, nothing dropped after
     assert(m("n_class") === 5L)      // rows past the class filter
     assert(m("n_valid_date") === 4L) // minus the invalid-date row
