@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types.StructType
 
-import graft.functions.Text
 import graft.operators.TextAnalysis
 
 /** Streaming curation: the continuous-ingest twin of [[graft.operators
