@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Empty and degenerate inputs through every composed operator: a library
+  * that throws on a zero-row partition dies on real backfills (an empty
+  * day, a filter that matched nothing). */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private lazy val one = Seq((1L, "just one document here")).toDF("doc_id", "text")
+
+  test("dedup family: empty and single-doc corpora") {
+    assert(Dedup.exact(empty, "text", "doc_id").count() === 0L)
+    assert(Dedup.exact(one, "text", "doc_id").count() === 1L)
+    assert(Dedup.minhashNearDups(empty, "text", "doc_id", 0.5).count() === 0L)
+    assert(Dedup.minhashNearDups(one, "text", "doc_id", 0.5).count() === 0L)
+    assert(Dedup.simhashCandidates(empty, "text", "doc_id").count() === 0L)
+    assert(Dedup.lineDedup(empty, "text", "doc_id").count() === 0L)
+    assert(Dedup.minhashCandidatesAgainst(empty,
+      Dedup.signatureTable(one, "text", "doc_id"), "text", "doc_id").count() === 0L)
+  }
+
+  test("curation of an empty corpus yields an all-zero summary") {
+    val res = Curation.run(empty)
+    val s = res.summary.collect().head
+    assert(s.getAs[Long]("n_input") === 0L)
+    assert(s.getAs[Long]("n_curated") === 0L)
+    assert(res.curated.count() === 0L)
+  }
+
+  test("text analysis and sampling: empty inputs flow through") {
+    assert(TextAnalysis.enrich(empty).count() === 0L)
+    assert(TextAnalysis.unigramNll(empty).count() === 0L)
+    assert(Sampling.sample(empty, "doc_id", 0.5).count() === 0L)
+    assert(Sampling.withSplit(empty, "doc_id").count() === 0L)
+    assert(Packing.assignBins(empty, "text", "doc_id", 100L).count() === 0L)
+  }
+
+  test("similarity: empty corpus against a query returns no rows") {
+    val emptyVec = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qvec")
+    assert(Similarity.bruteForceTopK(emptyVec, q, 5).count() === 0L)
+    assert(Similarity.lshTopK(emptyVec, q, 5, dims = 2).count() === 0L)
+  }
+
+  test("multimodal: NULL payloads decode to NULLs, rows kept") {
+    import org.apache.spark.sql.Row
+    val nullPayload = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, "image", "image/png", null, null, null, null)),
+      Multimodal.metadataSchema)
+    val out = Multimodal.decodeMedia(nullPayload).collect()
+    assert(out.length === 1)
+    assert(out.head.isNullAt(out.head.fieldIndex("width")))
+    assert(out.head.getAs[Long]("n_bytes") === 0L)
+  }
+}
