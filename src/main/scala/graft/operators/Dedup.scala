@@ -237,7 +237,10 @@ object Dedup {
     * whole-document dedup.
     *
     * Scale shape: explode to (doc, pos, line) → one aggregation on the line
-    * (uniform hash key) for the document-frequency → left-anti join back →
+    * for the document-frequency (a viral line is NOT a hot reducer: the
+    * countDistinct rewrite first partials by (line, doc), spreading its
+    * occurrences, and the final count receives pre-deduped pairs) →
+    * left-anti join back →
     * one aggregation on the doc id to reassemble (order restored by
     * sorting (pos, line) structs inside the group, so collect_list's
     * nondeterministic order never shows). Every doc survives — a fully

@@ -51,13 +51,23 @@ object Sampling {
     * gets a NULL label (never silently the last split — an unkeyed row in
     * the held-out set would contaminate it), consistent with [[sample]]
     * dropping NULL keys. */
+  /** Default split proportions (also the q70 oracle's derivation base). */
+  val defaultSplitWeights: Seq[(String, Double)] =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  /** Bucket cut points for a weight list (exposed so oracle SQL derives
+    * from the same arithmetic instead of hardcoding). */
+  def splitCuts(weights: Seq[(String, Double)]): Seq[Long] = {
+    val total = weights.map(_._2).sum
+    weights.map(_._2 / total).scanLeft(0.0)(_ + _)
+      .map(c => math.round(c * BUCKETS)).tail
+  }
+
   def withSplit(df: DataFrame, keyCol: String,
-      weights: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      weights: Seq[(String, Double)] = defaultSplitWeights,
       splitCol: String = "split"): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
-    val total = weights.map(_._2).sum
-    val cuts = weights.map(_._2 / total).scanLeft(0.0)(_ + _)
-      .map(c => math.round(c * BUCKETS)).tail
+    val cuts = splitCuts(weights)
     // last cut is exactly BUCKETS by construction → otherwise is unreachable,
     // but keep the final label there so no bucket can ever map to NULL
     // stage the bucket in its own projection: its references live in

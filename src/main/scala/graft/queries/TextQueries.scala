@@ -423,16 +423,22 @@ object TextQueries {
         GROUP BY source""")),
 
       // Train/val/test split by hash bucket: disjoint, exhaustive, stable.
+      // The oracle's CASE arms derive from the same weights constant the
+      // operator defaults to, so the two can never drift.
       Q("q70_hash_split", (s, dir) => {
         Sampling.withSplit(table(s, dir, "documents"), "doc_id")
           .groupBy(col("split"))
           .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
-      }, Some(s"""
-        SELECT CASE WHEN b < 9000 THEN 'train'
-                    WHEN b < 9500 THEN 'val'
-                    ELSE 'test' END AS split,
+      }, Some {
+        val arms = Sampling.defaultSplitWeights.init
+          .zip(Sampling.splitCuts(Sampling.defaultSplitWeights).init)
+          .map { case ((label, _), cut) => s"WHEN b < $cut THEN '$label'" }
+          .mkString(" ")
+        s"""
+        SELECT CASE $arms ELSE '${Sampling.defaultSplitWeights.last._1}' END AS split,
           COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
         FROM (SELECT doc_id, ${Sampling.hashBucketSql("doc_id")} AS b FROM documents)
-        GROUP BY 1""")))
+        GROUP BY 1"""
+      }))
   }
 }
