@@ -245,13 +245,17 @@ object Dedup {
     * sorting (pos, line) structs inside the group, so collect_list's
     * nondeterministic order never shows). Every doc survives — a fully
     * boilerplate document comes back as the empty string, keeping row
-    * accounting intact. */
+    * accounting intact — and BLANK lines are never boilerplate candidates
+    * (a paragraph separator appears in every document; stripping it would
+    * merge paragraphs corpus-wide). NULL text stays NULL. */
   def lineDedup(df: DataFrame, textCol: String, idCol: String,
       minDocs: Int = 2, sep: String = "\n"): DataFrame = {
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .toDF(idCol, "__pos", "__line")
-    val boilerplate = lines.groupBy(col("__line"))
+    val boilerplate = lines
+      .filter(length(col("__line")) > 0) // structure, not content
+      .groupBy(col("__line"))
       .agg(countDistinct(col(idCol)).as("__docs"))
       .filter(col("__docs") >= minDocs)
       .select(col("__line"))
@@ -260,10 +264,12 @@ object Dedup {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
           s => s.getField("__line")), sep).as("__clean"))
-    df.drop(textCol)
+    df.withColumn("__had_text", col(textCol).isNotNull)
+      .drop(textCol)
       .join(rebuilt, Seq(idCol), "left")
-      .withColumn(textCol, coalesce(col("__clean"), lit("")))
-      .drop("__clean")
+      .withColumn(textCol,
+        when(col("__had_text"), coalesce(col("__clean"), lit(""))))
+      .drop("__clean", "__had_text")
   }
 
   /** Keep-one collapse over verified near-dup pairs: every doc maps to the

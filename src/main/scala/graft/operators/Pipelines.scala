@@ -35,9 +35,17 @@ object Pipelines {
     else base
   }
 
-  private def buildingBase(spark: SparkSession, glob: String): DataFrame =
+  /** The 房地*-class filter over the raw read — the stage boundary
+    * [[buildingObserved]] instruments. */
+  private def buildingClassed(spark: SparkSession, glob: String): DataFrame =
     CsvIngest.readRaw(spark, glob)
       .filter(col(Raw.transactionSign).startsWith("房地"))
+
+  /** Everything after the class filter (select/rename, ROC date, casts,
+    * repair, ping) — shared verbatim by [[building]] and
+    * [[buildingObserved]] so the two can never diverge. */
+  private def buildingShape(classed: DataFrame): DataFrame =
+    classed
       .select(
         cityFromFilename(col("source_file")).as("city"),
         col(Raw.townshipDist).as("township_dist"),
@@ -56,6 +64,9 @@ object Pipelines {
         m2ToPing(col("building_area_m2")).as("building_area_ping"),
         col("completion_date"), col("transaction_date"), col("total_price"),
         priceM2ToPing(col("unit_price_m2")).as("unit_price_ping"))
+
+  private def buildingBase(spark: SparkSession, glob: String): DataFrame =
+    buildingShape(buildingClassed(spark, glob))
 
   /** Land-transaction pipeline (etl_pipeline_beam.py DAG): filter == 土地 →
     * section regex → city/date/casts → repair → ping conversion. */
@@ -95,32 +106,15 @@ object Pipelines {
   def buildingObserved(spark: SparkSession, glob: String):
       (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = org.apache.spark.sql.Observation("building_stages")
-    val classed = CsvIngest.readRaw(spark, glob)
-      .filter(col(Raw.transactionSign).startsWith("房地"))
+    // stage the parsed date once so the metric does not re-parse per row
+    val classed = buildingClassed(spark, glob)
+      .withColumn("__txn_date_parsed", rocToDate(col(Raw.transactionDate)))
       .observe(obs,
         count(lit(1)).as("n_class"),
-        sum(when(rocToDate(col(Raw.transactionDate)).isNotNull, 1L)
-          .otherwise(0L)).as("n_valid_date"))
-    val df = classed
-      .select(
-        cityFromFilename(col("source_file")).as("city"),
-        col(Raw.townshipDist).as("township_dist"),
-        col(Raw.transactionSign).as("transaction_sign"),
-        col(Raw.position).as("position"),
-        col(Raw.buildingAreaM2).cast("double").as("building_area_m2"),
-        col(Raw.completionDate).as("completion_date"),
-        rocToDate(col(Raw.transactionDate)).as("transaction_date"),
-        col(Raw.totalPrice).cast("long").as("total_price"),
-        col(Raw.unitPriceM2).cast("double").as("unit_price_m2"))
-      .filter(col("transaction_date").isNotNull)
-      .withColumn("unit_price_m2",
-        repairUnitPrice(col("unit_price_m2"), col("total_price"), col("building_area_m2")))
-      .select(
-        col("city"), col("township_dist"), col("transaction_sign"), col("position"),
-        m2ToPing(col("building_area_m2")).as("building_area_ping"),
-        col("completion_date"), col("transaction_date"), col("total_price"),
-        priceM2ToPing(col("unit_price_m2")).as("unit_price_ping"))
-    (df, obs)
+        sum(when(col("__txn_date_parsed").isNotNull, 1L).otherwise(0L))
+          .as("n_valid_date"))
+      .drop("__txn_date_parsed")
+    (buildingShape(classed), obs)
   }
 
   /** A5 (README.md:103-106): the reference's one demonstrated analytical

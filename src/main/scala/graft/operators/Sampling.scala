@@ -44,13 +44,6 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < math.round(fraction * BUCKETS))
   }
 
-  /** Assign every row a split label by hash bucket: `weights` are
-    * (label, weight) in priority order, normalized over their sum; each
-    * label owns a contiguous bucket range, so splits are disjoint, exhaust
-    * the KEYED data, and are stable under reruns/repartitioning. A NULL key
-    * gets a NULL label (never silently the last split — an unkeyed row in
-    * the held-out set would contaminate it), consistent with [[sample]]
-    * dropping NULL keys. */
   /** Default split proportions (also the q70 oracle's derivation base). */
   val defaultSplitWeights: Seq[(String, Double)] =
     Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
@@ -63,6 +56,13 @@ object Sampling {
       .map(c => math.round(c * BUCKETS)).tail
   }
 
+  /** Assign every row a split label by hash bucket: `weights` are
+    * (label, weight) in priority order, normalized over their sum; each
+    * label owns a contiguous bucket range, so splits are disjoint, exhaust
+    * the KEYED data, and are stable under reruns/repartitioning. A NULL key
+    * gets a NULL label (never silently the last split — an unkeyed row in
+    * the held-out set would contaminate it), consistent with [[sample]]
+    * dropping NULL keys. */
   def withSplit(df: DataFrame, keyCol: String,
       weights: Seq[(String, Double)] = defaultSplitWeights,
       splitCol: String = "split"): DataFrame = {

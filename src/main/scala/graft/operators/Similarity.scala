@@ -115,10 +115,12 @@ object Similarity {
 
   /** Write the IVF index to disk: every vector assigned to its nearest
     * centroid (broadcast argmin, no corpus shuffle beyond the partition
-    * write), stored as parquet PARTITIONED BY cell — the write-once ingest
-    * the [[ivfTopK]] scale notes describe. Queries against the stored index
-    * read only their probed cells via partition pruning (metadata-only
-    * cell selection, no full-index scan). */
+    * write), stored as parquet PARTITIONED BY cell, alongside the centroid
+    * table itself (`<path>/_centroids`) — the quantizer is part of the
+    * index, never re-derived from a live table that may have changed since
+    * the write (silent wrong-cell probing) and never re-scanned at query
+    * time. Queries against the stored index read only their probed cells
+    * via partition pruning (metadata-only cell selection). */
   def ivfWriteIndex(embeddings: DataFrame, path: String,
       nCells: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -127,30 +129,42 @@ object Similarity {
       .write
       .partitionBy("cell_id")
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(path)
+      .parquet(s"$path/cells")
+    centroids.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/_centroids")
   }
 
   /** Approximate top-k against a stored IVF index: the query's nProbe
     * nearest cells become a LITERAL partition filter on the index read, so
     * the scan touches nProbe/nCells of the data and the pruning is decided
     * from partition metadata alone — no data file is opened for an
-    * unprobed cell. The probed ids are resolved on the driver: that is a
+    * unprobed cell. Centroids come from the index itself (written by
+    * [[ivfWriteIndex]]); the probed ids are resolved on the driver: a
     * collect of ≤ nProbe values bounded by the QUANTIZER size (never by
     * data scale), the same class of driver-side decision as a broadcast
-    * threshold — and what turns a runtime join into static pruning. The
-    * same embeddings table that built the index supplies the centroid
-    * definition (deterministic: lowest `nCells` ids). */
-  def ivfTopKFromIndex(spark: SparkSession, path: String, embeddings: DataFrame,
-      query: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 4,
+    * threshold — and what turns a runtime join into static pruning. */
+  def ivfTopKFromIndex(spark: SparkSession, path: String,
+      query: DataFrame, k: Int, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = ivfCentroids(embeddings, nCells, idCol, vecCol)
+    val centroids = spark.read.parquet(s"$path/_centroids")
     val probedCells: Array[Long] = query.crossJoin(broadcast(centroids))
       .withColumn("d2", l2sq(col("qvec"), col("centroid")))
       .orderBy(col("d2").asc, col("cell_id").asc)
       .limit(nProbe)
       .select(col("cell_id").cast("long"))
       .collect().map(_.getLong(0))
-    spark.read.parquet(path)
+    if (probedCells.isEmpty) {
+      // empty index (or empty quantizer): no cells to probe — and an
+      // empty PARTITIONED write leaves no schema files to read
+      import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField(idCol, centroids.schema("cell_id").dataType),
+          StructField("cos", DoubleType))))
+    }
+    spark.read.parquet(s"$path/cells")
       .filter(col("cell_id").isin(probedCells: _*))
       .crossJoin(broadcast(query))
       .withColumn("cos", cosine(col(vecCol), col("qvec")))

@@ -47,10 +47,14 @@ object TextAnalysis {
     * then summed as decimals so the per-doc mean is independent of join
     * order (FP sums are order-nondeterministic; see Registry notes).
     *
-    * Returns (idCol, n_scored_tokens, unigram_nll). */
+    * Returns (idCol, n_scored_tokens, unigram_nll) — documents with no
+    * scorable tokens (empty/whitespace-only text splits to a single empty
+    * string, which is NOT a token: same guard as tokenCount) produce no
+    * output row rather than a fake finite score. */
   def unigramNll(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
     val counts = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
     val total = counts.agg(sum(col("__cnt")).as("__total"))
     toks.join(counts, Seq("__tok"))

@@ -297,7 +297,10 @@ object TextQueries {
     }, Some {
       val perTok = Registry.sroundSql("-ln(cnt / total)", 6)
       s"""
-      WITH toks AS (SELECT doc_id, unnest($TOKS) AS tok FROM documents),
+      WITH toks AS (
+        SELECT doc_id, tok FROM
+          (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+        WHERE len(tok) > 0),
       counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
       tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts),
       perdoc AS (

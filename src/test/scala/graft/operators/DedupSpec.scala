@@ -119,6 +119,20 @@ class DedupSpec extends SparkSpec {
     assert(out.size === 5)
   }
 
+  test("lineDedup: blank lines are structure (never boilerplate), NULL text stays NULL") {
+    val docs = Seq(
+      (1L, "para one\n\npara two"),   // blank separator in both docs...
+      (2L, "intro\n\nbody"),          // ...must NOT be stripped as boilerplate
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "text", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[String]("text"))).toMap
+    assert(out(1L) === Some("para one\n\npara two")) // paragraphs intact
+    assert(out(2L) === Some("intro\n\nbody"))
+    assert(out(3L) === None)                         // NULL preserved, not ""
+  }
+
   test("collapseToCanonical maps dup group members to min id") {
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", threshold = 0.5)
     val out = Dedup.collapseToCanonical(docs, pairs, "doc_id")

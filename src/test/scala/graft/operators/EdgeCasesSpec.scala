@@ -45,6 +45,15 @@ class EdgeCasesSpec extends SparkSpec {
     val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qvec")
     assert(Similarity.bruteForceTopK(emptyVec, q, 5).count() === 0L)
     assert(Similarity.lshTopK(emptyVec, q, 5, dims = 2).count() === 0L)
+    assert(Similarity.ivfTopK(emptyVec, q, 5, nCells = 4, nProbe = 2).count() === 0L)
+  }
+
+  test("stored IVF index round-trips an empty corpus") {
+    val emptyVec = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qvec")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-empty").toString + "/idx"
+    Similarity.ivfWriteIndex(emptyVec, dir, nCells = 4)
+    assert(Similarity.ivfTopKFromIndex(spark, dir, q, 5, nProbe = 2).count() === 0L)
   }
 
   test("multimodal: NULL payloads decode to NULLs, rows kept") {

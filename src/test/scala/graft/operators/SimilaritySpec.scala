@@ -60,8 +60,7 @@ class SimilaritySpec extends SparkSpec {
   test("stored IVF index: probed cells prune partitions; results match in-memory") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
     Similarity.ivfWriteIndex(emb, dir, nCells = 16)
-    val fromIndex = Similarity.ivfTopKFromIndex(
-      spark, dir, emb, query, 10, nCells = 16, nProbe = 4)
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, dir, query, 10, nProbe = 4)
     // identical results to the in-memory path (same quantizer, same probes)
     val inMem = Similarity.ivfTopK(emb, query, 10, nCells = 16, nProbe = 4)
       .as[(Long, Double)].collect().toSeq
