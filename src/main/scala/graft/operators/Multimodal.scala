@@ -148,12 +148,14 @@ object Multimodal {
 
   /** REAL image resize: decode (JDK codecs), scale to `w`×`h` with bilinear
     * Graphics2D, re-encode as PNG. Routing matches [[decodeMedia]]: only
-    * rows typed `image` (or untyped) are decoded — audio/video rows pass
-    * through UNTOUCHED (an image operation must never erase a valid WAV).
-    * An undecodable IMAGE payload keeps its row with a NULL payload and
-    * NULL dimensions — the explicit decode-failure marker a downstream
-    * quality filter keys on (silent pass-through would let a corrupt
-    * payload masquerade as resized). */
+    * rows typed `image` are decoded — audio/video rows pass through
+    * UNTOUCHED (an image operation must never erase a valid WAV). An
+    * UNTYPED row is resized only when its payload actually decodes as an
+    * image; otherwise it passes through unchanged — the NULL decode-failure
+    * marker (payload and dimensions nulled, the signal a downstream quality
+    * filter keys on) is reserved for rows explicitly typed `image`, because
+    * only there does decode failure prove the payload corrupt rather than
+    * merely non-image. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(metadataSchema)
@@ -165,6 +167,7 @@ object Multimodal {
             if (r.isNullAt(6)) Array.emptyByteArray else r.getAs[Array[Byte]](6)
           if (mtype != null && mtype != "image") r
           else decodeImage(payload) match {
+            case None if mtype == null => r
             case Some(src) =>
               val dst = new java.awt.image.BufferedImage(
                 w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -222,7 +225,12 @@ object Multimodal {
           channels = le16(off.toInt + 10)
           sampleRate = le32(off.toInt + 12)
           byteRate = le32(off.toInt + 16)
-        } else if (id == "data") dataSize = size
+        } else if (id == "data") {
+          // clamp to the bytes actually present: a truncated or hostile
+          // declared size must not inflate the duration (wrong metadata is
+          // worse than honest metadata about a short payload)
+          dataSize = math.min(size, b.length - (off + 8))
+        }
         off += 8 + size + (size & 1) // chunks are word-aligned; step >= 8
       }
       if (byteRate > 0 && dataSize >= 0)

@@ -32,8 +32,10 @@ object Packing {
     require(maxTokens > 0 && nShards > 0, "maxTokens and nShards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("shard",
-        pmod(Sampling.hashBucket(col(idCol)), lit(nShards.toLong)))
+    // hash DIRECTLY to the shard domain — a second modulo over the sampling
+    // buckets would bias shards whenever nShards ∤ BUCKETS and cap the
+    // shard count at BUCKETS, which "thousands of shards at 100 TB" can hit
+    df.withColumn("shard", Sampling.hashMod(col(idCol), nShards.toLong))
       .withColumn("n_tokens", Text.tokenCount(col(textCol)).cast("long"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       // explicit floor: values are nonnegative, but floor (not a bare

@@ -25,11 +25,17 @@ object Sampling {
 
   val BUCKETS = 10000
 
+  /** Uniform value in [0, n) hashed DIRECTLY from the key's md5 — never
+    * compose this with a second modulo (x % B % n is biased whenever n does
+    * not divide B, and caps the domain at B): anything needing a different
+    * modulus hashes straight to it from the same 32 uniform bits. */
+  def hashMod(key: Column, n: Long): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(n))
+
   /** Uniform bucket in [0, BUCKETS) from the first 8 md5 hex digits of the
     * key — 32 uniform bits, far more than the 10^4 resolution needs. */
-  def hashBucket(key: Column): Column =
-    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
-      lit(BUCKETS.toLong))
+  def hashBucket(key: Column): Column = hashMod(key, BUCKETS.toLong)
 
   /** Keep a deterministic `fraction` of rows by key (0.0..1.0, resolution
     * 1/BUCKETS). Stable under repartitioning and reruns; sampling by the
@@ -85,7 +91,10 @@ object Sampling {
       .drop("__bucket")
   }
 
+  /** The same hash-mod function as DuckDB SQL (oracle parity). */
+  def hashModSql(keyExpr: String, n: Long): String =
+    s"(CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % $n)"
+
   /** The same bucket function as DuckDB SQL (oracle parity). */
-  def hashBucketSql(keyExpr: String): String =
-    s"(CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % $BUCKETS)"
+  def hashBucketSql(keyExpr: String): String = hashModSql(keyExpr, BUCKETS.toLong)
 }

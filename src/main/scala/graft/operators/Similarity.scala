@@ -124,15 +124,30 @@ object Similarity {
   def ivfWriteIndex(embeddings: DataFrame, path: String,
       nCells: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    // both halves of the index are written under a staging path and
+    // published with ONE rename: two independent overwrites of the live
+    // path could expose new cells paired with old centroids to a failure
+    // or a concurrent reader — exactly the quantizer-drift class storing
+    // the centroids in the index exists to prevent (same swap-on-commit
+    // discipline Warehouse.compact documents).
+    val spark = embeddings.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(hconf)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    fs.delete(staging, true)
     val centroids = ivfCentroids(embeddings, nCells, idCol, vecCol)
     assignCells(embeddings, centroids, idCol, vecCol)
       .write
       .partitionBy("cell_id")
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/cells")
+      .parquet(s"$staging/cells")
     centroids.coalesce(1).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$path/_centroids")
+      .parquet(s"$staging/_centroids")
+    fs.delete(live, true)
+    if (!fs.rename(staging, live))
+      throw new java.io.IOException(s"failed to publish IVF index: $staging -> $live")
   }
 
   /** Approximate top-k against a stored IVF index: the query's nProbe

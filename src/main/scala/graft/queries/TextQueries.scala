@@ -325,7 +325,7 @@ object TextQueries {
           "text", "doc_id", maxTokens = 500L, nShards = 4))
     }, Some {
       val ntok = s"CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END"
-      val bucket = graft.operators.Sampling.hashBucketSql("doc_id")
+      val shard = graft.operators.Sampling.hashModSql("doc_id", 4)
       s"""
       SELECT shard, bin, COUNT(*) AS n_docs,
         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
@@ -333,7 +333,7 @@ object TextQueries {
         SELECT shard, n_tokens,
           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                         ROWS UNBOUNDED PRECEDING) - n_tokens) / 500.0) AS BIGINT) AS bin
-        FROM (SELECT doc_id, ($bucket) % 4 AS shard, $ntok AS n_tokens
+        FROM (SELECT doc_id, $shard AS shard, $ntok AS n_tokens
               FROM documents))
       GROUP BY shard, bin"""
     }),

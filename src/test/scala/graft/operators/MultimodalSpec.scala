@@ -78,6 +78,32 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.isNullAt(bad.fieldIndex("width")))
   }
 
+  test("resize: an UNTYPED non-image payload passes through, never nulled") {
+    import org.apache.spark.sql.Row
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(7L, null, null, null, null, null, graft.fixtures.MediaFixture.wav(8000, 250)),
+        Row(8L, null, null, null, null, null, graft.fixtures.MediaFixture.image(20, 10, "png"))),
+      Multimodal.metadataSchema)
+    val out = Multimodal.resize(df, 10, 7)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    // an untyped row holding a valid WAV survives byte-for-byte — the NULL
+    // decode-failure marker is reserved for rows explicitly typed image
+    assert(Multimodal.Wav.parse(out(7L).getAs[Array[Byte]]("payload"))
+      .exists(_.durationMs == 250L))
+    // while an untyped row that DOES decode as an image is still resized
+    assert(out(8L).getAs[Integer]("width") === 10)
+    assert(out(8L).getAs[Integer]("height") === 7)
+  }
+
+  test("WAV parser clamps a truncated data chunk to the bytes present") {
+    // 8 kHz 16-bit mono declares 16000 data bytes for 1000 ms; hand it only
+    // 4000 — duration must reflect the REAL bytes (250 ms), not the header
+    val full = graft.fixtures.MediaFixture.wav(8000, 1000)
+    val truncated = java.util.Arrays.copyOfRange(full, 0, 44 + 4000)
+    assert(Multimodal.Wav.parse(truncated).exists(_.durationMs == 250L))
+  }
+
   test("WAV RIFF parser: sample rate, channels, duration; garbage rejected") {
     val meta = Multimodal.Wav.parse(graft.fixtures.MediaFixture.wav(44100, 1250))
     assert(meta === Some(Multimodal.Wav.Meta(44100, 1, 1250L)))
