@@ -57,7 +57,31 @@ object MediaFixture {
     buf.array()
   }
 
-  /** The five-payload corpus in [[Multimodal.metadataSchema]] shape, with
+  /** Minimal ISO-BMFF (MP4) container: an `ftyp` box followed by a `moov`
+    * holding one version-0 `mvhd` whose timescale/duration encode the given
+    * presentation length. No media tracks — the CONTAINER metadata is the
+    * contract the header probe recovers (frame decode stays stubbed). */
+  def mp4(timescale: Int, durationTicks: Long): Array[Byte] = {
+    val buf = ByteBuffer.allocate(16 + 116).order(ByteOrder.BIG_ENDIAN)
+    buf.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)        // major brand + minor
+    buf.putInt(116).put("moov".getBytes("US-ASCII"))
+    buf.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0)                                         // version 0 + flags
+      .putInt(0).putInt(0)                               // ctime, mtime
+      .putInt(timescale)
+      .putInt(durationTicks.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort)       // rate 1.0, volume 1.0
+      .put(new Array[Byte](10))                          // reserved
+      .putInt(0x00010000).putInt(0).putInt(0)            // identity matrix
+      .putInt(0).putInt(0x00010000).putInt(0)
+      .putInt(0).putInt(0).putInt(0x40000000)
+      .put(new Array[Byte](24))                          // pre_defined
+      .putInt(2)                                         // next_track_id
+    buf.array()
+  }
+
+  /** The six-payload corpus in [[Multimodal.metadataSchema]] shape, with
     * the decode-result fields (width/height/duration_ms) deliberately NULL
     * so decodeMedia must RECOVER them from the bytes. */
   def frame(spark: SparkSession): DataFrame = {
@@ -66,8 +90,9 @@ object MediaFixture {
       Row(2L, "image", "image/jpeg", null, null, null, image(64, 48, "jpg")),
       Row(3L, "image", "image/bmp", null, null, null, image(8, 8, "bmp")),
       Row(4L, "audio", "audio/wav", null, null, null, wav(8000, 500)),
-      Row(5L, "video", "video/mp4", null, null, null,
-        Array.tabulate[Byte](512)(i => (i * 31).toByte))) // no JDK video codec
+      Row(5L, "video", "video/mp4", null, null, null, mp4(600, 1500)), // 2500 ms
+      Row(6L, "video", "video/mp4", null, null, null,
+        Array.tabulate[Byte](512)(i => (i * 31).toByte))) // undecodable bytes
     spark.createDataFrame(
       new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
       Multimodal.metadataSchema)

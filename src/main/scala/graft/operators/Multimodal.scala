@@ -99,10 +99,12 @@ object Multimodal {
     * image dimensions from the codec HEADER only (`ImageReader.getWidth` —
     * never materializing the raster: a 50-MP JPEG costs a few header bytes
     * here, not 200 MB of decoded pixels), audio through the RIFF/WAVE
-    * parse. The media_type column routes each payload to its own probe;
-    * rows with an unknown/NULL type try both (both probes are header-cheap).
-    * Undecodable or unsupported payloads (including video) yield NULL
-    * width/height/duration — never an exception, never a dropped row. */
+    * parse, video CONTAINER duration through the ISO-BMFF `moov`/`mvhd`
+    * walk (byte arithmetic only — no codec; frame DECODE stays stubbed,
+    * see [[sampleFrames]]). The media_type column routes each payload to
+    * its own probe; rows with an unknown/NULL type try all three (every
+    * probe is header-cheap). Undecodable payloads yield NULL width/height/
+    * duration — never an exception, never a dropped row. */
   def decodeMedia(media: DataFrame): DataFrame = {
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(decodedSchema)
@@ -117,10 +119,15 @@ object Multimodal {
           val wavMeta =
             if ((mtype == "audio" || mtype == null) && dims.isEmpty) Wav.parse(bytes)
             else None
+          val mp4Ms =
+            if ((mtype == "video" || mtype == null) && dims.isEmpty && wavMeta.isEmpty)
+              Mp4.durationMs(bytes)
+            else None
           Row(id, mtype,
             dims.map(d => Integer.valueOf(d._1)).orNull,
             dims.map(d => Integer.valueOf(d._2)).orNull,
-            wavMeta.map(m => java.lang.Long.valueOf(m.durationMs)).orNull,
+            wavMeta.map(m => java.lang.Long.valueOf(m.durationMs))
+              .orElse(mp4Ms.map(java.lang.Long.valueOf(_))).orNull,
             java.lang.Long.valueOf(bytes.length.toLong))
         }
       }(outEnc)
@@ -236,6 +243,59 @@ object Multimodal {
       if (byteRate > 0 && dataSize >= 0)
         Some(Meta(sampleRate, channels, dataSize * 1000 / byteRate))
       else None
+    }
+  }
+
+  /** Minimal ISO-BMFF (MP4) container probe: walks the top-level box list
+    * for `moov`, then its children for `mvhd`, and derives the presentation
+    * duration from the movie-header timescale. Pure byte arithmetic — the
+    * same class as [[Wav]]: no codec, runs on arbitrary bytes under
+    * decodeMedia's never-throw contract, so box sizes are treated as
+    * unsigned/hostile (a corrupt size must neither loop, overflow, nor
+    * index out of bounds). Handles 32- and 64-bit box sizes and mvhd
+    * versions 0 and 1. */
+  private[operators] object Mp4 {
+
+    def durationMs(b: Array[Byte]): Option[Long] = {
+      def be32(o: Long): Long =
+        ((b(o.toInt) & 0xffL) << 24) | ((b(o.toInt + 1) & 0xffL) << 16) |
+          ((b(o.toInt + 2) & 0xffL) << 8) | (b(o.toInt + 3) & 0xffL)
+      def be64(o: Long): Long =
+        (be32(o) << 32) | be32(o + 4)
+      def tag(o: Long) = new String(b, o.toInt, 4, "US-ASCII")
+      // find box `name` inside [from, until); returns (payloadOff, payloadEnd)
+      def findBox(name: String, from: Long, until: Long): Option[(Long, Long)] = {
+        var off = from
+        while (off + 8 <= until) {
+          val size32 = be32(off)
+          val (size, hdr) =
+            if (size32 == 1L && off + 16 <= until) (be64(off + 8), 16L)
+            else if (size32 == 0L) (until - off, 8L)   // box extends to end
+            else (size32, 8L)
+          if (size < hdr || off + size > until || off + size < off) return None
+          if (tag(off + 4) == name) return Some((off + hdr, off + size))
+          off += size
+        }
+        None
+      }
+      findBox("moov", 0L, b.length.toLong).flatMap { case (moovOff, moovEnd) =>
+        findBox("mvhd", moovOff, moovEnd).flatMap { case (p, pEnd) =>
+          // v0 payload: version+flags(4) ctime(4) mtime(4) timescale(4)
+          // duration(4) = 20 bytes min; v1 widens ctime/mtime/duration to 8
+          if (pEnd - p < 20) None
+          else {
+            val version = b(p.toInt) & 0xff
+            if (version == 0) {
+              val timescale = be32(p + 12); val duration = be32(p + 16)
+              if (timescale > 0) Some(duration * 1000L / timescale) else None
+            } else if (version == 1 && pEnd - p >= 32) {
+              val timescale = be32(p + 20); val duration = be64(p + 24)
+              if (timescale > 0 && duration >= 0) Some(duration * 1000L / timescale)
+              else None
+            } else None
+          }
+        }
+      }
     }
   }
 

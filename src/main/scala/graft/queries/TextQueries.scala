@@ -234,12 +234,13 @@ object TextQueries {
         COUNT(DISTINCT md5(text)) AS n_distinct_payloads
       FROM documents GROUP BY source""")),
 
-    // ---- Multimodal intrinsic decode (REAL, JDK codecs) -------------------
-    // Payloads the fixture encodes with the JDK's own PNG/JPEG/BMP writers
-    // plus a hand-built PCM WAV; decodeMedia must RECOVER the dimensions /
-    // duration from the bytes map-side. The undecodable video row keeps its
-    // row with NULL intrinsics. The oracle is the construction parameters —
-    // a genuine end-to-end decode gate, not byte bookkeeping.
+    // ---- Multimodal intrinsic decode (REAL, JDK codecs + header probes) ---
+    // Payloads the fixture encodes with the JDK's own PNG/JPEG/BMP writers,
+    // a hand-built PCM WAV, and a hand-built ISO-BMFF MP4 (moov/mvhd);
+    // decodeMedia must RECOVER the dimensions / durations from the bytes
+    // map-side. The undecodable video row keeps its row with NULL
+    // intrinsics. The oracle is the construction parameters — a genuine
+    // end-to-end decode gate, not byte bookkeeping.
     Q("q67_media_decode", (s, _) => {
       graft.operators.Multimodal
         .decodeMedia(graft.fixtures.MediaFixture.frame(s))
@@ -251,7 +252,8 @@ object TextQueries {
         (CAST(2 AS BIGINT), 'image', 64, 48, CAST(NULL AS BIGINT)),
         (CAST(3 AS BIGINT), 'image', 8, 8, CAST(NULL AS BIGINT)),
         (CAST(4 AS BIGINT), 'audio', NULL, NULL, CAST(500 AS BIGINT)),
-        (CAST(5 AS BIGINT), 'video', NULL, NULL, CAST(NULL AS BIGINT))
+        (CAST(5 AS BIGINT), 'video', NULL, NULL, CAST(2500 AS BIGINT)),
+        (CAST(6 AS BIGINT), 'video', NULL, NULL, CAST(NULL AS BIGINT))
       ) AS t(media_id, media_type, width, height, duration_ms)"""))
   ) ++ samplingQueries ++ Seq(
 

@@ -41,7 +41,8 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L) === ((Some(64), Some(48), None)))  // JPEG
     assert(out(3L) === ((Some(8), Some(8), None)))    // BMP
     assert(out(4L) === ((None, None, Some(500L))))    // 8 kHz × 500 ms WAV
-    assert(out(5L) === ((None, None, None)))          // undecodable, row kept
+    assert(out(5L) === ((None, None, Some(2500L))))   // MP4: 1500 ticks @ 600 Hz
+    assert(out(6L) === ((None, None, None)))          // undecodable, row kept
   }
 
   test("resize really rescales images; non-images pass through untouched") {
@@ -49,7 +50,7 @@ class MultimodalSpec extends SparkSpec {
     val base = graft.fixtures.MediaFixture.frame(spark)
     // plant a CORRUPT image-typed row: only this class earns the NULL marker
     val corrupt = spark.createDataFrame(
-      java.util.Arrays.asList(Row(6L, "image", "image/png", null, null, null,
+      java.util.Arrays.asList(Row(9L, "image", "image/png", null, null, null,
         Array.tabulate[Byte](64)(i => (i * 7).toByte))),
       Multimodal.metadataSchema)
     val out = Multimodal.resize(base.unionByName(corrupt), 10, 7)
@@ -65,7 +66,7 @@ class MultimodalSpec extends SparkSpec {
     }
     // audio/video rows pass through with their payloads INTACT — an image
     // op must never erase a valid WAV
-    Seq(4L, 5L).foreach { id =>
+    Seq(4L, 5L, 6L).foreach { id =>
       val r = rows(id)
       assert(!r.isNullAt(r.fieldIndex("payload")))
       assert(r.getAs[Array[Byte]]("payload").length > 0)
@@ -73,7 +74,7 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Wav.parse(rows(4L).getAs[Array[Byte]]("payload"))
       .exists(_.durationMs == 500L))
     // only the corrupt IMAGE row gets the explicit decode-failure marker
-    val bad = rows(6L)
+    val bad = rows(9L)
     assert(bad.isNullAt(bad.fieldIndex("payload")))
     assert(bad.isNullAt(bad.fieldIndex("width")))
   }
@@ -138,6 +139,28 @@ class MultimodalSpec extends SparkSpec {
       val expectMs = (rate * ms / 1000) * 1000L / rate
       assert(parsed.get.durationMs === expectMs, s"rate=$rate ms=$ms")
     }
+  }
+
+  test("MP4 probe: mvhd duration recovered; hostile boxes never throw or loop") {
+    import graft.fixtures.MediaFixture
+    assert(Multimodal.Mp4.durationMs(MediaFixture.mp4(600, 1500)) === Some(2500L))
+    assert(Multimodal.Mp4.durationMs(MediaFixture.mp4(1000, 0)) === Some(0L))
+    assert(Multimodal.Mp4.durationMs(Array.emptyByteArray) === None)
+    assert(Multimodal.Mp4.durationMs(Array[Byte](1, 2, 3)) === None)
+    // a WAV is not a box list: its RIFF "size" reads as a giant box → None
+    assert(Multimodal.Mp4.durationMs(MediaFixture.wav(8000, 100)) === None)
+    // hostile: a moov child whose unsigned size overflows its parent
+    val evil = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.BIG_ENDIAN)
+      .putInt(24).put("moov".getBytes("US-ASCII"))
+      .putInt(0xfffffff0).put("mvhd".getBytes("US-ASCII")).putInt(0)
+    assert(Multimodal.Mp4.durationMs(evil.array()) === None)
+    // truncated: mvhd header present but payload cut before the duration
+    val full = MediaFixture.mp4(600, 1500)
+    assert(Multimodal.Mp4.durationMs(
+      java.util.Arrays.copyOfRange(full, 0, 40)) === None)
+    // zero timescale must not divide
+    val zeroTs = MediaFixture.mp4(0, 1500)
+    assert(Multimodal.Mp4.durationMs(zeroTs) === None)
   }
 
   test("frame sampling stub: explode shape with stride") {
