@@ -16,10 +16,10 @@ import graft.functions.Text._
   *    quadratic;
   *  - SimHash = fingerprint per doc, near-dup = same-key join on rotated
   *    fingerprint bands (hamming-adjacent buckets);
-  *  - connected components for cluster collapse are approximated by
-  *    min-doc-id propagation within candidate groups (one supergroup pass —
-  *    iterative label propagation is deliberately avoided; at 100 TB the
-  *    candidate graph is tiny relative to the corpus).
+  *  - cluster collapse resolves TRUE connected components over the verified
+  *    pair graph (min-label propagation with pointer doubling, O(log D)
+  *    rounds) — the iteration runs only on the pair graph, which at 100 TB
+  *    is tiny relative to the corpus, never on the corpus itself.
   */
 object Dedup {
 
@@ -272,11 +272,81 @@ object Dedup {
       .drop("__clean", "__had_text")
   }
 
+  /** Canonical (connected-component-minimum) label for every doc appearing
+    * in `pairs` (doc_a, doc_b): bounded min-label propagation with pointer
+    * doubling, so a chain a–b–c resolves c to a, not to b — the attribution
+    * a user joining dropped docs back to their representative depends on.
+    *
+    * Convergence: labels only decrease (min is monotone) and each round
+    * both pulls the min over neighbors AND jumps one pointer level
+    * (l ← l(l)), so component diameter D resolves in O(log D) rounds —
+    * `maxIters` = 32 covers any graph that fits in storage. Each round is
+    * two joins on the PAIRS graph (tiny relative to the corpus — only docs
+    * with a verified near-dup appear), never on the corpus; the rounds run
+    * over a localCheckpoint so the upstream pair-generation pipeline (LSH
+    * self-join) executes exactly once and the returned frame stays valid
+    * with no pinned cache to leak. */
+  def canonicalLabels(pairs: DataFrame, maxIters: Int = 32): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+      .localCheckpoint()
+    var cur = edges.groupBy(col("x"))
+      .agg(least(col("x"), min(col("y"))).as("lbl"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      // pull: min label over neighbors
+      val nbr = edges
+        .join(cur.select(col("x").as("y"), col("lbl").as("ylbl")), Seq("y"))
+        .groupBy(col("x")).agg(min(col("ylbl")).as("cand"))
+      val pulled = cur.join(nbr, Seq("x"), "left")
+        .select(col("x"),
+          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
+      // jump: l ← l(l) — labels are themselves node ids, so one self-join
+      // halves the remaining chain depth
+      val next = pulled
+        .join(pulled.select(col("x").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+        .select(col("x"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      converged = next
+        .join(cur.select(col("x"), col("lbl").as("old")), Seq("x"))
+        .filter(col("lbl") < col("old"))
+        .isEmpty
+      releaseCheckpoint(cur) // superseded round: next is materialized, free it
+      cur = next
+      iter += 1
+    }
+    releaseCheckpoint(edges)
+    if (!converged)
+      throw new IllegalStateException(
+        s"canonicalLabels did not converge in $maxIters rounds — component " +
+          "diameter exceeds 2^maxIters, which no physical pair graph does")
+    cur
+  }
+
+  /** Drop a superseded localCheckpoint's blocks eagerly instead of waiting
+    * for the ContextCleaner: during the label iteration only the newest
+    * round is ever read again, so storage stays bounded at two label tables
+    * regardless of round count. (The FINAL round's checkpoint is the
+    * returned frame's physical data and is released by GC when the caller
+    * drops it.) */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => () // not a materialized checkpoint — nothing to free
+    }
+
   /** Keep-one collapse over verified near-dup pairs: every doc maps to the
-    * min id of its candidate group (single pass, non-iterative). */
+    * MINIMUM id of its connected component ([[canonicalLabels]] — fully
+    * transitive, so for chain pairs (a,b),(b,c) doc c resolves to a). Docs
+    * in no pair keep their own id. */
   def collapseToCanonical(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
-    val canon = pairs.groupBy(col("doc_b").as(idCol))
-      .agg(min(col("doc_a")).as("__canon"))
+    val canon = canonicalLabels(pairs)
+      .select(col("x").as(idCol), col("lbl").as("__canon"))
     df.join(canon, Seq(idCol), "left")
       .withColumn("canonical_id", coalesce(col("__canon"), col(idCol)))
       .drop("__canon")

@@ -344,7 +344,9 @@ object TextQueries {
     // Every stage of Curation.run re-derived independently in SQL: exact
     // dedup = one survivor per md5 fingerprint; near-dup = MinHash-LSH
     // bands (3×2, seeds 0..5) → true trigram Jaccard ≥ 0.5; collapse keeps
-    // docs never appearing as a pair's doc_b; quality floor = the shared
+    // each pair-graph component's MINIMUM doc (the oracle re-derives true
+    // connected components via recursive transitive closure — matching the
+    // operator's transitive label propagation); quality floor = the shared
     // q21 blend ≥ 0.3. The four counts must match Spark's single-pass run.
     Q("q74_curation_summary", (s, dir) => {
       graft.operators.Curation.run(table(s, dir, "documents")).summary
@@ -353,7 +355,7 @@ object TextQueries {
       val mh = (0 until 6).map(j =>
         s"list_min(list_transform(sh, x -> md5('$j:' || x))) AS mh_$j").mkString(", ")
       s"""
-      WITH surv AS (
+      WITH RECURSIVE surv AS (
         SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5($NORM)),
       ssh AS (
         SELECT d.doc_id, $sh3 AS sh FROM documents d JOIN surv USING (doc_id)),
@@ -372,8 +374,16 @@ object TextQueries {
         WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
           / CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
           >= 0.5),
+      undir AS (SELECT da AS a, db AS b FROM ver UNION SELECT db, da FROM ver),
+      reach(s, t) AS (
+        SELECT a, b FROM undir
+        UNION
+        SELECT r.s, u.b FROM reach r JOIN undir u ON r.t = u.a),
       kept AS (
-        SELECT doc_id FROM surv WHERE doc_id NOT IN (SELECT db FROM ver)),
+        -- component minima: docs with no SMALLER doc reachable in the
+        -- verified near-dup graph (true transitive collapse)
+        SELECT doc_id FROM surv
+        WHERE doc_id NOT IN (SELECT s FROM reach WHERE t < s)),
       cur AS (
         SELECT k.doc_id FROM kept k JOIN documents d USING (doc_id)
         WHERE $QUALITY_SQL >= 0.3)
@@ -383,6 +393,33 @@ object TextQueries {
         (SELECT COUNT(*) FROM kept) AS n_after_near_dedup,
         (SELECT COUNT(*) FROM cur) AS n_curated"""
     }),
+
+    // ---- Transitive canonical collapse (connected components) -------------
+    // Inline pair fixture holding a 4-chain with a branch — the shape where
+    // a one-pass min(doc_a)-per-doc_b collapse misattributes (3→2, 4→3,
+    // 5→2). The operator's pointer-doubling label propagation must resolve
+    // every doc to its component MINIMUM; the oracle computes true
+    // connected components via a recursive transitive closure.
+    Q("q79_transitive_collapse", (s, _) => {
+      import s.implicits._
+      val ids = (1L to 8L).toDF("doc_id")
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (6L, 7L))
+        .toDF("doc_a", "doc_b")
+      graft.operators.Dedup.collapseToCanonical(ids, pairs, "doc_id")
+        .select(col("doc_id"), col("canonical_id"))
+    }, Some("""
+      WITH RECURSIVE
+      edges(a, b) AS (SELECT * FROM (VALUES (1,2),(2,3),(3,4),(2,5),(6,7))),
+      undir AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+      reach(s, t) AS (
+        SELECT a, b FROM undir
+        UNION
+        SELECT r.s, u.b FROM reach r JOIN undir u ON r.t = u.a),
+      docs(doc_id) AS (SELECT unnest(generate_series(1, 8))),
+      canon AS (SELECT s AS doc_id, MIN(t) AS m FROM reach GROUP BY s)
+      SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        CAST(COALESCE(LEAST(c.m, d.doc_id), d.doc_id) AS BIGINT) AS canonical_id
+      FROM docs d LEFT JOIN canon c USING (doc_id)""")),
 
     // ---- Repeated-n-gram ratio (Gopher-style repetition signal) ----------
     // Map-side per-doc ratio over trigram shingles; aggregate per source

@@ -140,4 +140,35 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === 1L)
     assert(out(4L) === 4L)
   }
+
+  test("collapseToCanonical resolves chains TRANSITIVELY to the component min") {
+    // chain 1-2-3-4 plus a branch (2,5): one component {1..5}; pair (6,7);
+    // isolated 8. The old one-pass collapse would misattribute 3→2, 4→3,
+    // 5→2 — every chain doc must resolve to the component MINIMUM.
+    val ids = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 5L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.collapseToCanonical(ids, pairs, "doc_id")
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 6L, 8L -> 8L))
+  }
+
+  test("collapseToCanonical: a 64-deep chain converges (pointer doubling)") {
+    // worst-case diameter for the iteration bound: a pure path graph;
+    // pointer doubling must resolve depth 64 in ~6 rounds, far under the cap
+    val ids = (1L to 65L).toDF("doc_id")
+    val pairs = (1L to 64L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.collapseToCanonical(ids, pairs, "doc_id")
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L), s"non-root labels: ${out.filter(_._2 != 1L).toSeq}")
+  }
+
+  test("canonicalLabels on an empty pair set leaves every doc its own canon") {
+    val ids = (1L to 4L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Dedup.collapseToCanonical(ids, pairs, "doc_id")
+      .select("doc_id", "canonical_id").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
 }
