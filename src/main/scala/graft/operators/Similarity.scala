@@ -64,12 +64,12 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style approximate top-k: a deterministic coarse quantizer (the
-    * `nCells` lowest-id vectors act as centroids) partitions the corpus into
-    * cells by nearest centroid; a query scores only the `nProbe` cells whose
-    * centroids are closest to it. The 100 TB shape: cell assignment is a
-    * broadcast argmin at ingest (write-once, partition-by-cell), and each
-    * query reads nProbe/nCells of the data. */
+  /** IVF-style approximate top-k: a deterministic sampled-k-means coarse
+    * quantizer partitions the corpus into cells by nearest centroid; a
+    * query scores only the `nProbe` cells whose centroids are closest to
+    * it. The 100 TB shape: cell assignment is a broadcast argmin at ingest
+    * (write-once, partition-by-cell), and each query reads nProbe/nCells
+    * of the data. */
   def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -88,11 +88,71 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic coarse quantizer: the `nCells` lowest-id vectors. */
-  private def ivfCentroids(embeddings: DataFrame, nCells: Int,
-      idCol: String, vecCol: String): DataFrame =
-    embeddings.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+  /** Deterministic coarse quantizer: Lloyd k-means over a HASH-ORDERED
+    * sample, run on the driver. Why not the nCells lowest-id vectors (the
+    * old quantizer): arbitrary-id centroids are ingestion-order-biased and
+    * on clustered real embeddings give wildly unbalanced cells — the
+    * hot-partition failure the IVF index exists to avoid. Why a driver
+    * k-means is the right scale shape: the sample is capped at `sampleCap`
+    * rows (md5-of-id order — engine-portable hash randomness, same family
+    * as [[Sampling]]; TakeOrderedAndProject, never a global sort), so the
+    * collect is bounded by CONFIG, not data scale (4096×64 floats ≈ 1 MB),
+    * and sequential driver arithmetic makes the quantizer bit-deterministic
+    * across reruns/partitionings — which the index/in-memory equivalence
+    * contract needs. Ties break to the lowest cell id; an emptied cell
+    * keeps its previous centroid (never a NaN, never a lost cell id). */
+  private[operators] def ivfCentroids(embeddings: DataFrame, nCells: Int,
+      idCol: String, vecCol: String,
+      sampleCap: Int = 4096, iters: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import org.apache.spark.sql.types._
+    val centSchema = StructType(Seq(
+      StructField("cell_id", LongType, nullable = false),
+      StructField("centroid", ArrayType(FloatType))))
+    val sample: Array[Array[Double]] = embeddings
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .limit(sampleCap)
+      .collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    sample.foreach { v =>
+      if (init.length < nCells && !init.exists(_.sameElements(v))) init += v
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    if (init.nonEmpty) {
+      val dims = init.head.length
+      var cents = init.toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(cents.length)(new Array[Double](dims))
+        val counts = new Array[Long](cents.length)
+        sample.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            var d = 0.0; var i = 0
+            while (i < dims) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = c } // strict < ⇒ lowest cell wins ties
+            c += 1
+          }
+          var i = 0
+          while (i < dims) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+        it += 1
+      }
+      cents.zipWithIndex.foreach { case (v, c) =>
+        rows.add(org.apache.spark.sql.Row(c.toLong, v.map(_.toFloat).toSeq))
+      }
+    }
+    spark.createDataFrame(rows, centSchema)
+  }
 
   /** Assign every vector to its nearest centroid MAP-SIDE: the centroid
     * table collapses to a single array row, broadcast onto every vector,

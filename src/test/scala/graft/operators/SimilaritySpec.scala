@@ -82,6 +82,26 @@ class SimilaritySpec extends SparkSpec {
       s"expected 4 probed-cell partitions, got ${scans.head.selectedPartitions.partitionCount}")
   }
 
+  test("IVF quantizer: deterministic k-means, balanced cells, full coverage") {
+    // bit-determinism across calls (the index/in-memory equivalence contract)
+    val c1 = Similarity.ivfCentroids(emb, 8, "vec_id", "embedding")
+      .collect().map(_.toString).sorted.toSeq
+    val c2 = Similarity.ivfCentroids(emb, 8, "vec_id", "embedding")
+      .collect().map(_.toString).sorted.toSeq
+    assert(c1 === c2)
+    // cell balance: the reason k-means replaced lowest-id centroids — no
+    // cell may hog the corpus (the hot-partition failure at 100 TB)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-bal").toString + "/index"
+    Similarity.ivfWriteIndex(emb, dir, nCells = 8)
+    val sizes = spark.read.parquet(s"$dir/cells")
+      .groupBy("cell_id").count().as[(Long, Long)].collect().map(_._2)
+    val total = sizes.sum
+    assert(total === emb.count(), "every vector assigned to exactly one cell")
+    val mean = total.toDouble / 8
+    assert(sizes.max <= 4 * mean,
+      s"hot cell: max ${sizes.max} vs mean $mean (sizes ${sizes.sorted.toSeq})")
+  }
+
   test("near-dup pairs: bucketed by label, all above threshold, a<b") {
     val pairs = Similarity.nearDupPairs(emb, "label", 0.2)
       .as[(Long, Long, Double)].collect()
