@@ -18,8 +18,10 @@ import org.apache.spark.sql.functions._
   * key, so it cannot prune file IO (the scan still reads every row and
   * filters map-side — cheap, but not free at 100 TB): a deployment that
   * samples the same table repeatedly should materialize `hashBucket` as a
-  * partition/bucketing column at write time, turning every later sample
-  * into a metadata-only prune.
+  * partition/bucketing column at write time — that write is
+  * [[graft.sources.Warehouse.writeBucketed]], and
+  * [[graft.sources.Warehouse.sampleBucketed]] is the metadata-only prune
+  * over it.
   */
 object Sampling {
 

@@ -464,6 +464,26 @@ object TextQueries {
         WHERE ${Sampling.hashBucketSql("doc_id")} < ${Sampling.BUCKETS / 4}
         GROUP BY source""")),
 
+      // Bucketed-sample round trip: hashBucket materialized as a partition
+      // layout at write (Warehouse.writeBucketed), then a fraction-0.1
+      // sample read back through the METADATA-pruned path — must select
+      // exactly the rows the expression-filter sample selects (same md5
+      // arithmetic the oracle recomputes). The pruning itself is asserted
+      // plan-level in WarehouseSpec; here the gate is end-to-end equality.
+      Q("q80_bucketed_sample", (s, dir) => {
+        val docs = table(s, dir, "documents")
+        val out = java.nio.file.Files
+          .createTempDirectory("graft-q80").toString + "/docs"
+        graft.sources.Warehouse.writeBucketed(docs, out, "doc_id")
+        graft.sources.Warehouse.sampleBucketed(s, out, 0.1)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+      }, Some(s"""
+        SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM documents
+        WHERE ${Sampling.hashBucketSql("doc_id")} < ${Sampling.BUCKETS / 10}
+        GROUP BY source""")),
+
       // Train/val/test split by hash bucket: disjoint, exhaustive, stable.
       // The oracle's CASE arms derive from the same weights constant the
       // operator defaults to, so the two can never drift.

@@ -35,6 +35,49 @@ object Warehouse {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Materialize [[graft.operators.Sampling.hashBucket]] as a partition
+    * layout so repeated deterministic samples prune FILE IO instead of
+    * scanning the whole table (the gap `Sampling`'s scaladoc documents: a
+    * bucket predicate over an expression is map-side cheap but still reads
+    * every row). Layout: `hash_bucket` stored as a data column (exact
+    * refinement), `bucket_group` = hash_bucket div (BUCKETS/nGroups) as the
+    * partition column — nGroups=100 keeps the directory fan-out sane while
+    * a fraction-f sample reads ~f of the groups. One shuffle on the group
+    * key so each group is one splittable file, not one file per task per
+    * group (the small-files problem compact exists to fix). */
+  def writeBucketed(df: DataFrame, path: String, keyCol: String,
+      nGroups: Int = 100): Unit = {
+    import graft.operators.Sampling
+    require(nGroups > 0 && Sampling.BUCKETS % nGroups == 0,
+      s"nGroups ($nGroups) must divide ${Sampling.BUCKETS}")
+    val per = Sampling.BUCKETS / nGroups
+    df.withColumn("hash_bucket", Sampling.hashBucket(col(keyCol)))
+      .withColumn("bucket_group", expr(s"hash_bucket div $per"))
+      .repartition(col("bucket_group"))
+      .write
+      .partitionBy("bucket_group")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  /** Deterministic fraction-f sample over a [[writeBucketed]] table: the
+    * `bucket_group` predicate prunes partitions from METADATA (no data file
+    * of an unselected group is opened); the stored `hash_bucket` refines
+    * the boundary group exactly. Same nested-sample semantics as
+    * [[graft.operators.Sampling.sample]] — same key, larger fraction ⇒
+    * superset. `nGroups` must match the write. */
+  def sampleBucketed(spark: SparkSession, path: String, fraction: Double,
+      nGroups: Int = 100): DataFrame = {
+    import graft.operators.Sampling
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    val cut = math.round(fraction * Sampling.BUCKETS)
+    val per = Sampling.BUCKETS / nGroups
+    val df = spark.read.parquet(path)
+    if (cut <= 0) df.filter(lit(false))
+    else df.filter(col("bucket_group") <= (cut - 1) / per &&
+      col("hash_bucket") < cut)
+  }
+
   /** Compact an append-accumulated warehouse into `dst`: the small-files
     * problem is the operational cost of S7 at scale (every `append` batch
     * adds a file per partition; a year of daily loads = hundreds of files

@@ -100,6 +100,39 @@ class WarehouseSpec extends SparkSpec {
     load() // restore the 1-batch layout for other tests
   }
 
+  test("writeBucketed + sampleBucketed: samples prune partitions from metadata") {
+    import spark.implicits._
+    val docs = graft.queries.Registry.table(spark, sf0001, "documents")
+    val dir = Files.createTempDirectory("graft-wh-bucketed").toString + "/docs"
+    Warehouse.writeBucketed(docs, dir, "doc_id", nGroups = 20)
+
+    val sampled = Warehouse.sampleBucketed(spark, dir, 0.25, nGroups = 20)
+    // the whole point: the scan selects only the groups the fraction names
+    // (ceil(0.25 × 20) = 5 of 20), decided from partition metadata alone
+    val scans = sampled.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.selectedPartitions.partitionCount === 5,
+      scans.head.selectedPartitions.toString)
+
+    // and the pruned read selects EXACTLY the rows Sampling.sample selects
+    // over the raw table — materializing the bucket changes IO, never the
+    // sample
+    val viaBuckets = sampled.select("doc_id").as[Long].collect().toSet
+    val viaExpr = graft.operators.Sampling.sample(docs, "doc_id", 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBuckets === viaExpr)
+
+    // nested-sample property survives the bucketed path
+    val smaller = Warehouse.sampleBucketed(spark, dir, 0.1, nGroups = 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(smaller.subsetOf(viaBuckets))
+
+    // zero fraction: no rows, no scan surprises
+    assert(Warehouse.sampleBucketed(spark, dir, 0.0, nGroups = 20).count() === 0L)
+  }
+
   test("column projection reaches the parquet scan (ReadSchema pruning)") {
     load()
     val df = Warehouse.read(spark, whDir).select("total_price")
