@@ -48,13 +48,15 @@ object Curation {
       minQuality: Double = 0.3,
       jaccardThreshold: Double = 0.5,
       maxRepetition: Double = 1.0,
+      bands: Int = 3,
+      rows: Int = 2,
       resultScope: Option[CacheScope] = None): Result = {
     val scope = new CacheScope
     try {
       val exact = scope.persist(Dedup.exact(docs, textCol, idCol))
 
-      val nearPairs =
-        Dedup.minhashNearDups(exact, textCol, idCol, jaccardThreshold, scope = scope)
+      val nearPairs = Dedup.minhashNearDups(exact, textCol, idCol,
+        jaccardThreshold, bands = bands, rows = rows, scope = scope)
       val collapsed = resultScope.getOrElse(scope).persist(
         Dedup.collapseToCanonical(exact, nearPairs, idCol)
           .filter(col("canonical_id") === col(idCol))

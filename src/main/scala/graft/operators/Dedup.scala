@@ -105,13 +105,14 @@ object Dedup {
       .distinct()
   }
 
-  /** Verified near-dup pairs: LSH candidates filtered by true n-gram
-    * Jaccard ≥ threshold (computed only on candidates). */
-  def minhashNearDups(
-      df: DataFrame, textCol: String, idCol: String,
-      threshold: Double, n: Int = 3, bands: Int = 3, rows: Int = 2,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, n, bands, rows, scope)
+  /** True n-gram Jaccard verification over an EXPLICIT candidate pair set
+    * (doc_a, doc_b) — the second half of [[minhashNearDups]], exposed on
+    * its own because the incremental-ingest path needs it too: candidates
+    * from [[minhashCandidatesAgainst]] verify against the accumulated
+    * corpus exactly like full-corpus candidates do. Joins shingles onto
+    * candidates only — never all pairs. */
+  def verifyPairs(cands: DataFrame, df: DataFrame, textCol: String,
+      idCol: String, threshold: Double, n: Int = 3): DataFrame = {
     val sh = df.select(col(idCol).as("__id"),
       array_distinct(shingles(col(textCol), n)).as("__sh"))
     cands
@@ -123,6 +124,15 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** Verified near-dup pairs: LSH candidates filtered by true n-gram
+    * Jaccard ≥ threshold (computed only on candidates). */
+  def minhashNearDups(
+      df: DataFrame, textCol: String, idCol: String,
+      threshold: Double, n: Int = 3, bands: Int = 3, rows: Int = 2,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    verifyPairs(minhashCandidates(df, textCol, idCol, n, bands, rows, scope),
+      df, textCol, idCol, threshold, n)
 
   /** `bits`-wide SimHash fingerprint column (md5 hex-digit bit voting over
     * whitespace tokens — the exact semantics the oracle reproduces), as the
