@@ -47,13 +47,20 @@ object Bench {
     }
     spark.catalog.clearCache()
 
-    // best of three runs: single-shot timings at this scale carry ±15% noise
-    // from GC/AQE scheduling, and a pause can span two consecutive runs of
-    // the same query (r4 recorded q03 at 1.74s where its steady state is
-    // ~0.5s — unreproducible afterwards; see BENCH_NOTES.md). min of three
-    // is robust to a single straddling pause at +~50% bench wall-clock.
-    val results = battery.map { q =>
-      val times = (1 to 3).map { _ =>
+    // Best of three INTERLEAVED battery passes. Why interleaved, not three
+    // back-to-back runs per query: a GC/scheduling pause is localized at a
+    // battery POSITION (heap state there is reproducible), so back-to-back
+    // best-of-3 lets one pause regime straddle every rep of the same query
+    // — the r4 q03 and r5 q09/q57 phantom regressions (BENCH_NOTES.md).
+    // Separated passes decorrelate that: the same query meets three
+    // different heap states, and min() keeps the clean one. System.gc()
+    // before each timed run pre-pays collection OUTSIDE the timed window,
+    // so accumulated garbage from earlier queries can't bill a later one.
+    val gcPerQuery = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
+    val times = scala.collection.mutable.Map.empty[String, List[Double]]
+    (1 to 3).foreach { _ =>
+      battery.foreach { q =>
+        if (gcPerQuery) System.gc()
         val t0 = System.nanoTime()
         try { materialize(q.run(spark, sfDir)) }
         catch { case e: Throwable =>
@@ -65,10 +72,10 @@ object Bench {
         // degrade every LATER query's timing (observed as a creeping
         // regression in whatever runs last in the battery).
         spark.catalog.clearCache()
-        dt
+        times(q.name) = dt :: times.getOrElse(q.name, Nil)
       }
-      q.name -> times.min
     }
+    val results = battery.map(q => q.name -> times(q.name).min)
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -301,9 +301,10 @@ object Dedup {
       .select(col("doc_a").as("x"), col("doc_b").as("y"))
       .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
       .localCheckpoint()
-    var cur = edges.groupBy(col("x"))
+    var curChk = edges.groupBy(col("x"))
       .agg(least(col("x"), min(col("y"))).as("lbl"))
       .localCheckpoint()
+    var cur = curChk
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -316,17 +317,21 @@ object Dedup {
           least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
       // jump: l ← l(l) — labels are themselves node ids, so one self-join
       // halves the remaining chain depth
-      val next = pulled
-        .join(pulled.select(col("x").as("lbl"), col("lbl").as("lbl2")),
+      val jumped = pulled
+        .join(pulled.select(col("lbl").as("lbl2"), col("x").as("lbl")),
           Seq("lbl"), "left")
         .select(col("x"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+      // fold the convergence comparison into the SAME materialization job
+      // (a separate post-hoc join would double the per-round job count —
+      // the rounds are all driver-side latency at small pair-graph sizes)
+      val next = jumped
+        .join(cur.select(col("x"), col("lbl").as("__old")), Seq("x"))
+        .select(col("x"), col("lbl"), (col("lbl") < col("__old")).as("__changed"))
         .localCheckpoint()
-      converged = next
-        .join(cur.select(col("x"), col("lbl").as("old")), Seq("x"))
-        .filter(col("lbl") < col("old"))
-        .isEmpty
-      releaseCheckpoint(cur) // superseded round: next is materialized, free it
-      cur = next
+      converged = next.filter(col("__changed")).isEmpty // checkpoint scan, limit-1
+      releaseCheckpoint(curChk) // superseded round: next is materialized, free it
+      curChk = next
+      cur = next.select(col("x"), col("lbl"))
       iter += 1
     }
     releaseCheckpoint(edges)
