@@ -355,6 +355,28 @@ object Dedup {
       case _ => () // not a materialized checkpoint — nothing to free
     }
 
+  /** Benchmark decontamination (the GPT-3/PaLM discipline): flag every
+    * corpus document sharing at least one word n-gram with a held-out
+    * benchmark set, so evaluation data can be excised from training data.
+    * Returns (idCol, n_contaminated_ngrams) for CONTAMINATED docs only —
+    * left-anti join the result against the corpus to drop them.
+    *
+    * Scale shape: the benchmark is eval-set sized (thousands of docs, not
+    * the corpus), so its distinct n-grams BROADCAST; the corpus side is a
+    * map-side explode into a broadcast hash join plus one groupBy on the
+    * doc id. The corpus is never shuffled by n-gram. `n` defaults to 13 —
+    * the published decontamination window; small fixtures use smaller n. */
+  def contaminated(docs: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, n: Int = 13): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(shingles(col(textCol), n)).as("__g")).distinct()
+    docs.select(col(idCol),
+        explode(array_distinct(shingles(col(textCol), n))).as("__g"))
+      .join(broadcast(benchGrams), Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated_ngrams"))
+  }
+
   /** Keep-one collapse over verified near-dup pairs: every doc maps to the
     * MINIMUM id of its connected component ([[canonicalLabels]] — fully
     * transitive, so for chain pairs (a,b),(b,c) doc c resolves to a). Docs

@@ -35,6 +35,32 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame =
     df.filter(qualityScore(col(textCol)) >= minQuality)
 
+  /** PII patterns applied by [[redactPii]], in application ORDER (email
+    * first: an address contains digit runs a later phone pass would
+    * otherwise shred mid-token). Patterns are deliberately restricted to
+    * the regex intersection of Java's engine and RE2 (no lookaround, no
+    * backreferences, no `\s` — Java's includes \x0B, RE2's does not) so an
+    * oracle replica running the same patterns elsewhere matches
+    * byte-for-byte. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
+    "\\+?[0-9][0-9()\\- ]{6,}[0-9]\\b" -> "<PHONE>")
+
+  /** Redact personal identifiers (emails, IPv4s, phone-shaped digit runs)
+    * with typed placeholder tokens — the scrub a corpus takes before text
+    * leaves curation. Pure map-side `regexp_replace` chain: no UDF, no
+    * shuffle, codegen'd, NULL text stays NULL. Deliberately conservative
+    * pattern set: a redactor must never mangle prose, so only
+    * unambiguously-shaped identifiers match (precision over recall — a
+    * production deployment extends [[piiPatterns]], it doesn't loosen
+    * them). */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn(textCol,
+      piiPatterns.foldLeft(col(textCol)) { case (c, (pat, repl)) =>
+        regexp_replace(c, pat, repl)
+      })
+
   /** CCNet-style perplexity proxy: per-document mean negative log
     * probability of its tokens under the CORPUS'S OWN unigram distribution.
     * Low = built from common tokens (prose-like for this corpus), high =

@@ -282,6 +282,66 @@ object TextQueries {
         (CAST(5 AS BIGINT), 'echo' || chr(10) || 'echo' || chr(10) || 'foxtrot')
       ) AS t(doc_id, text)""")),
 
+    // ---- PII redaction (the pre-release corpus scrub) ---------------------
+    // Map-side regexp_replace chain over an inline fixture with planted
+    // identifiers; the oracle is the hand-derived ground truth (VALUES),
+    // not an engine regex replica — the gate proves OUR patterns redact
+    // exactly what they claim, including the root@<ip> edge (no TLD ⇒ not
+    // an email, but the address IS an IP) and NULL pass-through.
+    Q("q81_pii_redaction", (s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "contact me at jane.doe+spam@example-mail.co.uk for details"),
+        (2L, "server at 192.168.0.1 responded"),
+        (3L, "call +1 (555) 123-4567 now"),
+        (4L, "no pii here just words"),
+        (5L, "mail root@10.0.0.5 and 10.0.0.9"),
+        (6L, "a1234567890@mail.com wrote this"),
+        (7L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+      graft.operators.TextAnalysis.redactPii(docs)
+        .select(col("doc_id"), col("text"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), 'contact me at <EMAIL> for details'),
+        (CAST(2 AS BIGINT), 'server at <IP> responded'),
+        (CAST(3 AS BIGINT), 'call <PHONE> now'),
+        (CAST(4 AS BIGINT), 'no pii here just words'),
+        (CAST(5 AS BIGINT), 'mail root@<IP> and <IP>'),
+        (CAST(6 AS BIGINT), '<EMAIL> wrote this'),
+        (CAST(7 AS BIGINT), CAST(NULL AS VARCHAR))
+      ) AS t(doc_id, text)""")),
+
+    // ---- Benchmark decontamination (eval-overlap excision) ----------------
+    // src0 stands in for the held-out benchmark; every OTHER source's docs
+    // sharing any trigram with it are flagged with their overlap count.
+    // Spark: benchmark n-grams broadcast onto a map-side explode of the
+    // corpus — the corpus is never shuffled by n-gram. Oracle re-derives
+    // the same per-doc-distinct trigram overlap relationally.
+    Q("q82_decontamination", (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bench = docs.filter(col("source") === "src0")
+      val corpus = docs.filter(col("source") =!= "src0")
+      val hits = graft.operators.Dedup.contaminated(
+        corpus, bench, "text", "doc_id", n = 3)
+      corpus.select(col("doc_id"), col("source")).join(hits, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_contaminated_docs"),
+          sum(col("n_contaminated_ngrams")).as("n_overlap_ngrams"))
+    }, Some {
+      val sh3 = s"list_distinct(list_transform(generate_series(1, GREATEST(len($TOKS)-2, 0)), i -> array_to_string(($TOKS)[i:i+2], ' ')))"
+      s"""
+      WITH bg AS (
+        SELECT DISTINCT unnest($sh3) AS g FROM documents WHERE source = 'src0'),
+      dg AS (
+        SELECT doc_id, source, unnest($sh3) AS g
+        FROM documents WHERE source <> 'src0')
+      SELECT source, COUNT(DISTINCT doc_id) AS n_contaminated_docs,
+        COUNT(*) AS n_overlap_ngrams
+      FROM dg JOIN bg USING (g)
+      GROUP BY source"""
+    }),
+
     // ---- Unigram NLL (CCNet-style perplexity proxy) -----------------------
     // Per-doc mean -ln p(token) under the corpus's own unigram model,
     // aggregated per source. ln differs across libm in the last ulp, so

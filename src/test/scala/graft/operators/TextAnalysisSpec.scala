@@ -75,4 +75,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rep.getAs[Long]("n_docs") === 4L)
     assert(rep.getAs[Long]("total_tokens") > 0)
   }
+
+  test("redactPii scrubs identifiers map-side and preserves everything else") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "reach ops@team.example.org or 10.1.2.3 or +44 20 7946 0958 today"),
+      (2L, "version 1.2.3 of lib and section 4.5 stay untouched"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("text"))).toMap
+    assert(out(1L) === Some("reach <EMAIL> or <IP> or <PHONE> today"))
+    // near-miss shapes (semver, section numbers) must survive: the pattern
+    // set is precision-first
+    assert(out(2L) === Some("version 1.2.3 of lib and section 4.5 stay untouched"))
+    assert(out(3L) === None)
+    // no shuffle: the plan is a single projection over the scan
+    val plan = TextAnalysis.redactPii(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("contaminated: n-gram overlap against a broadcast benchmark") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely unrelated sentence about parquet files"),
+      (3L, "the quick brown cat sat still"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox ran away")).toDF("doc_id", "text")
+    val hits = Dedup.contaminated(corpus, bench, "text", "doc_id", n = 3)
+      .as[(Long, Long)].collect().toMap
+    // doc 1 shares "the quick brown" + "quick brown fox"; doc 3 only the
+    // first; doc 2 nothing
+    assert(hits === Map(1L -> 2L, 3L -> 1L))
+    // excision is a left-anti join away
+    val clean = corpus.join(
+        Dedup.contaminated(corpus, bench, "text", "doc_id", n = 3),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(2L))
+  }
 }
