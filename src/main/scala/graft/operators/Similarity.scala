@@ -154,13 +154,33 @@ object Similarity {
     spark.createDataFrame(rows, centSchema)
   }
 
+  /** Incrementally ingest NEW vectors into a stored IVF index: assign them
+    * to the index's OWN centroids (read from `<path>/_centroids` — the
+    * quantizer is immutable once written; re-clustering here would silently
+    * re-map existing cells, the drift class the stored-centroid design
+    * exists to prevent) and APPEND the assignments to the cell partitions.
+    * The 100 TB ANN ingest shape: each batch is a map-side broadcast argmin
+    * plus an append of only the new rows — the existing index is never
+    * read, shuffled, or rewritten. Re-quantize (a fresh [[ivfWriteIndex]])
+    * only when accumulated drift degrades cell balance or recall. */
+  def ivfAppendToIndex(newVectors: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val centroids = spark.read.parquet(s"$path/_centroids")
+    assignCells(newVectors, centroids, idCol, vecCol)
+      .write
+      .partitionBy("cell_id")
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/cells")
+  }
+
   /** Assign every vector to its nearest centroid MAP-SIDE: the centroid
     * table collapses to a single array row, broadcast onto every vector,
     * and the argmin is an array_min over (d2, cell_id) structs — struct
     * ordering gives the d2-then-lowest-cell_id tie-break. No exchange
     * touches the corpus before assignment (a Window.partitionBy(vec_id)
     * argmin here would shuffle the whole corpus for a per-row decision). */
-  private def assignCells(embeddings: DataFrame, centroids: DataFrame,
+  private[operators] def assignCells(embeddings: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val centArr = centroids
       .agg(sort_array(collect_list(struct(col("cell_id"), col("centroid"))))

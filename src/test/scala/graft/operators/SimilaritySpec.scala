@@ -102,6 +102,33 @@ class SimilaritySpec extends SparkSpec {
       s"hot cell: max ${sizes.max} vs mean $mean (sizes ${sizes.sorted.toSeq})")
   }
 
+  test("IVF index append: batches join existing cells under the frozen quantizer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString + "/index"
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+    Similarity.ivfWriteIndex(first, dir, nCells = 8)
+    val centsBefore = spark.read.parquet(s"$dir/_centroids")
+      .collect().map(_.toString).sorted.toSeq
+    Similarity.ivfAppendToIndex(rest, dir)
+    // the quantizer is immutable across appends
+    val centsAfter = spark.read.parquet(s"$dir/_centroids")
+      .collect().map(_.toString).sorted.toSeq
+    assert(centsAfter === centsBefore)
+    // appended index == from-scratch assignment under the SAME centroids
+    val cells = spark.read.parquet(s"$dir/cells")
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toSet
+    val expected = Similarity.assignCells(
+        emb, spark.read.parquet(s"$dir/_centroids"), "vec_id", "embedding")
+      .select(col("vec_id"), col("cell_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(cells === expected)
+    // and a query for an APPENDED vector finds itself through the pruned read
+    val q1 = emb.filter(col("vec_id") === 1).select(col("embedding").as("qvec"))
+    val got = Similarity.ivfTopKFromIndex(spark, dir, q1, 5, nProbe = 3)
+      .as[(Long, Double)].collect()
+    assert(got.head._1 === 1L && math.abs(got.head._2 - 1.0) < 1e-9)
+  }
+
   test("near-dup pairs: bucketed by label, all above threshold, a<b") {
     val pairs = Similarity.nearDupPairs(emb, "label", 0.2)
       .as[(Long, Long, Double)].collect()
