@@ -35,6 +35,54 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame =
     df.filter(qualityScore(col(textCol)) >= minQuality)
 
+  /** Gopher-style document quality signals (the published rule family from
+    * the Gopher/MassiveText filtering recipe), as map-side columns:
+    *
+    *  - `g_n_words` — whitespace token count;
+    *  - `g_mean_word_len` — mean token length over normalized text
+    *    (len(norm) minus the ntok−1 separator spaces, over ntok);
+    *  - `g_symbol_ratio` — (# chars + "..." occurrences) per word;
+    *  - `g_alpha_ratio` — fraction of tokens containing a letter.
+    *
+    * Ratios round to 6 dp (the engine-parity discipline q71 documents).
+    * The alpha fraction uses a higher-order `filter` — interpreted, not
+    * codegen'd, but still one pass per row with no outer-expression
+    * re-evaluation inside the lambda (the trap [[graft.functions.Text
+    * .shingles]] documents). */
+  def withGopherSignals(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val ntok = tokenCount(col(textCol))
+    val norm = normalize(col(textCol))
+    val toks = tokens(col(textCol))
+    val hashes = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val ellipses = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / lit(3)
+    df.withColumn("g_n_words", ntok.cast("long"))
+      .withColumn("g_mean_word_len",
+        round((length(norm) - col("g_n_words") + 1).cast("double") /
+          greatest(col("g_n_words"), lit(1L)), 6))
+      .withColumn("g_symbol_ratio",
+        round((hashes + ellipses).cast("double") /
+          greatest(col("g_n_words"), lit(1L)), 6))
+      .withColumn("g_alpha_ratio",
+        round(size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+          greatest(col("g_n_words"), lit(1L)), 6))
+  }
+
+  /** Keep documents passing every Gopher rule. Defaults are the published
+    * operating points; short-document corpora lower `minWords`. */
+  def gopherFilter(df: DataFrame, textCol: String = "text",
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaRatio: Double = 0.8): DataFrame =
+    withGopherSignals(df, textCol)
+      .filter(col("g_n_words") >= minWords && col("g_n_words") <= maxWords &&
+        col("g_mean_word_len") >= minMeanWordLen &&
+        col("g_mean_word_len") <= maxMeanWordLen &&
+        col("g_symbol_ratio") <= maxSymbolRatio &&
+        col("g_alpha_ratio") >= minAlphaRatio)
+      .drop("g_n_words", "g_mean_word_len", "g_symbol_ratio", "g_alpha_ratio")
+
   /** PII patterns applied by [[redactPii]], in application ORDER (email
     * first: an address contains digit runs a later phone pass would
     * otherwise shred mid-token). Patterns are deliberately restricted to

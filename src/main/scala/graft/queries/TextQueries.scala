@@ -282,6 +282,66 @@ object TextQueries {
         (CAST(5 AS BIGINT), 'echo' || chr(10) || 'echo' || chr(10) || 'foxtrot')
       ) AS t(doc_id, text)""")),
 
+    // ---- Gopher-rule quality signals (published MassiveText recipe) -------
+    // All four signals are map-side; the per-source n_pass re-applies the
+    // rule conjunction on the ROUNDED signals so both engines compare
+    // identical 6-dp values (the q71 parity discipline). minWords=5 is the
+    // corpus-appropriate operating point (synthetic docs are short).
+    Q("q83_gopher_rules", (s, dir) => {
+      val d = graft.operators.TextAnalysis
+        .withGopherSignals(table(s, dir, "documents"))
+      val pass = col("g_n_words") >= 5 && col("g_n_words") <= 100000 &&
+        col("g_mean_word_len") >= 3.0 && col("g_mean_word_len") <= 10.0 &&
+        col("g_symbol_ratio") <= 0.1 && col("g_alpha_ratio") >= 0.8
+      d.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("g_n_words")).as("sum_words"),
+          sum(col("g_mean_word_len").cast("decimal(18,6)")).cast("double")
+            .as("sum_mean_word_len"),
+          sum(col("g_alpha_ratio").cast("decimal(18,6)")).cast("double")
+            .as("sum_alpha_ratio"),
+          sum(when(pass, 1L).otherwise(0L)).as("n_pass"))
+    }, Some {
+      val ntok = s"CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END"
+      val mean = Registry.sroundSql(
+        s"(len($NORM) - ($ntok) + 1) / GREATEST($ntok, 1)", 6)
+      val symbols = Registry.sroundSql(
+        s"""((len(text) - len(replace(text, '#', '')))
+           + (len(text) - len(replace(text, '...', ''))) / 3)
+           / GREATEST($ntok, 1)""", 6)
+      val alpha = Registry.sroundSql(
+        s"len(list_filter($TOKS, t -> regexp_matches(t, '[a-z]'))) / GREATEST($ntok, 1)", 6)
+      s"""
+      SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(nw) AS BIGINT) AS sum_words,
+        CAST(SUM(CAST(mean AS DECIMAL(18,6))) AS DOUBLE) AS sum_mean_word_len,
+        CAST(SUM(CAST(alpha AS DECIMAL(18,6))) AS DOUBLE) AS sum_alpha_ratio,
+        CAST(SUM(CASE WHEN nw BETWEEN 5 AND 100000 AND mean BETWEEN 3.0 AND 10.0
+                       AND symbols <= 0.1 AND alpha >= 0.8
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM (SELECT source, ($ntok) AS nw, ($mean) AS mean,
+              ($symbols) AS symbols, ($alpha) AS alpha
+            FROM documents)
+      GROUP BY source"""
+    }),
+
+    // ---- Vocabulary top-k (the tokenizer-training precursor) --------------
+    // Two-level aggregation (map-side partials on the token) feeding
+    // TakeOrderedAndProject — the corpus is shuffled as (token, partial)
+    // pairs only, and no global sort materializes. Ties broken by token.
+    Q("q84_vocab_topk", (s, dir) => {
+      table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+        .limit(100)
+    }, Some(s"""
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT unnest($TOKS) AS tok FROM documents)
+      WHERE len(tok) > 0
+      GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 100""")),
+
     // ---- PII redaction (the pre-release corpus scrub) ---------------------
     // Map-side regexp_replace chain over an inline fixture with planted
     // identifiers; the oracle is the hand-derived ground truth (VALUES),

@@ -114,4 +114,19 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(clean === Set(2L))
   }
+
+  test("gopherFilter keeps only docs passing the whole rule conjunction") {
+    val docs = Seq(
+      (1L, "this corpus document has enough normal words to pass the gate easily today"),
+      (2L, "a b c d e f g h i j"),        // mean word length 1 < 3
+      (3L, "ok"),                          // below the word floor
+      (4L, "#### #### #### #### ####"))    // no alpha words, symbol-heavy
+      .toDF("doc_id", "text")
+    val kept = TextAnalysis.gopherFilter(docs, minWords = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L))
+    // the signal columns are droppable extras, not part of the contract
+    assert(TextAnalysis.gopherFilter(docs, minWords = 5).columns.toSeq ===
+      Seq("doc_id", "text"))
+  }
 }
