@@ -49,4 +49,38 @@ object Packing {
   def binStats(assigned: DataFrame): DataFrame =
     assigned.groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+
+  /** Split documents into context-window chunks of ≤ `maxTokens` whitespace
+    * tokens, consecutive chunks sharing `overlap` tokens of left context —
+    * the chunker that turns curated documents into training windows (and
+    * retrieval passages). Emits one row per chunk: (idCol, chunk_no,
+    * chunk_text, n_chunk_tokens); an empty/whitespace-only document yields
+    * chunk 0 with empty text (row accounting preserved, same rule as
+    * lineDedup); NULL text yields a NULL chunk.
+    *
+    * Scale shape: pure map-side explode — token array staged ONCE as a
+    * column so the transform lambda touches only its attribute (an inline
+    * tokens(text) inside the lambda would re-tokenize per element — the
+    * re-evaluation trap Text.shingles documents); no shuffle, no state. */
+  def chunk(df: DataFrame, textCol: String, idCol: String,
+      maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap ($overlap) < maxTokens ($maxTokens)")
+    val stride = maxTokens - overlap
+    val nChunks = when(col("__ntok") <= overlap, lit(1L)).otherwise(
+      ceil((col("__ntok") - overlap).cast("double") / stride).cast("long"))
+    val chunksArr = when(col(textCol).isNull,
+        lit(null).cast("array<string>"))
+      .otherwise(transform(sequence(lit(0L), nChunks - 1),
+        i => array_join(
+          slice(col("__toks"), (i * stride + 1).cast("int"), lit(maxTokens)),
+          " ")))
+    df.withColumn("__toks", Text.tokens(col(textCol)))
+      .withColumn("__ntok", Text.tokenCount(col(textCol)).cast("long"))
+      .select(col(idCol), posexplode_outer(chunksArr))
+      .toDF(idCol, "chunk_no", "chunk_text")
+      .withColumn("n_chunk_tokens",
+        when(col("chunk_text").isNull || length(col("chunk_text")) === 0, 0L)
+          .otherwise(size(split(col("chunk_text"), " ")).cast("long")))
+  }
 }

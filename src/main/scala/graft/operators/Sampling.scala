@@ -93,6 +93,30 @@ object Sampling {
       .drop("__bucket")
   }
 
+  /** Deterministic per-group sampling rates — the data-MIXTURE primitive
+    * (pretraining runs draw each source at its own rate: oversample books,
+    * downsample crawl). Unlike `df.stat.sampleBy` (per-partition RNG), the
+    * keep decision is the same md5 bucket as [[sample]], so mixtures are
+    * stable under reruns/repartitioning AND nested across rate changes
+    * per group (raising one source's rate only ADDS rows of that source).
+    * Rows of groups absent from `fractions` keep `defaultFraction` (0 =
+    * drop). Map-side: one md5 + one CASE per row, bucket staged out of the
+    * CaseWhen branches (the q70 hoisting discipline). NULL group values
+    * take the default; NULL keys drop at every rate, as everywhere. */
+  def sampleByGroup(df: DataFrame, keyCol: String, groupCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0.0 && f <= 1.0),
+      "all fractions must be in [0,1]")
+    val cut = fractions.toSeq.sortBy(_._1).foldRight(
+      lit(math.round(defaultFraction * BUCKETS)): Column) { case ((g, f), rest) =>
+      when(col(groupCol) === g, lit(math.round(f * BUCKETS))).otherwise(rest)
+    }
+    df.withColumn("__bucket", hashBucket(col(keyCol)))
+      .filter(col("__bucket") < cut)
+      .drop("__bucket")
+  }
+
   /** The same hash-mod function as DuckDB SQL (oracle parity). */
   def hashModSql(keyExpr: String, n: Long): String =
     s"(CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % $n)"

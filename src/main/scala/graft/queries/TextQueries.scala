@@ -342,6 +342,62 @@ object TextQueries {
       WHERE len(tok) > 0
       GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 100""")),
 
+    // ---- Context-window chunking (docs → training windows) ----------------
+    // maxTokens=20, overlap=5 ⇒ stride 15. Map-side explode; the oracle
+    // re-derives every chunk's text and ordinal through the identical
+    // slice arithmetic (DuckDB's inclusive [a:b] == Spark's slice(a, len)).
+    Q("q85_doc_chunking", (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val chunks = graft.operators.Packing.chunk(
+        docs.select(col("doc_id"), col("text")), "text", "doc_id",
+        maxTokens = 20, overlap = 5)
+      docs.select(col("doc_id"), col("source"))
+        .join(chunks, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens")).as("sum_chunk_tokens"),
+          max(col("chunk_no")).cast("long").as("max_chunk_no"))
+    }, Some {
+      val ntok = s"CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END"
+      s"""
+      WITH t AS (
+        SELECT doc_id, source, $TOKS AS toks,
+          CASE WHEN ($ntok) <= 5 THEN 1
+               ELSE CAST(CEIL((($ntok) - 5) / 15.0) AS BIGINT) END AS nchunks
+        FROM documents),
+      c AS (
+        SELECT source, (u)."no" AS chunk_no,
+          CASE WHEN len((u).txt) = 0 THEN 0
+               ELSE len(string_split((u).txt, ' ')) END AS n_chunk_tokens
+        FROM (
+          SELECT source, unnest(list_transform(generate_series(0, nchunks - 1),
+            i -> {'no': i, 'txt': array_to_string(toks[(i*15+1):(i*15+20)], ' ')})) AS u
+          FROM t))
+      SELECT source, COUNT(*) AS n_chunks,
+        CAST(SUM(n_chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
+        CAST(MAX(chunk_no) AS BIGINT) AS max_chunk_no
+      FROM c GROUP BY source"""
+    }),
+
+    // ---- Data-mixture sampling (deterministic per-source rates) -----------
+    // The pretraining mixture primitive: each source keeps its own md5-
+    // bucket fraction (stable under reruns/repartitioning, nested under
+    // rate changes), unlisted sources take the default rate.
+    Q("q86_mixture_sampling", (s, dir) => {
+      graft.operators.Sampling.sampleByGroup(
+          table(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultFraction = 0.1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+    }, Some(s"""
+      SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      FROM documents
+      WHERE ${graft.operators.Sampling.hashBucketSql("doc_id")} <
+        CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                    WHEN 'src2' THEN 2500 ELSE 1000 END
+      GROUP BY source""")),
+
     // ---- PII redaction (the pre-release corpus scrub) ---------------------
     // Map-side regexp_replace chain over an inline fixture with planted
     // identifiers; the oracle is the hand-derived ground truth (VALUES),

@@ -80,4 +80,27 @@ class SamplingSpec extends SparkSpec {
     val first = out.select("doc_id", "split").as[(Long, String)].collect().toMap
     assert(first === again)
   }
+
+  test("sampleByGroup: per-group rates, nested under rate raises, default rate") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 2000L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val mix = Sampling.sampleByGroup(df, "id", "grp",
+      Map("g0" -> 1.0, "g1" -> 0.3), defaultFraction = 0.0)
+    val byGrp = mix.groupBy("grp").count()
+      .as[(String, Long)].collect().toMap
+    assert(byGrp("g0") === 500L)                   // full rate keeps all
+    assert(byGrp("g1") > 75L && byGrp("g1") < 225L) // ~0.3 within tolerance
+    assert(!byGrp.contains("g2") && !byGrp.contains("g3")) // default 0 drops
+    // nested: raising g1's rate only ADDS g1 rows
+    val more = Sampling.sampleByGroup(df, "id", "grp",
+      Map("g0" -> 1.0, "g1" -> 0.6), defaultFraction = 0.0)
+      .select("id").as[Long].collect().toSet
+    val base = mix.select("id").as[Long].collect().toSet
+    assert(base.subsetOf(more))
+    // and the same row set arrives regardless of partitioning
+    val repart = Sampling.sampleByGroup(df.repartition(13), "id", "grp",
+      Map("g0" -> 1.0, "g1" -> 0.3), defaultFraction = 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(repart === base)
+  }
 }
