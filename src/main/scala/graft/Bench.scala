@@ -53,9 +53,11 @@ object Bench {
     // best-of-3 lets one pause regime straddle every rep of the same query
     // — the r4 q03 and r5 q09/q57 phantom regressions (BENCH_NOTES.md).
     // Separated passes decorrelate that: the same query meets three
-    // different heap states, and min() keeps the clean one. System.gc()
-    // before each timed run pre-pays collection OUTSIDE the timed window,
-    // so accumulated garbage from earlier queries can't bill a later one.
+    // different heap states, and min() keeps the clean one. Per-run
+    // System.gc() is OPT-IN (SPARK_GRAFT_BENCH_GC=1) and off by default:
+    // measured, it inflates the whole battery ~1.3× (a full GC right
+    // before a run evicts hot code/data state the run then rebuilds) —
+    // min-of-interleaved already absorbs the pauses it was meant to dodge.
     val gcPerQuery = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
     val times = scala.collection.mutable.Map.empty[String, List[Double]]
     (1 to 3).foreach { _ =>

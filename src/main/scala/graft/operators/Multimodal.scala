@@ -290,7 +290,11 @@ object Multimodal {
               if (timescale > 0) Some(duration * 1000L / timescale) else None
             } else if (version == 1 && pEnd - p >= 32) {
               val timescale = be32(p + 20); val duration = be64(p + 24)
-              if (timescale > 0 && duration >= 0) Some(duration * 1000L / timescale)
+              // hostile 64-bit durations must not overflow the ms multiply
+              // (a wrapped-negative duration is wrong metadata, not NULL)
+              if (timescale > 0 && duration >= 0 &&
+                  duration <= Long.MaxValue / 1000L)
+                Some(duration * 1000L / timescale)
               else None
             } else None
           }

@@ -58,9 +58,15 @@ object Packing {
     * chunk 0 with empty text (row accounting preserved, same rule as
     * lineDedup); NULL text yields a NULL chunk.
     *
+    * The chunk text is built from the ORIGINAL tokens — casing and
+    * punctuation survive verbatim (Text.normalize is a fingerprinting
+    * canonicalization, never an output transform); the one inherent loss
+    * of token-window chunking is that intra-document whitespace RUNS
+    * (including newlines) collapse to single spaces at the re-join.
+    *
     * Scale shape: pure map-side explode — token array staged ONCE as a
     * column so the transform lambda touches only its attribute (an inline
-    * tokens(text) inside the lambda would re-tokenize per element — the
+    * tokenization inside the lambda would re-tokenize per element — the
     * re-evaluation trap Text.shingles documents); no shuffle, no state. */
   def chunk(df: DataFrame, textCol: String, idCol: String,
       maxTokens: Int, overlap: Int = 0): DataFrame = {
@@ -75,8 +81,13 @@ object Packing {
         i => array_join(
           slice(col("__toks"), (i * stride + 1).cast("int"), lit(maxTokens)),
           " ")))
-    df.withColumn("__toks", Text.tokens(col(textCol)))
-      .withColumn("__ntok", Text.tokenCount(col(textCol)).cast("long"))
+    // explicit [ \t\n\r] class (not \s) on both engines: Java's \s
+    // includes \x0B, RE2's does not — the parity footgun piiPatterns
+    // documents
+    val trimmed = trim(col(textCol), " \t\n\r")
+    df.withColumn("__toks", split(trimmed, "[ \t\n\r]+"))
+      .withColumn("__ntok",
+        when(length(trimmed) === 0, 0L).otherwise(size(col("__toks")).cast("long")))
       .select(col(idCol), posexplode_outer(chunksArr))
       .toDF(idCol, "chunk_no", "chunk_text")
       .withColumn("n_chunk_tokens",

@@ -225,9 +225,18 @@ object Similarity {
     centroids.coalesce(1).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$staging/_centroids")
-    fs.delete(live, true)
+    // swap: demote the live index to .prev, promote staging, then drop
+    // .prev. The old index is never destroyed before the new one is in
+    // place — a crash between the two renames leaves the data recoverable
+    // at .prev instead of gone (a delete-then-rename would have a window
+    // with NO index at all).
+    val prev = new org.apache.hadoop.fs.Path(path + ".prev")
+    fs.delete(prev, true)
+    if (fs.exists(live) && !fs.rename(live, prev))
+      throw new java.io.IOException(s"failed to demote old IVF index: $live -> $prev")
     if (!fs.rename(staging, live))
       throw new java.io.IOException(s"failed to publish IVF index: $staging -> $live")
+    fs.delete(prev, true)
   }
 
   /** Approximate top-k against a stored IVF index: the query's nProbe

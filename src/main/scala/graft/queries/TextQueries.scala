@@ -358,20 +358,30 @@ object TextQueries {
           sum(col("n_chunk_tokens")).as("sum_chunk_tokens"),
           max(col("chunk_no")).cast("long").as("max_chunk_no"))
     }, Some {
-      val ntok = s"CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END"
+      // RAW tokens (original case/punctuation; explicit [ \t\n\r] class —
+      // the Java-vs-RE2 \s parity footgun), matching Packing.chunk exactly
+      val trimmed = "trim(text, ' ' || chr(9) || chr(10) || chr(13))"
+      val rawToks = s"string_split_regex($trimmed, '[ \\t\\n\\r]+')"
+      val ntok = s"CASE WHEN len($trimmed) = 0 THEN 0 ELSE len($rawToks) END"
       s"""
       WITH t AS (
-        SELECT doc_id, source, $TOKS AS toks,
+        SELECT doc_id, source, text, $rawToks AS toks,
           CASE WHEN ($ntok) <= 5 THEN 1
                ELSE CAST(CEIL((($ntok) - 5) / 15.0) AS BIGINT) END AS nchunks
         FROM documents),
       c AS (
         SELECT source, (u)."no" AS chunk_no,
-          CASE WHEN len((u).txt) = 0 THEN 0
+          CASE WHEN (u).txt IS NULL OR len((u).txt) = 0 THEN 0
                ELSE len(string_split((u).txt, ' ')) END AS n_chunk_tokens
         FROM (
-          SELECT source, unnest(list_transform(generate_series(0, nchunks - 1),
-            i -> {'no': i, 'txt': array_to_string(toks[(i*15+1):(i*15+20)], ' ')})) AS u
+          -- a NULL-text doc still yields ONE row with a NULL chunk (the
+          -- posexplode_outer row-accounting rule); unnest of a transform
+          -- over NULL would drop it
+          SELECT source, unnest(CASE WHEN text IS NULL
+            THEN [{'no': CAST(NULL AS BIGINT), 'txt': CAST(NULL AS VARCHAR)}]
+            ELSE list_transform(generate_series(0, nchunks - 1),
+              i -> {'no': i, 'txt': array_to_string(toks[(i*15+1):(i*15+20)], ' ')})
+            END) AS u
           FROM t))
       SELECT source, COUNT(*) AS n_chunks,
         CAST(SUM(n_chunk_tokens) AS BIGINT) AS sum_chunk_tokens,
@@ -413,7 +423,8 @@ object TextQueries {
         (4L, "no pii here just words"),
         (5L, "mail root@10.0.0.5 and 10.0.0.9"),
         (6L, "a1234567890@mail.com wrote this"),
-        (7L, null.asInstanceOf[String]))
+        (7L, null.asInstanceOf[String]),
+        (8L, "between 2010 - 2020 totals rose 10 20 30 40"))
         .toDF("doc_id", "text")
       graft.operators.TextAnalysis.redactPii(docs)
         .select(col("doc_id"), col("text"))
@@ -425,7 +436,8 @@ object TextQueries {
         (CAST(4 AS BIGINT), 'no pii here just words'),
         (CAST(5 AS BIGINT), 'mail root@<IP> and <IP>'),
         (CAST(6 AS BIGINT), '<EMAIL> wrote this'),
-        (CAST(7 AS BIGINT), CAST(NULL AS VARCHAR))
+        (CAST(7 AS BIGINT), CAST(NULL AS VARCHAR)),
+        (CAST(8 AS BIGINT), 'between 2010 - 2020 totals rose 10 20 30 40')
       ) AS t(doc_id, text)""")),
 
     // ---- Benchmark decontamination (eval-overlap excision) ----------------
@@ -648,8 +660,11 @@ object TextQueries {
       // plan-level in WarehouseSpec; here the gate is end-to-end equality.
       Q("q80_bucketed_sample", (s, dir) => {
         val docs = table(s, dir, "documents")
-        val out = java.nio.file.Files
-          .createTempDirectory("graft-q80").toString + "/docs"
+        // fixed per-PROCESS path + overwrite mode: repeated bench/verify
+        // invocations rewrite one copy instead of accumulating temp dirs
+        // (pid-scoped so concurrent drivers can't clobber each other)
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft-q80-" +
+          s"${ProcessHandle.current().pid()}/docs"
         graft.sources.Warehouse.writeBucketed(docs, out, "doc_id")
         graft.sources.Warehouse.sampleBucketed(s, out, 0.1)
           .groupBy(col("source"))

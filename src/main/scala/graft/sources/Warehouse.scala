@@ -58,24 +58,38 @@ object Warehouse {
       .partitionBy("bucket_group")
       .mode(SaveMode.Overwrite)
       .parquet(path)
+    // the layout describes ITSELF (same discipline as the IVF index's
+    // stored centroids): readers derive the group width from the table,
+    // never from a caller-supplied constant that can silently disagree
+    // with the write and return an incomplete sample. The `_` prefix
+    // hides it from the partitioned read.
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((nGroups, per, Sampling.BUCKETS, keyCol))
+      .toDF("n_groups", "buckets_per_group", "n_buckets", "key_col")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_layout")
   }
 
   /** Deterministic fraction-f sample over a [[writeBucketed]] table: the
     * `bucket_group` predicate prunes partitions from METADATA (no data file
     * of an unselected group is opened); the stored `hash_bucket` refines
-    * the boundary group exactly. Same nested-sample semantics as
+    * the boundary group exactly. Same nested-sample semantics AND schema as
     * [[graft.operators.Sampling.sample]] — same key, larger fraction ⇒
-    * superset. `nGroups` must match the write. */
-  def sampleBucketed(spark: SparkSession, path: String, fraction: Double,
-      nGroups: Int = 100): DataFrame = {
+    * superset; the bookkeeping columns are internal, not output. The group
+    * width comes from the table's own `_layout`, so it can never disagree
+    * with the write. */
+  def sampleBucketed(spark: SparkSession, path: String, fraction: Double): DataFrame = {
     import graft.operators.Sampling
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    val layout = spark.read.parquet(s"$path/_layout").collect().head
+    val per = layout.getAs[Int]("buckets_per_group")
     val cut = math.round(fraction * Sampling.BUCKETS)
-    val per = Sampling.BUCKETS / nGroups
     val df = spark.read.parquet(path)
-    if (cut <= 0) df.filter(lit(false))
-    else df.filter(col("bucket_group") <= (cut - 1) / per &&
-      col("hash_bucket") < cut)
+    val sampled =
+      if (cut <= 0) df.filter(lit(false))
+      else df.filter(col("bucket_group") <= (cut - 1) / per &&
+        col("hash_bucket") < cut)
+    sampled.drop("hash_bucket", "bucket_group")
   }
 
   /** Compact an append-accumulated warehouse into `dst`: the small-files

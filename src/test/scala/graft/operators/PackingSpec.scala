@@ -54,7 +54,7 @@ class PackingSpec extends SparkSpec {
     val docs = Seq(
       (1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 25 toks -> 2 chunks
       (2L, (1 to 20).map(i => s"w$i").mkString(" ")), // exactly max -> 1 chunk
-      (3L, "short doc"),                              // under overlap -> 1 chunk
+      (3L, "Short DOC, verbatim!"),                   // under overlap -> 1 chunk
       (4L, ""),                                       // empty -> chunk 0, empty
       (5L, null.asInstanceOf[String]))                // NULL -> NULL chunk row
       .toDF("doc_id", "text")
@@ -72,8 +72,9 @@ class PackingSpec extends SparkSpec {
     assert(d1.map(_._4) === Seq(20L, 10L))
     // doc 2: one chunk exactly (the would-be second window adds no new token)
     assert(byDoc(2L).map(_._2).toSeq === Seq(Some(0)))
-    // doc 3: single chunk of the whole doc
-    assert(byDoc(3L).head._3.get === "short doc")
+    // doc 3: single chunk, ORIGINAL casing/punctuation verbatim (chunks
+    // are training text, not fingerprints — never normalized)
+    assert(byDoc(3L).head._3.get === "Short DOC, verbatim!")
     // doc 4: row kept, empty chunk, zero tokens
     assert(byDoc(4L).head._3.get === "" && byDoc(4L).head._4 === 0L)
     // doc 5: row kept with NULL chunk (posexplode_outer)

@@ -106,7 +106,9 @@ class WarehouseSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-wh-bucketed").toString + "/docs"
     Warehouse.writeBucketed(docs, dir, "doc_id", nGroups = 20)
 
-    val sampled = Warehouse.sampleBucketed(spark, dir, 0.25, nGroups = 20)
+    val sampled = Warehouse.sampleBucketed(spark, dir, 0.25)
+    // output schema == the raw table's (bookkeeping columns are internal)
+    assert(sampled.columns.toSeq === docs.columns.toSeq)
     // the whole point: the scan selects only the groups the fraction names
     // (ceil(0.25 × 20) = 5 of 20), decided from partition metadata alone
     val scans = sampled.queryExecution.executedPlan.collectLeaves().collect {
@@ -125,12 +127,12 @@ class WarehouseSpec extends SparkSpec {
     assert(viaBuckets === viaExpr)
 
     // nested-sample property survives the bucketed path
-    val smaller = Warehouse.sampleBucketed(spark, dir, 0.1, nGroups = 20)
+    val smaller = Warehouse.sampleBucketed(spark, dir, 0.1)
       .select("doc_id").as[Long].collect().toSet
     assert(smaller.subsetOf(viaBuckets))
 
     // zero fraction: no rows, no scan surprises
-    assert(Warehouse.sampleBucketed(spark, dir, 0.0, nGroups = 20).count() === 0L)
+    assert(Warehouse.sampleBucketed(spark, dir, 0.0).count() === 0L)
   }
 
   test("column projection reaches the parquet scan (ReadSchema pruning)") {
