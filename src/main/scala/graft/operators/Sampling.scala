@@ -117,6 +117,38 @@ object Sampling {
       .drop("__bucket")
   }
 
+  /** The OVERSAMPLING side of data mixtures: per-group rates may exceed 1
+    * ("3 epochs of the books source, 0.4 epochs of crawl"). Rate r emits
+    * floor(r) full copies of every row plus, deterministically by the same
+    * md5 bucket as [[sample]], one more copy for the fractional remainder
+    * — so rate 2.6 means every row twice and a stable 60% of rows a third
+    * time. Adds `epoch` (0-based copy index) so downstream keys stay
+    * unique; rate 0 drops the group; unlisted groups take `defaultRate`;
+    * NULL keys drop (no bucket — the rule everywhere in this file).
+    *
+    * Scale shape: map-side sequence+explode, no shuffle; output size is
+    * the mixture's token budget, which is the POINT. Nested like sample:
+    * raising one group's rate only adds copies of that group. */
+  def upsampleByGroup(df: DataFrame, keyCol: String, groupCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(_ >= 0.0),
+      "rates must be non-negative")
+    def byGroup(f: Double => Long): Column =
+      rates.toSeq.sortBy(_._1).foldRight(lit(f(defaultRate)): Column) {
+        case ((g, r), rest) => when(col(groupCol) === g, lit(f(r))).otherwise(rest)
+      }
+    val full = byGroup(r => math.floor(r).toLong)
+    val fracCut = byGroup(r => math.round((r - math.floor(r)) * BUCKETS))
+    val nEpochs = full +
+      when(hashBucket(col(keyCol)) < fracCut, lit(1L)).otherwise(lit(0L))
+    df.withColumn("__n", nEpochs)
+      .withColumn("epoch",
+        explode(when(col("__n") > 0, sequence(lit(0L), col("__n") - 1))
+          .otherwise(array().cast("array<long>"))))
+      .drop("__n")
+  }
+
   /** The same hash-mod function as DuckDB SQL (oracle parity). */
   def hashModSql(keyExpr: String, n: Long): String =
     s"(CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % $n)"

@@ -408,6 +408,31 @@ object TextQueries {
                     WHEN 'src2' THEN 2500 ELSE 1000 END
       GROUP BY source""")),
 
+    // ---- Epoch upsampling (the >1x mixture side) --------------------------
+    // src0 at 2.5 epochs (two full copies + a stable md5-half a third
+    // time), src2 at 0.4, everything else 1.0. The oracle re-derives the
+    // copy count per row and explodes it with generate_series.
+    Q("q87_epoch_upsampling", (s, dir) => {
+      graft.operators.Sampling.upsampleByGroup(
+          table(s, dir, "documents"), "doc_id", "source",
+          Map("src0" -> 2.5, "src2" -> 0.4))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"),
+          max(col("epoch")).as("max_epoch"))
+    }, Some(s"""
+      SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        CAST(MAX(ep) AS BIGINT) AS max_epoch
+      FROM (
+        SELECT source, doc_id, unnest(generate_series(0, ne - 1)) AS ep
+        FROM (
+          SELECT source, doc_id,
+            CAST(CASE source WHEN 'src0' THEN 2 WHEN 'src2' THEN 0 ELSE 1 END AS BIGINT)
+            + CASE WHEN ${graft.operators.Sampling.hashBucketSql("doc_id")} <
+                     CASE source WHEN 'src0' THEN 5000 WHEN 'src2' THEN 4000 ELSE 0 END
+                   THEN 1 ELSE 0 END AS ne
+          FROM documents))
+      GROUP BY source""")),
+
     // ---- PII redaction (the pre-release corpus scrub) ---------------------
     // Map-side regexp_replace chain over an inline fixture with planted
     // identifiers; the oracle is the hand-derived ground truth (VALUES),

@@ -24,6 +24,19 @@ class EdgeCasesSpec extends SparkSpec {
       Dedup.signatureTable(one, "text", "doc_id"), "text", "doc_id").count() === 0L)
   }
 
+  test("round-6 operators: empty corpora flow through") {
+    assert(TextAnalysis.redactPii(empty).count() === 0L)
+    assert(TextAnalysis.withGopherSignals(empty).count() === 0L)
+    assert(TextAnalysis.gopherFilter(empty).count() === 0L)
+    assert(Dedup.contaminated(empty, one, "text", "doc_id").count() === 0L)
+    assert(Dedup.contaminated(one, empty, "text", "doc_id").count() === 0L)
+    assert(Packing.chunk(empty, "text", "doc_id", maxTokens = 10).count() === 0L)
+    assert(Sampling.sampleByGroup(empty, "doc_id", "text",
+      Map("x" -> 0.5)).count() === 0L)
+    assert(Dedup.collapseToCanonical(empty,
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), "doc_id").count() === 0L)
+  }
+
   test("curation of an empty corpus yields an all-zero summary") {
     val res = Curation.run(empty)
     val s = res.summary.collect().head

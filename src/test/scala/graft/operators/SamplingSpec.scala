@@ -103,4 +103,26 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(repart === base)
   }
+
+  test("upsampleByGroup: epoch copies, fractional remainder, nested rates") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 1000L).map(i => (i, s"g${i % 2}")).toDF("id", "grp")
+    val up = Sampling.upsampleByGroup(df, "id", "grp", Map("g0" -> 2.5, "g1" -> 0.0))
+    val rows = up.select("id", "grp", "epoch").as[(Long, String, Long)].collect()
+    // rate 0 drops the whole group
+    assert(!rows.exists(_._2 == "g1"))
+    // every g0 row appears at least twice (epochs 0 and 1)...
+    val byId = rows.filter(_._2 == "g0").groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    assert(byId.size === 500)
+    assert(byId.values.forall(e => e.startsWith(Seq(0L, 1L))))
+    // ...and a stable ~half a third time, always as the NEXT epoch index
+    val thirds = byId.values.count(_ == Seq(0L, 1L, 2L))
+    assert(thirds > 150 && thirds < 350, s"fractional epoch count $thirds")
+    assert(byId.values.forall(e => e == Seq(0L, 1L) || e == Seq(0L, 1L, 2L)))
+    // deterministic under repartitioning
+    val again = Sampling.upsampleByGroup(df.repartition(7), "id", "grp",
+      Map("g0" -> 2.5, "g1" -> 0.0)).select("id", "epoch")
+      .as[(Long, Long)].collect().toSet
+    assert(again === rows.filter(_._2 == "g0").map(r => (r._1, r._3)).toSet)
+  }
 }
