@@ -140,8 +140,10 @@ object Sampling {
       }
     val full = byGroup(r => math.floor(r).toLong)
     val fracCut = byGroup(r => math.round((r - math.floor(r)) * BUCKETS))
-    val nEpochs = full +
-      when(hashBucket(col(keyCol)) < fracCut, lit(1L)).otherwise(lit(0L))
+    // a NULL key has no bucket: it gets ZERO epochs, not floor(rate) — the
+    // full copies must obey the same drop rule as the fractional one
+    val nEpochs = when(col(keyCol).isNull, lit(0L)).otherwise(full +
+      when(hashBucket(col(keyCol)) < fracCut, lit(1L)).otherwise(lit(0L)))
     df.withColumn("__n", nEpochs)
       .withColumn("epoch",
         explode(when(col("__n") > 0, sequence(lit(0L), col("__n") - 1))

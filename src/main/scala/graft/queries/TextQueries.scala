@@ -19,6 +19,11 @@ object TextQueries {
   private val NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   /** SQL fragment: whitespace token list of normalized text. */
   private val TOKS = s"string_split($NORM, ' ')"
+  /** q87 mixture rates — shared by the operator call and its oracle so
+    * the derived cut points can never drift (unlisted sources take rate
+    * 1.0 on both sides). */
+  private val q87Rates: Map[String, Double] = Map("src0" -> 2.5, "src2" -> 0.4)
+
   /** SQL fragment: the q21 quality-score blend (Spark-round parity),
     * shared by q21 and the q74 curation gate. */
   private lazy val QUALITY_SQL = Registry.sroundSql(s"""
@@ -414,24 +419,33 @@ object TextQueries {
     // copy count per row and explodes it with generate_series.
     Q("q87_epoch_upsampling", (s, dir) => {
       graft.operators.Sampling.upsampleByGroup(
-          table(s, dir, "documents"), "doc_id", "source",
-          Map("src0" -> 2.5, "src2" -> 0.4))
+          table(s, dir, "documents"), "doc_id", "source", q87Rates)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"),
           max(col("epoch")).as("max_epoch"))
-    }, Some(s"""
+    }, Some {
+      // cut points DERIVED from the shared rates constant (the q70 rule:
+      // paired oracles must not be able to drift from the operator's input)
+      import graft.operators.Sampling
+      val fullArms = q87Rates.toSeq.sorted.map { case (g, r) =>
+        s"WHEN '$g' THEN ${math.floor(r).toLong}" }.mkString(" ")
+      val cutArms = q87Rates.toSeq.sorted.map { case (g, r) =>
+        s"WHEN '$g' THEN ${math.round((r - math.floor(r)) * Sampling.BUCKETS)}"
+      }.mkString(" ")
+      s"""
       SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
         CAST(MAX(ep) AS BIGINT) AS max_epoch
       FROM (
         SELECT source, doc_id, unnest(generate_series(0, ne - 1)) AS ep
         FROM (
           SELECT source, doc_id,
-            CAST(CASE source WHEN 'src0' THEN 2 WHEN 'src2' THEN 0 ELSE 1 END AS BIGINT)
-            + CASE WHEN ${graft.operators.Sampling.hashBucketSql("doc_id")} <
-                     CASE source WHEN 'src0' THEN 5000 WHEN 'src2' THEN 4000 ELSE 0 END
+            CAST(CASE source $fullArms ELSE 1 END AS BIGINT)
+            + CASE WHEN ${Sampling.hashBucketSql("doc_id")} <
+                     CASE source $cutArms ELSE 0 END
                    THEN 1 ELSE 0 END AS ne
           FROM documents))
-      GROUP BY source""")),
+      GROUP BY source"""
+    }),
 
     // ---- PII redaction (the pre-release corpus scrub) ---------------------
     // Map-side regexp_replace chain over an inline fixture with planted

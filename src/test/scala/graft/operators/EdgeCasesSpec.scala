@@ -33,6 +33,8 @@ class EdgeCasesSpec extends SparkSpec {
     assert(Packing.chunk(empty, "text", "doc_id", maxTokens = 10).count() === 0L)
     assert(Sampling.sampleByGroup(empty, "doc_id", "text",
       Map("x" -> 0.5)).count() === 0L)
+    assert(Sampling.upsampleByGroup(empty, "doc_id", "text",
+      Map("x" -> 2.5)).count() === 0L)
     assert(Dedup.collapseToCanonical(empty,
       Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), "doc_id").count() === 0L)
   }

@@ -124,5 +124,12 @@ class SamplingSpec extends SparkSpec {
       Map("g0" -> 2.5, "g1" -> 0.0)).select("id", "epoch")
       .as[(Long, Long)].collect().toSet
     assert(again === rows.filter(_._2 == "g0").map(r => (r._1, r._3)).toSet)
+    // NULL keys get ZERO epochs — the full copies obey the same drop rule
+    // as every other keyed decision in Sampling
+    val withNull = Seq((Option(1L), "g0"), (Option.empty[Long], "g0"))
+      .toDF("id", "grp")
+    val survivors = Sampling.upsampleByGroup(withNull, "id", "grp",
+      Map("g0" -> 2.5)).select("id").as[Option[Long]].collect()
+    assert(survivors.forall(_.contains(1L)))
   }
 }
