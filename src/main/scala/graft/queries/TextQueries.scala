@@ -447,6 +447,30 @@ object TextQueries {
       GROUP BY source"""
     }),
 
+    // ---- JSONL round trip (the corpus interchange format) -----------------
+    // documents → JSONL shards → schema'd read-back → per-source integrity
+    // aggregate. The md5-derived text checksum proves CONTENT survived the
+    // JSON escaping round trip (not just row counts); the oracle computes
+    // the same aggregate over the original table — equality IS the
+    // round-trip proof (q65's write→read→analytic pattern).
+    Q("q88_jsonl_roundtrip", (s, dir) => {
+      import graft.operators.Sampling
+      val docs = table(s, dir, "documents")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft-q88-" +
+        s"${ProcessHandle.current().pid()}/docs"
+      graft.sources.JsonlIngest.write(docs, out)
+      val back = graft.sources.JsonlIngest.parsed(
+        graft.sources.JsonlIngest.read(s, out, docs.schema))
+      back.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(Sampling.hashBucket(col("text"))).as("text_checksum"))
+    }, Some(s"""
+      SELECT source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(${graft.operators.Sampling.hashBucketSql("text")}) AS BIGINT)
+          AS text_checksum
+      FROM documents GROUP BY source""")),
+
     // ---- PII redaction (the pre-release corpus scrub) ---------------------
     // Map-side regexp_replace chain over an inline fixture with planted
     // identifiers; the oracle is the hand-derived ground truth (VALUES),

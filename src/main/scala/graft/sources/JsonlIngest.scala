@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** JSONL (newline-delimited JSON) source/sink — the interchange format
+  * LLM corpora actually ship in (one document object per line). Spark's
+  * json reader/writer already handles the hard parts (string escaping of
+  * embedded newlines/quotes/unicode, splittable line records); this
+  * wrapper pins the two at-scale disciplines:
+  *
+  *  - reads take an EXPLICIT schema — schema inference is a full extra
+  *    pass over the data (at 100 TB, a second 100 TB scan) and can type a
+  *    column differently per batch;
+  *  - malformed lines go to a quarantine column instead of killing the
+  *    job or being silently dropped (PERMISSIVE + columnNameOfCorruptRecord
+  *    — a crawler's output always contains some broken lines).
+  */
+object JsonlIngest {
+
+  val CORRUPT_COL = "_corrupt_record"
+
+  /** Write one JSON object per row (sharded; gzip-free so files stay
+    * splittable — compression at scale belongs to columnar storage, JSONL
+    * is the interchange/export step). */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Read JSONL with the given schema; rows whose line failed to parse
+    * carry the raw line in [[CORRUPT_COL]] (all data fields NULL).
+    *
+    * Implemented as a TEXT scan + `from_json` rather than the json
+    * source's columnNameOfCorruptRecord: Spark refuses scans whose
+    * referenced columns reduce to only the internal corrupt column (the
+    * exact projection a dead-letter sink makes), while the text-scan form
+    * has no such restriction and still parses each line exactly once,
+    * map-side. */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    // the corrupt-record column rides INSIDE the from_json struct (its
+    // PERMISSIVE mode fills it with the raw line on parse failure — and
+    // unlike the file source, from_json has no corrupt-only-projection
+    // restriction)
+    val fullSchema = schema.add(CORRUPT_COL, "string")
+    spark.read.text(path)
+      .select(from_json(col("value"), fullSchema,
+        java.util.Map.of("mode", "PERMISSIVE",
+          "columnNameOfCorruptRecord", CORRUPT_COL)).as("__p"))
+      .select(fullSchema.fieldNames.map(f => col(s"__p.$f").as(f)): _*)
+  }
+
+  /** Parsed rows only (the happy path after [[read]]). */
+  def parsed(df: DataFrame): DataFrame =
+    df.filter(df.col(CORRUPT_COL).isNull).drop(CORRUPT_COL)
+
+  /** Quarantined raw lines (route to a dead-letter sink, never drop). */
+  def corrupt(df: DataFrame): DataFrame =
+    df.filter(df.col(CORRUPT_COL).isNotNull).select(df.col(CORRUPT_COL))
+}

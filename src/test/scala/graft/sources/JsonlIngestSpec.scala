@@ -1,0 +1,46 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkSpec
+
+class JsonlIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("round trip preserves hostile strings byte for byte") {
+    val docs = Seq(
+      (1L, "plain text"),
+      (2L, "with \"quotes\" and \\ backslashes"),
+      (3L, "line one\nline two\ttabbed"),
+      (4L, "unicode: 宜蘭縣 ñ é 🙂"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-jsonl").toString + "/docs"
+    JsonlIngest.write(docs, dir)
+    val back = JsonlIngest.parsed(JsonlIngest.read(spark, dir, docs.schema))
+    val m = back.collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("text"))).toMap
+    assert(m === Map(
+      1L -> Some("plain text"),
+      2L -> Some("with \"quotes\" and \\ backslashes"),
+      3L -> Some("line one\nline two\ttabbed"),   // embedded newline survives
+      4L -> Some("unicode: 宜蘭縣 ñ é 🙂"),
+      5L -> None))                                 // NULL stays NULL
+  }
+
+  test("malformed lines quarantine instead of killing the read") {
+    val dir = Files.createTempDirectory("graft-jsonl-bad").toString
+    Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      ("{\"doc_id\": 1, \"text\": \"good\"}\n" +
+        "not json at all\n" +
+        "{\"doc_id\": 2, \"text\": \"also good\"}\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val all = JsonlIngest.read(spark, dir, schema)
+    assert(JsonlIngest.parsed(all).count() === 2L)
+    assert(JsonlIngest.corrupt(all).as[String].collect().toSeq ===
+      Seq("not json at all"))
+  }
+}
