@@ -49,6 +49,23 @@ object JsonlIngest {
       .select(fullSchema.fieldNames.map(f => col(s"__p.$f").as(f)): _*)
   }
 
+  /** Streaming twin of [[read]]: JSONL files landing in `dir` become a
+    * micro-batched stream with the same schema'd parse + dead-letter
+    * column (route [[corrupt]] to a quarantine sink, [[parsed]] onward —
+    * e.g. into [[graft.streaming.DocStream.curate]]). Exactly-once per
+    * file via the caller's checkpoint, same as FileArrival. */
+  def readStream(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fullSchema = schema.add(CORRUPT_COL, "string")
+    spark.readStream
+      .option("maxFilesPerTrigger", "64")
+      .text(dir)
+      .select(from_json(col("value"), fullSchema,
+        java.util.Map.of("mode", "PERMISSIVE",
+          "columnNameOfCorruptRecord", CORRUPT_COL)).as("__p"))
+      .select(fullSchema.fieldNames.map(f => col(s"__p.$f").as(f)): _*)
+  }
+
   /** Parsed rows only (the happy path after [[read]]). */
   def parsed(df: DataFrame): DataFrame =
     df.filter(df.col(CORRUPT_COL).isNull).drop(CORRUPT_COL)

@@ -52,6 +52,16 @@ object ExplainDump {
         |replaces exact countDistinct's two-phase (group, value) shuffle at
         |100 TB). The exact count that gates the sketch's error contract
         |rides the same scan via the standard two-phase rewrite.""".stripMargin,
+    "q84_vocab_topk" ->
+      """Wants: explode → partial HashAggregate on the token (map-side
+        |combine) → one exchange of (token, partial) pairs → final agg →
+        |TakeOrderedAndProject. No global sort materializes; the corpus
+        |moves only as token partials.""".stripMargin,
+    "q85_doc_chunking" ->
+      """Wants: the chunk explode (Generate) fed by ONE staged tokenization
+        |projection — no per-element re-tokenization — then a partial-
+        |aggregated rollup. The join back to source is broadcast at this
+        |scale.""".stripMargin,
     "q82_decontamination" ->
       """Wants: the benchmark side collapses to a BroadcastExchange of its
         |distinct n-grams; the corpus side is a map-side explode feeding a

@@ -30,6 +30,27 @@ class JsonlIngestSpec extends SparkSpec {
       5L -> None))                                 // NULL stays NULL
   }
 
+  test("streaming read: files become micro-batches, quarantine intact") {
+    val dir = Files.createTempDirectory("graft-jsonl-stream").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = JsonlIngest.readStream(spark, dir, schema)
+      .writeStream.format("memory").queryName("jsonl_stream")
+      .outputMode("append").start()
+    try {
+      Files.write(java.nio.file.Paths.get(dir, "drop1.jsonl"),
+        "{\"doc_id\": 1, \"text\": \"first\"}\nbroken line\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      Files.write(java.nio.file.Paths.get(dir, "drop2.jsonl"),
+        "{\"doc_id\": 2, \"text\": \"second\"}\n".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val out = spark.table("jsonl_stream")
+      assert(JsonlIngest.parsed(out).count() === 2L)
+      assert(JsonlIngest.corrupt(out).as[String].collect().toSeq ===
+        Seq("broken line"))
+    } finally q.stop()
+  }
+
   test("malformed lines quarantine instead of killing the read") {
     val dir = Files.createTempDirectory("graft-jsonl-bad").toString
     Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
