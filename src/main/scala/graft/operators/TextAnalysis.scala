@@ -93,13 +93,17 @@ object TextAnalysis {
   val piiPatterns: Seq[(String, String)] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
     "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b" -> "<IP>",
-    // phone matches REQUIRE an explicit phone signal — a leading +country
-    // code or a parenthesized area code. A bare spaced/hyphenated digit
-    // run is indistinguishable from a year range ("2010 - 2020") or a
-    // number table ("10 20 30 40") by shape alone, and a redactor must
-    // never mangle prose: precision over recall.
-    "(\\+[0-9]{1,3}[ -]?)?\\([0-9]{2,4}\\)[ -]?[0-9]{2,4}([ -]?[0-9]{2,4}){1,2}\\b" -> "<PHONE>",
-    "\\+[0-9]{1,3}([ -]?[0-9]{2,4}){2,4}\\b" -> "<PHONE>")
+    // phone matches REQUIRE an explicit phone signal: a leading +country
+    // code, a parenthesized area code followed by a ≥3-digit group (so a
+    // citation year "(2010) 20-30" can't chain), or the unambiguous
+    // 3-3-4 separator shape. A bare spaced digit run is indistinguishable
+    // from a year range ("2010 - 2020") or a number table ("10 20 30 40")
+    // by shape alone and is deliberately NOT matched: for those, a
+    // redactor must never mangle prose — precision over recall, with the
+    // recall loss confined to space-separated local formats.
+    "(\\+[0-9]{1,3}[ -]?)?\\([0-9]{2,4}\\)[ -]?[0-9]{3,4}([ -][0-9]{2,4}){1,2}\\b" -> "<PHONE>",
+    "\\+[0-9]{1,3}([ -]?[0-9]{2,4}){2,4}\\b" -> "<PHONE>",
+    "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b" -> "<PHONE>")
 
   /** Redact personal identifiers (emails, IPv4s, phone-shaped digit runs)
     * with typed placeholder tokens — the scrub a corpus takes before text

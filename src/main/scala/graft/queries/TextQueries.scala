@@ -487,7 +487,9 @@ object TextQueries {
         (5L, "mail root@10.0.0.5 and 10.0.0.9"),
         (6L, "a1234567890@mail.com wrote this"),
         (7L, null.asInstanceOf[String]),
-        (8L, "between 2010 - 2020 totals rose 10 20 30 40"))
+        (8L, "between 2010 - 2020 totals rose 10 20 30 40"),
+        (9L, "call 555-867-5309 tonight"),
+        (10L, "see Smith (2010) 20-30 for the derivation"))
         .toDF("doc_id", "text")
       graft.operators.TextAnalysis.redactPii(docs)
         .select(col("doc_id"), col("text"))
@@ -500,7 +502,9 @@ object TextQueries {
         (CAST(5 AS BIGINT), 'mail root@<IP> and <IP>'),
         (CAST(6 AS BIGINT), '<EMAIL> wrote this'),
         (CAST(7 AS BIGINT), CAST(NULL AS VARCHAR)),
-        (CAST(8 AS BIGINT), 'between 2010 - 2020 totals rose 10 20 30 40')
+        (CAST(8 AS BIGINT), 'between 2010 - 2020 totals rose 10 20 30 40'),
+        (CAST(9 AS BIGINT), 'call <PHONE> tonight'),
+        (CAST(10 AS BIGINT), 'see Smith (2010) 20-30 for the derivation')
       ) AS t(doc_id, text)""")),
 
     // ---- Benchmark decontamination (eval-overlap excision) ----------------

@@ -35,35 +35,40 @@ object JsonlIngest {
     * exact projection a dead-letter sink makes), while the text-scan form
     * has no such restriction and still parses each line exactly once,
     * map-side. */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
-    import org.apache.spark.sql.functions._
-    // the corrupt-record column rides INSIDE the from_json struct (its
-    // PERMISSIVE mode fills it with the raw line on parse failure — and
-    // unlike the file source, from_json has no corrupt-only-projection
-    // restriction)
-    val fullSchema = schema.add(CORRUPT_COL, "string")
-    spark.read.text(path)
-      .select(from_json(col("value"), fullSchema,
-        java.util.Map.of("mode", "PERMISSIVE",
-          "columnNameOfCorruptRecord", CORRUPT_COL)).as("__p"))
-      .select(fullSchema.fieldNames.map(f => col(s"__p.$f").as(f)): _*)
-  }
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    parseLines(spark.read.text(path), schema)
 
   /** Streaming twin of [[read]]: JSONL files landing in `dir` become a
     * micro-batched stream with the same schema'd parse + dead-letter
     * column (route [[corrupt]] to a quarantine sink, [[parsed]] onward —
     * e.g. into [[graft.streaming.DocStream.curate]]). Exactly-once per
     * file via the caller's checkpoint, same as FileArrival. */
-  def readStream(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+  def readStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    parseLines(
+      spark.readStream.option("maxFilesPerTrigger", "64").text(dir), schema)
+
+  /** The one parse pipeline both [[read]] and [[readStream]] use (batch
+    * and streaming must never diverge). The corrupt-record column rides
+    * INSIDE the from_json struct (PERMISSIVE mode fills it with the raw
+    * line on parse failure — and unlike the file source, from_json has no
+    * corrupt-only-projection restriction). */
+  private def parseLines(lines: DataFrame,
+      schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions._
     val fullSchema = schema.add(CORRUPT_COL, "string")
-    spark.readStream
-      .option("maxFilesPerTrigger", "64")
-      .text(dir)
+    lines
+      // blank/whitespace-only lines are JSONL format noise (ignorable
+      // separators), not records: from_json("") returns a NULL struct —
+      // not a bad record — so without this filter every blank line would
+      // become a phantom all-NULL "valid" document
+      .filter(length(trim(col("value"))) > 0)
       .select(from_json(col("value"), fullSchema,
         java.util.Map.of("mode", "PERMISSIVE",
           "columnNameOfCorruptRecord", CORRUPT_COL)).as("__p"))
-      .select(fullSchema.fieldNames.map(f => col(s"__p.$f").as(f)): _*)
+      // getField, not col("__p.name"): a field name containing a dot is
+      // legal in JSON and must resolve literally, not as a nested path
+      .select(fullSchema.fieldNames.map(f =>
+        col("__p").getField(f).as(f)): _*)
   }
 
   /** Parsed rows only (the happy path after [[read]]). */

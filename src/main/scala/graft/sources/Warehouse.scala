@@ -51,23 +51,36 @@ object Warehouse {
     require(nGroups > 0 && Sampling.BUCKETS % nGroups == 0,
       s"nGroups ($nGroups) must divide ${Sampling.BUCKETS}")
     val per = Sampling.BUCKETS / nGroups
+    // data + self-describing layout are staged together and published with
+    // the demote/promote swap (same discipline as ivfWriteIndex): readers
+    // must never observe data without its `_layout` — the group width
+    // comes from the table itself, never from a caller constant that can
+    // silently disagree with the write — and a crash mid-publish leaves
+    // the previous table recoverable at .prev, not a half-written one.
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(hconf)
+    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+    fs.delete(staging, true)
     df.withColumn("hash_bucket", Sampling.hashBucket(col(keyCol)))
       .withColumn("bucket_group", expr(s"hash_bucket div $per"))
       .repartition(col("bucket_group"))
       .write
       .partitionBy("bucket_group")
       .mode(SaveMode.Overwrite)
-      .parquet(path)
-    // the layout describes ITSELF (same discipline as the IVF index's
-    // stored centroids): readers derive the group width from the table,
-    // never from a caller-supplied constant that can silently disagree
-    // with the write and return an incomplete sample. The `_` prefix
-    // hides it from the partitioned read.
-    val spark = df.sparkSession
+      .parquet(staging.toString)
     import spark.implicits._
     Seq((nGroups, per, Sampling.BUCKETS, keyCol))
       .toDF("n_groups", "buckets_per_group", "n_buckets", "key_col")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_layout")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$staging/_layout")
+    val prev = new org.apache.hadoop.fs.Path(path + ".prev")
+    fs.delete(prev, true)
+    if (fs.exists(live) && !fs.rename(live, prev))
+      throw new java.io.IOException(s"failed to demote old bucketed table: $live -> $prev")
+    if (!fs.rename(staging, live))
+      throw new java.io.IOException(s"failed to publish bucketed table: $staging -> $live")
+    fs.delete(prev, true)
   }
 
   /** Deterministic fraction-f sample over a [[writeBucketed]] table: the
@@ -81,14 +94,16 @@ object Warehouse {
   def sampleBucketed(spark: SparkSession, path: String, fraction: Double): DataFrame = {
     import graft.operators.Sampling
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
-    val layout = spark.read.parquet(s"$path/_layout").collect().head
-    val per = layout.getAs[Int]("buckets_per_group")
     val cut = math.round(fraction * Sampling.BUCKETS)
     val df = spark.read.parquet(path)
     val sampled =
-      if (cut <= 0) df.filter(lit(false))
-      else df.filter(col("bucket_group") <= (cut - 1) / per &&
-        col("hash_bucket") < cut)
+      if (cut <= 0) df.filter(lit(false)) // statically empty: skip _layout
+      else {
+        val layout = spark.read.parquet(s"$path/_layout").collect().head
+        val per = layout.getAs[Int]("buckets_per_group")
+        df.filter(col("bucket_group") <= (cut - 1) / per &&
+          col("hash_bucket") < cut)
+      }
     sampled.drop("hash_bucket", "bucket_group")
   }
 

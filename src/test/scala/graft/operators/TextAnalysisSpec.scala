@@ -82,7 +82,8 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "reach ops@team.example.org or 10.1.2.3 or +44 20 7946 0958 today"),
       (2L, "version 1.2.3 of lib and section 4.5 stay untouched"),
       (3L, null.asInstanceOf[String]),
-      (4L, "between 2010 - 2020 scores were 10 20 30 40 in order"))
+      (4L, "between 2010 - 2020 scores were 10 20 30 40 in order"),
+      (5L, "dial 555-867-5309 or read Smith (2010) 20-30"))
       .toDF("doc_id", "text")
     val out = TextAnalysis.redactPii(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("text"))).toMap
@@ -93,6 +94,8 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) === None)
     // year ranges and number tables are NOT phones — no explicit + or (...)
     assert(out(4L) === Some("between 2010 - 2020 scores were 10 20 30 40 in order"))
+    // 3-3-4 local format IS a phone; a citation year with page range is not
+    assert(out(5L) === Some("dial <PHONE> or read Smith (2010) 20-30"))
     // no shuffle: the plan is a single projection over the scan
     val plan = TextAnalysis.redactPii(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)

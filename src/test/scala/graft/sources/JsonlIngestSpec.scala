@@ -55,7 +55,9 @@ class JsonlIngestSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft-jsonl-bad").toString
     Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
       ("{\"doc_id\": 1, \"text\": \"good\"}\n" +
+        "\n" +                      // blank line: format noise, not a record
         "not json at all\n" +
+        "   \n" +                   // whitespace-only: same
         "{\"doc_id\": 2, \"text\": \"also good\"}\n").getBytes("UTF-8"))
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
