@@ -51,6 +51,29 @@ class JsonlIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("JSONL stream feeds curation end to end (parse → quarantine → curate)") {
+    val dir = Files.createTempDirectory("graft-jsonl-curate").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = JsonlIngest.readStream(spark, dir, schema)
+    val q = graft.streaming.DocStream.curate(JsonlIngest.parsed(stream))
+      .writeStream.format("memory").queryName("jsonl_curated")
+      .outputMode("append").start()
+    try {
+      Files.write(java.nio.file.Paths.get(dir, "drop.jsonl"),
+        ("{\"doc_id\": 1, \"text\": \"the quick brown fox jumps over the dog\"}\n" +
+          "totally broken\n" +
+          "{\"doc_id\": 2, \"text\": \"the QUICK  brown fox jumps over the dog\"}\n")
+          .getBytes("UTF-8"))
+      q.processAllAvailable()
+      val out = spark.table("jsonl_curated")
+      // doc 2 is an exact dup after normalization → deduped in-stream;
+      // the broken line never reaches curation (quarantined at parse)
+      assert(out.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+      assert(out.columns.contains("lang_pred") && out.columns.contains("quality"))
+    } finally q.stop()
+  }
+
   test("malformed lines quarantine instead of killing the read") {
     val dir = Files.createTempDirectory("graft-jsonl-bad").toString
     Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
