@@ -285,13 +285,20 @@ object Multimodal {
           if (pEnd - p < 20) None
           else {
             val version = b(p.toInt) & 0xff
+            // an all-ones duration is the ISO-BMFF "duration unknown"
+            // sentinel (common in fragmented/live-captured files) — NULL,
+            // not an enormous bogus duration_ms
             if (version == 0) {
               val timescale = be32(p + 12); val duration = be32(p + 16)
-              if (timescale > 0) Some(duration * 1000L / timescale) else None
+              if (timescale > 0 && duration != 0xffffffffL)
+                Some(duration * 1000L / timescale)
+              else None
             } else if (version == 1 && pEnd - p >= 32) {
               val timescale = be32(p + 20); val duration = be64(p + 24)
               // hostile 64-bit durations must not overflow the ms multiply
-              // (a wrapped-negative duration is wrong metadata, not NULL)
+              // (a wrapped-negative duration is wrong metadata, not NULL);
+              // the v1 all-ones sentinel (-1L) fails the sign guard by
+              // design, not by accident
               if (timescale > 0 && duration >= 0 &&
                   duration <= Long.MaxValue / 1000L)
                 Some(duration * 1000L / timescale)

@@ -35,17 +35,28 @@ object JsonlIngest {
     * exact projection a dead-letter sink makes), while the text-scan form
     * has no such restriction and still parses each line exactly once,
     * map-side. */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    checkSchema(schema)
     parseLines(spark.read.text(path), schema)
+  }
 
   /** Streaming twin of [[read]]: JSONL files landing in `dir` become a
     * micro-batched stream with the same schema'd parse + dead-letter
     * column (route [[corrupt]] to a quarantine sink, [[parsed]] onward —
     * e.g. into [[graft.streaming.DocStream.curate]]). Exactly-once per
     * file via the caller's checkpoint, same as FileArrival. */
-  def readStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+  def readStream(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    checkSchema(schema)
     parseLines(
       spark.readStream.option("maxFilesPerTrigger", "64").text(dir), schema)
+  }
+
+  /** A caller schema already containing the corrupt column would produce a
+    * duplicate field and silently shadow the quarantine — collisions fail
+    * loudly at the API boundary, before the filesystem is touched. */
+  private def checkSchema(schema: StructType): Unit =
+    require(!schema.fieldNames.contains(CORRUPT_COL),
+      s"input schema must not contain reserved column $CORRUPT_COL")
 
   /** The one parse pipeline both [[read]] and [[readStream]] use (batch
     * and streaming must never diverge). The corrupt-record column rides
@@ -62,13 +73,20 @@ object JsonlIngest {
       // not a bad record — so without this filter every blank line would
       // become a phantom all-NULL "valid" document
       .filter(length(trim(col("value"))) > 0)
-      .select(from_json(col("value"), fullSchema,
+      .select(col("value"), from_json(col("value"), fullSchema,
         java.util.Map.of("mode", "PERMISSIVE",
           "columnNameOfCorruptRecord", CORRUPT_COL)).as("__p"))
       // getField, not col("__p.name"): a field name containing a dot is
-      // legal in JSON and must resolve literally, not as a nested path
-      .select(fullSchema.fieldNames.map(f =>
-        col("__p").getField(f).as(f)): _*)
+      // legal in JSON and must resolve literally, not as a nested path.
+      // A line holding the bare JSON literal `null` is VALID JSON, so
+      // from_json returns a NULL struct (not a corrupt record) — getField
+      // would surface it as a phantom all-NULL "parsed" document; route the
+      // raw line to quarantine instead (jq-style pipelines do emit `null`).
+      .select(fullSchema.fieldNames.map { f =>
+        val v = col("__p").getField(f)
+        (if (f == CORRUPT_COL) when(col("__p").isNull, col("value")).otherwise(v)
+         else v).as(f)
+      }: _*)
   }
 
   /** Parsed rows only (the happy path after [[read]]). */

@@ -50,6 +50,11 @@ object Warehouse {
     import graft.operators.Sampling
     require(nGroups > 0 && Sampling.BUCKETS % nGroups == 0,
       s"nGroups ($nGroups) must divide ${Sampling.BUCKETS}")
+    // the bookkeeping columns are recomputed here and dropped by
+    // sampleBucketed on read-back — a caller column of the same name would
+    // be silently destroyed in the stored table; fail loudly instead
+    require(!df.columns.contains("hash_bucket") && !df.columns.contains("bucket_group"),
+      "input must not contain reserved columns hash_bucket/bucket_group")
     val per = Sampling.BUCKETS / nGroups
     // data + self-describing layout are staged together and published with
     // the demote/promote swap (same discipline as ivfWriteIndex): readers
@@ -94,14 +99,19 @@ object Warehouse {
   def sampleBucketed(spark: SparkSession, path: String, fraction: Double): DataFrame = {
     import graft.operators.Sampling
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
-    val cut = math.round(fraction * Sampling.BUCKETS)
     val df = spark.read.parquet(path)
     val sampled =
-      if (cut <= 0) df.filter(lit(false)) // statically empty: skip _layout
+      if (fraction == 0.0) df.filter(lit(false)) // statically empty: skip _layout
       else {
+        // cut derives from the table's OWN n_buckets, not the compile-time
+        // Sampling.BUCKETS — a table written under a different constant
+        // would otherwise silently return the wrong fraction
         val layout = spark.read.parquet(s"$path/_layout").collect().head
         val per = layout.getAs[Int]("buckets_per_group")
-        df.filter(col("bucket_group") <= (cut - 1) / per &&
+        val nBuckets = layout.getAs[Int]("n_buckets")
+        val cut = math.round(fraction * nBuckets)
+        if (cut <= 0) df.filter(lit(false))
+        else df.filter(col("bucket_group") <= (cut - 1) / per &&
           col("hash_bucket") < cut)
       }
     sampled.drop("hash_bucket", "bucket_group")

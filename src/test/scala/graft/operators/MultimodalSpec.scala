@@ -161,6 +161,9 @@ class MultimodalSpec extends SparkSpec {
     // zero timescale must not divide
     val zeroTs = MediaFixture.mp4(0, 1500)
     assert(Multimodal.Mp4.durationMs(zeroTs) === None)
+    // all-ones duration is the ISO-BMFF "unknown" sentinel (fragmented /
+    // live captures) → NULL, never a ~82-day bogus duration
+    assert(Multimodal.Mp4.durationMs(MediaFixture.mp4(600, 0xffffffffL)) === None)
   }
 
   test("frame sampling stub: explode shape with stride") {

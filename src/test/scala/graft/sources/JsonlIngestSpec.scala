@@ -74,6 +74,32 @@ class JsonlIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a bare JSON `null` line quarantines instead of parsing all-NULL") {
+    val dir = Files.createTempDirectory("graft-jsonl-null").toString
+    Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      ("{\"doc_id\": 1, \"text\": \"good\"}\n" +
+        "null\n" +                  // valid JSON, but not a record
+        "  null \n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val all = JsonlIngest.read(spark, dir, schema)
+    // without the NULL-struct guard these surface as phantom all-NULL
+    // "parsed" documents (from_json returns a NULL struct, not a corrupt row)
+    assert(JsonlIngest.parsed(all).count() === 1L)
+    assert(JsonlIngest.corrupt(all).as[String].collect().toSeq ===
+      Seq("null", "  null "))
+  }
+
+  test("a caller schema containing the corrupt column fails loudly") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField(JsonlIngest.CORRUPT_COL, StringType)))
+    val e = intercept[IllegalArgumentException] {
+      JsonlIngest.read(spark, "/nonexistent", schema)
+    }
+    assert(e.getMessage.contains(JsonlIngest.CORRUPT_COL))
+  }
+
   test("malformed lines quarantine instead of killing the read") {
     val dir = Files.createTempDirectory("graft-jsonl-bad").toString
     Files.write(java.nio.file.Paths.get(dir, "part-0.json"),

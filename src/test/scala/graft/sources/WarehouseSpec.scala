@@ -135,6 +135,34 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.sampleBucketed(spark, dir, 0.0).count() === 0L)
   }
 
+  test("writeBucketed: reserved bookkeeping columns fail loudly, not silently overwrite") {
+    val docs = graft.queries.Registry.table(spark, sf0001, "documents")
+    val dir = Files.createTempDirectory("graft-wh-collide").toString + "/docs"
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.writeBucketed(docs.withColumn("hash_bucket", lit(7)), dir, "doc_id")
+    }
+    assert(e.getMessage.contains("hash_bucket"))
+    intercept[IllegalArgumentException] {
+      Warehouse.writeBucketed(docs.withColumn("bucket_group", lit(7)), dir, "doc_id")
+    }
+  }
+
+  test("sampleBucketed derives the cut from the table's own _layout") {
+    import spark.implicits._
+    val docs = graft.queries.Registry.table(spark, sf0001, "documents")
+    val total = docs.count()
+    val dir = Files.createTempDirectory("graft-wh-layout").toString + "/docs"
+    Warehouse.writeBucketed(docs, dir, "doc_id", nGroups = 20)
+    // simulate a table written under a DIFFERENT BUCKETS constant by
+    // rewriting _layout to claim 2× the bucket domain: a fraction-0.5
+    // sample must now cut at 10000 (= everything, since stored buckets are
+    // 0..9999), proving the cut comes from _layout, not Sampling.BUCKETS
+    Seq((40, 500, 20000, "doc_id"))
+      .toDF("n_groups", "buckets_per_group", "n_buckets", "key_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_layout")
+    assert(Warehouse.sampleBucketed(spark, dir, 0.5).count() === total)
+  }
+
   test("column projection reaches the parquet scan (ReadSchema pruning)") {
     load()
     val df = Warehouse.read(spark, whDir).select("total_price")
