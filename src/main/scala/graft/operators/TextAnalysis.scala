@@ -119,6 +119,47 @@ object TextAnalysis {
         regexp_replace(c, pat, repl)
       })
 
+  /** BM25 relevance of every document to a bag of query `terms` — the
+    * retrieval/relevance-filter primitive (rank a corpus against a probe
+    * set, e.g. "how textbook-like is this document"). Okapi BM25 with the
+    * Lucene idf variant: ln(1 + (N − df + ½)/(df + ½)), never negative.
+    *
+    * Scale shape: the corpus explode is FILTERED TO THE QUERY TERMS before
+    * any shuffle (a literal IN over a handful of terms), so the only
+    * shuffled rows are actual term hits — the full token stream never moves.
+    * Document frequencies and the corpus stats (N, avgdl) are broadcast
+    * scalars; the per-doc length projection joins the hit table on the doc
+    * key (uniform). No UDF, all codegen'd built-ins.
+    *
+    * Determinism: tf/df/dl/N are exact integers and the score's IEEE
+    * expression tree is identical across engines; ln differs in the last
+    * ulp across libm, so per-(doc,term) scores round to 6 dp before the
+    * decimal per-doc sum (the q77 discipline). Documents matching no term
+    * produce no row (score 0 by omission, not a fake 0.0 row). */
+  def bm25(df: DataFrame, terms: Seq[String], textCol: String = "text",
+      idCol: String = "doc_id", k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.forall(t => t == t.toLowerCase.trim && t.nonEmpty),
+      "terms must be normalized (lowercase, trimmed, non-empty)")
+    val docs = df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("__dl"))
+    val stats = docs.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .filter(col("__tok").isin(terms: _*))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    val w = log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))) *
+      (col("__tf") * lit(k1 + 1)) /
+      (col("__tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / avgdl))
+    tf.join(broadcast(dfreq), Seq("__tok"))
+      .join(docs, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("__w", round(w, 6))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched_terms"),
+        sum(col("__w").cast("decimal(28,6)")).cast("double").as("bm25"))
+  }
+
   /** CCNet-style perplexity proxy: per-document mean negative log
     * probability of its tokens under the CORPUS'S OWN unigram distribution.
     * Low = built from common tokens (prose-like for this corpus), high =

@@ -571,6 +571,37 @@ object TextQueries {
       GROUP BY source"""
     }),
 
+    // ---- BM25 relevance scoring (retrieval / relevance-filter primitive) --
+    // Okapi BM25 with the Lucene idf; the corpus explode is filtered to the
+    // query terms BEFORE any shuffle, df/N/avgdl broadcast. Mixed int/
+    // literal arithmetic is forced to DOUBLE on the oracle side (DuckDB
+    // would otherwise compute tf*2.2 in exact DECIMAL and diverge in the
+    // last ulp); ln rounds at 6 dp pre-sum (the q77 discipline).
+    Q("q89_bm25", (s, dir) => {
+      graft.operators.TextAnalysis.bm25(
+          table(s, dir, "documents"), Seq("spark", "join", "vector"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+        .limit(15)
+    }, Some {
+      val dl = s"CAST(CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END AS BIGINT)"
+      val wExpr = "ln(1 + (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))" +
+        " * (CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + 1.2 * " +
+        "(1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))"
+      s"""
+      WITH docs AS (SELECT doc_id, $dl AS dl FROM documents),
+      stats AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM docs),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+             FROM (SELECT doc_id, unnest($TOKS) AS tok FROM documents)
+             WHERE tok IN ('spark', 'join', 'vector') GROUP BY doc_id, tok),
+      dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      scored AS (SELECT doc_id,
+          CAST(${Registry.sroundSql(wExpr, 6)} AS DECIMAL(28,6)) AS w
+        FROM tf JOIN dfreq USING (tok) JOIN docs USING (doc_id) CROSS JOIN stats)
+      SELECT doc_id, COUNT(*) AS n_matched_terms, CAST(SUM(w) AS DOUBLE) AS bm25
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 15"""
+    }),
+
     // ---- Sequence packing (token bins per shard) --------------------------
     // Per-shard streaming fill: hash-sharded docs, running token sum over a
     // PARTITIONED window (never a global sort), bin = floor(exclusive-cumsum

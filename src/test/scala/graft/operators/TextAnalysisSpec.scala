@@ -121,6 +121,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(clean === Set(2L))
   }
 
+  test("bm25: term-hit docs ranked by tf saturation; no-hit docs absent") {
+    val docs = Seq(
+      (1L, "spark spark spark spark is all this document talks about"),
+      (2L, "spark appears once in this much longer document about other things entirely"),
+      (3L, "nothing relevant here at all"),
+      (4L, "spark spark here"))
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.bm25(docs, Seq("spark"))
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> t._3).toMap
+    // doc 3 matches nothing → no row (score 0 by omission)
+    assert(scored.keySet === Set(1L, 2L, 4L))
+    assert(scored.values.forall(_ > 0)) // Lucene idf is never negative
+    // length normalization: 2 hits in 3 words (doc 4) outranks 4 hits in 10
+    // (doc 1 — tf saturates at k1), which outranks 1 hit in 12 (doc 2)
+    assert(scored(4L) > scored(1L) && scored(1L) > scored(2L))
+    // hand check doc 4: N=4, df=3, tf=2, dl=3, avgdl=(10+12+5+3)/4=7.5
+    // idf = ln(1 + 1.5/3.5); w = idf·(2·2.2)/(2 + 1.2·(0.25 + 0.75·3/7.5))
+    val idf = math.log(1 + 1.5 / 3.5)
+    val expect = BigDecimal(idf * 4.4 / (2 + 1.2 * (0.25 + 0.75 * 3 / 7.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(scored(4L) === expect)
+    // terms must arrive normalized — a cased term would silently never match
+    intercept[IllegalArgumentException] { TextAnalysis.bm25(docs, Seq("Spark")) }
+  }
+
   test("gopherFilter keeps only docs passing the whole rule conjunction") {
     val docs = Seq(
       (1L, "this corpus document has enough normal words to pass the gate easily today"),
