@@ -125,6 +125,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Shingle-CONTAINMENT near-dup pairs: containment = |A∩B| / min(|A|,|B|)
+    * catches a document quoted wholesale inside a larger one — the pair
+    * class Jaccard structurally misses (|A∩B|/|A∪B| stays small whenever
+    * |B| ≫ |A|, no matter how completely A is contained). The standard
+    * companion signal to Jaccard in corpus dedup: quote-expansion,
+    * boilerplate-wrapped reposts, doc-plus-appendix.
+    *
+    * Scale shape: identical to the q25 Jaccard plan — bucketed self-join
+    * (bucket = an LSH band key at scale), shingles hashed ONCE per side to
+    * sorted 60-bit longs, the codegen'd two-pointer [[graft.functions
+    * .ArrayOps.sortedIntersectCount]] kernel per pair, min taken from the
+    * two stored sizes. Per-bucket quadratic, never global. */
+  def containmentPairs(df: DataFrame, bucketCol: String, textCol: String,
+      idCol: String, n: Int = 2, minContainment: Double = 0.9): DataFrame = {
+    import graft.functions.ArrayOps._
+    val d = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol), col(bucketCol),
+        sortedShingleHashesOfTokens(col("__toks"), n).as("__sh"))
+      .withColumn("__nsh", size(col("__sh")))
+    val a = d.as("a"); val b = d.as("b")
+    a.join(b, col(s"a.$bucketCol") === col(s"b.$bucketCol") &&
+        col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("__ni", sortedIntersectCount(col("a.__sh"), col("b.__sh")))
+      // an empty shingle set divides 0/0 → NaN (IEEE doubles, both engines)
+      // and the filter drops it — an empty doc is "contained" in nothing
+      .withColumn("containment",
+        col("__ni").cast("double") /
+          least(col("a.__nsh"), col("b.__nsh")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
+        col("containment"))
+  }
+
   /** Verified near-dup pairs: LSH candidates filtered by true n-gram
     * Jaccard ≥ threshold (computed only on candidates). */
   def minhashNearDups(

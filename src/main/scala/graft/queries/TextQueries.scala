@@ -602,6 +602,27 @@ object TextQueries {
       ORDER BY bm25 DESC, doc_id ASC LIMIT 15"""
     }),
 
+    // ---- Shingle-containment near-dups (the quote-expansion pair class) ---
+    // containment = |A∩B| / min(|A|,|B|): catches a doc quoted wholesale
+    // inside a larger one, which Jaccard structurally misses. Same bucketed
+    // plan and codegen'd two-pointer kernel as q25; min from stored sizes.
+    Q("q90_containment", (s, dir) => {
+      graft.operators.Dedup.containmentPairs(
+        table(s, dir, "documents"), "source", "text", "doc_id",
+        n = 2, minContainment = 0.25)
+    }, Some {
+      val shSql = s"list_transform(list_distinct(list_transform(generate_series(1, GREATEST(len($TOKS)-1, 0)), i -> array_to_string(($TOKS)[i:i+1], ' '))), g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT))"
+      s"""
+      SELECT doc_a, doc_b, containment FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(LEAST(len(a.sh), len(b.sh)) AS DOUBLE) AS containment
+        FROM (SELECT doc_id, source, $shSql AS sh FROM documents) a
+        JOIN (SELECT doc_id, source, $shSql AS sh FROM documents) b
+          ON a.source = b.source AND a.doc_id < b.doc_id)
+      WHERE containment >= 0.25"""
+    }),
+
     // ---- Sequence packing (token bins per shard) --------------------------
     // Per-shard streaming fill: hash-sharded docs, running token sum over a
     // PARTITIONED window (never a global sort), bin = floor(exclusive-cumsum

@@ -164,6 +164,30 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(_._2 == 1L), s"non-root labels: ${out.filter(_._2 != 1L).toSeq}")
   }
 
+  test("containmentPairs catches a doc quoted inside a larger one; Jaccard misses it") {
+    val small = "alpha beta gamma delta epsilon"
+    val big = small + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, "g0", small),                       // fully contained in doc 2
+      (2L, "g0", big),
+      (3L, "g0", "unrelated words entirely different content here"),
+      (4L, "g1", small))                       // other bucket: never paired
+      .toDF("doc_id", "source", "text")
+    val pairs = Dedup.containmentPairs(docs, "source", "text", "doc_id",
+        n = 2, minContainment = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._3 === 1.0) // every 2-shingle of doc 1 is in doc 2
+    // the same pair's Jaccard is tiny — the class containment exists for
+    val jac = Dedup.verifyPairs(
+      Seq((1L, 2L)).toDF("doc_a", "doc_b"), docs, "text", "doc_id",
+      threshold = 0.0, n = 2).select("jaccard").as[Double].head()
+    assert(jac < 0.15, s"jaccard $jac")
+    // empty docs divide 0/0 -> NaN and must never surface as pairs
+    val withEmpty = Seq((1L, "g0", ""), (2L, "g0", "")).toDF("doc_id", "source", "text")
+    assert(Dedup.containmentPairs(withEmpty, "source", "text", "doc_id").count() === 0L)
+  }
+
   test("canonicalLabels on an empty pair set leaves every doc its own canon") {
     val ids = (1L to 4L).toDF("doc_id")
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
