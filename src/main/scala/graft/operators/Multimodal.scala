@@ -6,18 +6,20 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column handling (north star): image/audio/video payloads as
   * opaque `binary` columns with typed metadata, processed batch-wise per
-  * partition.
+  * partition. Everything here is REAL, built on what the JVM itself ships:
   *
-  * What is REAL vs STUB here:
-  *  - image decode + resize: REAL, via the JDK's own codecs
-  *    (`javax.imageio` — PNG/JPEG/BMP/GIF), headless-safe;
-  *  - audio metadata: REAL, via a RIFF/WAVE chunk parse (PCM duration,
-  *    sample rate, channels);
-  *  - video frame extraction: STUB (the JDK ships no video codec) — the
-  *    chunked explode reproduces a keyframe sampler's output shape;
-  *  - learned feature extraction ([[extractFeatures]]): STUB feature MODEL
-  *    (byte-histogram moments stand in for an embedding network); the batch
-  *    plumbing around it is the real contract.
+  *  - image decode + resize: the JDK's own codecs (`javax.imageio` —
+  *    PNG/JPEG/BMP/GIF), headless-safe;
+  *  - audio metadata: a RIFF/WAVE chunk parse (PCM duration, sample rate,
+  *    channels);
+  *  - video: an ISO-BMFF (MP4) walk — container duration via moov/mvhd,
+  *    frame extraction via the full sample-table walk (stsd/stts/stsc/
+  *    stsz/stco) with ImageIO decode of JPEG-sample (MJPEG) tracks;
+  *  - learned features ([[extractFeatures]]): a seeded random-projection
+  *    featurizer (Johnson–Lindenstrauss sign projection) over DECODED
+  *    pixels — deterministic, distance-preserving in expectation; a
+  *    deployment with a real embedding network swaps [[pixelFeature]] for
+  *    the network call, keeping the identical batch plumbing.
   *
   * All decode work runs batch-wise via mapPartitions (the JVM analogue of
   * arrow-batched pandas UDFs: one iterator per partition, per-partition
@@ -55,29 +57,106 @@ object Multimodal {
       lit(null).cast("long").as("duration_ms"),
       col(textCol).cast("binary").as("payload"))
 
-  /** STUB feature MODEL: a real deployment swaps the body for an embedding
-    * network (the batch shape — one partition iterator, per-batch init — is
-    * exactly what that call needs; intrinsic decode is already real, see
-    * [[decodeMedia]]). The stand-in feature is deterministic: 8 floats
-    * derived from byte histogram moments. */
+  /** Downsample grid side (G×G cells × 3 channels = input dim 192). */
+  val featureGrid: Int = 8
+  /** Output feature dimensionality. */
+  val featureDim: Int = 16
+  /** Seed of the deterministic projection matrix. */
+  val featureSeed: Long = 0x67726166744a4cL // "graftJL"
+
+  /** splitmix64 finalizer — the public-domain mix from Steele et al.'s
+    * "Fast Splittable Pseudorandom Number Generators" (the JDK's own
+    * SplittableRandom uses it); here it derives the fixed ±1 projection
+    * matrix entries from (seed, i, j), so the matrix is never materialized
+    * or shipped — every executor recomputes any entry in a few ALU ops. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Pure featurizer kernel over a decoded pixel raster (packed 0xRRGGBB
+    * ints, row-major, `w`×`h`): box-average the raster onto a fixed
+    * [[featureGrid]]² grid per channel (scale-invariant, deterministic
+    * integer arithmetic), normalize to [0,1], then project to
+    * [[featureDim]] floats with a seeded ±1 Johnson–Lindenstrauss sign
+    * matrix scaled by 1/√d — the Achlioptas database-friendly projection:
+    * pairwise distances are preserved in expectation, and the whole
+    * pipeline is bit-deterministic across machines (fixed-order double
+    * summation, no RNG state). Exposed as a pure function so an oracle can
+    * recompute expected features from construction-parameter pixels. */
+  def pixelFeature(rgb: Array[Int], w: Int, h: Int): Array[Float] = {
+    require(rgb.length == w * h && w > 0 && h > 0, "raster shape mismatch")
+    val g = featureGrid
+    val v = new Array[Double](3 * g * g)
+    var cy = 0
+    while (cy < g) {
+      val y0 = cy * h / g
+      val y1 = math.max(y0 + 1, (cy + 1) * h / g)
+      var cx = 0
+      while (cx < g) {
+        val x0 = cx * w / g
+        val x1 = math.max(x0 + 1, (cx + 1) * w / g)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val p = rgb(y * w + x)
+            sr += (p >>> 16) & 0xff; sg += (p >>> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(1L,
+          (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0))
+        val cell = cy * g + cx
+        v(cell) = sr.toDouble / (255.0 * n)
+        v(g * g + cell) = sg.toDouble / (255.0 * n)
+        v(2 * g * g + cell) = sb.toDouble / (255.0 * n)
+        cx += 1
+      }
+      cy += 1
+    }
+    val d = v.length
+    val scale = 1.0 / math.sqrt(d.toDouble)
+    Array.tabulate(featureDim) { i =>
+      var acc = 0.0
+      var j = 0
+      while (j < d) {
+        val sign = if (mix64(featureSeed ^ (i.toLong << 32) ^ j) < 0) -1.0 else 1.0
+        acc += sign * v(j)
+        j += 1
+      }
+      (acc * scale).toFloat
+    }
+  }
+
+  /** REAL learned-feature extraction: decode the payload's pixels (JDK
+    * codecs — the same path [[decodeMedia]] proves) and run
+    * [[pixelFeature]] over the raster. Rows whose payload does not decode
+    * as an image (audio, video containers, corrupt bytes) keep their row
+    * with a NULL feature — the never-drop contract decodeMedia set. A
+    * deployment with an embedding network swaps the kernel call; the batch
+    * shape (one partition iterator, per-partition model init amortized
+    * across the batch) is exactly what that call needs. */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(featureSchema)
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
-        // per-partition (≈ per-batch) init happens once, here — the stub
-        // has nothing to init, a real codec would.
+        // per-partition (≈ per-batch) init point — a real network loads here
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-          val feat = new Array[Float](8)
-          var i = 0
-          while (i < bytes.length) {
-            feat(i % 8) += (bytes(i) & 0xff) / 255.0f
-            i += 1
-          }
-          Row(id, bytes.length.toLong, feat.toSeq)
+          val feat = decodeImage(bytes).map { img =>
+            val w = img.getWidth; val h = img.getHeight
+            val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+            // getRGB yields ARGB; pixelFeature masks channels itself
+            pixelFeature(rgb, w, h).toSeq
+          }.orNull
+          Row(id, bytes.length.toLong, feat)
         }
       }(outEnc)
   }
@@ -246,38 +325,57 @@ object Multimodal {
     }
   }
 
-  /** Minimal ISO-BMFF (MP4) container probe: walks the top-level box list
-    * for `moov`, then its children for `mvhd`, and derives the presentation
-    * duration from the movie-header timescale. Pure byte arithmetic — the
-    * same class as [[Wav]]: no codec, runs on arbitrary bytes under
-    * decodeMedia's never-throw contract, so box sizes are treated as
-    * unsigned/hostile (a corrupt size must neither loop, overflow, nor
-    * index out of bounds). Handles 32- and 64-bit box sizes and mvhd
-    * versions 0 and 1. */
+  /** Minimal ISO-BMFF (MP4) container probe: walks the box tree with pure
+    * byte arithmetic — the same class as [[Wav]]: no codec, runs on
+    * arbitrary bytes under decodeMedia's never-throw contract, so box sizes
+    * are treated as unsigned/hostile (a corrupt size must neither loop,
+    * overflow, nor index out of bounds). Handles 32- and 64-bit box sizes.
+    *
+    * Two probes: [[durationMs]] (moov/mvhd movie duration, versions 0 and
+    * 1) and [[videoSamples]] (the full sample-table walk — moov/trak/mdia/
+    * minf/stbl with stsd/stts/stsc/stsz/stco/co64, public ISO/IEC 14496-12
+    * layout — locating every video sample's byte range and presentation
+    * time). */
   private[operators] object Mp4 {
 
-    def durationMs(b: Array[Byte]): Option[Long] = {
+    /** Bounded box-walk cursor over untrusted bytes. Every declared size is
+      * validated against the enclosing extent before use; a lying size
+      * field terminates the walk instead of looping or escaping. */
+    private final class Walk(b: Array[Byte]) {
+      def be16(o: Long): Int =
+        ((b(o.toInt) & 0xff) << 8) | (b(o.toInt + 1) & 0xff)
       def be32(o: Long): Long =
         ((b(o.toInt) & 0xffL) << 24) | ((b(o.toInt + 1) & 0xffL) << 16) |
           ((b(o.toInt + 2) & 0xffL) << 8) | (b(o.toInt + 3) & 0xffL)
       def be64(o: Long): Long =
         (be32(o) << 32) | be32(o + 4)
       def tag(o: Long) = new String(b, o.toInt, 4, "US-ASCII")
-      // find box `name` inside [from, until); returns (payloadOff, payloadEnd)
-      def findBox(name: String, from: Long, until: Long): Option[(Long, Long)] = {
+      // find every box `name` inside [from, until); (payloadOff, payloadEnd)
+      def findBoxes(name: String, from: Long, until: Long): List[(Long, Long)] = {
+        val out = List.newBuilder[(Long, Long)]
         var off = from
-        while (off + 8 <= until) {
+        var ok = true
+        while (ok && off + 8 <= until) {
           val size32 = be32(off)
           val (size, hdr) =
             if (size32 == 1L && off + 16 <= until) (be64(off + 8), 16L)
             else if (size32 == 0L) (until - off, 8L)   // box extends to end
             else (size32, 8L)
-          if (size < hdr || off + size > until || off + size < off) return None
-          if (tag(off + 4) == name) return Some((off + hdr, off + size))
-          off += size
+          if (size < hdr || off + size > until || off + size < off) ok = false
+          else {
+            if (tag(off + 4) == name) out += ((off + hdr, off + size))
+            off += size
+          }
         }
-        None
+        out.result()
       }
+      def findBox(name: String, from: Long, until: Long): Option[(Long, Long)] =
+        findBoxes(name, from, until).headOption
+    }
+
+    def durationMs(b: Array[Byte]): Option[Long] = {
+      val w = new Walk(b)
+      import w._
       findBox("moov", 0L, b.length.toLong).flatMap { case (moovOff, moovEnd) =>
         findBox("mvhd", moovOff, moovEnd).flatMap { case (p, pEnd) =>
           // v0 payload: version+flags(4) ctime(4) mtime(4) timescale(4)
@@ -308,16 +406,151 @@ object Multimodal {
         }
       }
     }
+
+    /** One located video sample: its index, byte range within the payload,
+      * and presentation time derived from the stts deltas at the media
+      * (mdhd) timescale. */
+    final case class Sample(no: Int, offset: Int, size: Int, ptsMs: Long)
+
+    /** Locate every sample of the FIRST video (`hdlr` = `vide`) track:
+      * stsd names the sample format, stsz the per-sample sizes, stco/co64
+      * the chunk offsets, stsc the sample→chunk mapping, stts the decode
+      * deltas. All table entry counts are clamped to the bytes actually
+      * present, and any sample whose declared range escapes the payload is
+      * dropped (a truncated mdat yields the frames that ARE there, never an
+      * exception). Returns empty for anything that is not a walkable MP4. */
+    def videoSamples(b: Array[Byte]): IndexedSeq[Sample] =
+      try {
+        val w = new Walk(b)
+        import w._
+        val videoStbl = for {
+          (moovOff, moovEnd) <- findBox("moov", 0L, b.length.toLong).toList
+          (trakOff, trakEnd) <- findBoxes("trak", moovOff, moovEnd)
+          (mdiaOff, mdiaEnd) <- findBox("mdia", trakOff, trakEnd).toList
+          if findBox("hdlr", mdiaOff, mdiaEnd).exists { case (h, hEnd) =>
+            hEnd - h >= 12 && tag(h + 8) == "vide" }
+          timescale <- findBox("mdhd", mdiaOff, mdiaEnd).toList.flatMap {
+            case (p, pEnd) =>
+              val v = if (pEnd - p >= 1) b(p.toInt) & 0xff else -1
+              if (v == 0 && pEnd - p >= 20) Some(be32(p + 12))
+              else if (v == 1 && pEnd - p >= 32) Some(be32(p + 28))
+              else None
+          }.filter(_ > 0)
+          (minfOff, minfEnd) <- findBox("minf", mdiaOff, mdiaEnd).toList
+          stbl <- findBox("stbl", minfOff, minfEnd).toList
+        } yield (stbl, timescale)
+        videoStbl.headOption.map { case ((sOff, sEnd), timescale) =>
+          // per-sample sizes (stsz; fixed-size form when sample_size != 0)
+          val sizes: IndexedSeq[Long] =
+            findBox("stsz", sOff, sEnd).map { case (p, pEnd) =>
+              if (pEnd - p < 12) Vector.empty[Long]
+              else {
+                val fixed = be32(p + 4)
+                val declared = be32(p + 8)
+                if (fixed != 0L) {
+                  // fixed-size samples carry no table; cap the count so a
+                  // hostile header can't demand a giant allocation
+                  val n = math.min(declared, b.length.toLong).toInt
+                  Vector.fill(n)(fixed)
+                } else {
+                  val n = math.min(declared, (pEnd - p - 12) / 4).toInt
+                  (0 until n).map(i => be32(p + 12 + 4L * i))
+                }
+              }
+            }.getOrElse(Vector.empty)
+          // chunk offsets (stco 32-bit or co64 64-bit)
+          val chunkOffsets: IndexedSeq[Long] =
+            findBox("stco", sOff, sEnd).map { case (p, pEnd) =>
+              val n = if (pEnd - p < 8) 0
+                else math.min(be32(p + 4), (pEnd - p - 8) / 4).toInt
+              (0 until n).map(i => be32(p + 8 + 4L * i))
+            }.orElse(findBox("co64", sOff, sEnd).map { case (p, pEnd) =>
+              val n = if (pEnd - p < 8) 0
+                else math.min(be32(p + 4), (pEnd - p - 8) / 8).toInt
+              (0 until n).map(i => be64(p + 8 + 8L * i))
+            }).getOrElse(Vector.empty)
+          // sample→chunk runs (stsc): entry e covers chunks
+          // [first_chunk_e, first_chunk_{e+1}) at samples_per_chunk_e each
+          val stscRuns: IndexedSeq[(Long, Long)] =
+            findBox("stsc", sOff, sEnd).map { case (p, pEnd) =>
+              val n = if (pEnd - p < 8) 0
+                else math.min(be32(p + 4), (pEnd - p - 8) / 12).toInt
+              (0 until n).map(i =>
+                (be32(p + 8 + 12L * i), be32(p + 12 + 12L * i)))
+            }.getOrElse(Vector.empty)
+          // decode deltas (stts), expanded lazily against the sample count
+          val sttsRuns: IndexedSeq[(Long, Long)] =
+            findBox("stts", sOff, sEnd).map { case (p, pEnd) =>
+              val n = if (pEnd - p < 8) 0
+                else math.min(be32(p + 4), (pEnd - p - 8) / 8).toInt
+              (0 until n).map(i =>
+                (be32(p + 8 + 8L * i), be32(p + 12 + 8L * i)))
+            }.getOrElse(Vector.empty)
+
+          val out = Vector.newBuilder[Sample]
+          var sample = 0
+          var run = 0
+          var cumTicks = 0L
+          var sttsIdx = 0
+          var sttsLeft = if (sttsRuns.nonEmpty) sttsRuns.head._1 else 0L
+          var chunk = 0
+          while (chunk < chunkOffsets.length && sample < sizes.length) {
+            // advance the stsc run whose first_chunk (1-based) covers chunk
+            while (run + 1 < stscRuns.length &&
+                stscRuns(run + 1)._1 <= chunk + 1) run += 1
+            val perChunk =
+              if (stscRuns.isEmpty) sizes.length.toLong else stscRuns(run)._2
+            var off = chunkOffsets(chunk)
+            var j = 0L
+            while (j < perChunk && sample < sizes.length) {
+              val size = sizes(sample)
+              val ptsMs =
+                if (cumTicks >= 0 && cumTicks <= Long.MaxValue / 1000L)
+                  cumTicks * 1000L / timescale
+                else 0L
+              if (size > 0 && off >= 0 && size <= b.length &&
+                  off + size <= b.length)
+                out += Sample(sample, off.toInt, size.toInt, ptsMs)
+              // pts advances by this sample's stts delta
+              if (sttsLeft > 0) { cumTicks += sttsRuns(sttsIdx)._2; sttsLeft -= 1 }
+              if (sttsLeft == 0 && sttsIdx + 1 < sttsRuns.length) {
+                sttsIdx += 1; sttsLeft = sttsRuns(sttsIdx)._1
+              }
+              off += size
+              sample += 1
+              j += 1
+            }
+            chunk += 1
+          }
+          out.result()
+        }.getOrElse(Vector.empty)
+      } catch { case _: Exception => Vector.empty }
   }
 
-  /** STUB frame sampling for video payloads: every `everyNth` chunk of the
-    * payload becomes one "frame" row (media_id, frame_no, frame bytes) —
-    * the explode shape a real decoder's keyframe sampler produces. */
-  def sampleFrames(media: DataFrame, everyNth: Int = 4, chunk: Int = 256): DataFrame = {
-    val frameSchema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("frame_no", IntegerType, nullable = false),
-      StructField("frame", BinaryType)))
+  /** Schema of [[sampleFrames]]: one row per retained video sample. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("pts_ms", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("frame", BinaryType)))
+
+  /** REAL video frame extraction: walks the payload's ISO-BMFF sample
+    * tables ([[Mp4.videoSamples]]) to locate every sample of the first
+    * video track, keeps every `everyNth`-th sample (the keyframe-sampler
+    * stride), slices its byte range out of the payload, and probes its
+    * dimensions with the same header-only ImageIO path as [[decodeMedia]]
+    * — a full bytes→frames→dimensions decode for JPEG-sample (MJPEG)
+    * tracks, the one video codec the JDK itself ships. Samples in a codec
+    * ImageIO has no reader for still yield their bytes + presentation time
+    * (the routing a downstream external decoder needs) with NULL
+    * dimensions. Payloads that are not walkable MP4 yield zero rows.
+    *
+    * Scale shape: map-side flatMap — payload bytes never shuffle; only the
+    * (id, frame) projection leaves the scan. */
+  def sampleFrames(media: DataFrame, everyNth: Int = 4): DataFrame = {
+    require(everyNth >= 1, s"everyNth ($everyNth) must be >= 1")
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(frameSchema)
     media.select(col("media_id"), col("payload"))
@@ -325,13 +558,18 @@ object Multimodal {
         rows.flatMap { r =>
           val payload =
             if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-          val nChunks = math.max(1, payload.length / chunk)
-          (0 until nChunks by everyNth).map { i =>
-            val from = i * chunk
-            val until = math.min(payload.length, from + chunk)
-            Row(r.getLong(0), Integer.valueOf(i),
-              java.util.Arrays.copyOfRange(payload, from, math.max(from, until)))
-          }
+          Mp4.videoSamples(payload)
+            .filter(_.no % everyNth == 0)
+            .map { s =>
+              val bytes =
+                java.util.Arrays.copyOfRange(payload, s.offset, s.offset + s.size)
+              val dims = imageDims(bytes)
+              Row(r.getLong(0), Integer.valueOf(s.no),
+                java.lang.Long.valueOf(s.ptsMs),
+                dims.map(d => Integer.valueOf(d._1)).orNull,
+                dims.map(d => Integer.valueOf(d._2)).orNull,
+                bytes)
+            }
         }
       }(outEnc)
   }

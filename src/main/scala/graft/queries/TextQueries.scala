@@ -259,7 +259,65 @@ object TextQueries {
         (CAST(4 AS BIGINT), 'audio', NULL, NULL, CAST(500 AS BIGINT)),
         (CAST(5 AS BIGINT), 'video', NULL, NULL, CAST(2500 AS BIGINT)),
         (CAST(6 AS BIGINT), 'video', NULL, NULL, CAST(NULL AS BIGINT))
-      ) AS t(media_id, media_type, width, height, duration_ms)"""))
+      ) AS t(media_id, media_type, width, height, duration_ms)""")),
+
+    // ---- Video frame extraction (REAL, ISO-BMFF sample-table walk) --------
+    // An MJPEG-in-MP4 built box-by-box (ftyp|mdat|moov with full stsd/stts/
+    // stsc/stsz/stco tables; 6 JPEG samples spread across 2 stsc chunks).
+    // sampleFrames must walk the tables, slice every 2nd sample's byte
+    // range out of the mdat, and DECODE its dimensions with ImageIO. The
+    // oracle is the construction parameters: frame i is a gradient JPEG of
+    // videoFrameDims(i) at pts 100·i ms; the undecodable payload (media 12)
+    // must contribute ZERO rows.
+    Q("q91_video_frames", (s, _) => {
+      graft.operators.Multimodal
+        .sampleFrames(graft.fixtures.MediaFixture.videoFrame(s), everyNth = 2)
+        .select(col("media_id"), col("frame_no"), col("pts_ms"),
+          col("width"), col("height"))
+    }, Some {
+      val rows = graft.fixtures.MediaFixture.videoFrameDims.zipWithIndex
+        .collect { case ((w, h), i) if i % 2 == 0 =>
+          s"(CAST(11 AS BIGINT), CAST($i AS INT), CAST(${i * 100} AS BIGINT), $w, $h)"
+        }
+      s"""
+      SELECT * FROM (VALUES
+        ${rows.mkString(",\n        ")}
+      ) AS t(media_id, frame_no, pts_ms, width, height)"""
+    }),
+
+    // ---- Learned-feature extraction (REAL, JL projection over pixels) -----
+    // extractFeatures decodes the payload's pixels and runs the seeded
+    // random-projection featurizer; PNG/BMP decode is bit-exact, so the
+    // oracle recomputes the expected feature from the CONSTRUCTION-formula
+    // raster (never touching an encoder) through the same pure kernel —
+    // the gate proves bytes→pixels→feature end to end. Checksum = the
+    // in-order float sum rounded at 6 dp (Spark round(double) ≡ BigDecimal
+    // .valueOf setScale HALF_UP, replicated driver-side). Non-image rows
+    // keep their row with NULL feature.
+    Q("q92_media_features", (s, _) => {
+      graft.operators.Multimodal
+        .extractFeatures(graft.fixtures.MediaFixture.featureFrame(s))
+        .select(col("media_id"),
+          when(col("feature").isNotNull, size(col("feature"))).as("feat_dim"),
+          round(aggregate(col("feature"), lit(0.0d),
+            (a, x) => a + x.cast("double")), 6).as("feat_checksum"))
+    }, Some {
+      import graft.fixtures.MediaFixture
+      import graft.operators.Multimodal
+      val imgRows = MediaFixture.featureImages.map { case (id, w, h) =>
+        val feat = Multimodal.pixelFeature(MediaFixture.expectedRgb(w, h), w, h)
+        val sum = feat.foldLeft(0.0)((a, x) => a + x.toDouble)
+        val rounded = java.math.BigDecimal.valueOf(sum)
+          .setScale(6, java.math.RoundingMode.HALF_UP).toPlainString
+        s"(CAST($id AS BIGINT), CAST(${Multimodal.featureDim} AS INT), CAST($rounded AS DOUBLE))"
+      }
+      val nullRows = Seq(24L, 25L).map(id =>
+        s"(CAST($id AS BIGINT), CAST(NULL AS INT), CAST(NULL AS DOUBLE))")
+      s"""
+      SELECT * FROM (VALUES
+        ${(imgRows ++ nullRows).mkString(",\n        ")}
+      ) AS t(media_id, feat_dim, feat_checksum)"""
+    })
   ) ++ samplingQueries ++ Seq(
 
     // ---- Line-level boilerplate dedup (CCNet/RefinedWeb pass) -------------

@@ -14,16 +14,41 @@ class MultimodalSpec extends SparkSpec {
     assert(media.schema("payload").dataType.typeName === "binary")
   }
 
-  test("stub feature extraction: deterministic, byte counts match text length") {
-    val feats = Multimodal.extractFeatures(media).collect()
-    assert(feats.length === 50)
-    feats.foreach { r =>
-      assert(r.getAs[Long]("n_bytes") > 0)
-      assert(r.getAs[Seq[Float]]("feature").length === 8)
+  test("feature extraction: real pixels in, deterministic JL features out") {
+    val feats = Multimodal.extractFeatures(graft.fixtures.MediaFixture.featureFrame(spark))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    // every image row gets a featureDim-vector; non-images keep NULL
+    graft.fixtures.MediaFixture.featureImages.foreach { case (id, _, _) =>
+      assert(feats(id).getAs[Seq[Float]]("feature").length === Multimodal.featureDim)
     }
-    // determinism: second run identical
-    val again = Multimodal.extractFeatures(media).collect()
-    assert(feats.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+    Seq(24L, 25L).foreach { id =>
+      assert(feats(id).isNullAt(feats(id).fieldIndex("feature")))
+      assert(feats(id).getAs[Long]("n_bytes") > 0) // row kept, bytes counted
+    }
+    // the decoded-pixel feature equals the construction-formula feature:
+    // PNG/BMP are lossless, so bytes→pixels→kernel must land bit-exactly
+    // on raster→kernel
+    graft.fixtures.MediaFixture.featureImages.foreach { case (id, w, h) =>
+      val expected = Multimodal.pixelFeature(
+        graft.fixtures.MediaFixture.expectedRgb(w, h), w, h).toSeq
+      assert(feats(id).getAs[Seq[Float]]("feature") === expected, s"media $id")
+    }
+  }
+
+  test("JL projection approximately preserves relative distances") {
+    // three rasters: two near-identical gradients, one inverted — the
+    // projected distance between the near pair must stay well under the
+    // distance to the far raster (the property the featurizer exists for)
+    val w = 32; val h = 32
+    val base = graft.fixtures.MediaFixture.expectedRgb(w, h)
+    val near = base.map(p => p ^ 0x01)           // LSB blue flip per pixel
+    val far = base.map(p => ~p & 0xffffff)       // inverted image
+    def dist(a: Array[Float], b: Array[Float]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum)
+    val fBase = Multimodal.pixelFeature(base, w, h)
+    val fNear = Multimodal.pixelFeature(near, w, h)
+    val fFar = Multimodal.pixelFeature(far, w, h)
+    assert(dist(fBase, fNear) < 0.1 * dist(fBase, fFar))
   }
 
   test("withFeatures joins features back onto metadata without row loss") {
@@ -166,12 +191,69 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.Mp4.durationMs(MediaFixture.mp4(600, 0xffffffffL)) === None)
   }
 
-  test("frame sampling stub: explode shape with stride") {
-    val frames = Multimodal.sampleFrames(media, everyNth = 2, chunk = 64)
-    assert(frames.columns.toSeq === Seq("media_id", "frame_no", "frame"))
-    assert(frames.count() >= 50) // at least one frame per document
-    val strides = frames.select("frame_no").distinct()
-      .collect().map(_.getInt(0))
-    assert(strides.forall(_ % 2 === 0))
+  test("sampleFrames: real MJPEG samples located, sliced, and decoded") {
+    import graft.fixtures.MediaFixture
+    val frames = Multimodal.sampleFrames(MediaFixture.videoFrame(spark), everyNth = 1)
+      .collect().map(r => r.getAs[Int]("frame_no") -> r).toMap
+    // all 6 samples of the MJPEG track come back (media 12 yields nothing)
+    assert(frames.size === 6)
+    assert(frames.values.forall(_.getAs[Long]("media_id") === 11L))
+    MediaFixture.videoFrameDims.zipWithIndex.foreach { case ((w, h), i) =>
+      val r = frames(i)
+      assert(r.getAs[Integer]("width") === w, s"frame $i")
+      assert(r.getAs[Integer]("height") === h, s"frame $i")
+      assert(r.getAs[Long]("pts_ms") === i * 100L, s"frame $i")
+      // the sliced bytes are a COMPLETE standalone JPEG: full raster decode
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame")))
+      assert(img != null && img.getWidth === w && img.getHeight === h)
+    }
+    // stride: everyNth=3 keeps samples 0 and 3 only
+    val strided = Multimodal.sampleFrames(MediaFixture.videoFrame(spark), everyNth = 3)
+      .collect().map(_.getAs[Int]("frame_no")).sorted
+    assert(strided.toSeq === Seq(0, 3))
+  }
+
+  test("videoSamples survives truncated/hostile sample tables") {
+    import graft.fixtures.MediaFixture
+    val jpegs = MediaFixture.videoFrameDims.map { case (w, h) =>
+      MediaFixture.image(w, h, "jpg") }
+    val full = MediaFixture.mjpegMp4(jpegs, 30, 3)
+    assert(Multimodal.Mp4.videoSamples(full).size === 6)
+    // truncating ANYWHERE must neither throw nor loop; cutting inside the
+    // moov loses table bytes → fewer (possibly zero) samples, never bogus
+    // ones pointing outside the payload
+    Seq(10, 40, full.length / 2, full.length - 20, full.length - 1).foreach { cut =>
+      val t = java.util.Arrays.copyOfRange(full, 0, cut)
+      val samples = Multimodal.Mp4.videoSamples(t)
+      assert(samples.forall(s => s.offset >= 0 && s.offset + s.size <= t.length),
+        s"cut=$cut leaked an out-of-range sample")
+    }
+    // hostile stco: point chunk 2 at the last 8 bytes of the buffer — its
+    // samples' declared ranges escape the payload and must be dropped while
+    // chunk 1's samples survive untouched
+    val badStco = full.clone()
+    val stcoIdx = indexOfTag(badStco, "stco")
+    val bb = java.nio.ByteBuffer.wrap(badStco).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putInt(stcoIdx + 16, badStco.length - 8) // second chunk offset
+    val clamped = Multimodal.Mp4.videoSamples(badStco)
+    assert(clamped.map(_.no).sorted === Vector(0, 1, 2, 3))
+    assert(clamped.forall(s => s.offset + s.size <= badStco.length))
+    // hostile stsz: flip the first sample's declared size to 0xffffffff —
+    // that sample must be dropped, and nothing may throw
+    val evil = full.clone()
+    val stszIdx = indexOfTag(evil, "stsz")
+    java.util.Arrays.fill(evil, stszIdx + 16, stszIdx + 20, 0xff.toByte)
+    val survivors = Multimodal.Mp4.videoSamples(evil)
+    assert(survivors.forall(s => s.offset + s.size <= evil.length))
+    assert(!survivors.exists(_.no == 0))
+  }
+
+  /** Locate the byte offset of a box tag in a fixture (test helper). */
+  private def indexOfTag(b: Array[Byte], tag: String): Int = {
+    val t = tag.getBytes("US-ASCII")
+    (0 to b.length - 4).find(i =>
+      b(i) == t(0) && b(i + 1) == t(1) && b(i + 2) == t(2) && b(i + 3) == t(3))
+      .getOrElse(sys.error(s"tag $tag not found"))
   }
 }
