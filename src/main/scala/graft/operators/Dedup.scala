@@ -159,6 +159,35 @@ object Dedup {
         col("containment"))
   }
 
+  /** Containment scoring over an EXPLICIT candidate pair set (doc_a,
+    * doc_b) — the [[verifyPairs]] analogue for containment, so candidates
+    * from LSH bands ([[minhashCandidates]] / [[simhashCandidates]]) can be
+    * scored without any bucketed self-join: THIS composition (band-keyed
+    * candidates → containment verify) is the 100 TB plan, where
+    * [[containmentPairs]]' explicit bucket column is the small-corpus
+    * convenience. Shingles are hashed once per side to sorted 60-bit longs
+    * and intersected with the codegen'd two-pointer kernel; min comes from
+    * the two stored sizes. Cost is linear in the candidate count. */
+  def containmentOverPairs(cands: DataFrame, df: DataFrame, textCol: String,
+      idCol: String, n: Int = 2, minContainment: Double = 0.9): DataFrame = {
+    import graft.functions.ArrayOps._
+    val sh = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol).as("__id"),
+        sortedShingleHashesOfTokens(col("__toks"), n).as("__sh"))
+      .withColumn("__nsh", size(col("__sh")))
+    cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.__id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.__id"))
+      .withColumn("__ni", sortedIntersectCount(col("sa.__sh"), col("sb.__sh")))
+      // an empty shingle set divides 0/0 → NaN and the filter drops it
+      .withColumn("containment",
+        col("__ni").cast("double") /
+          least(col("sa.__nsh"), col("sb.__nsh")).cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** Verified near-dup pairs: LSH candidates filtered by true n-gram
     * Jaccard ≥ threshold (computed only on candidates). */
   def minhashNearDups(

@@ -35,24 +35,47 @@ object Registry {
 
   /** Engine-wide session contract (SURVEY §7.4.6): non-ANSI NULL-on-bad-cast
     * and ÷0→NULL semantics (Spark 4 flipped the default to ANSI), UTC, and
-    * HALF_UP-compatible rounding. Applied at every entry point so the
-    * contract holds regardless of who built the session. */
-  def ensureSessionContract(spark: SparkSession): Unit = {
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    // Spark 4.1's tentative single-pass resolver can't analyze glob reads:
-    // it throws FileNotFoundException (logged with a full stack — pure noise
-    // that pollutes Verify/Bench output) before the fixed-point analyzer
-    // silently takes over. Pin the legacy analyzer; it also avoids paying
-    // for dual analysis on every query.
-    spark.conf.set("spark.sql.analyzer.singlePassResolver.enabledTentatively", "false")
-    spark.conf.set("spark.sql.analyzer.singlePassResolver.enabled", "false")
+    * HALF_UP-compatible rounding. Applied to an ISOLATED child session —
+    * `newSession()` shares the SparkContext, cached data, and SQL UDFs but
+    * carries a PRIVATE SQLConf — memoized per caller session, so a library
+    * call can never flip ANSI/timezone semantics under its host
+    * application's feet (the caller's own `spark.conf` survives every
+    * query; RegistrySpec pins this). Confs set during table reads (e.g.
+    * nanosAsLong) land on the contract session only. */
+  def contractSession(spark: SparkSession): SparkSession = {
+    val existing = contracts.get(spark)
+    if (existing != null) existing
+    else contracts.synchronized {
+      val again = contracts.get(spark)
+      if (again != null) again
+      else {
+        val c = spark.newSession()
+        c.conf.set("spark.sql.ansi.enabled", "false")
+        c.conf.set("spark.sql.session.timeZone", "UTC")
+        // Spark 4.1's tentative single-pass resolver can't analyze glob
+        // reads: it throws FileNotFoundException (logged with a full stack —
+        // pure noise that pollutes Verify/Bench output) before the
+        // fixed-point analyzer silently takes over. Pin the legacy analyzer;
+        // it also avoids paying for dual analysis on every query.
+        c.conf.set("spark.sql.analyzer.singlePassResolver.enabledTentatively", "false")
+        c.conf.set("spark.sql.analyzer.singlePassResolver.enabled", "false")
+        // shuffle partitioning is an operational knob the caller owns —
+        // carry the caller's RUNTIME value over (newSession only inherits
+        // context-level defaults, not later spark.conf.set overrides)
+        c.conf.set("spark.sql.shuffle.partitions",
+          spark.conf.get("spark.sql.shuffle.partitions"))
+        contracts.put(c, c) // idempotent: the contract session of a
+        contracts.put(spark, c) // contract session is itself
+        c
+      }
+    }
   }
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    ensureSessionContract(spark)
-    table0(spark, dir, name)
-  }
+  private val contracts =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    table0(contractSession(spark), dir, name)
 
   private def table0(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
@@ -68,10 +91,15 @@ object Registry {
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Full battery: relational parity + house-price semantics + LLM-pipeline
-    * operators. Order = SURVEY §2 inventory order, then north star. */
+    * operators. Order = SURVEY §2 inventory order, then north star. Every
+    * run is wrapped to execute under [[contractSession]], so fixture-built
+    * frames (createDataFrame/toDF inside query bodies) live on the SAME
+    * session as [[table]] reads and the caller's own session is never
+    * reconfigured. */
   lazy val all: Seq[Q] =
-    Relational.queries ++ HousePriceQueries.queries ++ TextQueries.queries ++
-      VectorQueries.queries ++ EventQueries.queries ++ Extended.queries
+    (Relational.queries ++ HousePriceQueries.queries ++ TextQueries.queries ++
+      VectorQueries.queries ++ EventQueries.queries ++ Extended.queries)
+      .map(q => q.copy(run = (s, dir) => q.run(contractSession(s), dir)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

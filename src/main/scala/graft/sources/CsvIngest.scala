@@ -30,8 +30,10 @@ object CsvIngest {
     * attached as `source_file` (P4 — the city letter lives in the filename,
     * SURVEY §1.4). */
   def readRaw(spark: SparkSession, glob: String): DataFrame = {
-    graft.queries.Registry.ensureSessionContract(spark)
-    val df = spark.read
+    // read through the isolated contract session (non-ANSI/UTC semantics
+    // without reconfiguring the caller's own session)
+    val s = graft.queries.Registry.contractSession(spark)
+    val df = s.read
       .format("csv")
       .option("header", "true")
       .option("encoding", "UTF-8")
