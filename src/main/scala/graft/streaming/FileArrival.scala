@@ -22,17 +22,28 @@ object FileArrival {
   /** Streaming read of raw CSVs landing in `dir` (only `*a.csv`, mirroring
     * the trigger's suffix filter at cloud_function/main.py:8). The schema
     * must be supplied — a streaming source cannot infer it (pass
-    * `rawSchema(cols)` built from one sample file). */
-  def readRaw(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    * `rawSchema(cols)` built from one sample file).
+    *
+    * `maxFilesPerTrigger` is the backpressure valve: a burst of N files
+    * (a backfill drop, an upstream outage flushing) drains as ⌈N/max⌉
+    * BOUNDED micro-batches instead of one giant batch that would size
+    * executor memory to the burst instead of the steady state. Progress is
+    * checkpointed per batch, so a crash mid-burst resumes at the next
+    * unprocessed file, not the start. Applies to AvailableNow backfills
+    * too (Spark honors the cap per availableNow sub-batch). */
+  def readRaw(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 64): DataFrame = {
+    require(maxFilesPerTrigger > 0, "maxFilesPerTrigger must be positive")
     spark.readStream
       .format("csv")
       .schema(schema)
       .option("header", "true")
       .option("pathGlobFilter", "*a.csv")
-      .option("maxFilesPerTrigger", "64") // bound micro-batch size at scale
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .load(dir)
       .filter(!col(Raw.transactionSign).isin("transaction sign", "transaction_sign"))
       .withColumn("source_file", input_file_name())
+  }
 
   /** All-string schema for the raw CSV contract (streaming needs it fixed). */
   def rawSchema(columns: Seq[String]): StructType =

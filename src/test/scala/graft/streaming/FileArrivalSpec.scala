@@ -59,4 +59,47 @@ class FileArrivalSpec extends SparkSpec {
     assert(finalDf.count() === 4L)
     assert(finalDf.filter(col("city") === "台北市").count() === 2L)
   }
+
+  test("a 50-file burst drains in multiple BOUNDED micro-batches") {
+    val in = Files.createTempDirectory("graft-burst-in")
+    val out = Files.createTempDirectory("graft-burst-out").toString
+    val ckpt = Files.createTempDirectory("graft-burst-ckpt")
+
+    // 50 one-row files of the raw contract landing at once (a backfill
+    // drop) — each carries a distinct valid building transaction
+    val headerLine = "﻿" + RawCsvFixture.header.mkString(",")
+    (0 until 50).foreach { i =>
+      val row = Seq("礁溪鄉", "房地", s"大湖段${i}地號", "100", "661.158",
+        "0990101", "110%02d%02d".format(i % 12 + 1, i % 28 + 1),
+        s"${1000000L + i}", "15000").mkString(",")
+      Files.write(in.resolve(f"101S4_g_burst$i%02d_lvr_land_a.csv"),
+        s"$headerLine\n$row\n".getBytes("UTF-8"))
+    }
+
+    val schema = FileArrival.rawSchema(RawCsvFixture.header)
+    val stream = FileArrival.readRaw(spark, in.toString, schema,
+      maxFilesPerTrigger = 8)
+    val q = FileArrival.toWarehouse(transform(stream), out, ckpt.toString).start()
+    q.awaitTermination(120000)
+
+    // every row of every file landed exactly once
+    val result = spark.read.parquet(out)
+    assert(result.count() === 50L)
+    assert(result.select("total_price").as[Long](
+      org.apache.spark.sql.Encoders.scalaLong).collect().toSet ===
+      (0 until 50).map(1000000L + _).toSet)
+
+    // the burst drained as ⌈50/8⌉ = 7 bounded batches, each checkpointed:
+    // the offset log has one entry per committed micro-batch
+    val offsetLog = ckpt.resolve("offsets").toFile.listFiles()
+      .filter(f => f.getName.forall(_.isDigit))
+    assert(offsetLog.length >= 7,
+      s"expected >=7 bounded micro-batches, got ${offsetLog.length}")
+
+    // and the per-batch input was BOUNDED at 8 files = 8 rows
+    val commits = ckpt.resolve("commits").toFile.listFiles()
+      .filter(f => f.getName.forall(_.isDigit))
+    assert(commits.length === offsetLog.length,
+      "every planned batch must have committed")
+  }
 }
