@@ -95,10 +95,11 @@ object ExplainDump {
     "q90_containment" ->
       """Wants: the same audited shape as q25 — shingles hashed ONCE per
         |side to sorted 60-bit longs in a projection, equi-join on the
-        |bucket key with doc_a < doc_b inside the join condition, the
-        |codegen'd sortedintersectcount kernel scoring pairs in the join
-        |output projection, min(|A|,|B|) from the two STORED sizes (the
-        |union array is never materialized).""".stripMargin,
+        |bucket key with doc_a < doc_b AND the codegen'd
+        |sortedintersectcount threshold inside the JOIN CONDITION (losing
+        |pairs die before any projection materializes), min(|A|,|B|) from
+        |the two STORED sizes (the union array is never
+        |materialized).""".stripMargin,
     "q80_bucketed_sample" ->
       """Wants (READ PATH — the write is once-per-process fixture setup, see
         |WarehouseSpec for the write-side layout assertions): PartitionFilters
