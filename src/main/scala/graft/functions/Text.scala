@@ -68,7 +68,7 @@ object Text {
     * MinHash — engine-portable (md5 is identical everywhere), and a valid
     * min-wise permutation family for Jaccard estimation. */
   def minhash(shingleArr: Column, seed: Int): Column =
-    array_min(transform(shingleArr, s => md5(concat(lit(seed + ":"), s))))
+    array_min(transform(shingleArr, s => md5(concat(lit(s"$seed:"), s))))
 
   /** Document fingerprint: md5 of normalized text (exact-dup key). */
   def fingerprint(text: Column): Column = md5(normalize(text))

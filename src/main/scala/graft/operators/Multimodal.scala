@@ -245,7 +245,7 @@ object Multimodal {
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(metadataSchema)
-    media.select(metadataSchema.fieldNames.map(col): _*)
+    media.select(metadataSchema.fieldNames.toIndexedSeq.map(col): _*)
       .mapPartitions { rows =>
         rows.map { r =>
           val mtype = if (r.isNullAt(1)) null else r.getString(1)

@@ -269,7 +269,7 @@ object Similarity {
           StructField("cos", DoubleType))))
     }
     spark.read.parquet(s"$path/cells")
-      .filter(col("cell_id").isin(probedCells: _*))
+      .filter(col("cell_id").isin(probedCells.toIndexedSeq: _*))
       .crossJoin(broadcast(query))
       .withColumn("cos", cosine(col(vecCol), col("qvec")))
       .orderBy(col("cos").desc, col(idCol).asc)

@@ -40,7 +40,7 @@ object CsvIngest {
       .load(glob)
     // Defensive BOM strip on column names (P6): Spark's UnivocityParser
     // handles the common case, but a re-encoded file can sneak one through.
-    val cleaned = df.toDF(df.columns.map(_.stripPrefix("﻿")): _*)
+    val cleaned = df.toDF(df.columns.toIndexedSeq.map(_.stripPrefix("﻿")): _*)
     cleaned
       .filter(!col(Raw.transactionSign).isin(embeddedHeaderValues: _*))
       .withColumn("source_file", input_file_name())

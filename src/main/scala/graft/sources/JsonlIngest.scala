@@ -82,7 +82,7 @@ object JsonlIngest {
       // from_json returns a NULL struct (not a corrupt record) — getField
       // would surface it as a phantom all-NULL "parsed" document; route the
       // raw line to quarantine instead (jq-style pipelines do emit `null`).
-      .select(fullSchema.fieldNames.map { f =>
+      .select(fullSchema.fieldNames.toIndexedSeq.map { f =>
         val v = col("__p").getField(f)
         (if (f == CORRUPT_COL) when(col("__p").isNull, col("value")).otherwise(v)
          else v).as(f)

@@ -214,6 +214,23 @@ class MultimodalSpec extends SparkSpec {
     assert(strided.toSeq === Seq(0, 3))
   }
 
+  test("videoSamples: co64 (64-bit offsets) and multi-run stts (VFR) parse") {
+    import graft.fixtures.MediaFixture
+    val jpegs = MediaFixture.videoFrameDims.map { case (w, h) =>
+      MediaFixture.image(w, h, "jpg") }
+    // co64 form locates the identical byte ranges as the stco form
+    val viaStco = Multimodal.Mp4.videoSamples(MediaFixture.mjpegMp4(jpegs, 30, 3))
+    val viaCo64 = Multimodal.Mp4.videoSamples(
+      MediaFixture.mjpegMp4(jpegs, 30, 3, co64 = true))
+    assert(viaCo64.map(s => (s.no, s.offset, s.size, s.ptsMs)) ===
+      viaStco.map(s => (s.no, s.offset, s.size, s.ptsMs)))
+    // variable frame rate: deltas (3,3,6,6,1,1) @30 Hz run-length-encode to
+    // a 3-entry stts; pts must be the cumulative PRIOR deltas per sample
+    val vfr = Multimodal.Mp4.videoSamples(MediaFixture.mjpegMp4(
+      jpegs, 30, 3, sampleTicks = Some(Seq(3, 3, 6, 6, 1, 1))))
+    assert(vfr.map(_.ptsMs) === Vector(0L, 100L, 200L, 400L, 600L, 633L))
+  }
+
   test("videoSamples survives truncated/hostile sample tables") {
     import graft.fixtures.MediaFixture
     val jpegs = MediaFixture.videoFrameDims.map { case (w, h) =>
