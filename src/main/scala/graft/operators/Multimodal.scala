@@ -448,9 +448,12 @@ object Multimodal {
                 val fixed = be32(p + 4)
                 val declared = be32(p + 8)
                 if (fixed != 0L) {
-                  // fixed-size samples carry no table; cap the count so a
-                  // hostile header can't demand a giant allocation
-                  val n = math.min(declared, b.length.toLong).toInt
+                  // fixed-size samples carry no table; cap the count at the
+                  // number of samples that can PHYSICALLY fit in the payload
+                  // (a hostile header must not demand a giant allocation —
+                  // declared=2^31 against a big payload would otherwise
+                  // materialize gigabytes of Vector here)
+                  val n = math.min(declared, b.length / fixed).toInt
                   Vector.fill(n)(fixed)
                 } else {
                   val n = math.min(declared, (pEnd - p - 12) / 4).toInt

@@ -231,6 +231,25 @@ class MultimodalSpec extends SparkSpec {
     assert(vfr.map(_.ptsMs) === Vector(0L, 100L, 200L, 400L, 600L, 633L))
   }
 
+  test("videoSamples: fixed-size stsz form; hostile count stays bounded") {
+    import graft.fixtures.MediaFixture
+    // two equal-size opaque samples; patch stsz into the FIXED-size form
+    // (sample_size field set, per-sample table ignored)
+    val blob = Array.tabulate[Byte](300)(i => (i * 7).toByte)
+    val mp4 = MediaFixture.mjpegMp4(Seq(blob, blob.clone()), 30, 3)
+    val bb = java.nio.ByteBuffer.wrap(mp4).order(java.nio.ByteOrder.BIG_ENDIAN)
+    val stszIdx = indexOfTag(mp4, "stsz")
+    bb.putInt(stszIdx + 8, 300) // sample_size != 0 → fixed form
+    val fixed = Multimodal.Mp4.videoSamples(mp4)
+    assert(fixed.map(s => (s.no, s.size)) === Vector((0, 300), (1, 300)))
+    // hostile declared count in the fixed form must cap at what physically
+    // fits (never a giant allocation) and never emit out-of-range samples
+    bb.putInt(stszIdx + 12, Int.MaxValue)
+    val capped = Multimodal.Mp4.videoSamples(mp4)
+    assert(capped.forall(s => s.offset >= 0 && s.offset + s.size <= mp4.length))
+    assert(capped.size <= mp4.length / 300)
+  }
+
   test("videoSamples survives truncated/hostile sample tables") {
     import graft.fixtures.MediaFixture
     val jpegs = MediaFixture.videoFrameDims.map { case (w, h) =>
