@@ -179,8 +179,8 @@ object Multimodal {
     * never materializing the raster: a 50-MP JPEG costs a few header bytes
     * here, not 200 MB of decoded pixels), audio through the RIFF/WAVE
     * parse, video CONTAINER duration through the ISO-BMFF `moov`/`mvhd`
-    * walk (byte arithmetic only — no codec; frame DECODE stays stubbed,
-    * see [[sampleFrames]]). The media_type column routes each payload to
+    * walk (byte arithmetic only — per-frame extraction is the separate
+    * [[sampleFrames]] pass). The media_type column routes each payload to
     * its own probe; rows with an unknown/NULL type try all three (every
     * probe is header-cheap). Undecodable payloads yield NULL width/height/
     * duration — never an exception, never a dropped row. */
@@ -342,8 +342,6 @@ object Multimodal {
       * validated against the enclosing extent before use; a lying size
       * field terminates the walk instead of looping or escaping. */
     private final class Walk(b: Array[Byte]) {
-      def be16(o: Long): Int =
-        ((b(o.toInt) & 0xff) << 8) | (b(o.toInt + 1) & 0xff)
       def be32(o: Long): Long =
         ((b(o.toInt) & 0xffL) << 24) | ((b(o.toInt + 1) & 0xffL) << 16) |
           ((b(o.toInt + 2) & 0xffL) << 8) | (b(o.toInt + 3) & 0xffL)
