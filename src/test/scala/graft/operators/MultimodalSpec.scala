@@ -51,6 +51,40 @@ class MultimodalSpec extends SparkSpec {
     assert(dist(fBase, fNear) < 0.1 * dist(fBase, fFar))
   }
 
+  test("pixelFeature is bit-invariant to integer pixel replication") {
+    // box-averaging onto the fixed grid makes the feature a function of
+    // cell means: replicating every pixel k× scales each cell's sum and
+    // count by k², and (k²·s)/(k²·n) rounds to the SAME double as s/n —
+    // so an upscaled image must produce the bitwise-identical feature
+    // (the scale-invariance a resolution-mixed corpus needs)
+    val w = 16; val h = 16
+    val base = graft.fixtures.MediaFixture.expectedRgb(w, h)
+    for (k <- Seq(2, 3)) {
+      val up = Array.tabulate(w * k * h * k) { idx =>
+        val x = (idx % (w * k)) / k; val y = (idx / (w * k)) / k
+        base(y * w + x)
+      }
+      assert(Multimodal.pixelFeature(up, w * k, h * k).toSeq ===
+        Multimodal.pixelFeature(base, w, h).toSeq, s"k=$k")
+    }
+  }
+
+  test("video -> frames -> features composes (the training-pipeline path)") {
+    import graft.fixtures.MediaFixture
+    // extracted MJPEG frames re-wrapped as media rows must featurize: the
+    // frame bytes are standalone JPEGs, so the same decode->JL path runs
+    val frames = Multimodal.sampleFrames(MediaFixture.videoFrame(spark), everyNth = 2)
+    val asMedia = frames.selectExpr(
+      "(media_id * 1000 + frame_no) AS media_id", "frame AS payload")
+    val feats = Multimodal.extractFeatures(asMedia).collect()
+    assert(feats.length === 3) // frames 0, 2, 4 of the 6-sample track
+    feats.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("feature")),
+        s"frame ${r.getLong(0)} failed to featurize")
+      assert(r.getAs[Seq[Float]]("feature").length === Multimodal.featureDim)
+    }
+  }
+
   test("withFeatures joins features back onto metadata without row loss") {
     val out = Multimodal.withFeatures(media)
     assert(out.count() === 50)
