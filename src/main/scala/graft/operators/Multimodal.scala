@@ -133,14 +133,26 @@ object Multimodal {
     }
   }
 
+  /** Raster-size ceiling for the featurizer's decode (pixels). Above it,
+    * the codec reads every k-th pixel instead of materializing the full
+    * raster — a 50-MP JPEG would otherwise cost ~200 MB of decoded ints
+    * PER ROW PER EXECUTOR THREAD, sizing executor memory to the largest
+    * image in the corpus instead of this constant. 2²¹ pixels ≈ 8 MB. */
+  val maxDecodePixels: Int = 1 << 21
+
   /** REAL learned-feature extraction: decode the payload's pixels (JDK
     * codecs — the same path [[decodeMedia]] proves) and run
-    * [[pixelFeature]] over the raster. Rows whose payload does not decode
-    * as an image (audio, video containers, corrupt bytes) keep their row
-    * with a NULL feature — the never-drop contract decodeMedia set. A
-    * deployment with an embedding network swaps the kernel call; the batch
-    * shape (one partition iterator, per-partition model init amortized
-    * across the batch) is exactly what that call needs. */
+    * [[pixelFeature]] over the raster. Oversized images decode SUBSAMPLED
+    * (every k-th pixel via `ImageReadParam`, k chosen so the raster fits
+    * [[maxDecodePixels]]) — deterministic, and since the kernel box-
+    * averages onto a fixed 8×8 grid anyway, the feature of a subsampled
+    * raster tracks the full-raster feature (bit-exact under integer pixel
+    * replication, approximate on natural images). Rows whose payload does
+    * not decode as an image (audio, video containers, corrupt bytes) keep
+    * their row with a NULL feature — the never-drop contract decodeMedia
+    * set. A deployment with an embedding network swaps the kernel call;
+    * the batch shape (one partition iterator, per-partition model init
+    * amortized across the batch) is exactly what that call needs. */
   def extractFeatures(media: DataFrame): DataFrame = {
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(featureSchema)
@@ -150,7 +162,7 @@ object Multimodal {
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-          val feat = decodeImage(bytes).map { img =>
+          val feat = decodeImageBounded(bytes, maxDecodePixels).map { img =>
             val w = img.getWidth; val h = img.getHeight
             val rgb = img.getRGB(0, 0, w, h, null, 0, w)
             // getRGB yields ARGB; pixelFeature masks channels itself
@@ -160,6 +172,39 @@ object Multimodal {
         }
       }(outEnc)
   }
+
+  /** Decode with the raster bounded at `maxPixels`: probe the header for
+    * dimensions first (cheap), then read with source subsampling k =
+    * ⌈√(w·h / maxPixels)⌉ so the materialized raster never exceeds the
+    * bound regardless of the encoded image's size. k = 1 (the common
+    * case) is a plain full decode. */
+  private[operators] def decodeImageBounded(
+      bytes: Array[Byte], maxPixels: Int): Option[java.awt.image.BufferedImage] =
+    if (bytes.isEmpty) None
+    else try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val w = reader.getWidth(0).toLong
+            val h = reader.getHeight(0).toLong
+            if (w <= 0 || h <= 0) None
+            else {
+              val k = math.max(1L,
+                math.ceil(math.sqrt(w * h / maxPixels.toDouble)).toLong).toInt
+              val param = reader.getDefaultReadParam
+              param.setSourceSubsampling(k, k, 0, 0)
+              Option(reader.read(0, param))
+            }
+          } finally reader.dispose()
+        }
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => None }
 
   /** End-to-end: payloads → features, joined back to metadata. */
   def withFeatures(media: DataFrame): DataFrame =

@@ -85,6 +85,41 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("oversized image decodes SUBSAMPLED; feature matches the base raster") {
+    import graft.fixtures.MediaFixture
+    // a 2560×1024 image (>maxDecodePixels) built by 8× pixel replication
+    // of a 320×128 base: bounded decode must subsample (k=2 → 1280×512,
+    // which is the base replicated 4×), and by the replication invariance
+    // the feature must equal the BASE raster's feature bitwise — the
+    // bounded path costs 4× less memory and loses nothing here
+    val wb = 320; val hb = 128; val k = 8
+    val base = MediaFixture.expectedRgb(wb, hb)
+    val big = new java.awt.image.BufferedImage(
+      wb * k, hb * k, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < hb * k) {
+      var x = 0
+      while (x < wb * k) {
+        big.setRGB(x, y, base((y / k) * wb + (x / k)))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "png", out)
+    val bytes = out.toByteArray
+    assert(wb.toLong * k * hb * k > Multimodal.maxDecodePixels) // engages
+    val decoded = Multimodal.decodeImageBounded(bytes, Multimodal.maxDecodePixels)
+    assert(decoded.exists(i => i.getWidth === 1280 && i.getHeight === 512))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        31L, "image", "image/png", null, null, null, bytes)),
+      Multimodal.metadataSchema)
+    val row = Multimodal.extractFeatures(df).collect().head
+    val feat = row.getSeq[Float](row.fieldIndex("feature")).toSeq
+    assert(feat === Multimodal.pixelFeature(base, wb, hb).toSeq)
+  }
+
   test("withFeatures joins features back onto metadata without row loss") {
     val out = Multimodal.withFeatures(media)
     assert(out.count() === 50)
