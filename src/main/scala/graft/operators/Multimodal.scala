@@ -604,7 +604,10 @@ object Multimodal {
         rows.flatMap { r =>
           val payload =
             if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
-          Mp4.videoSamples(payload)
+          // iterator, not a mapped collection: the retained frames of one
+          // payload stream through the encoder one at a time instead of
+          // materializing every sliced frame copy simultaneously
+          Mp4.videoSamples(payload).iterator
             .filter(_.no % everyNth == 0)
             .map { s =>
               val bytes =
