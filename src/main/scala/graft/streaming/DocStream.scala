@@ -25,11 +25,16 @@ import graft.operators.TextAnalysis
   */
 object DocStream {
 
-  /** File-based document stream (parquet files dropped into `dir`). */
-  def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+  /** File-based document stream (parquet files dropped into `dir`).
+    * `maxFilesPerTrigger` is the same backpressure valve as
+    * [[FileArrival.readRaw]]: a burst drains as bounded micro-batches. */
+  def read(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 16): DataFrame = {
+    require(maxFilesPerTrigger > 0, "maxFilesPerTrigger must be positive")
     spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "16")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(dir)
+  }
 
   /** Enrich + dedup-within-horizon. The ingest timestamp (arrival time —
     * documents carry no event time) carries the watermark that bounds
