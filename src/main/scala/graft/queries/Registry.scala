@@ -42,12 +42,14 @@ object Registry {
     * application's feet (the caller's own `spark.conf` survives every
     * query; RegistrySpec pins this). Confs set during table reads (e.g.
     * nanosAsLong) land on the contract session only. */
-  def contractSession(spark: SparkSession): SparkSession = {
-    val existing = contracts.get(spark)
-    if (existing != null) existing
+  def contractSession(spark: SparkSession): SparkSession =
+    // a contract session is its own contract — recognized by the marker
+    // conf, NOT a self-referential map entry (whose strong value would pin
+    // the weak key forever)
+    if (spark.conf.get(contractMarker, "false") == "true") spark
     else contracts.synchronized {
-      val again = contracts.get(spark)
-      if (again != null) again
+      val existing = contracts.get(spark)
+      if (existing != null) existing
       else {
         val c = spark.newSession()
         c.conf.set("spark.sql.ansi.enabled", "false")
@@ -64,15 +66,19 @@ object Registry {
         // context-level defaults, not later spark.conf.set overrides)
         c.conf.set("spark.sql.shuffle.partitions",
           spark.conf.get("spark.sql.shuffle.partitions"))
-        contracts.put(c, c) // idempotent: the contract session of a
-        contracts.put(spark, c) // contract session is itself
+        c.conf.set(contractMarker, "true")
+        contracts.put(spark, c)
         c
       }
     }
-  }
 
+  private val contractMarker = "spark.graft.session.contract"
+
+  // weak keys: a caller session that the host application drops must not
+  // be pinned by this library-internal memo (the child holds the shared
+  // SparkContext, never the caller, so entries collect with their caller)
   private val contracts =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     table0(contractSession(spark), dir, name)
