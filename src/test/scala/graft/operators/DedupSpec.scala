@@ -101,6 +101,28 @@ class DedupSpec extends SparkSpec {
     info(s"exact-band pairs=${exact.size}, subBits=2 pairs=${sub.size}")
   }
 
+  test("containmentOverPairs == containmentPairs on the same candidate set") {
+    // the explicit-bucket operator (q90) and the candidate-driven one
+    // (q93's building block) must score IDENTICALLY when handed the same
+    // pairs: feed containmentOverPairs exactly the source-bucket pairs and
+    // compare against containmentPairs bucketed by source
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Registry.table(spark, sf0001, "documents")
+      .limit(200).select("doc_id", "source", "text")
+    val a = docs.select(col("doc_id").as("doc_a"), col("source"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("source"))
+    val bucketPairs = a.join(b, "source")
+      .filter(col("doc_a") < col("doc_b")).select("doc_a", "doc_b")
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.as[(Long, Long, Double)].collect().toSet
+    val viaCandidates = canon(Dedup.containmentOverPairs(
+      bucketPairs, docs, "text", "doc_id", n = 2, minContainment = 0.25))
+    val viaBuckets = canon(Dedup.containmentPairs(
+      docs, "source", "text", "doc_id", n = 2, minContainment = 0.25))
+    assert(viaCandidates === viaBuckets)
+    assert(viaCandidates.nonEmpty)
+  }
+
   test("lineDedup removes cross-doc boilerplate lines, keeps within-doc repeats") {
     val docs = Seq(
       (1L, "alpha beta\nCOOKIE NOTICE\ngamma"),
