@@ -93,6 +93,25 @@ object EventQueries {
             FROM events)
       GROUP BY 1""")),
 
+    // ---- Stream-stream interval join (funnel), batch-pinned ---------------
+    // view→click within 30 min per user, through the SAME EventStream.funnel
+    // the streaming path runs (watermark nodes eliminate on batch). Delay
+    // arithmetic is integer µs on both engines — no FP, no ns/µs skew (both
+    // sides read ts µs-truncated). Scale: one shuffle by user_id each side;
+    // streaming state bounded by watermark + interval, not stream length.
+    Q("q94_event_funnel", (s, dir) => {
+      graft.streaming.EventStream.funnel(
+        table(s, dir, "events"), "view", "click")
+    }, Some("""
+      SELECT v.user_id, v.event_id AS lead_id, c.event_id AS follow_id,
+        epoch_us(c.ts) - epoch_us(v.ts) AS delay_us
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) v
+      JOIN (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) c
+        ON v.user_id = c.user_id
+       AND v.event_type = 'view' AND c.event_type = 'click'
+       AND epoch_us(c.ts) >= epoch_us(v.ts)
+       AND epoch_us(c.ts) - epoch_us(v.ts) <= 1800000000""")),
+
     // ---- Running / moving window over an ordered stream -------------------
     // Per-user running event count + moving 5-event average value.
     Q("q43_running_window", (s, dir) => {

@@ -114,4 +114,41 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
+
+  /** Stream-stream interval join (the funnel shape): every `leadType` event
+    * matched to every `followType` event of the SAME user whose event time
+    * falls in [lead.ts, lead.ts + withinUs]. Emits (user, lead event,
+    * follow event, delay in µs) per matched pair.
+    *
+    * One implementation serves both engines: on a streaming frame this is
+    * Spark's watermarked stream-stream INNER join — both sides carry a
+    * watermark and the join condition bounds follow_ts relative to lead_ts,
+    * which is exactly what the state store needs to evict buffered rows
+    * (a lead is droppable once the watermark passes lead.ts + withinUs;
+    * inner-join matches emit eagerly, no watermark wait). On a batch frame
+    * Catalyst's EliminateEventTimeWatermark removes the watermark nodes and
+    * the same expression tree runs as a plain equi-join — which is how the
+    * q94 oracle gate pins the exact semantics the stream computes.
+    *
+    * Scale shape: equi-key user_id — both sides shuffle once by user (or
+    * co-partition for free when the source is already user-bucketed); the
+    * interval predicate rides the join as a post-match filter, never a
+    * cartesian. Streaming state per user is bounded by watermark + withinUs,
+    * not by stream length. */
+  def funnel(events: DataFrame, leadType: String, followType: String,
+      withinUs: Long = 30L * 60 * 1000000, watermark: String = "1 hour"): DataFrame = {
+    val lead = events.filter(col("event_type") === leadType)
+      .select(col("user_id"), col("event_id").as("lead_id"), col("ts").as("lead_ts"))
+      .withWatermark("lead_ts", watermark)
+    val follow = events.filter(col("event_type") === followType)
+      .select(col("user_id").as("follow_user"), col("event_id").as("follow_id"),
+        col("ts").as("follow_ts"))
+      .withWatermark("follow_ts", watermark)
+    lead.join(follow,
+        col("user_id") === col("follow_user") &&
+          col("follow_ts") >= col("lead_ts") &&
+          col("follow_ts") <= col("lead_ts") + expr(s"INTERVAL $withinUs MICROSECOND"))
+      .select(col("user_id"), col("lead_id"), col("follow_id"),
+        (unix_micros(col("follow_ts")) - unix_micros(col("lead_ts"))).as("delay_us"))
+  }
 }

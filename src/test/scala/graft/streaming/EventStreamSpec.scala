@@ -144,4 +144,65 @@ class EventStreamSpec extends SparkSpec {
     assert(mismatches === 0)
     assert(streamed.count() > 0)
   }
+
+  test("stream-stream funnel join matches the oracle-pinned batch twin") {
+    // the streaming path: watermarked stream-stream inner join over the
+    // file-backed event stream, drained fully (inner matches emit eagerly,
+    // so AvailableNow + append yields every pair without a watermark push)
+    val stream = EventStream.read(spark, streamDir, batchEvents.schema)
+    val q = EventStream.funnel(stream, "view", "click").writeStream
+      .format("memory").queryName("funnel").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("funnel")
+      .orderBy("user_id", "lead_id", "follow_id").collect().toSeq
+    // the batch twin is the SAME funnel call on the same rows — the path
+    // q94 pins against DuckDB — so streaming must reproduce it exactly
+    val batch = EventStream.funnel(batchEvents, "view", "click")
+      .orderBy("user_id", "lead_id", "follow_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // every emitted delay respects the interval bound
+    assert(streamed.forall { r =>
+      val d = r.getAs[Long]("delay_us"); d >= 0 && d <= 30L * 60 * 1000000
+    })
+  }
+
+  test("funnel state is droppable: late lead beyond the watermark is dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    // two independent sources so each side's watermark advances explicitly
+    val leads = MemoryStream[(Long, Long, Timestamp)]
+    val follows = MemoryStream[(Long, Long, Timestamp)]
+    def shape(df: org.apache.spark.sql.DataFrame, ty: String) =
+      df.toDF("user_id", "event_id", "ts").withColumn("event_type", lit(ty))
+    val events = shape(leads.toDF(), "view")
+      .unionByName(shape(follows.toDF(), "click"))
+    val q = EventStream.funnel(events, "view", "click",
+        watermark = "10 minutes").writeStream
+      .format("memory").queryName("funnel_late").outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      leads.addData((1L, 100L, t("2024-01-01 10:00:00")))
+      follows.addData((1L, 200L, t("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past 10:00 + 30min + 10min slack
+      leads.addData((9L, 101L, t("2024-01-01 12:00:00")))
+      follows.addData((9L, 201L, t("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+      // a lead older than the watermark arrives: its state was evicted —
+      // a click that would have matched it must produce nothing
+      leads.addData((2L, 102L, t("2024-01-01 10:00:00")))
+      follows.addData((2L, 202L, t("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val got = spark.table("funnel_late")
+        .select("lead_id", "follow_id").as[(Long, Long)].collect().toSet
+      assert(got.contains((100L, 200L)))  // in-watermark pair matched
+      assert(got.contains((101L, 201L)))  // watermark-advancing pair matched
+      assert(!got.exists(_._1 == 102L))   // late lead's pair suppressed
+    } finally q.stop()
+  }
 }
