@@ -7,8 +7,8 @@ import graft.functions._
 
 /** SQL surface for the engine's custom expressions: `roc_date`,
   * `simhash32`/`simhash64`, `minhash_hex`, `shingle_hashes`, `hyperplane_sig`,
-  * `dot_f`, `norm_f`, `sorted_intersect_count` become callable from
-  * `spark.sql(...)`.
+  * `dot_f`, `norm_f`, `sorted_intersect_count`, `winnow_fingerprints`
+  * become callable from `spark.sql(...)`.
   *
   * Two wirings:
   *  - `GraftExtensions` for session construction
@@ -54,7 +54,9 @@ object GraftFunctions {
     "dot_f" -> arity("dot_f", 2)(args => DotProductF(args.head, args(1))),
     "norm_f" -> arity("norm_f", 1)(args => NormL2F(args.head)),
     "sorted_intersect_count" -> arity("sorted_intersect_count", 2)(args =>
-      SortedIntersectCount(args.head, args(1))))
+      SortedIntersectCount(args.head, args(1))),
+    "winnow_fingerprints" -> arity("winnow_fingerprints", 3)(args =>
+      WinnowFingerprintsExpr(args.head, intLit(args(1)), intLit(args(2)))))
 
   /** Register all engine functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -110,6 +110,86 @@ object TextKernelUtil {
     0
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the MOSS algorithm; public). One O(n) pass over the string's code
+    * points:
+    *
+    *  1. Karp–Rabin ROLLING hash of every character k-gram:
+    *     h_i = (Σ_j cp[i+j]·B^(k-1-j)) mod M with B=257, M=1e9+7 — each
+    *     step reuses the previous hash (subtract the outgoing char's
+    *     B^(k-1) term, multiply, add the incoming char) instead of
+    *     rehashing k chars;
+    *  2. winnowing: the MINIMUM hash of every window of w consecutive
+    *     k-gram hashes is selected (monotonic-deque sliding minimum, O(n)
+    *     total); fewer than w hashes → one clamped window;
+    *  3. the DISTINCT selected values, sorted, are the fingerprint set.
+    *
+    * Guarantee (the paper's): any substring match of length ≥ k+w-1 shares
+    * at least one fingerprint; no match shorter than k is detected. The
+    * value set equals { min(window) : window } — position bookkeeping
+    * (Schleimer's rightmost-tie rule) affects which POSITION is recorded,
+    * never which VALUE, so a SQL oracle can re-derive the set with plain
+    * per-window minima. */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val s = text.toString
+    // code points, not UTF-16 units: supplementary chars must hash as one
+    // symbol (and as the same symbol the oracle's code-point walk sees)
+    val n = s.codePointCount(0, s.length)
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val cps = new Array[Int](n)
+    var ci = 0; var si = 0
+    while (si < s.length) {
+      val cp = s.codePointAt(si)
+      cps(ci) = cp; ci += 1; si += Character.charCount(cp)
+    }
+    val M = 1000000007L
+    val B = 257L
+    // B^(k-1) mod M — the outgoing character's positional weight
+    var bk = 1L
+    var e = 0
+    while (e < k - 1) { bk = bk * B % M; e += 1 }
+    val nH = n - k + 1
+    val hs = new Array[Long](nH)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < nH) {
+      // roll: drop cps(i-1), admit cps(i+k-1); + M·B keeps the lhs positive
+      h = ((h - cps(i - 1) * bk % M + M) * B + cps(i + k - 1)) % M
+      hs(i) = h
+      i += 1
+    }
+    // sliding-window minimum over hs with window w (clamped to one window
+    // when nH < w), monotonic deque of indices — O(nH)
+    val nWin = math.max(nH - w + 1, 1)
+    val minima = new Array[Long](nWin)
+    val deque = new Array[Int](nH)
+    var head = 0; var tail = 0 // [head, tail) holds candidate indices
+    i = 0
+    while (i < nH) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      val winStart = i - w + 1
+      if (winStart >= 0) {
+        while (deque(head) < winStart) head += 1
+        minima(winStart) = hs(deque(head))
+      } else if (i == nH - 1) {
+        minima(0) = hs(deque(head)) // nH < w: single clamped window
+      }
+      i += 1
+    }
+    Arrays.sort(minima)
+    var wr = 1
+    var rd = 1
+    while (rd < nWin) {
+      if (minima(rd) != minima(rd - 1)) { minima(wr) = minima(rd); wr += 1 }
+      rd += 1
+    }
+    new GenericArrayData(Arrays.copyOf(minima, wr))
+  }
+
   /** Hyperplane LSH signature: bit p set iff Σ_d vec[d]*w[p][d] >= 0,
     * accumulated in index order (matches the expression-tree/SQL form). */
   def hyperplaneSig(vec: ArrayData, weights: Array[Array[Double]]): Long = {
@@ -152,6 +232,19 @@ case class MinHashHexExpr(child: Expression, n: Int, seed: Int) extends UnaryExp
   override protected def withNewChildInternal(c: Expression): MinHashHexExpr = copy(child = c)
 }
 
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"winnow k ($k) and w ($w) must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernelUtil.winnowFingerprints(a.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.TextKernelUtil.winnowFingerprints($a, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprintsExpr =
+    copy(child = c)
+}
+
 case class HyperplaneSigExpr(child: Expression, planes: Int, dims: Int)
     extends UnaryExpression {
   private lazy val weights: Array[Array[Double]] =
@@ -180,4 +273,10 @@ object TextKernels {
   /** Deterministic hyperplane LSH signature of an array<float> vector. */
   def hyperplaneSig(vec: Column, planes: Int, dims: Int): Column =
     column(HyperplaneSigExpr(expression(vec), planes, dims))
+
+  /** Sorted distinct winnowing fingerprints (Karp–Rabin k-grams, window w)
+    * of a string column. Pass NORMALIZED text (Text.normalize) so both
+    * engines fingerprint the identical character stream. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    column(WinnowFingerprintsExpr(expression(text), k, w))
 }

@@ -722,6 +722,43 @@ object TextQueries {
       WHERE containment >= 0.25"""
     }),
 
+    // ---- Winnowing fingerprints (rolling-hash document fingerprinting) ----
+    // Schleimer et al.'s MOSS winnowing: Karp–Rabin rolling hash of every
+    // character 8-gram of the normalized text (B=257, M=1e9+7), minimum of
+    // each 4-hash window selected, distinct values = the fingerprint set
+    // (guarantee: any shared substring ≥ 8+4-1 chars shares a fingerprint).
+    // Spark side is one codegen'd O(n) pass (rolling reuse + monotonic-deque
+    // sliding min); the oracle re-derives every k-gram hash FROM SCRATCH
+    // (list_reduce polynomial — same arithmetic, no rolling) and takes plain
+    // per-window minima: two independent derivations, one value set.
+    // Scale: pure map-side — fingerprints never shuffle; downstream dedup
+    // joins on exploded fingerprints exactly like the q56 band-bucket shape.
+    Q("q95_winnow_fingerprint", (s, dir) => {
+      import graft.functions.{Text, TextKernels}
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextKernels.winnowFingerprints(Text.normalize(col("text")), 8, 4).as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          aggregate(col("fps"), lit(0L), (acc, x) => acc + x).as("sum_fp"),
+          array_min(col("fps")).as("min_fp"),
+          array_max(col("fps")).as("max_fp"))
+    }, Some(s"""
+      WITH h AS (SELECT doc_id,
+        list_transform(generate_series(1, GREATEST(length(t) - 8 + 1, 0)), i ->
+          list_reduce(list_transform(generate_series(i, i + 7), j ->
+            CAST(unicode(t[j]) AS BIGINT)), (a, b) -> (a * 257 + b) % 1000000007)) AS hs
+        FROM (SELECT doc_id, $NORM AS t FROM documents)),
+      fp AS (SELECT doc_id,
+        CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE
+          list_distinct(list_transform(generate_series(1, GREATEST(len(hs) - 4 + 1, 1)), i ->
+            list_min(hs[i:LEAST(i + 3, len(hs))]))) END AS fps
+        FROM h)
+      SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS sum_fp,
+        list_min(fps) AS min_fp, list_max(fps) AS max_fp
+      FROM fp""")),
+
     // ---- Sequence packing (token bins per shard) --------------------------
     // Per-shard streaming fill: hash-sharded docs, running token sum over a
     // PARTITIONED window (never a global sort), bin = floor(exclusive-cumsum

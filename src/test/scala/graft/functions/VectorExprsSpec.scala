@@ -110,4 +110,80 @@ class VectorExprsSpec extends SparkSpec {
       }
     }
   }
+
+  /** Naive winnowing reference: every k-gram hashed FROM SCRATCH (no
+    * rolling), plain per-window minima, distinct, sorted — the same
+    * derivation the q95 DuckDB oracle uses. */
+  private def winnowRef(s: String, k: Int, w: Int): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < k) return Seq.empty
+    val M = 1000000007L
+    val hs = (0 to cps.length - k).map { i =>
+      (i until i + k).foldLeft(0L)((acc, j) => (acc * 257 + cps(j)) % M)
+    }
+    val nWin = math.max(hs.length - w + 1, 1)
+    (0 until nWin).map(i => hs.slice(i, math.min(i + w, hs.length)).min)
+      .distinct.sorted
+  }
+
+  test("WinnowFingerprints kernel == from-scratch reference on the corpus") {
+    val docs = Registry.table(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        Text.normalize(col("text")).as("t"),
+        TextKernels.winnowFingerprints(Text.normalize(col("text")), 8, 4).as("fps"))
+      .collect()
+    assert(docs.nonEmpty)
+    docs.foreach { r =>
+      val got = r.getAs[scala.collection.Seq[Long]]("fps").toSeq
+      assert(got === winnowRef(r.getAs[String]("t"), 8, 4),
+        s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("WinnowFingerprints edge cases: short text, clamp window, code points") {
+    import spark.implicits._
+    val rows = Seq(
+      "",                    // empty → no fingerprints
+      "abcdefg",             // 7 chars < k=8 → no fingerprints
+      "abcdefgh",            // exactly k → 1 hash, clamped single window
+      "abcdefghij",          // k < n < k+w-1 → clamped single window
+      "a😀bcdefghi" // supplementary char counts as ONE symbol
+    ).toDF("t").select(col("t"),
+      TextKernels.winnowFingerprints(col("t"), 8, 4).as("fps"))
+      .collect().map(r => r.getAs[String]("t") -> r.getAs[scala.collection.Seq[Long]]("fps").toSeq)
+      .toMap
+    assert(rows("") === Seq.empty)
+    assert(rows("abcdefg") === Seq.empty)
+    assert(rows("abcdefgh") === winnowRef("abcdefgh", 8, 4))
+    assert(rows("abcdefgh").length === 1)
+    assert(rows("abcdefghij") === winnowRef("abcdefghij", 8, 4))
+    assert(rows("abcdefghij").length === 1) // 3 hashes < w → one clamped window
+    assert(rows("a😀bcdefghi") === winnowRef("a😀bcdefghi", 8, 4))
+  }
+
+  test("winnowing guarantee: substring overlap >= k+w-1 shares a fingerprint") {
+    import spark.implicits._
+    // the paper's detection threshold t = k + w - 1 = 11: a shared run of
+    // 11+ chars must produce at least one common fingerprint
+    val shared = "the quick brown fox jumps"
+    val a = s"prefix text before $shared and after it goes on"
+    val b = s"$shared entirely different continuation here zzz"
+    val out = Seq(a, b).toDF("t")
+      .select(TextKernels.winnowFingerprints(col("t"), 8, 4).as("fps"))
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("fps").toSet)
+    assert(out(0).intersect(out(1)).nonEmpty)
+    // and two disjoint-alphabet strings share nothing
+    val dis = Seq("aaaaaaaaaaaaaaaaaa", "bbbbbbbbbbbbbbbbbb").toDF("t")
+      .select(TextKernels.winnowFingerprints(col("t"), 8, 4).as("fps"))
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("fps").toSet)
+    assert(dis(0).intersect(dis(1)).isEmpty)
+  }
+
+  test("winnow_fingerprints is callable from SQL") {
+    graft.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT winnow_fingerprints('abcdefghijklmnop', 8, 4) AS fps")
+      .collect().head.getAs[scala.collection.Seq[Long]]("fps").toSeq
+    assert(got === winnowRef("abcdefghijklmnop", 8, 4))
+  }
 }
