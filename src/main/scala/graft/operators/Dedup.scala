@@ -188,6 +188,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("containment"))
   }
 
+  /** Winnowing-fingerprint near-dup pairs — the MOSS composition
+    * (Schleimer et al.): documents sharing ≥ `minShared` winnowed
+    * rolling-hash fingerprints ([[graft.functions.TextKernels
+    * .winnowFingerprints]], character `k`-grams, window `w`). Catches
+    * verbatim substring reuse (quotes, mirrored passages, boilerplate-
+    * wrapped reposts) at CHARACTER granularity — the signal word-shingle
+    * Jaccard blurs and SimHash averages away.
+    *
+    * Scale shape: fingerprints explode map-side, ONE shuffle groups
+    * postings by fingerprint VALUE (the join key is the fingerprint — same
+    * family as the MinHash band-bucket plan), and pairs are generated
+    * inside each posting array, then re-aggregated by pair. `maxDf` is
+    * the boilerplate/skew valve, and it is Schleimer's own common-code
+    * elimination: a fingerprint present in more than `maxDf` documents
+    * carries no near-dup signal (it is template text) AND would fan out
+    * quadratically — dropping it bounds every posting array at `maxDf`
+    * elements and every fingerprint's pair fan-out at maxDf², so no hot
+    * key can melt an executor. The collect_set here is bounded by that
+    * CONFIG constant, never by data. */
+  def winnowNearDups(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 4, maxDf: Int = 20, minShared: Int = 5): DataFrame = {
+    import graft.functions.TextKernels
+    val posts = df.select(col(idCol).as("__doc"),
+      explode(TextKernels.winnowFingerprints(normalize(col(textCol)), k, w))
+        .as("__fp"))
+    posts
+      .groupBy(col("__fp"))
+      .agg(array_sort(collect_set(col("__doc"))).as("__docs"))
+      // size < 2 → no pairs; size > maxDf → template fingerprint, dropped
+      .filter(size(col("__docs")).between(2, maxDf))
+      // all i<j pairs of the sorted posting array, generated in-plan
+      .select(explode(flatten(transform(col("__docs"), (x, i) =>
+        transform(
+          slice(col("__docs"), i + lit(2), size(col("__docs")) - i - lit(1)),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Verified near-dup pairs: LSH candidates filtered by true n-gram
     * Jaccard ≥ threshold (computed only on candidates). */
   def minhashNearDups(

@@ -759,6 +759,36 @@ object TextQueries {
         list_min(fps) AS min_fp, list_max(fps) AS max_fp
       FROM fp""")),
 
+    // ---- Winnow-fingerprint near-dup pairs (the MOSS composition) ---------
+    // Pairs sharing ≥5 winnowed fingerprints, with the maxDf=20 template
+    // valve (Schleimer's common-code elimination — doubles as the skew
+    // bound: posting arrays are capped at a CONFIG constant). The Spark
+    // plan groups postings by fingerprint and generates pairs in-plan; the
+    // oracle takes a DIFFERENT derivation (posting self-join) to the same
+    // pair set — two independent routes, one answer.
+    Q("q96_winnow_neardup", (s, dir) => {
+      graft.operators.Dedup.winnowNearDups(
+        table(s, dir, "documents"), "text", "doc_id",
+        k = 8, w = 4, maxDf = 20, minShared = 5)
+    }, Some(s"""
+      WITH h AS (SELECT doc_id,
+        list_transform(generate_series(1, GREATEST(length(t) - 8 + 1, 0)), i ->
+          list_reduce(list_transform(generate_series(i, i + 7), j ->
+            CAST(unicode(t[j]) AS BIGINT)), (a, b) -> (a * 257 + b) % 1000000007)) AS hs
+        FROM (SELECT doc_id, $NORM AS t FROM documents)),
+      fp AS (SELECT doc_id, unnest(
+        CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE
+          list_distinct(list_transform(generate_series(1, GREATEST(len(hs) - 4 + 1, 1)), i ->
+            list_min(hs[i:LEAST(i + 3, len(hs))]))) END) AS fp
+        FROM h),
+      rare AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 20),
+      posts AS (SELECT doc_id, fp.fp FROM fp JOIN rare USING (fp))
+      SELECT doc_a, doc_b, n_shared FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM posts a JOIN posts b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      WHERE n_shared >= 5""")),
+
     // ---- Sequence packing (token bins per shard) --------------------------
     // Per-shard streaming fill: hash-sharded docs, running token sum over a
     // PARTITIONED window (never a global sort), bin = floor(exclusive-cumsum

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.SparkSpec
+import graft.queries.Registry
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -208,6 +209,51 @@ class DedupSpec extends SparkSpec {
     // empty docs divide 0/0 -> NaN and must never surface as pairs
     val withEmpty = Seq((1L, "g0", ""), (2L, "g0", "")).toDF("doc_id", "source", "text")
     assert(Dedup.containmentPairs(withEmpty, "source", "text", "doc_id").count() === 0L)
+  }
+
+  test("winnowNearDups finds verbatim substring reuse; maxDf drops template text") {
+    import spark.implicits._
+    val sharedRun = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val template = "copyright notice all rights reserved contact us at example dot com"
+    val docs = Seq(
+      (1L, s"alpha beta $sharedRun gamma delta unique one"),
+      (2L, s"$sharedRun totally different continuation zzz"),
+      (3L, "nothing in common with anyone qqq www eee rrr ttt yyy"),
+      // 4..30: the template line appears in MANY docs — its fingerprints
+      // exceed maxDf and must not produce pairs on their own
+      (4L, s"doc four $template"),
+      (5L, s"doc five $template")) ++
+      (6L to 30L).map(i => (i, s"doc number $i $template"))
+    val pairs = Dedup.winnowNearDups(docs.toDF("doc_id", "text"), "text", "doc_id",
+        k = 8, w = 4, maxDf = 20, minShared = 5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))          // the long shared run is caught
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // no spurious pair
+    // template-only overlap produces NO pairs: its fingerprints have df=27 > maxDf
+    assert(!pairs.exists(p => p._1 >= 4L))
+  }
+
+  test("winnowNearDups pair generation == posting self-join derivation") {
+    import spark.implicits._
+    import graft.functions.{Text, TextKernels}
+    val docs = Registry.table(spark, sf0001, "documents")
+    val fast = Dedup.winnowNearDups(docs, "text", "doc_id")
+      .select("doc_a", "doc_b", "n_shared").as[(Long, Long, Long)].collect().toSet
+    // reference: explode postings, df-filter, self-join on fingerprint
+    val posts = docs.select(col("doc_id"),
+        explode(TextKernels.winnowFingerprints(
+          Text.normalize(col("text")), 8, 4)).as("fp"))
+    val rare = posts.groupBy("fp").count().filter(col("count") <= 20).select("fp")
+    val filtered = posts.join(rare, "fp")
+    val ref = filtered.as("a")
+      .join(filtered.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .select("doc_a", "doc_b", "n_shared").as[(Long, Long, Long)].collect().toSet
+    assert(fast === ref)
+    assert(fast.nonEmpty)
   }
 
   test("canonicalLabels on an empty pair set leaves every doc its own canon") {
