@@ -100,6 +100,21 @@ object ExplainDump {
         |pairs die before any projection materializes), min(|A|,|B|) from
         |the two STORED sizes (the union array is never
         |materialized).""".stripMargin,
+    "q94_event_funnel" ->
+      """Wants: the event_type predicate pushed to BOTH scans (each side
+        |reads only its type), ONE equi-join keyed on user_id (broadcast at
+        |this sf; shuffle-hash/sort-merge on a cluster — the key both sides
+        |would already be bucketed by) with the event-time interval bound as
+        |a JOIN-CONDITION filter — never a range-join cartesian. The µs
+        |delay is a post-join projection. The STREAMING twin is this same
+        |expression tree plus watermark state (EventStreamSpec proves pair
+        |parity); this batch plan is what the q94 oracle pins.""".stripMargin,
+    "q95_winnow_fingerprint" ->
+      """Wants: ZERO Exchange. The winnow_fingerprints kernel runs inside a
+        |whole-stage-codegen projection straight off the parquet scan (one
+        |O(n) rolling pass per document), and n/sum/min/max collapse the
+        |fingerprint array map-side in the same stage — per-document output
+        |never shuffles.""".stripMargin,
     "q80_bucketed_sample" ->
       """Wants (READ PATH — the write is once-per-process fixture setup, see
         |WarehouseSpec for the write-side layout assertions): PartitionFilters
@@ -130,6 +145,30 @@ object ExplainDump {
       rows.toList.map(r =>
         f"| ${r.getInt(0)} | ${r.getLong(1)} | ${r.getLong(2)} | ${r.getDouble(3)}%.2f | ${r.getDouble(4)}%.0f |"))
       .mkString("\n")
+  }
+
+  /** Document-frequency distribution of winnowed fingerprints (k=8, w=4):
+    * distinct fingerprints, max/mean df, how many the maxDf=20 valve drops,
+    * and the pair mass Σ c·(c−1)/2 the surviving postings generate. */
+  private def winnowDfStats(spark: SparkSession, dir: String): String = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{Text, TextKernels}
+    val docs = Registry.table(spark, dir, "documents")
+    val df = docs
+      .select(explode(TextKernels.winnowFingerprints(
+        Text.normalize(col("text")), 8, 4)).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("c"))
+    val r = df.agg(
+        count(lit(1)).as("distinct_fps"), max(col("c")).as("max_df"),
+        avg(col("c")).as("mean_df"),
+        sum(when(col("c") > 20, 1).otherwise(0)).as("dropped_by_valve"),
+        sum(when(col("c").between(2, 20), col("c") * (col("c") - 1) / 2)
+          .otherwise(0)).as("surviving_pair_mass"))
+      .collect().head
+    ("| distinct fps | max df | mean df | dropped by maxDf=20 | surviving pair mass |" ::
+      "|---|---|---|---|---|" ::
+      f"| ${r.getLong(0)} | ${r.getLong(1)} | ${r.getDouble(2)}%.2f | ${r.getLong(3)} | ${r.getDouble(4)}%.0f |" ::
+      Nil).mkString("\n")
   }
 
   def main(args: Array[String]): Unit = {
@@ -193,6 +232,25 @@ object ExplainDump {
         graft.operators.Dedup.containmentOverPairs(
           graft.operators.Dedup.minhashCandidates(docs, "text", "doc_id", 3, 3, 2),
           docs, "text", "doc_id", n = 2, minContainment = 0.25)
+      })
+
+    // the winnow near-dup composition (q96): the plan plus the MEASURED
+    // fingerprint document-frequency distribution — the data the maxDf
+    // valve operates on, logged so the bounded-fan-out claim is a number
+    section("q96_winnow_neardup",
+      """Wants: exactly two exchanges, both on uniform hash keys: (1) the
+        |fingerprint value, grouping exploded postings (ObjectHashAggregate
+        |collect_set with partial aggregation before the shuffle), and
+        |(2) the (doc_a, doc_b) pair key for the shared-count aggregate.
+        |Between them everything is in-plan array work over posting arrays
+        |BOUNDED at maxDf elements by the size filter — the df valve is
+        |visible as that filter, and no posting self-join of the corpus
+        |appears anywhere. Measured fingerprint document-frequency
+        |distribution at this sf:""".stripMargin
+        + "\n\n" + winnowDfStats(spark, dir), {
+        val docs = Registry.table(spark, dir, "documents")
+        graft.operators.Dedup.winnowNearDups(docs, "text", "doc_id",
+          k = 8, w = 4, maxDf = 20, minShared = 5)
       })
 
     // non-registry surface whose scale claim needs plan evidence: IVF ANN
