@@ -203,21 +203,30 @@ object Dedup {
     * the boilerplate/skew valve, and it is Schleimer's own common-code
     * elimination: a fingerprint present in more than `maxDf` documents
     * carries no near-dup signal (it is template text) AND would fan out
-    * quadratically — dropping it bounds every posting array at `maxDf`
-    * elements and every fingerprint's pair fan-out at maxDf², so no hot
-    * key can melt an executor. The collect_set here is bounded by that
-    * CONFIG constant, never by data. */
+    * quadratically. Crucially the valve runs BEFORE anything collects:
+    * document frequency is a partial-aggregated COUNT (constant memory per
+    * key — a df=10⁹ boilerplate fingerprint costs one counter, never a
+    * 10⁹-element buffer), hot fingerprints are dropped by that count, and
+    * only then do the surviving postings collect into arrays — which are
+    * ≤ `maxDf` elements BY CONSTRUCTION. The shuffle on __fp is reused
+    * across the count and the join (ReusedExchange), and the join output
+    * is already hash-partitioned by __fp, so the collect groupBy adds no
+    * exchange. */
   def winnowNearDups(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, w: Int = 4, maxDf: Int = 20, minShared: Int = 5): DataFrame = {
     import graft.functions.TextKernels
     val posts = df.select(col(idCol).as("__doc"),
       explode(TextKernels.winnowFingerprints(normalize(col(textCol)), k, w))
         .as("__fp"))
-    posts
+    // df valve first — count is sum-aggregatable (partial agg, O(1)/key)
+    val rare = posts.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__df"))
+      // df < 2 → no pairs; df > maxDf → template fingerprint, dropped
+      .filter(col("__df").between(2, maxDf))
+      .select(col("__fp"))
+    posts.join(rare, "__fp")
       .groupBy(col("__fp"))
       .agg(array_sort(collect_set(col("__doc"))).as("__docs"))
-      // size < 2 → no pairs; size > maxDf → template fingerprint, dropped
-      .filter(size(col("__docs")).between(2, maxDf))
       // all i<j pairs of the sorted posting array, generated in-plan
       .select(explode(flatten(transform(col("__docs"), (x, i) =>
         transform(

@@ -238,13 +238,15 @@ object ExplainDump {
     // fingerprint document-frequency distribution — the data the maxDf
     // valve operates on, logged so the bounded-fan-out claim is a number
     section("q96_winnow_neardup",
-      """Wants: exactly two exchanges, both on uniform hash keys: (1) the
-        |fingerprint value, grouping exploded postings (ObjectHashAggregate
-        |collect_set with partial aggregation before the shuffle), and
-        |(2) the (doc_a, doc_b) pair key for the shared-count aggregate.
-        |Between them everything is in-plan array work over posting arrays
-        |BOUNDED at maxDf elements by the size filter — the df valve is
-        |visible as that filter, and no posting self-join of the corpus
+      """Wants: the df VALVE BEFORE ANY COLLECT — document frequency as a
+        |partial-aggregated COUNT (constant memory per key: a boilerplate
+        |fingerprint in a billion docs costs one counter, never a
+        |billion-element buffer), the between(2,maxDf) filter on that count,
+        |and only then the surviving postings joined back (broadcast at this
+        |sf; shuffle-with-ReusedExchange at scale) and collected into
+        |arrays that are ≤ maxDf BY CONSTRUCTION. Downstream: in-plan pair
+        |generation from the bounded arrays, one exchange on the
+        |(doc_a, doc_b) pair key. No posting self-join of the corpus
         |appears anywhere. Measured fingerprint document-frequency
         |distribution at this sf:""".stripMargin
         + "\n\n" + winnowDfStats(spark, dir), {
