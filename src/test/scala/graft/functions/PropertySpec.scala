@@ -87,6 +87,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: winnow kernel == from-scratch derivation on random strings") {
+    import graft.functions.TextKernels
+    // mixed alphabets force every kernel path: ASCII runs (long shared
+    // k-grams), digits, spaces (normalization-shaped), repeats (tied
+    // minima in the deque), and supplementary code points (char-count 2)
+    val alpha = Gen.frequency(
+      8 -> Gen.alphaLowerChar.map(_.toString),
+      2 -> Gen.numChar.map(_.toString),
+      2 -> Gen.const(" "),
+      1 -> Gen.const("aa"),          // repetition → hash ties
+      1 -> Gen.const("😀")) // 😀 — supplementary pair
+    val strs = sample(Gen.listOfN(300,
+      Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))))
+    def ref(s: String, k: Int, w: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      if (cps.length < k) return Seq.empty
+      val hs = (0 to cps.length - k).map { i =>
+        (i until i + k).foldLeft(0L)((a, j) => (a * 257 + cps(j)) % 1000000007L)
+      }
+      val nWin = math.max(hs.length - w + 1, 1)
+      (0 until nWin).map(i => hs.slice(i, math.min(i + w, hs.length)).min)
+        .distinct.sorted
+    }
+    // several (k, w) operating points, including w=1 (every hash selected)
+    // and k=1 (single-char grams)
+    Seq((8, 4), (5, 9), (1, 3), (3, 1)).foreach { case (k, w) =>
+      val got = strs.toDF("t")
+        .select(TextKernels.winnowFingerprints(col("t"), k, w).as("fps"))
+        .collect().map(_.getAs[scala.collection.Seq[Long]]("fps").toSeq)
+      strs.zip(got).foreach { case (s, g) =>
+        assert(g === ref(s, k, w), s"k=$k w=$w s='$s'")
+      }
+    }
+  }
+
   test("typed Dataset surface: pipeline rows encode as BuildingTxn") {
     import graft.schema.BuildingTxn
     val dir = graft.fixtures.RawCsvFixture.writeDefault()
