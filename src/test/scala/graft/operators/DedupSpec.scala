@@ -256,6 +256,27 @@ class DedupSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("winnow plans: fingerprinting is shuffle-free; pairs never self-join postings") {
+    import graft.functions.{Text, TextKernels}
+    val docs = Registry.table(spark, sf0001, "documents")
+    // the q95 shape: kernel + array aggregates in one map-side projection
+    val fpPlan = docs.select(col("doc_id"),
+        TextKernels.winnowFingerprints(Text.normalize(col("text")), 8, 4).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"))
+      .queryExecution.executedPlan.toString
+    assert(!fpPlan.contains("Exchange"), fpPlan)
+    // the q96 shape: pair generation must come from bounded posting arrays
+    // (Generate over collect_set output), never a posting self-join — no
+    // sort-merge/cartesian pair explosion can appear in the plan
+    val ndPlan = Dedup.winnowNearDups(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!ndPlan.contains("CartesianProduct"), ndPlan)
+    assert(!ndPlan.contains("SortMergeJoin"), ndPlan)
+    // exactly one join: postings ⨝ the df-filtered rare-fp set
+    assert("(?i)join".r.findAllMatchIn(ndPlan).size >= 1)
+    assert(ndPlan.contains("collect_set"), ndPlan)
+  }
+
   test("canonicalLabels on an empty pair set leaves every doc its own canon") {
     val ids = (1L to 4L).toDF("doc_id")
     val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
