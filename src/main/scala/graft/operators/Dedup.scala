@@ -214,17 +214,8 @@ object Dedup {
     * exchange. */
   def winnowNearDups(df: DataFrame, textCol: String, idCol: String,
       k: Int = 8, w: Int = 4, maxDf: Int = 20, minShared: Int = 5): DataFrame = {
-    import graft.functions.TextKernels
-    val posts = df.select(col(idCol).as("__doc"),
-      explode(TextKernels.winnowFingerprints(normalize(col(textCol)), k, w))
-        .as("__fp"))
-    // df valve first — count is sum-aggregatable (partial agg, O(1)/key)
-    val rare = posts.groupBy(col("__fp"))
-      .agg(count(lit(1)).as("__df"))
-      // df < 2 → no pairs; df > maxDf → template fingerprint, dropped
-      .filter(col("__df").between(2, maxDf))
-      .select(col("__fp"))
-    posts.join(rare, "__fp")
+    val posts = winnowPostings(df, textCol, idCol, k, w)
+    posts.join(rareFingerprints(posts, maxDf), "__fp")
       .groupBy(col("__fp"))
       .agg(array_sort(collect_set(col("__doc"))).as("__docs"))
       // all i<j pairs of the sorted posting array, generated in-plan
@@ -233,6 +224,69 @@ object Dedup {
           slice(col("__docs"), i + lit(2), size(col("__docs")) - i - lit(1)),
           y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Winnow posting table — one (__doc, __fp) row per distinct fingerprint
+    * per document; the winnow analogue of [[signatureTable]] /
+    * [[simhashBanded]] for write-at-ingest incremental dedup: materialize
+    * it once per batch at ingest and the corpus text is never re-hashed.
+    * (k, w) must match between the stored table and later
+    * [[winnowNearDupsAgainst]] calls. */
+  def winnowPostings(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    import graft.functions.TextKernels
+    df.select(col(idCol).as("__doc"),
+      explode(TextKernels.winnowFingerprints(normalize(col(textCol)), k, w))
+        .as("__fp"))
+  }
+
+  /** The df valve as a standalone relation: fingerprints whose document
+    * frequency over `posts` lies in [2, maxDf]. COUNT is sum-aggregatable
+    * (O(1) memory per key) — the valve never materializes a posting list,
+    * so it is safe to evaluate over a 100 TB posting table. */
+  private def rareFingerprints(posts: DataFrame, maxDf: Int): DataFrame =
+    posts.groupBy(col("__fp"))
+      .agg(count(lit(1)).as("__df"))
+      // df < 2 → no pairs; df > maxDf → template fingerprint, dropped
+      .filter(col("__df").between(2, maxDf))
+      .select(col("__fp"))
+
+  /** Incremental-ingest winnow near-dups: pairs TOUCHING THE NEW BATCH only
+    * (new×existing ∪ new×new, never existing×existing), scored against the
+    * accumulated posting table — the corpus is never re-fingerprinted, the
+    * same ingest shape as [[minhashCandidatesAgainst]] /
+    * [[simhashCandidatesAgainst]].
+    *
+    * The df valve is evaluated over the FULL union at call time, so each
+    * batch's pairs carry the valve state of their ingest moment. Batch-wise
+    * union equals the from-scratch [[winnowNearDups]] whenever no
+    * fingerprint's document frequency CROSSES maxDf between batches (the
+    * lower edge is always safe: a pair exists only once its second document
+    * arrives, and that batch scores it). A boilerplate fingerprint that
+    * crosses maxDf only after earlier batches were scored retroactively
+    * over-counts those batches' n_shared — the inherent drift of any
+    * global-frequency valve under streaming ingest; remedies are a
+    * periodic full re-score or a deliberately conservative maxDf at
+    * ingest. DedupSpec pins both the identity and the drift case. */
+  def winnowNearDupsAgainst(newDf: DataFrame, existingPosts: DataFrame,
+      textCol: String, idCol: String,
+      k: Int = 8, w: Int = 4, maxDf: Int = 20, minShared: Int = 5,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val newPosts = scope.persist(winnowPostings(newDf, textCol, idCol, k, w))
+    val allPosts = existingPosts.unionByName(newPosts)
+    val rare = rareFingerprints(allPosts, maxDf)
+    val a = newPosts.join(rare, "__fp").as("a")
+    val b = allPosts.join(rare, "__fp").as("b")
+    a.join(b, col("a.__fp") === col("b.__fp") && col("a.__doc") =!= col("b.__doc"))
+      .select(least(col("a.__doc"), col("b.__doc")).as("doc_a"),
+        greatest(col("a.__doc"), col("b.__doc")).as("doc_b"),
+        col("a.__fp").as("__fp"))
+      // a new×new pair arrives in both orders — dedupe (pair, fp) before
+      // counting so each shared fingerprint contributes exactly once
+      .distinct()
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

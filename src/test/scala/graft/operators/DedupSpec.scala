@@ -256,6 +256,49 @@ class DedupSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("incremental winnow ingest: batch union == from-scratch (stable valve)") {
+    import spark.implicits._
+    val corpus = Registry.table(spark, sf0001, "documents")
+    val batch1 = corpus.filter(col("doc_id") % 2 === 0)
+    val batch2 = corpus.filter(col("doc_id") % 2 =!= 0)
+    // maxDf far above any fingerprint's df on this corpus slice → the valve
+    // never binds, so no df can CROSS it between batches (the identity
+    // precondition); minShared matches the default operating point
+    val full = Dedup.winnowNearDups(corpus, "text", "doc_id", maxDf = 100000)
+      .as[(Long, Long, Long)].collect().toSet
+    val empty = Dedup.winnowPostings(corpus.limit(0), "text", "doc_id")
+    val inc1 = Dedup.winnowNearDupsAgainst(batch1, empty, "text", "doc_id",
+      maxDf = 100000).as[(Long, Long, Long)].collect().toSet
+    val posts1 = Dedup.winnowPostings(batch1, "text", "doc_id")
+    val inc2 = Dedup.winnowNearDupsAgainst(batch2, posts1, "text", "doc_id",
+      maxDf = 100000).as[(Long, Long, Long)].collect().toSet
+    assert((inc1 ++ inc2) === full)
+    assert(inc1.intersect(inc2).isEmpty) // each pair scored exactly once
+    assert(full.nonEmpty)
+  }
+
+  test("incremental winnow ingest: valve drift is the documented divergence") {
+    import spark.implicits._
+    val template = "copyright notice all rights reserved contact us at example dot com"
+    // batch 1: template in 15 docs → df = 15 <= maxDf=20, pairs EMITTED
+    val batch1 = (1L to 15L).map(i => (i, s"doc number $i $template")).toDF("doc_id", "text")
+    // batch 2: 15 more → df = 30 > maxDf, from-scratch drops the template
+    val batch2 = (16L to 30L).map(i => (i, s"doc number $i $template")).toDF("doc_id", "text")
+    val empty = Dedup.winnowPostings(batch1.limit(0), "text", "doc_id")
+    val inc1 = Dedup.winnowNearDupsAgainst(batch1, empty, "text", "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val inc2 = Dedup.winnowNearDupsAgainst(batch2,
+        Dedup.winnowPostings(batch1, "text", "doc_id"), "text", "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.winnowNearDups(batch1.unionByName(batch2), "text", "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(full.isEmpty)      // from-scratch: template df=30 > 20, no pairs
+    assert(inc1.nonEmpty)     // batch 1 scored under its ingest-time valve
+    assert(inc2.isEmpty)      // batch 2 already sees df=30 > maxDf
+    // the divergence is exactly the batch-1 pairs — one-directional drift
+    assert((inc1 ++ inc2) -- full === inc1)
+  }
+
   test("winnow plans: fingerprinting is shuffle-free; pairs never self-join postings") {
     import graft.functions.{Text, TextKernels}
     val docs = Registry.table(spark, sf0001, "documents")
