@@ -168,6 +168,51 @@ class EventStreamSpec extends SparkSpec {
     })
   }
 
+  test("funnel restart: join state recovers from checkpoint, exactly-once") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-funnel-in").toString
+    val out = Files.createTempDirectory("graft-funnel-out").toString
+    val ckpt = Files.createTempDirectory("graft-funnel-ckpt").toString
+    def t(s: String) = Timestamp.valueOf(s)
+    def drop(name: String, rows: Seq[(Timestamp, Long, Long, String)]): Unit =
+      rows.toDF("ts", "user_id", "event_id", "event_type")
+        .coalesce(1).write.parquet(s"$in/$name")
+    // batch 1: user 1 completes a pair; user 2's view has NO click yet —
+    // it must survive in the join state store across the restart
+    drop("b1", Seq(
+      (t("2024-01-01 10:00:00"), 1L, 100L, "view"),
+      (t("2024-01-01 10:05:00"), 1L, 101L, "click"),
+      (t("2024-01-01 10:10:00"), 2L, 200L, "view")))
+    val schema = spark.read.parquet(s"$in/b1").schema
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "16").parquet(s"$in/*")
+      val q = EventStream.funnel(stream, "view", "click").writeStream
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    runOnce()
+    def pairs() = spark.read.parquet(out)
+      .select("lead_id", "follow_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(pairs() === Seq((100L, 101L)))
+    // restart with nothing new: checkpoint prevents any reprocessing
+    runOnce()
+    assert(pairs() === Seq((100L, 101L)))
+    // batch 2 arrives AFTER a full stop: user 2's click (matches the
+    // view buffered before the restart — state-store recovery) and a
+    // complete pair for user 3
+    drop("b2", Seq(
+      (t("2024-01-01 10:20:00"), 2L, 201L, "click"),
+      (t("2024-01-01 10:30:00"), 3L, 300L, "view"),
+      (t("2024-01-01 10:31:00"), 3L, 301L, "click")))
+    runOnce()
+    assert(pairs() === Seq((100L, 101L), (200L, 201L), (300L, 301L)))
+  }
+
   test("funnel state is droppable: late lead beyond the watermark is dropped") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
