@@ -475,8 +475,12 @@ object Multimodal {
           timescale <- findBox("mdhd", mdiaOff, mdiaEnd).toList.flatMap {
             case (p, pEnd) =>
               val v = if (pEnd - p >= 1) b(p.toInt) & 0xff else -1
+              // v0: version+flags(4) ctime(4) mtime(4) → timescale at 12;
+              // v1 widens ctime/mtime to 8 bytes → timescale at 20 (the
+              // same layout mvhd v1 uses in durationMs; duration follows
+              // the timescale, it does not precede it)
               if (v == 0 && pEnd - p >= 20) Some(be32(p + 12))
-              else if (v == 1 && pEnd - p >= 32) Some(be32(p + 28))
+              else if (v == 1 && pEnd - p >= 32) Some(be32(p + 20))
               else None
           }.filter(_ > 0)
           (minfOff, minfEnd) <- findBox("minf", mdiaOff, mdiaEnd).toList
@@ -493,11 +497,14 @@ object Multimodal {
                 if (fixed != 0L) {
                   // fixed-size samples carry no table; cap the count at the
                   // number of samples that can PHYSICALLY fit in the payload
-                  // (a hostile header must not demand a giant allocation —
-                  // declared=2^31 against a big payload would otherwise
-                  // materialize gigabytes of Vector here)
+                  // AND represent the run in constant space — a hostile
+                  // header (sample_size=1, count=2³¹) must not materialize
+                  // a hundreds-of-MB vector of identical boxed values
                   val n = math.min(declared, b.length / fixed).toInt
-                  Vector.fill(n)(fixed)
+                  new IndexedSeq[Long] {
+                    def length: Int = n
+                    def apply(i: Int): Long = fixed
+                  }
                 } else {
                   val n = math.min(declared, (pEnd - p - 12) / 4).toInt
                   (0 until n).map(i => be32(p + 12 + 4L * i))
@@ -554,8 +561,11 @@ object Multimodal {
                 if (cumTicks >= 0 && cumTicks <= Long.MaxValue / 1000L)
                   cumTicks * 1000L / timescale
                 else 0L
+              // subtraction form, not `off + size <= length`: a hostile
+              // co64 offset near Long.MaxValue would wrap off+size negative
+              // and pass the additive check with a garbage Int offset
               if (size > 0 && off >= 0 && size <= b.length &&
-                  off + size <= b.length)
+                  off <= b.length - size)
                 out += Sample(sample, off.toInt, size.toInt, ptsMs)
               // pts advances by this sample's stts delta
               if (sttsLeft > 0) { cumTicks += sttsRuns(sttsIdx)._2; sttsLeft -= 1 }

@@ -928,8 +928,14 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def bucketedDocs(s: org.apache.spark.sql.SparkSession, dir: String): String =
     bucketedWritten.computeIfAbsent(dir, d => {
+      // the readable sanitized name is lossy ('/a/sf-1' and '/a/sf_1' both
+      // sanitize to 'a_sf_1'); the md5 of the RAW dir disambiguates, so two
+      // distinct source dirs can never clobber one bucketed table
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(d.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
       val out = s"${System.getProperty("java.io.tmpdir")}/graft-q80-" +
-        s"${ProcessHandle.current().pid()}/${d.replaceAll("[^A-Za-z0-9.]", "_")}/docs"
+        s"${ProcessHandle.current().pid()}/" +
+        s"${d.replaceAll("[^A-Za-z0-9.]", "_")}-$digest/docs"
       graft.sources.Warehouse.writeBucketed(table(s, d, "documents"), out, "doc_id")
       out
     })

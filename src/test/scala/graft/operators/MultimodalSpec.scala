@@ -319,6 +319,56 @@ class MultimodalSpec extends SparkSpec {
     assert(capped.size <= mp4.length / 300)
   }
 
+  test("videoSamples: v1 mdhd (64-bit times) locates the same samples as v0") {
+    import graft.fixtures.MediaFixture
+    val jpegs = MediaFixture.videoFrameDims.map { case (w, h) =>
+      MediaFixture.image(w, h, "jpg") }
+    val v0 = Multimodal.Mp4.videoSamples(MediaFixture.mjpegMp4(jpegs, 30, 3))
+    val v1 = Multimodal.Mp4.videoSamples(
+      MediaFixture.mjpegMp4(jpegs, 30, 3, mdhdV1 = true))
+    // v1 shifts the timescale field to payload offset 20 — reading the
+    // duration's low word there instead would skew every pts (or zero out
+    // the track when the low word is 0)
+    assert(v1 === v0)
+    assert(v1.nonEmpty && v1.last.ptsMs > 0)
+  }
+
+  test("videoSamples: co64 offset near Long.MaxValue cannot overflow the range check") {
+    import graft.fixtures.MediaFixture
+    val blob = Array.tabulate[Byte](300)(i => (i * 3).toByte)
+    val mp4 = MediaFixture.mjpegMp4(Seq(blob, blob.clone()), 30, 3, co64 = true)
+    val bb = java.nio.ByteBuffer.wrap(mp4).order(java.nio.ByteOrder.BIG_ENDIAN)
+    // first (only) co64 chunk offset (tag + ver/flags + count = +12) → a
+    // value whose off+size wraps negative under additive range checks
+    bb.putLong(indexOfTag(mp4, "co64") + 12, 0x7ffffffffffffff0L)
+    // must neither throw (never-throw contract) nor emit a wrapped sample
+    val samples = Multimodal.Mp4.videoSamples(mp4)
+    assert(samples.forall(s => s.offset >= 0 && s.offset + s.size <= mp4.length))
+    // and the whole sampleFrames path stays exception-free on the payload
+    import spark.implicits._
+    val media = Multimodal.fromText(
+      Seq((1L, "x")).toDF("id", "t"), "id", "t")
+      .drop("payload")
+      .withColumn("payload", org.apache.spark.sql.functions.lit(mp4))
+    assert(Multimodal.sampleFrames(media, everyNth = 1).count() === 0L)
+  }
+
+  test("videoSamples: fixed-size stsz with sample_size=1 stays constant-space") {
+    import graft.fixtures.MediaFixture
+    val blob = Array.tabulate[Byte](300)(i => (i * 7).toByte)
+    val mp4 = MediaFixture.mjpegMp4(Seq(blob, blob.clone()), 30, 3)
+    val bb = java.nio.ByteBuffer.wrap(mp4).order(java.nio.ByteOrder.BIG_ENDIAN)
+    val stszIdx = indexOfTag(mp4, "stsz")
+    bb.putInt(stszIdx + 8, 1)              // sample_size = 1 (small divisor)
+    bb.putInt(stszIdx + 12, Int.MaxValue)  // hostile declared count
+    // n caps at payload length; the fixed-size run is a constant-space view
+    // (no materialized per-sample vector), and every emitted range is valid
+    val samples = Multimodal.Mp4.videoSamples(mp4)
+    assert(samples.forall(s => s.size === 1 && s.offset >= 0 &&
+      s.offset + s.size <= mp4.length))
+    assert(samples.size <= mp4.length)
+  }
+
   test("videoSamples survives truncated/hostile sample tables") {
     import graft.fixtures.MediaFixture
     val jpegs = MediaFixture.videoFrameDims.map { case (w, h) =>
