@@ -19,10 +19,19 @@ object Skew {
 
   /** Equi-join `left.key = right.key` with the left side salted.
     * `buckets` multiplies the right side's cardinality — keep it small
-    * (8-64) and apply only when a key's frequency justifies it. */
+    * (8-64) and apply only when a key's frequency justifies it.
+    *
+    * Join-type contract: inner/left/left_semi/left_anti only. Right and
+    * full outer are REJECTED — an unmatched right row exists once per salt
+    * replica, so those types would emit `buckets` duplicates of every
+    * unmatched right row (silent result corruption, not a perf concern). */
   def saltedJoin(
       left: DataFrame, right: DataFrame, key: String,
       buckets: Int, joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(!Set("right", "rightouter", "full", "outer", "fullouter").contains(jt),
+      s"saltedJoin cannot preserve $joinType semantics: unmatched right rows " +
+        s"would appear once per salt replica ($buckets times)")
     val saltedLeft = left.withColumn("__salt",
       (rand(seed = 42) * buckets).cast("int"))
     val explodedRight = right.withColumn("__salt",

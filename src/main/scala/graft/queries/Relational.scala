@@ -265,6 +265,203 @@ object Relational {
     }, Some("""
       SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
         COUNT(*) AS n, TRUE AS approx_within_bound
-      FROM lineitem GROUP BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag""")),
+
+    // ---- Outer joins: left + full, null-side accounting --------------------
+    // Filters force unmatched rows on BOTH sides (customers without big
+    // orders; big orders of mod-7 customers outside the mod-3 customer
+    // slice). The per-side key sums pin exactly WHICH rows are null-extended,
+    // not just how many. Scale: same shuffle/broadcast planning as inner —
+    // outer-ness only changes the null-extension at probe time.
+    Q("q97_outer_join", (s, dir) => {
+      val cust = table(s, dir, "customer")
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val ords = table(s, dir, "orders")
+        .filter(col("o_custkey") % 7 === 0 && col("o_totalprice") > 250000.0)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("cust_price"))
+      def sideTag = when(col("c_custkey").isNull, "right_only")
+        .when(col("o_custkey").isNull, "left_only").otherwise("both")
+      val full = cust.join(ords, cust("c_custkey") === ords("o_custkey"), "full_outer")
+        .select(sideTag.as("side"), col("c_custkey"), col("o_custkey"), col("n_orders"))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("c_custkey"), col("o_custkey"))).as("sum_keys"),
+          sum(coalesce(col("n_orders"), lit(0L))).as("sum_orders"))
+        .withColumn("join_type", lit("full"))
+      val left = cust.join(ords, cust("c_custkey") === ords("o_custkey"), "left_outer")
+        .select(sideTag.as("side"), col("c_custkey"), col("o_custkey"), col("n_orders"))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n"),
+          sum(coalesce(col("c_custkey"), col("o_custkey"))).as("sum_keys"),
+          sum(coalesce(col("n_orders"), lit(0L))).as("sum_orders"))
+        .withColumn("join_type", lit("left"))
+      full.unionByName(left)
+        .select(col("join_type"), col("side"), col("n"), col("sum_keys"), col("sum_orders"))
+    }, Some("""
+      WITH cust AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0),
+      ords AS (
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders WHERE o_custkey % 7 = 0 AND o_totalprice > 250000.0
+        GROUP BY o_custkey)
+      SELECT 'full' AS join_type,
+        CASE WHEN c_custkey IS NULL THEN 'right_only'
+             WHEN o_custkey IS NULL THEN 'left_only' ELSE 'both' END AS side,
+        COUNT(*) AS n,
+        CAST(SUM(COALESCE(c_custkey, o_custkey)) AS BIGINT) AS sum_keys,
+        CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS sum_orders
+      FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
+      GROUP BY 2
+      UNION ALL
+      SELECT 'left' AS join_type,
+        CASE WHEN c_custkey IS NULL THEN 'right_only'
+             WHEN o_custkey IS NULL THEN 'left_only' ELSE 'both' END AS side,
+        COUNT(*) AS n,
+        CAST(SUM(COALESCE(c_custkey, o_custkey)) AS BIGINT) AS sum_keys,
+        CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS sum_orders
+      FROM cust LEFT OUTER JOIN ords ON c_custkey = o_custkey
+      GROUP BY 2""")),
+
+    // ---- Correlated subqueries (decorrelation exercise) --------------------
+    // Written as SQL so Catalyst's decorrelation does the rewriting: EXISTS
+    // → left semi, NOT EXISTS → left anti, and a correlated scalar COUNT —
+    // the classic hard case, because COUNT over an empty correlated group
+    // must yield 0, not NULL (the decorrelated left-outer join must
+    // null-repair the aggregate). The oracle runs the same standard SQL.
+    // Scale: all three decorrelate to single equi-joins on l_orderkey — no
+    // per-row subquery execution anywhere.
+    Q("q98_correlated_subquery", (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT 'exists' AS variant, o_orderpriority, COUNT(*) AS n
+        FROM orders_v o
+        WHERE EXISTS (SELECT 1 FROM lineitem_v l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'not_exists' AS variant, o_orderpriority, COUNT(*) AS n
+        FROM orders_v o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem_v l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'corr_count' AS variant, o_orderpriority, COUNT(*) AS n
+        FROM orders_v o
+        WHERE o.o_totalprice > 60000.0 * (SELECT COUNT(*) FROM lineitem_v l
+                                          WHERE l.l_orderkey = o.o_orderkey)
+        GROUP BY o_orderpriority""")
+    }, Some("""
+      SELECT 'exists' AS variant, o_orderpriority, COUNT(*) AS n
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'not_exists' AS variant, o_orderpriority, COUNT(*) AS n
+      FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      UNION ALL
+      SELECT 'corr_count' AS variant, o_orderpriority, COUNT(*) AS n
+      FROM orders o
+      WHERE o.o_totalprice > 60000.0 * (SELECT COUNT(*) FROM lineitem l
+                                        WHERE l.l_orderkey = o.o_orderkey)
+      GROUP BY o_orderpriority""")),
+
+    // ---- Salted join gate (the explicit skew-mitigation path) --------------
+    // Skew.saltedJoin spreads each hot key over 8 salt buckets; the GATE is
+    // that salting is invisible in the result — the oracle computes the
+    // plain unsalted join. countDistinct(l_partkey) would catch a key lost
+    // to a salt-range mismatch; n/sum_price catch duplicated matches.
+    Q("q99_salted_join", (s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val p = table(s, dir, "part").withColumnRenamed("p_partkey", "l_partkey")
+      graft.operators.Skew.saltedJoin(li, p, "l_partkey", buckets = 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          countDistinct(col("l_partkey")).as("n_parts"))
+    }, Some(s"""
+      SELECT p_brand, COUNT(*) AS n, ${DSUM("l_extendedprice")} AS sum_price,
+        COUNT(DISTINCT l_partkey) AS n_parts
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand""")),
+
+    // ---- Warehouse merge/upsert (latest version wins, partition-pruned) ----
+    // The batch-ingest shape a partitioned warehouse lives on: base snapshot
+    // (version 1, partitioned by status) + one update batch carrying an
+    // in-place upsert (mod-19 keys: price + 1000), a PARTITION MOVE (mod-31
+    // keys: status → 'X' — the old partition must shed the key), and inserts
+    // (mod-53 keys shifted into a brand-new 'N' partition). Only affected
+    // partitions are rewritten (WarehouseSpec asserts untouched files
+    // survive byte-identical); the gate here is end-to-end content: the
+    // read-back table must equal the oracle's window-derived latest-per-key
+    // over base ∪ updates. sum_version proves every updated key carries v2;
+    // sum_keys pins exactly which keys live in which partition.
+    Q("q100_warehouse_merge", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      // per-invocation dir: a fixed path would race two concurrent JVMs
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-merge-q100").toString + "/wh"
+      o.withColumn("version", lit(1L))
+        .repartition(col("o_orderstatus"))
+        .write.partitionBy("o_orderstatus").parquet(wh)
+      val k = col("o_orderkey")
+      val upserts = o.filter(k % 19 === 0 || k % 31 === 0)
+        .withColumn("o_totalprice",
+          when(k % 19 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(k % 31 === 0 && k % 19 =!= 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("version", lit(2L))
+      val inserts = o.filter(k % 53 === 0)
+        .withColumn("o_orderkey", k + 100000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("version", lit(2L))
+      graft.sources.Warehouse.merge(s, wh, upserts.unionByName(inserts),
+        "o_orderkey", "version", "o_orderstatus")
+      graft.sources.Warehouse.read(s, wh)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_keys"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("version")).as("sum_version"))
+    }, Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS version
+        FROM orders),
+      upd AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 31 = 0 AND o_orderkey % 19 <> 0
+               THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+          CASE WHEN o_orderkey % 19 = 0
+               THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+          2 AS version
+        FROM orders WHERE o_orderkey % 19 = 0 OR o_orderkey % 31 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice, 2
+        FROM orders WHERE o_orderkey % 53 = 0),
+      merged AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                      ORDER BY version DESC) AS rn
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
+        WHERE rn = 1)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(version) AS BIGINT) AS sum_version
+      FROM merged GROUP BY o_orderstatus"""))
   )
 }

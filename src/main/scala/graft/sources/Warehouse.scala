@@ -117,6 +117,82 @@ object Warehouse {
     sampled.drop("hash_bucket", "bucket_group")
   }
 
+  /** Keyed merge/upsert ("latest version wins") into a `partitionCol`-
+    * partitioned parquet table: upserts and inserts land, superseded rows
+    * disappear, and ONLY the affected partitions are rewritten — untouched
+    * partitions' files are never opened, rewritten, or moved, which is the
+    * whole point at 100 TB (a daily update batch touches a handful of
+    * partitions; a full-table rewrite merge would be a 100 TB write).
+    *
+    * Affected set = partitions receiving update rows ∪ partitions currently
+    * holding an updated key. The second arm makes key MOVES correct: when an
+    * update changes a row's partition value, the old partition is rewritten
+    * without the key (and deleted outright if the moved key was its last
+    * row). Both driver-side collects are bounded by the DISTINCT PARTITION
+    * COUNT touched by one batch — metadata-scale, never data-scale.
+    *
+    * Contract: (key, versionCol) pairs are unique per logical row — the
+    * merge keeps, per key, the row with the highest versionCol (ties would
+    * be nondeterministic and are the caller's bug); partition values are
+    * non-null. Publish is per-partition rename (atomic per partition on
+    * HDFS-like filesystems), not table-transactional: a crash mid-publish
+    * leaves some partitions merged and others not — rerunning the SAME
+    * merge converges, because latest-version-wins is idempotent. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      key: String, versionCol: String, partitionCol: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val existing = read(spark, path)
+    val cols = existing.columns
+    require(cols.sorted.sameElements(updates.columns.sorted),
+      s"updates schema ${updates.columns.mkString(",")} must match table ${cols.mkString(",")}")
+    // key+partition projection only: at scale this is a column-pruned scan
+    // joined semi against the batch's key set (AQE picks broadcast when the
+    // batch is small — the common case)
+    val updKeys = updates.select(col(key)).distinct()
+    val oldParts = existing.select(col(key), col(partitionCol))
+      .join(updKeys, Seq(key), "left_semi")
+      .select(col(partitionCol)).distinct()
+    val newParts = updates.select(col(partitionCol)).distinct()
+    val affected: Array[Any] =
+      oldParts.union(newParts).distinct().collect().map(_.get(0))
+    if (affected.isEmpty) return
+
+    // latest version per key over (existing rows of affected partitions —
+    // literal isin ⇒ statically partition-pruned read — ∪ the update batch)
+    val w = Window.partitionBy(col(key)).orderBy(col(versionCol).desc)
+    val merged = existing.filter(col(partitionCol).isin(affected.toIndexedSeq: _*))
+      .select(cols.map(col).toIndexedSeq: _*)
+      .unionByName(updates.select(cols.map(col).toIndexedSeq: _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    // stage the rewritten partitions, then swap each affected partition dir
+    // (same demote/promote discipline as writeBucketed, per partition);
+    // repartition on the partition value ⇒ one splittable file per
+    // partition per batch, not one per task per partition
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(hconf)
+    val staging = new org.apache.hadoop.fs.Path(path + ".merge-staging")
+    fs.delete(staging, true)
+    merged.repartition(col(partitionCol))
+      .write.partitionBy(partitionCol)
+      .mode(SaveMode.Overwrite).parquet(staging.toString)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    affected.foreach { v =>
+      val dirName = s"$partitionCol=${ExternalCatalogUtils.escapePathName(String.valueOf(v))}"
+      val liveDir = new org.apache.hadoop.fs.Path(live, dirName)
+      val stagedDir = new org.apache.hadoop.fs.Path(staging, dirName)
+      fs.delete(liveDir, true)
+      // an affected partition with no staged dir lost its last row to a
+      // key move — the delete above IS its publish
+      if (fs.exists(stagedDir) && !fs.rename(stagedDir, liveDir))
+        throw new java.io.IOException(
+          s"failed to publish merged partition: $stagedDir -> $liveDir")
+    }
+    fs.delete(staging, true)
+  }
+
   /** Compact an append-accumulated warehouse into `dst`: the small-files
     * problem is the operational cost of S7 at scale (every `append` batch
     * adds a file per partition; a year of daily loads = hundreds of files

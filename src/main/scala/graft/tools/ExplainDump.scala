@@ -44,6 +44,23 @@ object ExplainDump {
         |band_key arithmetic (shiftrightunsigned/shiftleft/AND) is inside
         |the explode projection, map-side. q66 is the same plan with 18-bit
         |keys (subBits=2).""".stripMargin,
+    "q98_correlated_subquery" ->
+      """Wants: NO per-row subquery execution anywhere. EXISTS decorrelates
+        |to a left-semi join on l_orderkey, NOT EXISTS to a left-anti join
+        |(both with the date bound as a join-condition filter), and the
+        |correlated scalar COUNT to an aggregate-then-outer-join whose
+        |null-repaired count (empty correlated group ⇒ 0, not NULL — the
+        |classic decorrelation bug) feeds the price predicate. Each arm is
+        |one equi-join; the union of the three arms shares scan shapes.""".stripMargin,
+    "q99_salted_join" ->
+      """Wants: the left (skewed) side extended with a map-side rand-salt
+        |projection; the right side exploded buckets-fold by a map-side
+        |Generate; ONE equi-join on (key, salt) — every formerly-hot key now
+        |hashes to 8 distinct exchange partitions, so no single task owns a
+        |hot key's whole row set. The price is an 8× replication of the
+        |SMALL side only. Aggregate after is the standard partial→final;
+        |result provably identical to the unsalted join (the oracle computes
+        |that one).""".stripMargin,
     "q14_approx_distinct" ->
       """Wants: approx_count_distinct as a PARTIAL HashAggregate carrying the
         |HyperLogLog++ sketch buffer per partition, merged once at the final

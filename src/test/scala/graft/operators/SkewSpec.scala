@@ -22,6 +22,25 @@ class SkewSpec extends SparkSpec {
     assert(diff === 0)
   }
 
+  test("saltedJoin preserves left-family join types; rejects right/full outer") {
+    val left = Seq((1, "l1"), (2, "l2"), (3, "l3")).toDF("k", "lv")
+    val right = Seq((1, "r1"), (9, "r9")).toDF("k", "rv")
+    // left outer: unmatched LEFT rows appear exactly once
+    val lo = Skew.saltedJoin(left, right, "k", buckets = 4, joinType = "left")
+    assert(lo.count() === 3L)
+    assert(lo.filter(col("rv").isNull).count() === 2L)
+    // anti: rows with no match, once each
+    val anti = Skew.saltedJoin(left, right, "k", buckets = 4, joinType = "left_anti")
+    assert(anti.select("k").as[Int].collect().toSet === Set(2, 3))
+    // right/full outer would duplicate unmatched right rows per salt replica
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Skew.saltedJoin(left, right, "k", buckets = 4, joinType = jt)
+      }
+      assert(e.getMessage.contains("salt replica"))
+    }
+  }
+
   test("keyHistogram surfaces the hot key") {
     val df = (Seq.fill(100)("hot") ++ Seq("a", "b", "c")).toDF("k")
     val top = Skew.keyHistogram(df, col("k"), 2).collect()

@@ -163,6 +163,77 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.sampleBucketed(spark, dir, 0.5).count() === total)
   }
 
+  test("merge: upsert/move/insert land, only affected partitions rewritten") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wh-merge").toString + "/t"
+    // base: A={1,2,3} B={4,5} C={6} E={8,9}; E is never touched
+    Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "A", 30.0),
+        (4L, "B", 40.0), (5L, "B", 50.0), (6L, "C", 60.0),
+        (8L, "E", 80.0), (9L, "E", 90.0))
+      .toDF("id", "status", "value").withColumn("version", lit(1L))
+      .repartition(col("status"))
+      .write.partitionBy("status").parquet(dir)
+    def files(sub: String) =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, sub)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(f => f.toString -> java.nio.file.Files.getLastModifiedTime(f))
+        .toMap
+    val eBefore = files("status=E")
+
+    // id 2: in-place upsert; id 6: C→B move (C empties); id 7: insert into D
+    val updates = Seq((2L, "A", 21.0), (6L, "B", 60.0), (7L, "D", 70.0))
+      .toDF("id", "status", "value").withColumn("version", lit(2L))
+    Warehouse.merge(spark, dir, updates, "id", "version", "status")
+
+    val back = Warehouse.read(spark, dir)
+      .select($"id", $"status", $"value", $"version").as[(Long, String, Double, Long)]
+      .collect().toSet
+    assert(back === Set(
+      (1L, "A", 10.0, 1L), (2L, "A", 21.0, 2L), (3L, "A", 30.0, 1L),
+      (4L, "B", 40.0, 1L), (5L, "B", 50.0, 1L), (6L, "B", 60.0, 2L),
+      (7L, "D", 70.0, 2L), (8L, "E", 80.0, 1L), (9L, "E", 90.0, 1L)))
+    // the emptied source partition of the moved key is gone entirely
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "status=C")))
+    // untouched partition: same files, same mtimes — never rewritten
+    assert(files("status=E") === eBefore)
+    // no staging residue after publish
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir + ".merge-staging")))
+  }
+
+  test("merge is idempotent: replaying the same batch changes nothing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wh-merge-idem").toString + "/t"
+    Seq((1L, "A", 10.0), (2L, "B", 20.0))
+      .toDF("id", "status", "value").withColumn("version", lit(1L))
+      .write.partitionBy("status").parquet(dir)
+    val updates = Seq((1L, "B", 11.0)).toDF("id", "status", "value")
+      .withColumn("version", lit(2L))
+    Warehouse.merge(spark, dir, updates, "id", "version", "status")
+    val once = Warehouse.read(spark, dir)
+      .select($"id", $"status", $"value", $"version").as[(Long, String, Double, Long)]
+      .collect().toSet
+    Warehouse.merge(spark, dir, updates, "id", "version", "status")
+    val twice = Warehouse.read(spark, dir)
+      .select($"id", $"status", $"value", $"version").as[(Long, String, Double, Long)]
+      .collect().toSet
+    assert(once === twice)
+    assert(once === Set((1L, "B", 11.0, 2L), (2L, "B", 20.0, 1L)))
+  }
+
+  test("merge rejects a mismatched update schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wh-merge-schema").toString + "/t"
+    Seq((1L, "A", 10.0)).toDF("id", "status", "value")
+      .withColumn("version", lit(1L))
+      .write.partitionBy("status").parquet(dir)
+    val bad = Seq((2L, "A")).toDF("id", "status") // missing value/version
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.merge(spark, dir, bad, "id", "version", "status")
+    }
+    assert(e.getMessage.contains("schema"))
+  }
+
   test("column projection reaches the parquet scan (ReadSchema pruning)") {
     load()
     val df = Warehouse.read(spark, whDir).select("total_price")
