@@ -405,6 +405,30 @@ object TextQueries {
       WHERE len(tok) > 0
       GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT 100""")),
 
+    // ---- Heavy hitters via Misra-Gries sketch-then-verify -----------------
+    // q84's exact plan keeps one row per DISTINCT token alive through the
+    // shuffle — fine here, enormous at 100 TB. This is the at-scale
+    // replacement: an MG(k=100) summary (≤ 100 entries per task partial,
+    // mergeable) nominates candidates, then ONLY those ≤ 100 candidates are
+    // re-counted exactly. Output = exactly the tokens with true count
+    // > n/k (integer cnt·k > n, no float threshold). The gate leans on the
+    // sketch's SUPERSET guarantee: a qualifying token the sketch lost would
+    // be a missing row → hash mismatch. Estimates are partitioning-
+    // dependent; presence is not — which is why the plan re-counts.
+    Q("q101_heavy_hitters", (s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      graft.operators.FrequentItems.exactHeavyHitters(toks, "tok", 100)
+    }, Some(s"""
+      SELECT tok, COUNT(*) AS cnt
+      FROM (SELECT unnest($TOKS) AS tok FROM documents)
+      WHERE len(tok) > 0
+      GROUP BY tok
+      HAVING COUNT(*) * 100 > (
+        SELECT COUNT(*) FROM (SELECT unnest($TOKS) AS tok FROM documents)
+        WHERE len(tok) > 0)""")),
+
     // ---- Context-window chunking (docs → training windows) ----------------
     // maxTokens=20, overlap=5 ⇒ stride 15. Map-side explode; the oracle
     // re-derives every chunk's text and ordinal through the identical

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.sources.Warehouse
+
+/** CDC-style streaming upsert: a stream of keyed update rows applied to the
+  * partitioned warehouse, one [[Warehouse.merge]] per micro-batch. The
+  * 100 TB ingest loop this models: change batches land continuously, each
+  * touches a handful of partitions, and the table is always the
+  * latest-version-wins view — without ever rewriting untouched partitions.
+  *
+  * Delivery semantics: foreachBatch is at-least-once (a crashed batch can
+  * re-run), but `merge` is IDEMPOTENT per batch — replaying the same batch
+  * converges to the same table (WarehouseSpec pins this) — so the sink is
+  * effectively exactly-once. Out-of-order delivery is also safe:
+  * latest-version-wins means a stale batch arriving late cannot clobber a
+  * newer row (StreamingMergeSpec pins this too). Within one micro-batch,
+  * multiple versions of a key collapse to the highest, same as across
+  * batches.
+  *
+  * Backpressure is the source's concern (`maxFilesPerTrigger` /
+  * `maxOffsetsPerTrigger` on the read side): each micro-batch's merge cost
+  * scales with batch size + affected partitions, so bounded batches keep
+  * merge latency flat under a burst. */
+object StreamingMerge {
+
+  /** Writer applying `updates` (a STREAMING DataFrame whose schema matches
+    * the table at `path`) batch-by-batch. `availableNow` drains the backlog
+    * then stops (backfill/test mode); otherwise micro-batches run per
+    * `interval`. Callers `.start()` the result. */
+  def toWarehouse(
+      updates: DataFrame,
+      path: String,
+      key: String,
+      versionCol: String,
+      partitionCol: String,
+      checkpoint: String,
+      availableNow: Boolean = true,
+      interval: String = "30 seconds"): DataStreamWriter[Row] = {
+    val trigger =
+      if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(interval)
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // isEmpty is a cheap limit-1 probe; an empty micro-batch must not
+        // pay a merge's staging write
+        if (!batch.isEmpty)
+          Warehouse.merge(batch.sparkSession, path, batch,
+            key, versionCol, partitionCol)
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.Warehouse
+
+/** Streaming CDC upsert: update batches stream into the warehouse, one
+  * idempotent merge per micro-batch. Pins the three delivery properties the
+  * operator claims: streamed == sequential batch merges, restart from
+  * checkpoint applies only new batches (effective exactly-once), and a
+  * stale (lower-version) late batch cannot clobber a newer row. */
+class StreamingMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(path: String): Set[(Long, String, Double, Long)] =
+    Warehouse.read(spark, path)
+      .select($"id", $"status", $"value", $"version")
+      .as[(Long, String, Double, Long)].collect().toSet
+
+  test("streamed update batches == sequential merges; restart is exactly-once") {
+    val root = Files.createTempDirectory("graft-smerge").toString
+    val wh = root + "/wh"; val in = root + "/in"; val cp = root + "/cp"
+    Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0))
+      .toDF("id", "status", "value").withColumn("version", lit(1L))
+      .write.partitionBy("status").parquet(wh)
+    def drop(name: String, rows: Seq[(Long, String, Double, Long)]): Unit =
+      rows.toDF("id", "status", "value", "version")
+        .coalesce(1).write.parquet(s"$in/$name")
+    // batch 1: in-place upsert of id 2, partition move of id 3 (B empties)
+    drop("b1", Seq((2L, "A", 21.0, 2L), (3L, "A", 31.0, 2L)))
+    val schema = spark.read.parquet(s"$in/b1").schema
+    def runOnce(): Unit = {
+      val updates = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "16").parquet(s"$in/*")
+      val q = StreamingMerge.toWarehouse(
+        updates, wh, "id", "version", "status", cp).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    runOnce()
+    assert(table(wh) === Set(
+      (1L, "A", 10.0, 1L), (2L, "A", 21.0, 2L), (3L, "A", 31.0, 2L)))
+    assert(!Files.exists(java.nio.file.Paths.get(wh, "status=B")))
+
+    // batch 2 after a RESTART from the same checkpoint: only the new file
+    // is processed; replaying b1 would regress id 2's value to 21.0 if it
+    // were applied after b2 — version order makes even that harmless, so
+    // the sharper assertion is the insert landing exactly once with b1's
+    // rows untouched
+    drop("b2", Seq((2L, "A", 22.0, 3L), (4L, "C", 40.0, 3L)))
+    runOnce()
+    assert(table(wh) === Set(
+      (1L, "A", 10.0, 1L), (2L, "A", 22.0, 3L), (3L, "A", 31.0, 2L),
+      (4L, "C", 40.0, 3L)))
+  }
+
+  test("a stale late batch cannot clobber a newer row") {
+    val root = Files.createTempDirectory("graft-smerge-late").toString
+    val wh = root + "/wh"; val in = root + "/in"; val cp = root + "/cp"
+    Seq((1L, "A", 10.0)).toDF("id", "status", "value")
+      .withColumn("version", lit(5L))
+      .write.partitionBy("status").parquet(wh)
+    // the stream delivers an OLD change (version 3 < 5) — e.g. a backfill
+    // replaying history out of order
+    Seq((1L, "A", 3.0, 3L)).toDF("id", "status", "value", "version")
+      .coalesce(1).write.parquet(s"$in/old")
+    val schema = spark.read.parquet(s"$in/old").schema
+    val updates = spark.readStream.schema(schema).parquet(s"$in/*")
+    val q = StreamingMerge.toWarehouse(
+      updates, wh, "id", "version", "status", cp).start()
+    q.awaitTermination(120000); q.stop()
+    assert(table(wh) === Set((1L, "A", 10.0, 5L)))
+  }
+}
