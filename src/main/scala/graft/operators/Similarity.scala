@@ -277,6 +277,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * 2023 — published method): the deterministic sampled-k-means coarse
+    * quantizer buckets the corpus into cells; cosine pairs are scored
+    * WITHIN each cell only. The 100 TB shape: candidate generation is the
+    * cell equi-join (per-cell quadratic, never globally quadratic), the
+    * assignment is the same map-side broadcast argmin the IVF index uses —
+    * a deployment with a stored index reuses its materialized `cell_id`
+    * partitions and pays only the pairing. Scored pairs are EXACT cosine,
+    * so precision is 1.0 by construction; the approximation is recall — a
+    * pair split across two cells is never scored (the same recall-vs-cost
+    * dial as LSH: more cells ⇒ cheaper buckets, more boundary misses). */
+  def semanticNearDups(embeddings: DataFrame, nCells: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = ivfCentroids(embeddings, nCells, idCol, vecCol)
+    val assigned = assignCells(embeddings, centroids, idCol, vecCol)
+    nearDupPairs(assigned, "cell_id", threshold, idCol, vecCol)
+  }
+
+  /** Full semantic dedup: keep ONE representative per connected component
+    * of the semantic near-dup graph — the pairs feed the pointer-doubling
+    * CC collapse ([[Dedup.canonicalLabels]]), canonical = lowest id
+    * (deterministic; which member a deployment keeps is policy, the
+    * collapse is the shape). Returns the surviving rows of `embeddings`. */
+  def semanticDedup(embeddings: DataFrame, nCells: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = semanticNearDups(embeddings, nCells, threshold, idCol, vecCol)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    Dedup.collapseToCanonical(embeddings, pairs, idCol)
+      .filter(col("canonical_id") === col(idCol))
+      .drop("canonical_id")
+  }
+
   /** All near-duplicate pairs above a cosine threshold, bucketed by an
     * equi-join key (label / LSH signature) to avoid the global cross join. */
   def nearDupPairs(embeddings: DataFrame, bucketCol: String, threshold: Double,

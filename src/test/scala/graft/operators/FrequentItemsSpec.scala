@@ -46,6 +46,16 @@ class FrequentItemsSpec extends SparkSpec {
     assert(FrequentItems.sketch(uniform, "item", 20).size <= 20)
   }
 
+  test("sketch aggregates partially before the exchange (shuffle moves sketches, not items)") {
+    val ds = skewed.select(col("item").cast("string")).as[String]
+    val plan = ds.select(new MisraGries(10).toColumn)
+      .queryExecution.executedPlan.toString
+    // partial MG per task, ONE exchange of ≤k-entry sketch buffers, final
+    // merge — the distinct-item set itself never shuffles
+    assert(plan.contains("partial_misragries"), plan)
+    assert("Exchange".r.findAllMatchIn(plan).size === 1, plan)
+  }
+
   test("merge subtraction preserves the guarantee on adversarial splits") {
     // heavy item confined to ONE partition: partials elsewhere are pure
     // tail, so the merge's subtract-and-drop step runs hot — the heavy
