@@ -83,16 +83,22 @@ object FrequentItems {
 
   /** EXACT items with true count strictly > n/k, via the canonical two-pass
     * sketch-then-verify plan: pass 1 builds the MG summary (whose superset
-    * guarantee means no qualifying item can be missing from it), pass 2
-    * re-counts ONLY the ≤ k candidates exactly (map-side literal isin
-    * filter, tiny aggregate) and keeps those with cnt·k > n — integer
-    * arithmetic, no float threshold. Output is exact and deterministic
-    * even though sketch ESTIMATES are partitioning-dependent; a broken
-    * sketch (lost candidate) surfaces as a missing output row. The
-    * driver-side collects are k-bounded (CONFIG, not data). */
+    * guarantee means no qualifying item can be missing from it) AND the
+    * total n in the SAME scan — MG cannot recover n, and a separate
+    * count() would be a third full read of the input; pass 2 re-counts
+    * ONLY the ≤ k candidates exactly (map-side literal isin filter, tiny
+    * aggregate) and keeps those with cnt·k > n — integer arithmetic, no
+    * float threshold. Output is exact and deterministic even though sketch
+    * ESTIMATES are partitioning-dependent; a broken sketch (lost
+    * candidate) surfaces as a missing output row. The driver-side collects
+    * are k-bounded (CONFIG, not data). */
   def exactHeavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
-    val candidates = sketch(items, itemCol, k).keys.toSeq.sorted
-    val n = items.count()
+    val spark = items.sparkSession
+    import spark.implicits._
+    val (sk, n) = items.select(col(itemCol).cast("string")).as[String]
+      .select(new MisraGries(k).toColumn, count(lit(1)).as[Long])
+      .head()
+    val candidates = sk.keys.toSeq.sorted
     items.filter(col(itemCol).isin(candidates: _*))
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("cnt"))

@@ -281,48 +281,42 @@ object Relational {
         .filter(col("o_custkey") % 7 === 0 && col("o_totalprice") > 250000.0)
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("cust_price"))
-      def sideTag = when(col("c_custkey").isNull, "right_only")
-        .when(col("o_custkey").isNull, "left_only").otherwise("both")
-      val full = cust.join(ords, cust("c_custkey") === ords("o_custkey"), "full_outer")
-        .select(sideTag.as("side"), col("c_custkey"), col("o_custkey"), col("n_orders"))
-        .groupBy(col("side"))
-        .agg(count(lit(1)).as("n"),
-          sum(coalesce(col("c_custkey"), col("o_custkey"))).as("sum_keys"),
-          sum(coalesce(col("n_orders"), lit(0L))).as("sum_orders"))
-        .withColumn("join_type", lit("full"))
-      val left = cust.join(ords, cust("c_custkey") === ords("o_custkey"), "left_outer")
-        .select(sideTag.as("side"), col("c_custkey"), col("o_custkey"), col("n_orders"))
-        .groupBy(col("side"))
-        .agg(count(lit(1)).as("n"),
-          sum(coalesce(col("c_custkey"), col("o_custkey"))).as("sum_keys"),
-          sum(coalesce(col("n_orders"), lit(0L))).as("sum_orders"))
-        .withColumn("join_type", lit("left"))
-      full.unionByName(left)
+      // one accounting block per join type — the side tag/sums must stay
+      // identical across arms (and mirror the oracle's), so both are
+      // generated from a single definition
+      def arm(joinType: String, label: String) =
+        cust.join(ords, cust("c_custkey") === ords("o_custkey"), joinType)
+          .select(when(col("c_custkey").isNull, "right_only")
+            .when(col("o_custkey").isNull, "left_only").otherwise("both").as("side"),
+            col("c_custkey"), col("o_custkey"), col("n_orders"))
+          .groupBy(col("side"))
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("c_custkey"), col("o_custkey"))).as("sum_keys"),
+            sum(coalesce(col("n_orders"), lit(0L))).as("sum_orders"))
+          .withColumn("join_type", lit(label))
+      arm("full_outer", "full").unionByName(arm("left_outer", "left"))
         .select(col("join_type"), col("side"), col("n"), col("sum_keys"), col("sum_orders"))
-    }, Some("""
+    }, Some {
+      def armSql(joinType: String, label: String) = s"""
+        SELECT '$label' AS join_type,
+          CASE WHEN c_custkey IS NULL THEN 'right_only'
+               WHEN o_custkey IS NULL THEN 'left_only' ELSE 'both' END AS side,
+          COUNT(*) AS n,
+          CAST(SUM(COALESCE(c_custkey, o_custkey)) AS BIGINT) AS sum_keys,
+          CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS sum_orders
+        FROM cust $joinType JOIN ords ON c_custkey = o_custkey
+        GROUP BY 2"""
+      s"""
       WITH cust AS (
         SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0),
       ords AS (
         SELECT o_custkey, COUNT(*) AS n_orders
         FROM orders WHERE o_custkey % 7 = 0 AND o_totalprice > 250000.0
         GROUP BY o_custkey)
-      SELECT 'full' AS join_type,
-        CASE WHEN c_custkey IS NULL THEN 'right_only'
-             WHEN o_custkey IS NULL THEN 'left_only' ELSE 'both' END AS side,
-        COUNT(*) AS n,
-        CAST(SUM(COALESCE(c_custkey, o_custkey)) AS BIGINT) AS sum_keys,
-        CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS sum_orders
-      FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
-      GROUP BY 2
+      ${armSql("FULL OUTER", "full")}
       UNION ALL
-      SELECT 'left' AS join_type,
-        CASE WHEN c_custkey IS NULL THEN 'right_only'
-             WHEN o_custkey IS NULL THEN 'left_only' ELSE 'both' END AS side,
-        COUNT(*) AS n,
-        CAST(SUM(COALESCE(c_custkey, o_custkey)) AS BIGINT) AS sum_keys,
-        CAST(SUM(COALESCE(n_orders, 0)) AS BIGINT) AS sum_orders
-      FROM cust LEFT OUTER JOIN ords ON c_custkey = o_custkey
-      GROUP BY 2""")),
+      ${armSql("LEFT OUTER", "left")}"""
+    }),
 
     // ---- Correlated subqueries (decorrelation exercise) --------------------
     // Written as SQL so Catalyst's decorrelation does the rewriting: EXISTS
@@ -431,12 +425,23 @@ object Relational {
         .withColumn("version", lit(2L))
       graft.sources.Warehouse.merge(s, wh, upserts.unionByName(inserts),
         "o_orderkey", "version", "o_orderstatus")
-      graft.sources.Warehouse.read(s, wh)
+      val out = graft.sources.Warehouse.read(s, wh)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("o_orderkey")).as("sum_keys"),
           dsum(col("o_totalprice")).as("sum_price"),
           sum(col("version")).as("sum_version"))
+      // materialize the per-status summary (the query's own output, a
+      // handful of rows), then scrub the fixture — bench/verify invoke this
+      // run repeatedly, and each invocation would otherwise abandon a full
+      // partitioned orders copy under the system tmpdir
+      val rows = out.collect()
+      val schema = out.schema
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }, Some("""
       WITH base AS (
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS version

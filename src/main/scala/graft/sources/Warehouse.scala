@@ -134,27 +134,70 @@ object Warehouse {
     * Contract: (key, versionCol) pairs are unique per logical row — the
     * merge keeps, per key, the row with the highest versionCol (ties would
     * be nondeterministic and are the caller's bug); partition values are
-    * non-null. Publish is per-partition rename (atomic per partition on
-    * HDFS-like filesystems), not table-transactional: a crash mid-publish
-    * leaves some partitions merged and others not — rerunning the SAME
-    * merge converges, because latest-version-wins is idempotent. */
+    * non-null, and are compared/published AS STRINGS (the raw directory
+    * value — an explicit read schema types the partition column string, so
+    * the collected value always reproduces the dir name Spark wrote; type
+    * INFERENCE here would turn a `status=007` dir into int 7 and publish a
+    * phantom `status=7` next to the stale original).
+    *
+    * Crash safety: each affected partition is demoted to
+    * `<path>.merge-prev/` before its replacement is promoted from staging,
+    * and every merge() begins by restoring any demoted-but-never-promoted
+    * partition — so no crash window loses the only copy of a partition
+    * (the earlier delete-then-rename draft had exactly that window: a
+    * crash between delete and rename left the sole copy in staging, which
+    * the next run's staging cleanup destroyed). Not table-transactional: a
+    * crash mid-publish leaves some partitions merged and others not, and
+    * an interrupted EMPTY-partition retirement is restored on recovery —
+    * rerunning the SAME merge converges in all cases, because
+    * latest-version-wins is idempotent. */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       key: String, versionCol: String, partitionCol: String): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.expressions.Window
-    val existing = read(spark, path)
+    import org.apache.spark.sql.types.StringType
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(hconf)
+    val staging = new org.apache.hadoop.fs.Path(path + ".merge-staging")
+    val prevRoot = new org.apache.hadoop.fs.Path(path + ".merge-prev")
+
+    // recover from an interrupted publish BEFORE reading anything: a
+    // partition demoted to .merge-prev whose live dir is missing was never
+    // promoted — restore it; one whose live dir exists was promoted —
+    // its prev copy is superseded
+    if (fs.exists(prevRoot)) {
+      fs.listStatus(prevRoot).foreach { st =>
+        val back = new org.apache.hadoop.fs.Path(live, st.getPath.getName)
+        if (!fs.exists(back) && !fs.rename(st.getPath, back))
+          throw new java.io.IOException(
+            s"failed to recover demoted partition: ${st.getPath} -> $back")
+      }
+      fs.delete(prevRoot, true)
+    }
+    fs.delete(staging, true)
+
+    // read with an EXPLICIT schema typing the partition column string:
+    // data columns keep their on-disk types, the partition value stays the
+    // raw dir string (no inference), so value == dir name, always
+    val strSchema = org.apache.spark.sql.types.StructType(
+      read(spark, path).schema.map(f =>
+        if (f.name == partitionCol) f.copy(dataType = StringType) else f))
+    val existing = spark.read.schema(strSchema).parquet(path)
     val cols = existing.columns
     require(cols.sorted.sameElements(updates.columns.sorted),
       s"updates schema ${updates.columns.mkString(",")} must match table ${cols.mkString(",")}")
+    val upd = updates.withColumn(partitionCol, col(partitionCol).cast("string"))
     // key+partition projection only: at scale this is a column-pruned scan
     // joined semi against the batch's key set (AQE picks broadcast when the
     // batch is small — the common case)
-    val updKeys = updates.select(col(key)).distinct()
+    val updKeys = upd.select(col(key)).distinct()
     val oldParts = existing.select(col(key), col(partitionCol))
       .join(updKeys, Seq(key), "left_semi")
       .select(col(partitionCol)).distinct()
-    val newParts = updates.select(col(partitionCol)).distinct()
-    val affected: Array[Any] =
-      oldParts.union(newParts).distinct().collect().map(_.get(0))
+    val newParts = upd.select(col(partitionCol)).distinct()
+    val affected: Array[String] =
+      oldParts.union(newParts).distinct().collect().map(_.getString(0))
     if (affected.isEmpty) return
 
     // latest version per key over (existing rows of affected partitions —
@@ -162,34 +205,37 @@ object Warehouse {
     val w = Window.partitionBy(col(key)).orderBy(col(versionCol).desc)
     val merged = existing.filter(col(partitionCol).isin(affected.toIndexedSeq: _*))
       .select(cols.map(col).toIndexedSeq: _*)
-      .unionByName(updates.select(cols.map(col).toIndexedSeq: _*))
+      .unionByName(upd.select(cols.map(col).toIndexedSeq: _*))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
 
-    // stage the rewritten partitions, then swap each affected partition dir
-    // (same demote/promote discipline as writeBucketed, per partition);
-    // repartition on the partition value ⇒ one splittable file per
-    // partition per batch, not one per task per partition
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(path)
-    val fs = live.getFileSystem(hconf)
-    val staging = new org.apache.hadoop.fs.Path(path + ".merge-staging")
-    fs.delete(staging, true)
+    // stage the rewritten partitions; repartition on the partition value ⇒
+    // one splittable file per partition per batch, not one per task per
+    // partition
     merged.repartition(col(partitionCol))
       .write.partitionBy(partitionCol)
       .mode(SaveMode.Overwrite).parquet(staging.toString)
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+
+    // publish: demote → promote → drop the prev entry, per partition. A
+    // crash at any point is repaired by the next merge()'s recovery above
+    // (a demoted-not-promoted partition is restored); an affected partition
+    // with no staged dir lost its last row to a key move — its demotion IS
+    // its retirement
+    fs.mkdirs(prevRoot)
     affected.foreach { v =>
-      val dirName = s"$partitionCol=${ExternalCatalogUtils.escapePathName(String.valueOf(v))}"
+      val dirName = s"$partitionCol=${ExternalCatalogUtils.escapePathName(v)}"
       val liveDir = new org.apache.hadoop.fs.Path(live, dirName)
       val stagedDir = new org.apache.hadoop.fs.Path(staging, dirName)
-      fs.delete(liveDir, true)
-      // an affected partition with no staged dir lost its last row to a
-      // key move — the delete above IS its publish
+      val prevDir = new org.apache.hadoop.fs.Path(prevRoot, dirName)
+      if (fs.exists(liveDir) && !fs.rename(liveDir, prevDir))
+        throw new java.io.IOException(
+          s"failed to demote partition: $liveDir -> $prevDir")
       if (fs.exists(stagedDir) && !fs.rename(stagedDir, liveDir))
         throw new java.io.IOException(
           s"failed to publish merged partition: $stagedDir -> $liveDir")
+      fs.delete(prevDir, true)
     }
+    fs.delete(prevRoot, true)
     fs.delete(staging, true)
   }
 

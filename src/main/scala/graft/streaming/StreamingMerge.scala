@@ -45,11 +45,18 @@ object StreamingMerge {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // isEmpty is a cheap limit-1 probe; an empty micro-batch must not
-        // pay a merge's staging write
-        if (!batch.isEmpty)
-          Warehouse.merge(batch.sparkSession, path, batch,
-            key, versionCol, partitionCol)
+        // persist first: merge drives several independent jobs over the
+        // batch (the isEmpty probe, the affected-partition collects, the
+        // staging write) — unpersisted, each would re-pull the micro-batch
+        // from the source
+        batch.persist()
+        try {
+          // isEmpty is a cheap limit-1 probe; an empty micro-batch must
+          // not pay a merge's staging write
+          if (!batch.isEmpty)
+            Warehouse.merge(batch.sparkSession, path, batch,
+              key, versionCol, partitionCol)
+        } finally batch.unpersist()
       }
   }
 }

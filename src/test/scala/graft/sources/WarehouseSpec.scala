@@ -221,6 +221,57 @@ class WarehouseSpec extends SparkSpec {
     assert(once === Set((1L, "B", 11.0, 2L), (2L, "B", 20.0, 1L)))
   }
 
+  test("merge publishes the right dir for numeric-string partition values") {
+    // partition inference would read dir status=007 as int 7 and publish a
+    // phantom status=7 NEXT TO the stale original; the explicit string
+    // schema must keep value == dir name
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wh-merge-007").toString + "/t"
+    Seq((1L, "007", 10.0), (2L, "042", 20.0))
+      .toDF("id", "status", "value").withColumn("version", lit(1L))
+      .write.partitionBy("status").parquet(dir)
+    val updates = Seq((1L, "007", 11.0)).toDF("id", "status", "value")
+      .withColumn("version", lit(2L))
+    Warehouse.merge(spark, dir, updates, "id", "version", "status")
+    val dirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(dirs).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("status=")).toSet
+    assert(names === Set("status=007", "status=042"), names.toString)
+    // and the superseded row is really gone (no duplicate from a phantom dir)
+    val back = Warehouse.read(spark, dir)
+      .select($"id", $"value", $"version").as[(Long, Double, Long)].collect().toSet
+    assert(back === Set((1L, 11.0, 2L), (2L, 20.0, 1L)))
+  }
+
+  test("merge recovers a partition demoted by an interrupted publish") {
+    // simulate a crash between demote and promote: the live dir is gone,
+    // the only copy sits under .merge-prev — the next merge() must restore
+    // it before reading, or those rows would silently vanish from the merge
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wh-merge-crash").toString + "/t"
+    Seq((1L, "A", 10.0), (2L, "B", 20.0))
+      .toDF("id", "status", "value").withColumn("version", lit(1L))
+      .write.partitionBy("status").parquet(dir)
+    val prev = java.nio.file.Paths.get(dir + ".merge-prev")
+    java.nio.file.Files.createDirectories(prev)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir, "status=B"), prev.resolve("status=B"))
+    // the interrupted batch also left staging junk behind
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir + ".merge-staging"))
+    val updates = Seq((1L, "A", 11.0)).toDF("id", "status", "value")
+      .withColumn("version", lit(2L))
+    Warehouse.merge(spark, dir, updates, "id", "version", "status")
+    val back = Warehouse.read(spark, dir)
+      .select($"id", $"status", $"value", $"version").as[(Long, String, Double, Long)]
+      .collect().toSet
+    assert(back === Set((1L, "A", 11.0, 2L), (2L, "B", 20.0, 1L)))
+    assert(!java.nio.file.Files.exists(prev))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + ".merge-staging")))
+  }
+
   test("merge rejects a mismatched update schema") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-wh-merge-schema").toString + "/t"
