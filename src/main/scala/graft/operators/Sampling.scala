@@ -151,6 +151,40 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Deterministic corpus shuffle — the shuffle-before-packing step of a
+    * training pipeline. Ordering by a seeded md5 of the key gives a
+    * permutation that is reproducible across engines, reruns, and
+    * partitionings (`orderBy(rand())` is none of those, and changes under
+    * task retry). Output: the input rows plus `shard` (which of `nShards`
+    * hash-range shards the row belongs to) and `pos` (the row's 0-based
+    * ordinal within its shard) — reading shards 0..n−1 each in `pos` order
+    * IS the permutation, and a sharded file write preserves it.
+    *
+    * Scale shape: shard assignment is MAP-SIDE — the top 16 hash bits
+    * range-partition the hash space with integer arithmetic, so shard
+    * boundaries need no sampling pass (unlike generic range partitioning);
+    * then ONE exchange on `shard` and an in-partition sort. Never a global
+    * sort barrier, and `(shard, pos)` is still a total order because the
+    * shard ranges are monotone in the hash. Different seeds give
+    * independent permutations (fresh shuffle per epoch).
+    *
+    * Contract: `keyCol` is unique per row (duplicate keys hash identically,
+    * making their relative order nondeterministic); NULL keys all hash to
+    * the seed-only digest and land adjacently — keep keys non-null. */
+  def deterministicShuffle(df: DataFrame, keyCol: String, nShards: Int,
+      seed: String = "shuffle"): DataFrame = {
+    require(nShards >= 1 && nShards <= 65536,
+      s"nShards ($nShards) must be in 1..65536 (shards are 16-bit hash ranges)")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__h", md5(concat(lit(s"$seed:"), col(keyCol).cast("string"))))
+      .withColumn("shard",
+        expr("int(cast(conv(substring(__h, 1, 4), 16, 10) as bigint)" +
+          s" * $nShards div 65536)"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__h"), col(keyCol))) - 1)
+      .drop("__h")
+  }
+
   /** The same hash-mod function as DuckDB SQL (oracle parity). */
   def hashModSql(keyExpr: String, n: Long): String =
     s"(CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % $n)"

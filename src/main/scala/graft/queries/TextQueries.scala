@@ -1003,6 +1003,39 @@ object TextQueries {
         WHERE ${Sampling.hashBucketSql("doc_id")} < ${Sampling.BUCKETS / 10}
         GROUP BY source""")),
 
+      // Deterministic shuffle: seeded-md5 permutation, hash-range shards
+      // assigned map-side, ONE exchange + in-partition sort (never a global
+      // sort). The pos-weighted id sum is a permutation-sensitive checksum:
+      // any row in the wrong shard OR wrong position changes it, so the
+      // oracle (which re-derives the full permutation from scratch) pins
+      // the exact order, not just membership.
+      Q("q102_deterministic_shuffle", (s, dir) => {
+        Sampling.deterministicShuffle(
+            table(s, dir, "documents").select(col("doc_id"), col("source")),
+            "doc_id", nShards = 8, seed = "s42")
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).as("sum_ids"),
+            sum(col("pos") * col("doc_id")).as("perm_checksum"),
+            max(col("pos")).cast("long").as("max_pos"))
+      }, Some("""
+        WITH h AS (
+          SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS hh
+          FROM documents),
+        p AS (
+          SELECT doc_id, hh,
+            CAST(CAST(('0x' || substr(hh, 1, 4)) AS BIGINT) * 8 // 65536 AS INT) AS shard
+          FROM h),
+        o AS (
+          SELECT shard, doc_id,
+            row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1 AS pos
+          FROM p)
+        SELECT shard, COUNT(*) AS n,
+          CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+          CAST(SUM(pos * doc_id) AS BIGINT) AS perm_checksum,
+          CAST(MAX(pos) AS BIGINT) AS max_pos
+        FROM o GROUP BY shard""")),
+
       // Train/val/test split by hash bucket: disjoint, exhaustive, stable.
       // The oracle's CASE arms derive from the same weights constant the
       // operator defaults to, so the two can never drift.

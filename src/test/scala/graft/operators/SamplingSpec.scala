@@ -132,4 +132,30 @@ class SamplingSpec extends SparkSpec {
       Map("g0" -> 2.5)).select("id").as[Option[Long]].collect()
     assert(survivors.forall(_.contains(1L)))
   }
+
+  test("deterministicShuffle: a partition-stable total-order permutation") {
+    val df = (1L to 500L).toDF("id")
+    val shuffled = Sampling.deterministicShuffle(df, "id", nShards = 8, seed = "a")
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect()
+    // bijection: every input row exactly once, positions contiguous 0..n-1
+    // per shard
+    assert(shuffled.map(_._1).sorted.toSeq === (1L to 500L))
+    shuffled.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0 until rows.length))
+    }
+    // it IS a shuffle: the permutation differs from input order and from
+    // another seed's permutation
+    val order = shuffled.sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    assert(order !== (1L to 500L))
+    val orderB = Sampling.deterministicShuffle(df, "id", 8, seed = "b")
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect()
+      .sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    assert(order !== orderB)
+    // partition-stable: the same permutation from any input partitioning
+    val order13 = Sampling
+      .deterministicShuffle(df.repartition(13), "id", 8, seed = "a")
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect()
+      .sortBy(r => (r._2, r._3)).map(_._1).toSeq
+    assert(order13 === order)
+  }
 }
