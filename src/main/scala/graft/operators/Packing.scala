@@ -29,14 +29,28 @@ object Packing {
   /** Per-document bin assignment: adds `shard`, `n_tokens`, `bin`. */
   def assignBins(df: DataFrame, textCol: String, idCol: String,
       maxTokens: Long, nShards: Int = 8): DataFrame = {
-    require(maxTokens > 0 && nShards > 0, "maxTokens and nShards must be positive")
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    require(nShards > 0, "nShards must be positive")
     // hash DIRECTLY to the shard domain — a second modulo over the sampling
     // buckets would bias shards whenever nShards ∤ BUCKETS and cap the
     // shard count at BUCKETS, which "thousands of shards at 100 TB" can hit
-    df.withColumn("shard", Sampling.hashMod(col(idCol), nShards.toLong))
-      .withColumn("n_tokens", Text.tokenCount(col(textCol)).cast("long"))
+    assignBinsOrdered(
+      df.withColumn("shard", Sampling.hashMod(col(idCol), nShards.toLong)),
+      textCol, "shard", idCol, maxTokens)
+  }
+
+  /** Bin assignment over a CALLER-supplied shard/order — the composition
+    * point for [[Sampling.deterministicShuffle]]: packing the SHUFFLED
+    * order (`shard`, `pos`) gives bins that are random document mixes,
+    * which is what training batches want, instead of the id-adjacent runs
+    * [[assignBins]]'s id order produces. Same streaming-fill rule: bin =
+    * floor(exclusive-cumsum / maxTokens) within each shard; same window
+    * shape (partitioned, never global). Adds `n_tokens`, `bin`. */
+  def assignBinsOrdered(df: DataFrame, textCol: String,
+      shardCol: String, orderCol: String, maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", Text.tokenCount(col(textCol)).cast("long"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       // explicit floor: values are nonnegative, but floor (not a bare
       // cast) keeps the rounding rule identical in any SQL re-derivation

@@ -1036,6 +1036,48 @@ object TextQueries {
           CAST(MAX(pos) AS BIGINT) AS max_pos
         FROM o GROUP BY shard""")),
 
+      // Shuffle → pack: the full batch-preparation composition. Packing in
+      // SHUFFLED order gives bins that are random document mixes (training
+      // batches) instead of q76's id-adjacent runs. The oracle re-derives
+      // the permutation AND the per-shard running-sum fill from scratch;
+      // the order checksum pins that bins were filled in exactly the
+      // shuffled order, not merely with the same membership.
+      Q("q103_shuffle_pack", (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val shuffled = Sampling.deterministicShuffle(
+          docs, "doc_id", nShards = 8, seed = "s42")
+        graft.operators.Packing
+          .assignBinsOrdered(shuffled, "text", "shard", "pos", maxTokens = 500L)
+          .groupBy(col("shard"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("sum_tokens"),
+            sum(col("pos") * col("doc_id")).as("order_checksum"))
+      }, Some {
+        val ntok = s"CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END"
+        s"""
+        WITH h AS (
+          SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS hh,
+            $ntok AS n_tokens
+          FROM documents),
+        p AS (
+          SELECT doc_id, hh, n_tokens,
+            CAST(CAST(('0x' || substr(hh, 1, 4)) AS BIGINT) * 8 // 65536 AS INT) AS shard
+          FROM h),
+        o AS (
+          SELECT shard, doc_id, n_tokens,
+            row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1 AS pos
+          FROM p),
+        c AS (
+          SELECT shard, pos, doc_id, n_tokens,
+            CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) - n_tokens) / 500.0) AS BIGINT) AS bin
+          FROM o)
+        SELECT shard, bin, COUNT(*) AS n_docs,
+          CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+          CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+        FROM c GROUP BY shard, bin"""
+      }),
+
       // Train/val/test split by hash bucket: disjoint, exhaustive, stable.
       // The oracle's CASE arms derive from the same weights constant the
       // operator defaults to, so the two can never drift.
