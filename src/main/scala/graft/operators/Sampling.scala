@@ -169,14 +169,26 @@ object Sampling {
     * independent permutations (fresh shuffle per epoch).
     *
     * Contract: `keyCol` is unique per row (duplicate keys hash identically,
-    * making their relative order nondeterministic); NULL keys all hash to
-    * the seed-only digest and land adjacently — keep keys non-null. */
+    * making their relative order nondeterministic) and NON-NULL — a NULL
+    * key has no identity to hash, so its position could never be
+    * reproducible; rather than emit a silently-nondeterministic row, the
+    * job FAILS on the first NULL key (runtime raise_error: loud, and no
+    * extra validation scan). The seed is length-prefixed into the hash so
+    * distinct (seed, key) pairs can never collide through the delimiter
+    * (seed "a" + key "b:c" vs seed "a:b" + key "c"). */
   def deterministicShuffle(df: DataFrame, keyCol: String, nShards: Int,
       seed: String = "shuffle"): DataFrame = {
     require(nShards >= 1 && nShards <= 65536,
       s"nShards ($nShards) must be in 1..65536 (shards are 16-bit hash ranges)")
+    Seq("shard", "pos", "__h").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input must not contain reserved column $c (it would be overwritten)"))
     import org.apache.spark.sql.expressions.Window
-    df.withColumn("__h", md5(concat(lit(s"$seed:"), col(keyCol).cast("string"))))
+    df.withColumn("__h",
+        when(col(keyCol).isNull, raise_error(lit(
+          s"deterministicShuffle: NULL $keyCol has no reproducible position")))
+          .otherwise(md5(concat(
+            lit(s"${seed.length}:$seed:"), col(keyCol).cast("string")))))
       .withColumn("shard",
         expr("int(cast(conv(substring(__h, 1, 4), 16, 10) as bigint)" +
           s" * $nShards div 65536)"))

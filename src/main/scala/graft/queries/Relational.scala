@@ -438,9 +438,10 @@ object Relational {
       val rows = out.collect()
       val schema = out.schema
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close() // walk streams hold directory handles until closed
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     }, Some("""
       WITH base AS (

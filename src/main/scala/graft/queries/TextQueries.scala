@@ -1020,7 +1020,7 @@ object TextQueries {
             max(col("pos")).cast("long").as("max_pos"))
       }, Some("""
         WITH h AS (
-          SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS hh
+          SELECT doc_id, md5('3:s42:' || CAST(doc_id AS VARCHAR)) AS hh
           FROM documents),
         p AS (
           SELECT doc_id, hh,
@@ -1056,7 +1056,7 @@ object TextQueries {
         val ntok = s"CASE WHEN len($NORM)=0 THEN 0 ELSE len($TOKS) END"
         s"""
         WITH h AS (
-          SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS hh,
+          SELECT doc_id, md5('3:s42:' || CAST(doc_id AS VARCHAR)) AS hh,
             $ntok AS n_tokens
           FROM documents),
         p AS (

@@ -179,14 +179,33 @@ object Warehouse {
 
     // read with an EXPLICIT schema typing the partition column string:
     // data columns keep their on-disk types, the partition value stays the
-    // raw dir string (no inference), so value == dir name, always
+    // raw dir string (no inference), so value == dir name, always. The
+    // schema's TYPES come from the update batch (the contract: same schema
+    // as the table) — full inference here would run a second complete
+    // partition discovery + footer sweep of the table on every merge, pure
+    // overhead on the hot ingest path. A one-footer probe validates the
+    // NAMES, because an explicit-schema parquet read silently yields NULL
+    // for a column absent from the files — a typo'd updates column would
+    // otherwise null out a table column instead of failing.
     val strSchema = org.apache.spark.sql.types.StructType(
-      read(spark, path).schema.map(f =>
+      updates.schema.map(f =>
         if (f.name == partitionCol) f.copy(dataType = StringType) else f))
+    val probeFile = {
+      val it = fs.listFiles(live, true)
+      var found: Option[String] = None
+      while (found.isEmpty && it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) found = Some(f.toString)
+      }
+      found.getOrElse(throw new java.io.IOException(
+        s"no parquet data file under $path to merge into"))
+    }
+    val tableDataCols = spark.read.parquet(probeFile).schema.fieldNames.toSet
+    require((tableDataCols + partitionCol) == updates.schema.fieldNames.toSet,
+      s"updates schema ${updates.columns.mkString(",")} must match table " +
+        s"${(tableDataCols + partitionCol).mkString(",")}")
     val existing = spark.read.schema(strSchema).parquet(path)
     val cols = existing.columns
-    require(cols.sorted.sameElements(updates.columns.sorted),
-      s"updates schema ${updates.columns.mkString(",")} must match table ${cols.mkString(",")}")
     val upd = updates.withColumn(partitionCol, col(partitionCol).cast("string"))
     // key+partition projection only: at scale this is a column-pruned scan
     // joined semi against the batch's key set (AQE picks broadcast when the

@@ -158,4 +158,20 @@ class SamplingSpec extends SparkSpec {
       .sortBy(r => (r._2, r._3)).map(_._1).toSeq
     assert(order13 === order)
   }
+
+  test("deterministicShuffle fails loudly on NULL keys and reserved columns") {
+    // a NULL key has no reproducible position — the job must fail, not
+    // emit a silently-nondeterministic row
+    val withNull = Seq(Option(1L), Option.empty[Long]).toDF("id")
+    val e = intercept[Exception] {
+      Sampling.deterministicShuffle(withNull, "id", 4).collect()
+    }
+    assert(e.getMessage.contains("NULL id"))
+    // pre-existing bookkeeping columns are an error, never a silent overwrite
+    val clash = Seq((1L, 9)).toDF("id", "shard")
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.deterministicShuffle(clash, "id", 4)
+    }
+    assert(e2.getMessage.contains("shard"))
+  }
 }
