@@ -322,6 +322,35 @@ object Extended {
         AND ($bandEq)"""
     }),
 
+    // ---- Grouped top-k via the typed bounded-heap Aggregator --------------
+    // The at-scale replacement for a window row_number ≤ k: the typed
+    // TopKByScore Aggregator's partial buffers are ≤ k pairs per task, so
+    // the shuffle moves k·tasks rows per group instead of every row (a
+    // window sort ships and sorts them all). The oracle computes the same
+    // top-3 by the window formulation — heap semantics (score desc, id asc
+    // tie-break, rank order) must agree exactly.
+    Q("q104_grouped_topk", (s, dir) => {
+      import s.implicits._
+      import graft.operators.{ScoredId, TopKByScore}
+      table(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .as[(String, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, id, price) => ScoredId(id, price) }
+        .agg(new TopKByScore(3).toColumn.name("topk"))
+        .toDF("grp", "topk")
+        .select(col("grp"), posexplode(col("topk")))
+        .select(col("grp"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.id").as("o_orderkey"), col("col.score").as("o_totalprice"))
+    }, Some("""
+      SELECT o_orderpriority AS grp, CAST(rn AS BIGINT) AS rank,
+        o_orderkey, o_totalprice
+      FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders)
+      WHERE rn <= 3""")),
+
     // ---- Array aggregation / array functions ------------------------------
     // collect_list order is nondeterministic — sort_array canonicalizes it
     // (same discipline the oracle applies with ORDER BY inside list()).
