@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text._
@@ -34,6 +34,28 @@ object TextAnalysis {
   def filterByQuality(df: DataFrame, minQuality: Double,
       textCol: String = "text"): DataFrame =
     df.filter(qualityScore(col(textCol)) >= minQuality)
+
+  /** ADAPTIVE per-group quality floor: keep each group's top `fraction` of
+    * rows by score — "top half of every source" instead of one global
+    * threshold, which over-prunes clean sources and under-prunes noisy
+    * ones. Rank-based (percent_rank ≤ fraction with an id tie-break), not
+    * value-threshold-based: a value cut at an interpolated quantile is
+    * sensitive to last-ulp quantile differences when scores tie at the
+    * boundary; ranks over a deterministic total order are portable
+    * exactly. Scale: ONE shuffle on the group key + in-partition sort —
+    * the same shape as any per-group window; groups are sources, so
+    * partition counts are small and skew follows source size (AQE handles
+    * it). */
+  def keepTopFraction(df: DataFrame, groupCol: String, scoreCol: Column,
+      fraction: Double, idCol: String): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(scoreCol.desc, col(idCol).asc)
+    df.withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") <= fraction)
+      .drop("__pr")
+  }
 
   /** Gopher-style document quality signals (the published rule family from
     * the Gopher/MassiveText filtering recipe), as map-side columns:

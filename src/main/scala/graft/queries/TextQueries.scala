@@ -429,6 +429,37 @@ object TextQueries {
         SELECT COUNT(*) FROM (SELECT unnest($TOKS) AS tok FROM documents)
         WHERE len(tok) > 0)""")),
 
+    // ---- Adaptive per-source quality floor --------------------------------
+    // Keep each source's top half by quality score — the curation rule a
+    // single global threshold gets wrong (over-prunes clean sources,
+    // under-prunes noisy ones). Rank-based, so the kept SET is engine-exact
+    // (the score is the shared 6-dp-rounded q21 blend, the order has a
+    // doc_id tie-break, and percent_rank is integer arithmetic — no
+    // interpolated-quantile boundary sensitivity). sum_ids pins exactly
+    // which rows survived, not just how many.
+    Q("q105_adaptive_quality", (s, dir) => {
+      val d = table(s, dir, "documents")
+        .withColumn("q", qualityScore(col("text")))
+      graft.operators.TextAnalysis
+        .keepTopFraction(d, "source", col("q"), 0.5, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("sum_ids"),
+          min(col("q")).as("min_q"),
+          (sum(col("q").cast("decimal(18,6)")).cast("double") /
+            count(lit(1))).as("avg_q"))
+    }, Some(s"""
+      SELECT source, COUNT(*) AS n_kept,
+        CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        MIN(q) AS min_q,
+        CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_q
+      FROM (SELECT source, doc_id, q,
+              percent_rank() OVER (PARTITION BY source
+                ORDER BY q DESC, doc_id ASC) AS pr
+            FROM (SELECT source, doc_id, $QUALITY_SQL AS q FROM documents))
+      WHERE pr <= 0.5
+      GROUP BY source""")),
+
     // ---- Context-window chunking (docs → training windows) ----------------
     // maxTokens=20, overlap=5 ⇒ stride 15. Map-side explode; the oracle
     // re-derives every chunk's text and ordinal through the identical

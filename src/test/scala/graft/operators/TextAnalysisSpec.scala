@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import graft.SparkSpec
 
 class TextAnalysisSpec extends SparkSpec {
@@ -159,5 +160,26 @@ class TextAnalysisSpec extends SparkSpec {
     // the signal columns are droppable extras, not part of the contract
     assert(TextAnalysis.gopherFilter(docs, minWords = 5).columns.toSeq ===
       Seq("doc_id", "text"))
+  }
+
+  test("keepTopFraction keeps each group's top slice by rank, id tie-break") {
+    import spark.implicits._
+    // group a: scores 5,4,3,2,1 → pr 0,.25,.5,.75,1 → fraction .5 keeps 3;
+    // group b: all-tied scores → order (and the kept set) falls to the id
+    // tie-break, deterministically
+    val df = (Seq((1L, "a", 5.0), (2L, "a", 4.0), (3L, "a", 3.0),
+      (4L, "a", 2.0), (5L, "a", 1.0),
+      (6L, "b", 7.0), (7L, "b", 7.0), (8L, "b", 7.0))).toDF("id", "g", "score")
+    val kept = TextAnalysis.keepTopFraction(df, "g", col("score"), 0.5, "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 6L, 7L))
+    // helper column is internal
+    assert(!TextAnalysis.keepTopFraction(df, "g", col("score"), 0.5, "id")
+      .columns.contains("__pr"))
+    // fraction 1.0 keeps everything; 0.0 keeps only rank-0 rows
+    assert(TextAnalysis.keepTopFraction(df, "g", col("score"), 1.0, "id")
+      .count() === 8L)
+    assert(TextAnalysis.keepTopFraction(df, "g", col("score"), 0.0, "id")
+      .select("id").as[Long].collect().toSet === Set(1L, 6L))
   }
 }
