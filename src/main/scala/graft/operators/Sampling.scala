@@ -197,6 +197,28 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Exact-count stratified sample: exactly min(n, |group|) rows per group,
+    * chosen deterministically as the group's n lowest-md5 keys — the
+    * EVAL-SET primitive ("1000 docs per source"), where a rate-based sample
+    * ([[sampleByGroup]]) cannot promise exact counts on small groups.
+    * Unlike rate sampling this is NOT nested across n (the md5 order is,
+    * though: n=500 selects a prefix of n=1000's selection). Scale: one
+    * shuffle on the group key + in-partition sort — the per-group-window
+    * shape; the md5 order makes the pick independent of input
+    * partitioning. NULL keys have no bucket and are excluded, as
+    * everywhere in this file. */
+  def sampleExactPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+      n: Int): DataFrame = {
+    require(n >= 0, s"n ($n) must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** The same hash-mod function as DuckDB SQL (oracle parity). */
   def hashModSql(keyExpr: String, n: Long): String =
     s"(CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % $n)"

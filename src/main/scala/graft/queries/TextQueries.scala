@@ -1109,6 +1109,23 @@ object TextQueries {
         FROM c GROUP BY shard, bin"""
       }),
 
+      // Exact-count stratified sample: exactly 30 docs per source, the n
+      // lowest-md5 keys of each group — the eval-set primitive, where a
+      // rate sample cannot promise exact counts. The id sum pins WHICH 30.
+      Q("q106_stratified_exact", (s, dir) => {
+        Sampling.sampleExactPerGroup(
+            table(s, dir, "documents"), "doc_id", "source", n = 30)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+      }, Some("""
+        SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        FROM (SELECT source, doc_id,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+              FROM documents)
+        WHERE rn <= 30
+        GROUP BY source""")),
+
       // Train/val/test split by hash bucket: disjoint, exhaustive, stable.
       // The oracle's CASE arms derive from the same weights constant the
       // operator defaults to, so the two can never drift.

@@ -150,7 +150,9 @@ object Warehouse {
     * crash mid-publish leaves some partitions merged and others not, and
     * an interrupted EMPTY-partition retirement is restored on recovery —
     * rerunning the SAME merge converges in all cases, because
-    * latest-version-wins is idempotent. */
+    * latest-version-wins is idempotent. Single-writer contract: concurrent
+    * merges into one table race the demote/promote renames — serialize
+    * them (StreamingMerge's one-query-per-table loop does). */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       key: String, versionCol: String, partitionCol: String): Unit = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils

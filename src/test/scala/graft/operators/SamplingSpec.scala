@@ -159,6 +159,35 @@ class SamplingSpec extends SparkSpec {
     assert(order13 === order)
   }
 
+  test("deterministicShuffle plan: one exchange, in-partition sort, no global sort") {
+    val df = (1L to 500L).toDF("id")
+    val plan = Sampling.deterministicShuffle(df, "id", 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(plan).size === 1, plan)
+    // the sort is the window's partition-local sort, never a range-
+    // partitioned global Sort (no rangepartitioning exchange)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  test("sampleExactPerGroup: exact counts, md5-prefix nesting, partition-stable") {
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val s30 = Sampling.sampleExactPerGroup(df, "id", "g", 30)
+      .select("id", "g").as[(Long, String)].collect()
+    assert(s30.groupBy(_._2).view.mapValues(_.length).toMap ===
+      Map("g0" -> 30, "g1" -> 30, "g2" -> 30))
+    // small groups: min(n, |group|), never an error
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    assert(Sampling.sampleExactPerGroup(tiny, "id", "g", 30).count() === 3L)
+    // md5-order prefix property: n=10 ⊂ n=30, per group
+    val s10 = Sampling.sampleExactPerGroup(df, "id", "g", 10)
+      .select("id").as[Long].collect().toSet
+    assert(s10.subsetOf(s30.map(_._1).toSet))
+    // partitioning-independent pick
+    val s30b = Sampling.sampleExactPerGroup(df.repartition(13), "id", "g", 30)
+      .select("id").as[Long].collect().toSet
+    assert(s30b === s30.map(_._1).toSet)
+  }
+
   test("deterministicShuffle fails loudly on NULL keys and reserved columns") {
     // a NULL key has no reproducible position — the job must fail, not
     // emit a silently-nondeterministic row
