@@ -61,6 +61,20 @@ object ExplainDump {
         |SMALL side only. Aggregate after is the standard partial→final;
         |result provably identical to the unsalted join (the oracle computes
         |that one).""".stripMargin,
+    "q102_deterministic_shuffle" ->
+      """Wants: the seeded md5 and the hash-range shard id computed in a
+        |map-side projection off the scan (no sampling pass, unlike generic
+        |range partitioning), then EXACTLY ONE Exchange (hash on shard) with
+        |the window's partition-local sort — never a range-partitioned
+        |global Sort. The permutation the oracle pins rides (shard, pos),
+        |which stays a total order because shard ranges are monotone in the
+        |hash.""".stripMargin,
+    "q105_adaptive_quality" ->
+      """Wants: the 6-dp-rounded quality blend as a map-side projection, one
+        |Exchange on source feeding the percent_rank window (sort is
+        |partition-local within each source), and the rank filter BEFORE the
+        |final aggregate. No interpolated-quantile computation appears —
+        |the rank rule is what makes the kept set engine-exact.""".stripMargin,
     "q14_approx_distinct" ->
       """Wants: approx_count_distinct as a PARTIAL HashAggregate carrying the
         |HyperLogLog++ sketch buffer per partition, merged once at the final
