@@ -210,6 +210,8 @@ object Sampling {
   def sampleExactPerGroup(df: DataFrame, keyCol: String, groupCol: String,
       n: Int): DataFrame = {
     require(n >= 0, s"n ($n) must be non-negative")
+    require(!df.columns.contains("__rn"),
+      "input must not contain reserved column __rn (it would be overwritten)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))

@@ -35,26 +35,33 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame =
     df.filter(qualityScore(col(textCol)) >= minQuality)
 
-  /** ADAPTIVE per-group quality floor: keep each group's top `fraction` of
-    * rows by score — "top half of every source" instead of one global
-    * threshold, which over-prunes clean sources and under-prunes noisy
-    * ones. Rank-based (percent_rank ≤ fraction with an id tie-break), not
-    * value-threshold-based: a value cut at an interpolated quantile is
-    * sensitive to last-ulp quantile differences when scores tie at the
-    * boundary; ranks over a deterministic total order are portable
-    * exactly. Scale: ONE shuffle on the group key + in-partition sort —
-    * the same shape as any per-group window; groups are sources, so
-    * partition counts are small and skew follows source size (AQE handles
-    * it). */
+  /** ADAPTIVE per-group quality floor: keep EXACTLY ceil(fraction·n) of
+    * each n-row group, best score first — "top half of every source"
+    * instead of one global threshold, which over-prunes clean sources and
+    * under-prunes noisy ones. Rank-based (row_number with an id tie-break
+    * against a per-group count), not value-threshold-based: a value cut at
+    * an interpolated quantile is sensitive to last-ulp quantile
+    * differences when scores tie at the boundary, and a percent_rank cut
+    * over-keeps (rank 1 has percent_rank 0, so even fraction 0 would keep
+    * a row); the exact-count rule makes output size a function of
+    * fraction alone. Scale: ONE shuffle on the group key + in-partition
+    * sort — the same shape as any per-group window; groups are sources,
+    * so partition counts are small and skew follows source size (AQE
+    * handles it). */
   def keepTopFraction(df: DataFrame, groupCol: String, scoreCol: Column,
       fraction: Double, idCol: String): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction not in [0,1]")
+    Seq("__rn", "__n").foreach(c =>
+      require(!df.columns.contains(c),
+        s"input must not contain reserved column $c (it would be overwritten)"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol))
       .orderBy(scoreCol.desc, col(idCol).asc)
-    df.withColumn("__pr", percent_rank().over(w))
-      .filter(col("__pr") <= fraction)
-      .drop("__pr")
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .filter(col("__rn") <= ceil(lit(fraction) * col("__n")))
+      .drop("__rn", "__n")
   }
 
   /** Gopher-style document quality signals (the published rule family from

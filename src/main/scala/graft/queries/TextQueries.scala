@@ -430,13 +430,14 @@ object TextQueries {
         WHERE len(tok) > 0)""")),
 
     // ---- Adaptive per-source quality floor --------------------------------
-    // Keep each source's top half by quality score — the curation rule a
-    // single global threshold gets wrong (over-prunes clean sources,
-    // under-prunes noisy ones). Rank-based, so the kept SET is engine-exact
-    // (the score is the shared 6-dp-rounded q21 blend, the order has a
-    // doc_id tie-break, and percent_rank is integer arithmetic — no
-    // interpolated-quantile boundary sensitivity). sum_ids pins exactly
-    // which rows survived, not just how many.
+    // Keep each source's top half (exactly ceil(n/2) rows) by quality
+    // score — the curation rule a single global threshold gets wrong
+    // (over-prunes clean sources, under-prunes noisy ones). Rank-based, so
+    // the kept SET is engine-exact (the score is the shared 6-dp-rounded
+    // q21 blend, the order has a doc_id tie-break, and the row_number-vs-
+    // group-count rule is integer/ceil arithmetic — no interpolated-
+    // quantile boundary sensitivity). sum_ids pins exactly which rows
+    // survived, not just how many.
     Q("q105_adaptive_quality", (s, dir) => {
       val d = table(s, dir, "documents")
         .withColumn("q", qualityScore(col("text")))
@@ -454,10 +455,11 @@ object TextQueries {
         MIN(q) AS min_q,
         CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_q
       FROM (SELECT source, doc_id, q,
-              percent_rank() OVER (PARTITION BY source
-                ORDER BY q DESC, doc_id ASC) AS pr
+              row_number() OVER (PARTITION BY source
+                ORDER BY q DESC, doc_id ASC) AS rn,
+              COUNT(*) OVER (PARTITION BY source) AS grp_n
             FROM (SELECT source, doc_id, $QUALITY_SQL AS q FROM documents))
-      WHERE pr <= 0.5
+      WHERE rn <= CEIL(0.5 * grp_n)
       GROUP BY source""")),
 
     // ---- Context-window chunking (docs → training windows) ----------------
@@ -1122,7 +1124,11 @@ object TextQueries {
         FROM (SELECT source, doc_id,
                 row_number() OVER (PARTITION BY source
                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-              FROM documents)
+              FROM documents
+              -- mirror the operator's NULL-key exclusion: a NULL key has
+              -- no md5 identity; NULLS-LAST ranking would otherwise admit
+              -- such rows in groups smaller than n
+              WHERE doc_id IS NOT NULL)
         WHERE rn <= 30
         GROUP BY source""")),
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import graft.SparkSpec
 
 class TextAnalysisSpec extends SparkSpec {
@@ -162,24 +162,30 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("doc_id", "text"))
   }
 
-  test("keepTopFraction keeps each group's top slice by rank, id tie-break") {
+  test("keepTopFraction keeps exactly ceil(f*n) per group, id tie-break") {
     import spark.implicits._
-    // group a: scores 5,4,3,2,1 → pr 0,.25,.5,.75,1 → fraction .5 keeps 3;
-    // group b: all-tied scores → order (and the kept set) falls to the id
-    // tie-break, deterministically
+    // group a: 5 rows → ceil(2.5) = 3 kept; group b: all-tied scores → the
+    // kept set falls to the id tie-break, deterministically (ceil(1.5)=2)
     val df = (Seq((1L, "a", 5.0), (2L, "a", 4.0), (3L, "a", 3.0),
       (4L, "a", 2.0), (5L, "a", 1.0),
       (6L, "b", 7.0), (7L, "b", 7.0), (8L, "b", 7.0))).toDF("id", "g", "score")
     val kept = TextAnalysis.keepTopFraction(df, "g", col("score"), 0.5, "id")
       .select("id").as[Long].collect().toSet
     assert(kept === Set(1L, 2L, 3L, 6L, 7L))
-    // helper column is internal
+    // helper columns are internal
     assert(!TextAnalysis.keepTopFraction(df, "g", col("score"), 0.5, "id")
-      .columns.contains("__pr"))
-    // fraction 1.0 keeps everything; 0.0 keeps only rank-0 rows
+      .columns.exists(c => c == "__rn" || c == "__n"))
+    // fraction 1.0 keeps everything; 0.0 keeps NOTHING (exact-count rule —
+    // a percent_rank cut would keep rank 1 of every group even at 0.0)
     assert(TextAnalysis.keepTopFraction(df, "g", col("score"), 1.0, "id")
       .count() === 8L)
     assert(TextAnalysis.keepTopFraction(df, "g", col("score"), 0.0, "id")
-      .select("id").as[Long].collect().toSet === Set(1L, 6L))
+      .count() === 0L)
+    // reserved input columns fail loudly
+    val clash = df.withColumn("__rn", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.keepTopFraction(clash, "g", col("score"), 0.5, "id")
+    }
+    assert(e.getMessage.contains("__rn"))
   }
 }
