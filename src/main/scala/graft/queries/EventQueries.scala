@@ -131,6 +131,40 @@ object EventQueries {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
           ORDER BY ts, event_id
           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum
-      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) WHERE user_id < 20"""))
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events) WHERE user_id < 20""")),
+
+    // ---- Cohort retention matrix ------------------------------------------
+    // The classic product-analytics workload: users cohorted by first-seen
+    // week, retention = distinct users active k weeks after their cohort
+    // week. Scale: two aggregations keyed on user_id (first-seen + distinct
+    // active weeks — Spark plans both off one exchange when AQE reuses it),
+    // a user-keyed join, then a tiny (cohort, offset) rollup. Week
+    // truncation is Monday-based in both engines; offsets are integer-day
+    // div arithmetic — no FP anywhere.
+    Q("q107_cohort_retention", (s, dir) => {
+      val e = table(s, dir, "events")
+      val firsts = e.groupBy(col("user_id"))
+        .agg(min(date_trunc("week", col("ts"))).as("cohort_week"))
+      val active = e
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      active.join(firsts, Seq("user_id"))
+        .withColumn("week_no",
+          expr("datediff(week, cohort_week) div 7").cast("long"))
+        .groupBy(col("cohort_week"), col("week_no"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      f AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+        FROM ev GROUP BY user_id),
+      a AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM ev)
+      SELECT f.cohort_week,
+        CAST(date_diff('day', f.cohort_week, a.week) // 7 AS BIGINT) AS week_no,
+        COUNT(DISTINCT a.user_id) AS n_users
+      FROM a JOIN f USING (user_id)
+      GROUP BY 1, 2"""))
   )
 }
