@@ -165,6 +165,33 @@ object EventQueries {
         CAST(date_diff('day', f.cohort_week, a.week) // 7 AS BIGINT) AS week_no,
         COUNT(DISTINCT a.user_id) AS n_users
       FROM a JOIN f USING (user_id)
-      GROUP BY 1, 2"""))
+      GROUP BY 1, 2""")),
+
+    // ---- Time-RANGE window frames -----------------------------------------
+    // q43 gates ROWS frames; this gates VALUE-range frames over event time
+    // ("sum of the trailing hour per user") — a different window executor
+    // path (frame bounds move by timestamp arithmetic, not row counts), and
+    // the frame every rate-limit/rolling-metric query needs. RANGE frames
+    // are tie-insensitive by construction (equal timestamps are all in
+    // frame), so the gate is exact without tie-break gymnastics. Scale: one
+    // shuffle on user_id + in-partition sort — the q41 shape.
+    Q("q108_time_range_window", (s, dir) => {
+      table(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql("""
+        SELECT user_id, event_id,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h,
+          COUNT(*) OVER w AS n_1h
+        FROM events_v
+        WHERE user_id < 10
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")
+    }, Some("""
+      SELECT user_id, event_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h,
+        COUNT(*) OVER w AS n_1h
+      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+      WHERE user_id < 10
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""))
   )
 }
