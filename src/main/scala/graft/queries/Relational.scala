@@ -389,6 +389,32 @@ object Relational {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand""")),
 
+    // ---- Lateral correlated subquery (per-row top-k) ----------------------
+    // The third decorrelation class after q98's EXISTS/scalar: a LATERAL
+    // derived table with ORDER BY + LIMIT per outer row. Catalyst rewrites
+    // it to a rank window with WindowGroupLimit — the group-limit runs as
+    // partial top-k BELOW the exchange (plan-visible), so no per-row
+    // subquery ever executes and the shuffle carries at most k rows per
+    // order. The oracle runs the identical standard SQL.
+    Q("q109_lateral_topk", (s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders_v")
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql("""
+        SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM orders_v o,
+        LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem_v li
+                 WHERE li.l_orderkey = o.o_orderkey
+                 ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+        WHERE o.o_custkey < 50""")
+    }, Some("""
+      SELECT o.o_orderkey, CAST(l.l_linenumber AS INT) AS l_linenumber,
+        l.l_extendedprice
+      FROM orders o,
+      LATERAL (SELECT l_linenumber, l_extendedprice FROM lineitem li
+               WHERE li.l_orderkey = o.o_orderkey
+               ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) l
+      WHERE o.o_custkey < 50""")),
+
     // ---- Warehouse merge/upsert (latest version wins, partition-pruned) ----
     // The batch-ingest shape a partitioned warehouse lives on: base snapshot
     // (version 1, partitioned by status) + one update batch carrying an

@@ -75,6 +75,13 @@ object ExplainDump {
         |partition-local within each source), and the rank filter BEFORE the
         |final aggregate. No interpolated-quantile computation appears —
         |the rank rule is what makes the kept set engine-exact.""".stripMargin,
+    "q109_lateral_topk" ->
+      """Wants: NO per-outer-row subquery execution. The LATERAL ORDER
+        |BY/LIMIT decorrelates to a rank window with WindowGroupLimit
+        |nodes — and the Partial WindowGroupLimit sits BELOW the exchange,
+        |so each task forwards at most k rows per order key before any
+        |shuffle (the window-native analogue of partial aggregation). The
+        |join back to orders is a plain equi-join.""".stripMargin,
     "q14_approx_distinct" ->
       """Wants: approx_count_distinct as a PARTIAL HashAggregate carrying the
         |HyperLogLog++ sketch buffer per partition, merged once at the final
