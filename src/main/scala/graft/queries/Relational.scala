@@ -174,6 +174,29 @@ object Relational {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY ROLLUP(r_name, n_name)""")),
 
+    // ---- Rollup with grouping indicators -----------------------------------
+    // grouping()/grouping_id() are how a rollup consumer tells a subtotal
+    // row's NULL from a data NULL — without them q09's shape is ambiguous
+    // the moment a grouping column is nullable. The oracle derives the same
+    // id from per-column GROUPING() arithmetic (explicit bit order:
+    // grouping_id(a, b) = GROUPING(a)·2 + GROUPING(b)), so an engine
+    // bit-order disagreement would surface as a hash mismatch.
+    Q("q110_rollup_grouping_id", (s, dir) => {
+      val o = table(s, dir, "orders")
+      o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+          grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+    }, Some(s"""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+        COUNT(*) AS n, ${DSUM("o_totalprice")} AS sum_price
+      FROM orders
+      GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""")),
+
     // ---- Cube --------------------------------------------------------------
     Q("q10_cube", (s, dir) => {
       table(s, dir, "orders")
