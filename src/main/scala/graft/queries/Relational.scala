@@ -158,6 +158,47 @@ object Relational {
         SELECT o_custkey FROM orders WHERE o_orderstatus='O'
         UNION SELECT o_custkey FROM orders WHERE o_orderstatus='F')""")),
 
+    // ---- Set ops with BAG semantics (ALL variants) -------------------------
+    // q08 gates set semantics; EXCEPT ALL / INTERSECT ALL are a different
+    // operator (multiplicity arithmetic, no dedup): EXCEPT ALL keeps
+    // max(m−n, 0) copies, INTERSECT ALL min(m, n). Spark plans both as
+    // aggregate-count + generate (never a distinct), which the per-key
+    // multiplicities here exercise: statuses repeat per custkey.
+    Q("q111_setops_all", (s, dir) => {
+      val o = table(s, dir, "orders")
+      val a = o.filter(col("o_totalprice") > 150000.0)
+        .select(col("o_custkey"), col("o_orderstatus"))
+      val b = o.filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_custkey"), col("o_orderstatus"))
+      val ea = a.exceptAll(b)
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"),
+          sum(col("o_custkey")).as("sum_keys"))
+        .withColumn("op", lit("except_all"))
+      val ia = a.intersectAll(b)
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"),
+          sum(col("o_custkey")).as("sum_keys"))
+        .withColumn("op", lit("intersect_all"))
+      ea.unionByName(ia)
+        .select(col("op"), col("o_orderstatus"), col("n"), col("sum_keys"))
+    }, Some("""
+      SELECT 'except_all' AS op, o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_custkey) AS BIGINT) AS sum_keys
+      FROM (
+        SELECT o_custkey, o_orderstatus FROM orders WHERE o_totalprice > 150000.0
+        EXCEPT ALL
+        SELECT o_custkey, o_orderstatus FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+      GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'intersect_all' AS op, o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_custkey) AS BIGINT) AS sum_keys
+      FROM (
+        SELECT o_custkey, o_orderstatus FROM orders WHERE o_totalprice > 150000.0
+        INTERSECT ALL
+        SELECT o_custkey, o_orderstatus FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+      GROUP BY o_orderstatus""")),
+
     // ---- Rollup subtotals --------------------------------------------------
     Q("q09_rollup", (s, dir) => {
       val c = table(s, dir, "customer")
@@ -411,6 +452,39 @@ object Relational {
         COUNT(DISTINCT l_partkey) AS n_parts
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand""")),
+
+    // ---- Null-safe equality join (<=> / IS NOT DISTINCT FROM) --------------
+    // Standard equi-joins drop NULL keys (NULL = NULL is NULL); a null-safe
+    // join matches them — the semantics a dimension with an "unknown"
+    // bucket needs. Both sides derive a nullable key (mod-7 keys become
+    // NULL), so NULL↔NULL matches are actually exercised: the n_null_key
+    // column counts them, and would be 0 under a plain equi-join. Spark
+    // still plans <=> as a hash join (EqualNullSafe is a valid hash key),
+    // not a cartesian.
+    Q("q112_nullsafe_join", (s, dir) => {
+      val c = table(s, dir, "customer")
+        .withColumn("nk", when(col("c_custkey") % 7 === 0,
+          lit(null).cast("long")).otherwise(col("c_nationkey")))
+      val s2 = table(s, dir, "supplier")
+        .withColumn("nk", when(col("s_suppkey") % 5 === 0,
+          lit(null).cast("long")).otherwise(col("s_nationkey")))
+      c.join(s2, c("nk") <=> s2("nk"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(c("nk").isNull, 1L).otherwise(0L)).as("n_null_key"),
+          countDistinct(col("s_suppkey")).as("n_supps"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN cnk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_key,
+        COUNT(DISTINCT s_suppkey) AS n_supps
+      FROM (SELECT c_mktsegment,
+              CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS cnk
+            FROM customer) c
+      JOIN (SELECT s_suppkey,
+              CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_nationkey END AS snk
+            FROM supplier) s
+        ON c.cnk IS NOT DISTINCT FROM s.snk
+      GROUP BY c_mktsegment""")),
 
     // ---- Lateral correlated subquery (per-row top-k) ----------------------
     // The third decorrelation class after q98's EXISTS/scalar: a LATERAL
