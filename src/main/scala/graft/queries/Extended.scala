@@ -322,6 +322,35 @@ object Extended {
         AND ($bandEq)"""
     }),
 
+    // ---- Higher-order array functions -------------------------------------
+    // The lambda surface (transform/filter/exists/aggregate/zip_with) runs
+    // inside codegen'd projections — the map-side idiom the vector and
+    // dedup kernels lean on, gated here directly: per order a derived
+    // array, its transformed sum, filtered length, existence flag, and a
+    // zip_with dot against its own reverse. DuckDB's list lambdas
+    // reproduce each (list_transform/list_filter/list_sum).
+    Q("q113_higher_order", (s, dir) => {
+      table(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .withColumn("arr", sequence(lit(1L), lit(1L) + col("o_orderkey") % 5))
+        .select(col("o_orderkey"),
+          expr("aggregate(transform(arr, x -> x * x), 0L, (acc, x) -> acc + x)")
+            .as("sum_sq"),
+          expr("size(filter(arr, x -> x % 2 = 0))").cast("long").as("n_even"),
+          expr("exists(arr, x -> x >= 5)").as("has_big"),
+          expr("aggregate(zip_with(arr, reverse(arr), (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            .as("dot_rev"))
+    }, Some("""
+      SELECT o_orderkey,
+        CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sum_sq,
+        CAST(len(list_filter(arr, x -> x % 2 = 0)) AS BIGINT) AS n_even,
+        len(list_filter(arr, x -> x >= 5)) > 0 AS has_big,
+        CAST(list_sum(list_transform(generate_series(1, len(arr)),
+          i -> arr[i] * arr[len(arr) - i + 1])) AS BIGINT) AS dot_rev
+      FROM (SELECT o_orderkey,
+              generate_series(1, 1 + o_orderkey % 5) AS arr
+            FROM orders WHERE o_orderkey < 2000)""")),
+
     // ---- Grouped top-k via the typed bounded-heap Aggregator --------------
     // The at-scale replacement for a window row_number ≤ k: the typed
     // TopKByScore Aggregator's partial buffers are ≤ k pairs per task, so

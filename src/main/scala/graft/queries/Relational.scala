@@ -310,6 +310,34 @@ object Relational {
         COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag""")),
 
+    // ---- Modern aggregate surface: count_if / bool aggs / arg-extremes ----
+    // count_if, bool_and/bool_or, and max_by/min_by (DuckDB arg_max/
+    // arg_min). The arg-extremes order by price·1e9 + key — a single
+    // monotone-in-(price, key) double (2-decimal price steps map to 1e7,
+    // far above the key range; the sum stays < 2⁵³ so it is exact, and
+    // both engines compute the identical IEEE ops) — so ties break
+    // deterministically; bare max_by on a tied price column is
+    // engine-nondeterministic, the same discipline as every top-k here.
+    Q("q114_agg_surface", (s, dir) => {
+      table(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("count_if(o_totalprice > 200000.0)").as("n_big"),
+          expr("bool_and(o_totalprice > 0.0)").as("all_positive"),
+          expr("bool_or(o_orderpriority = '1-URGENT')").as("any_urgent"),
+          expr("max_by(o_orderkey, o_totalprice * 1e9 + o_orderkey)").as("key_of_max"),
+          expr("min_by(o_orderkey, o_totalprice * 1e9 + o_orderkey)").as("key_of_min"),
+          count(lit(1)).as("n"))
+    }, Some("""
+      SELECT o_orderstatus,
+        CAST(count_if(o_totalprice > 200000.0) AS BIGINT) AS n_big,
+        bool_and(o_totalprice > 0.0) AS all_positive,
+        bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+        arg_max(o_orderkey, o_totalprice * 1e9 + o_orderkey) AS key_of_max,
+        arg_min(o_orderkey, o_totalprice * 1e9 + o_orderkey) AS key_of_min,
+        COUNT(*) AS n
+      FROM orders GROUP BY o_orderstatus""")),
+
     // ---- Approx distinct: Spark HLL sketch --------------------------------
     // Sketch values differ across engines by design, so the ESTIMATE is not
     // oracle-comparable — but the sketch's CONTRACT is: HLL++ at the default
