@@ -91,7 +91,18 @@ object FrequentItems {
     * float threshold. Output is exact and deterministic even though sketch
     * ESTIMATES are partitioning-dependent; a broken sketch (lost
     * candidate) surfaces as a missing output row. The driver-side collects
-    * are k-bounded (CONFIG, not data). */
+    * are k-bounded (CONFIG, not data).
+    *
+    * Input contract: `items` must be DETERMINISTIC across jobs — the two
+    * passes are separate Spark jobs over the same plan, so a source whose
+    * contents change between them (rand()/sample-derived frames, a live
+    * external table) can make the candidate set and the re-count disagree,
+    * silently voiding the superset guarantee. For such inputs the caller
+    * must snapshot first (`df.persist()` + materialize, or
+    * `df.localCheckpoint(eager = true)`) and pass the snapshot; this
+    * library does not persist internally because pass 2 is LAZY — the
+    * returned DataFrame executes at the caller's discretion, after any
+    * scope this function could safely unpersist in. */
   def exactHeavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     val spark = items.sparkSession
     import spark.implicits._

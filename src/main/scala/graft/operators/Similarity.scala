@@ -35,6 +35,108 @@ object Similarity {
       .select(col(idCol), col("cos"))
       .limit(k)
 
+  /** Batched EXACT cosine top-k: every row of `queries` (`qidCol`, `qvec`)
+    * gets its own top-k over the corpus in one join + one grouped
+    * bounded-heap aggregation — the multi-query generalization of
+    * [[bruteForceTopK]]. No per-query scan, no driver loop: the query
+    * table broadcasts onto the corpus scan (every corpus row scores
+    * against every query map-side) and [[TopKByScore]] ships ≤ k pairs
+    * per (task, query) into the shuffle. Exactness baseline: cost is
+    * |corpus|·|queries| score evaluations, so it is the right tool for
+    * query batches small enough to broadcast; [[lshBatchTopK]] /
+    * [[ivfBatchTopK]] are the 100 TB shapes where it is not. */
+  def batchBruteForceTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid"): DataFrame =
+    groupedTopK(
+      embeddings.crossJoin(broadcast(queries))
+        .select(col(qidCol), col(idCol),
+          cosine(col(vecCol), col("qvec")).as("cos")),
+      k, qidCol, idCol)
+
+  /** Batched approximate top-k over the hyperplane-LSH buckets: each query
+    * explodes into its multi-probe bucket set (1 + sum C(planes, 1..r)
+    * rows), candidates come from ONE equi-join on the signature, and the
+    * per-query heads come from the same grouped bounded-heap aggregation
+    * as [[batchBruteForceTopK]] — so a table of millions of queries is one
+    * bucket-keyed join (shuffle-hash on `sig` when the probe table
+    * outgrows broadcast; AQE decides), never a per-query broadcast or a
+    * driver loop. Work per query is its probed buckets' occupancy, not the
+    * corpus. */
+  def lshBatchTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 8, dims: Int = 64, probeRadius: Int = 1,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid"): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= planes,
+      s"probeRadius must be in 0..$planes, got $probeRadius")
+    val sigged = withLshSignature(embeddings, planes, dims, vecCol)
+    val masks: Seq[Long] = (0 to probeRadius).flatMap(r =>
+      (0 until planes).combinations(r).map(_.map(p => 1L << p).sum))
+    // distinct masks ⇒ distinct probed sigs per query ⇒ no duplicate
+    // (query, candidate) pairs ever reach the heap
+    val probes = queries
+      .withColumn("sig", hyperplaneSig(col("qvec"), planes, dims))
+      .select(col(qidCol), col("qvec"),
+        explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
+    groupedTopK(
+      sigged.join(probes, Seq("sig"))
+        .select(col(qidCol), col(idCol),
+          cosine(col(vecCol), col("qvec")).as("cos")),
+      k, qidCol, idCol)
+  }
+
+  /** Batched approximate top-k over the IVF cells: every query picks its
+    * `nProbe` nearest cells MAP-SIDE (the broadcast centroid-array argmin
+    * of [[assignCells]], sorted and sliced — no shuffle of the query
+    * table), candidates come from one equi-join on `cell_id`, heads from
+    * the grouped bounded heap. Against a stored index the `assigned` side
+    * is the materialized cell partitions — the join reads only cells some
+    * query probes. */
+  def ivfBatchTopK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid"): DataFrame = {
+    val centroids = ivfCentroids(embeddings, nCells, idCol, vecCol)
+    val assigned = assignCells(embeddings, centroids, idCol, vecCol)
+    val centArr = centroids
+      .agg(sort_array(collect_list(struct(col("cell_id"), col("centroid"))))
+        .as("__cents"))
+    val probes = queries.crossJoin(broadcast(centArr))
+      .withColumn("__probe", explode(slice(array_sort(
+        transform(col("__cents"), c =>
+          struct(l2sq(col("qvec"), c.getField("centroid")).as("d2"),
+            c.getField("cell_id").as("cell_id")))), 1, nProbe)))
+      .select(col(qidCol), col("qvec"), col("__probe.cell_id").as("cell_id"))
+    groupedTopK(
+      assigned.join(probes, Seq("cell_id"))
+        .select(col(qidCol), col(idCol),
+          cosine(col(vecCol), col("qvec")).as("cos")),
+      k, qidCol, idCol)
+  }
+
+  /** Per-query bounded-heap top-k: ≤ k (id, cos) pairs per (task, query)
+    * enter the shuffle regardless of candidate count — the scale property
+    * that makes the batched paths one aggregation instead of a per-query
+    * TakeOrderedAndProject. Output: (qid, idCol, cos, rank), rank 1-based
+    * by (cos desc, id asc) — bit-deterministic because cos is the same
+    * IEEE expression everywhere and ties fall to the id. */
+  private def groupedTopK(scored: DataFrame, k: Int,
+      qidCol: String, idCol: String): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored
+      .select(col(qidCol).cast("long"), col(idCol).cast("long"),
+        col("cos").cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => ScoredId(t._2, t._3))
+      .agg(new TopKByScore(k).toColumn.name("topk"))
+      .toDF(qidCol, "topk")
+      .select(col(qidCol), posexplode(col("topk")).as(Seq("__pos", "__s")))
+      .select(col(qidCol), col("__s.id").as(idCol),
+        col("__s.score").as("cos"), (col("__pos") + 1).cast("long").as("rank"))
+  }
+
   /** Attach the `planes`-bit hyperplane signature used for LSH bucketing. */
   def withLshSignature(embeddings: DataFrame, planes: Int = 8, dims: Int = 64,
       vecCol: String = "embedding"): DataFrame =

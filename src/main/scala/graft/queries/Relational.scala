@@ -312,12 +312,15 @@ object Relational {
 
     // ---- Modern aggregate surface: count_if / bool aggs / arg-extremes ----
     // count_if, bool_and/bool_or, and max_by/min_by (DuckDB arg_max/
-    // arg_min). The arg-extremes order by price·1e9 + key — a single
-    // monotone-in-(price, key) double (2-decimal price steps map to 1e7,
-    // far above the key range; the sum stays < 2⁵³ so it is exact, and
-    // both engines compute the identical IEEE ops) — so ties break
-    // deterministically; bare max_by on a tied price column is
-    // engine-nondeterministic, the same discipline as every top-k here.
+    // arg_min). The arg-extremes order by price·1e9 + key — a double that
+    // is monotone in (price, key) (2-decimal price steps map to ~1e7,
+    // far above the key range, so distinct (price, key) pairs can't
+    // collide). The gate rests on DETERMINISM, not exactness: 2-decimal
+    // prices are not exactly representable in binary doubles, but both
+    // engines evaluate the identical IEEE multiply-add on identical
+    // inputs, so the ordering keys agree bit-for-bit. Bare max_by on a
+    // tied price column is engine-nondeterministic, the same discipline
+    // as every top-k here.
     Q("q114_agg_surface", (s, dir) => {
       table(s, dir, "orders")
         .groupBy(col("o_orderstatus"))
@@ -617,6 +620,70 @@ object Relational {
         WHERE rn = 1)
       SELECT o_orderstatus, COUNT(*) AS n,
         CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(version) AS BIGINT) AS sum_version
+      FROM merged GROUP BY o_orderstatus""")),
+
+    // ---- Warehouse merge with schema evolution (widened update batch) -----
+    // q100's merge shape plus the add-column path (r10 verdict ask #2): the
+    // update batch carries a NEW nullable `source` column; merge rewrites
+    // ONLY the touched partitions with the widened schema (WarehouseSpec
+    // proves untouched files stay byte-identical) and readEvolved NULL-fills
+    // the column for old-generation rows — the standard warehouse
+    // add-column semantics (metadata now, rewrite never). The gate pins the
+    // evolved read end-to-end: per-status counts split by source
+    // present/absent, prices proving upserts landed, versions proving
+    // latest-wins survived the widen.
+    Q("q116_merge_schema_evolution", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-merge-q116").toString + "/wh"
+      o.withColumn("version", lit(1L))
+        .repartition(col("o_orderstatus"))
+        .write.partitionBy("o_orderstatus").parquet(wh)
+      val k = col("o_orderkey")
+      val upd = o.filter(k % 17 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+        .withColumn("version", lit(2L))
+        .withColumn("source", concat(lit("feed-"), (k % 3).cast("string")))
+      graft.sources.Warehouse.merge(s, wh, upd,
+        "o_orderkey", "version", "o_orderstatus", allowAddColumns = true)
+      val out = graft.sources.Warehouse.readEvolved(s, wh, "o_orderstatus")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          count(col("source")).as("n_sourced"),
+          sum(length(col("source"))).as("len_sources"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("version")).as("sum_version"))
+      val rows = out.collect()
+      val schema = out.schema
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }, Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version,
+          CAST(NULL AS VARCHAR) AS source
+        FROM orders),
+      upd AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 500.0 AS o_totalprice,
+          2 AS version, 'feed-' || CAST(o_orderkey % 3 AS VARCHAR) AS source
+        FROM orders WHERE o_orderkey % 17 = 0),
+      merged AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                      ORDER BY version DESC) AS rn
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
+        WHERE rn = 1)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+        CAST(COUNT(source) AS BIGINT) AS n_sourced,
+        CAST(SUM(LENGTH(source)) AS BIGINT) AS len_sources,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         CAST(SUM(version) AS BIGINT) AS sum_version
       FROM merged GROUP BY o_orderstatus"""))

@@ -152,9 +152,37 @@ object Warehouse {
     * rerunning the SAME merge converges in all cases, because
     * latest-version-wins is idempotent. Single-writer contract: concurrent
     * merges into one table race the demote/promote renames — serialize
-    * them (StreamingMerge's one-query-per-table loop does). */
+    * them (StreamingMerge's one-query-per-table loop does).
+    *
+    * Reader-visibility contract: readers must not run CONCURRENTLY with a
+    * merge's publish window — a partition being swapped is demoted (absent
+    * from the live dir) for the instant between its two renames, so a
+    * racing reader can observe a PARTIAL table (the affected partition
+    * silently missing) rather than an error. Likewise, after a crash
+    * mid-publish, demoted partitions stay hidden until recovery runs —
+    * which happens at the START of the next merge(), or on demand via
+    * [[recover]] (so an operator can repair visibility without submitting
+    * a new batch). Deployments that need readers concurrent with
+    * publishes use [[CommittedTable]], whose manifest swap gives readers
+    * an uninterrupted old-or-new view.
+    *
+    * Schema evolution (`allowAddColumns = true`): the update batch may ADD
+    * nullable data columns beyond the table's; only the affected
+    * partitions are rewritten with the widened schema, untouched
+    * partitions' files stay byte-identical, and a widened column reads as
+    * NULL for their rows (parquet by-name resolution — see
+    * [[readEvolved]]). Dropping or renaming a table column is rejected
+    * loudly in all modes: at 100 TB either would demand a full-table
+    * rewrite to stay consistent, never an implicit side effect of an
+    * ingest batch. Widening records the new column list in a
+    * `_table_columns` sidecar (atomic rename publish) so later merges
+    * validate against the TABLE schema, not whichever mixed-generation
+    * footer a probe happens to hit. The default `allowAddColumns = false`
+    * keeps the typo protection: without the opt-in, an extra (= misspelt)
+    * updates column fails instead of becoming a surprise table column. */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
-      key: String, versionCol: String, partitionCol: String): Unit = {
+      key: String, versionCol: String, partitionCol: String,
+      allowAddColumns: Boolean = false): Unit = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.StringType
@@ -164,19 +192,8 @@ object Warehouse {
     val staging = new org.apache.hadoop.fs.Path(path + ".merge-staging")
     val prevRoot = new org.apache.hadoop.fs.Path(path + ".merge-prev")
 
-    // recover from an interrupted publish BEFORE reading anything: a
-    // partition demoted to .merge-prev whose live dir is missing was never
-    // promoted — restore it; one whose live dir exists was promoted —
-    // its prev copy is superseded
-    if (fs.exists(prevRoot)) {
-      fs.listStatus(prevRoot).foreach { st =>
-        val back = new org.apache.hadoop.fs.Path(live, st.getPath.getName)
-        if (!fs.exists(back) && !fs.rename(st.getPath, back))
-          throw new java.io.IOException(
-            s"failed to recover demoted partition: ${st.getPath} -> $back")
-      }
-      fs.delete(prevRoot, true)
-    }
+    // recover from an interrupted publish BEFORE reading anything
+    recover(spark, path)
     fs.delete(staging, true)
 
     // read with an EXPLICIT schema typing the partition column string:
@@ -202,10 +219,34 @@ object Warehouse {
       found.getOrElse(throw new java.io.IOException(
         s"no parquet data file under $path to merge into"))
     }
-    val tableDataCols = spark.read.parquet(probeFile).schema.fieldNames.toSet
-    require((tableDataCols + partitionCol) == updates.schema.fieldNames.toSet,
-      s"updates schema ${updates.columns.mkString(",")} must match table " +
-        s"${(tableDataCols + partitionCol).mkString(",")}")
+    // the table's data-column set: the `_table_columns` sidecar when one
+    // exists (written by the first widening merge — after that the table
+    // has MIXED footers and a one-file probe is no longer authoritative),
+    // else the one-footer probe
+    val sidecar = new org.apache.hadoop.fs.Path(live, SchemaSidecar)
+    val tableDataCols: Set[String] =
+      if (fs.exists(sidecar)) readSidecar(fs, sidecar).toSet
+      else spark.read.parquet(probeFile).schema.fieldNames.toSet
+    val updCols = updates.schema.fieldNames.toSet
+    val dropped = (tableDataCols + partitionCol) -- updCols
+    require(dropped.isEmpty,
+      s"updates are missing table columns ${dropped.mkString(",")}: dropping " +
+        "or renaming a column is not supported by merge (it would require a " +
+        "full-table rewrite; do that explicitly, never as an ingest side effect)")
+    val added = updCols -- tableDataCols - partitionCol
+    require(added.isEmpty || allowAddColumns,
+      s"updates carry columns ${added.mkString(",")} the table lacks; pass " +
+        "allowAddColumns=true to widen the schema (default-off so a typo'd " +
+        "column name fails instead of silently becoming a new table column)")
+    // record the widened column list BEFORE any partition is published:
+    // crash between the two leaves a widened sidecar over unwidened files —
+    // later old-schema batches are rejected (safe direction) and rerunning
+    // the widened merge converges; the reverse order would let a later
+    // old-schema merge silently rewrite affected partitions WITHOUT the
+    // new column (data loss).
+    if (added.nonEmpty)
+      writeSidecar(hconf, sidecar,
+        updates.schema.fieldNames.filter(_ != partitionCol))
     val existing = spark.read.schema(strSchema).parquet(path)
     val cols = existing.columns
     val upd = updates.withColumn(partitionCol, col(partitionCol).cast("string"))
@@ -258,6 +299,95 @@ object Warehouse {
     }
     fs.delete(prevRoot, true)
     fs.delete(staging, true)
+  }
+
+  /** Restore reader visibility after a crashed [[merge]] publish, without
+    * submitting a new batch: a partition demoted to `<path>.merge-prev/`
+    * whose live dir is missing was never promoted — rename it back; one
+    * whose live dir exists was promoted — its prev copy is superseded.
+    * Idempotent; also runs automatically at the start of every merge(). */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(hconf)
+    val prevRoot = new org.apache.hadoop.fs.Path(path + ".merge-prev")
+    if (fs.exists(prevRoot)) {
+      fs.listStatus(prevRoot).foreach { st =>
+        val back = new org.apache.hadoop.fs.Path(live, st.getPath.getName)
+        if (!fs.exists(back) && !fs.rename(st.getPath, back))
+          throw new java.io.IOException(
+            s"failed to recover demoted partition: ${st.getPath} -> $back")
+      }
+      fs.delete(prevRoot, true)
+    }
+  }
+
+  /** Read a schema-evolved merge table: old-generation files simply lack
+    * the widened columns, so the read resolves columns BY NAME against the
+    * table column list (sidecar when present, else footer-merged) and
+    * NULL-fills the gaps — the standard warehouse add-column semantics
+    * (metadata change now, rewrite never). Without a sidecar this falls
+    * back to `mergeSchema` (a footer sweep — fine for ad-hoc reads; the
+    * sidecar path reads ZERO extra footers, which is the 100 TB shape). */
+  def readEvolved(spark: SparkSession, path: String,
+      partitionCol: String): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(hconf)
+    val sidecar = new org.apache.hadoop.fs.Path(live, SchemaSidecar)
+    if (!fs.exists(sidecar))
+      return spark.read.option("mergeSchema", "true").parquet(path)
+    // types: the widened columns only exist in NEW files, so one probe of
+    // the newest generation (any file of an affected partition) cannot be
+    // assumed — instead take types from a mergeSchema read ONLY when the
+    // sidecar alone cannot name them. Common case: a recent merge wrote
+    // every sidecar column into its files; probe newest-first until a
+    // footer covers the full list, else fall back to the sweep.
+    val wanted = readSidecar(fs, sidecar)
+    val files = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.LocatedFileStatus]
+    val it = fs.listFiles(live, true)
+    while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) files += f }
+    val newestFirst = files.sortBy(-_.getModificationTime)
+    val full = newestFirst.iterator
+      .map(f => spark.read.parquet(f.getPath.toString).schema)
+      .take(8) // bounded probe: 8 footers, then give up to the sweep
+      .find(sc => wanted.forall(sc.fieldNames.contains))
+    full match {
+      case Some(sc) =>
+        // same explicit-schema shape merge() reads with: data columns typed
+        // from the probed footer, the partition column typed string (the
+        // raw directory value, no inference)
+        val schema = org.apache.spark.sql.types.StructType(
+          wanted.map(n => sc(n)).toIndexedSeq :+
+            org.apache.spark.sql.types.StructField(partitionCol,
+              org.apache.spark.sql.types.StringType))
+        spark.read.schema(schema).parquet(path)
+      case None => spark.read.option("mergeSchema", "true").parquet(path)
+    }
+  }
+
+  private val SchemaSidecar = "_table_columns"
+
+  private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      .filter(_.nonEmpty)
+    finally in.close()
+  }
+
+  /** Publish the column-list sidecar atomically: write `<name>.tmp`, then
+    * a POSIX rename-with-overwrite onto the live name — readers see the
+    * old list or the new list, never a partial file. */
+  private def writeSidecar(hconf: org.apache.hadoop.conf.Configuration,
+      p: org.apache.hadoop.fs.Path, cols: Seq[String]): Unit = {
+    val fs = p.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write((cols.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, hconf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Compact an append-accumulated warehouse into `dst`: the small-files

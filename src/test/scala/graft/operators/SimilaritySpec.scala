@@ -129,6 +129,72 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head._1 === 1L && math.abs(got.head._2 - 1.0) < 1e-9)
   }
 
+  // ---- batched multi-query ANN (one join + grouped heap, no driver loop) --
+
+  private lazy val queryBatch = emb.filter(col("vec_id") % 53 === 0)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+  private lazy val queryIds =
+    queryBatch.select("qid").as[Long].collect().sorted.toSeq
+
+  private def oneQuery(qid: Long) =
+    emb.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+
+  private def collectBatch(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(Long, Double)]] =
+    df.select("qid", "vec_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1)
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_._4).map(r => (r._2, r._3)).toSeq
+      }
+
+  test("batched brute-force top-k == per-query bruteForceTopK, every query") {
+    val batched = collectBatch(Similarity.batchBruteForceTopK(emb, queryBatch, 10))
+    assert(batched.keySet === queryIds.toSet)
+    queryIds.foreach { qid =>
+      val single = Similarity.bruteForceTopK(emb, oneQuery(qid), 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(batched(qid) === single, s"qid=$qid diverges from per-query path")
+    }
+  }
+
+  test("batched LSH top-k == per-query lshTopK, every query") {
+    val batched = collectBatch(
+      Similarity.lshBatchTopK(emb, queryBatch, 10, probeRadius = 1))
+    queryIds.foreach { qid =>
+      val single = Similarity.lshTopK(emb, oneQuery(qid), 10, probeRadius = 1)
+        .as[(Long, Double)].collect().toSeq
+      assert(batched.getOrElse(qid, Nil) === single,
+        s"qid=$qid diverges from per-query path")
+    }
+  }
+
+  test("batched IVF top-k == per-query ivfTopK, every query") {
+    val batched = collectBatch(
+      Similarity.ivfBatchTopK(emb, queryBatch, 10, nCells = 8, nProbe = 3))
+    queryIds.foreach { qid =>
+      val single = Similarity.ivfTopK(emb, oneQuery(qid), 10, nCells = 8, nProbe = 3)
+        .as[(Long, Double)].collect().toSeq
+      assert(batched.getOrElse(qid, Nil) === single,
+        s"qid=$qid diverges from per-query path")
+    }
+  }
+
+  test("batched LSH recall@10 vs batched brute force: measured, self found") {
+    val exact = collectBatch(Similarity.batchBruteForceTopK(emb, queryBatch, 10))
+    val approx = collectBatch(
+      Similarity.lshBatchTopK(emb, queryBatch, 10, probeRadius = 2))
+    val recalls = queryIds.map { qid =>
+      val e = exact(qid).map(_._1).toSet
+      val a = approx.getOrElse(qid, Nil).map(_._1).toSet
+      // every query finds itself: cos(q,q)=1 tops its own bucket
+      assert(a.contains(qid), s"qid=$qid missing self")
+      (e intersect a).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"batched LSH mean recall@10 (radius 2) over ${recalls.size} queries: $mean%.2f")
+    assert(mean > 0.2, f"mean recall $mean%.2f implausibly low")
+  }
+
   test("near-dup pairs: bucketed by label, all above threshold, a<b") {
     val pairs = Similarity.nearDupPairs(emb, "label", 0.2)
       .as[(Long, Long, Double)].collect()

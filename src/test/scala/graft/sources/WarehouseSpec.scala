@@ -282,7 +282,64 @@ class WarehouseSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Warehouse.merge(spark, dir, bad, "id", "version", "status")
     }
-    assert(e.getMessage.contains("schema"))
+    assert(e.getMessage.contains("missing table columns"))
+    // an EXTRA column is a widen request — rejected unless opted in (the
+    // typo protection: a misspelt column must not become a table column)
+    val extra = Seq((2L, "A", 20.0, 2L, "oops"))
+      .toDF("id", "status", "value", "version", "valeu")
+    val e2 = intercept[IllegalArgumentException] {
+      Warehouse.merge(spark, dir, extra, "id", "version", "status")
+    }
+    assert(e2.getMessage.contains("allowAddColumns"))
+  }
+
+  test("merge schema evolution: widened batch, untouched partitions byte-identical, NULL-fill on read") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wh-evolve").toString + "/t"
+    Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("id", "status", "value")
+      .withColumn("version", lit(1L))
+      .repartition($"status")
+      .write.partitionBy("status").parquet(dir)
+    val cFiles = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "status=C"))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+    val cBytes = cFiles.map(f => java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)).toSeq)
+    // widened batch: adds a trailing nullable `source` column, touches A only
+    val upd = Seq((1L, "A", 11.0, 2L, "feed-7"))
+      .toDF("id", "status", "value", "version", "source")
+    Warehouse.merge(spark, dir, upd, "id", "version", "status",
+      allowAddColumns = true)
+    // untouched partitions: same files, same bytes (never opened or rewritten)
+    val cFilesAfter = java.nio.file.Files.list(java.nio.file.Paths.get(dir, "status=C"))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).sorted
+    assert(cFilesAfter.toSeq === cFiles.toSeq)
+    assert(cFilesAfter.map(f => java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f)).toSeq).toSeq === cBytes.toSeq)
+    // evolved read: widened column present, NULL for old-generation rows
+    val back = Warehouse.readEvolved(spark, dir, "status")
+      .select($"id", $"status", $"value", $"version", $"source")
+      .as[(Long, String, Double, Long, Option[String])].collect().toSet
+    assert(back === Set(
+      (1L, "A", 11.0, 2L, Some("feed-7")),
+      (2L, "B", 20.0, 1L, None),
+      (3L, "C", 30.0, 1L, None)))
+    // the sidecar now pins the table schema: a later OLD-schema batch is
+    // rejected loudly (it would silently drop `source` from rewritten
+    // partitions otherwise)
+    val old = Seq((2L, "B", 21.0, 2L)).toDF("id", "status", "value", "version")
+    val e = intercept[IllegalArgumentException] {
+      Warehouse.merge(spark, dir, old, "id", "version", "status")
+    }
+    assert(e.getMessage.contains("missing table columns"))
+    // and a widened follow-up merge keeps working without re-opting-in the
+    // widen flag (schema already matches the sidecar)
+    val next = Seq((2L, "B", 22.0, 2L, "feed-8"))
+      .toDF("id", "status", "value", "version", "source")
+    Warehouse.merge(spark, dir, next, "id", "version", "status")
+    val b2 = Warehouse.readEvolved(spark, dir, "status")
+      .filter($"id" === 2L).select($"value", $"source")
+      .as[(Double, Option[String])].collect().toSeq
+    assert(b2 === Seq((22.0, Some("feed-8"))))
   }
 
   test("column projection reaches the parquet scan (ReadSchema pruning)") {
