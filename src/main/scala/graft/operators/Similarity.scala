@@ -268,12 +268,52 @@ object Similarity {
   def ivfAppendToIndex(newVectors: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = newVectors.sparkSession
-    val centroids = spark.read.parquet(s"$path/_centroids")
+    val root = ivfIndexRoot(spark, path)
+    val centroids = spark.read.parquet(s"$root/_centroids")
     assignCells(newVectors, centroids, idCol, vecCol)
       .write
       .partitionBy("cell_id")
       .mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$path/cells")
+      .parquet(s"$root/cells")
+  }
+
+  /** Resolve the index's live generation root: `<path>/_commit` names the
+    * committed generation dir (written atomically by [[ivfWriteIndex]]);
+    * an index from before the manifest scheme is its own root. Reads that
+    * resolve through this see exactly one committed generation — a
+    * re-quantize in progress is invisible until its one manifest swap. */
+  def ivfIndexRoot(spark: SparkSession, path: String): String = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(hconf)
+    readCommit(fs, live).map(g => s"$path/$g").getOrElse(path)
+  }
+
+  private def readCommit(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(table, "_commit")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .next().trim)
+      finally in.close()
+    }
+  }
+
+  /** The one atomic publish step: `_commit.tmp` written, then a POSIX
+    * rename-with-overwrite onto `_commit` — a reader resolves the old
+    * generation or the new one, never a partial manifest. */
+  private def swapCommit(hconf: org.apache.hadoop.conf.Configuration,
+      table: org.apache.hadoop.fs.Path, gen: String): Unit = {
+    val fs = table.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(table, "_commit.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((gen + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(table.toUri, hconf)
+    fc.rename(tmp, new org.apache.hadoop.fs.Path(table, "_commit"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Assign every vector to its nearest centroid MAP-SIDE: the centroid
@@ -306,39 +346,52 @@ object Similarity {
   def ivfWriteIndex(embeddings: DataFrame, path: String,
       nCells: Int = 16,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    // both halves of the index are written under a staging path and
-    // published with ONE rename: two independent overwrites of the live
-    // path could expose new cells paired with old centroids to a failure
-    // or a concurrent reader — exactly the quantizer-drift class storing
-    // the centroids in the index exists to prevent (same swap-on-commit
-    // discipline Warehouse.compact documents).
+    // both halves of the index are written under a NEW generation dir and
+    // published with ONE atomic manifest swap: independent overwrites of a
+    // live path could expose new cells paired with old centroids to a
+    // failure or a concurrent reader — exactly the quantizer-drift class
+    // storing the centroids in the index exists to prevent. Unlike the
+    // earlier demote/promote rename pair, the manifest swap has NO window
+    // where the index is absent: a reader resolves the old generation or
+    // the new one, and a crash anywhere before the swap leaves the old
+    // index untouched (the half-written generation is garbage, collected
+    // by the next write). The superseded generation survives until the
+    // NEXT write's collection, so an in-flight reader of the old manifest
+    // keeps working through one re-quantize.
     val spark = embeddings.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(hconf)
-    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
-    fs.delete(staging, true)
+    fs.mkdirs(live)
+    val cur = readCommit(fs, live)
+    val curN = cur.flatMap(g =>
+      scala.util.Try(g.stripPrefix("gen-").toLong).toOption).getOrElse(0L)
+    // GC superseded + crashed-orphan generations (everything but the live
+    // one) BEFORE staging, so this generation's name is free even after a
+    // crashed attempt of the same number
+    fs.listStatus(live).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("gen-") && !cur.contains(n))
+        fs.delete(st.getPath, true)
+    }
+    val genName = s"gen-${curN + 1}"
+    val genDir = new org.apache.hadoop.fs.Path(live, genName)
     val centroids = ivfCentroids(embeddings, nCells, idCol, vecCol)
     assignCells(embeddings, centroids, idCol, vecCol)
       .write
       .partitionBy("cell_id")
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$staging/cells")
+      .parquet(s"$genDir/cells")
     centroids.coalesce(1).write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$staging/_centroids")
-    // swap: demote the live index to .prev, promote staging, then drop
-    // .prev. The old index is never destroyed before the new one is in
-    // place — a crash between the two renames leaves the data recoverable
-    // at .prev instead of gone (a delete-then-rename would have a window
-    // with NO index at all).
-    val prev = new org.apache.hadoop.fs.Path(path + ".prev")
-    fs.delete(prev, true)
-    if (fs.exists(live) && !fs.rename(live, prev))
-      throw new java.io.IOException(s"failed to demote old IVF index: $live -> $prev")
-    if (!fs.rename(staging, live))
-      throw new java.io.IOException(s"failed to publish IVF index: $staging -> $live")
-    fs.delete(prev, true)
+      .parquet(s"$genDir/_centroids")
+    swapCommit(hconf, live, genName)
+    // one-time migration: a legacy (pre-manifest) layout at the root is
+    // superseded the moment the manifest exists — drop it
+    if (cur.isEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(live, "cells"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(live, "_centroids"), true)
+    }
   }
 
   /** Approximate top-k against a stored IVF index: the query's nProbe
@@ -353,7 +406,10 @@ object Similarity {
   def ivfTopKFromIndex(spark: SparkSession, path: String,
       query: DataFrame, k: Int, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/_centroids")
+    // resolve the generation ONCE: centroids and cells must come from the
+    // SAME committed snapshot even if a re-quantize publishes mid-query
+    val root = ivfIndexRoot(spark, path)
+    val centroids = spark.read.parquet(s"$root/_centroids")
     val probedCells: Array[Long] = query.crossJoin(broadcast(centroids))
       .withColumn("d2", l2sq(col("qvec"), col("centroid")))
       .orderBy(col("d2").asc, col("cell_id").asc)
@@ -370,7 +426,7 @@ object Similarity {
           StructField(idCol, centroids.schema("cell_id").dataType),
           StructField("cos", DoubleType))))
     }
-    spark.read.parquet(s"$path/cells")
+    spark.read.parquet(s"$root/cells")
       .filter(col("cell_id").isin(probedCells.toIndexedSeq: _*))
       .crossJoin(broadcast(query))
       .withColumn("cos", cosine(col(vecCol), col("qvec")))

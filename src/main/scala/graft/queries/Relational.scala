@@ -624,6 +624,78 @@ object Relational {
         CAST(SUM(version) AS BIGINT) AS sum_version
       FROM merged GROUP BY o_orderstatus""")),
 
+    // ---- Manifest-committed merge (table-level atomic publish) ------------
+    // q100's exact merge semantics (upsert + partition move + insert,
+    // latest version wins) re-run through CommittedTable: segments staged
+    // invisibly, ONE atomic manifest swap publishes, readers resolve
+    // old-or-new and never a mix (CommittedTableSpec kills the publish at
+    // every stage to prove it). Identical inputs ⇒ the q100 oracle applies
+    // verbatim — the gate pins that the atomic-publish path changes
+    // DURABILITY semantics, not merge semantics.
+    Q("q119_committed_merge", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-merge-q119").toString + "/wh"
+      graft.sources.CommittedTable.write(
+        o.withColumn("version", lit(1L)), wh, "o_orderstatus")
+      val k = col("o_orderkey")
+      val upserts = o.filter(k % 19 === 0 || k % 31 === 0)
+        .withColumn("o_totalprice",
+          when(k % 19 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(k % 31 === 0 && k % 19 =!= 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("version", lit(2L))
+      val inserts = o.filter(k % 53 === 0)
+        .withColumn("o_orderkey", k + 100000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("version", lit(2L))
+      graft.sources.CommittedTable.merge(s, wh, upserts.unionByName(inserts),
+        "o_orderkey", "version", "o_orderstatus")
+      val out = graft.sources.CommittedTable.read(s, wh)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_keys"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          sum(col("version")).as("sum_version"))
+      val rows = out.collect()
+      val schema = out.schema
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }, Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS version
+        FROM orders),
+      upd AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 31 = 0 AND o_orderkey % 19 <> 0
+               THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+          CASE WHEN o_orderkey % 19 = 0
+               THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+          2 AS version
+        FROM orders WHERE o_orderkey % 19 = 0 OR o_orderkey % 31 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice, 2
+        FROM orders WHERE o_orderkey % 53 = 0),
+      merged AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                      ORDER BY version DESC) AS rn
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
+        WHERE rn = 1)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(version) AS BIGINT) AS sum_version
+      FROM merged GROUP BY o_orderstatus""")),
+
     // ---- Warehouse merge with schema evolution (widened update batch) -----
     // q100's merge shape plus the add-column path (r10 verdict ask #2): the
     // update batch carries a NEW nullable `source` column; merge rewrites

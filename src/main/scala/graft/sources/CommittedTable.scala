@@ -1,0 +1,270 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+/** Manifest-committed partitioned table: the table-level ATOMIC publish
+  * [[Warehouse.merge]] deliberately does not offer (its per-partition
+  * demote/promote renames leave a reader-visible window where an affected
+  * partition is absent — see its reader-visibility contract).
+  *
+  * Layout: data lives in immutable SEGMENT directories
+  * (`seg-g<generation>-<escaped partition value>/`, plain parquet files
+  * that carry the partition column as a DATA column), and a single
+  * `_commit` manifest file names the live segment per partition value. A
+  * publish stages new segments (invisible — no manifest references them),
+  * then swaps the manifest with ONE atomic rename-with-overwrite. Readers
+  * resolve the segment list through the manifest at plan time, so every
+  * read sees exactly one committed generation: old-or-new, never mixed,
+  * and a crash at ANY point before the swap leaves the old table fully
+  * visible (orphaned segments are garbage, collected by the next merge).
+  *
+  * Scale shape: the manifest is metadata (one line per partition — a few
+  * hundred entries for a few hundred partitions; the 100 TB of data is
+  * never touched by a commit), merge rewrites only affected partitions'
+  * segments, and manifest-level pruning turns a partition predicate into
+  * a driver-side list filter — the scan never even LISTS an unselected
+  * segment, one step cheaper than directory-discovery pruning.
+  *
+  * Concurrency: single WRITER (merges serialize, same contract as
+  * Warehouse.merge); readers are unrestricted. A reader that resolved the
+  * previous manifest keeps working through a concurrent publish because
+  * superseded segments survive one full merge cycle (deleted only when
+  * referenced by neither the current nor the previous manifest).
+  */
+object CommittedTable {
+
+  private val Commit = "_commit"
+  private val CommitPrev = "_commit.prev"
+
+  private def esc(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+  private def unesc(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
+
+  /** Manifest = generation number + (partition value → segment dir name).
+    * Serialized one entry per line (`gen=<n>` header, then
+    * `<escaped value>\t<dir>`), tiny by construction. */
+  private[sources] final case class Manifest(gen: Long, segments: Map[String, String])
+
+  private[sources] def readManifest(fs: FileSystem, table: Path): Option[Manifest] = {
+    val p = new Path(table, Commit)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val gen = lines.headOption match {
+      case Some(h) if h.startsWith("gen=") => h.stripPrefix("gen=").toLong
+      case other => throw new java.io.IOException(
+        s"corrupt manifest $p: expected gen=<n> header, got $other")
+    }
+    val segs = lines.tail.filter(_.nonEmpty).map { l =>
+      l.split('\t') match {
+        case Array(v, d) => unesc(v) -> d
+        case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
+      }
+    }.toMap
+    Some(Manifest(gen, segs))
+  }
+
+  /** The one atomic step of every publish: write the new manifest to a tmp
+    * name, preserve the current manifest as `_commit.prev` (the one-cycle
+    * segment grace for in-flight readers), then POSIX
+    * rename-with-overwrite tmp → `_commit`. Readers see the old manifest
+    * or the new one, never a partial file and never an absent one. */
+  private[sources] def swapManifest(hconf: org.apache.hadoop.conf.Configuration,
+      table: Path, m: Manifest): Unit = {
+    val fs = table.getFileSystem(hconf)
+    val live = new Path(table, Commit)
+    val tmp = new Path(table, Commit + ".tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val body = (s"gen=${m.gen}" +:
+        m.segments.toSeq.sortBy(_._1).map { case (v, d) => s"${esc(v)}\t$d" })
+        .mkString("", "\n", "\n")
+      out.write(body.getBytes("UTF-8"))
+    } finally out.close()
+    if (fs.exists(live)) {
+      val prev = new Path(table, CommitPrev)
+      // prev is bookkeeping for segment GC, not part of the read path —
+      // plain copy, no atomicity needed
+      fs.delete(prev, false)
+      org.apache.hadoop.fs.FileUtil.copy(fs, live, fs, prev, false, hconf)
+    }
+    val fc = FileContext.getFileContext(table.toUri, hconf)
+    fc.rename(tmp, live, Options.Rename.OVERWRITE)
+  }
+
+  /** Delete segment dirs referenced by NEITHER the current nor the
+    * previous manifest: crashed-publish orphans (never referenced) and
+    * two-generations-old segments. Runs at the start of every merge (so a
+    * crashed generation's dir names are free for reuse) and at the end
+    * (so superseded segments survive exactly one merge cycle for
+    * in-flight readers of the previous manifest). */
+  private def collectGarbage(fs: FileSystem, table: Path): Unit = {
+    val cur = readManifest(fs, table).map(_.segments.values.toSet).getOrElse(Set.empty)
+    val prevP = new Path(table, CommitPrev)
+    val prev: Set[String] =
+      if (!fs.exists(prevP)) Set.empty
+      else {
+        val in = fs.open(prevP)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.tail
+          .filter(_.nonEmpty).map(_.split('\t')(1)).toSet
+        finally in.close()
+      }
+    if (!fs.exists(table)) return
+    fs.listStatus(table).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("seg-") && !cur(n) && !prev(n))
+        fs.delete(st.getPath, true)
+    }
+  }
+
+  /** Initial full load (generation 1): one segment per partition value,
+    * partition column stored as a data column (typed STRING — the same
+    * value-identity discipline as Warehouse.merge's dir names), manifest
+    * published atomically after every segment is in place. */
+  def write(df: DataFrame, path: String, partitionCol: String): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    require(readManifest(fs, table).isEmpty,
+      s"$path already holds a committed table; use merge for updates")
+    fs.mkdirs(table)
+    val staged = stageSegments(df, path, partitionCol, gen = 1L)
+    swapManifest(hconf, table, Manifest(1L, staged))
+    fs.delete(new Path(path + ".ct-staging"), true)
+  }
+
+  /** Write one segment dir per partition value of `df` under a staging
+    * root, then move each into the table under its generation-stamped
+    * name. Returns value → segment dir name. Nothing here is visible to
+    * readers: only the manifest swap publishes. */
+  private def stageSegments(df: DataFrame, path: String, partitionCol: String,
+      gen: Long): Map[String, String] = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val staging = new Path(path + ".ct-staging")
+    fs.delete(staging, true)
+    // __part duplicates the partition value for partitionBy, so the files
+    // KEEP the column as data (a multi-root manifest read then needs no
+    // per-segment value reattachment and stays one FileSourceScan);
+    // repartition on the value ⇒ one splittable file per segment per batch
+    df.withColumn(partitionCol, col(partitionCol).cast("string"))
+      .withColumn("__part", col(partitionCol))
+      .repartition(col(partitionCol))
+      .write.partitionBy("__part")
+      .mode(SaveMode.Overwrite).parquet(staging.toString)
+    val staged = fs.listStatus(staging).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
+      .map { st =>
+        val v = unesc(st.getPath.getName.stripPrefix("__part="))
+        val segName = s"seg-g$gen-${esc(v)}"
+        val dest = new Path(table, segName)
+        fs.delete(dest, true) // free name from a crashed publish of this gen
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(s"failed to stage segment ${st.getPath} -> $dest")
+        v -> segName
+      }.toMap
+    staged
+  }
+
+  /** Read the committed table: resolve segments through the manifest
+    * (atomically-published snapshot), optionally pruning to
+    * `partitionValues` — a driver-side METADATA filter on the manifest
+    * entries; unselected segments are never listed, opened, or planned. */
+  def read(spark: SparkSession, path: String,
+      partitionValues: Option[Seq[String]] = None): DataFrame = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    val wanted = partitionValues match {
+      case Some(vs) => val keep = vs.toSet; m.segments.view.filterKeys(keep).toMap
+      case None => m.segments
+    }
+    if (wanted.isEmpty) {
+      // prune-to-nothing (or empty table): preserve schema from any live
+      // segment when one exists, else fail — an empty table has no schema
+      if (m.segments.isEmpty)
+        throw new java.io.IOException(s"committed table $path is empty; no schema")
+      return spark.read
+        .parquet(new Path(table, m.segments.values.head).toString)
+        .filter(lit(false))
+    }
+    val dirs = wanted.values.toSeq.sorted.map(d => new Path(table, d).toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Keyed latest-version-wins merge with an ATOMIC publish: identical
+    * merge semantics to [[Warehouse.merge]] (same affected-partition set,
+    * same window, only affected partitions rewritten), but the publish is
+    * one manifest swap — a reader or a crash can never observe a mix of
+    * generations. `crashPoint` is a test seam: invoked with a stage label
+    * before each irreversible step so specs can kill the publish anywhere
+    * and prove old-or-new visibility. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      key: String, versionCol: String, partitionCol: String,
+      crashPoint: String => Unit = _ => ()): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path to merge into"))
+    collectGarbage(fs, table) // frees a crashed generation's segment names
+    require(updates.columns.contains(partitionCol) && updates.columns.contains(key)
+        && updates.columns.contains(versionCol),
+      s"updates must carry $key, $versionCol, $partitionCol")
+
+    val existing = read(spark, path)
+    require(existing.columns.sorted.toSeq == updates.columns.sorted.toSeq,
+      s"updates schema ${updates.columns.sorted.mkString(",")} must match table " +
+        s"${existing.columns.sorted.mkString(",")}")
+    val cols = existing.columns
+    val upd = updates.withColumn(partitionCol, col(partitionCol).cast("string"))
+
+    // affected = partitions receiving updates ∪ partitions holding an
+    // updated key (key moves shed the old copy) — same metadata-bounded
+    // collects as Warehouse.merge
+    val updKeys = upd.select(col(key)).distinct()
+    val oldParts = existing.select(col(key), col(partitionCol))
+      .join(updKeys, Seq(key), "left_semi")
+      .select(col(partitionCol)).distinct()
+    val newParts = upd.select(col(partitionCol)).distinct()
+    val affected: Array[String] =
+      oldParts.union(newParts).distinct().collect().map(_.getString(0))
+    if (affected.isEmpty) return
+
+    // latest version per key over (existing rows of affected partitions —
+    // manifest-pruned read — ∪ the update batch)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(versionCol).desc)
+    val merged = read(spark, path, Some(affected.toIndexedSeq))
+      .select(cols.map(col).toIndexedSeq: _*)
+      .unionByName(upd.select(cols.map(col).toIndexedSeq: _*))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    crashPoint("before-staging")
+    val gen = m.gen + 1
+    val staged = stageSegments(merged, path, partitionCol, gen)
+    crashPoint("after-staging")
+
+    // new manifest: affected entries replaced by their staged segments; an
+    // affected partition with NO staged segment lost its last row to a key
+    // move — dropping its entry IS its retirement
+    val next = Manifest(gen,
+      (m.segments -- affected) ++ staged.view.filterKeys(affected.contains))
+    crashPoint("before-swap")
+    swapManifest(hconf, table, next)
+    crashPoint("after-swap")
+    collectGarbage(fs, table)
+    fs.delete(new Path(path + ".ct-staging"), true)
+  }
+}

@@ -57,11 +57,14 @@ object Warehouse {
       "input must not contain reserved columns hash_bucket/bucket_group")
     val per = Sampling.BUCKETS / nGroups
     // data + self-describing layout are staged together and published with
-    // the demote/promote swap (same discipline as ivfWriteIndex): readers
-    // must never observe data without its `_layout` — the group width
-    // comes from the table itself, never from a caller constant that can
-    // silently disagree with the write — and a crash mid-publish leaves
-    // the previous table recoverable at .prev, not a half-written one.
+    // a demote/promote swap: readers must never observe data without its
+    // `_layout` — the group width comes from the table itself, never from
+    // a caller constant that can silently disagree with the write — and a
+    // crash mid-publish leaves the previous table recoverable at .prev,
+    // not a half-written one. (ivfWriteIndex and CommittedTable have since
+    // moved to manifest swaps, which also close the brief absent-table
+    // window between the two renames here; this whole-table overwrite is
+    // kept on the rename pair for layout compatibility.)
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(path)

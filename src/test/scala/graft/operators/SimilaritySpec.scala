@@ -93,7 +93,7 @@ class SimilaritySpec extends SparkSpec {
     // cell may hog the corpus (the hot-partition failure at 100 TB)
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-bal").toString + "/index"
     Similarity.ivfWriteIndex(emb, dir, nCells = 8)
-    val sizes = spark.read.parquet(s"$dir/cells")
+    val sizes = spark.read.parquet(s"${Similarity.ivfIndexRoot(spark, dir)}/cells")
       .groupBy("cell_id").count().as[(Long, Long)].collect().map(_._2)
     val total = sizes.sum
     assert(total === emb.count(), "every vector assigned to exactly one cell")
@@ -107,18 +107,19 @@ class SimilaritySpec extends SparkSpec {
     val first = emb.filter(col("vec_id") % 2 === 0)
     val rest = emb.filter(col("vec_id") % 2 === 1)
     Similarity.ivfWriteIndex(first, dir, nCells = 8)
-    val centsBefore = spark.read.parquet(s"$dir/_centroids")
+    val root = Similarity.ivfIndexRoot(spark, dir)
+    val centsBefore = spark.read.parquet(s"$root/_centroids")
       .collect().map(_.toString).sorted.toSeq
     Similarity.ivfAppendToIndex(rest, dir)
     // the quantizer is immutable across appends
-    val centsAfter = spark.read.parquet(s"$dir/_centroids")
+    val centsAfter = spark.read.parquet(s"$root/_centroids")
       .collect().map(_.toString).sorted.toSeq
     assert(centsAfter === centsBefore)
     // appended index == from-scratch assignment under the SAME centroids
-    val cells = spark.read.parquet(s"$dir/cells")
+    val cells = spark.read.parquet(s"$root/cells")
       .select("vec_id", "cell_id").as[(Long, Long)].collect().toSet
     val expected = Similarity.assignCells(
-        emb, spark.read.parquet(s"$dir/_centroids"), "vec_id", "embedding")
+        emb, spark.read.parquet(s"$root/_centroids"), "vec_id", "embedding")
       .select(col("vec_id"), col("cell_id").cast("long"))
       .as[(Long, Long)].collect().toSet
     assert(cells === expected)
@@ -127,6 +128,35 @@ class SimilaritySpec extends SparkSpec {
     val got = Similarity.ivfTopKFromIndex(spark, dir, q1, 5, nProbe = 3)
       .as[(Long, Double)].collect()
     assert(got.head._1 === 1L && math.abs(got.head._2 - 1.0) < 1e-9)
+  }
+
+  test("IVF re-quantize publishes atomically through the generation manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-gen").toString + "/index"
+    val half = emb.filter(col("vec_id") % 2 === 0)
+    Similarity.ivfWriteIndex(half, dir, nCells = 8)
+    val root1 = Similarity.ivfIndexRoot(spark, dir)
+    assert(root1.endsWith("gen-1"))
+    // an in-flight reader pins generation 1 at plan time
+    val q1 = emb.filter(col("vec_id") === 2).select(col("embedding").as("qvec"))
+    val pinned = spark.read.parquet(s"$root1/cells")
+    val n1 = pinned.count()
+    // re-quantize over the FULL corpus: one manifest swap publishes gen-2
+    Similarity.ivfWriteIndex(emb, dir, nCells = 8)
+    val root2 = Similarity.ivfIndexRoot(spark, dir)
+    assert(root2.endsWith("gen-2"))
+    // new readers resolve gen-2 and see every vector
+    val got = Similarity.ivfTopKFromIndex(spark, dir, q1, 5, nProbe = 3)
+      .as[(Long, Double)].collect()
+    assert(got.head._1 === 2L && math.abs(got.head._2 - 1.0) < 1e-9)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // gen-1 survives one cycle for in-flight readers (the pinned plan still works)...
+    assert(pinned.count() === n1)
+    // ...and a THIRD write collects it
+    Similarity.ivfWriteIndex(emb, dir, nCells = 8)
+    val gens = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("gen-")).toSet
+    assert(gens === Set("gen-2", "gen-3"), s"stale generations: $gens")
   }
 
   // ---- batched multi-query ANN (one join + grouped heap, no driver loop) --
