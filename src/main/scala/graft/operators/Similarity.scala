@@ -435,6 +435,107 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched approximate top-k against a STORED index: every query picks
+    * its nProbe cells from the index's own centroids (map-side broadcast
+    * argmin), candidates come from one equi-join on `cell_id` against the
+    * cell partitions, heads from the grouped bounded heap. The partition-
+    * pruned scan of [[ivfTopKFromIndex]] generalizes here to "cells some
+    * query probes": the pushed `cell_id` equi-join key prunes at the
+    * row-group level, and a deployment can pre-filter the read to the
+    * union of probed cells when the query batch is driver-bounded. */
+  def ivfBatchTopKFromIndex(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid"): DataFrame = {
+    val root = ivfIndexRoot(spark, path)
+    val centroids = spark.read.parquet(s"$root/_centroids")
+    if (centroids.isEmpty) {
+      // empty index/quantizer: nothing to probe, and an empty partitioned
+      // write left no cell files to read
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(qidCol, LongType), StructField(idCol, LongType),
+          StructField("cos", DoubleType), StructField("rank", LongType))))
+    }
+    val centArr = centroids
+      .agg(sort_array(collect_list(struct(col("cell_id"), col("centroid"))))
+        .as("__cents"))
+    val probes = queries.crossJoin(broadcast(centArr))
+      .withColumn("__probe", explode(slice(array_sort(
+        transform(col("__cents"), c =>
+          struct(l2sq(col("qvec"), c.getField("centroid")).as("d2"),
+            c.getField("cell_id").as("cell_id")))), 1, nProbe)))
+      .select(col(qidCol), col("qvec"), col("__probe.cell_id").as("cell_id"))
+    groupedTopK(
+      spark.read.parquet(s"$root/cells").join(probes, Seq("cell_id"))
+        .select(col(qidCol), col(idCol),
+          cosine(col(vecCol), col("qvec")).as("cos")),
+      k, qidCol, idCol)
+  }
+
+  /** Per-cell stored byte sizes of an IVF index — pure FILESYSTEM METADATA
+    * (directory listing; zero data files opened, so it is safe to run
+    * after every ingest batch even at 100 TB). Returns cell_id → bytes
+    * for every cell partition present on disk. */
+  def ivfCellBytes(spark: SparkSession, path: String): Map[Long, Long] = {
+    val root = new org.apache.hadoop.fs.Path(ivfIndexRoot(spark, path), "cells")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Map.empty
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell_id="))
+      .map { st =>
+        val id = st.getPath.getName.stripPrefix("cell_id=").toLong
+        val bytes = fs.listStatus(st.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+        id -> bytes
+      }.toMap
+  }
+
+  /** Re-quantize advisor: true when accumulated [[ivfAppendToIndex]] drift
+    * has degraded the cell layout enough that a fresh [[ivfWriteIndex]]
+    * pays for itself. Trigger: the hottest cell holds more than
+    * `maxImbalance`× the mean cell size (default 4 — the same bound
+    * SimilaritySpec holds a FRESH quantizer to, so the predicate fires
+    * exactly when the layout is worse than a rebuild would produce).
+    * A hot cell is the IVF failure mode: probe cost is cell occupancy, so
+    * one runaway cell makes every query probing it pay a near-full-scan,
+    * and at 100 TB it is also the straggler partition. Metadata-only
+    * (directory sizes) — run it after every append batch; measure actual
+    * recall decay with [[ivfRecallAt]] on a sampled query set when the
+    * predicate fires. */
+  def ivfShouldRequantize(spark: SparkSession, path: String,
+      maxImbalance: Double = 4.0): Boolean = {
+    val sizes = ivfCellBytes(spark, path).values
+    if (sizes.isEmpty) return false
+    val mean = sizes.sum.toDouble / sizes.size
+    mean > 0 && sizes.max > maxImbalance * mean
+  }
+
+  /** Measured recall@k of the stored index for a query batch: the mean
+    * fraction of each query's true (brute-force) top-k over the index's
+    * own vectors that the probed search returns. A DIAGNOSTIC — it reads
+    * the full index once for the brute-force baseline, so run it on a
+    * sampled query set when [[ivfShouldRequantize]] fires, not per batch. */
+  def ivfRecallAt(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid"): Double = {
+    val root = ivfIndexRoot(spark, path)
+    val corpus = spark.read.parquet(s"$root/cells")
+    val exact = batchBruteForceTopK(corpus, queries, k, idCol, vecCol, qidCol)
+      .select(col(qidCol), col(idCol))
+    val got = ivfBatchTopKFromIndex(spark, path, queries, k, nProbe,
+      idCol, vecCol, qidCol)
+      .select(col(qidCol), col(idCol))
+    val n = queries.count()
+    if (n == 0) return 1.0
+    val totalHits = exact.intersect(got)
+      .agg(coalesce(count(lit(1)), lit(0L))).collect().head.getLong(0)
+    totalHits.toDouble / (n * k)
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication",
     * 2023 — published method): the deterministic sampled-k-means coarse

@@ -130,6 +130,52 @@ class SimilaritySpec extends SparkSpec {
     assert(got.head._1 === 1L && math.abs(got.head._2 - 1.0) < 1e-9)
   }
 
+  test("IVF health: append drift degrades cell balance; ivfShouldRequantize fires; rebuild heals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-drift").toString + "/index"
+    Similarity.ivfWriteIndex(emb, dir, nCells = 8)
+    // fresh quantizer over the live distribution: balanced, no rebuild advised
+    assert(!Similarity.ivfShouldRequantize(spark, dir),
+      s"fresh index flagged for rebuild: ${Similarity.ivfCellBytes(spark, dir)}")
+    // drifted ingest: three batches from a DIFFERENT distribution (tight
+    // cluster far from the corpus — e.g. a new embedding model version);
+    // the frozen quantizer funnels them all into whichever cell is nearest
+    (1 to 3).foreach { b =>
+      val drifted = emb
+        .withColumn("vec_id", col("vec_id") + lit(b * 100000L))
+        .withColumn("embedding",
+          transform(col("embedding"), x => (x * 0.01f + 10.0f).cast("float")))
+      Similarity.ivfAppendToIndex(drifted, dir)
+    }
+    val bytes = Similarity.ivfCellBytes(spark, dir)
+    val mean = bytes.values.sum.toDouble / bytes.size
+    info(f"post-drift hot cell: max ${bytes.values.max} bytes vs mean $mean%.0f (${bytes.values.max / mean}%.1fx)")
+    assert(Similarity.ivfShouldRequantize(spark, dir),
+      s"drifted index not flagged: $bytes")
+    // measured recall on a drifted query sample — the diagnostic a
+    // deployment runs when the predicate fires
+    val qs = emb.filter(col("vec_id") < 400 && col("vec_id") % 40 === 0)
+      .select((col("vec_id") + 100000L).as("qid"),
+        transform(col("embedding"), x => (x * 0.01f + 10.0f).cast("float")).as("qvec"))
+    val recallDrifted = Similarity.ivfRecallAt(spark, dir, qs, k = 10, nProbe = 2)
+    // a fresh rewrite over the full (shifted) contents re-balances and
+    // clears the advisory — the documented remedy
+    val all = spark.read.parquet(
+      s"${Similarity.ivfIndexRoot(spark, dir)}/cells").drop("cell_id")
+    Similarity.ivfWriteIndex(all, dir, nCells = 8)
+    assert(!Similarity.ivfShouldRequantize(spark, dir),
+      s"rebuilt index still flagged: ${Similarity.ivfCellBytes(spark, dir)}")
+    val recallFresh = Similarity.ivfRecallAt(spark, dir, qs, k = 10, nProbe = 2)
+    info(f"recall@10 (nProbe=2): drifted quantizer $recallDrifted%.2f, rebuilt $recallFresh%.2f")
+    // recall alone cannot flag this failure: the drifted layout scores
+    // PERFECT recall for in-cluster queries precisely because probing the
+    // hot cell is a near-full scan (recall bought at unbounded cost) —
+    // which is why the advisory keys on BALANCE, with recall as the floor
+    // check that the rebuilt layout still answers at a bounded probe budget
+    assert(recallDrifted >= 0.9,
+      f"hot-cell recall should be trivially high, got $recallDrifted%.2f")
+    assert(recallFresh >= 0.5, f"rebuilt recall implausibly low: $recallFresh%.2f")
+  }
+
   test("IVF re-quantize publishes atomically through the generation manifest") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-gen").toString + "/index"
     val half = emb.filter(col("vec_id") % 2 === 0)
