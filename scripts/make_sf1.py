@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""One-off sf1.0 fixture builder for the scale-evidence bench run
+(BENCH_NOTES.md): 10x sf0.1, documents + lineitem only (the tables the 10
+heaviest queries read). Replica texts are deterministically word-shuffled
+(seeded per copy+doc) so copies keep the corpus's token histogram — token
+counts, quality blends and unigram stats stay realistic — WITHOUT forming
+artificial near-dup clusters: verbatim replication would hand every doc 9
+exact twins and turn the dedup queries' pair joins quadratic in the
+replica count, measuring the fixture instead of the engine.
+
+Usage: make_sf1.py [outDir]    (default target/sf1.0)
+"""
+import random
+import sys
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = Path("/root/testdata/sf0.1")
+OUT = Path(sys.argv[1] if len(sys.argv) > 1 else "target/sf1.0")
+COPIES = 10
+
+OUT.mkdir(parents=True, exist_ok=True)
+
+# ---- documents: shift ids, shuffle replica word order deterministically ----
+docs = pq.read_table(SRC / "documents.parquet")
+cols = {c: docs.column(c).to_pylist() for c in docs.column_names}
+n = docs.num_rows
+out = {c: [] for c in docs.column_names}
+for i in range(COPIES):
+    for r in range(n):
+        out["doc_id"].append(cols["doc_id"][r] + i * 10_000_000)
+        out["lang"].append(cols["lang"][r])
+        out["source"].append(cols["source"][r])
+        t = cols["text"][r]
+        if i > 0 and t:
+            words = t.split(" ")
+            rng = random.Random(i * 1_000_000_007 + cols["doc_id"][r])
+            rng.shuffle(words)
+            # salt ~1/13 of tokens: word shuffling alone keeps the token
+            # MULTISET identical, which leaves bag-of-words fingerprints
+            # (SimHash) byte-identical across replicas — 45 artificial
+            # hamming-0 pairs per source doc would then measure the
+            # fixture, not the engine
+            for p in range(i % 13, len(words), 13):
+                words[p] = f"w{i}{words[p]}"
+            t = " ".join(words)
+        out["text"].append(t)
+        out["n_chars"].append(len(t))
+pq.write_table(
+    pa.table(out, schema=docs.schema), OUT / "documents.parquet")
+print(f"documents: {n} -> {n * COPIES} rows")
+
+# ---- lineitem: shift order keys ----
+li = pq.read_table(SRC / "lineitem.parquet")
+parts = []
+for i in range(COPIES):
+    t = li.set_column(
+        li.column_names.index("l_orderkey"), "l_orderkey",
+        pa.compute.add(li.column("l_orderkey"), i * 100_000_000))
+    parts.append(t)
+pq.write_table(pa.concat_tables(parts), OUT / "lineitem.parquet")
+print(f"lineitem: {li.num_rows} -> {li.num_rows * COPIES} rows")

@@ -78,10 +78,22 @@ object Bench {
       }
     }
     val results = battery.map(q => q.name -> times(q.name).min)
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    // the COMPLETE per-query map goes to a FILE: the driver captures only a
+    // ~2000-char stdout tail, which a 100+-query map overflows — r8–r10's
+    // BENCH_r{N}.json all had parsed:null and a truncated map because the
+    // one fat JSON line outgrew the window. The file is the machine-readable
+    // record (committed with the round); stdout carries a compact line
+    // (total + the 8 headline queries + a pointer) that always parses.
+    val full = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","cpus":$cpus}"""
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json"))
+    java.nio.file.Files.writeString(outFile, full + "\n")
+    val headlineSet = battery.filter(_.headline).map(_.name).toSet
+    val compact = results.filter(p => headlineSet.contains(p._1))
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(compact)},"sf":"$sfDir","n_queries":${results.size},"queries_file":"${outFile.toAbsolutePath}"}""")
     spark.stop()
   }
 }

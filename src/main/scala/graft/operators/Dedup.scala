@@ -543,6 +543,55 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
+  /** Decontamination at benchmark scales where even the DISTINCT n-gram
+    * set outgrows an exact broadcast (a 10⁹-gram eval suite is gigabytes
+    * of strings; a bloom of it is tens of megabytes): a Bloom filter of
+    * the benchmark grams — built DISTRIBUTED by Spark's
+    * `BloomFilterAggregate` (partial filters per task, OR-merged; the
+    * same machinery AQE's runtime row-group filtering uses, reached
+    * through the sanctioned catalyst bridge because it is not in the
+    * public function registry) — prefilters the corpus explode MAP-SIDE,
+    * and only the survivors (matches + ~fpp of the rest) pay the exact
+    * semi-join verification. The finished sketch is driver-collected and
+    * inlined as a FOLDABLE binary literal — bounded by `nBits` (CONFIG,
+    * never data: ~1.2 MB at the defaults), the same class of
+    * driver-side decision as a broadcast threshold, and the form
+    * `BloomFilterMightContain` requires (constant or scalar subquery).
+    * Output is EXACT, identical to [[contaminated]]: a bloom has no false
+    * negatives, and the verify join kills its false positives — the
+    * filter only shrinks the volume entering the gram shuffle, by ~1/fpp
+    * for a mostly-clean corpus (the common case: contamination is rare).
+    * `expectedGrams` sizes the filter (bits ≈ -n·ln(fpp)/ln²2); an
+    * undersized filter degrades fpp, never correctness. */
+  def contaminatedBloom(docs: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, n: Int = 13,
+      expectedGrams: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.bridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val benchGrams = benchmark
+      .select(explode(shingles(col(textCol), n)).as("__g")).distinct()
+    val nBits = math.ceil(
+      -expectedGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bloomAgg = column(new BloomFilterAggregate(
+      expression(xxhash64(col("__g"))),
+      expression(lit(expectedGrams)), expression(lit(nBits)))
+      .toAggregateExpression())
+    val bloomBytes = benchGrams.agg(bloomAgg.as("__bloom"))
+      .head().getAs[Array[Byte]](0)
+    val bloomLit =
+      if (bloomBytes == null) lit(null).cast("binary") // empty benchmark
+      else lit(bloomBytes)
+    docs.select(col(idCol),
+        explode(array_distinct(shingles(col(textCol), n))).as("__g"))
+      .filter(column(new BloomFilterMightContain(
+        expression(bloomLit), expression(xxhash64(col("__g"))))))
+      .join(benchGrams, Seq("__g"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_contaminated_ngrams"))
+  }
+
   /** Keep-one collapse over verified near-dup pairs: every doc maps to the
     * MINIMUM id of its connected component ([[canonicalLabels]] — fully
     * transitive, so for chain pairs (a,b),(b,c) doc c resolves to a). Docs

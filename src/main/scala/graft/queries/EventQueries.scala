@@ -192,6 +192,39 @@ object EventQueries {
       FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
       WHERE user_id < 10
       WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""))
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")),
+
+    // ---- Bucketized point-in-interval join --------------------------------
+    // Each user's first-30-minutes window joined back to their event
+    // stream. A bare BETWEEN join is a nested-loop plan (the non-equi
+    // scale killer); IntervalJoin aligns both sides on 10-minute buckets
+    // — intervals explode to covered buckets, each point owns ONE bucket
+    // — so the plan is a plain hash equi-join on (user_id, bucket) with
+    // the exact containment as a join-condition filter, each pair emitted
+    // once by construction. The oracle runs the naive BETWEEN join: two
+    // routes, one answer (the bucketing is invisible in the result).
+    Q("q121_interval_join", (s, dir) => {
+      val ev = table(s, dir, "events")
+      val iv = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 30 MINUTES"))
+      graft.operators.IntervalJoin.pointInInterval(
+          ev.select(col("event_id"), col("user_id"), col("ts")), "ts",
+          iv, "w_start", "w_end",
+          bucketMicros = 10L * 60 * 1000000, keyCols = Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_in_window"),
+          sum(col("event_id")).as("sum_ids"))
+    }, Some("""
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      iv AS (SELECT user_id, MIN(ts) AS w_start,
+               MIN(ts) + INTERVAL 30 MINUTE AS w_end
+             FROM e GROUP BY user_id)
+      SELECT e.user_id, COUNT(*) AS n_in_window,
+        CAST(SUM(event_id) AS BIGINT) AS sum_ids
+      FROM e JOIN iv ON e.user_id = iv.user_id
+        AND e.ts >= iv.w_start AND e.ts <= iv.w_end
+      GROUP BY e.user_id"""))
   )
 }

@@ -652,6 +652,41 @@ object TextQueries {
       GROUP BY source"""
     }),
 
+    // ---- Bloom-prefiltered decontamination (the broadcast-overflow path) --
+    // q82's exact answer through the scale path for benchmark suites whose
+    // DISTINCT n-gram set outgrows an exact broadcast: a Bloom filter of
+    // the benchmark grams (built DISTRIBUTED by BloomFilterAggregate, the
+    // finished config-bounded sketch inlined as a foldable literal)
+    // prefilters the corpus explode map-side; only survivors (matches +
+    // ~fpp noise) pay the exact semi-join verification. The oracle is
+    // q82's exact SQL — blooms have no false negatives and the verify
+    // join kills false positives, so the answer is IDENTICAL and the
+    // filter is invisible in the result.
+    Q("q120_bloom_decontamination", (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bench = docs.filter(col("source") === "src0")
+      val corpus = docs.filter(col("source") =!= "src0")
+      val hits = graft.operators.Dedup.contaminatedBloom(
+        corpus, bench, "text", "doc_id", n = 3,
+        expectedGrams = 1L << 18, fpp = 0.01)
+      corpus.select(col("doc_id"), col("source")).join(hits, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_contaminated_docs"),
+          sum(col("n_contaminated_ngrams")).as("n_overlap_ngrams"))
+    }, Some {
+      val sh3 = s"list_distinct(list_transform(generate_series(1, GREATEST(len($TOKS)-2, 0)), i -> array_to_string(($TOKS)[i:i+2], ' ')))"
+      s"""
+      WITH bg AS (
+        SELECT DISTINCT unnest($sh3) AS g FROM documents WHERE source = 'src0'),
+      dg AS (
+        SELECT doc_id, source, unnest($sh3) AS g
+        FROM documents WHERE source <> 'src0')
+      SELECT source, COUNT(DISTINCT doc_id) AS n_contaminated_docs,
+        COUNT(*) AS n_overlap_ngrams
+      FROM dg JOIN bg USING (g)
+      GROUP BY source"""
+    }),
+
     // ---- Unigram NLL (CCNet-style perplexity proxy) -----------------------
     // Per-doc mean -ln p(token) under the corpus's own unigram model,
     // aggregated per source. ln differs across libm in the last ulp, so

@@ -43,12 +43,15 @@ object CommittedTable {
   private def unesc(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(v)
 
-  /** Manifest = generation number + (partition value → segment dir name).
-    * Serialized one entry per line (`gen=<n>` header, then
-    * `<escaped value>\t<dir>`), tiny by construction. */
-  private[sources] final case class Manifest(gen: Long, segments: Map[String, String])
+  /** Manifest = generation number + the table's column list (the schema-
+    * evolution record: segments written before a widen lack the newer
+    * columns and NULL-fill on read) + (partition value → segment dir
+    * name). Serialized line-oriented (`gen=<n>`, `cols=<tab-joined>`,
+    * then `<escaped value>\t<dir>`), tiny by construction. */
+  private[graft] final case class Manifest(gen: Long, cols: Seq[String],
+      segments: Map[String, String])
 
-  private[sources] def readManifest(fs: FileSystem, table: Path): Option[Manifest] = {
+  private[graft] def readManifest(fs: FileSystem, table: Path): Option[Manifest] = {
     val p = new Path(table, Commit)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
@@ -60,13 +63,19 @@ object CommittedTable {
       case other => throw new java.io.IOException(
         s"corrupt manifest $p: expected gen=<n> header, got $other")
     }
-    val segs = lines.tail.filter(_.nonEmpty).map { l =>
+    val cols = lines.lift(1) match {
+      case Some(c) if c.startsWith("cols=") =>
+        c.stripPrefix("cols=").split('\t').toSeq.filter(_.nonEmpty)
+      case other => throw new java.io.IOException(
+        s"corrupt manifest $p: expected cols=<...> header, got $other")
+    }
+    val segs = lines.drop(2).filter(_.nonEmpty).map { l =>
       l.split('\t') match {
         case Array(v, d) => unesc(v) -> d
         case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
       }
     }.toMap
-    Some(Manifest(gen, segs))
+    Some(Manifest(gen, cols, segs))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
@@ -81,7 +90,7 @@ object CommittedTable {
     val tmp = new Path(table, Commit + ".tmp")
     val out = fs.create(tmp, true)
     try {
-      val body = (s"gen=${m.gen}" +:
+      val body = (s"gen=${m.gen}" +: s"cols=${m.cols.mkString("\t")}" +:
         m.segments.toSeq.sortBy(_._1).map { case (v, d) => s"${esc(v)}\t$d" })
         .mkString("", "\n", "\n")
       out.write(body.getBytes("UTF-8"))
@@ -135,7 +144,7 @@ object CommittedTable {
       s"$path already holds a committed table; use merge for updates")
     fs.mkdirs(table)
     val staged = stageSegments(df, path, partitionCol, gen = 1L)
-    swapManifest(hconf, table, Manifest(1L, staged))
+    swapManifest(hconf, table, Manifest(1L, df.columns.toSeq, staged))
     fs.delete(new Path(path + ".ct-staging"), true)
   }
 
@@ -189,18 +198,29 @@ object CommittedTable {
       case Some(vs) => val keep = vs.toSet; m.segments.view.filterKeys(keep).toMap
       case None => m.segments
     }
-    if (wanted.isEmpty) {
-      // prune-to-nothing (or empty table): preserve schema from any live
-      // segment when one exists, else fail — an empty table has no schema
-      if (m.segments.isEmpty)
-        throw new java.io.IOException(s"committed table $path is empty; no schema")
-      return spark.read
-        .parquet(new Path(table, m.segments.values.head).toString)
-        .filter(lit(false))
-    }
+    if (m.segments.isEmpty)
+      throw new java.io.IOException(s"committed table $path is empty; no schema")
+    // types come from ONE probe of a newest-generation segment — the merge
+    // that introduced the current manifest wrote its segments with the
+    // FULL current column list, so after a schema widen the older
+    // segments' missing columns NULL-fill by-name under the explicit
+    // schema (zero extra footers read; never a mergeSchema sweep)
+    val newestDir = m.segments.values.maxBy(genOf)
+    val probed = spark.read.parquet(new Path(table, newestDir).toString).schema
+    val schema = org.apache.spark.sql.types.StructType(
+      m.cols.map(c => probed.find(_.name == c).getOrElse(
+        throw new java.io.IOException(
+          s"manifest column $c absent from newest segment $newestDir"))))
+    if (wanted.isEmpty)
+      // prune-to-nothing: schema preserved, statically no rows
+      return spark.read.schema(schema)
+        .parquet(new Path(table, newestDir).toString).filter(lit(false))
     val dirs = wanted.values.toSeq.sorted.map(d => new Path(table, d).toString)
-    spark.read.parquet(dirs: _*)
+    spark.read.schema(schema).parquet(dirs: _*)
   }
+
+  private def genOf(segDir: String): Long =
+    segDir.stripPrefix("seg-g").takeWhile(_.isDigit).toLong
 
   /** Keyed latest-version-wins merge with an ATOMIC publish: identical
     * merge semantics to [[Warehouse.merge]] (same affected-partition set,
@@ -211,6 +231,7 @@ object CommittedTable {
     * and prove old-or-new visibility. */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       key: String, versionCol: String, partitionCol: String,
+      allowAddColumns: Boolean = false,
       crashPoint: String => Unit = _ => ()): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
@@ -222,12 +243,23 @@ object CommittedTable {
         && updates.columns.contains(versionCol),
       s"updates must carry $key, $versionCol, $partitionCol")
 
-    val existing = read(spark, path)
-    require(existing.columns.sorted.toSeq == updates.columns.sorted.toSeq,
-      s"updates schema ${updates.columns.sorted.mkString(",")} must match table " +
-        s"${existing.columns.sorted.mkString(",")}")
-    val cols = existing.columns
+    // same evolution contract as Warehouse.merge, recorded in the manifest
+    // itself (the natural home for table schema): adds allowed behind the
+    // opt-in, drops/renames rejected loudly
+    val dropped = m.cols.toSet -- updates.columns.toSet
+    require(dropped.isEmpty,
+      s"updates are missing table columns ${dropped.mkString(",")}: dropping " +
+        "or renaming a column is not supported by merge")
+    val added = updates.columns.toSeq.filterNot(m.cols.contains)
+    require(added.isEmpty || allowAddColumns,
+      s"updates carry columns ${added.mkString(",")} the table lacks; pass " +
+        "allowAddColumns=true to widen the schema")
+    val cols = (m.cols ++ added).toArray
     val upd = updates.withColumn(partitionCol, col(partitionCol).cast("string"))
+    // a fully-retired table (every partition emptied by key moves) still
+    // accepts an insert-only batch: its "existing rows" are simply none
+    val existing =
+      if (m.segments.isEmpty) upd.filter(lit(false)) else read(spark, path)
 
     // affected = partitions receiving updates ∪ partitions holding an
     // updated key (key moves shed the old copy) — same metadata-bounded
@@ -242,12 +274,14 @@ object CommittedTable {
     if (affected.isEmpty) return
 
     // latest version per key over (existing rows of affected partitions —
-    // manifest-pruned read — ∪ the update batch)
+    // manifest-pruned read — ∪ the update batch); allowMissingColumns
+    // NULL-fills a widened column for the existing side
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(key)).orderBy(col(versionCol).desc)
-    val merged = read(spark, path, Some(affected.toIndexedSeq))
+    val merged = (if (m.segments.isEmpty) upd.filter(lit(false))
+      else read(spark, path, Some(affected.toIndexedSeq)))
+      .unionByName(upd, allowMissingColumns = true)
       .select(cols.map(col).toIndexedSeq: _*)
-      .unionByName(upd.select(cols.map(col).toIndexedSeq: _*))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
 
@@ -259,7 +293,7 @@ object CommittedTable {
     // new manifest: affected entries replaced by their staged segments; an
     // affected partition with NO staged segment lost its last row to a key
     // move — dropping its entry IS its retirement
-    val next = Manifest(gen,
+    val next = Manifest(gen, cols.toSeq,
       (m.segments -- affected) ++ staged.view.filterKeys(affected.contains))
     crashPoint("before-swap")
     swapManifest(hconf, table, next)

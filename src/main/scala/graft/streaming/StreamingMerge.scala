@@ -59,4 +59,37 @@ object StreamingMerge {
         } finally batch.unpersist()
       }
   }
+
+  /** [[toWarehouse]] against a [[graft.sources.CommittedTable]]: identical
+    * delivery semantics (at-least-once foreachBatch × idempotent
+    * latest-version-wins merge ⇒ effectively exactly-once; stale batches
+    * cannot clobber), with the ATOMIC publish on top — readers polling the
+    * table between micro-batches resolve one committed generation, never a
+    * mid-publish mix, and a batch that crashes mid-merge leaves the
+    * previous generation fully visible until the retry lands. The
+    * single-writer contract holds by construction: one streaming query IS
+    * the one writer. */
+  def toCommitted(
+      updates: DataFrame,
+      path: String,
+      key: String,
+      versionCol: String,
+      partitionCol: String,
+      checkpoint: String,
+      availableNow: Boolean = true,
+      interval: String = "30 seconds"): DataStreamWriter[Row] = {
+    val trigger =
+      if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(interval)
+    updates.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            graft.sources.CommittedTable.merge(batch.sparkSession, path, batch,
+              key, versionCol, partitionCol)
+        } finally batch.unpersist()
+      }
+  }
 }

@@ -153,6 +153,102 @@ object ExplainDump {
         |O(n) rolling pass per document), and n/sum/min/max collapse the
         |fingerprint array map-side in the same stage — per-document output
         |never shuffles.""".stripMargin,
+    "q101_heavy_hitters" ->
+      """Wants (pass 2 of the sketch-then-verify plan; pass 1 — the
+        |Misra-Gries summary — ran eagerly as an ObjectHashAggregate whose
+        |partials are ≤ k-entry maps, so the shuffle moved sketches, never
+        |the distinct-token set): the ≤ k candidate tokens as a PUSHED isin
+        |filter riding the explode output, then the standard partial→final
+        |count — the exact re-count touches candidate rows only, and no
+        |per-distinct-token global aggregate appears anywhere (q84's shape,
+        |which this operator exists to replace at 100 TB).""".stripMargin,
+    "q104_grouped_topk" ->
+      """Wants: a partial ObjectHashAggregate BELOW the exchange whose
+        |buffer is the bounded k-heap — each task forwards at most k
+        |(id, score) pairs PER GROUP into the shuffle regardless of input
+        |size (the aggregator analogue of WindowGroupLimit), the final
+        |merge is heap-merge, and the posexplode is a post-agg projection.
+        |No window, no sort of the group's full row set.""".stripMargin,
+    "q106_stratified_exact" ->
+      """Wants: ONE hash exchange on the stratum key feeding a
+        |partition-local sort for the rank window (never a global sort),
+        |the rn <= n filter immediately above the window, and the md5 rank
+        |key computed map-side below the exchange. Exactly-n-per-group is
+        |window arithmetic, so no second pass and no per-group count join
+        |appears.""".stripMargin,
+    "q110_rollup_grouping_id" ->
+      """Wants: ONE Expand node generating the rollup's three grouping sets
+        |from a single scan (grouping_id rides Expand's gid column — no
+        |union of three aggregates, no triple read), then the standard
+        |partial→exchange→final aggregate over the expanded rows.""".stripMargin,
+    "q111_setops_all" ->
+      """Wants: INTERSECT ALL / EXCEPT ALL as single joint aggregations of
+        |the two tagged sides with min/least count arithmetic (Spark plans
+        |them via a row_number-free replicate-and-count rewrite), NOT as
+        |per-row existence subqueries; one exchange per set operation keyed
+        |on the value tuple.""".stripMargin,
+    "q112_nullsafe_join" ->
+      """Wants: the <=> predicate as the EQUI-JOIN KEY (null-safe equality
+        |is hash-partitionable: NULL hashes to a bucket like any value —
+        |Coalesce(key) keying in the exchange), so the plan is a plain
+        |hash join; the naive OR-form (a = b OR (a IS NULL AND b IS NULL))
+        |would have degenerated to a nested-loop join.""".stripMargin,
+    "q113_higher_order" ->
+      """Wants: every lambda (transform/filter/aggregate/zip_with) fused
+        |into ONE map-side projection over the scan — higher-order
+        |functions evaluate per-row inside codegen'd stages, no explode,
+        |no join, no exchange before the final small aggregate.""".stripMargin,
+    "q114_agg_surface" ->
+      """Wants: count_if/bool_and/bool_or/max_by/min_by all as ONE
+        |partial→exchange→final aggregate pair over a single scan — the
+        |arg-extremes carry (key, ordering-double) pairs in the partial
+        |buffers; no window, no self-join, no second read for the
+        |boolean/conditional aggregates.""".stripMargin,
+    "q115_ann_batch_topk" ->
+      """Wants: the corpus signature as a map-side codegen'd projection
+        |(hyperplanesig kernel) off one scan; the query table's 9-bucket
+        |multi-probe set as an explode of sig XOR mask — metadata-cheap,
+        |9 rows per query; ONE equi-join on sig (broadcast here; shuffle-
+        |hash on a cluster where the query table outgrows broadcast); and
+        |the per-query heads as the bounded-heap ObjectHashAggregate of
+        |q104 — ≤ k pairs per (task, query) enter the exchange. NO per-
+        |query scan, NO driver loop, NO global sort: batched ANN is one
+        |join + one aggregation.""".stripMargin,
+    "q117_winnow_incremental" ->
+      """Wants: the df VALVE FIRST in both arms — fingerprint document
+        |frequency as a partial-aggregated COUNT (constant memory per key)
+        |BEFORE any posting join, so template fingerprints die as counters,
+        |never as arrays; batch-1 pairs via the posting equi-join on __fp;
+        |batch-2 pairs via newPosts ⋈ allPosts on __fp with the pair
+        |dedupe (DISTINCT on pair+fp) ahead of the n_shared count. The
+        |corpus text is fingerprinted once per side — batch 2 never
+        |re-hashes batch 1 (its postings arrive as a stored relation).""".stripMargin,
+    "q118_ann_batch_bruteforce" ->
+      """Wants: ONE corpus scan crossed with the BROADCAST query batch
+        |(the exactness baseline is |corpus|×|queries| scores by
+        |definition — the join must not shuffle the corpus), cosine in a
+        |codegen'd projection, and the grouped bounded-heap aggregate
+        |shipping ≤ k pairs per (task, query).""".stripMargin,
+    "q120_bloom_decontamination" ->
+      """Wants: q82's shape with a BLOOM VALVE spliced in — the benchmark
+        |side aggregated to ONE binary sketch (BloomFilterAggregate:
+        |partial filters built per task, OR-merged once; the finished
+        |config-bounded sketch rides the plan as a FOLDABLE literal, so
+        |might_contain needs no join at all); the valve filters the
+        |corpus explode MAP-SIDE before the gram shuffle; the exact
+        |semi-join on surviving grams restores exactness. At 100 TB the
+        |semi-join's left side is ~matches + fpp of the corpus grams
+        |instead of ALL of them — the valve shrinks the only corpus-keyed
+        |exchange by ~1/fpp.""".stripMargin,
+    "q121_interval_join" ->
+      """Wants: NO BroadcastNestedLoopJoin, NO CartesianProduct — the
+        |shapes Spark plans for a bare BETWEEN join. The interval side
+        |explodes to covered 10-minute buckets (Generate off a tiny
+        |aggregate), the point side computes its ONE bucket in a map-side
+        |projection, and the join is a plain hash equi-join on
+        |(user_id, bucket) with exact containment as a join-condition
+        |filter. Pairs are unique by construction — no post-join
+        |distinct appears.""".stripMargin,
     "q80_bucketed_sample" ->
       """Wants (READ PATH — the write is once-per-process fixture setup, see
         |WarehouseSpec for the write-side layout assertions): PartitionFilters
@@ -308,6 +404,61 @@ object ExplainDump {
         val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
         graft.operators.Similarity.ivfTopK(emb, query, 10, nCells = 16, nProbe = 4)
       })
+    // warehouse read paths (q100/q116/q119 hash LocalTableScans of collected
+    // summaries, so the plan evidence lives in the READS a deployment
+    // repeats against the merged tables) — built on a small fixture here
+    locally {
+      import org.apache.spark.sql.functions._
+      val tmp = Files.createTempDirectory("graft-explain-wh")
+      val whDir = s"$tmp/wh"
+      val ctDir = s"$tmp/ct"
+      val base = Registry.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", org.apache.spark.sql.functions.lit(1L))
+      base.repartition(col("o_orderstatus"))
+        .write.partitionBy("o_orderstatus").parquet(whDir)
+      val widened = base.filter(col("o_orderkey") % 17 === 0)
+        .withColumn("version", lit(2L))
+        .withColumn("source", lit("feed-7"))
+      graft.sources.Warehouse.merge(spark, whDir, widened,
+        "o_orderkey", "version", "o_orderstatus", allowAddColumns = true)
+      section("q116_merge_schema_evolution (Warehouse.readEvolved path)",
+        """Wants: ONE FileSourceScan whose ReadSchema already carries the
+          |widened column (explicit by-name schema from the sidecar — zero
+          |extra footers read, vs mergeSchema's full footer sweep);
+          |old-generation files NULL-fill it at scan time, so no join, no
+          |union, no per-generation branch appears. Partition predicates
+          |still prune: the partition column rides the explicit schema as
+          |the raw directory string.""".stripMargin,
+        graft.sources.Warehouse.readEvolved(spark, whDir, "o_orderstatus")
+          .filter(col("o_orderstatus") === "F"))
+      graft.sources.CommittedTable.write(base, ctDir, "o_orderstatus")
+      section("q119_committed_merge (CommittedTable.read, manifest-pruned)",
+        """Wants: the scan's ROOT PATHS are exactly the manifest's segment
+          |dirs for the requested partition values — pruning happened on the
+          |driver as a manifest list filter BEFORE any file listing, one
+          |step cheaper than directory-discovery PartitionFilters (an
+          |unselected segment is never even enumerated). The segment files
+          |carry the partition column as a data column, so the multi-root
+          |read stays ONE FileSourceScan with a normal ReadSchema.""".stripMargin,
+        graft.sources.CommittedTable.read(spark, ctDir, Some(Seq("F"))))
+      section("q100_warehouse_merge (partition-pruned merge read)",
+        """Wants: the literal isin partition predicate entirely in
+          |PartitionFilters (the merge's existing-rows read plans ONLY the
+          |affected partitions — untouched partitions are never listed,
+          |opened, or rewritten, which is the whole point at 100 TB), data
+          |filters empty, and the scan feeding the latest-version window's
+          |single exchange on the key.""".stripMargin, {
+          import org.apache.spark.sql.expressions.Window
+          val existing = spark.read.parquet(whDir)
+          val w = Window.partitionBy(col("o_orderkey"))
+            .orderBy(col("version").desc)
+          existing.filter(col("o_orderstatus").isin("F", "O"))
+            .withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+        })
+    }
+
     Files.write(Paths.get("EXPLAIN.md"), sb.toString.getBytes("UTF-8"))
     val nSections = sb.toString.linesIterator.count(_.startsWith("## "))
     println(s"wrote EXPLAIN.md ($nSections plans)")

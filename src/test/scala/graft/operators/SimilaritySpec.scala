@@ -255,6 +255,18 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("batched IVF from stored index == in-memory batched IVF (same quantizer)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-batch").toString + "/index"
+    Similarity.ivfWriteIndex(emb, dir, nCells = 8)
+    val fromIndex = collectBatch(
+      Similarity.ivfBatchTopKFromIndex(spark, dir, queryBatch, 10, nProbe = 3))
+    // the deterministic quantizer makes the in-memory recompute identical
+    // to the stored centroids, so the two paths must agree exactly
+    val inMem = collectBatch(
+      Similarity.ivfBatchTopK(emb, queryBatch, 10, nCells = 8, nProbe = 3))
+    assert(fromIndex === inMem)
+  }
+
   test("batched LSH recall@10 vs batched brute force: measured, self found") {
     val exact = collectBatch(Similarity.batchBruteForceTopK(emb, queryBatch, 10))
     val approx = collectBatch(

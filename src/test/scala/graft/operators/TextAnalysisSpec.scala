@@ -122,6 +122,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(clean === Set(2L))
   }
 
+  test("contaminatedBloom: exact answer through the bloom prefilter, even undersized") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely unrelated sentence about parquet files"),
+      (3L, "the quick brown cat sat still"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox ran away")).toDF("doc_id", "text")
+    val exact = Dedup.contaminated(corpus, bench, "text", "doc_id", n = 3)
+      .as[(Long, Long)].collect().toMap
+    val viaBloom = Dedup.contaminatedBloom(corpus, bench, "text", "doc_id", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(viaBloom === exact)
+    // a deliberately undersized filter degrades fpp (more survivors reach
+    // the verify join), NEVER correctness — the exact semi-join is the
+    // answer, the bloom only a volume valve
+    val tiny = Dedup.contaminatedBloom(corpus, bench, "text", "doc_id", n = 3,
+        expectedGrams = 4, fpp = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(tiny === exact)
+  }
+
   test("bm25: term-hit docs ranked by tf saturation; no-hit docs absent") {
     val docs = Seq(
       (1L, "spark spark spark spark is all this document talks about"),

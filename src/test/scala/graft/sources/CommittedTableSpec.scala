@@ -67,6 +67,39 @@ class CommittedTableSpec extends SparkSpec {
     assert(none.count() === 0 && none.columns.contains("value"))
   }
 
+  test("schema evolution: widened batch NULL-fills old segments through the manifest column list") {
+    val dir = freshDir("evolve")
+    CommittedTable.write(base(), dir, "status")
+    val widened = Seq((1L, "A", 11.0, 2L, "feed-7"))
+      .toDF("id", "status", "value", "version", "origin")
+    // widening is opt-in (typo protection), same contract as Warehouse.merge
+    val e0 = intercept[IllegalArgumentException] {
+      CommittedTable.merge(spark, dir, widened, "id", "version", "status")
+    }
+    assert(e0.getMessage.contains("allowAddColumns"))
+    CommittedTable.merge(spark, dir, widened, "id", "version", "status",
+      allowAddColumns = true)
+    // only partition A was rewritten; B/C's old segments NULL-fill `origin`
+    val back = CommittedTable.read(spark, dir)
+      .select($"id", $"value", $"origin")
+      .as[(Long, Double, Option[String])].collect().toSet
+    assert(back === Set(
+      (1L, 11.0, Some("feed-7")), (2L, 20.0, None), (3L, 30.0, None),
+      (4L, 40.0, None)))
+    // the manifest now pins the widened schema: old-schema batches rejected
+    val old = Seq((2L, "A", 21.0, 3L)).toDF("id", "status", "value", "version")
+    val e = intercept[IllegalArgumentException] {
+      CommittedTable.merge(spark, dir, old, "id", "version", "status")
+    }
+    assert(e.getMessage.contains("missing table columns"))
+    // widened follow-ups keep working without re-opting-in
+    val next = Seq((3L, "B", 31.0, 3L, "feed-8"))
+      .toDF("id", "status", "value", "version", "origin")
+    CommittedTable.merge(spark, dir, next, "id", "version", "status")
+    assert(CommittedTable.read(spark, dir).filter($"id" === 3L)
+      .select($"origin").as[Option[String]].collect().toSeq === Seq(Some("feed-8")))
+  }
+
   test("crash at every point before the swap leaves the OLD table fully visible; rerun converges") {
     val baseExpected = Set(
       (1L, "A", 10.0, 1L), (2L, "A", 20.0, 1L), (3L, "B", 30.0, 1L),

@@ -55,6 +55,49 @@ class StreamingMergeSpec extends SparkSpec {
       (4L, "C", 40.0, 3L)))
   }
 
+  test("streamed CDC into a CommittedTable: atomic generations per micro-batch, restart exactly-once") {
+    import graft.sources.CommittedTable
+    val root = Files.createTempDirectory("graft-smerge-ct").toString
+    val ct = root + "/ct"; val in = root + "/in"; val cp = root + "/cp"
+    CommittedTable.write(
+      Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0))
+        .toDF("id", "status", "value").withColumn("version", lit(1L)),
+      ct, "status")
+    def drop(name: String, rows: Seq[(Long, String, Double, Long)]): Unit =
+      rows.toDF("id", "status", "value", "version")
+        .coalesce(1).write.parquet(s"$in/$name")
+    drop("b1", Seq((2L, "A", 21.0, 2L), (3L, "A", 31.0, 2L)))
+    val schema = spark.read.parquet(s"$in/b1").schema
+    def runOnce(): Unit = {
+      val updates = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "16").parquet(s"$in/*")
+      val q = StreamingMerge.toCommitted(
+        updates, ct, "id", "version", "status", cp).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    def content(): Set[(Long, String, Double, Long)] =
+      CommittedTable.read(spark, ct)
+        .select($"id", $"status", $"value", $"version")
+        .as[(Long, String, Double, Long)].collect().toSet
+    runOnce()
+    assert(content() === Set(
+      (1L, "A", 10.0, 1L), (2L, "A", 21.0, 2L), (3L, "A", 31.0, 2L)))
+    // B emptied by the partition move: its manifest entry retired
+    val fs = new org.apache.hadoop.fs.Path(ct)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = CommittedTable.readManifest(fs, new org.apache.hadoop.fs.Path(ct)).get
+    assert(m1.segments.keySet === Set("A"))
+    // restart from checkpoint: only the new file is applied, each batch
+    // publishing one atomic generation
+    drop("b2", Seq((2L, "A", 22.0, 3L), (4L, "C", 40.0, 3L)))
+    runOnce()
+    assert(content() === Set(
+      (1L, "A", 10.0, 1L), (2L, "A", 22.0, 3L), (3L, "A", 31.0, 2L),
+      (4L, "C", 40.0, 3L)))
+    val m2 = CommittedTable.readManifest(fs, new org.apache.hadoop.fs.Path(ct)).get
+    assert(m2.gen > m1.gen)
+  }
+
   test("a stale late batch cannot clobber a newer row") {
     val root = Files.createTempDirectory("graft-smerge-late").toString
     val wh = root + "/wh"; val in = root + "/in"; val cp = root + "/cp"
