@@ -327,6 +327,49 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Sentinel `subBits` value: derive the band-key width from the corpus
+    * size at call time via [[autoSubBits]] (costs one count job). */
+  val AutoBand: Int = -1
+
+  /** Expected-docs-per-bucket target [[autoSubBits]] sizes the band key for. */
+  val SimhashTargetOccupancy: Long = 4096L
+
+  /** Borrowed-bit count that keeps expected per-band bucket occupancy ≤
+    * `targetOccupancy` for an `n`-doc corpus: ⌈log₂⌈n / target⌉⌉, computed in
+    * exact integer arithmetic (2^i < ratio counting — no float log at power-
+    * of-two edges), clamped to [0, width]. The clamp matters twice: the
+    * borrowed window [band·width, band·width + width + subBits) then never
+    * spills past the FOLLOWING band, so band-key equality stays exactly
+    * "exact band equal AND borrowed window equal" (the decomposition the SQL
+    * oracle and the q66 containment proof rely on); and width+subBits ≤
+    * 2·width ≤ 63 keeps the key a positive Long.
+    *
+    * Why size by n/target and not by uniform occupancy n/2^width: fingerprint
+    * keys are NOT uniform — similar corpora cluster (the measured sf1.0
+    * exponent of the fixed 16-bit default was 1.32) — so the key space must
+    * grow WITH the corpus. With 2^subBits ∝ n, per-bucket pair work
+    * O(n²/(2^width·2^subBits)) is O(n): the banding stays linear at any scale
+    * without a manual dial. */
+  def autoSubBits(n: Long, width: Int,
+      targetOccupancy: Long = SimhashTargetOccupancy): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val ratio = (n + targetOccupancy - 1) / targetOccupancy
+    val sub = (0 until 47).count(i => (1L << i) < ratio)
+    math.min(math.min(sub, width), 63 - width)
+  }
+
+  private def resolveSubBits(subBits: Int, bits: Int, bands: Int,
+      n: => Long): Int = {
+    require(subBits >= 0 || subBits == AutoBand,
+      s"subBits must be >= 0 or Dedup.AutoBand, got $subBits")
+    if (subBits == AutoBand) autoSubBits(n, bits / bands) else subBits
+  }
+
+  /** One fingerprint row (doc, sim) per document. */
+  private def simhashSims(df: DataFrame, textCol: String, idCol: String,
+      bits: Int): DataFrame =
+    df.select(col(idCol).as("doc"), simhash(col(textCol), bits).as("sim"))
+
   /** SimHash near-dup candidates: docs whose fingerprints share at least one
     * of `bands` (bits/bands)-wide bands (≈ hamming-distance tolerance
     * without an O(n²) scan).
@@ -339,12 +382,17 @@ object Dedup {
     * that many bits borrowed from the NEXT band's range (wrapping): bucket
     * sizes shrink 2^subBits× at the cost of recall (pairs that differ in a
     * borrowed bit are dropped) — the hot-bucket safety valve for corpora
-    * whose fingerprints cluster. subBits = 0 (default) is exact banding. */
+    * whose fingerprints cluster. The default `subBits = AutoBand` derives
+    * that width from the corpus size ([[autoSubBits]]; one count job over
+    * the cached fingerprints), so the default path stays linear at any scale
+    * with no manual dial; pass an explicit value (0 = exact banding) to pin
+    * the historical behavior. */
   def simhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      bits: Int = 64, bands: Int = 4, subBits: Int = 0,
+      bits: Int = 64, bands: Int = 4, subBits: Int = AutoBand,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val exploded = scope.persist(
-      simhashBanded(df, textCol, idCol, bits, bands, subBits))
+    val sims = scope.persist(simhashSims(df, textCol, idCol, bits))
+    val sub = resolveSubBits(subBits, bits, bands, sims.count())
+    val exploded = bandFromSims(sims, bits, bands, sub)
     val a = exploded.as("a"); val b = exploded.as("b")
     a.join(b, col("a.band_no") === col("b.band_no") &&
         col("a.band_key") === col("b.band_key") && col("a.doc") < col("b.doc"))
@@ -359,17 +407,27 @@ object Dedup {
     * [b·width, (b+1)·width + subBits) wrapping at `bits` (rotation so the
     * borrowed high bits exist even for the last band); unsigned shifts keep
     * a sign-bit-set fingerprint from smearing into the borrowed positions.
-    * Parameters must match between the stored table and later
-    * [[simhashCandidatesAgainst]] calls. */
+    * With an explicit `subBits`, parameters must match between the stored
+    * table and later [[simhashCandidatesAgainst]] calls; under the default
+    * `AutoBand` the width is derived from THIS frame's row count (one count
+    * job) and later auto-width Against calls re-band from the stored `sim`
+    * column, so a frozen key width never goes stale. */
   def simhashBanded(df: DataFrame, textCol: String, idCol: String,
-      bits: Int = 64, bands: Int = 4, subBits: Int = 0): DataFrame = {
+      bits: Int = 64, bands: Int = 4, subBits: Int = AutoBand): DataFrame = {
+    val sub = resolveSubBits(subBits, bits, bands, df.count())
+    bandFromSims(simhashSims(df, textCol, idCol, bits), bits, bands, sub)
+  }
+
+  /** Band-explode a (doc, sim) fingerprint frame — the shared kernel behind
+    * [[simhashBanded]] and the auto-width paths (which must band ALREADY
+    * computed fingerprints after a count decided the key width). */
+  private def bandFromSims(withSim: DataFrame,
+      bits: Int, bands: Int, subBits: Int): DataFrame = {
     require(bands >= 2 && bits % bands == 0,
       s"bits ($bits) must split evenly across bands ($bands)")
     val width = bits / bands
     require(width + subBits <= 63, "band key must fit in a positive Long")
     val mask = (1L << (width + subBits)) - 1
-    val withSim = df.select(col(idCol).as("doc"),
-      simhash(col(textCol), bits).as("sim"))
     def rotated(b: Int): Column = {
       val lo = b * width
       val base = shiftrightunsigned(col("sim"), lo)
@@ -387,15 +445,41 @@ object Dedup {
   /** Incremental-ingest SimHash candidates: new×existing ∪ new×new, never
     * existing×existing — same batch-union identity as
     * [[minhashCandidatesAgainst]] (per-batch runs unioned reproduce the
-    * full-corpus [[simhashCandidates]] set). */
+    * full-corpus [[simhashCandidates]] set) when `subBits` is pinned
+    * explicitly across every batch AND the stored table.
+    *
+    * Under the default `subBits = AutoBand`, the key width is re-derived
+    * from the CURRENT total corpus (stored docs + new batch) and the stored
+    * rows are RE-banded from their `sim` column at that width — the stored
+    * `band_key` (frozen at some earlier, possibly narrower width) is
+    * ignored, so mixed-vintage tables stay consistent. Because earlier
+    * (smaller-corpus) batches banded with fewer borrowed bits, the union of
+    * auto-width incremental runs is a SUPERSET of the from-scratch
+    * auto-width set, converging as the corpus stops growing; pin subBits at
+    * ingest time if the exact identity is required. */
   def simhashCandidatesAgainst(
       newDf: DataFrame, existingSigs: DataFrame, textCol: String, idCol: String,
-      bits: Int = 64, bands: Int = 4, subBits: Int = 0,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val newSigs = scope.persist(
-      simhashBanded(newDf, textCol, idCol, bits, bands, subBits))
-    val a = newSigs.as("a")
-    val b = existingSigs.unionByName(newSigs).as("b")
+      bits: Int = 64, bands: Int = 4, subBits: Int = AutoBand,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    if (subBits == AutoBand) {
+      val newSims = scope.persist(simhashSims(newDf, textCol, idCol, bits))
+      // one fingerprint row per stored doc: band 0 exists for every banding
+      val existingSims = existingSigs
+        .filter(col("band_no") === 0).select(col("doc"), col("sim"))
+      val sub = autoSubBits(newSims.count() + existingSims.count(), bits / bands)
+      val newSigs = bandFromSims(newSims, bits, bands, sub)
+      againstJoin(newSigs,
+        bandFromSims(existingSims, bits, bands, sub).unionByName(newSigs))
+    } else {
+      val newSigs = scope.persist(
+        simhashBanded(newDf, textCol, idCol, bits, bands, subBits))
+      againstJoin(newSigs, existingSigs.unionByName(newSigs))
+    }
+
+  /** new×(existing ∪ new) band join with pair normalization — shared by both
+    * [[simhashCandidatesAgainst]] key-width paths. */
+  private def againstJoin(newSigs: DataFrame, allSigs: DataFrame): DataFrame = {
+    val a = newSigs.as("a"); val b = allSigs.as("b")
     a.join(b, col("a.band_no") === col("b.band_no") &&
         col("a.band_key") === col("b.band_key") && col("a.doc") =!= col("b.doc"))
       .select(least(col("a.doc"), col("b.doc")).as("doc_a"),

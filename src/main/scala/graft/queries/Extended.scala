@@ -263,13 +263,19 @@ object Extended {
          OR b.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')""")),
 
     // ---- SimHash candidate pairs ------------------------------------------
-    // 64-bit fingerprint, 4×16-bit bands = 65,536 keys per band. The old
-    // 32-bit/4×8-bit shape had only 256 keys per band — on this statistically
-    // self-similar synthetic corpus (shared small vocabulary) that meant
-    // ~2.5M candidate pairs at sf0.1 and O(n²/256) growth, the one named
-    // 100 TB scale-killer. Same md5 bit-vote semantics, reproduced by the
-    // oracle bit for bit (bit 63 makes the BIGINT negative on both sides;
-    // shift+mask band keys agree regardless of sign).
+    // 64-bit fingerprint, 4×16-bit bands = 65,536 keys per band, PLUS the
+    // auto-derived borrowed-bit suffix (Dedup.autoSubBits): the band key
+    // widens by ⌈log₂⌈n/4096⌉⌉ bits as the corpus grows, so the default path
+    // has no bucket-quadratic term at any scale (the fixed-width default
+    // measured exponent 1.32 at sf1.0 — the one named scale-killer; the
+    // auto width restores ≤ ~1). The oracle mirrors the formula exactly in
+    // integer arithmetic (COUNT of 2^i < ceil-div — no float log2 at power-
+    // of-two edges) and decomposes rotated-key equality as "exact band
+    // equal AND borrowed window equal", the same identity q66 proves for a
+    // pinned width. Same md5 bit-vote semantics, reproduced bit for bit
+    // (bit 63 makes the BIGINT negative on both sides; shift+mask band keys
+    // agree regardless of sign; the width clamp keeps every borrowed window
+    // inside bits 0..63 so arithmetic-shift sign extension never leaks in).
     Q("q57_simhash_pairs", (s, dir) => {
       Dedup.simhashCandidates(table(s, dir, "documents"), "text", "doc_id",
           bits = 64, bands = 4)
@@ -278,20 +284,32 @@ object Extended {
     }, Some {
       val bandEq = (0 until 4).map { b =>
         val lo = b * 16
-        if (lo == 0) "(a.sim & 65535) = (b.sim & 65535)"
-        else s"((a.sim >> $lo) & 65535) = ((b.sim >> $lo) & 65535)"
+        val borrowLo = ((b + 1) * 16) % 64
+        val exact =
+          if (lo == 0) "(a.sim & 65535) = (b.sim & 65535)"
+          else s"((a.sim >> $lo) & 65535) = ((b.sim >> $lo) & 65535)"
+        val m = s"((CAST(1 AS BIGINT) << p.sub) - 1)"
+        val borrowed =
+          if (borrowLo == 0) s"(a.sim & $m) = (b.sim & $m)"
+          else s"((a.sim >> $borrowLo) & $m) = ((b.sim >> $borrowLo) & $m)"
+        s"($exact AND $borrowed)"
       }.mkString("\n          OR ")
       s"""
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
-      FROM $simhash64Sql a JOIN $simhash64Sql b
+      FROM (SELECT LEAST(CAST((SELECT COUNT(*) FROM generate_series(0, 46) t(i)
+              WHERE (CAST(1 AS BIGINT) << i) <
+                ((SELECT COUNT(*) FROM documents) + 4095) // 4096) AS INT),
+            16) AS sub) p,
+        $simhash64Sql a JOIN $simhash64Sql b
         ON a.doc_id < b.doc_id
-        AND ($bandEq)"""
+      WHERE ($bandEq)"""
     }),
 
-    // ---- SimHash candidates with the hot-bucket sub-split valve -----------
-    // subBits=2 borrows two bits from the NEXT band's range into each band
-    // key (wrapping): bucket sizes shrink ~4×, trading the recall the
+    // ---- SimHash candidates with the sub-split valve pinned EXPLICITLY ----
+    // subBits=2 (the manual override of the auto width q57 now defaults to)
+    // borrows two bits from the NEXT band's range into each band key
+    // (wrapping): bucket sizes shrink ~4×, trading the recall the
     // Scaladoc documents (a pair differing in a borrowed bit is dropped).
     // Oracle formulation avoids the rotate: band-key equality with borrowed
     // bits ⟺ exact-band equality AND equality on the 2 borrowed bits — so

@@ -102,6 +102,73 @@ class DedupSpec extends SparkSpec {
     info(s"exact-band pairs=${exact.size}, subBits=2 pairs=${sub.size}")
   }
 
+  test("autoSubBits: integer-exact ceil-log2 of n/target, clamped to width") {
+    // below one bucketful: no widening (the tiny-fixture / sf0.01 regime)
+    assert(Dedup.autoSubBits(0L, 16) === 0)
+    assert(Dedup.autoSubBits(4096L, 16) === 0)
+    // power-of-two edges must not wobble (the reason for integer arithmetic)
+    assert(Dedup.autoSubBits(4097L, 16) === 1)
+    assert(Dedup.autoSubBits(8192L, 16) === 1)
+    assert(Dedup.autoSubBits(8193L, 16) === 2)
+    assert(Dedup.autoSubBits(4096L * 8, 16) === 3)
+    // the measured-scale points: sf0.1 (5k docs) → 1, sf1.0 (50k) → 4
+    assert(Dedup.autoSubBits(5000L, 16) === 1)
+    assert(Dedup.autoSubBits(50000L, 16) === 4)
+    // each 10× in n adds ~log2(10) bits → per-band key space grows with n
+    assert(Dedup.autoSubBits(500000L, 16) === 7)
+    // clamp: the borrowed window may never spill past the following band
+    assert(Dedup.autoSubBits(Long.MaxValue / 2, 16) === 16)
+    assert(Dedup.autoSubBits(Long.MaxValue / 2, 8) === 8)
+  }
+
+  test("auto band width == explicit subBits at the derived width") {
+    val docs = graft.queries.Registry.table(spark, sf0001, "documents")
+      .limit(300).select("doc_id", "text")
+    // bits=32/bands=4 keeps the 8-bit base keys collision-rich so the test
+    // is non-trivial even though 300 docs derive sub=0
+    val derived = Dedup.autoSubBits(300L, 8)
+    def pairs(df: org.apache.spark.sql.DataFrame, subBits: Int) =
+      Dedup.simhashCandidates(df, "text", "doc_id",
+          bits = 32, bands = 4, subBits = subBits)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val auto = Dedup.simhashCandidates(docs, "text", "doc_id",
+        bits = 32, bands = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(auto === pairs(docs, derived))
+    assert(auto.nonEmpty)
+    // and a corpus big enough to derive sub > 0 matches its explicit twin:
+    // shrink the occupancy target instead of inflating the corpus
+    val subBig = Dedup.autoSubBits(300L, 8, targetOccupancy = 64L)
+    assert(subBig === 3)
+    val explicitBig = pairs(docs, subBig)
+    assert(explicitBig.subsetOf(auto)) // more borrowed bits only drop pairs
+  }
+
+  test("auto-width incremental Against re-bands a narrower stored table") {
+    // stored table banded at an EXPLICIT narrow width (subBits=0); the
+    // auto Against path must ignore the frozen band_key, re-band both sides
+    // from sim at the derived width, and reproduce the full-corpus auto set
+    val corpus = graft.queries.Registry.table(spark, sf0001, "documents")
+      .limit(200).select("doc_id", "text")
+    val cut = 150L
+    val existing = corpus.filter($"doc_id" < cut)
+    val newBatch = corpus.filter($"doc_id" >= cut)
+    val full = Dedup.simhashCandidates(corpus, "text", "doc_id",
+        bits = 32, bands = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val oldOnly = Dedup.simhashCandidates(existing, "text", "doc_id",
+        bits = 32, bands = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val inc = Dedup.simhashCandidatesAgainst(newBatch,
+        Dedup.simhashBanded(existing, "text", "doc_id",
+          bits = 32, bands = 4, subBits = 0),
+        "text", "doc_id", bits = 32, bands = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(inc.forall { case (a, b) => a >= cut || b >= cut })
+    // 200 and 150 docs both derive sub=0 → the exact identity holds here
+    assert(oldOnly.union(inc) === full)
+  }
+
   test("containmentOverPairs == containmentPairs on the same candidate set") {
     // the explicit-bucket operator (q90) and the candidate-driven one
     // (q93's building block) must score IDENTICALLY when handed the same
