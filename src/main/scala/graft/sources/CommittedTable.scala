@@ -27,16 +27,31 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   * a driver-side list filter — the scan never even LISTS an unselected
   * segment, one step cheaper than directory-discovery pruning.
   *
-  * Concurrency: single WRITER (merges serialize, same contract as
-  * Warehouse.merge); readers are unrestricted. A reader that resolved the
-  * previous manifest keeps working through a concurrent publish because
-  * superseded segments survive one full merge cycle (deleted only when
-  * referenced by neither the current nor the previous manifest).
+  * Concurrency: readers are unrestricted; writers are guarded by
+  * optimistic generation fencing. Every publish targets generation
+  * base+1 and must (a) observe the manifest still at its base generation
+  * after staging and (b) atomically create the `_claim-g<gen>` marker
+  * (create-no-overwrite — the filesystem picks exactly one winner among
+  * racers) before the manifest swap. A losing writer deletes its own
+  * staged segments (names are nonce-unique per attempt, so racers never
+  * clobber each other's staging) and raises
+  * `ConcurrentModificationException`; retrying it merges on top of the
+  * winner — winner-then-retry semantics, no silently vanished
+  * generation. Claims of committed generations are garbage; a claim left
+  * by a writer that CRASHED between claim and swap (a sub-millisecond
+  * window) blocks that generation until [[recover]] removes it. A reader
+  * that resolved the previous manifest keeps working through a
+  * concurrent publish because superseded segments survive one full merge
+  * cycle (deleted only when referenced by neither the current nor the
+  * previous manifest).
   */
 object CommittedTable {
 
   private val Commit = "_commit"
   private val CommitPrev = "_commit.prev"
+  private val ClaimPrefix = "_claim-g"
+  private val NullPartName =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
   private def esc(v: String): String =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
@@ -51,8 +66,10 @@ object CommittedTable {
   private[graft] final case class Manifest(gen: Long, cols: Seq[String],
       segments: Map[String, String])
 
-  private[graft] def readManifest(fs: FileSystem, table: Path): Option[Manifest] = {
-    val p = new Path(table, Commit)
+  private[graft] def readManifest(fs: FileSystem, table: Path): Option[Manifest] =
+    readManifestFile(fs, new Path(table, Commit))
+
+  private def readManifestFile(fs: FileSystem, p: Path): Option[Manifest] = {
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     val lines =
@@ -107,28 +124,78 @@ object CommittedTable {
   }
 
   /** Delete segment dirs referenced by NEITHER the current nor the
-    * previous manifest: crashed-publish orphans (never referenced) and
-    * two-generations-old segments. Runs at the start of every merge (so a
-    * crashed generation's dir names are free for reuse) and at the end
-    * (so superseded segments survive exactly one merge cycle for
-    * in-flight readers of the previous manifest). */
+    * previous manifest — crashed-publish orphans (never referenced) and
+    * two-generations-old segments — plus claim markers of already-
+    * committed generations. Runs at the start of every merge and at the
+    * end (so superseded segments survive exactly one merge cycle for
+    * in-flight readers of the previous manifest). The previous manifest
+    * is parsed with the same structure-aware reader as the live one (the
+    * old `.tail`-and-split scan treated the cols= header as a segment
+    * line and threw on single-column tables). */
   private def collectGarbage(fs: FileSystem, table: Path): Unit = {
-    val cur = readManifest(fs, table).map(_.segments.values.toSet).getOrElse(Set.empty)
-    val prevP = new Path(table, CommitPrev)
-    val prev: Set[String] =
-      if (!fs.exists(prevP)) Set.empty
-      else {
-        val in = fs.open(prevP)
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList.tail
-          .filter(_.nonEmpty).map(_.split('\t')(1)).toSet
-        finally in.close()
-      }
+    val curM = readManifest(fs, table)
+    val cur = curM.map(_.segments.values.toSet).getOrElse(Set.empty)
+    val curGen = curM.map(_.gen).getOrElse(0L)
+    val prev: Set[String] = readManifestFile(fs, new Path(table, CommitPrev))
+      .map(_.segments.values.toSet).getOrElse(Set.empty)
     if (!fs.exists(table)) return
     fs.listStatus(table).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("seg-") && !cur(n) && !prev(n))
         fs.delete(st.getPath, true)
+      else if (!st.isDirectory && n.startsWith(ClaimPrefix) &&
+          n.stripPrefix(ClaimPrefix).forall(_.isDigit) &&
+          n.stripPrefix(ClaimPrefix).toLong <= curGen)
+        fs.delete(st.getPath, false)
     }
+  }
+
+  /** Remove a crashed writer's stale generation claim (a claim AHEAD of
+    * the committed generation — left only by a crash in the claim→swap
+    * window) and collect orphaned segments. Run ONLY when no writer is
+    * active: an in-flight writer's claim is indistinguishable from a
+    * crashed one by content. */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val curGen = readManifest(fs, table).map(_.gen).getOrElse(0L)
+    fs.listStatus(table).foreach { st =>
+      val n = st.getPath.getName
+      if (!st.isDirectory && n.startsWith(ClaimPrefix) &&
+          n.stripPrefix(ClaimPrefix).forall(_.isDigit) &&
+          n.stripPrefix(ClaimPrefix).toLong > curGen)
+        fs.delete(st.getPath, false)
+    }
+    collectGarbage(fs, table)
+  }
+
+  /** The write-side fence: verify the manifest is still at `baseGen`,
+    * atomically claim `next.gen` (create-no-overwrite picks exactly one
+    * winner among racing writers), then swap. On either failure the
+    * caller's staged segments are deleted (they are nonce-named — only
+    * ours) and `ConcurrentModificationException` raised; the caller can
+    * re-run its merge on top of the winner's table. */
+  private def publishOrAbort(hconf: org.apache.hadoop.conf.Configuration,
+      table: Path, baseGen: Long, next: Manifest,
+      staged: Map[String, String]): Unit = {
+    val fs = table.getFileSystem(hconf)
+    def abort(reason: String): Nothing = {
+      staged.values.foreach(d => fs.delete(new Path(table, d), true))
+      fs.delete(new Path(table.toString + ".ct-staging"), true)
+      throw new java.util.ConcurrentModificationException(
+        s"committed-table publish of $table generation ${next.gen} aborted: " +
+          s"$reason; staged segments removed — re-run the merge to retry on " +
+          "top of the current table")
+    }
+    val cur = readManifest(fs, table).map(_.gen).getOrElse(0L)
+    if (cur != baseGen)
+      abort(s"another writer advanced the table $baseGen -> $cur while staging")
+    val claim = new Path(table, s"$ClaimPrefix${next.gen}")
+    try fs.create(claim, false).close()
+    catch { case _: java.io.IOException => abort(
+      s"another writer holds $claim (if that writer CRASHED between claim " +
+        "and swap, CommittedTable.recover(path) clears it)") }
+    swapManifest(hconf, table, next)
   }
 
   /** Initial full load (generation 1): one segment per partition value,
@@ -144,38 +211,56 @@ object CommittedTable {
       s"$path already holds a committed table; use merge for updates")
     fs.mkdirs(table)
     val staged = stageSegments(df, path, partitionCol, gen = 1L)
-    swapManifest(hconf, table, Manifest(1L, df.columns.toSeq, staged))
+    publishOrAbort(hconf, table, baseGen = 0L,
+      Manifest(1L, df.columns.toSeq, staged), staged)
     fs.delete(new Path(path + ".ct-staging"), true)
   }
 
   /** Write one segment dir per partition value of `df` under a staging
-    * root, then move each into the table under its generation-stamped
-    * name. Returns value → segment dir name. Nothing here is visible to
-    * readers: only the manifest swap publishes. */
+    * root, then move each into the table under its generation-stamped,
+    * nonce-unique name (racing writers of the same generation can then
+    * never clobber each other's staging; a loser deletes exactly its own
+    * dirs). Returns value → segment dir name. Nothing here is visible to
+    * readers: only the manifest swap publishes.
+    *
+    * NULL (and empty-string) partition values are rejected LOUDLY: the
+    * parquet writer stages both under the hive default-partition dir, and
+    * a silent `__HIVE_DEFAULT_PARTITION__`→value mismatch against the
+    * affected-set would drop the segment from the manifest — data loss a
+    * GC later makes permanent. */
   private def stageSegments(df: DataFrame, path: String, partitionCol: String,
-      gen: Long): Map[String, String] = {
+      gen: Long, sortCols: Seq[String] = Nil): Map[String, String] = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
     val fs = table.getFileSystem(hconf)
     val staging = new Path(path + ".ct-staging")
     fs.delete(staging, true)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
     // __part duplicates the partition value for partitionBy, so the files
     // KEEP the column as data (a multi-root manifest read then needs no
     // per-segment value reattachment and stays one FileSourceScan);
     // repartition on the value ⇒ one splittable file per segment per batch
-    df.withColumn(partitionCol, col(partitionCol).cast("string"))
+    val arranged = df.withColumn(partitionCol, col(partitionCol).cast("string"))
       .withColumn("__part", col(partitionCol))
       .repartition(col(partitionCol))
+    (if (sortCols.isEmpty) arranged
+     else arranged.sortWithinPartitions(
+       (partitionCol +: sortCols).map(col): _*))
       .write.partitionBy("__part")
       .mode(SaveMode.Overwrite).parquet(staging.toString)
     val staged = fs.listStatus(staging).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
       .map { st =>
-        val v = unesc(st.getPath.getName.stripPrefix("__part="))
-        val segName = s"seg-g$gen-${esc(v)}"
+        val escaped = st.getPath.getName.stripPrefix("__part=")
+        if (escaped == NullPartName)
+          throw new IllegalArgumentException(
+            s"partition column $partitionCol contains NULL or empty-string " +
+              "values; CommittedTable requires a concrete partition value " +
+              "per row (normalize upstream)")
+        val v = unesc(escaped)
+        val segName = s"seg-g$gen-$nonce-${esc(v)}"
         val dest = new Path(table, segName)
-        fs.delete(dest, true) // free name from a crashed publish of this gen
         if (!fs.rename(st.getPath, dest))
           throw new java.io.IOException(s"failed to stage segment ${st.getPath} -> $dest")
         v -> segName
@@ -271,6 +356,12 @@ object CommittedTable {
     val newParts = upd.select(col(partitionCol)).distinct()
     val affected: Array[String] =
       oldParts.union(newParts).distinct().collect().map(_.getString(0))
+    // fail before any work: a NULL here would stage under the hive default
+    // dir while the affected-set holds null — the staged segment would
+    // silently miss the manifest (stageSegments guards empty-string too)
+    require(!affected.contains(null),
+      s"updates carry NULL $partitionCol values; CommittedTable requires a " +
+        "concrete partition value per row (normalize upstream)")
     if (affected.isEmpty) return
 
     // latest version per key over (existing rows of affected partitions —
@@ -296,7 +387,47 @@ object CommittedTable {
     val next = Manifest(gen, cols.toSeq,
       (m.segments -- affected) ++ staged.view.filterKeys(affected.contains))
     crashPoint("before-swap")
-    swapManifest(hconf, table, next)
+    publishOrAbort(hconf, table, m.gen, next, staged)
+    crashPoint("after-swap")
+    collectGarbage(fs, table)
+    fs.delete(new Path(path + ".ct-staging"), true)
+  }
+
+  /** Rewrite every live partition as ONE fresh-generation segment, one
+    * file per partition sorted by `sortCols` (parquet row-group stats then
+    * support range skipping within the partition — the
+    * [[Warehouse.compact]] treatment), published through a single manifest
+    * swap. Content is untouched — only layout: a long merge history leaves
+    * partitions on scattered generations with shuffle-order rows; compact
+    * re-establishes the canonical form and lets the superseded segments
+    * age out through the normal one-cycle reader grace (an in-flight
+    * reader of the pre-compact manifest keeps working). Same fencing as
+    * merge: racing writers lose loudly, nothing vanishes. */
+  def compact(spark: SparkSession, path: String, partitionCol: String,
+      sortCols: Seq[String] = Nil,
+      crashPoint: String => Unit = _ => ()): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path to compact"))
+    collectGarbage(fs, table)
+    if (m.segments.isEmpty) return
+    val cur = read(spark, path).select(m.cols.map(col).toIndexedSeq: _*)
+    crashPoint("before-staging")
+    val gen = m.gen + 1
+    require(m.cols.contains(partitionCol),
+      s"$partitionCol is not a column of the committed table (${m.cols.mkString(",")})")
+    val staged = stageSegments(cur, path, partitionCol, gen, sortCols)
+    crashPoint("after-staging")
+    // every live partition restaged; a value absent from staged would mean
+    // data loss, so check the cover before publishing
+    val missing = m.segments.keySet -- staged.keySet
+    if (missing.nonEmpty)
+      throw new java.io.IOException(
+        s"compact staged no segment for partitions ${missing.mkString(",")}")
+    crashPoint("before-swap")
+    publishOrAbort(hconf, table, m.gen, Manifest(gen, m.cols, staged), staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
     fs.delete(new Path(path + ".ct-staging"), true)

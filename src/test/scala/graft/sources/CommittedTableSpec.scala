@@ -59,7 +59,9 @@ class CommittedTableSpec extends SparkSpec {
     CommittedTable.write(base(), dir, "status")
     val pruned = CommittedTable.read(spark, dir, Some(Seq("A")))
     // metadata-level pruning: the unselected segments never reach the plan
-    assert(pruned.inputFiles.forall(_.contains("seg-g1-A")),
+    // (segment names are seg-g<gen>-<nonce>-<value>)
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(f => f.contains("seg-g1-") && f.contains("-A/")),
       pruned.inputFiles.mkString(","))
     assert(pruned.select("id").as[Long].collect().toSet === Set(1L, 2L))
     // prune-to-nothing keeps the schema, returns no rows
@@ -152,10 +154,10 @@ class CommittedTableSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segs = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .map(_.getPath.getName).filter(_.startsWith("seg-")).toSet
-    assert(!segs.exists(_.startsWith("seg-g1-A")), s"two-cycles-old segment leaked: $segs")
+    assert(!segs.exists(_.startsWith("seg-g1-")), s"two-cycles-old segment leaked: $segs")
   }
 
-  test("orphaned segments from a crashed publish are collected and their names reused") {
+  test("orphaned segments from a crashed publish are collected; the generation is reused") {
     val dir = freshDir("gc")
     CommittedTable.write(base(), dir, "status")
     // crash after staging: gen-2 segments exist, manifest still gen-1
@@ -166,10 +168,148 @@ class CommittedTableSpec extends SparkSpec {
     val table = new org.apache.hadoop.fs.Path(dir)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.listStatus(table).exists(_.getPath.getName.startsWith("seg-g2-")))
-    // the rerun GCs the orphans, reuses generation 2, publishes cleanly
+    // the rerun GCs the orphans, reuses generation 2 (nonce-unique segment
+    // names — no dir-name collision with the crashed attempt), publishes
     CommittedTable.merge(spark, dir, updates(), "id", "version", "status")
     assert(content(dir) === mergedExpected)
     val m = CommittedTable.readManifest(fs, table).get
     assert(m.gen === 2L)
+  }
+
+  test("racing merges: exactly one wins, the loser raises and its retry lands on top") {
+    val dir = freshDir("race")
+    CommittedTable.write(base(), dir, "status")
+    // writer B publishes BETWEEN writer A's staging and A's swap — the
+    // classic lost-update interleaving that used to silently drop B
+    val winner = Seq((2L, "A", 22.0, 2L)).toDF("id", "status", "value", "version")
+    var interleaved = false
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      CommittedTable.merge(spark, dir, updates(), "id", "version", "status",
+        crashPoint = s => if (s == "after-staging" && !interleaved) {
+          interleaved = true
+          CommittedTable.merge(spark, dir, winner, "id", "version", "status")
+        })
+    }
+    assert(boom.getMessage.contains("re-run the merge"))
+    // the winner's generation is fully visible — nothing vanished
+    assert(content(dir) === Set(
+      (1L, "A", 10.0, 1L), (2L, "A", 22.0, 2L), (3L, "B", 30.0, 1L),
+      (4L, "C", 40.0, 1L)))
+    // the loser's staged segments were cleaned up
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = CommittedTable.readManifest(fs, table).get
+    val live = m.segments.values.toSet
+    val onDisk = fs.listStatus(table).map(_.getPath.getName)
+      .filter(_.startsWith("seg-")).toSet
+    assert(onDisk.forall(s => live(s) || s.startsWith("seg-g1-")),
+      s"loser's staging leaked: ${onDisk -- live}")
+    // retrying the loser merges ON TOP of the winner: winner-then-retry
+    CommittedTable.merge(spark, dir, updates(), "id", "version", "status")
+    assert(content(dir) === Set(
+      (1L, "A", 11.0, 2L), (2L, "A", 22.0, 2L), (3L, "A", 31.0, 2L),
+      (4L, "N", 41.0, 2L), (9L, "N", 90.0, 2L)))
+  }
+
+  test("a crashed writer's claim blocks the generation; recover clears it") {
+    val dir = freshDir("claim")
+    CommittedTable.write(base(), dir, "status")
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a writer that died between claim and swap
+    fs.create(new org.apache.hadoop.fs.Path(table, "_claim-g2"), false).close()
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      CommittedTable.merge(spark, dir, updates(), "id", "version", "status")
+    }
+    assert(boom.getMessage.contains("recover"))
+    assert(content(dir) === Set(      // table untouched by the refused merge
+      (1L, "A", 10.0, 1L), (2L, "A", 20.0, 1L), (3L, "B", 30.0, 1L),
+      (4L, "C", 40.0, 1L)))
+    CommittedTable.recover(spark, dir)
+    CommittedTable.merge(spark, dir, updates(), "id", "version", "status")
+    assert(content(dir) === mergedExpected)
+  }
+
+  test("NULL or empty-string partition values are rejected loudly, not silently dropped") {
+    val dir = freshDir("nullpart")
+    CommittedTable.write(base(), dir, "status")
+    val nullUpd = Seq((7L, null.asInstanceOf[String], 70.0, 2L))
+      .toDF("id", "status", "value", "version")
+    val e1 = intercept[IllegalArgumentException] {
+      CommittedTable.merge(spark, dir, nullUpd, "id", "version", "status")
+    }
+    assert(e1.getMessage.contains("NULL"))
+    val emptyUpd = Seq((8L, "", 80.0, 2L))
+      .toDF("id", "status", "value", "version")
+    val e2 = intercept[IllegalArgumentException] {
+      CommittedTable.merge(spark, dir, emptyUpd, "id", "version", "status")
+    }
+    assert(e2.getMessage.toLowerCase.contains("empty-string"))
+    // the refused merges changed nothing and the table still accepts writes
+    assert(content(dir) === Set(
+      (1L, "A", 10.0, 1L), (2L, "A", 20.0, 1L), (3L, "B", 30.0, 1L),
+      (4L, "C", 40.0, 1L)))
+    CommittedTable.merge(spark, dir, updates(), "id", "version", "status")
+    assert(content(dir) === mergedExpected)
+    // and write() itself refuses a NULL-partition initial load
+    val dir2 = freshDir("nullpart2")
+    intercept[IllegalArgumentException] {
+      CommittedTable.write(
+        Seq((1L, null.asInstanceOf[String], 1.0)).toDF("id", "status", "value")
+          .withColumn("version", lit(1L)),
+        dir2, "status")
+    }
+  }
+
+  test("compact: N merges → one fresh-gen sorted segment per partition, content identical") {
+    val dir = freshDir("compact")
+    CommittedTable.write(base(), dir, "status")
+    CommittedTable.merge(spark, dir, updates(), "id", "version", "status")
+    val more = Seq((5L, "A", 50.0, 3L), (6L, "N", 60.0, 3L))
+      .toDF("id", "status", "value", "version")
+    CommittedTable.merge(spark, dir, more, "id", "version", "status")
+    val expected = mergedExpected ++ Set((5L, "A", 50.0, 3L), (6L, "N", 60.0, 3L))
+    assert(content(dir) === expected)
+    // in-flight reader pins the pre-compact manifest at plan time
+    val snapshot = CommittedTable.read(spark, dir)
+      .select($"id", $"status", $"value", $"version")
+    CommittedTable.compact(spark, dir, "status", sortCols = Seq("id"))
+    // content untouched, layout canonical
+    assert(content(dir) === expected)
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = CommittedTable.readManifest(fs, table).get
+    assert(m.gen === 4L)
+    assert(m.segments.keySet === Set("A", "N"))
+    // every live segment is the compact generation with exactly ONE file,
+    // rows sorted by the requested canonical order
+    m.segments.values.foreach { seg =>
+      assert(seg.startsWith("seg-g4-"), seg)
+      val files = fs.listStatus(new org.apache.hadoop.fs.Path(table, seg))
+        .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"$seg has ${files.length} files")
+      val ids = spark.read.parquet(files.head.toString)
+        .select("id").as[Long].collect().toSeq
+      assert(ids === ids.sorted, s"$seg rows not id-sorted: $ids")
+    }
+    // the pre-compact reader survives (one-cycle segment grace)
+    assert(snapshot.as[(Long, String, Double, Long)].collect().toSet === expected)
+    // compact is fenced like any publish: a racing writer still loses loudly
+    CommittedTable.merge(spark, dir,
+      Seq((1L, "A", 12.0, 4L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    assert(CommittedTable.readManifest(fs, table).get.gen === 5L)
+  }
+
+  test("single-data-column table: prev-manifest GC parses the tab-less cols header") {
+    // the old GC split prev-manifest lines on tab positionally; a one-column
+    // table's cols= line has no tab and broke every later publish
+    val dir = freshDir("onecol")
+    val df = Seq("A", "B").toDF("status")
+    CommittedTable.write(df, dir, "status")
+    CommittedTable.compact(spark, dir, "status")     // writes _commit.prev
+    CommittedTable.compact(spark, dir, "status")     // start-GC parses it
+    assert(CommittedTable.read(spark, dir).select("status")
+      .as[String].collect().toSet === Set("A", "B"))
   }
 }
