@@ -47,6 +47,22 @@ object Bench {
     }
     spark.catalog.clearCache()
 
+    // Page-cache warm-up at the BENCH scale factor: the codegen warm-up
+    // above runs at sf0.001, so whichever query ran first used to absorb
+    // the first cold read of every sf-dir parquet it touched — r11 recorded
+    // q01 at 6.01 s against a steady-state 0.99 s purely because it opened
+    // the battery (BENCH_NOTES.md). One untimed full scan per table keeps
+    // the timed reps I/O-warm without touching any query's own plan.
+    new java.io.File(sfDir).listFiles().toSeq
+      .filter(f => f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        try materialize(
+          queries.Registry.table(spark, sfDir,
+            f.getName.stripSuffix(".parquet")))
+        catch { case _: Throwable => () }
+      }
+    spark.catalog.clearCache()
+
     // Best of three INTERLEAVED battery passes. Why interleaved, not three
     // back-to-back runs per query: a GC/scheduling pause is localized at a
     // battery POSITION (heap state there is reproducible), so back-to-back
