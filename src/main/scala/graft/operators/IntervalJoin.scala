@@ -56,4 +56,51 @@ object IntervalJoin {
       .select((ptsCols.map(c => col(s"__pts.$c")) ++
         ivCols.map(c => col(s"__iv.$c"))): _*)
   }
+
+  /** The STREAMABLE point-in-interval join: same bucketized equi-join
+    * shape as [[pointInInterval]], restricted to the bounded-span
+    * subclass (`end - start ≤ maxSpanUs`; longer intervals are CLIPPED at
+    * `start + maxSpanUs`) — the restriction that makes unbounded streams
+    * joinable with bounded state, exactly as Flink's interval join
+    * requires relative bounds.
+    *
+    * One implementation serves both engines (the [[graft.streaming
+    * .EventStream.funnel]] pattern): on streaming frames both sides carry
+    * a watermark and the condition `ts ∈ [start, start + maxSpan]` is the
+    * funnel shape the state store can evict on — an interval row is
+    * droppable once the point watermark passes `start + maxSpan`, a point
+    * once the interval watermark passes its `ts`; state per side is
+    * bounded by watermark delay + maxSpan, never stream length. The
+    * bucket column keeps the join EQUI-KEYED even with no `keyCols`, so
+    * the streaming plan is a symmetric hash join and the batch plan a
+    * plain hash join — the nested-loop trap is absent from both. On batch
+    * frames Catalyst's EliminateEventTimeWatermark drops the watermark
+    * nodes and this is [[pointInInterval]] with the span clip — which is
+    * how a batch twin pins the exact pairs the stream must emit. */
+  def pointInIntervalBounded(points: DataFrame, tsCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketMicros: Long, maxSpanUs: Long,
+      keyCols: Seq[String] = Nil, watermark: String = "1 hour"): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive, got $bucketMicros")
+    require(maxSpanUs > 0, s"maxSpanUs must be positive, got $maxSpanUs")
+    def bucketOf(c: Column): Column = floor(unix_micros(c) / bucketMicros)
+    val ptsCols = points.columns.toSeq
+    val ivCols = intervals.columns.toSeq.filterNot(keyCols.contains)
+    val p = points.withWatermark(tsCol, watermark)
+      .withColumn("__bucket", bucketOf(col(tsCol))).alias("__pts")
+    val span = expr(s"INTERVAL $maxSpanUs MICROSECOND")
+    val capped = least(col(endCol), col(startCol) + span)
+    val iv = intervals.withWatermark(startCol, watermark)
+      .withColumn("__bucket",
+        explode(sequence(bucketOf(col(startCol)), bucketOf(capped))))
+      .alias("__iv")
+    val cond = (keyCols :+ "__bucket")
+      .map(k => col(s"__pts.$k") === col(s"__iv.$k")).reduce(_ && _) &&
+      col(s"__pts.$tsCol") >= col(s"__iv.$startCol") &&
+      col(s"__pts.$tsCol") <= col(s"__iv.$endCol") &&
+      col(s"__pts.$tsCol") <= col(s"__iv.$startCol") + span
+    p.join(iv, cond)
+      .select((ptsCols.map(c => col(s"__pts.$c")) ++
+        ivCols.map(c => col(s"__iv.$c"))): _*)
+  }
 }

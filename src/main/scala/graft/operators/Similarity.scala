@@ -513,6 +513,32 @@ object Similarity {
     mean > 0 && sizes.max > maxImbalance * mean
   }
 
+  /** Close the advisory loop: when [[ivfShouldRequantize]] fires, rebuild
+    * the quantizer FROM THE INDEX'S OWN vectors (read of the live
+    * generation's cells — the only data pass, and only when firing) and
+    * publish through the same one-swap generation scheme as
+    * [[ivfWriteIndex]]: an in-flight reader of the superseded generation
+    * keeps the documented one-cycle grace, a crash mid-rebuild leaves the
+    * live index untouched. A quiet advisory is a metadata-only no-op
+    * (directory listing, zero data files opened), so this is safe to call
+    * after every ingest batch — the maintenance loop a 100 TB deployment
+    * wires after [[ivfAppendToIndex]] instead of watching a dashboard.
+    * `nCells` defaults to the live quantizer's cell count. Returns true
+    * iff a rebuild was published. */
+  def ivfMaintain(spark: SparkSession, path: String,
+      maxImbalance: Double = 4.0, nCells: Int = 0,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    if (!ivfShouldRequantize(spark, path, maxImbalance)) return false
+    val root = ivfIndexRoot(spark, path)
+    val cells =
+      if (nCells > 0) nCells
+      else spark.read.parquet(s"$root/_centroids").count().toInt
+    val vectors = spark.read.parquet(s"$root/cells")
+      .select(col(idCol), col(vecCol))
+    ivfWriteIndex(vectors, path, cells, idCol, vecCol)
+    true
+  }
+
   /** Measured recall@k of the stored index for a query batch: the mean
     * fraction of each query's true (brute-force) top-k over the index's
     * own vectors that the probed search returns. A DIAGNOSTIC — it reads

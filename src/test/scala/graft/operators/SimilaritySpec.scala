@@ -157,13 +157,26 @@ class SimilaritySpec extends SparkSpec {
       .select((col("vec_id") + 100000L).as("qid"),
         transform(col("embedding"), x => (x * 0.01f + 10.0f).cast("float")).as("qvec"))
     val recallDrifted = Similarity.ivfRecallAt(spark, dir, qs, k = 10, nProbe = 2)
-    // a fresh rewrite over the full (shifted) contents re-balances and
-    // clears the advisory — the documented remedy
-    val all = spark.read.parquet(
-      s"${Similarity.ivfIndexRoot(spark, dir)}/cells").drop("cell_id")
-    Similarity.ivfWriteIndex(all, dir, nCells = 8)
+    // an in-flight reader pins the drifted generation at plan time; the
+    // maintenance rebuild must not break it (one-cycle segment grace)
+    val pinned = spark.read.parquet(
+      s"${Similarity.ivfIndexRoot(spark, dir)}/cells")
+    val nPinned = pinned.count()
+    // ivfMaintain closes the loop: advisory fires → rebuild from the
+    // index's own vectors at the live cell count → one-swap publish
+    assert(Similarity.ivfMaintain(spark, dir),
+      "maintain did not rebuild a flagged index")
     assert(!Similarity.ivfShouldRequantize(spark, dir),
       s"rebuilt index still flagged: ${Similarity.ivfCellBytes(spark, dir)}")
+    // the rebuilt quantizer kept the configured cell count
+    assert(spark.read.parquet(
+      s"${Similarity.ivfIndexRoot(spark, dir)}/_centroids").count() === 8L)
+    // quiet advisory ⇒ no-op (no phantom rebuild churn in the ingest loop)
+    val genAfter = Similarity.ivfIndexRoot(spark, dir)
+    assert(!Similarity.ivfMaintain(spark, dir))
+    assert(Similarity.ivfIndexRoot(spark, dir) === genAfter)
+    // the pre-rebuild reader survives the publish
+    assert(pinned.count() === nPinned)
     val recallFresh = Similarity.ivfRecallAt(spark, dir, qs, k = 10, nProbe = 2)
     info(f"recall@10 (nProbe=2): drifted quantizer $recallDrifted%.2f, rebuilt $recallFresh%.2f")
     // recall alone cannot flag this failure: the drifted layout scores
