@@ -646,7 +646,15 @@ object Dedup {
     * filter only shrinks the volume entering the gram shuffle, by ~1/fpp
     * for a mostly-clean corpus (the common case: contamination is rare).
     * `expectedGrams` sizes the filter (bits ≈ -n·ln(fpp)/ln²2); an
-    * undersized filter degrades fpp, never correctness. */
+    * undersized filter degrades fpp, never correctness.
+    *
+    * Input-determinism contract (same as
+    * [[FrequentItems.exactHeavyHitters]]): the benchmark frame is
+    * evaluated TWICE — once to build the bloom, once as the verify
+    * semi-join side. A nondeterministic benchmark (sample()/rand-derived)
+    * can present grams to the join that were never inserted into the
+    * bloom, turning the no-false-negatives guarantee into silent false
+    * negatives. Persist or localCheckpoint such inputs before calling. */
   def contaminatedBloom(docs: DataFrame, benchmark: DataFrame, textCol: String,
       idCol: String, n: Int = 13,
       expectedGrams: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {

@@ -122,6 +122,16 @@ object Similarity {
     * IEEE expression everywhere and ties fall to the id. */
   private def groupedTopK(scored: DataFrame, k: Int,
       qidCol: String, idCol: String): DataFrame = {
+    // the heap state is (Long, Double); a silent long cast of a string or
+    // decimal id would NULL every result, so non-integral ids are rejected
+    // loudly — map them to a surrogate long (xxhash64/monotonic id) before
+    // batching, or use the single-query paths, which preserve the id type
+    Seq(qidCol, idCol).foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = scored.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"batched top-k requires an integral $c column, got ${dt.simpleString}")
+    }
     val spark = scored.sparkSession
     import spark.implicits._
     scored

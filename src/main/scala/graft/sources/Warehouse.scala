@@ -365,7 +365,20 @@ object Warehouse {
             org.apache.spark.sql.types.StructField(partitionCol,
               org.apache.spark.sql.types.StringType))
         spark.read.schema(schema).parquet(path)
-      case None => spark.read.option("mergeSchema", "true").parquet(path)
+      case None =>
+        val swept = spark.read.option("mergeSchema", "true").parquet(path)
+        // a sidecar column NO footer covers means the widening merge died
+        // between sidecar publish and partition publish: fail with the
+        // remedy instead of letting readers hit an unresolved-column error
+        // (or worse, silently missing the column they asked this API for)
+        val missing = wanted.filterNot(swept.schema.fieldNames.contains)
+        if (missing.nonEmpty)
+          throw new java.io.IOException(
+            s"table $path: sidecar columns ${missing.mkString(",")} appear " +
+              "in NO data file — a widening merge crashed after its sidecar " +
+              "publish; rerun that merge (same updates, allowAddColumns=true) " +
+              "to restore them")
+        swept
     }
   }
 

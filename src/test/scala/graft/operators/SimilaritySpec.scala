@@ -189,6 +189,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recallFresh >= 0.5, f"rebuilt recall implausibly low: $recallFresh%.2f")
   }
 
+  test("batched top-k rejects non-integral id columns loudly (no silent NULL cast)") {
+    val stringIds = emb.withColumn("vec_id", concat(lit("doc-"), col("vec_id")))
+    val qs = emb.limit(2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.batchBruteForceTopK(stringIds, qs, 5)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // the single-query path keeps the id type and still works
+    val q1 = emb.filter(col("vec_id") === 3)
+      .select(col("embedding").as("qvec"))
+    val got = Similarity.bruteForceTopK(stringIds, q1, 1)
+      .select("vec_id").as[String].collect()
+    assert(got.toSeq === Seq("doc-3"))
+  }
+
   test("IVF re-quantize publishes atomically through the generation manifest") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-gen").toString + "/index"
     val half = emb.filter(col("vec_id") % 2 === 0)

@@ -342,6 +342,25 @@ class WarehouseSpec extends SparkSpec {
     assert(b2 === Seq((22.0, Some("feed-8"))))
   }
 
+  test("readEvolved: sidecar column in NO footer fails with the rerun remedy") {
+    import spark.implicits._
+    // simulate a widening merge that crashed between sidecar publish and
+    // partition publish: the sidecar names `origin` but no file carries it
+    val dir = Files.createTempDirectory("graft-wh-orphan-col").toString + "/t"
+    Seq((1L, "A", 10.0)).toDF("id", "status", "value")
+      .withColumn("version", lit(1L))
+      .repartition($"status")
+      .write.partitionBy("status").parquet(dir)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_table_columns"),
+      "id\nvalue\nversion\norigin\n")
+    val e = intercept[java.io.IOException] {
+      Warehouse.readEvolved(spark, dir, "status")
+    }
+    assert(e.getMessage.contains("origin") && e.getMessage.contains("rerun"),
+      e.getMessage)
+  }
+
   test("column projection reaches the parquet scan (ReadSchema pruning)") {
     load()
     val df = Warehouse.read(spark, whDir).select("total_price")
