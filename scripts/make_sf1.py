@@ -62,3 +62,52 @@ for i in range(COPIES):
     parts.append(t)
 pq.write_table(pa.concat_tables(parts), OUT / "lineitem.parquet")
 print(f"lineitem: {li.num_rows} -> {li.num_rows * COPIES} rows")
+
+# ---- events: shift event + user ids (10x users, same per-user density ----
+# and time range — the "more users" scale-up; colliding user_ids would
+# instead 10x per-user traffic and measure a different query)
+ev = pq.read_table(SRC / "events.parquet")
+parts = []
+for i in range(COPIES):
+    t = ev.set_column(
+        ev.column_names.index("event_id"), "event_id",
+        pa.compute.add(ev.column("event_id"), i * 1_000_000_000))
+    t = t.set_column(
+        t.column_names.index("user_id"), "user_id",
+        pa.compute.add(t.column("user_id"), i * 10_000_000))
+    parts.append(t)
+pq.write_table(pa.concat_tables(parts), OUT / "events.parquet")
+print(f"events: {ev.num_rows} -> {ev.num_rows * COPIES} rows")
+
+# ---- orders: shift order + customer keys (for the merge-gate fixtures) ----
+od = pq.read_table(SRC / "orders.parquet")
+parts = []
+for i in range(COPIES):
+    t = od.set_column(
+        od.column_names.index("o_orderkey"), "o_orderkey",
+        pa.compute.add(od.column("o_orderkey"), i * 100_000_000))
+    t = t.set_column(
+        t.column_names.index("o_custkey"), "o_custkey",
+        pa.compute.add(t.column("o_custkey"), i * 10_000_000))
+    parts.append(t)
+pq.write_table(pa.concat_tables(parts), OUT / "orders.parquet")
+print(f"orders: {od.num_rows} -> {od.num_rows * COPIES} rows")
+
+# ---- embeddings: shift ids, jitter replica vectors deterministically ----
+# verbatim copies would hand every vector 9 cosine-1.0 twins (the same
+# fixture artifact the text salt exists to avoid); +-5% per-component
+# jitter keeps the cluster structure without exact twins
+emb = pq.read_table(SRC / "embeddings.parquet")
+ecols = {c: emb.column(c).to_pylist() for c in emb.column_names}
+eout = {c: [] for c in emb.column_names}
+for i in range(COPIES):
+    for r in range(emb.num_rows):
+        eout["vec_id"].append(ecols["vec_id"][r] + i * 1_000_000)
+        eout["label"].append(ecols["label"][r])
+        v = ecols["embedding"][r]
+        if i > 0 and v is not None:
+            rng = random.Random(i * 2_000_000_011 + ecols["vec_id"][r])
+            v = [x * (1.0 + 0.05 * (2 * rng.random() - 1)) for x in v]
+        eout["embedding"].append(v)
+pq.write_table(pa.table(eout, schema=emb.schema), OUT / "embeddings.parquet")
+print(f"embeddings: {emb.num_rows} -> {emb.num_rows * COPIES} rows")

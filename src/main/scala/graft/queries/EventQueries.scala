@@ -225,6 +225,43 @@ object EventQueries {
         CAST(SUM(event_id) AS BIGINT) AS sum_ids
       FROM e JOIN iv ON e.user_id = iv.user_id
         AND e.ts >= iv.w_start AND e.ts <= iv.w_end
+      GROUP BY e.user_id""")),
+
+    // ---- Bounded-span interval join (the STREAMABLE subclass) -------------
+    // q121's bucketized shape restricted to spans ≤ maxSpan (20 min here,
+    // clipping the 30-min windows — the clip is live in this gate, not a
+    // no-op): the restriction that lets the SAME operator run as a
+    // watermarked stream-stream symmetric hash join with state bounded by
+    // watermark + span (IntervalJoinSpec proves streamed == batch and the
+    // eviction). On this batch frame Catalyst eliminates the watermark
+    // nodes and the oracle is the naive BETWEEN join against the clipped
+    // interval end — pinning that bounding changes STATE semantics, not
+    // join semantics.
+    Q("q122_interval_join_bounded", (s, dir) => {
+      val ev = table(s, dir, "events")
+      val iv = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("INTERVAL 30 MINUTES"))
+      graft.operators.IntervalJoin.pointInIntervalBounded(
+          ev.select(col("event_id"), col("user_id"), col("ts")), "ts",
+          iv, "w_start", "w_end",
+          bucketMicros = 10L * 60 * 1000000,
+          maxSpanUs = 20L * 60 * 1000000,
+          keyCols = Seq("user_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_in_window"),
+          sum(col("event_id")).as("sum_ids"))
+    }, Some("""
+      WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                 FROM events),
+      iv AS (SELECT user_id, MIN(ts) AS w_start,
+               LEAST(MIN(ts) + INTERVAL 30 MINUTE,
+                     MIN(ts) + INTERVAL 20 MINUTE) AS w_end
+             FROM e GROUP BY user_id)
+      SELECT e.user_id, COUNT(*) AS n_in_window,
+        CAST(SUM(event_id) AS BIGINT) AS sum_ids
+      FROM e JOIN iv ON e.user_id = iv.user_id
+        AND e.ts >= iv.w_start AND e.ts <= iv.w_end
       GROUP BY e.user_id"""))
   )
 }

@@ -249,6 +249,34 @@ object ExplainDump {
         |(user_id, bucket) with exact containment as a join-condition
         |filter. Pairs are unique by construction — no post-join
         |distinct appears.""".stripMargin,
+    "q103_shuffle_pack" ->
+      """Wants: ONE corpus exchange on shard feeding BOTH window passes —
+        |the permutation row_number (in-partition sort by md5 key) and the
+        |running-token-sum bin fill (in-partition sort by pos) stack inside
+        |the same partitioning, so shuffle→pack re-keys the corpus exactly
+        |once. Token counting and the permutation key are map-side
+        |projections below that exchange; the final per-(shard,bin)
+        |aggregate is partial→tiny-exchange→final. The order checksum the
+        |oracle pins is produced inside those co-partitioned sorts.""".stripMargin,
+    "q107_cohort_retention" ->
+      """Wants: the event table pays exactly TWO partial-agg'd shuffles —
+        |the (user, week) distinct and the per-user cohort-min — and the
+        |cohort-min side (one row per user, weeks collapsed) BROADCASTS
+        |onto the distinct side, so the join itself re-shuffles nothing.
+        |At a scale where per-user rows outgrow the broadcast threshold,
+        |both sides are already user-keyed and AQE falls back to a
+        |co-partitioned join — either way no third corpus shuffle.
+        |countDistinct expands to the two-phase partial-distinct rewrite
+        |((cohort, week_no, user) partials first), so a viral cohort is
+        |spread across tasks, never a hot reducer; only the final tiny
+        |(cohort_week, week_no) aggregate re-keys.""".stripMargin,
+    "q108_time_range_window" ->
+      """Wants: the user_id < 10 predicate in PushedFilters (the window
+        |reads a sliver of the table), one exchange on user_id, one
+        |in-partition sort on ts, and a RangeFrame window (bounds move by
+        |INTERVAL arithmetic, not row counts) computing both trailing-hour
+        |aggregates in a SINGLE Window operator — two frames, one sort, no
+        |second exchange.""".stripMargin,
     "q80_bucketed_sample" ->
       """Wants (READ PATH — the write is once-per-process fixture setup, see
         |WarehouseSpec for the write-side layout assertions): PartitionFilters
