@@ -49,6 +49,7 @@ object CommittedTable {
 
   private val Commit = "_commit"
   private val CommitPrev = "_commit.prev"
+  private val CommitGen = "_commit.g"
   private val ClaimPrefix = "_claim-g"
   private val NullPartName =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
@@ -60,11 +61,17 @@ object CommittedTable {
 
   /** Manifest = generation number + the table's column list (the schema-
     * evolution record: segments written before a widen lack the newer
-    * columns and NULL-fill on read) + (partition value → segment dir
-    * name). Serialized line-oriented (`gen=<n>`, `cols=<tab-joined>`,
-    * then `<escaped value>\t<dir>`), tiny by construction. */
+    * columns and NULL-fill on read) + the generation-retention count +
+    * (partition value → segment dir name). Serialized line-oriented
+    * (`gen=<n>`, `cols=<tab-joined>`, `retain=<n>`, then
+    * `<escaped value>\t<dir>`), tiny by construction. `retain` is table
+    * metadata (set at [[write]], carried forward by merge/compact): how
+    * many generations stay readable — and their segments GC-protected —
+    * behind the current one, the time-travel/snapshot-isolation budget.
+    * Pre-retention manifests lack the line and read as the historical
+    * default 2 (current + one grace cycle). */
   private[graft] final case class Manifest(gen: Long, cols: Seq[String],
-      segments: Map[String, String])
+      segments: Map[String, String], retain: Int = 2)
 
   private[graft] def readManifest(fs: FileSystem, table: Path): Option[Manifest] =
     readManifestFile(fs, new Path(table, Commit))
@@ -86,32 +93,43 @@ object CommittedTable {
       case other => throw new java.io.IOException(
         s"corrupt manifest $p: expected cols=<...> header, got $other")
     }
-    val segs = lines.drop(2).filter(_.nonEmpty).map { l =>
-      l.split('\t') match {
-        case Array(v, d) => unesc(v) -> d
-        case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
-      }
-    }.toMap
-    Some(Manifest(gen, cols, segs))
+    val retain = lines.drop(2).find(_.startsWith("retain="))
+      .map(_.stripPrefix("retain=").toInt).getOrElse(2)
+    val segs = lines.drop(2)
+      .filter(l => l.nonEmpty && !l.startsWith("retain=")).map { l =>
+        l.split('\t') match {
+          case Array(v, d) => unesc(v) -> d
+          case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
+        }
+      }.toMap
+    Some(Manifest(gen, cols, segs, retain))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
-    * name, preserve the current manifest as `_commit.prev` (the one-cycle
-    * segment grace for in-flight readers), then POSIX
-    * rename-with-overwrite tmp → `_commit`. Readers see the old manifest
-    * or the new one, never a partial file and never an absent one. */
+    * name, record an immutable per-generation copy (`_commit.g<n>` — the
+    * [[readAt]] time-travel anchor, GC'd once it falls out of the retain
+    * window), preserve the current manifest as `_commit.prev` (GC
+    * bookkeeping), then POSIX rename-with-overwrite tmp → `_commit`.
+    * Readers see the old manifest or the new one, never a partial file
+    * and never an absent one. */
   private[sources] def swapManifest(hconf: org.apache.hadoop.conf.Configuration,
       table: Path, m: Manifest): Unit = {
     val fs = table.getFileSystem(hconf)
     val live = new Path(table, Commit)
     val tmp = new Path(table, Commit + ".tmp")
-    val out = fs.create(tmp, true)
-    try {
-      val body = (s"gen=${m.gen}" +: s"cols=${m.cols.mkString("\t")}" +:
-        m.segments.toSeq.sortBy(_._1).map { case (v, d) => s"${esc(v)}\t$d" })
-        .mkString("", "\n", "\n")
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
+    val body = (s"gen=${m.gen}" +: s"cols=${m.cols.mkString("\t")}" +:
+      s"retain=${m.retain}" +:
+      m.segments.toSeq.sortBy(_._1).map { case (v, d) => s"${esc(v)}\t$d" })
+      .mkString("", "\n", "\n")
+    def put(p: Path): Unit = {
+      val out = fs.create(p, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    put(tmp)
+    // history copy BEFORE the swap: every committed generation is
+    // guaranteed its anchor (a crash here leaves a stale future-gen file
+    // that the real publish of that number overwrites, and GC removes)
+    put(new Path(table, s"$CommitGen${m.gen}"))
     if (fs.exists(live)) {
       val prev = new Path(table, CommitPrev)
       // prev is bookkeeping for segment GC, not part of the read path —
@@ -123,31 +141,68 @@ object CommittedTable {
     fc.rename(tmp, live, Options.Rename.OVERWRITE)
   }
 
-  /** Delete segment dirs referenced by NEITHER the current nor the
-    * previous manifest — crashed-publish orphans (never referenced) and
-    * two-generations-old segments — plus claim markers of already-
-    * committed generations. Runs at the start of every merge and at the
-    * end (so superseded segments survive exactly one merge cycle for
-    * in-flight readers of the previous manifest). The previous manifest
-    * is parsed with the same structure-aware reader as the live one (the
-    * old `.tail`-and-split scan treated the cols= header as a segment
-    * line and threw on single-column tables). */
+  /** Delete segment dirs referenced by NO manifest inside the retain
+    * window — crashed-publish orphans (never referenced) and
+    * aged-out-generation segments — plus claim markers of already-
+    * committed generations and generation anchors older than the window.
+    * Runs at the start of every merge and at the end, so a superseded
+    * generation stays fully readable (segments + `_commit.g<n>` anchor)
+    * until `retain - 1` further publishes land: the previous manifest's
+    * one-cycle reader grace generalized to the table's retention budget.
+    * Manifests are parsed with the structure-aware reader (the old
+    * `.tail`-and-split scan treated the cols= header as a segment line
+    * and threw on single-column tables). */
   private def collectGarbage(fs: FileSystem, table: Path): Unit = {
+    if (!fs.exists(table)) return
     val curM = readManifest(fs, table)
     val cur = curM.map(_.segments.values.toSet).getOrElse(Set.empty)
     val curGen = curM.map(_.gen).getOrElse(0L)
+    val retain = math.max(1, curM.map(_.retain).getOrElse(2))
+    val floor = curGen - retain + 1 // oldest generation kept readable
     val prev: Set[String] = readManifestFile(fs, new Path(table, CommitPrev))
       .map(_.segments.values.toSet).getOrElse(Set.empty)
-    if (!fs.exists(table)) return
+    def genSuffix(name: String, prefix: String): Option[Long] = {
+      val s = name.stripPrefix(prefix)
+      if (name.startsWith(prefix) && s.nonEmpty && s.forall(_.isDigit))
+        Some(s.toLong)
+      else None
+    }
+    val retained: Set[String] = fs.listStatus(table).toSeq.flatMap { st =>
+      genSuffix(st.getPath.getName, CommitGen) match {
+        case Some(g) if !st.isDirectory && g >= floor && g <= curGen =>
+          readManifestFile(fs, st.getPath)
+            .map(_.segments.values.toSet).getOrElse(Set.empty[String])
+        case _ => Set.empty[String]
+      }
+    }.toSet
+    val protectedSegs = cur ++ prev ++ retained
     fs.listStatus(table).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("seg-") && !cur(n) && !prev(n))
+      if (st.isDirectory && n.startsWith("seg-") && !protectedSegs(n))
         fs.delete(st.getPath, true)
-      else if (!st.isDirectory && n.startsWith(ClaimPrefix) &&
-          n.stripPrefix(ClaimPrefix).forall(_.isDigit) &&
-          n.stripPrefix(ClaimPrefix).toLong <= curGen)
+      else if (!st.isDirectory && genSuffix(n, ClaimPrefix).exists(_ <= curGen))
+        fs.delete(st.getPath, false)
+      else if (!st.isDirectory &&
+          genSuffix(n, CommitGen).exists(g => g < floor || g > curGen))
         fs.delete(st.getPath, false)
     }
+  }
+
+  /** Generations currently readable via [[readAt]]: every committed
+    * generation whose anchor survives the retain window, newest last.
+    * Driver-side metadata (one directory listing). */
+  def generations(spark: SparkSession, path: String): Seq[Long] = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val curGen = readManifest(fs, table).map(_.gen).getOrElse(return Nil)
+    fs.listStatus(table).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(CommitGen) &&
+        n.stripPrefix(CommitGen).nonEmpty &&
+        n.stripPrefix(CommitGen).forall(_.isDigit))
+      .map(_.stripPrefix(CommitGen).toLong)
+      .filter(_ <= curGen)
+      .sorted
   }
 
   /** Remove a crashed writer's stale generation claim (a claim AHEAD of
@@ -202,17 +257,20 @@ object CommittedTable {
     * partition column stored as a data column (typed STRING — the same
     * value-identity discipline as Warehouse.merge's dir names), manifest
     * published atomically after every segment is in place. */
-  def write(df: DataFrame, path: String, partitionCol: String): Unit = {
+  def write(df: DataFrame, path: String, partitionCol: String,
+      retainGenerations: Int = 2): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
     val fs = table.getFileSystem(hconf)
+    require(retainGenerations >= 1,
+      s"retainGenerations must be >= 1, got $retainGenerations")
     require(readManifest(fs, table).isEmpty,
       s"$path already holds a committed table; use merge for updates")
     fs.mkdirs(table)
     val staged = stageSegments(df, path, partitionCol, gen = 1L)
     publishOrAbort(hconf, table, baseGen = 0L,
-      Manifest(1L, df.columns.toSeq, staged), staged)
+      Manifest(1L, df.columns.toSeq, staged, retainGenerations), staged)
     fs.delete(new Path(path + ".ct-staging"), true)
   }
 
@@ -274,17 +332,47 @@ object CommittedTable {
     * entries; unselected segments are never listed, opened, or planned. */
   def read(spark: SparkSession, path: String,
       partitionValues: Option[Seq[String]] = None): DataFrame = {
-    val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
-    val fs = table.getFileSystem(hconf)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m = readManifest(fs, table).getOrElse(
       throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    readFrom(spark, table, m, partitionValues)
+  }
+
+  /** Time-travel read: the table EXACTLY as generation `gen` published it
+    * — snapshot content AND snapshot schema (a generation before a widen
+    * reads with the narrower column list). Readable while `gen` is inside
+    * the retain window ([[generations]] lists what survives; the window
+    * is the `retainGenerations` the table was created with, carried
+    * forward by every merge/compact). An aged-out generation fails with
+    * the window, not silently wrong data. Same manifest-resolved pruned
+    * scan as [[read]] — time travel is a metadata choice, not a data
+    * copy. */
+  def readAt(spark: SparkSession, path: String, gen: Long,
+      partitionValues: Option[Seq[String]] = None): DataFrame = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    val m =
+      if (gen == cur.gen) cur // pre-anchor tables still time-travel to NOW
+      else readManifestFile(fs, new Path(table, s"$CommitGen$gen"))
+        .filter(_ => gen < cur.gen && gen >= cur.gen - cur.retain + 1)
+        .getOrElse(throw new java.io.IOException(
+          s"generation $gen of $path is not retained (current ${cur.gen}, " +
+            s"retain ${cur.retain} ⇒ readable ${math.max(1, cur.gen - cur.retain + 1)}..${cur.gen}); " +
+            "raise retainGenerations at write() to keep a deeper history"))
+    readFrom(spark, table, m, partitionValues)
+  }
+
+  private def readFrom(spark: SparkSession, table: Path, m: Manifest,
+      partitionValues: Option[Seq[String]]): DataFrame = {
     val wanted = partitionValues match {
       case Some(vs) => val keep = vs.toSet; m.segments.view.filterKeys(keep).toMap
       case None => m.segments
     }
     if (m.segments.isEmpty)
-      throw new java.io.IOException(s"committed table $path is empty; no schema")
+      throw new java.io.IOException(s"committed table $table is empty; no schema")
     // types come from ONE probe of a newest-generation segment — the merge
     // that introduced the current manifest wrote its segments with the
     // FULL current column list, so after a schema widen the older
@@ -385,7 +473,8 @@ object CommittedTable {
     // affected partition with NO staged segment lost its last row to a key
     // move — dropping its entry IS its retirement
     val next = Manifest(gen, cols.toSeq,
-      (m.segments -- affected) ++ staged.view.filterKeys(affected.contains))
+      (m.segments -- affected) ++ staged.view.filterKeys(affected.contains),
+      m.retain)
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen, next, staged)
     crashPoint("after-swap")
@@ -427,7 +516,8 @@ object CommittedTable {
       throw new java.io.IOException(
         s"compact staged no segment for partitions ${missing.mkString(",")}")
     crashPoint("before-swap")
-    publishOrAbort(hconf, table, m.gen, Manifest(gen, m.cols, staged), staged)
+    publishOrAbort(hconf, table, m.gen,
+      Manifest(gen, m.cols, staged, m.retain), staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
     fs.delete(new Path(path + ".ct-staging"), true)

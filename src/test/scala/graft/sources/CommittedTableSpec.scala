@@ -301,6 +301,50 @@ class CommittedTableSpec extends SparkSpec {
     assert(CommittedTable.readManifest(fs, table).get.gen === 5L)
   }
 
+  test("time travel: readAt serves every retained generation; aged-out fails with the window") {
+    val dir = freshDir("tt")
+    val baseExpected = Set(
+      (1L, "A", 10.0, 1L), (2L, "A", 20.0, 1L), (3L, "B", 30.0, 1L),
+      (4L, "C", 40.0, 1L))
+    CommittedTable.write(base(), dir, "status", retainGenerations = 3)
+    CommittedTable.merge(spark, dir, updates(), "id", "version", "status") // gen 2
+    val more = Seq((2L, "A", 21.0, 3L)).toDF("id", "status", "value", "version")
+    CommittedTable.merge(spark, dir, more, "id", "version", "status")      // gen 3
+    assert(CommittedTable.generations(spark, dir) === Seq(1L, 2L, 3L))
+    def at(g: Long) = CommittedTable.readAt(spark, dir, g)
+      .select($"id", $"status", $"value", $"version")
+      .as[(Long, String, Double, Long)].collect().toSet
+    // each retained generation reads back EXACTLY as it was published
+    assert(at(1L) === baseExpected)
+    assert(at(2L) === mergedExpected)
+    assert(at(3L) === mergedExpected - ((2L, "A", 20.0, 1L)) + ((2L, "A", 21.0, 3L)))
+    assert(at(3L) === content(dir))
+    // gen 4 pushes gen 1 out of the retain-3 window: anchor AND segments go
+    CommittedTable.merge(spark, dir,
+      Seq((9L, "N", 91.0, 4L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    assert(CommittedTable.generations(spark, dir) === Seq(2L, 3L, 4L))
+    val e = intercept[java.io.IOException] {
+      CommittedTable.readAt(spark, dir, 1L)
+    }
+    assert(e.getMessage.contains("not retained") &&
+      e.getMessage.contains("retainGenerations"), e.getMessage)
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(table).exists(_.getPath.getName.startsWith("seg-g1-")),
+      "aged-out generation's segments leaked")
+    // snapshot SCHEMA too: a widen at gen 5 is invisible at gen 4
+    val widened = Seq((1L, "A", 12.0, 5L, "feed-9"))
+      .toDF("id", "status", "value", "version", "origin")
+    CommittedTable.merge(spark, dir, widened, "id", "version", "status",
+      allowAddColumns = true)                                              // gen 5
+    assert(CommittedTable.read(spark, dir).columns.contains("origin"))
+    assert(!CommittedTable.readAt(spark, dir, 4L).columns.contains("origin"))
+    // manifest pruning composes with time travel (metadata-only both ways)
+    val pruned = CommittedTable.readAt(spark, dir, 4L, Some(Seq("N")))
+    assert(pruned.select("id").as[Long].collect().toSet === Set(4L, 9L))
+  }
+
   test("single-data-column table: prev-manifest GC parses the tab-less cols header") {
     // the old GC split prev-manifest lines on tab positionally; a one-column
     // table's cols= line has no tab and broke every later publish
