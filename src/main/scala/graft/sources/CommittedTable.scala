@@ -62,19 +62,38 @@ object CommittedTable {
   /** Manifest = generation number + the table's column list (the schema-
     * evolution record: segments written before a widen lack the newer
     * columns and NULL-fill on read) + the generation-retention count +
-    * (partition value → segment dir name). Serialized line-oriented
-    * (`gen=<n>`, `cols=<tab-joined>`, `retain=<n>`, then
-    * `<escaped value>\t<dir>`), tiny by construction. `retain` is table
-    * metadata (set at [[write]], carried forward by merge/compact): how
-    * many generations stay readable — and their segments GC-protected —
-    * behind the current one, the time-travel/snapshot-isolation budget.
-    * Pre-retention manifests lack the line and read as the historical
-    * default 2 (current + one grace cycle). */
+    * the zone-map column list + (partition value → segment dir name,
+    * optionally followed by per-stats-column min/max). Serialized
+    * line-oriented (`gen=<n>`, `cols=<tab-joined>`, `retain=<n>`,
+    * `stats=<tab-joined>`, then `<escaped value>\t<dir>[\tmin\tmax...]`),
+    * tiny by construction. `retain` is table metadata (set at [[write]],
+    * carried forward by merge/compact): how many generations stay
+    * readable — and their segments GC-protected — behind the current one,
+    * the time-travel/snapshot-isolation budget. `statsCols` (also set at
+    * write, carried forward) names the columns whose per-segment min/max
+    * ride the manifest as ZONE MAPS: [[readRange]] prunes segments from
+    * METADATA before any file is listed — the Iceberg/Delta data-skipping
+    * move, one level above parquet row-group stats. Min/max are encoded
+    * `v:<escaped canonical string>` (`n:` for an all-NULL segment);
+    * canonical = plain string for strings/dates, decimal string for
+    * numerics, epoch MICROS for timestamps — re-typed at read time from
+    * the probed schema, so "9" vs "10" never compares lexically.
+    * Pre-feature manifests lack both lines and read as retain=2 /
+    * no stats. */
   private[graft] final case class Manifest(gen: Long, cols: Seq[String],
-      segments: Map[String, String], retain: Int = 2)
+      segments: Map[String, String], retain: Int = 2,
+      statsCols: Seq[String] = Nil,
+      stats: Map[String, Seq[(Option[String], Option[String])]] = Map.empty)
 
   private[graft] def readManifest(fs: FileSystem, table: Path): Option[Manifest] =
     readManifestFile(fs, new Path(table, Commit))
+
+  private def encStat(v: Option[String]): String =
+    v.map(s => "v:" + esc(s)).getOrElse("n:")
+  private def decStat(s: String): Option[String] =
+    if (s.startsWith("v:")) Some(unesc(s.stripPrefix("v:")))
+    else if (s == "n:") None
+    else throw new java.io.IOException(s"corrupt stat field: $s")
 
   private def readManifestFile(fs: FileSystem, p: Path): Option[Manifest] = {
     if (!fs.exists(p)) return None
@@ -95,14 +114,24 @@ object CommittedTable {
     }
     val retain = lines.drop(2).find(_.startsWith("retain="))
       .map(_.stripPrefix("retain=").toInt).getOrElse(2)
-    val segs = lines.drop(2)
-      .filter(l => l.nonEmpty && !l.startsWith("retain=")).map { l =>
-        l.split('\t') match {
-          case Array(v, d) => unesc(v) -> d
-          case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
-        }
-      }.toMap
-    Some(Manifest(gen, cols, segs, retain))
+    val statsCols = lines.drop(2).find(_.startsWith("stats="))
+      .map(_.stripPrefix("stats=").split('\t').toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
+    val segLines = lines.drop(2).filter(l =>
+      l.nonEmpty && !l.startsWith("retain=") && !l.startsWith("stats="))
+    val parsed = segLines.map { l =>
+      l.split('\t') match {
+        case Array(v, d) => (unesc(v), d, Nil: Seq[(Option[String], Option[String])])
+        case arr if arr.length == 2 + 2 * statsCols.size =>
+          val st = arr.drop(2).grouped(2)
+            .map(g => (decStat(g(0)), decStat(g(1)))).toSeq
+          (unesc(arr(0)), arr(1), st)
+        case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
+      }
+    }
+    Some(Manifest(gen, cols,
+      parsed.map(t => t._1 -> t._2).toMap, retain, statsCols,
+      parsed.collect { case (v, _, st) if st.nonEmpty => v -> st }.toMap))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
@@ -117,9 +146,17 @@ object CommittedTable {
     val fs = table.getFileSystem(hconf)
     val live = new Path(table, Commit)
     val tmp = new Path(table, Commit + ".tmp")
-    val body = (s"gen=${m.gen}" +: s"cols=${m.cols.mkString("\t")}" +:
-      s"retain=${m.retain}" +:
-      m.segments.toSeq.sortBy(_._1).map { case (v, d) => s"${esc(v)}\t$d" })
+    val statsLine =
+      if (m.statsCols.isEmpty) Nil else Seq(s"stats=${m.statsCols.mkString("\t")}")
+    val body = (Seq(s"gen=${m.gen}", s"cols=${m.cols.mkString("\t")}",
+      s"retain=${m.retain}") ++ statsLine ++
+      m.segments.toSeq.sortBy(_._1).map { case (v, d) =>
+        val st = m.stats.get(v).filter(_ => m.statsCols.nonEmpty)
+          .map(_.flatMap(p => Seq(encStat(p._1), encStat(p._2)))
+            .mkString("\t", "\t", ""))
+          .getOrElse("")
+        s"${esc(v)}\t$d$st"
+      })
       .mkString("", "\n", "\n")
     def put(p: Path): Unit = {
       val out = fs.create(p, true)
@@ -258,7 +295,7 @@ object CommittedTable {
     * value-identity discipline as Warehouse.merge's dir names), manifest
     * published atomically after every segment is in place. */
   def write(df: DataFrame, path: String, partitionCol: String,
-      retainGenerations: Int = 2): Unit = {
+      retainGenerations: Int = 2, statsCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
@@ -268,9 +305,13 @@ object CommittedTable {
     require(readManifest(fs, table).isEmpty,
       s"$path already holds a committed table; use merge for updates")
     fs.mkdirs(table)
+    statsCols.foreach(c => require(df.columns.contains(c),
+      s"stats column $c absent from the table (${df.columns.mkString(",")})"))
     val staged = stageSegments(df, path, partitionCol, gen = 1L)
+    val stats = statsFromStaged(spark, table, staged, partitionCol, statsCols)
     publishOrAbort(hconf, table, baseGen = 0L,
-      Manifest(1L, df.columns.toSeq, staged, retainGenerations), staged)
+      Manifest(1L, df.columns.toSeq, staged, retainGenerations,
+        statsCols, stats), staged)
     fs.delete(new Path(path + ".ct-staging"), true)
   }
 
@@ -363,6 +404,124 @@ object CommittedTable {
             s"retain ${cur.retain} ⇒ readable ${math.max(1, cur.gen - cur.retain + 1)}..${cur.gen}); " +
             "raise retainGenerations at write() to keep a deeper history"))
     readFrom(spark, table, m, partitionValues)
+  }
+
+  /** Per-partition zone-map stats (min/max of each stats column) for the
+    * rows of `df`, in the manifest's canonical string encoding. One
+    * aggregate job whose output is PARTITION-bounded (one row per value —
+    * the same metadata-bounded collect class as merge's affected-set). */
+  private def computeStats(df: DataFrame, partitionCol: String,
+      statsCols: Seq[String]): Map[String, Seq[(Option[String], Option[String])]] = {
+    import org.apache.spark.sql.types._
+    if (statsCols.isEmpty) return Map.empty
+    statsCols.foreach(c => require(df.columns.contains(c),
+      s"stats column $c absent from the batch (${df.columns.mkString(",")})"))
+    def canon(c: String, agg: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = df.schema(c).dataType match {
+      case TimestampType => unix_micros(agg).cast("string")
+      case _ => agg.cast("string")
+    }
+    val aggs = statsCols.flatMap(c => Seq(
+      canon(c, min(col(c))).as(s"__mn_$c"), canon(c, max(col(c))).as(s"__mx_$c")))
+    df.groupBy(col(partitionCol).cast("string").as("__pv"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().map { r =>
+        r.getString(0) -> statsCols.indices.map(i =>
+          (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i)))).toSeq
+      }.toMap
+  }
+
+  /** [[computeStats]] over segments ALREADY staged on disk: reads back
+    * only the fresh files (which carry the partition column as data)
+    * instead of re-running the caller's merge/compact plan. */
+  private def statsFromStaged(spark: SparkSession, table: Path,
+      staged: Map[String, String], partitionCol: String,
+      statsCols: Seq[String]): Map[String, Seq[(Option[String], Option[String])]] =
+    if (statsCols.isEmpty || staged.isEmpty) Map.empty
+    else computeStats(
+      spark.read.parquet(
+        staged.values.toSeq.sorted.map(d => new Path(table, d).toString): _*),
+      partitionCol, statsCols)
+
+  private def statCompare(dt: org.apache.spark.sql.types.DataType)
+      : (String, String) => Int = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | _: DecimalType =>
+        (a, b) => BigDecimal(a).compare(BigDecimal(b))
+      case TimestampType => (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
+      case _ => (a, b) => a.compareTo(b)
+    }
+  }
+
+  private def canonBound(dt: org.apache.spark.sql.types.DataType, b: Any): String = {
+    import org.apache.spark.sql.types._
+    (dt, b) match {
+      case (TimestampType, t: java.sql.Timestamp) =>
+        (t.getTime * 1000L + (t.getNanos / 1000) % 1000).toString
+      case (TimestampType, l: Long) => l.toString
+      case (TimestampType, s: String) =>
+        canonBound(dt, java.sql.Timestamp.valueOf(s))
+      case (_, x) => x.toString
+    }
+  }
+
+  /** Zone-map-pruned range read: segments whose stored [min,max] for
+    * `statsCol` cannot intersect [lower, upper] (inclusive; None =
+    * unbounded) are dropped from METADATA — never listed, opened, or
+    * planned — and the exact predicate is applied on top, so the result
+    * is identical to `read().filter(between)`; the zone maps change the
+    * I/O, never the answer. Conservative by construction: a segment with
+    * no stats (pre-feature manifest, or a column not in `statsCols`) is
+    * kept, an all-NULL segment is dropped only when a bound exists (a
+    * BETWEEN predicate never selects NULLs). Composes with
+    * `partitionValues` (both prunings are driver-side manifest filters).
+    * The at-scale story: a sorted-ish column (event time, ingest date,
+    * monotonic id) over thousands of partitions turns a range query into
+    * a handful of segment scans — the same reason [[compact]] sorts
+    * within segments for parquet row-group skipping one level down. */
+  def readRange(spark: SparkSession, path: String, statsCol: String,
+      lower: Option[Any] = None, upper: Option[Any] = None,
+      partitionValues: Option[Seq[String]] = None): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    require(m.cols.contains(statsCol),
+      s"$statsCol is not a column of the committed table (${m.cols.mkString(",")})")
+    val idx = m.statsCols.indexOf(statsCol)
+    val dt =
+      if (m.segments.isEmpty) TimestampType // unreachable below; readFrom throws
+      else spark.read.parquet(
+        new Path(table, m.segments.values.maxBy(genOf)).toString)
+        .schema.find(_.name == statsCol).map(_.dataType)
+        .getOrElse(throw new java.io.IOException(
+          s"stats column $statsCol absent from the newest segment"))
+    val cmp = statCompare(dt)
+    val lo = lower.map(canonBound(dt, _))
+    val hi = upper.map(canonBound(dt, _))
+    val base = partitionValues.map(_.filter(m.segments.contains))
+      .getOrElse(m.segments.keys.toSeq)
+    val kept = base.filter { v =>
+      if (idx < 0) true
+      else m.stats.get(v).map(_(idx)) match {
+        case None => true // no stats recorded for this segment: keep
+        case Some((None, None)) => lo.isEmpty && hi.isEmpty // all-NULL segment
+        case Some((mn, mx)) =>
+          val aboveLo = lo.forall(l => mx.exists(x => cmp(x, l) >= 0))
+          val belowHi = hi.forall(h => mn.exists(n => cmp(n, h) <= 0))
+          aboveLo && belowHi
+      }
+    }
+    val pruned = readFrom(spark, table, m, Some(kept))
+    val c =
+      if (dt == TimestampType) unix_micros(col(statsCol)) else col(statsCol)
+    val preds =
+      lo.map(l => if (dt == TimestampType) c >= lit(l.toLong) else c >= lit(lower.get)).toSeq ++
+      hi.map(h => if (dt == TimestampType) c <= lit(h.toLong) else c <= lit(upper.get)).toSeq
+    preds.foldLeft(pruned)((df, p) => df.filter(p))
   }
 
   private def readFrom(spark: SparkSession, table: Path, m: Manifest,
@@ -472,9 +631,11 @@ object CommittedTable {
     // new manifest: affected entries replaced by their staged segments; an
     // affected partition with NO staged segment lost its last row to a key
     // move — dropping its entry IS its retirement
+    val segStats = statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
     val next = Manifest(gen, cols.toSeq,
       (m.segments -- affected) ++ staged.view.filterKeys(affected.contains),
-      m.retain)
+      m.retain, m.statsCols,
+      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains))
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen, next, staged)
     crashPoint("after-swap")
@@ -517,7 +678,8 @@ object CommittedTable {
         s"compact staged no segment for partitions ${missing.mkString(",")}")
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen,
-      Manifest(gen, m.cols, staged, m.retain), staged)
+      Manifest(gen, m.cols, staged, m.retain, m.statsCols,
+        statsFromStaged(spark, table, staged, partitionCol, m.statsCols)), staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
     fs.delete(new Path(path + ".ct-staging"), true)

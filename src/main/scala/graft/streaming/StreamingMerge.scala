@@ -66,9 +66,19 @@ object StreamingMerge {
     * cannot clobber), with the ATOMIC publish on top — readers polling the
     * table between micro-batches resolve one committed generation, never a
     * mid-publish mix, and a batch that crashes mid-merge leaves the
-    * previous generation fully visible until the retry lands. The
-    * single-writer contract holds by construction: one streaming query IS
-    * the one writer. */
+    * previous generation fully visible until the retry lands.
+    *
+    * Writer fencing: the stream is NORMALLY the one writer, but an ad-hoc
+    * maintenance publish (a manual backfill, a [[graft.sources
+    * .CommittedTable.compact]]) can race a micro-batch; the table's
+    * optimistic fence then makes exactly one side win and the loser raise
+    * `ConcurrentModificationException` with its staging cleaned up.
+    * Failing the whole stream for that is wrong — the documented remedy
+    * IS "re-run the merge", and the merge is idempotent — so the batch
+    * retries the merge up to `maxMergeRetries` times on top of whatever
+    * won before surfacing the failure (a persistent conflict means a
+    * second CONTINUOUS writer, which is a deployment bug worth failing
+    * loudly over). */
   def toCommitted(
       updates: DataFrame,
       path: String,
@@ -77,7 +87,8 @@ object StreamingMerge {
       partitionCol: String,
       checkpoint: String,
       availableNow: Boolean = true,
-      interval: String = "30 seconds"): DataStreamWriter[Row] = {
+      interval: String = "30 seconds",
+      maxMergeRetries: Int = 3): DataStreamWriter[Row] = {
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(interval)
     updates.writeStream
@@ -87,9 +98,32 @@ object StreamingMerge {
         batch.persist()
         try {
           if (!batch.isEmpty)
-            graft.sources.CommittedTable.merge(batch.sparkSession, path, batch,
-              key, versionCol, partitionCol)
+            mergeWithRetry(batch, path, key, versionCol, partitionCol,
+              maxMergeRetries)
         } finally batch.unpersist()
       }
+  }
+
+  /** One micro-batch's merge with rebase-and-retry on a lost fence race
+    * (see [[toCommitted]]). `crashPoint` is the same test seam
+    * [[graft.sources.CommittedTable.merge]] exposes, threaded through so
+    * specs can interleave a competing publish deterministically. */
+  private[streaming] def mergeWithRetry(batch: DataFrame, path: String,
+      key: String, versionCol: String, partitionCol: String,
+      maxMergeRetries: Int,
+      crashPoint: String => Unit = _ => ()): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try {
+        graft.sources.CommittedTable.merge(batch.sparkSession, path,
+          batch, key, versionCol, partitionCol, crashPoint = crashPoint)
+        done = true
+      } catch {
+        case _: java.util.ConcurrentModificationException
+            if attempt < maxMergeRetries =>
+          attempt += 1 // rebase on the winner and re-apply
+      }
+    }
   }
 }

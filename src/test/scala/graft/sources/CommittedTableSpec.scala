@@ -345,6 +345,58 @@ class CommittedTableSpec extends SparkSpec {
     assert(pruned.select("id").as[Long].collect().toSet === Set(4L, 9L))
   }
 
+  test("zone maps: readRange prunes segments from metadata; answer == read().filter") {
+    val dir = freshDir("zm")
+    // values chosen so LEXICAL min/max compare would lie ("10" < "9.5")
+    val df = Seq(
+      (1L, "A", 9.0, 1L), (2L, "A", 10.0, 1L),
+      (3L, "B", 100.0, 1L), (4L, "B", 200.0, 1L),
+      (5L, "C", 1000.0, 1L))
+      .toDF("id", "status", "value", "version")
+    CommittedTable.write(df, dir, "status", statsCols = Seq("value", "id"))
+    // range hits only A: B and C segments never reach the plan
+    val r = CommittedTable.readRange(spark, dir, "value", Some(5.0), Some(50.0))
+    assert(r.inputFiles.nonEmpty && r.inputFiles.forall(_.contains("-A/")),
+      r.inputFiles.mkString(","))
+    assert(r.select("id").as[Long].collect().toSet === Set(1L, 2L))
+    // typed compare: lexically "10" < "9.5" would prune A and lose id 2
+    val r2 = CommittedTable.readRange(spark, dir, "value", Some(9.5), None)
+    assert(r2.select("id").as[Long].collect().toSet === Set(2L, 3L, 4L, 5L))
+    // merge refreshes the affected partition's zone map
+    CommittedTable.merge(spark, dir,
+      Seq((1L, "A", 5000.0, 2L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    val r3 = CommittedTable.readRange(spark, dir, "value", Some(4000.0), None)
+    assert(r3.inputFiles.nonEmpty && r3.inputFiles.forall(_.contains("-A/")))
+    assert(r3.select("id").as[Long].collect().toSet === Set(1L))
+    // a column with no recorded stats prunes nothing but answers exactly
+    val r4 = CommittedTable.readRange(spark, dir, "version", Some(2L), None)
+    assert(r4.select("id").as[Long].collect().toSet === Set(1L))
+    // compact recomputes zone maps over the canonical layout
+    CommittedTable.compact(spark, dir, "status", sortCols = Seq("value"))
+    val r5 = CommittedTable.readRange(spark, dir, "value", None, Some(50.0))
+    assert(r5.inputFiles.nonEmpty && r5.inputFiles.forall(_.contains("-A/")))
+    assert(r5.select("id").as[Long].collect().toSet === Set(2L)) // id 1 is 5000 now
+  }
+
+  test("zone maps on timestamps: epoch-micros canonical form, string bounds accepted") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = freshDir("zmts")
+    val df = Seq(
+      (1L, "A", t("2024-01-01 10:00:00"), 1L),
+      (2L, "B", t("2024-06-01 10:00:00"), 1L))
+      .toDF("id", "status", "ts", "version")
+    CommittedTable.write(df, dir, "status", statsCols = Seq("ts"))
+    val r = CommittedTable.readRange(spark, dir, "ts",
+      Some(t("2024-05-01 00:00:00")), None)
+    assert(r.inputFiles.nonEmpty && r.inputFiles.forall(_.contains("-B/")),
+      r.inputFiles.mkString(","))
+    assert(r.select("id").as[Long].collect().toSet === Set(2L))
+    val r2 = CommittedTable.readRange(spark, dir, "ts",
+      None, Some("2024-02-01 00:00:00"))
+    assert(r2.select("id").as[Long].collect().toSet === Set(1L))
+  }
+
   test("single-data-column table: prev-manifest GC parses the tab-less cols header") {
     // the old GC split prev-manifest lines on tab positionally; a one-column
     // table's cols= line has no tab and broke every later publish

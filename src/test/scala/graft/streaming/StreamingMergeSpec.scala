@@ -115,4 +115,41 @@ class StreamingMergeSpec extends SparkSpec {
     q.awaitTermination(120000); q.stop()
     assert(table(wh) === Set((1L, "A", 10.0, 5L)))
   }
+
+  test("committed CDC: a losing micro-batch rebases and retries onto the winner") {
+    import graft.sources.CommittedTable
+    val dir = Files.createTempDirectory("graft-sm-race").toString + "/t"
+    val base = Seq((1L, "A", 10.0, 1L), (2L, "B", 20.0, 1L))
+      .toDF("id", "status", "value", "version")
+    CommittedTable.write(base, dir, "status")
+    val batch = Seq((1L, "A", 11.0, 2L)).toDF("id", "status", "value", "version")
+    val winner = Seq((2L, "B", 22.0, 2L)).toDF("id", "status", "value", "version")
+    // the winner publishes between the batch's staging and its swap — the
+    // batch's first attempt loses the fence, the retry rebases and lands
+    var fired = false
+    StreamingMerge.mergeWithRetry(batch, dir, "id", "version", "status",
+      maxMergeRetries = 3,
+      crashPoint = s => if (s == "after-staging" && !fired) {
+        fired = true
+        CommittedTable.merge(spark, dir, winner, "id", "version", "status")
+      })
+    val got = CommittedTable.read(spark, dir)
+      .select($"id", $"status", $"value", $"version")
+      .as[(Long, String, Double, Long)].collect().toSet
+    // BOTH writes survive: winner-then-retry, no silently vanished publish
+    assert(got === Set((1L, "A", 11.0, 2L), (2L, "B", 22.0, 2L)))
+    // with retries exhausted the conflict surfaces instead of spinning
+    var always = 0L
+    intercept[java.util.ConcurrentModificationException] {
+      StreamingMerge.mergeWithRetry(
+        Seq((1L, "A", 12.0, 3L)).toDF("id", "status", "value", "version"),
+        dir, "id", "version", "status", maxMergeRetries = 1,
+        crashPoint = s => if (s == "after-staging") {
+          always += 1
+          CommittedTable.merge(spark, dir,
+            Seq((2L, "B", 23.0, 100L + always)).toDF("id", "status", "value", "version"),
+            "id", "version", "status")
+        })
+    }
+  }
 }
