@@ -334,7 +334,8 @@ object Multimodal {
     * derives PCM duration. Pure byte arithmetic — no audio device, no
     * javax.sound pipeline (which needs a registered audio system). */
   private[operators] object Wav {
-    final case class Meta(sampleRate: Int, channels: Int, durationMs: Long)
+    final case class Meta(sampleRate: Int, channels: Int, durationMs: Long,
+        bitsPerSample: Int, dataOff: Int, dataLen: Int)
 
     def parse(b: Array[Byte]): Option[Meta] = {
       def le16(o: Int) = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
@@ -347,8 +348,8 @@ object Multimodal {
       // offset, nor index past the buffer — this parser runs on arbitrary
       // payload bytes under decodeMedia's never-throw contract
       var off = 12L
-      var byteRate = 0; var sampleRate = 0; var channels = 0
-      var dataSize = -1L
+      var byteRate = 0; var sampleRate = 0; var channels = 0; var bits = 0
+      var dataSize = -1L; var dataOff = -1L
       while (off + 8 <= b.length && (byteRate == 0 || dataSize < 0)) {
         val id = tag(off.toInt)
         val size = le32(off.toInt + 4).toLong & 0xffffffffL
@@ -356,16 +357,19 @@ object Multimodal {
           channels = le16(off.toInt + 10)
           sampleRate = le32(off.toInt + 12)
           byteRate = le32(off.toInt + 16)
+          bits = le16(off.toInt + 22)
         } else if (id == "data") {
           // clamp to the bytes actually present: a truncated or hostile
           // declared size must not inflate the duration (wrong metadata is
           // worse than honest metadata about a short payload)
           dataSize = math.min(size, b.length - (off + 8))
+          dataOff = off + 8
         }
         off += 8 + size + (size & 1) // chunks are word-aligned; step >= 8
       }
       if (byteRate > 0 && dataSize >= 0)
-        Some(Meta(sampleRate, channels, dataSize * 1000 / byteRate))
+        Some(Meta(sampleRate, channels, dataSize * 1000 / byteRate,
+          bits, dataOff.toInt, dataSize.toInt))
       else None
     }
   }
@@ -629,6 +633,67 @@ object Multimodal {
                 dims.map(d => Integer.valueOf(d._2)).orNull,
                 bytes)
             }
+        }
+      }(outEnc)
+  }
+
+  private val audioFrameSchema = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_no", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("sum_sq", LongType),
+    StructField("n_zero_cross", LongType)))
+
+  /** Frame-level audio statistics straight off the PCM bytes: the payload's
+    * 16-bit mono samples split into `frameMs` windows, each emitting its
+    * sample count, energy as the EXACT integer sum of squares, and the
+    * strict zero-crossing count (s[i-1]·s[i] < 0, both samples inside the
+    * frame) — the silence/voicing features an audio curation pass filters
+    * on, kept integer-exact so the gate needs no FP tolerance. Pure byte
+    * arithmetic on [[Wav]]'s bounded parse (no javax.sound pipeline),
+    * map-side per row like every decode here: rows that are not 16-bit
+    * mono PCM WAVs (images, video, corrupt, stereo, 24-bit, NULL)
+    * contribute ZERO rows rather than lies — callers needing row
+    * accounting join back on media_id. A truncated final frame is emitted
+    * with its honest shorter n_samples; a trailing odd byte (half a
+    * sample) is ignored. */
+  def audioFrameStats(media: DataFrame, frameMs: Int = 100): DataFrame = {
+    require(frameMs >= 1, s"frameMs ($frameMs) must be >= 1")
+    val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioFrameSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload =
+            if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          Wav.parse(payload) match {
+            case Some(m) if m.bitsPerSample == 16 && m.channels == 1 &&
+                m.sampleRate > 0 && m.dataLen >= 2 =>
+              val n = m.dataLen / 2
+              val perFrame = math.max(1L, m.sampleRate.toLong * frameMs / 1000)
+              def sample(i: Int): Int = {
+                val o = m.dataOff + 2 * i
+                ((payload(o) & 0xff) | (payload(o + 1) << 8)).toShort.toInt
+              }
+              val nFrames = ((n + perFrame - 1) / perFrame).toInt
+              (0 until nFrames).iterator.map { f =>
+                val lo = (f * perFrame).toInt
+                val hi = math.min(n.toLong, (f + 1) * perFrame).toInt
+                var i = lo; var sumSq = 0L; var zc = 0L
+                var prev = 0
+                while (i < hi) {
+                  val s = sample(i)
+                  sumSq += s.toLong * s
+                  if (i > lo && prev * s < 0) zc += 1
+                  prev = s
+                  i += 1
+                }
+                Row(r.getLong(0), Integer.valueOf(f),
+                  java.lang.Long.valueOf((hi - lo).toLong),
+                  java.lang.Long.valueOf(sumSq), java.lang.Long.valueOf(zc))
+              }
+            case _ => Iterator.empty
+          }
         }
       }(outEnc)
   }

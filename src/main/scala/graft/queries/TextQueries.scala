@@ -317,7 +317,42 @@ object TextQueries {
       SELECT * FROM (VALUES
         ${(imgRows ++ nullRows).mkString(",\n        ")}
       ) AS t(media_id, feat_dim, feat_checksum)"""
-    })
+    }),
+
+    // ---- Audio frame features (REAL, PCM bytes → integer-exact stats) ----
+    // audioFrameStats splits each WAV's 16-bit mono samples into 100 ms
+    // frames and emits sample count, EXACT integer energy (sum of
+    // squares), and strict zero crossings. The oracle re-derives all three
+    // from the fixtures' CONSTRUCTION FORMULAS in pure SQL (ramp
+    // s(i)=i%1000 at 8 kHz, alternating s(i)=±((i%7)+1) at 4 kHz — lag
+    // window per frame for the crossings), proving bytes→samples→features
+    // end to end with no FP tolerance anywhere. The image and NULL
+    // payloads contribute ZERO rows (not-audio is absence, not lies).
+    Q("q123_audio_features", (s, _) => {
+      graft.operators.Multimodal
+        .audioFrameStats(graft.fixtures.MediaFixture.audioFrame(s))
+        .select(col("media_id"), col("frame_no"), col("n_samples"),
+          col("sum_sq"), col("n_zero_cross"))
+    }, Some("""
+      WITH samples AS (
+        SELECT CAST(21 AS BIGINT) AS media_id, i,
+          CAST(i % 1000 AS BIGINT) AS s, CAST(i // 800 AS INT) AS frame_no
+        FROM generate_series(0, 1999) t(i)
+        UNION ALL
+        SELECT CAST(22 AS BIGINT), i,
+          CAST(((i % 7) + 1) * (CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT),
+          CAST(i // 400 AS INT)
+        FROM generate_series(0, 499) t(i)),
+      lagged AS (
+        SELECT media_id, frame_no, s,
+          lag(s) OVER (PARTITION BY media_id, frame_no ORDER BY i) AS prev
+        FROM samples)
+      SELECT media_id, frame_no,
+        COUNT(*) AS n_samples,
+        CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+        CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_zero_cross
+      FROM lagged GROUP BY media_id, frame_no"""))
   ) ++ samplingQueries ++ Seq(
 
     // ---- Line-level boilerplate dedup (CCNet/RefinedWeb pass) -------------

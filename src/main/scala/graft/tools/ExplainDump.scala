@@ -249,6 +249,14 @@ object ExplainDump {
         |(user_id, bucket) with exact containment as a join-condition
         |filter. Pairs are unique by construction — no post-join
         |distinct appears.""".stripMargin,
+    "q122_interval_join_bounded" ->
+      """Wants: the q121 shape — hash equi-join on (user_id, bucket), no
+        |nested loop / cartesian — with the span clip folded into the
+        |interval side's bucket explode (least(end, start+span)) and an
+        |extra start+span conjunct riding the join condition. The
+        |watermark nodes are ELIMINATED on this batch frame (no
+        |EventTimeWatermark operator survives): bounding changes streaming
+        |STATE semantics, not the batch plan.""".stripMargin,
     "q103_shuffle_pack" ->
       """Wants: ONE corpus exchange on shard feeding BOTH window passes —
         |the permutation row_number (in-partition sort by md5 key) and the

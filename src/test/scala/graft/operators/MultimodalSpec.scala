@@ -200,8 +200,10 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("WAV RIFF parser: sample rate, channels, duration; garbage rejected") {
+    val nSamples = 44100 * 1250 / 1000
     val meta = Multimodal.Wav.parse(graft.fixtures.MediaFixture.wav(44100, 1250))
-    assert(meta === Some(Multimodal.Wav.Meta(44100, 1, 1250L)))
+    assert(meta === Some(Multimodal.Wav.Meta(44100, 1, 1250L,
+      bitsPerSample = 16, dataOff = 44, dataLen = nSamples * 2)))
     assert(Multimodal.Wav.parse(Array[Byte](1, 2, 3)) === None)
     assert(Multimodal.Wav.parse(graft.fixtures.MediaFixture.image(4, 4, "png")) === None)
   }
@@ -402,6 +404,41 @@ class MultimodalSpec extends SparkSpec {
     val survivors = Multimodal.Mp4.videoSamples(evil)
     assert(survivors.forall(s => s.offset + s.size <= evil.length))
     assert(!survivors.exists(_.no == 0))
+  }
+
+  test("audioFrameStats: truncation is honest, non-mono-16 is absence, hostile bytes survive") {
+    import org.apache.spark.sql.Row
+    import graft.fixtures.MediaFixture
+    def frameOf(rows: Seq[Row]) = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.metadataSchema)
+    val full = MediaFixture.wav(8000, 250)
+    // cut mid-sample INSIDE the data chunk: the parser clamps to bytes
+    // present, the trailing odd byte is ignored, frames report honestly
+    val cut = java.util.Arrays.copyOfRange(full, 0, 44 + 1601)
+    // a stereo header (channels=2) must yield ZERO rows, never bogus stats
+    val stereo = full.clone()
+    stereo(22) = 2
+    val rows = frameOf(Seq(
+      Row(1L, "audio", "audio/wav", null, null, null, cut),
+      Row(2L, "audio", "audio/wav", null, null, null, stereo),
+      Row(3L, "audio", "audio/wav", null, null, null,
+        Array.tabulate[Byte](256)(i => (i * 17).toByte))))
+    val got = Multimodal.audioFrameStats(rows)
+      .select("media_id", "frame_no", "n_samples")
+      .as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(got === Seq((1L, 0, 800L)), got) // 800 whole samples = 1 frame
+    // sum_sq of the surviving frame matches the ramp formula exactly
+    val sq = Multimodal.audioFrameStats(rows).select("sum_sq").as[Long].head()
+    assert(sq === (0 until 800).map(i => (i.toLong * i)).sum)
+    // zero-crossing semantics: the alternating fixture crosses at every
+    // in-frame pair — (frame length - 1) — and the ramp never crosses
+    val alt = frameOf(Seq(
+      Row(9L, "audio", "audio/wav", null, null, null, MediaFixture.wavAlt(4000, 125))))
+    val zc = Multimodal.audioFrameStats(alt)
+      .select("frame_no", "n_samples", "n_zero_cross")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(zc === Seq((0, 400L, 399L), (1, 100L, 99L)), zc)
   }
 
   /** Locate the byte offset of a box tag in a fixture (test helper). */
