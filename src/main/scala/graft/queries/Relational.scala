@@ -696,6 +696,43 @@ object Relational {
         CAST(SUM(version) AS BIGINT) AS sum_version
       FROM merged GROUP BY o_orderstatus""")),
 
+    // ---- Zone-map range read over a committed table -----------------------
+    // readRange prunes segments whose manifest min/max cannot intersect the
+    // bound (metadata-only; CommittedTableSpec proves the pruned plan and
+    // the typed — never lexical — compare), then applies the exact
+    // predicate, so the answer must equal a plain filtered aggregate over
+    // the same rows — which is exactly what the oracle computes. The gate
+    // pins that zone maps change I/O, never results. Fixture-scrub
+    // convention (q100/q119): the timed query writes its own table.
+    Q("q124_zonemap_range", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-zm-q124").toString + "/wh"
+      graft.sources.CommittedTable.write(o, wh, "o_orderstatus",
+        statsCols = Seq("o_totalprice", "o_orderkey"))
+      val out = graft.sources.CommittedTable.readRange(s, wh, "o_totalprice",
+          Some(50000.0), Some(150000.0))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_keys"),
+          dsum(col("o_totalprice")).as("sum_price"))
+      val rows = out.collect()
+      val schema = out.schema
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+      GROUP BY o_orderstatus""")),
+
     // ---- Warehouse merge with schema evolution (widened update batch) -----
     // q100's merge shape plus the add-column path (r10 verdict ask #2): the
     // update batch carries a NEW nullable `source` column; merge rewrites
