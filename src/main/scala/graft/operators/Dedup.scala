@@ -291,6 +291,43 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Cross-table fuzzy join (entity resolution / record linkage): each
+    * left row matched to the right rows whose normalized n-gram shingle
+    * sets (a) collide in at least one MinHash LSH band and (b) verify at
+    * exact Jaccard ≥ threshold. STRICTLY left×right — no within-table
+    * pairs, and the two id spaces never mix (ids may even collide across
+    * tables: each side's shingles join back by its OWN id). The linkage
+    * join a curation pipeline needs where no equality key exists —
+    * scraped metadata ↔ documents, catalog titles ↔ crawl pages.
+    *
+    * Scale shape: both sides band independently ([[signatureTable]] — the
+    * write-at-ingest artifact, so a stored corpus is never re-hashed to
+    * join a new catalog against it), candidates come from ONE equi-join
+    * on (band_no, band_key) — never |L|×|R| — and the Jaccard verify is
+    * linear in candidates. Same plan family as [[minhashCandidates]] with
+    * the self-join replaced by the two-table join. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, textCol: String,
+      idCol: String, threshold: Double, n: Int = 3, bands: Int = 3,
+      rows: Int = 2, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val sigL = scope.persist(signatureTable(left, textCol, idCol, n, bands, rows))
+    val sigR = scope.persist(signatureTable(right, textCol, idCol, n, bands, rows))
+    val cands = sigL.as("a").join(sigR.as("b"),
+        col("a.band_no") === col("b.band_no") &&
+          col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc").as("left_id"), col("b.doc").as("right_id"))
+      .distinct()
+    def sh(df: DataFrame) = df.select(col(idCol).as("__id"),
+      array_distinct(shingles(col(textCol), n)).as("__sh"))
+    cands
+      .join(sh(left).as("sa"), col("left_id") === col("sa.__id"))
+      .join(sh(right).as("sb"), col("right_id") === col("sb.__id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa.__sh"), col("sb.__sh"))).cast("double") /
+          size(array_union(col("sa.__sh"), col("sb.__sh"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
   /** Verified near-dup pairs: LSH candidates filtered by true n-gram
     * Jaccard ≥ threshold (computed only on candidates). */
   def minhashNearDups(

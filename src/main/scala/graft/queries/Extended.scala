@@ -262,6 +262,41 @@ object Extended {
       WHERE a.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')
          OR b.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')""")),
 
+    // ---- Cross-table fuzzy join (record linkage) --------------------------
+    // The corpus split by doc_id parity stands in for two tables with no
+    // shared key (catalog ↔ crawl): left×right candidates from the band
+    // equi-join — never |L|×|R| — verified at exact 3-gram Jaccard. The
+    // oracle re-derives signatures for both sides and scores the same
+    // Jaccard with list algebra; ids never mix sides, within-side
+    // near-dups never appear.
+    Q("q125_fuzzy_join", (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.fuzzyJoin(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", threshold = 0.3, n = 3, bands = 3, rows = 2)
+    }, Some {
+      val NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+      val TOKS = s"string_split($NORM, ' ')"
+      val SH = s"list_distinct(list_transform(generate_series(1, GREATEST(len($TOKS)-2, 0)), i -> array_to_string(($TOKS)[i:i+2], ' ')))"
+      s"""
+      WITH l AS (SELECT * FROM ${minhashSigSql(6)} WHERE doc_id % 2 = 0),
+      r AS (SELECT * FROM ${minhashSigSql(6)} WHERE doc_id % 2 = 1),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+        FROM l JOIN r
+          ON (l.band_0 = r.band_0 OR l.band_1 = r.band_1 OR l.band_2 = r.band_2)),
+      sh AS (SELECT doc_id, $SH AS sh FROM documents),
+      scored AS (
+        SELECT c.left_id, c.right_id,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM cand c
+        JOIN sh a ON c.left_id = a.doc_id
+        JOIN sh b ON c.right_id = b.doc_id)
+      SELECT left_id, right_id, jaccard FROM scored WHERE jaccard >= 0.3"""
+    }),
+
     // ---- SimHash candidate pairs ------------------------------------------
     // 64-bit fingerprint, 4×16-bit bands = 65,536 keys per band, PLUS the
     // auto-derived borrowed-bit suffix (Dedup.autoSubBits): the band key

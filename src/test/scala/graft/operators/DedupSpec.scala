@@ -169,6 +169,28 @@ class DedupSpec extends SparkSpec {
     assert(oldOnly.union(inc) === full)
   }
 
+  test("fuzzyJoin: strictly left×right, id spaces never mix, verified Jaccard") {
+    // ids COLLIDE across tables on purpose: 1L names different texts on
+    // each side, and the join must resolve each side by its own table
+    val left = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "completely different content about spark query engines today"))
+      .toDF("doc_id", "text")
+    val right = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the creek"), // ≈ left 1
+      (2L, "unrelated text on cooking pasta with garlic and fresh basil"),
+      (3L, "completely different content about spark query engines tonight")) // ≈ left 2
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyJoin(left, right, "text", "doc_id", threshold = 0.3)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (2L, 3L)), got)
+    // within-table near-dups never pair: left 1 vs left 1 is not a row,
+    // and the (2,3) pair proves right ids are right-table ids
+    val scores = Dedup.fuzzyJoin(left, right, "text", "doc_id", threshold = 0.3)
+      .select("jaccard").as[Double].collect()
+    assert(scores.forall(j => j >= 0.3 && j <= 1.0))
+  }
+
   test("containmentOverPairs == containmentPairs on the same candidate set") {
     // the explicit-bucket operator (q90) and the candidate-driven one
     // (q93's building block) must score IDENTICALLY when handed the same
