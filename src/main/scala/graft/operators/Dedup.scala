@@ -308,9 +308,21 @@ object Dedup {
     * the self-join replaced by the two-table join. */
   def fuzzyJoin(left: DataFrame, right: DataFrame, textCol: String,
       idCol: String, threshold: Double, n: Int = 3, bands: Int = 3,
-      rows: Int = 2, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val sigL = scope.persist(signatureTable(left, textCol, idCol, n, bands, rows))
-    val sigR = scope.persist(signatureTable(right, textCol, idCol, n, bands, rows))
+      rows: Int = 2, scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    fuzzyJoinSigs(
+      scope.persist(signatureTable(left, textCol, idCol, n, bands, rows)), left,
+      scope.persist(signatureTable(right, textCol, idCol, n, bands, rows)), right,
+      textCol, idCol, threshold, n)
+
+  /** [[fuzzyJoin]] over PRE-COMPUTED signature tables — the at-scale form:
+    * a stored corpus's [[signatureTable]] (written once at ingest) joins a
+    * new catalog's signatures without the corpus ever being re-shingled
+    * or re-hashed; only the verify step touches each side's text, and
+    * only for candidate ids. `n` must match what the signatures were
+    * built with (it also drives the verify shingles). */
+  def fuzzyJoinSigs(sigL: DataFrame, left: DataFrame,
+      sigR: DataFrame, right: DataFrame, textCol: String, idCol: String,
+      threshold: Double, n: Int = 3): DataFrame = {
     val cands = sigL.as("a").join(sigR.as("b"),
         col("a.band_no") === col("b.band_no") &&
           col("a.band_key") === col("b.band_key"))

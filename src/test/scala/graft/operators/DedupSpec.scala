@@ -189,6 +189,14 @@ class DedupSpec extends SparkSpec {
     val scores = Dedup.fuzzyJoin(left, right, "text", "doc_id", threshold = 0.3)
       .select("jaccard").as[Double].collect()
     assert(scores.forall(j => j >= 0.3 && j <= 1.0))
+    // the stored-signature form (corpus hashed once at ingest) is the
+    // same join: fuzzyJoinSigs over pre-built signature tables == fuzzyJoin
+    val viaSigs = Dedup.fuzzyJoinSigs(
+        Dedup.signatureTable(left, "text", "doc_id"), left,
+        Dedup.signatureTable(right, "text", "doc_id"), right,
+        "text", "doc_id", threshold = 0.3)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(viaSigs === got)
   }
 
   test("containmentOverPairs == containmentPairs on the same candidate set") {
