@@ -733,6 +733,47 @@ object Relational {
       WHERE o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
       GROUP BY o_orderstatus""")),
 
+    // ---- Time-travel read of a committed table ----------------------------
+    // write (gen 1) then a destructive merge (gen 2: price bumps + status
+    // moves); readAt(1) must reproduce the PRE-merge table exactly — the
+    // oracle aggregates the original orders, untouched by the update
+    // batch the live read would see. Snapshot isolation as a hash-gated
+    // fact, not a doc claim. Fixture-scrub convention (q100/q119).
+    Q("q126_time_travel", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-tt-q126").toString + "/wh"
+      graft.sources.CommittedTable.write(o, wh, "o_orderstatus",
+        retainGenerations = 3)
+      val k = col("o_orderkey")
+      val upd = o.filter(k % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 5000.0)
+        .withColumn("o_orderstatus",
+          when(k % 21 === 0, lit("Z")).otherwise(col("o_orderstatus")))
+        .withColumn("version", lit(2L))
+      graft.sources.CommittedTable.merge(s, wh, upd,
+        "o_orderkey", "version", "o_orderstatus")
+      val out = graft.sources.CommittedTable.readAt(s, wh, gen = 1L)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_keys"),
+          dsum(col("o_totalprice")).as("sum_price"))
+      val rows = out.collect()
+      val schema = out.schema
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus""")),
+
     // ---- Warehouse merge with schema evolution (widened update batch) -----
     // q100's merge shape plus the add-column path (r10 verdict ask #2): the
     // update batch carries a NEW nullable `source` column; merge rewrites

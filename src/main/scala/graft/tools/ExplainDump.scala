@@ -249,6 +249,13 @@ object ExplainDump {
         |(user_id, bucket) with exact containment as a join-condition
         |filter. Pairs are unique by construction — no post-join
         |distinct appears.""".stripMargin,
+    "q125_fuzzy_join" ->
+      """Wants: the q56 family with the self-join replaced by a TWO-TABLE
+        |band equi-join — each side's minhash/banding pipeline runs once
+        |(persisted signature tables), candidates come from one
+        |(band_no, band_key) hash join (no L×R cross product anywhere),
+        |and the Jaccard verify joins each side's shingles by ITS OWN id
+        |(two hash joins on the candidate set, linear in candidates).""".stripMargin,
     "q122_interval_join_bounded" ->
       """Wants: the q121 shape — hash equi-join on (user_id, bucket), no
         |nested loop / cartesian — with the span clip folded into the
