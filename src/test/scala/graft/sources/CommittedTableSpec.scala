@@ -397,6 +397,92 @@ class CommittedTableSpec extends SparkSpec {
     assert(r2.select("id").as[Long].collect().toSet === Set(1L))
   }
 
+  test("zone-map pruning is SOUND for every bound: readRange == read().filter") {
+    // property-style sweep: deterministic pseudo-random values across 6
+    // partitions, then every (lo, hi) pair from a crossing grid — open,
+    // half-open, empty, total — must match the unpruned filtered read
+    val dir = freshDir("zmprop")
+    val rows = (1L to 60L).map { i =>
+      val part = s"P${i % 6}"
+      // value pattern decouples partition from range so bounds cross
+      // segment boundaries in both directions
+      (i, part, ((i * 37) % 101).toDouble - 50.0, 1L)
+    }
+    val df = rows.toDF("id", "status", "value", "version")
+    CommittedTable.write(df, dir, "status", statsCols = Seq("value"))
+    val bounds = Seq(None, Some(-60.0), Some(-17.0), Some(0.0), Some(13.5),
+      Some(49.0), Some(60.0))
+    for (lo <- bounds; hi <- bounds) {
+      val expected = rows
+        .filter(r => lo.forall(r._3 >= _) && hi.forall(r._3 <= _))
+        .map(_._1).toSet
+      val got = CommittedTable.readRange(spark, dir, "value", lo, hi)
+        .select("id").as[Long].collect().toSet
+      assert(got === expected, s"bounds [$lo, $hi]")
+    }
+  }
+
+  test("garbage stays bounded across many merges: segments, anchors, claims") {
+    val dir = freshDir("bounded")
+    CommittedTable.write(base(), dir, "status", retainGenerations = 2)
+    (2L to 11L).foreach { v =>
+      CommittedTable.merge(spark, dir,
+        Seq((1L, "A", v * 10.0, v)).toDF("id", "status", "value", "version"),
+        "id", "version", "status")
+    }
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(table).map(_.getPath.getName)
+    val m = CommittedTable.readManifest(fs, table).get
+    assert(m.gen === 11L)
+    // the GC invariant: EVERY on-disk segment is referenced by a manifest
+    // inside the retain window (current or the one superseded generation).
+    // Untouched partitions legitimately keep their original-generation
+    // segments forever — live data, not garbage — while A's 11-generation
+    // merge history must NOT accumulate.
+    val segs = names.filter(_.startsWith("seg-")).toSet
+    val referenced = m.segments.values.toSet ++
+      names.filter(_.startsWith("_commit.g")).flatMap { a =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(table, a))
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList finally in.close()
+        lines.filter(_.contains("\tseg-")).map(_.split('\t')(1))
+      }
+    assert((segs -- referenced).isEmpty,
+      s"orphan segments survived GC: ${segs -- referenced}")
+    // A was rewritten 10 times but carries at most the retain window's
+    // worth of segments on disk
+    val aSegs = segs.filter(_.endsWith("-A"))
+    assert(aSegs.size <= 2, s"A's merge history accumulated: $aSegs")
+    // anchors: exactly the retain window; claims: none outstanding
+    val anchors = names.filter(_.startsWith("_commit.g")).toSeq.sorted
+    assert(anchors === Seq("_commit.g10", "_commit.g11"), anchors)
+    assert(!names.exists(_.startsWith("_claim-")), "stale claim left behind")
+    // and the table still answers correctly
+    assert(content(dir).contains((1L, "A", 110.0, 11L)))
+  }
+
+  test("a corrupt manifest fails loudly, never silently serves wrong data") {
+    val dir = freshDir("corrupt")
+    CommittedTable.write(base(), dir, "status")
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commit = new org.apache.hadoop.fs.Path(table, "_commit")
+    def overwrite(body: String): Unit = {
+      val out = fs.create(commit, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
+    // truncated header
+    overwrite("garbage\n")
+    intercept[java.io.IOException] { CommittedTable.read(spark, dir) }
+    // bad segment line (three naked fields against no stats declaration)
+    overwrite("gen=1\ncols=id\tstatus\tvalue\tversion\nA\tseg-g1-x\tjunk\n")
+    intercept[java.io.IOException] { CommittedTable.read(spark, dir) }
+    // bad stat field encoding
+    overwrite("gen=1\ncols=id\tstatus\tvalue\tversion\nretain=2\nstats=value\nA\tseg-g1-x\tbad\tbad\n")
+    intercept[java.io.IOException] { CommittedTable.read(spark, dir) }
+  }
+
   test("single-data-column table: prev-manifest GC parses the tab-less cols header") {
     // the old GC split prev-manifest lines on tab positionally; a one-column
     // table's cols= line has no tab and broke every later publish
