@@ -37,13 +37,17 @@ object ExplainDump {
         |generation is linear + bucket-quadratic; the oracle's OR-join
         |quadratic plan appears nowhere here.""".stripMargin,
     "q57_simhash_pairs" ->
-      """Wants: one codegen'd simhash projection per doc, explode to 4
-        |(band_no, band_key) rows with the rotated 16-bit keys (65,536 keys
-        |per band — the r3 scale-killer had 256), then a plain equi-join on
-        |(band_no, band_key) + distinct. No cross join, no OR-join; the
-        |band_key arithmetic (shiftrightunsigned/shiftleft/AND) is inside
-        |the explode projection, map-side. q66 is the same plan with 18-bit
-        |keys (subBits=2).""".stripMargin,
+      """Wants: one codegen'd simhash projection per doc (persisted — one
+        |cached fingerprint row per doc feeds both join sides AND the
+        |corpus count that AUTO-derives the band width, ⌈log₂⌈n/4096⌉⌉
+        |borrowed bits so the key space grows with the corpus: sub=0 at
+        |sf0.01, 1 at sf0.1, 4 at sf1.0 — measured exponent 0.83 vs the
+        |fixed width's 1.32), explode to 4 (band_no, band_key) rows with
+        |the rotated keys, then a plain equi-join on (band_no, band_key) +
+        |distinct. No cross join, no OR-join; the band_key arithmetic
+        |(shiftrightunsigned/shiftleft/AND) is inside the explode
+        |projection, map-side. q66 is the same plan with the width pinned
+        |explicitly (subBits=2).""".stripMargin,
     "q98_correlated_subquery" ->
       """Wants: NO per-row subquery execution anywhere. EXISTS decorrelates
         |to a left-semi join on l_orderkey, NOT EXISTS to a left-anti join
