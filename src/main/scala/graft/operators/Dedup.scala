@@ -733,6 +733,27 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated_ngrams"))
   }
 
+  /** The decontamination DROP in one call: documents sharing MORE than
+    * `maxHits` distinct n-grams with the benchmark are removed (left-anti
+    * on the [[contaminated]] / [[contaminatedBloom]] hit counts); maxHits
+    * = 0 (default) drops on any overlap, a small positive value tolerates
+    * incidental phrase collisions. `bloom = true` routes candidate
+    * generation through the Bloom prefilter for benchmark suites whose
+    * distinct gram set outgrows an exact broadcast — the answer is
+    * identical (the bloom path's verify join is exact; see its
+    * input-determinism caveat). Scale: the corpus pays the map-side
+    * explode + one anti-join keyed by doc id; it is never shuffled by
+    * n-gram. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, textCol: String,
+      idCol: String, n: Int = 13, maxHits: Long = 0L,
+      bloom: Boolean = false): DataFrame = {
+    val hits =
+      if (bloom) contaminatedBloom(docs, benchmark, textCol, idCol, n)
+      else contaminated(docs, benchmark, textCol, idCol, n)
+    docs.join(hits.filter(col("n_contaminated_ngrams") > maxHits),
+      Seq(idCol), "left_anti")
+  }
+
   /** Keep-one collapse over verified near-dup pairs: every doc maps to the
     * MINIMUM id of its connected component ([[canonicalLabels]] — fully
     * transitive, so for chain pairs (a,b),(b,c) doc c resolves to a). Docs

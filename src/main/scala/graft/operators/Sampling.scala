@@ -64,6 +64,38 @@ object Sampling {
       .map(c => math.round(c * BUCKETS)).tail
   }
 
+  /** Split-leakage guard — the QA pass a training-data run executes after
+    * splitting: near-dup candidate pairs ([[Dedup.minhashCandidates]] —
+    * band-bucketed, never all-pairs) whose two documents landed in
+    * DIFFERENT hash-split arms, counted per unordered arm pair. A
+    * train-side near-duplicate of a test document is memorized eval
+    * leakage that no within-split dedup can see; the remedy is deduping
+    * BEFORE splitting, or splitting by [[Dedup.collapseToCanonical]]'s
+    * canonical id so whole dup groups land together, and this guard is
+    * how a pipeline PROVES that happened (expect zero cross-arm rows).
+    * Same-arm pairs are reported too — the baseline showing the detector
+    * had signal. Scale: the split labels join to the pair table by doc id
+    * (two hash joins on the candidate set), nothing touches the corpus
+    * beyond candidate generation. */
+  def splitLeakage(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, bands: Int = 3, rows: Int = 2,
+      weights: Seq[(String, Double)] = defaultSplitWeights,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val pairs = Dedup.minhashCandidates(docs, textCol, idCol, n, bands, rows,
+      scope)
+    val splits = withSplit(docs.select(col(idCol)), idCol, weights)
+    pairs
+      .join(splits.select(col(idCol).as("doc_a"), col("split").as("__sa")),
+        Seq("doc_a"))
+      .join(splits.select(col(idCol).as("doc_b"), col("split").as("__sb")),
+        Seq("doc_b"))
+      .groupBy(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__sa") =!= col("__sb"), 1L).otherwise(0L))
+          .as("n_leaked"))
+  }
+
   /** Assign every row a split label by hash bucket: `weights` are
     * (label, weight) in priority order, normalized over their sum; each
     * label owns a contiguous bucket range, so splits are disjoint, exhaust

@@ -262,6 +262,44 @@ object Extended {
       WHERE a.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')
          OR b.doc_id IN (SELECT doc_id FROM documents WHERE source = 'src0')""")),
 
+    // ---- Split-leakage guard (near-dups straddling train/val/test) --------
+    // The QA pass a pipeline runs after hash-splitting: q56's band-join
+    // candidates joined to q70's split labels, counted per unordered arm
+    // pair with the cross-arm (leaked) count broken out. On a corpus split
+    // doc-wise AFTER dedup candidates exist, leakage is EXPECTED — the
+    // gate pins the detector's arithmetic; a production run splits by
+    // canonical id and expects n_leaked = 0. Oracle composes the same two
+    // derivations (signature band join + bucket-CASE split) end to end.
+    Q("q128_split_leakage", (s, dir) => {
+      graft.operators.Sampling.splitLeakage(
+        table(s, dir, "documents"), "text", "doc_id")
+    }, Some {
+      import graft.operators.Sampling
+      val arms = Sampling.defaultSplitWeights.init
+        .zip(Sampling.splitCuts(Sampling.defaultSplitWeights).init)
+        .map { case ((label, _), cut) => s"WHEN b < $cut THEN '$label'" }
+        .mkString(" ")
+      val splitSql =
+        s"""SELECT doc_id, CASE $arms ELSE '${Sampling.defaultSplitWeights.last._1}' END AS split
+           FROM (SELECT doc_id, ${Sampling.hashBucketSql("doc_id")} AS b FROM documents)"""
+      s"""
+      WITH cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ${minhashSigSql(6)} a JOIN ${minhashSigSql(6)} b
+          ON a.doc_id < b.doc_id
+          AND (a.band_0 = b.band_0 OR a.band_1 = b.band_1 OR a.band_2 = b.band_2)),
+      sp AS ($splitSql)
+      SELECT LEAST(sa.split, sb.split) AS split_a,
+        GREATEST(sa.split, sb.split) AS split_b,
+        COUNT(*) AS n_pairs,
+        CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_leaked
+      FROM cand
+      JOIN sp sa ON cand.doc_a = sa.doc_id
+      JOIN sp sb ON cand.doc_b = sb.doc_id
+      GROUP BY 1, 2"""
+    }),
+
     // ---- Cross-table fuzzy join (record linkage) --------------------------
     // The corpus split by doc_id parity stands in for two tables with no
     // shared key (catalog ↔ crawl): left×right candidates from the band

@@ -722,6 +722,40 @@ object TextQueries {
       GROUP BY source"""
     }),
 
+    // ---- Decontamination DROP (the composed one-call form) ----------------
+    // q82 counts hits; this gate applies the remedy: documents sharing
+    // MORE than maxHits=2 distinct 3-grams with the benchmark are
+    // anti-joined away, everything else survives untouched. The oracle
+    // recomputes the per-doc hit count and keeps via NOT IN — pinning the
+    // threshold boundary (≤ 2 kept, ≥ 3 dropped) as well as the drop
+    // itself.
+    Q("q127_decontaminate_drop", (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bench = docs.filter(col("source") === "src0")
+      val corpus = docs.filter(col("source") =!= "src0")
+      graft.operators.Dedup.decontaminate(
+          corpus, bench, "text", "doc_id", n = 3, maxHits = 2L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).as("sum_ids"))
+    }, Some {
+      val sh3 = s"list_distinct(list_transform(generate_series(1, GREATEST(len($TOKS)-2, 0)), i -> array_to_string(($TOKS)[i:i+2], ' ')))"
+      s"""
+      WITH bg AS (
+        SELECT DISTINCT unnest($sh3) AS g FROM documents WHERE source = 'src0'),
+      dg AS (
+        SELECT doc_id, unnest($sh3) AS g
+        FROM documents WHERE source <> 'src0'),
+      hits AS (
+        SELECT doc_id, COUNT(*) AS h FROM dg JOIN bg USING (g) GROUP BY doc_id)
+      SELECT source, COUNT(*) AS n_kept,
+        CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      FROM documents
+      WHERE source <> 'src0'
+        AND doc_id NOT IN (SELECT doc_id FROM hits WHERE h > 2)
+      GROUP BY source"""
+    }),
+
     // ---- Unigram NLL (CCNet-style perplexity proxy) -----------------------
     // Per-doc mean -ln p(token) under the corpus's own unigram model,
     // aggregated per source. ln differs across libm in the last ulp, so

@@ -203,4 +203,51 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("shard"))
   }
+
+  test("splitLeakage: doc-wise split leaks, canonical-id split does not") {
+    import graft.queries.Registry
+    val docs = Registry.table(spark, sf0001, "documents")
+      .select("doc_id", "text")
+    // doc-wise split: near-dup groups straddle arms — the detector fires
+    val naive = Sampling.splitLeakage(docs, "text", "doc_id")
+      .agg(org.apache.spark.sql.functions.sum("n_leaked")).as[Long].head()
+    assert(naive > 0, "fixture produced no cross-arm candidates to detect")
+    // the remedy: split whole dup groups by their CANONICAL id, then give
+    // every doc its group's split — re-running the guard with the
+    // canonical id as the split key must report ZERO leaked pairs
+    import org.apache.spark.sql.functions._
+    val pairs = Dedup.minhashCandidates(docs, "text", "doc_id")
+    val canon = Dedup.collapseToCanonical(docs, pairs, "doc_id")
+      .select(col("doc_id"), col("canonical_id"))
+    val byCanon = docs.join(canon, "doc_id")
+    val splits = Sampling.withSplit(byCanon, "canonical_id")
+      .select(col("doc_id").as("d"), col("split"))
+    val leaked = pairs
+      .join(splits.select(col("d").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(splits.select(col("d").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(leaked === 0L, s"$leaked pairs straddle arms under canonical split")
+  }
+
+  test("decontaminate: threshold boundary; bloom path answers identically") {
+    import graft.queries.Registry
+    import org.apache.spark.sql.functions._
+    val docs = Registry.table(spark, sf0001, "documents")
+    val bench = docs.filter(col("source") === "src0")
+    val corpus = docs.filter(col("source") =!= "src0")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    val exact = ids(Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 3))
+    val viaBloom = ids(Dedup.decontaminate(corpus, bench, "text", "doc_id",
+      n = 3, bloom = true))
+    assert(exact === viaBloom)
+    // tolerant threshold keeps strictly more
+    val tolerant = ids(Dedup.decontaminate(corpus, bench, "text", "doc_id",
+      n = 3, maxHits = 5L))
+    assert(exact.subsetOf(tolerant) && tolerant.size > exact.size)
+    // dropped docs are exactly those with hits above the threshold
+    val hits = Dedup.contaminated(corpus, bench, "text", "doc_id", n = 3)
+      .filter(col("n_contaminated_ngrams") > 0)
+    assert(ids(corpus).size - exact.size === hits.count().toInt)
+  }
 }
