@@ -82,4 +82,34 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.head.isNullAt(out.head.fieldIndex("width")))
     assert(out.head.getAs[Long]("n_bytes") === 0L)
   }
+
+  test("round-12 operators: empty and degenerate inputs flow through") {
+    // fuzzy join: either side empty → no pairs, never a throw
+    assert(Dedup.fuzzyJoin(empty, one, "text", "doc_id", 0.5).count() === 0L)
+    assert(Dedup.fuzzyJoin(one, empty, "text", "doc_id", 0.5).count() === 0L)
+    // decontamination drop: empty benchmark keeps everything; empty corpus
+    // survives both paths (bloom handles the null sketch of zero grams)
+    assert(Dedup.decontaminate(one, empty, "text", "doc_id", n = 3).count() === 1L)
+    assert(Dedup.decontaminate(empty, one, "text", "doc_id", n = 3).count() === 0L)
+    assert(Dedup.decontaminate(empty, one, "text", "doc_id", n = 3,
+      bloom = true).count() === 0L)
+    // split-leakage guard: empty corpus → empty report
+    assert(Sampling.splitLeakage(empty, "text", "doc_id").count() === 0L)
+    // audio features: empty frame and a NULL payload both yield zero rows
+    val nullAudio = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
+          org.apache.spark.sql.Row(1L, "audio", "audio/wav",
+            null, null, null, null))).asJava),
+      Multimodal.metadataSchema)
+    assert(Multimodal.audioFrameStats(nullAudio).count() === 0L)
+    assert(Multimodal.audioFrameStats(nullAudio.limit(0)).count() === 0L)
+    // streaming-capable interval join on empty batch frames
+    val noPts = Seq.empty[(Long, java.sql.Timestamp)].toDF("event_id", "ts")
+    val noIv = Seq.empty[(java.sql.Timestamp, java.sql.Timestamp)]
+      .toDF("w_start", "w_end")
+    assert(IntervalJoin.pointInIntervalBounded(noPts, "ts", noIv,
+      "w_start", "w_end", bucketMicros = 1000000L,
+      maxSpanUs = 1000000L).count() === 0L)
+  }
 }
