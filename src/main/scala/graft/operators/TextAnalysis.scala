@@ -219,4 +219,46 @@ object TextAnalysis {
         (sum(col("__nll").cast("decimal(28,6)")).cast("double") /
           count(lit(1))).as("unigram_nll"))
   }
+
+  /** Learn a BPE merge table from the corpus (Sennrich et al., ACL 2016):
+    * `numMerges` rounds, each counting adjacent symbol pairs over the
+    * corpus UNDER THE MERGES LEARNED SO FAR and adopting the most
+    * frequent (ties broken (left, right) ascending — deterministic
+    * across engines and runs). Returns merges in rank order, ready for
+    * [[graft.functions.Bpe.tokens]].
+    *
+    * Scale shape: each round is ONE map-side re-symbolization (the
+    * codegen'd apply kernel under the current merges — no stored state)
+    * + explode to pairs + a partial-aggregated count + a driver take of
+    * row 1; the driver holds only the merge list (config-sized, never
+    * data). The naive learner's O(numMerges) passes over the corpus are
+    * the textbook trade — vocabularies are learned rarely, on samples,
+    * and applied forever; `minCount` stops early when no pair clears the
+    * floor (noise merges memorize singletons). */
+  def bpeLearn(df: DataFrame, textCol: String = "text",
+      numMerges: Int = 100, minCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges ($numMerges) must be >= 0")
+    // pairs are counted WITHIN words (a merge never crosses whitespace),
+    // so symbolization runs per word, not over the flattened text
+    val words = df
+      .select(explode(split(normalize(col(textCol)), " ")).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val top = words
+        .select(graft.functions.Bpe.tokens(col("__w"), merges.toSeq).as("__t"))
+        .filter(size(col("__t")) >= 2)
+        .withColumn("__p", expr(
+          "transform(sequence(0, size(__t)-2), i -> struct(__t[i] AS l, __t[i+1] AS r))"))
+        .select(explode(col("__p")).as("p"))
+        .groupBy(col("p.l").as("__l"), col("p.r").as("__r"))
+        .agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("__l"), col("__r"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < minCount) exhausted = true
+      else merges += ((top.head.getString(0), top.head.getString(1)))
+    }
+    merges.toSeq
+  }
 }

@@ -756,6 +756,40 @@ object TextQueries {
       GROUP BY source"""
     }),
 
+    // ---- BPE subword tokenization (REAL merges-apply kernel) --------------
+    // The codegen'd GPT-2-style greedy apply (lowest-ranked adjacent pair,
+    // leftmost-non-overlapping, per word) under a FIXED merge table, over
+    // an inline fixture whose words exercise rank priority (banana: (a,n)
+    // before (b,an)), chaining ((a,a) then (aa,b)), the overlap rule
+    // (aaaa → aa|aa, never a|aa|a), unranked passthrough, and word
+    // independence. The oracle is the HAND-DERIVED encoding of each doc —
+    // independently computed VALUES, the q91 fixture-oracle pattern —
+    // while BpeSpec proves kernel == an independent reference
+    // formulation over real corpus words. Learning (TextAnalysis
+    // .bpeLearn) is spec-gated: its per-round argmax is deterministic
+    // ((count desc, pair asc)) but iterative-driver work, not a SQL
+    // relation.
+    Q("q129_bpe_encode", (s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "banana band"), (2L, "aaaa aab"),
+        (3L, "cabbage"), (4L, "nan na"))
+        .toDF("doc_id", "text")
+      val merges = Seq(("a", "n"), ("b", "an"), ("a", "a"), ("aa", "b"))
+      docs.select(col("doc_id"),
+          graft.functions.Bpe.tokens(
+            graft.functions.Text.normalize(col("text")), merges).as("__t"))
+        .select(col("doc_id"),
+          size(col("__t")).cast("long").as("n_tokens"),
+          concat_ws("|", col("__t")).as("toks"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(5 AS BIGINT), 'ban|an|a|ban|d'),
+        (CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'aa|aa|aab'),
+        (CAST(3 AS BIGINT), CAST(7 AS BIGINT), 'c|a|b|b|a|g|e'),
+        (CAST(4 AS BIGINT), CAST(4 AS BIGINT), 'n|an|n|a')
+      ) AS t(doc_id, n_tokens, toks)""")),
+
     // ---- Unigram NLL (CCNet-style perplexity proxy) -----------------------
     // Per-doc mean -ln p(token) under the corpus's own unigram model,
     // aggregated per source. ln differs across libm in the last ulp, so

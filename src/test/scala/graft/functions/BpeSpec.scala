@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference formulation (immutable lists, per-iteration
+    * rebuild) of the SAME published algorithm the kernel implements:
+    * repeatedly merge every leftmost-non-overlapping occurrence of the
+    * lowest-ranked adjacent pair. Parity between the two code paths is
+    * the spec's core claim. */
+  private def ref(word: String, merges: Seq[(String, String)]): List[String] = {
+    val rank = merges.zipWithIndex.toMap
+    var syms = word.codePoints().toArray.toList
+      .map(cp => new String(Character.toChars(cp)))
+    var continue = true
+    while (continue) {
+      val present = syms.zip(syms.drop(1)).flatMap(p => rank.get(p).map(_ -> p))
+      if (present.isEmpty) continue = false
+      else {
+        val best = present.minBy(_._1)._2
+        val buf = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case a :: b :: t if (a, b) == best => buf += (a + b); rest = t
+          case a :: t => buf += a; rest = t
+          case Nil => ()
+        }
+        syms = buf.toList
+      }
+    }
+    syms
+  }
+
+  private val merges = Seq(("a", "n"), ("b", "an"), ("a", "a"), ("aa", "b"))
+
+  private def encode(text: String): Seq[String] =
+    Seq(text).toDF("t")
+      .select(Bpe.tokens(col("t"), merges).as("toks"))
+      .as[Seq[String]].head()
+
+  test("hand-derived cases: rank priority, chaining, overlap, unknown chars") {
+    assert(encode("banana") === Seq("ban", "an", "a"))
+    assert(encode("band") === Seq("ban", "d"))
+    // overlap: (a,a) merges leftmost-non-overlapping — never [a,aa,a]
+    assert(encode("aaaa") === Seq("aa", "aa"))
+    // chain: (a,a) then the merged symbol participates in (aa,b)
+    assert(encode("aab") === Seq("aab"))
+    // no ranked pair present: code points pass through
+    assert(encode("cabbage") === Seq("c", "a", "b", "b", "a", "g", "e"))
+    // words are independent; merges never cross the space
+    assert(encode("nan na") === Seq("n", "an", "n", "a"))
+    assert(encode("") === Seq.empty)
+  }
+
+  test("kernel == independent reference over real corpus words") {
+    val words = graft.queries.Registry.table(spark, sf0001, "documents")
+      .select(explode(split(Text.normalize(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct().limit(300)
+    val viaKernel = words
+      .select(col("w"), Bpe.tokens(col("w"), merges).as("toks"))
+      .as[(String, Seq[String])].collect()
+    viaKernel.foreach { case (w, got) =>
+      assert(got === ref(w, merges), s"word '$w'")
+      assert(got.mkString === w, s"word '$w' not partitioned losslessly")
+    }
+    assert(viaKernel.nonEmpty)
+  }
+
+  test("bpeLearn: adopts the most frequent pair per round, deterministically") {
+    val docs = Seq(
+      (1L, "aaab aaab aaab"),
+      (2L, "xy xy"),
+      (3L, "aaab xy")).toDF("doc_id", "text")
+    // round 1: (a,a) appears once per "aaab" under leftmost-non-overlap
+    // symbolization ×4 words... as RAW code points it is 2 per word = 8 —
+    // the clear top. round 2: under [(a,a)], "aaab" = [aa,a,b] so (aa,a)
+    // and (a,b) tie at 4; the deterministic (left, right) ascending
+    // tie-break picks (a,b). round 3: "aaab" = [aa,ab] → (aa,ab) 4 beats
+    // (x,y) 3.
+    val learned = graft.operators.TextAnalysis.bpeLearn(docs, numMerges = 3)
+    assert(learned === Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+    // determinism across runs (the tie-break is total)
+    assert(learned === graft.operators.TextAnalysis.bpeLearn(docs, numMerges = 3))
+    // applying the learned merges compresses the corpus
+    val n = docs.select(explode(
+        Bpe.tokens(Text.normalize(col("text")), learned)).as("t")).count()
+    val n0 = docs.select(explode(
+        Bpe.tokens(Text.normalize(col("text")), Nil)).as("t")).count()
+    assert(n < n0)
+    // minCount floor: singleton pairs are never adopted
+    val tiny = Seq((1L, "qz")).toDF("doc_id", "text")
+    assert(graft.operators.TextAnalysis.bpeLearn(tiny, numMerges = 5) === Nil)
+  }
+
+  test("the expression stays inside whole-stage codegen (no UDF barrier)") {
+    // a real file scan (a local relation would collapse to LocalTableScan)
+    val df = graft.queries.Registry.table(spark, sf0001, "documents")
+      .select(size(Bpe.tokens(Text.normalize(col("text")), merges)).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the *(n) prefix marks a WholeStageCodegen span over the projection
+    assert(plan.contains("*(1) Project"), plan)
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("pythonudf"))
+    assert(df.agg(sum(col("n"))).as[Long].head() > 0L)
+  }
+}
