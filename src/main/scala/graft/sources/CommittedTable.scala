@@ -295,7 +295,8 @@ object CommittedTable {
     * value-identity discipline as Warehouse.merge's dir names), manifest
     * published atomically after every segment is in place. */
   def write(df: DataFrame, path: String, partitionCol: String,
-      retainGenerations: Int = 2, statsCols: Seq[String] = Nil): Unit = {
+      retainGenerations: Int = 2, statsCols: Seq[String] = Nil,
+      sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
@@ -305,9 +306,12 @@ object CommittedTable {
     require(readManifest(fs, table).isEmpty,
       s"$path already holds a committed table; use merge for updates")
     fs.mkdirs(table)
-    statsCols.foreach(c => require(df.columns.contains(c),
-      s"stats column $c absent from the table (${df.columns.mkString(",")})"))
-    val staged = stageSegments(df, path, partitionCol, gen = 1L)
+    (statsCols ++ sortCols).foreach(c => require(df.columns.contains(c),
+      s"column $c absent from the table (${df.columns.mkString(",")})"))
+    // sortCols: the [[compact]] canonical in-segment order from the FIRST
+    // write — parquet row-group stats support range skipping without
+    // waiting for a compaction pass
+    val staged = stageSegments(df, path, partitionCol, gen = 1L, sortCols)
     val stats = statsFromStaged(spark, table, staged, partitionCol, statsCols)
     publishOrAbort(hconf, table, baseGen = 0L,
       Manifest(1L, df.columns.toSeq, staged, retainGenerations,
@@ -343,9 +347,13 @@ object CommittedTable {
     val arranged = df.withColumn(partitionCol, col(partitionCol).cast("string"))
       .withColumn("__part", col(partitionCol))
       .repartition(col(partitionCol))
+    // the sort must LEAD with __part: FileFormatWriter requires an
+    // ordering by the partition column and inserts its own (unstable)
+    // sort when the incoming order doesn't satisfy it — which would
+    // silently discard the canonical sortCols order
     (if (sortCols.isEmpty) arranged
      else arranged.sortWithinPartitions(
-       (partitionCol +: sortCols).map(col): _*))
+       ("__part" +: sortCols).map(col): _*))
       .write.partitionBy("__part")
       .mode(SaveMode.Overwrite).parquet(staging.toString)
     val staged = fs.listStatus(staging).toSeq
@@ -483,12 +491,26 @@ object CommittedTable {
     * within segments for parquet row-group skipping one level down. */
   def readRange(spark: SparkSession, path: String, statsCol: String,
       lower: Option[Any] = None, upper: Option[Any] = None,
-      partitionValues: Option[Seq[String]] = None): DataFrame = {
+      partitionValues: Option[Seq[String]] = None,
+      atGen: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types.TimestampType
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val m = readManifest(fs, table).getOrElse(
+    val live = readManifest(fs, table).getOrElse(
       throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    // time travel composes: the zone maps of a RETAINED generation are
+    // frozen in its anchor manifest, so range pruning against a snapshot
+    // is the same metadata filter against that manifest
+    val m = atGen match {
+      case None => live
+      case Some(g) if g == live.gen => live
+      case Some(g) =>
+        readManifestFile(fs, new Path(table, s"$CommitGen$g"))
+          .filter(_ => g < live.gen && g >= live.gen - live.retain + 1)
+          .getOrElse(throw new java.io.IOException(
+            s"generation $g of $path is not retained (current ${live.gen}, " +
+              s"retain ${live.retain})"))
+    }
     require(m.cols.contains(statsCol),
       s"$statsCol is not a column of the committed table (${m.cols.mkString(",")})")
     val idx = m.statsCols.indexOf(statsCol)

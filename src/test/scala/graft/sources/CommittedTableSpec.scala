@@ -372,11 +372,36 @@ class CommittedTableSpec extends SparkSpec {
     // a column with no recorded stats prunes nothing but answers exactly
     val r4 = CommittedTable.readRange(spark, dir, "version", Some(2L), None)
     assert(r4.select("id").as[Long].collect().toSet === Set(1L))
+    // time travel composes: the retained generation's FROZEN zone maps
+    // answer the range query as of that snapshot
+    val rOld = CommittedTable.readRange(spark, dir, "value",
+      Some(4000.0), None, atGen = Some(1L))
+    assert(rOld.count() === 0L)             // gen 1 had no 5000 value
+    val rOld2 = CommittedTable.readRange(spark, dir, "value",
+      Some(5.0), Some(50.0), atGen = Some(1L))
+    assert(rOld2.select("id").as[Long].collect().toSet === Set(1L, 2L))
+    assert(rOld2.inputFiles.nonEmpty && rOld2.inputFiles.forall(_.contains("-A/")))
     // compact recomputes zone maps over the canonical layout
     CommittedTable.compact(spark, dir, "status", sortCols = Seq("value"))
     val r5 = CommittedTable.readRange(spark, dir, "value", None, Some(50.0))
     assert(r5.inputFiles.nonEmpty && r5.inputFiles.forall(_.contains("-A/")))
     assert(r5.select("id").as[Long].collect().toSet === Set(2L)) // id 1 is 5000 now
+  }
+
+  test("write(sortCols): the first generation is already canonically sorted") {
+    val dir = freshDir("wsort")
+    val df = Seq((3L, "A", 30.0), (1L, "A", 10.0), (2L, "A", 20.0),
+      (5L, "B", 50.0), (4L, "B", 40.0))
+      .toDF("id", "status", "value").withColumn("version", lit(1L))
+    CommittedTable.write(df, dir, "status", sortCols = Seq("id"))
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommittedTable.readManifest(fs, table).get.segments.values.foreach { seg =>
+      val ids = spark.read.parquet(new org.apache.hadoop.fs.Path(table, seg).toString)
+        .select("id").as[Long].collect().toSeq
+      assert(ids === ids.sorted, s"$seg rows not id-sorted: $ids")
+    }
+    assert(content(dir).map(_._1) === Set(1L, 2L, 3L, 4L, 5L))
   }
 
   test("zone maps on timestamps: epoch-micros canonical form, string bounds accepted") {
