@@ -227,33 +227,161 @@ object TextAnalysis {
     * across engines and runs). Returns merges in rank order, ready for
     * [[graft.functions.Bpe.tokens]].
     *
-    * Scale shape: each round is ONE map-side re-symbolization (the
-    * codegen'd apply kernel under the current merges — no stored state)
-    * + explode to pairs + a partial-aggregated count + a driver take of
-    * row 1; the driver holds only the merge list (config-sized, never
-    * data). The naive learner's O(numMerges) passes over the corpus are
-    * the textbook trade — vocabularies are learned rarely, on samples,
-    * and applied forever; `minCount` stops early when no pair clears the
-    * floor (noise merges memorize singletons). */
+    * Scale shape — the published learner's one-pass-then-iterate form:
+    * the corpus is aggregated ONCE to a `(word, count)` frequency table
+    * (pairs never cross whitespace, so that table carries everything the
+    * learner needs; it is vocabulary-sized, tiny relative to the corpus).
+    * Under `maxDistinctWords` the table is collected and merges are
+    * learned driver-local with an inverted pair→words index, so each
+    * round touches only the words that actually contain the adopted pair
+    * (the classic Sennrich `learn_bpe` shape) — a 32k-merge vocabulary is
+    * zero further cluster work. Above the cap, rounds run distributed
+    * over the CACHED word table weighted by count — per-round work is on
+    * the distinct-word table, and the corpus itself is never re-scanned
+    * either way. `minCount` stops early when no pair clears the floor
+    * (noise merges memorize singletons). */
   def bpeLearn(df: DataFrame, textCol: String = "text",
-      numMerges: Int = 100, minCount: Long = 2L): Seq[(String, String)] = {
+      numMerges: Int = 100, minCount: Long = 2L,
+      maxDistinctWords: Long = 2000000L): Seq[(String, String)] = {
     require(numMerges >= 0, s"numMerges ($numMerges) must be >= 0")
     // pairs are counted WITHIN words (a merge never crosses whitespace),
-    // so symbolization runs per word, not over the flattened text
-    val words = df
+    // so the (word, count) table is a lossless sufficient statistic
+    val wordFreq = df
       .select(explode(split(normalize(col(textCol)), " ")).as("__w"))
       .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+      .persist()
+    try {
+      val nDistinct = wordFreq.count() // materializes the cache: the ONE corpus pass
+      if (nDistinct <= maxDistinctWords) {
+        val table = wordFreq.collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        bpeLearnLocal(table, numMerges, minCount)
+      } else bpeLearnDistributed(wordFreq, numMerges, minCount)
+    } finally { wordFreq.unpersist(); () }
+  }
+
+  /** Driver-local learner over the collected word-frequency table: pair
+    * counts and a pair→words inverted index are maintained incrementally,
+    * so round k touches only the words containing round k's pair. Merging
+    * the adopted pair in place is exact (one leftmost-non-overlapping pass
+    * removes every occurrence: the merged symbol `l+r` can equal `l` or
+    * `r` only if the other were empty, and merges never create an
+    * adjacency between two pre-existing symbols), so the evolving state
+    * equals a from-scratch re-apply each round. */
+  private def bpeLearnLocal(table: Array[(String, Long)], numMerges: Int,
+      minCount: Long): Seq[(String, String)] = {
+    import scala.collection.mutable
+    // code-point order == UTF-8 byte order == Spark's string sort, which
+    // differs from Java's UTF-16 code-unit order for supplementary chars;
+    // ties must break identically to the distributed path's orderBy
+    def cpCompare(a: String, b: String): Int = {
+      var i = 0; var j = 0
+      while (i < a.length && j < b.length) {
+        val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+        if (ca != cb) return Integer.compare(ca, cb)
+        i += Character.charCount(ca); j += Character.charCount(cb)
+      }
+      Integer.compare(a.length - i, b.length - j)
+    }
+    // word state: symbol arrays (code-point split, as the apply kernel)
+    val syms = new Array[mutable.ArrayBuffer[String]](table.length)
+    val cnts = new Array[Long](table.length)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def addPair(p: (String, String), wi: Int, c: Long): Unit = {
+      pairCount.update(p, pairCount.getOrElse(p, 0L) + c)
+      pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+    }
+    var wi = 0
+    while (wi < table.length) {
+      val (w, c) = table(wi)
+      val b = new mutable.ArrayBuffer[String](w.length)
+      var si = 0
+      while (si < w.length) {
+        val cp = w.codePointAt(si)
+        b += new String(Character.toChars(cp))
+        si += Character.charCount(cp)
+      }
+      syms(wi) = b; cnts(wi) = c
+      var i = 0
+      while (i < b.length - 1) { addPair((b(i), b(i + 1)), wi, c); i += 1 }
+      wi += 1
+    }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      // total order (count desc, left asc, right asc) — deterministic
+      // regardless of hash-map iteration order
+      var best: (String, String) = null
+      var bestN = 0L
+      pairCount.foreach { case (p, n) =>
+        if (n > bestN || (n == bestN && best != null && {
+          val c1 = cpCompare(p._1, best._1)
+          c1 < 0 || (c1 == 0 && cpCompare(p._2, best._2) < 0)
+        })) { best = p; bestN = n }
+      }
+      if (best == null || bestN < minCount) exhausted = true
+      else {
+        merges += best
+        val affected = pairWords.getOrElse(best, mutable.BitSet.empty).toArray
+        affected.foreach { w =>
+          val old = syms(w); val c = cnts(w)
+          val oldPairs = mutable.HashSet.empty[(String, String)]
+          var i = 0
+          while (i < old.length - 1) {
+            val p = (old(i), old(i + 1)); oldPairs += p
+            val n = pairCount(p) - c
+            if (n <= 0L) pairCount.remove(p) else pairCount.update(p, n)
+            i += 1
+          }
+          val next = new mutable.ArrayBuffer[String](old.length)
+          i = 0
+          while (i < old.length) {
+            if (i < old.length - 1 && old(i) == best._1 && old(i + 1) == best._2) {
+              next += (old(i) + old(i + 1)); i += 2
+            } else { next += old(i); i += 1 }
+          }
+          syms(w) = next
+          val newPairs = mutable.HashSet.empty[(String, String)]
+          i = 0
+          while (i < next.length - 1) {
+            val p = (next(i), next(i + 1)); newPairs += p
+            pairCount.update(p, pairCount.getOrElse(p, 0L) + c)
+            i += 1
+          }
+          oldPairs.foreach { p =>
+            if (!newPairs.contains(p)) pairWords.get(p).foreach { s =>
+              s -= w; if (s.isEmpty) { pairWords.remove(p); () }
+            }
+          }
+          newPairs.foreach { p =>
+            pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += w; ()
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed fallback above the driver cap: each round re-symbolizes
+    * the CACHED distinct-word table under the merges so far (the codegen'd
+    * apply kernel), explodes to pairs weighted by word count, and takes
+    * the arg-max — per-round work on the word table, never the corpus. */
+  private def bpeLearnDistributed(wordFreq: DataFrame, numMerges: Int,
+      minCount: Long): Seq[(String, String)] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
-      val top = words
-        .select(graft.functions.Bpe.tokens(col("__w"), merges.toSeq).as("__t"))
+      val top = wordFreq
+        .select(graft.functions.Bpe.tokens(col("__w"), merges.toSeq).as("__t"),
+          col("__cnt"))
         .filter(size(col("__t")) >= 2)
         .withColumn("__p", expr(
           "transform(sequence(0, size(__t)-2), i -> struct(__t[i] AS l, __t[i+1] AS r))"))
-        .select(explode(col("__p")).as("p"))
+        .select(explode(col("__p")).as("p"), col("__cnt"))
         .groupBy(col("p.l").as("__l"), col("p.r").as("__r"))
-        .agg(count(lit(1)).as("__n"))
+        .agg(sum(col("__cnt")).as("__n"))
         .orderBy(col("__n").desc, col("__l"), col("__r"))
         .limit(1).collect()
       if (top.isEmpty || top.head.getLong(2) < minCount) exhausted = true

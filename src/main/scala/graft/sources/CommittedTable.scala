@@ -51,6 +51,11 @@ object CommittedTable {
   private val CommitPrev = "_commit.prev"
   private val CommitGen = "_commit.g"
   private val ClaimPrefix = "_claim-g"
+  private val StagingInfix = ".ct-staging-"
+  // staging roots older than this are crash debris for collectGarbage (an
+  // in-flight writer's root is indistinguishable by content; recover(),
+  // which documents "no writer active", sweeps them regardless of age)
+  private val StagingSweepAgeMs = 24L * 3600 * 1000
   private val NullPartName =
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
 
@@ -180,8 +185,10 @@ object CommittedTable {
 
   /** Delete segment dirs referenced by NO manifest inside the retain
     * window — crashed-publish orphans (never referenced) and
-    * aged-out-generation segments — plus claim markers of already-
-    * committed generations and generation anchors older than the window.
+    * aged-out-generation segments — plus claim markers and generation
+    * anchors older than the window (a committed generation KEEPS its claim
+    * until it ages out: the name must never re-open while a stalled writer
+    * could still target that generation).
     * Runs at the start of every merge and at the end, so a superseded
     * generation stays fully readable (segments + `_commit.g<n>` anchor)
     * until `retain - 1` further publishes land: the previous manifest's
@@ -217,11 +224,33 @@ object CommittedTable {
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("seg-") && !protectedSegs(n))
         fs.delete(st.getPath, true)
-      else if (!st.isDirectory && genSuffix(n, ClaimPrefix).exists(_ <= curGen))
+      // committed-generation claims age out with the retain window, NOT at
+      // commit: deleting a just-committed claim would re-open its name for
+      // a stalled writer that passed its base-gen check before the winner
+      // published — the exact lost-update the claim fence exists to stop.
+      // One tiny file per retained generation is the whole cost.
+      else if (!st.isDirectory && genSuffix(n, ClaimPrefix).exists(_ < floor))
         fs.delete(st.getPath, false)
-      else if (!st.isDirectory &&
-          genSuffix(n, CommitGen).exists(g => g < floor || g > curGen))
+      else if (!st.isDirectory && genSuffix(n, CommitGen).exists(g =>
+          g < floor ||
+          // a future-gen anchor is crash debris ONLY once its claim is
+          // gone (recover clears stale claims): swapManifest writes the
+          // anchor between claim-create and the live swap, so a racing GC
+          // must not delete an about-to-commit generation's anchor
+          (g > curGen && !fs.exists(new Path(table, s"$ClaimPrefix$g")))))
         fs.delete(st.getPath, false)
+    }
+    // aged per-attempt staging roots (crashed writers') live in the parent
+    // dir as <table>.ct-staging-<nonce>
+    val parent = table.getParent
+    if (parent != null && fs.exists(parent)) {
+      val now = System.currentTimeMillis()
+      fs.listStatus(parent).foreach { st =>
+        if (st.isDirectory &&
+            st.getPath.getName.startsWith(table.getName + StagingInfix) &&
+            now - st.getModificationTime > StagingSweepAgeMs)
+          fs.delete(st.getPath, true)
+      }
     }
   }
 
@@ -258,6 +287,13 @@ object CommittedTable {
           n.stripPrefix(ClaimPrefix).toLong > curGen)
         fs.delete(st.getPath, false)
     }
+    // with no writer active, every per-attempt staging root is crash debris
+    val parent = table.getParent
+    if (parent != null && fs.exists(parent)) fs.listStatus(parent).foreach { st =>
+      if (st.isDirectory &&
+          st.getPath.getName.startsWith(table.getName + StagingInfix))
+        fs.delete(st.getPath, true)
+    }
     collectGarbage(fs, table)
   }
 
@@ -273,7 +309,6 @@ object CommittedTable {
     val fs = table.getFileSystem(hconf)
     def abort(reason: String): Nothing = {
       staged.values.foreach(d => fs.delete(new Path(table, d), true))
-      fs.delete(new Path(table.toString + ".ct-staging"), true)
       throw new java.util.ConcurrentModificationException(
         s"committed-table publish of $table generation ${next.gen} aborted: " +
           s"$reason; staged segments removed — re-run the merge to retry on " +
@@ -287,6 +322,17 @@ object CommittedTable {
     catch { case _: java.io.IOException => abort(
       s"another writer holds $claim (if that writer CRASHED between claim " +
         "and swap, CommittedTable.recover(path) clears it)") }
+    // the gen-check and the claim create are not atomic: a winner may have
+    // published OUR generation in between (its claim then aged into the
+    // retain window, never deleted at commit — but a historical GC bug
+    // aside, re-verifying under the claim costs one manifest read and
+    // closes the window for good: holding the claim, nobody else can swap)
+    val cur2 = readManifest(fs, table).map(_.gen).getOrElse(0L)
+    if (cur2 != baseGen) {
+      fs.delete(claim, false) // ours — re-created after the winner's commit
+      abort(s"another writer advanced the table $baseGen -> $cur2 before the " +
+        "claim was acquired")
+    }
     swapManifest(hconf, table, next)
   }
 
@@ -316,7 +362,6 @@ object CommittedTable {
     publishOrAbort(hconf, table, baseGen = 0L,
       Manifest(1L, df.columns.toSeq, staged, retainGenerations,
         statsCols, stats), staged)
-    fs.delete(new Path(path + ".ct-staging"), true)
   }
 
   /** Write one segment dir per partition value of `df` under a staging
@@ -337,42 +382,51 @@ object CommittedTable {
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
     val fs = table.getFileSystem(hconf)
-    val staging = new Path(path + ".ct-staging")
-    fs.delete(staging, true)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    // __part duplicates the partition value for partitionBy, so the files
-    // KEEP the column as data (a multi-root manifest read then needs no
-    // per-segment value reattachment and stays one FileSourceScan);
-    // repartition on the value ⇒ one splittable file per segment per batch
-    val arranged = df.withColumn(partitionCol, col(partitionCol).cast("string"))
-      .withColumn("__part", col(partitionCol))
-      .repartition(col(partitionCol))
-    // the sort must LEAD with __part: FileFormatWriter requires an
-    // ordering by the partition column and inserts its own (unstable)
-    // sort when the incoming order doesn't satisfy it — which would
-    // silently discard the canonical sortCols order
-    (if (sortCols.isEmpty) arranged
-     else arranged.sortWithinPartitions(
-       ("__part" +: sortCols).map(col): _*))
-      .write.partitionBy("__part")
-      .mode(SaveMode.Overwrite).parquet(staging.toString)
-    val staged = fs.listStatus(staging).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
-      .map { st =>
-        val escaped = st.getPath.getName.stripPrefix("__part=")
-        if (escaped == NullPartName)
-          throw new IllegalArgumentException(
-            s"partition column $partitionCol contains NULL or empty-string " +
-              "values; CommittedTable requires a concrete partition value " +
-              "per row (normalize upstream)")
-        val v = unesc(escaped)
-        val segName = s"seg-g$gen-$nonce-${esc(v)}"
-        val dest = new Path(table, segName)
-        if (!fs.rename(st.getPath, dest))
-          throw new java.io.IOException(s"failed to stage segment ${st.getPath} -> $dest")
-        v -> segName
-      }.toMap
-    staged
+    // the staging root is PER-ATTEMPT (nonce-suffixed): two genuinely
+    // concurrent writers (a compact racing a streaming micro-batch) each
+    // stage under their own root and delete only their own — a shared
+    // root would let one writer's start-of-stage cleanup or abort delete
+    // the other's in-flight parquet output. Crashed attempts leave an
+    // orphan root that [[collectGarbage]] sweeps once aged (and
+    // [[recover]] sweeps unconditionally).
+    val staging = new Path(path + StagingInfix + nonce)
+    try {
+      // __part duplicates the partition value for partitionBy, so the files
+      // KEEP the column as data (a multi-root manifest read then needs no
+      // per-segment value reattachment and stays one FileSourceScan);
+      // repartition on the value ⇒ one splittable file per segment per batch
+      val arranged = df.withColumn(partitionCol, col(partitionCol).cast("string"))
+        .withColumn("__part", col(partitionCol))
+        .repartition(col(partitionCol))
+      // the sort must LEAD with __part: FileFormatWriter requires an
+      // ordering by the partition column and inserts its own (unstable)
+      // sort when the incoming order doesn't satisfy it — which would
+      // silently discard the canonical sortCols order
+      (if (sortCols.isEmpty) arranged
+       else arranged.sortWithinPartitions(
+         ("__part" +: sortCols).map(col): _*))
+        .write.partitionBy("__part")
+        .mode(SaveMode.Overwrite).parquet(staging.toString)
+      fs.listStatus(staging).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
+        .map { st =>
+          val escaped = st.getPath.getName.stripPrefix("__part=")
+          if (escaped == NullPartName)
+            throw new IllegalArgumentException(
+              s"partition column $partitionCol contains NULL or empty-string " +
+                "values; CommittedTable requires a concrete partition value " +
+                "per row (normalize upstream)")
+          val v = unesc(escaped)
+          val segName = s"seg-g$gen-$nonce-${esc(v)}"
+          val dest = new Path(table, segName)
+          if (!fs.rename(st.getPath, dest))
+            throw new java.io.IOException(s"failed to stage segment ${st.getPath} -> $dest")
+          v -> segName
+        }.toMap
+    } finally { fs.delete(staging, true); () }
+    // a failure after SOME renames leaves nonce-named segments in the
+    // table dir that no manifest references — ordinary orphans for GC
   }
 
   /** Read the committed table: resolve segments through the manifest
@@ -532,9 +586,15 @@ object CommittedTable {
         case None => true // no stats recorded for this segment: keep
         case Some((None, None)) => lo.isEmpty && hi.isEmpty // all-NULL segment
         case Some((mn, mx)) =>
-          val aboveLo = lo.forall(l => mx.exists(x => cmp(x, l) >= 0))
-          val belowHi = hi.forall(h => mn.exists(n => cmp(n, h) <= 0))
-          aboveLo && belowHi
+          // an unparsable bound (a float segment whose min/max propagated
+          // NaN/Infinity into the manifest, or a NaN query bound) must
+          // degrade to KEEP — the exact filter on top owns correctness;
+          // zone maps only ever change the I/O
+          try {
+            val aboveLo = lo.forall(l => mx.exists(x => cmp(x, l) >= 0))
+            val belowHi = hi.forall(h => mn.exists(n => cmp(n, h) <= 0))
+            aboveLo && belowHi
+          } catch { case _: NumberFormatException => true }
       }
     }
     val pruned = readFrom(spark, table, m, Some(kept))
@@ -662,7 +722,6 @@ object CommittedTable {
     publishOrAbort(hconf, table, m.gen, next, staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
-    fs.delete(new Path(path + ".ct-staging"), true)
   }
 
   /** Rewrite every live partition as ONE fresh-generation segment, one
@@ -704,6 +763,5 @@ object CommittedTable {
         statsFromStaged(spark, table, staged, partitionCol, m.statsCols)), staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
-    fs.delete(new Path(path + ".ct-staging"), true)
   }
 }

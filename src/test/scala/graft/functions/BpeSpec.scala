@@ -96,6 +96,38 @@ class BpeSpec extends SparkSpec {
     assert(graft.operators.TextAnalysis.bpeLearn(tiny, numMerges = 5) === Nil)
   }
 
+  test("bpeLearn: driver-local and distributed paths learn IDENTICAL merges") {
+    // real fixture corpus; the tiny maxDistinctWords cap forces the
+    // distributed per-round fallback, the default takes the local path
+    val docs = graft.queries.Registry.table(spark, sf0001, "documents")
+      .limit(60).select(col("doc_id"), col("text"))
+    val local = graft.operators.TextAnalysis.bpeLearn(docs, numMerges = 24)
+    val dist = graft.operators.TextAnalysis.bpeLearn(docs, numMerges = 24,
+      maxDistinctWords = 1L)
+    assert(local === dist)
+    assert(local.size === 24) // a real corpus sustains 24 merges ≥ minCount
+  }
+
+  test("bpeLearn: ONE corpus pass regardless of numMerges") {
+    // opaque mapPartitions barrier counts input-scan tasks (Catalyst can
+    // neither prune nor skip it) — the CurationSpec pass-count pattern
+    val nPart = 4
+    val acc = spark.sparkContext.longAccumulator("bpe-input-scans")
+    val docs = spark.range(0, 200, 1, nPart)
+      .mapPartitions { it => acc.add(1); it }
+      .map(i => (i, s"shared words repeat here tail${i % 7} tok$i"))
+      .toDF("doc_id", "text")
+    val m1 = graft.operators.TextAnalysis.bpeLearn(docs, numMerges = 2)
+    val after1 = acc.value
+    val m8 = graft.operators.TextAnalysis.bpeLearn(docs, numMerges = 16)
+    val after8 = acc.value - after1
+    assert(after1 === nPart.toLong,
+      s"expected 1 corpus pass (${nPart} tasks), saw $after1")
+    assert(after8 === nPart.toLong,
+      s"numMerges=16 must not rescan the corpus: saw $after8 tasks")
+    assert(m8.take(m1.size) === m1) // prefix-stability of greedy learning
+  }
+
   test("the expression stays inside whole-stage codegen (no UDF barrier)") {
     // a real file scan (a local relation would collapse to LocalTableScan)
     val df = graft.queries.Registry.table(spark, sf0001, "documents")

@@ -479,12 +479,117 @@ class CommittedTableSpec extends SparkSpec {
     // worth of segments on disk
     val aSegs = segs.filter(_.endsWith("-A"))
     assert(aSegs.size <= 2, s"A's merge history accumulated: $aSegs")
-    // anchors: exactly the retain window; claims: none outstanding
+    // anchors: exactly the retain window; claims age out WITH the window
+    // (deleting a committed claim at commit would re-open its name for a
+    // stalled writer — the lost-update the fence exists to stop)
     val anchors = names.filter(_.startsWith("_commit.g")).toSeq.sorted
     assert(anchors === Seq("_commit.g10", "_commit.g11"), anchors)
-    assert(!names.exists(_.startsWith("_claim-")), "stale claim left behind")
+    val claims = names.filter(_.startsWith("_claim-")).toSeq.sorted
+    assert(claims === Seq("_claim-g10", "_claim-g11"), claims)
     // and the table still answers correctly
     assert(content(dir).contains((1L, "A", 110.0, 11L)))
+  }
+
+  test("per-attempt staging roots: a writer never touches a concurrent writer's staging") {
+    val dir = freshDir("stageiso")
+    CommittedTable.write(base(), dir, "status")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a concurrent writer's in-flight staging root, mid-write
+    val foreign = new org.apache.hadoop.fs.Path(dir + ".ct-staging-cafebabe")
+    fs.mkdirs(foreign)
+    fs.create(new org.apache.hadoop.fs.Path(foreign, "part-0.parquet"), false).close()
+    CommittedTable.merge(spark, dir, updates(), "id", "version", "status")
+    // the merge finished, cleaned ITS OWN root, and left the foreign one
+    assert(content(dir) === mergedExpected)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(foreign, "part-0.parquet")),
+      "merge deleted a concurrent writer's in-flight staging")
+    val parent = new org.apache.hadoop.fs.Path(dir).getParent
+    val roots = fs.listStatus(parent).map(_.getPath.getName)
+      .filter(_.contains(".ct-staging-"))
+    assert(roots.toSeq === Seq("t.ct-staging-cafebabe"),
+      s"writer leaked its own staging root: ${roots.mkString(",")}")
+    // GC sweeps it only once AGED (in-flight is indistinguishable)...
+    fs.setTimes(foreign, System.currentTimeMillis() - 25L * 3600 * 1000, -1)
+    CommittedTable.merge(spark, dir,
+      Seq((1L, "A", 12.0, 3L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    assert(!fs.exists(foreign), "aged crash-debris staging root survived GC")
+    // ...and recover (documented: no writer active) sweeps regardless of age
+    val fresh = new org.apache.hadoop.fs.Path(dir + ".ct-staging-deadbeef")
+    fs.mkdirs(fresh)
+    CommittedTable.recover(spark, dir)
+    assert(!fs.exists(fresh), "recover left a staging root behind")
+  }
+
+  test("a committed generation's claim holds until it ages out of the window") {
+    val dir = freshDir("claimhold")
+    CommittedTable.write(base(), dir, "status") // gen 1, retain 2
+    CommittedTable.merge(spark, dir, updates(), "id", "version", "status") // gen 2
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a writer stalled since before gen 2 published now tries to claim it:
+    // the fence must still hold (create-no-overwrite loses) — GC deleting
+    // the committed claim would hand the stalled writer the win and let it
+    // overwrite gen 2 with a manifest built on gen 1
+    intercept[java.io.IOException] {
+      fs.create(new org.apache.hadoop.fs.Path(table, "_claim-g2"), false).close()
+    }
+    assert(content(dir) === mergedExpected)
+  }
+
+  test("GC never deletes an about-to-commit anchor (future gen with a live claim)") {
+    val dir = freshDir("anchorrace")
+    CommittedTable.write(base(), dir, "status") // gen 1
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a concurrent publish caught between anchor-put and manifest swap:
+    // its claim exists and its future-gen anchor is on disk
+    fs.create(new org.apache.hadoop.fs.Path(table, "_claim-g2"), false).close()
+    val anchor = new org.apache.hadoop.fs.Path(table, "_commit.g2")
+    val out = fs.create(anchor, false)
+    try out.write("gen=2\ncols=id\tstatus\tvalue\tversion\nretain=2\nA\tseg-g2-xx-A\n"
+      .getBytes("UTF-8")) finally out.close()
+    // another merge starts; its opening GC runs while the claim is live —
+    // the merge itself then loses to the held claim, but must NOT have
+    // deleted the in-flight generation's anchor
+    intercept[java.util.ConcurrentModificationException] {
+      CommittedTable.merge(spark, dir, updates(), "id", "version", "status")
+    }
+    assert(fs.exists(anchor),
+      "concurrent GC deleted an about-to-commit generation's time-travel anchor")
+    // once the claim is CRASH DEBRIS, recover clears claim AND stale anchor
+    CommittedTable.recover(spark, dir)
+    assert(!fs.exists(anchor))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table, "_claim-g2")))
+    CommittedTable.merge(spark, dir, updates(), "id", "version", "status")
+    assert(content(dir) === mergedExpected)
+  }
+
+  test("zone maps tolerate NaN/Infinity bounds: readRange degrades to keep, never throws") {
+    val dir = freshDir("nanstats")
+    val df = Seq(
+      (1L, "A", 1.0), (2L, "A", Double.NaN), // A's max propagates NaN
+      (3L, "B", 5.0), (4L, "B", 7.0),
+      (5L, "C", Double.PositiveInfinity), (6L, "C", 9.0))
+      .toDF("id", "status", "value").withColumn("version", lit(1L))
+    CommittedTable.write(df, dir, "status", statsCols = Seq("value"))
+    // planning must not throw NumberFormatException on the NaN/Infinity
+    // manifest bounds; the answer equals the exact filter
+    val got = CommittedTable.readRange(spark, dir, "value",
+        lower = Some(5.0), upper = Some(8.0))
+      .select($"id").as[Long].collect().toSet
+    val want = CommittedTable.read(spark, dir)
+      .filter($"value" >= 5.0 && $"value" <= 8.0)
+      .select($"id").as[Long].collect().toSet
+    assert(got === want)
+    assert(want === Set(3L, 4L)) // NaN/Inf rows correctly excluded by the filter
+    // B, with finite clean bounds [5,7], must still be prunable evidence:
+    // a disjoint range keeps only the unparsable-bound segments
+    val none = CommittedTable.readRange(spark, dir, "value",
+        lower = Some(100.0), upper = Some(200.0))
+      .select($"id").as[Long].collect().toSet
+    assert(none === Set.empty[Long])
   }
 
   test("a corrupt manifest fails loudly, never silently serves wrong data") {
