@@ -340,6 +340,45 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
+  /** Best-match form of [[fuzzyJoinSigs]] — record linkage usually wants
+    * THE best right-side match per left row (or the k best), not every
+    * pair above the threshold. Candidates and the Jaccard verify are the
+    * exact [[fuzzyJoinSigs]] plan; the head is one grouped bounded-heap
+    * aggregation ([[TopKByScore]]): partial buffers carry ≤ k pairs per
+    * left id per task, so the shuffle after the verify moves k·tasks rows
+    * per left row instead of every qualifying pair — the full pair set is
+    * never materialized, sorted, or windowed. Ties break deterministically
+    * (jaccard desc, then right_id asc — the heap's eviction order), the
+    * same order a `row_number() OVER (PARTITION BY left_id ORDER BY
+    * jaccard DESC, right_id)` oracle produces. */
+  def fuzzyJoinBestSigs(sigL: DataFrame, left: DataFrame,
+      sigR: DataFrame, right: DataFrame, textCol: String, idCol: String,
+      threshold: Double, n: Int = 3, k: Int = 1): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    fuzzyJoinSigs(sigL, left, sigR, right, textCol, idCol, threshold, n)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, rid, j) => ScoredId(rid, j) }
+      .agg(new TopKByScore(k).toColumn.name("topk"))
+      .toDF("left_id", "topk")
+      .select(col("left_id"), posexplode(col("topk")))
+      .select(col("left_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("right_id"), col("col.score").as("jaccard"))
+  }
+
+  /** [[fuzzyJoinBestSigs]] with signatures derived in-flight (the
+    * convenience form mirroring [[fuzzyJoin]]). */
+  def fuzzyJoinBest(left: DataFrame, right: DataFrame, textCol: String,
+      idCol: String, threshold: Double, n: Int = 3, bands: Int = 3,
+      rows: Int = 2, k: Int = 1,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    fuzzyJoinBestSigs(
+      scope.persist(signatureTable(left, textCol, idCol, n, bands, rows)), left,
+      scope.persist(signatureTable(right, textCol, idCol, n, bands, rows)), right,
+      textCol, idCol, threshold, n, k)
+
   /** Verified near-dup pairs: LSH candidates filtered by true n-gram
     * Jaccard ≥ threshold (computed only on candidates). */
   def minhashNearDups(

@@ -335,6 +335,48 @@ object Extended {
       SELECT left_id, right_id, jaccard FROM scored WHERE jaccard >= 0.3"""
     }),
 
+    // ---- Best-match fuzzy join (top-1 linkage per left row) ---------------
+    // The q125 pipeline with a grouped bounded-heap head: per left row,
+    // only THE best right match survives (jaccard desc, right_id asc
+    // tie-break). At scale the heap ships ≤ k pairs per left id per task
+    // where the oracle's window formulation would shuffle and sort every
+    // qualifying pair — the same TopKByScore trade q104/q115 pin; here the
+    // gate proves the linkage semantics agree with row_number() = 1.
+    Q("q130_fuzzy_join_best", (s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.fuzzyJoinBest(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", threshold = 0.3, n = 3, bands = 3, rows = 2, k = 1)
+        .select(col("left_id"), col("right_id"), col("jaccard"))
+    }, Some {
+      val NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+      val TOKS = s"string_split($NORM, ' ')"
+      val SH = s"list_distinct(list_transform(generate_series(1, GREATEST(len($TOKS)-2, 0)), i -> array_to_string(($TOKS)[i:i+2], ' ')))"
+      s"""
+      WITH l AS (SELECT * FROM ${minhashSigSql(6)} WHERE doc_id % 2 = 0),
+      r AS (SELECT * FROM ${minhashSigSql(6)} WHERE doc_id % 2 = 1),
+      cand AS (
+        SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+        FROM l JOIN r
+          ON (l.band_0 = r.band_0 OR l.band_1 = r.band_1 OR l.band_2 = r.band_2)),
+      sh AS (SELECT doc_id, $SH AS sh FROM documents),
+      scored AS (
+        SELECT c.left_id, c.right_id,
+          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM cand c
+        JOIN sh a ON c.left_id = a.doc_id
+        JOIN sh b ON c.right_id = b.doc_id
+        WHERE jaccard >= 0.3),
+      ranked AS (
+        SELECT left_id, right_id, jaccard,
+          row_number() OVER (PARTITION BY left_id
+            ORDER BY jaccard DESC, right_id ASC) AS rn
+        FROM scored)
+      SELECT left_id, right_id, jaccard FROM ranked WHERE rn = 1"""
+    }),
+
     // ---- SimHash candidate pairs ------------------------------------------
     // 64-bit fingerprint, 4×16-bit bands = 65,536 keys per band, PLUS the
     // auto-derived borrowed-bit suffix (Dedup.autoSubBits): the band key

@@ -199,6 +199,42 @@ class DedupSpec extends SparkSpec {
     assert(viaSigs === got)
   }
 
+  test("fuzzyJoinBest: one row per left id, ties break to smallest right_id") {
+    // right 10 and 11 carry IDENTICAL text, so both verify at the same
+    // jaccard against left 1 — the heap must keep the smaller id, the
+    // exact tie-break of row_number() ORDER BY jaccard DESC, right_id ASC
+    val left = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "completely different content about spark query engines today"))
+      .toDF("doc_id", "text")
+    val right = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the creek"),
+      (10L, "the quick brown fox jumps over the lazy dog near the creek"), // tie with 11
+      (12L, "the quick brown fox jumps over the lazy dog by the river"),   // also ≥ threshold
+      (13L, "completely different content about spark query engines tonight"))
+      .toDF("doc_id", "text")
+    val best = Dedup.fuzzyJoinBest(left, right, "text", "doc_id",
+        threshold = 0.2, k = 1)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toMap
+    assert(best.size === 2)
+    assert(best(1L) === 10L) // tie (10,11) resolved to the smaller id
+    assert(best(2L) === 13L)
+    // k=2: rank order is jaccard desc then right_id asc, starting at 1
+    val top2 = Dedup.fuzzyJoinBest(left, right, "text", "doc_id",
+        threshold = 0.2, k = 2)
+      .select("left_id", "rank", "right_id", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val l1 = top2(1L)
+    assert(l1.map(_._2) === Seq(1L, 2L))
+    assert(l1.map(_._3) === Seq(10L, 11L)) // the tied pair, id-ordered
+    assert(l1(0)._4 === l1(1)._4)
+    assert(top2(1L).forall(r => r._4 >= 0.2))
+    // the heap head never widens the row set: every (left, right) in k=2
+    // with rank 1 equals the k=1 result
+    assert(top2.view.mapValues(_.head._3).toMap === best)
+  }
+
   test("containmentOverPairs == containmentPairs on the same candidate set") {
     // the explicit-bucket operator (q90) and the candidate-driven one
     // (q93's building block) must score IDENTICALLY when handed the same
