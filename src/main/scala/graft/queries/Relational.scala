@@ -733,6 +733,48 @@ object Relational {
       WHERE o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
       GROUP BY o_orderstatus""")),
 
+    // ---- Multi-column zone-map range read ---------------------------------
+    // Real range queries AND several predicates (here price ∧ key):
+    // readRangeMulti intersects per-column segment-survival sets in ONE
+    // manifest scan — a segment is read only when BOTH stored [min,max]
+    // ranges can intersect their bounds — and the metadata cost stays one
+    // manifest read + one schema probe regardless of predicate count.
+    // The oracle is the same plain conjunctive filter; the gate pins the
+    // conjunction semantics (inclusive bounds, per-column independence).
+    // Fixture-scrub convention (q100/q119): the timed query writes its
+    // own table.
+    Q("q131_zonemap_multi", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-zm-q131").toString + "/wh"
+      graft.sources.CommittedTable.write(o, wh, "o_orderstatus",
+        statsCols = Seq("o_totalprice", "o_orderkey"),
+        sortCols = Seq("o_orderkey"))
+      val out = graft.sources.CommittedTable.readRangeMulti(s, wh, Seq(
+          ("o_totalprice", Some(50000.0), Some(150000.0)),
+          ("o_orderkey", Some(1000L), Some(40000L))))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_keys"),
+          dsum(col("o_totalprice")).as("sum_price"))
+      val rows = out.collect()
+      val schema = out.schema
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+        AND o_orderkey >= 1000 AND o_orderkey <= 40000
+      GROUP BY o_orderstatus""")),
+
     // ---- Time-travel read of a committed table ----------------------------
     // write (gen 1) then a destructive merge (gen 2: price bumps + status
     // moves); readAt(1) must reproduce the PRE-merge table exactly — the

@@ -546,6 +546,28 @@ object CommittedTable {
   def readRange(spark: SparkSession, path: String, statsCol: String,
       lower: Option[Any] = None, upper: Option[Any] = None,
       partitionValues: Option[Seq[String]] = None,
+      atGen: Option[Long] = None): DataFrame =
+    readRangeMulti(spark, path, Seq((statsCol, lower, upper)),
+      partitionValues, atGen)
+
+  /** Multi-column zone-map range read: a CONJUNCTION of [lower, upper]
+    * bounds (inclusive; None = unbounded), pruned in ONE metadata pass —
+    * real range queries AND several predicates (date ∧ price), and a
+    * segment must be scanned only if EVERY bounded column's stored
+    * [min,max] can intersect its range, so the per-column survival sets
+    * intersect driver-side in the same manifest scan. The metadata cost
+    * stays one manifest read + one newest-segment schema probe no matter
+    * how many columns are bounded; adding a predicate only ever shrinks
+    * the I/O. Per-column fallbacks are [[readRange]]'s, independently:
+    * a column with no stats in the manifest prunes nothing (its exact
+    * filter still applies), an all-NULL segment is dropped when that
+    * column carries any bound, an unparsable stored bound (NaN/Infinity
+    * from float min/max) degrades that segment to KEEP. The answer is
+    * always identical to `read()` + the same filters — zone maps change
+    * the I/O, never the result. */
+  def readRangeMulti(spark: SparkSession, path: String,
+      ranges: Seq[(String, Option[Any], Option[Any])],
+      partitionValues: Option[Seq[String]] = None,
       atGen: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types.TimestampType
     val table = new Path(path)
@@ -565,44 +587,53 @@ object CommittedTable {
             s"generation $g of $path is not retained (current ${live.gen}, " +
               s"retain ${live.retain})"))
     }
-    require(m.cols.contains(statsCol),
-      s"$statsCol is not a column of the committed table (${m.cols.mkString(",")})")
-    val idx = m.statsCols.indexOf(statsCol)
-    val dt =
-      if (m.segments.isEmpty) TimestampType // unreachable below; readFrom throws
-      else spark.read.parquet(
-        new Path(table, m.segments.values.maxBy(genOf)).toString)
-        .schema.find(_.name == statsCol).map(_.dataType)
-        .getOrElse(throw new java.io.IOException(
-          s"stats column $statsCol absent from the newest segment"))
-    val cmp = statCompare(dt)
-    val lo = lower.map(canonBound(dt, _))
-    val hi = upper.map(canonBound(dt, _))
+    ranges.foreach { case (statsCol, _, _) =>
+      require(m.cols.contains(statsCol),
+        s"$statsCol is not a column of the committed table (${m.cols.mkString(",")})")
+    }
+    // ONE schema probe serves every bounded column's type lookup
+    val probed =
+      if (m.segments.isEmpty) None // unreachable below; readFrom throws
+      else Some(spark.read.parquet(
+        new Path(table, m.segments.values.maxBy(genOf)).toString).schema)
+    // per-column pruning state: stats index, comparator, canonical bounds
+    val colPlans = ranges.map { case (statsCol, lower, upper) =>
+      val dt = probed.fold(TimestampType: org.apache.spark.sql.types.DataType)(
+        _.find(_.name == statsCol).map(_.dataType)
+          .getOrElse(throw new java.io.IOException(
+            s"stats column $statsCol absent from the newest segment")))
+      (statsCol, m.statsCols.indexOf(statsCol), dt, statCompare(dt),
+        lower.map(canonBound(dt, _)), upper.map(canonBound(dt, _)),
+        lower, upper)
+    }
     val base = partitionValues.map(_.filter(m.segments.contains))
       .getOrElse(m.segments.keys.toSeq)
     val kept = base.filter { v =>
-      if (idx < 0) true
-      else m.stats.get(v).map(_(idx)) match {
-        case None => true // no stats recorded for this segment: keep
-        case Some((None, None)) => lo.isEmpty && hi.isEmpty // all-NULL segment
-        case Some((mn, mx)) =>
-          // an unparsable bound (a float segment whose min/max propagated
-          // NaN/Infinity into the manifest, or a NaN query bound) must
-          // degrade to KEEP — the exact filter on top owns correctness;
-          // zone maps only ever change the I/O
-          try {
-            val aboveLo = lo.forall(l => mx.exists(x => cmp(x, l) >= 0))
-            val belowHi = hi.forall(h => mn.exists(n => cmp(n, h) <= 0))
-            aboveLo && belowHi
-          } catch { case _: NumberFormatException => true }
+      colPlans.forall { case (_, idx, _, cmp, lo, hi, _, _) =>
+        if (idx < 0) true
+        else m.stats.get(v).map(_(idx)) match {
+          case None => true // no stats recorded for this segment: keep
+          case Some((None, None)) => lo.isEmpty && hi.isEmpty // all-NULL segment
+          case Some((mn, mx)) =>
+            // an unparsable bound (a float segment whose min/max propagated
+            // NaN/Infinity into the manifest, or a NaN query bound) must
+            // degrade to KEEP — the exact filter on top owns correctness;
+            // zone maps only ever change the I/O
+            try {
+              val aboveLo = lo.forall(l => mx.exists(x => cmp(x, l) >= 0))
+              val belowHi = hi.forall(h => mn.exists(n => cmp(n, h) <= 0))
+              aboveLo && belowHi
+            } catch { case _: NumberFormatException => true }
+        }
       }
     }
     val pruned = readFrom(spark, table, m, Some(kept))
-    val c =
-      if (dt == TimestampType) unix_micros(col(statsCol)) else col(statsCol)
-    val preds =
+    val preds = colPlans.flatMap { case (statsCol, _, dt, _, lo, hi, lower, upper) =>
+      val c =
+        if (dt == TimestampType) unix_micros(col(statsCol)) else col(statsCol)
       lo.map(l => if (dt == TimestampType) c >= lit(l.toLong) else c >= lit(lower.get)).toSeq ++
-      hi.map(h => if (dt == TimestampType) c <= lit(h.toLong) else c <= lit(upper.get)).toSeq
+        hi.map(h => if (dt == TimestampType) c <= lit(h.toLong) else c <= lit(upper.get)).toSeq
+    }
     preds.foldLeft(pruned)((df, p) => df.filter(p))
   }
 

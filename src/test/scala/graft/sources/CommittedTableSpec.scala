@@ -388,6 +388,49 @@ class CommittedTableSpec extends SparkSpec {
     assert(r5.select("id").as[Long].collect().toSet === Set(2L)) // id 1 is 5000 now
   }
 
+  test("zone maps multi-column: survival sets intersect in one metadata pass") {
+    val dir = freshDir("zmm")
+    // distinct value AND id ranges per partition so each column's pruning
+    // is observable alone and in conjunction; D's value is all-NULL
+    val df = Seq(
+      (1L, "A", Some(9.0), 1L), (2L, "A", Some(10.0), 1L),
+      (3L, "B", Some(100.0), 1L), (4L, "B", Some(200.0), 1L),
+      (5L, "C", Some(1000.0), 1L), (6L, "C", Some(2000.0), 1L),
+      (7L, "D", None, 1L), (8L, "D", None, 1L))
+      .toDF("id", "status", "value", "version")
+    CommittedTable.write(df, dir, "status", statsCols = Seq("value", "id"))
+    // value ∈ [5,250] keeps {A,B} (D dropped: all-NULL under a bound);
+    // id ∈ [3,10] keeps {B,C,D}; the conjunction reads ONLY B
+    val r = CommittedTable.readRangeMulti(spark, dir, Seq(
+      ("value", Some(5.0), Some(250.0)), ("id", Some(3L), Some(10L))))
+    assert(r.inputFiles.nonEmpty && r.inputFiles.forall(_.contains("-B/")),
+      r.inputFiles.mkString(","))
+    assert(r.select("id").as[Long].collect().toSet === Set(3L, 4L))
+    // single-column form delegates: readRange == readRangeMulti(1 bound)
+    val single = CommittedTable.readRange(spark, dir, "value", Some(5.0), Some(250.0))
+    assert(single.select("id").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+    assert(single.inputFiles.forall(f => f.contains("-A/") || f.contains("-B/")))
+    // the all-NULL segment survives when its column carries NO bound
+    val rIdOnly = CommittedTable.readRangeMulti(spark, dir, Seq(
+      ("id", Some(7L), None)))
+    assert(rIdOnly.select("id").as[Long].collect().toSet === Set(7L, 8L))
+    assert(rIdOnly.inputFiles.exists(_.contains("-D/")))
+    // a bounded column with no recorded stats prunes nothing by itself,
+    // but its exact filter applies and the OTHER column still prunes
+    val rNoStats = CommittedTable.readRangeMulti(spark, dir, Seq(
+      ("version", Some(1L), None), ("value", Some(5.0), Some(50.0))))
+    assert(rNoStats.inputFiles.nonEmpty && rNoStats.inputFiles.forall(_.contains("-A/")))
+    assert(rNoStats.select("id").as[Long].collect().toSet === Set(1L, 2L))
+    val rNoStats2 = CommittedTable.readRangeMulti(spark, dir, Seq(
+      ("version", Some(2L), None), ("value", Some(5.0), Some(50.0))))
+    assert(rNoStats2.count() === 0L) // version filter exact despite no stats
+    // conjunction == read().filter for every bound combination tried
+    val expect = CommittedTable.read(spark, dir)
+      .filter($"value" >= 5.0 && $"value" <= 250.0 && $"id" >= 3L && $"id" <= 10L)
+      .select("id").as[Long].collect().toSet
+    assert(r.select("id").as[Long].collect().toSet === expect)
+  }
+
   test("write(sortCols): the first generation is already canonically sorted") {
     val dir = freshDir("wsort")
     val df = Seq((3L, "A", 30.0), (1L, "A", 10.0), (2L, "A", 20.0),
