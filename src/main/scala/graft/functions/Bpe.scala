@@ -43,16 +43,98 @@ object BpeKernel {
       ranks: java.util.HashMap[String, Integer],
       out: java.util.ArrayList[UTF8String]): Unit = {
     // split to code points (supplementary chars are one symbol)
-    var syms = new java.util.ArrayList[String](word.length)
+    val syms = new java.util.ArrayList[String](word.length)
     var si = 0
     while (si < word.length) {
       val cp = word.codePointAt(si)
       syms.add(new String(Character.toChars(cp)))
       si += Character.charCount(cp)
     }
+    mergeSymbols(syms, ranks, out)
+  }
+
+  /** Whole-text encoding: per-whitespace-word BPE, concatenated. */
+  def encode(text: UTF8String,
+      ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[UTF8String](s.length / 2 + 1)
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) encodeWord(s.substring(start, i), ranks, out)
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  // ---- Byte-level mode (GPT-2 form; Radford et al. 2019 — public) --------
+  //
+  // Whitespace-split BPE over raw Unicode has two failure modes the
+  // byte-level form fixes: every unseen code point becomes an
+  // unmergeable singleton token (no <unk>, but the vocabulary can never
+  // cover it), and punctuation glues to words ("word." is a different
+  // word than "word"). Byte level: the PRETOKENIZER splits text into
+  // linguistic units (contractions, space-prefixed words/numbers/
+  // punctuation runs, whitespace), each pretoken's UTF-8 BYTES map
+  // through a fixed 256-entry bijection into printable chars (space →
+  // 'Ġ' is the famous one), and merges operate over that 256-symbol
+  // alphabet — so any text, any script, any emoji is representable and
+  // decode is exact byte reversal. Encode contract: RAW text (the
+  // pretokenizer owns segmentation; no Text.normalize — byte-level BPE
+  // is case- and whitespace-faithful by design).
+
+  /** The GPT-2 pretokenizer (public contract): contractions, then
+    * space?-prefixed letter runs, digit runs, other-symbol runs, then
+    * whitespace (a run keeps its last space attached to the following
+    * word via the lookahead). `\p{L}`/`\p{N}`/`\s` are Unicode classes
+    * (UNICODE_CHARACTER_CLASS); matches concatenate to the input
+    * exactly, so encode∘decode is lossless for ANY string. */
+  val Pretokenizer: java.util.regex.Pattern = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
+
+  /** Pretoken list of `s` (exposed for specs; concatenation == s). */
+  def pretokenize(s: String): java.util.ArrayList[String] = {
+    val out = new java.util.ArrayList[String]()
+    val m = Pretokenizer.matcher(s)
+    while (m.find()) out.add(m.group())
+    out
+  }
+
+  /** byte → printable-char bijection: the 188 "displayable" bytes
+    * ('!'..'~', '¡'..'¬', '®'..'ÿ') map to themselves; the other 68
+    * shift to 256+k in first-seen order (so 0x20 → U+0120 'Ġ',
+    * 0x0A → U+010A 'Ċ'). Every image is a single UTF-16 char. */
+  val byteToChar: Array[Char] = {
+    val keep = (('!' to '~') ++ ('¡' to '¬') ++ ('®' to 'ÿ')).map(_.toInt).toSet
+    val map = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (keep(b)) map(b) = b.toChar
+      else { map(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    map
+  }
+
+  private val charToByte: Array[Byte] = {
+    val inv = new Array[Byte](324) // max image is 256+67 = 323
+    var b = 0
+    while (b < 256) { inv(byteToChar(b)) = b.toByte; b += 1 }
+    inv
+  }
+
+  /** Greedy merge loop shared by both modes (object doc semantics). */
+  private def mergeSymbols(syms0: java.util.ArrayList[String],
+      ranks: java.util.HashMap[String, Integer],
+      out: java.util.ArrayList[UTF8String]): Unit = {
+    var syms = syms0
     var done = syms.size < 2
     while (!done) {
-      // lowest rank present
       var best = Integer.MAX_VALUE
       var i = 0
       while (i < syms.size - 1) {
@@ -62,7 +144,6 @@ object BpeKernel {
       }
       if (best == Integer.MAX_VALUE) done = true
       else {
-        // merge every leftmost-non-overlapping occurrence of the best pair
         val next = new java.util.ArrayList[String](syms.size)
         i = 0
         while (i < syms.size) {
@@ -83,21 +164,41 @@ object BpeKernel {
     while (j < syms.size) { out.add(UTF8String.fromString(syms.get(j))); j += 1 }
   }
 
-  /** Whole-text encoding: per-whitespace-word BPE, concatenated. */
-  def encode(text: UTF8String,
+  /** Byte-level whole-text encoding: pretokenize, map each pretoken's
+    * UTF-8 bytes through [[byteToChar]], merge per pretoken. */
+  def encodeByteLevel(text: UTF8String,
       ranks: java.util.HashMap[String, Integer]): ArrayData = {
     val s = text.toString
     val out = new java.util.ArrayList[UTF8String](s.length / 2 + 1)
-    var start = 0
-    var i = 0
-    while (i <= s.length) {
-      if (i == s.length || s.charAt(i) == ' ') {
-        if (i > start) encodeWord(s.substring(start, i), ranks, out)
-        start = i + 1
+    val m = Pretokenizer.matcher(s)
+    while (m.find()) {
+      val bytes = m.group().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val syms = new java.util.ArrayList[String](bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        syms.add(String.valueOf(byteToChar(bytes(i) & 0xff)))
+        i += 1
       }
-      i += 1
+      mergeSymbols(syms, ranks, out)
     }
     new GenericArrayData(out.toArray)
+  }
+
+  /** Exact inverse of [[encodeByteLevel]] under ANY merge table:
+    * concatenate tokens, map chars back to bytes, UTF-8 decode. */
+  def decodeByteLevel(tokens: ArrayData): UTF8String = {
+    val sb = new StringBuilder()
+    var i = 0
+    while (i < tokens.numElements()) {
+      sb.append(tokens.getUTF8String(i).toString)
+      i += 1
+    }
+    val s = sb.toString
+    val bytes = new Array[Byte](s.length)
+    var j = 0
+    while (j < s.length) { bytes(j) = charToByte(s.charAt(j)); j += 1 }
+    UTF8String.fromString(
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
   }
 }
 
@@ -116,6 +217,35 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)])
     copy(child = c)
 }
 
+/** Codegen'd BYTE-LEVEL BPE tokenizer: array<string> of subword tokens
+  * over the [[BpeKernel.byteToChar]] alphabet. Takes RAW text — the
+  * GPT-2 pretokenizer owns segmentation. */
+case class BpeByteEncodeExpr(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  private lazy val ranks = BpeKernel.ranksOf(merges)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    BpeKernel.encodeByteLevel(a.asInstanceOf[UTF8String], ranks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.addReferenceObj("ranks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, a => s"graft.functions.BpeKernel.encodeByteLevel($a, $r)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeByteEncodeExpr =
+    copy(child = c)
+}
+
+/** Codegen'd byte-level decode: array<string> of tokens → the exact
+  * original string (byte reversal; lossless under any merge table). */
+case class BpeByteDecodeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(a: Any): Any =
+    BpeKernel.decodeByteLevel(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.BpeKernel.decodeByteLevel($a)")
+  override protected def withNewChildInternal(c: Expression): BpeByteDecodeExpr =
+    copy(child = c)
+}
+
 object Bpe {
   import org.apache.spark.sql.graft.bridge.{column, expression}
 
@@ -123,4 +253,17 @@ object Bpe {
     * order). */
   def tokens(text: Column, merges: Seq[(String, String)]): Column =
     column(BpeEncodeExpr(expression(text), merges))
+
+  /** Byte-level subword tokens of a RAW string column under `merges`
+    * (rank order, symbols in the byte-level alphabet — e.g. a leading
+    * space rides as 'Ġ'). Case-, punctuation- and whitespace-faithful;
+    * any code point is representable; [[decodeByteLevel]] inverts
+    * exactly. */
+  def tokensByteLevel(text: Column, merges: Seq[(String, String)]): Column =
+    column(BpeByteEncodeExpr(expression(text), merges))
+
+  /** Exact inverse of [[tokensByteLevel]]: array of byte-level tokens →
+    * the original string. */
+  def decodeByteLevel(tokens: Column): Column =
+    column(BpeByteDecodeExpr(expression(tokens)))
 }

@@ -790,6 +790,40 @@ object TextQueries {
         (CAST(4 AS BIGINT), CAST(4 AS BIGINT), 'n|an|n|a')
       ) AS t(doc_id, n_tokens, toks)""")),
 
+    // ---- Byte-level BPE (GPT-2 form: pretokenizer + byte alphabet) --------
+    // The fixture exercises the byte-level contract end to end: the
+    // pretokenizer's contraction split (don|'t) and punctuation
+    // detachment (final '.'), the space-prefix symbol (0x20 → 'Ġ') and
+    // its merge into a word (Ġ+the), a multi-byte code point split into
+    // its UTF-8 bytes and re-merged (é = C3 A9 → 'Ã'+'©' → 'Ã©'), a
+    // whitespace-run token (ĠĠ), and rank chaining (t+h, th+e, Ġ+the).
+    // Tokens are HAND-DERIVED values (the q129/q91 fixture-oracle
+    // pattern); `lossless` pins decode∘encode == identity per doc in
+    // the hash gate itself. RAW text in, never normalized — byte-level
+    // BPE is case/whitespace-faithful by design.
+    Q("q132_bpe_byte_level", (s, _) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "the theme"), (2L, "don't stop."),
+        (3L, "héllo"), (4L, "ab 12  "))
+        .toDF("doc_id", "text")
+      val merges = Seq(("t", "h"), ("th", "e"), ("Ġ", "the"),
+        ("o", "n"), ("d", "on"), ("Ã", "©"), ("Ġ", "Ġ"))
+      docs.select(col("doc_id"), col("text"),
+          graft.functions.Bpe.tokensByteLevel(col("text"), merges).as("__t"))
+        .select(col("doc_id"),
+          size(col("__t")).cast("long").as("n_tokens"),
+          concat_ws("|", col("__t")).as("toks"),
+          (graft.functions.Bpe.decodeByteLevel(col("__t")) === col("text"))
+            .as("lossless"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(1 AS BIGINT), CAST(4 AS BIGINT), 'the|Ġthe|m|e', TRUE),
+        (CAST(2 AS BIGINT), CAST(9 AS BIGINT), 'don|''|t|Ġ|s|t|o|p|.', TRUE),
+        (CAST(3 AS BIGINT), CAST(5 AS BIGINT), 'h|Ã©|l|l|o', TRUE),
+        (CAST(4 AS BIGINT), CAST(6 AS BIGINT), 'a|b|Ġ|1|2|ĠĠ', TRUE)
+      ) AS t(doc_id, n_tokens, toks, lossless)""")),
+
     // ---- Unigram NLL (CCNet-style perplexity proxy) -----------------------
     // Per-doc mean -ln p(token) under the corpus's own unigram model,
     // aggregated per source. ln differs across libm in the last ulp, so

@@ -128,6 +128,69 @@ class BpeSpec extends SparkSpec {
     assert(m8.take(m1.size) === m1) // prefix-stability of greedy learning
   }
 
+  test("byte level: round-trip losslessness on multi-byte / emoji / control text") {
+    // texts no whitespace-split word-level BPE can represent faithfully:
+    // CJK (3-byte UTF-8), an astral-plane emoji (4-byte), combining
+    // accents, tabs/newlines/runs of spaces, and a contraction+punct mix
+    val texts = Seq(
+      "the theme", "don't stop.", "héllo wörld", "火花 引擎 分散式",
+      "mixed 中文 and ascii", "emoji 😀 done", "tab\tnew\nline",
+      "a  b   c", "  leading and trailing  ", "", "café́ naïve")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val merges = Seq(("t", "h"), ("th", "e"), ("Ġ", "the"), ("Ã", "©"))
+    val back = df.select(col("id"),
+        Bpe.decodeByteLevel(Bpe.tokensByteLevel(col("text"), merges)).as("rt"),
+        col("text"))
+      .as[(Long, String, String)].collect()
+    back.foreach { case (id, rt, orig) =>
+      assert(rt === orig, s"round trip broke doc $id: '$rt' != '$orig'")
+    }
+    // under an EMPTY merge table too (pure byte alphabet)
+    val back0 = df.select(
+        Bpe.decodeByteLevel(Bpe.tokensByteLevel(col("text"), Nil)) === col("text"))
+      .as[Boolean].collect()
+    assert(back0.forall(identity))
+  }
+
+  test("byte level: pretokenizer contract (concatenation identity, GPT-2 splits)") {
+    import scala.jdk.CollectionConverters._
+    def pre(s: String): List[String] = BpeKernel.pretokenize(s).asScala.toList
+    // matches concatenate to the input exactly — the losslessness root
+    val texts = Seq("don't stop.", "a  b   c", "x 12,34!", " héllo", "7am'll")
+    texts.foreach(t => assert(pre(t).mkString === t, t))
+    // contraction split + punctuation detachment
+    assert(pre("don't stop.") === List("don", "'t", " stop", "."))
+    // a space belongs to the FOLLOWING word; extra spaces stay behind
+    assert(pre("a  b") === List("a", " ", " b"))
+    // digit runs split from letter runs, space-prefixed
+    assert(pre("ab 12cd") === List("ab", " 12", "cd"))
+    // trailing whitespace is its own token
+    assert(pre("ab  ") === List("ab", "  "))
+    // byte alphabet: the canonical images
+    assert(BpeKernel.byteToChar(' '.toInt) === 'Ġ') // Ġ
+    assert(BpeKernel.byteToChar('\n'.toInt) === 'Ċ') // Ċ
+    assert(BpeKernel.byteToChar('a'.toInt) === 'a')      // printable: identity
+    // bijective: 256 distinct images
+    assert(BpeKernel.byteToChar.toSet.size === 256)
+  }
+
+  test("byte level: merges operate over byte symbols, punctuation never glues") {
+    // "word." word-level would see one word; byte level detaches "." so
+    // a (d, .) merge can never apply across the pretoken boundary
+    val df = Seq((1L, "word. word")).toDF("id", "text")
+    val toks = df.select(
+        Bpe.tokensByteLevel(col("text"), Seq(("d", "."))).as("t"))
+      .select(concat_ws("|", col("t"))).as[String].head()
+    assert(toks === "w|o|r|d|.|Ġ|w|o|r|d", toks)
+    // the expression stays inside whole-stage codegen, like the word form
+    val scan = graft.queries.Registry.table(spark, sf0001, "documents")
+      .select(size(Bpe.tokensByteLevel(col("text"), Seq(("t", "h")))).as("n"))
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(scan.agg(sum(col("n"))).as[Long].head() > 0L)
+  }
+
   test("the expression stays inside whole-stage codegen (no UDF barrier)") {
     // a real file scan (a local relation would collapse to LocalTableScan)
     val df = graft.queries.Registry.table(spark, sf0001, "documents")
