@@ -468,6 +468,44 @@ object CommittedTable {
     readFrom(spark, table, m, partitionValues)
   }
 
+  /** The CHANGE BATCH of generation `gen`: exactly the rows written AT
+    * that generation — gen 1 is the initial load, a merge's generation is
+    * its upserted partitions' full rewritten contents (latest-version-
+    * wins rows, the idempotent upsert batch downstream consumers re-merge
+    * by key), a compact's generation is the whole table re-emitted. The
+    * delta is resolved from the generation's own RETAINED anchor manifest
+    * — segments named `seg-g<gen>-…` in it — so it stays reproducible
+    * bit-for-bit while the anchor lives, and newer merges/compacts never
+    * rewrite history. Metadata-only resolution (one manifest read); the
+    * feed's retention contract is [[readAt]]'s: a consumer must not lag
+    * more than `retainGenerations - 1` generations behind the writer. */
+  def changesFor(spark: SparkSession, path: String, gen: Long): DataFrame = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    val m =
+      if (gen == cur.gen) cur
+      else readManifestFile(fs, new Path(table, s"$CommitGen$gen"))
+        .filter(_ => gen < cur.gen && gen >= cur.gen - cur.retain + 1)
+        .getOrElse(throw new java.io.IOException(
+          s"generation $gen of $path is not retained (current ${cur.gen}, " +
+            s"retain ${cur.retain}); a change-feed consumer must not lag " +
+            "more than retainGenerations - 1 behind the writer"))
+    val delta = m.segments.filter { case (_, seg) => genOf(seg) == gen }
+    if (delta.isEmpty) {
+      // structurally possible only for a generation that rewrote nothing;
+      // emit zero rows with the generation's schema
+      readFrom(spark, table, m, Some(Nil))
+    } else {
+      // readFrom's schema discipline: the merge that published gen wrote
+      // its segments with m's FULL column list, so probing one current-gen
+      // segment types every column of m.cols
+      readFrom(spark, table, m,
+        Some(delta.keys.toSeq))
+    }
+  }
+
   /** Per-partition zone-map stats (min/max of each stats column) for the
     * rows of `df`, in the manifest's canonical string encoding. One
     * aggregate job whose output is PARTITION-bounded (one row per value —

@@ -10,4 +10,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Re-tag a batch DataFrame as STREAMING — the contract a DSv1
+    * streaming `Source.getBatch` must satisfy (the same
+    * internalCreateDataFrame(isStreaming = true) call FileStreamSource
+    * makes; MicroBatchExecution asserts the flag). */
+  def asStreamingDataFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
+  }
 }
