@@ -121,10 +121,12 @@ object BpeKernel {
     map
   }
 
-  private val charToByte: Array[Byte] = {
-    val inv = new Array[Byte](324) // max image is 256+67 = 323
+  // -1 marks a char that is NOT a byte image (e.g. a literal space, or any
+  // char >= 324): decode rejects it loudly instead of AIOOBE / silent NUL
+  private val charToByte: Array[Int] = {
+    val inv = Array.fill(324)(-1) // max image is 256+67 = 323
     var b = 0
-    while (b < 256) { inv(byteToChar(b)) = b.toByte; b += 1 }
+    while (b < 256) { inv(byteToChar(b)) = b; b += 1 }
     inv
   }
 
@@ -185,7 +187,10 @@ object BpeKernel {
   }
 
   /** Exact inverse of [[encodeByteLevel]] under ANY merge table:
-    * concatenate tokens, map chars back to bytes, UTF-8 decode. */
+    * concatenate tokens, map chars back to bytes, UTF-8 decode. A token
+    * containing any char outside the [[byteToChar]] alphabet (a
+    * word-level token passed by mistake, a literal space) fails with the
+    * offending char named — a contract error, never a silent NUL byte. */
   def decodeByteLevel(tokens: ArrayData): UTF8String = {
     val sb = new StringBuilder()
     var i = 0
@@ -196,7 +201,16 @@ object BpeKernel {
     val s = sb.toString
     val bytes = new Array[Byte](s.length)
     var j = 0
-    while (j < s.length) { bytes(j) = charToByte(s.charAt(j)); j += 1 }
+    while (j < s.length) {
+      val c = s.charAt(j)
+      val b = if (c < 324) charToByte(c) else -1
+      if (b < 0) throw new IllegalArgumentException(
+        s"not a byte-level BPE token stream: char '$c' (U+${c.toInt.toHexString
+          .toUpperCase}) at position $j is outside the byte alphabet — " +
+          "decodeByteLevel only inverts encodeByteLevel output")
+      bytes(j) = b.toByte
+      j += 1
+    }
     UTF8String.fromString(
       new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
   }

@@ -350,14 +350,28 @@ object Dedup {
     * never materialized, sorted, or windowed. Ties break deterministically
     * (jaccard desc, then right_id asc — the heap's eviction order), the
     * same order a `row_number() OVER (PARTITION BY left_id ORDER BY
-    * jaccard DESC, right_id)` oracle produces. */
+    * jaccard DESC, right_id)` oracle produces.
+    *
+    * Id contract: unlike [[fuzzyJoinSigs]] (id-type-agnostic), the
+    * bounded heap is typed on integral ids — `idCol` must be an integral
+    * column on BOTH sides (checked up front; narrower integrals are
+    * widened to long in the output). */
   def fuzzyJoinBestSigs(sigL: DataFrame, left: DataFrame,
       sigR: DataFrame, right: DataFrame, textCol: String, idCol: String,
       threshold: Double, n: Int = 3, k: Int = 1): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    Seq("left" -> left, "right" -> right).foreach { case (side, df) =>
+      val dt = df.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"fuzzyJoinBest needs an integral $idCol (the TopKByScore heap is " +
+          s"typed on long ids); $side side has ${dt.simpleString} — " +
+          "use fuzzyJoinSigs for arbitrary id types")
+    }
     fuzzyJoinSigs(sigL, left, sigR, right, textCol, idCol, threshold, n)
-      .select(col("left_id"), col("right_id"), col("jaccard"))
+      .select(col("left_id").cast("long"), col("right_id").cast("long"),
+        col("jaccard"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
       .mapValues { case (_, rid, j) => ScoredId(rid, j) }

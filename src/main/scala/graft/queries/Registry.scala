@@ -85,15 +85,23 @@ object Registry {
 
   private def table0(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's TimestampType
-      // (µs) rejects outright; read the raw int64 nanos and truncate to µs.
-      // The oracle side applies the matching CAST(ts AS TIMESTAMP) (ns→µs).
+      // events.ts has shipped as either TIMESTAMP(NANOS) parquet — which
+      // Spark's TimestampType (µs) rejects outright, so it is read as raw
+      // int64 nanos and truncated to µs — or plain timestamp[us] (NTZ).
+      // Normalize both to session-zone TimestampType; the session zone is
+      // UTC (Bench/Verify/specs), so the NTZ cast is value-identical and
+      // matches the oracle's CAST(ts AS TIMESTAMP).
       import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/events.parquet")
-      // integer `div`, not `/` — double division would lose precision on
-      // ~1.7e18-ns epoch values (> 2^53)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      raw.schema("ts").dataType match {
+        // integer `div`, not `/` — double division would lose precision on
+        // ~1.7e18-ns epoch values (> 2^53)
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Full battery: relational parity + house-price semantics + LLM-pipeline

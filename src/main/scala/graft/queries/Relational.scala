@@ -748,24 +748,26 @@ object Relational {
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val wh = java.nio.file.Files
         .createTempDirectory("graft-zm-q131").toString + "/wh"
-      graft.sources.CommittedTable.write(o, wh, "o_orderstatus",
-        statsCols = Seq("o_totalprice", "o_orderkey"),
-        sortCols = Seq("o_orderkey"))
-      val out = graft.sources.CommittedTable.readRangeMulti(s, wh, Seq(
-          ("o_totalprice", Some(50000.0), Some(150000.0)),
-          ("o_orderkey", Some(1000L), Some(40000L))))
-        .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("o_orderkey")).as("sum_keys"),
-          dsum(col("o_totalprice")).as("sum_price"))
-      val rows = out.collect()
-      val schema = out.schema
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
-      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      finally walk.close()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      try {
+        graft.sources.CommittedTable.write(o, wh, "o_orderstatus",
+          statsCols = Seq("o_totalprice", "o_orderkey"),
+          sortCols = Seq("o_orderkey"))
+        val out = graft.sources.CommittedTable.readRangeMulti(s, wh, Seq(
+            ("o_totalprice", Some(50000.0), Some(150000.0)),
+            ("o_orderkey", Some(1000L), Some(40000L))))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("sum_keys"),
+            dsum(col("o_totalprice")).as("sum_price"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
     }, Some("""
       SELECT o_orderstatus, COUNT(*) AS n,
         CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,

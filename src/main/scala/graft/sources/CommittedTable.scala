@@ -484,14 +484,7 @@ object CommittedTable {
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = readManifest(fs, table).getOrElse(
       throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
-    val m =
-      if (gen == cur.gen) cur
-      else readManifestFile(fs, new Path(table, s"$CommitGen$gen"))
-        .filter(_ => gen < cur.gen && gen >= cur.gen - cur.retain + 1)
-        .getOrElse(throw new java.io.IOException(
-          s"generation $gen of $path is not retained (current ${cur.gen}, " +
-            s"retain ${cur.retain}); a change-feed consumer must not lag " +
-            "more than retainGenerations - 1 behind the writer"))
+    val m = resolveAnchor(fs, table, path, gen, cur)
     val delta = m.segments.filter { case (_, seg) => genOf(seg) == gen }
     if (delta.isEmpty) {
       // structurally possible only for a generation that rewrote nothing;
@@ -504,6 +497,72 @@ object CommittedTable {
       readFrom(spark, table, m,
         Some(delta.keys.toSeq))
     }
+  }
+
+  /** Resolve generation `gen`'s retained anchor manifest, distinguishing
+    * the three failure shapes a change-feed consumer hits: a generation
+    * that never existed yet (ahead of the writer), one aged past the
+    * retain window (lagging consumer — names the readable range), or the
+    * current head (served from `_commit` itself, no anchor needed). */
+  private def resolveAnchor(fs: FileSystem, table: Path, path: String,
+      gen: Long, cur: Manifest): Manifest = {
+    if (gen > cur.gen) throw new java.io.IOException(
+      s"generation $gen of $path has not been published yet (current ${cur.gen})")
+    if (gen == cur.gen) cur
+    else readManifestFile(fs, new Path(table, s"$CommitGen$gen"))
+      .filter(_ => gen >= cur.gen - cur.retain + 1)
+      .getOrElse(throw new java.io.IOException(
+        s"generation $gen of $path is not retained (current ${cur.gen}, " +
+          s"retain ${cur.retain} ⇒ readable " +
+          s"${math.max(1, cur.gen - cur.retain + 1)}..${cur.gen}); a " +
+          "change-feed consumer must not lag more than retainGenerations - 1 " +
+          "behind the writer"))
+  }
+
+  /** KEY-LEVEL change batch of generation `gen`: [[changesFor]] minus the
+    * rows that rode along unchanged. A merge rewrites every AFFECTED
+    * partition in full, so the partition-granularity feed amplifies one
+    * upserted row in a hot partition into the whole partition's contents;
+    * this variant anti-joins the rewritten partitions against the SAME
+    * partitions' previous-generation snapshot on `(key, versionCol)` and
+    * emits only rows whose pair is new — the actual upserts, bounded by
+    * the rewrite (never a full-table diff: both sides are manifest-pruned
+    * to the touched partitions).
+    *
+    * Contract: identity of a row is `(key, version)` — a row re-asserted
+    * with an unchanged version is reported UNCHANGED even if other
+    * columns (including its partition) differ, and a key retired by a
+    * partition move emits no tombstone (the key surfaces in its new
+    * partition's batch only if its version advanced). Needs generation
+    * `gen - 1` retained too, so a key-level consumer must not lag more
+    * than `retainGenerations - 2` behind the writer; generation 1 (the
+    * initial load) is all-new by definition. */
+  def changesForKeys(spark: SparkSession, path: String, gen: Long,
+      key: String, versionCol: String): DataFrame = {
+    val full = changesFor(spark, path, gen)
+    if (gen <= 1L) return full
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    val m = resolveAnchor(fs, table, path, gen, cur)
+    val touched = m.segments.collect {
+      case (pv, seg) if genOf(seg) == gen => pv
+    }.toSeq
+    if (touched.isEmpty) return full
+    val prev =
+      try resolveAnchor(fs, table, path, gen - 1, cur)
+      catch {
+        case e: java.io.IOException => throw new java.io.IOException(
+          s"key-level delta for generation $gen of $path needs generation " +
+            s"${gen - 1} retained as its baseline (${e.getMessage}); keep a " +
+            "key-level consumer within retainGenerations - 2 of the writer", e)
+      }
+    val prevTouched = touched.filter(prev.segments.contains)
+    if (prevTouched.isEmpty) return full
+    val baseline = readFrom(spark, table, prev, Some(prevTouched))
+      .select(col(key), col(versionCol))
+    full.join(baseline, Seq(key, versionCol), "left_anti")
   }
 
   /** Per-partition zone-map stats (min/max of each stats column) for the

@@ -1,0 +1,205 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.sources.StreamSourceProvider
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.hadoop.fs.Path
+
+import graft.sources.CommittedTable
+
+/** Change-data-capture stream over a [[graft.sources.CommittedTable]]:
+  * each micro-batch is the change batches of the generations published
+  * since the last committed offset, in order — the streaming closure of
+  * the CDC loop [[StreamingMerge.toCommitted]] writes.
+  *
+  * Offsets ARE generation numbers (the table's own commit log is the
+  * write-ahead log — no side state), so delivery is exactly-once under a
+  * checkpoint: the engine commits generation N only after batch (M, N]
+  * is durably processed, and a restart replays from the last committed
+  * generation. Each row carries `_change_gen`, the generation that
+  * published it.
+  *
+  * Two delta granularities (`mode` option):
+  *  - `full` (default): [[CommittedTable.changesFor]] — a generation's
+  *    batch is the FULL rewritten contents of every partition it touched
+  *    (latest-version-wins rows, an idempotent upsert batch downstream
+  *    re-merges by key). This is partition-granularity CDC: one upserted
+  *    row in a hot partition emits the whole partition downstream —
+  *    write amplification bounded by the merge's own rewrite, correct
+  *    for latest-wins consumers, wasteful for narrow ones.
+  *  - `keys`: [[CommittedTable.changesForKeys]] — only rows whose
+  *    `(key, versionCol)` pair is new vs the previous generation's same
+  *    partitions (requires `key` + `versionCol` options). Amplification
+  *    drops to the true upsert set; the consumer must stay within
+  *    `retainGenerations - 2` of the writer (the baseline generation
+  *    must be retained too).
+  *
+  * Retention contract: a consumer lagging past the table's retain window
+  * fails LOUDLY at the next batch ([[CommittedTable.changesFor]] names
+  * the readable range) instead of silently skipping generations — resume
+  * by restarting from a fresh checkpoint (a full re-sync), the same
+  * remedy as any CDC reader that outlived the log.
+  *
+  * Schema is fixed at stream start from the table's current manifest; a
+  * column widened AFTER start is dropped from later batches (restart the
+  * stream to pick it up), and pre-widen generations NULL-fill it — the
+  * usual streaming schema-stability contract.
+  *
+  * Scale shape: offset discovery is ONE manifest read (metadata, no
+  * listing); a batch plans only the touched partitions' segments via the
+  * generation's retained anchor manifest. Nothing here is proportional
+  * to table size — only to what the writer actually rewrote.
+  */
+object ChangeFeed {
+  /** Marker column: the generation that published each row. */
+  val GenColumn = "_change_gen"
+
+  /** `spark.readStream` assembled for a committed table at `path`.
+    * `startingGeneration`: `"latest"` (only generations published after
+    * stream start), `"earliest"` (every retained generation), or a
+    * number (start AT that generation). `keyDelta = Some((key,
+    * versionCol))` selects key-level batches ([[CommittedTable
+    * .changesForKeys]]). */
+  def read(spark: SparkSession, path: String,
+      startingGeneration: String = "earliest",
+      keyDelta: Option[(String, String)] = None): DataFrame = {
+    val base = spark.readStream
+      .format(classOf[ChangeFeedProvider].getName)
+      .option("path", path)
+      .option("startingGeneration", startingGeneration)
+    keyDelta.fold(base) { case (k, v) =>
+      base.option("mode", "keys").option("key", k).option("versionCol", v)
+    }.load()
+  }
+
+  private[streaming] def tableSchema(spark: SparkSession, path: String): StructType = {
+    val s = CommittedTable.read(spark, path).schema
+    require(!s.fieldNames.contains(GenColumn),
+      s"committed table at $path already has a $GenColumn column; the " +
+        "change feed reserves that name for its generation marker")
+    StructType(s.fields :+ StructField(GenColumn, LongType, nullable = false))
+  }
+}
+
+/** DSv1 `StreamSourceProvider` for [[ChangeFeed]] — use via
+  * `spark.readStream.format(classOf[ChangeFeedProvider].getName)` or the
+  * [[ChangeFeed.read]] convenience. The table must already exist (the
+  * feed follows a table, it does not create one). */
+class ChangeFeedProvider extends StreamSourceProvider {
+  private def path(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("ChangeFeed needs a 'path' option"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    ("committed-change-feed",
+      ChangeFeed.tableSchema(sqlContext.sparkSession, path(parameters)))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val p = path(parameters)
+    val spark = sqlContext.sparkSession
+    val mode = parameters.getOrElse("mode", "full")
+    val keyDelta = mode match {
+      case "full" => None
+      case "keys" => Some((
+        parameters.getOrElse("key", throw new IllegalArgumentException(
+          "mode=keys needs a 'key' option")),
+        parameters.getOrElse("versionCol", throw new IllegalArgumentException(
+          "mode=keys needs a 'versionCol' option"))))
+      case other => throw new IllegalArgumentException(
+        s"unknown ChangeFeed mode '$other' (expected full or keys)")
+    }
+    val start = parameters.getOrElse("startingGeneration", "earliest")
+    new ChangeFeedSource(spark, p, start, keyDelta)
+  }
+}
+
+/** The [[Source]]: `getOffset` = the table's current generation (one
+  * manifest read), `getBatch(start, end)` = the union of change batches
+  * for generations in `(start, end]`, re-tagged streaming via
+  * [[bridge.asStreamingDataFrame]] (the `isStreaming` contract
+  * `MicroBatchExecution` asserts). The base for a fresh stream
+  * (`start = None`) comes from `startingGeneration`, resolved ONCE at
+  * source creation so "latest" means latest-at-start, not
+  * latest-at-first-batch. */
+class ChangeFeedSource(spark: SparkSession, path: String,
+    startingGeneration: String, keyDelta: Option[(String, String)])
+  extends Source {
+
+  override val schema: StructType = ChangeFeed.tableSchema(spark, path)
+  private val tableCols = schema.fields.dropRight(1) // minus _change_gen
+
+  private def currentGen(): Long = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommittedTable.readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"committed table at $path vanished " +
+        "under a running change feed")).gen
+  }
+
+  // base offset of a fresh stream: batches begin at initialBase + 1
+  private val initialBase: Long = startingGeneration match {
+    case "latest" => currentGen()
+    case "earliest" => 0L // changesFor enforces the true retained floor
+    case n if n.forall(_.isDigit) && n.nonEmpty =>
+      val g = n.toLong
+      require(g >= 1, s"startingGeneration must be >= 1, got $g")
+      g - 1
+    case other => throw new IllegalArgumentException(
+      s"startingGeneration must be latest, earliest, or a generation " +
+        s"number; got '$other'")
+  }
+
+  override def getOffset: Option[Offset] = {
+    val gen = currentGen()
+    if (gen <= initialBase) None else Some(LongOffset(gen))
+  }
+
+  private def genOf(o: Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => LongOffset(s).offset
+    case other => throw new IllegalArgumentException(
+      s"unexpected offset type ${other.getClass.getName}")
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val base = start.map(genOf).getOrElse {
+      // "earliest" floor: the oldest generation changesFor can still serve
+      if (initialBase > 0L) initialBase
+      else math.max(0L, currentGen() - retain() + 1 - 1)
+    }
+    val endGen = genOf(end)
+    if (endGen <= base) // replayed no-op range: zero rows, stream schema
+      return bridge.asStreamingDataFrame(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    val batches = (base + 1) to endGen map { g =>
+      val delta = keyDelta match {
+        case Some((k, v)) => CommittedTable.changesForKeys(spark, path, g, k, v)
+        case None => CommittedTable.changesFor(spark, path, g)
+      }
+      // conform to the stream's fixed schema: NULL-fill a column the
+      // generation predates, drop one widened after stream start
+      val cells = tableCols.map { f =>
+        if (delta.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq
+      delta.select(cells: _*).withColumn(ChangeFeed.GenColumn, lit(g))
+    }
+    bridge.asStreamingDataFrame(batches.reduce(_ unionByName _))
+  }
+
+  private def retain(): Long = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommittedTable.readManifest(fs, table).map(_.retain.toLong).getOrElse(2L)
+  }
+
+  override def stop(): Unit = ()
+}

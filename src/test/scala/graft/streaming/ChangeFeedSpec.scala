@@ -1,0 +1,190 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.SparkSpec
+import graft.sources.CommittedTable
+
+/** The CommittedTable change feed, batch and streaming: change-batch
+  * resolution per generation ([[CommittedTable.changesFor]] /
+  * [[CommittedTable.changesForKeys]]), the DSv1 [[ChangeFeedSource]]
+  * (offsets = generations) with exactly-once delivery across restarts,
+  * and the loud retention-lag failure. */
+class ChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft-cf-$tag").toString + "/t"
+
+  private def base() = Seq(
+    (1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0))
+    .toDF("id", "status", "value")
+    .withColumn("version", lit(1L))
+
+  private def upsert(id: Long, status: String, value: Double, ver: Long) =
+    Seq((id, status, value, ver)).toDF("id", "status", "value", "version")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Double, Long)] =
+    df.select($"id", $"status", $"value", $"version")
+      .as[(Long, String, Double, Long)].collect().toSet
+
+  // ---- changesFor: batch-level change resolution --------------------------
+
+  test("changesFor: initial load, merge delta, current-gen head") {
+    val dir = freshDir("basic")
+    CommittedTable.write(base(), dir, "status", retainGenerations = 3)
+    // gen 1 = the whole initial load
+    assert(rows(CommittedTable.changesFor(spark, dir, 1L)) ===
+      Set((1L, "A", 10.0, 1L), (2L, "A", 20.0, 1L), (3L, "B", 30.0, 1L)))
+
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 21.0, 2L),
+      "id", "version", "status")
+    // gen 2 touched only partition A: its FULL rewritten contents
+    assert(rows(CommittedTable.changesFor(spark, dir, 2L)) ===
+      Set((1L, "A", 10.0, 1L), (2L, "A", 21.0, 2L)))
+    // gen 1 still resolvable from its retained anchor, bit-for-bit
+    assert(rows(CommittedTable.changesFor(spark, dir, 1L)) ===
+      Set((1L, "A", 10.0, 1L), (2L, "A", 20.0, 1L), (3L, "B", 30.0, 1L)))
+  }
+
+  test("changesFor: future generation and aged-out generation fail loudly") {
+    val dir = freshDir("errs")
+    CommittedTable.write(base(), dir, "status") // retain = 2
+    val future = intercept[java.io.IOException](
+      CommittedTable.changesFor(spark, dir, 7L))
+    assert(future.getMessage.contains("has not been published yet") &&
+      future.getMessage.contains("current 1"), future.getMessage)
+
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 21.0, 2L),
+      "id", "version", "status")
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 22.0, 3L),
+      "id", "version", "status")
+    // retain=2 at gen 3 ⇒ readable 2..3; gen 1 aged out
+    val aged = intercept[java.io.IOException](
+      CommittedTable.changesFor(spark, dir, 1L))
+    assert(aged.getMessage.contains("not retained") &&
+      aged.getMessage.contains("readable 2..3"), aged.getMessage)
+  }
+
+  // ---- changesForKeys: key-level delta ------------------------------------
+
+  test("changesForKeys: hot-partition upsert emits ONE row, not the partition") {
+    val dir = freshDir("keys")
+    CommittedTable.write(base(), dir, "status", retainGenerations = 3)
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 21.0, 2L),
+      "id", "version", "status")
+
+    val full = CommittedTable.changesFor(spark, dir, 2L)
+    val delta = CommittedTable.changesForKeys(spark, dir, 2L, "id", "version")
+    assert(rows(delta) === Set((2L, "A", 21.0, 2L)))
+    // amplification contract: delta ∪ unchanged == the full partition
+    // contents, disjointly — nothing lost, nothing double-reported
+    val unchanged = full.join(delta.select($"id", $"version"),
+      Seq("id", "version"), "left_anti")
+    assert(rows(delta) ++ rows(unchanged) === rows(full))
+    assert(rows(delta).intersect(rows(unchanged)).isEmpty)
+    // generation 1 is all-new by definition
+    assert(rows(CommittedTable.changesForKeys(spark, dir, 1L, "id", "version"))
+      === rows(CommittedTable.changesFor(spark, dir, 1L)))
+  }
+
+  test("changesForKeys: missing baseline generation names the tighter lag window") {
+    val dir = freshDir("keyslag")
+    CommittedTable.write(base(), dir, "status") // retain = 2
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 21.0, 2L),
+      "id", "version", "status")
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 22.0, 3L),
+      "id", "version", "status")
+    // gen 2 is retained (readable 2..3) but its baseline gen 1 is not
+    val e = intercept[java.io.IOException](
+      CommittedTable.changesForKeys(spark, dir, 2L, "id", "version"))
+    assert(e.getMessage.contains("needs generation 1 retained") &&
+      e.getMessage.contains("retainGenerations - 2"), e.getMessage)
+  }
+
+  // ---- the streaming Source -----------------------------------------------
+
+  private def runFeed(dir: String, out: String, ckpt: String,
+      keyDelta: Option[(String, String)] = None): Unit = {
+    val q = ChangeFeed.read(spark, dir, keyDelta = keyDelta)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+  }
+
+  test("streaming: gens delivered exactly-once across restarts, in order, tagged") {
+    val dir = freshDir("stream")
+    val out = Files.createTempDirectory("graft-cf-out").toString
+    val ckpt = Files.createTempDirectory("graft-cf-ckpt").toString
+    CommittedTable.write(base(), dir, "status", retainGenerations = 4)
+
+    runFeed(dir, out, ckpt) // sees gen 1 only
+    val first = spark.read.parquet(out)
+    assert(first.count() === 3L)
+    assert(first.select($"_change_gen").as[Long].collect().toSet === Set(1L))
+
+    // no new generations: restart delivers NOTHING again
+    runFeed(dir, out, ckpt)
+    assert(spark.read.parquet(out).count() === 3L)
+
+    // two more generations land; one restart drains exactly both
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 21.0, 2L),
+      "id", "version", "status")
+    CommittedTable.merge(spark, dir, upsert(9L, "B", 90.0, 2L),
+      "id", "version", "status")
+    runFeed(dir, out, ckpt)
+    val all = spark.read.parquet(out)
+    // gen2 = partition A rewritten (2 rows), gen3 = partition B (2 rows)
+    assert(all.count() === 7L, all.collect().mkString(","))
+    assert(all.groupBy($"_change_gen").count()
+      .as[(Long, Long)].collect().toMap === Map(1L -> 3L, 2L -> 2L, 3L -> 2L))
+    // the gen-2 batch is the idempotent upsert batch downstream re-merges
+    assert(rows(all.filter($"_change_gen" === 2L)) ===
+      Set((1L, "A", 10.0, 1L), (2L, "A", 21.0, 2L)))
+  }
+
+  test("streaming keys mode: one upserted row streams one row") {
+    val dir = freshDir("streamkeys")
+    val out = Files.createTempDirectory("graft-cfk-out").toString
+    val ckpt = Files.createTempDirectory("graft-cfk-ckpt").toString
+    CommittedTable.write(base(), dir, "status", retainGenerations = 4)
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 21.0, 2L),
+      "id", "version", "status")
+
+    runFeed(dir, out, ckpt, keyDelta = Some(("id", "version")))
+    val all = spark.read.parquet(out)
+    // gen 1: all 3 initial rows are new; gen 2: ONLY the upsert
+    assert(all.groupBy($"_change_gen").count()
+      .as[(Long, Long)].collect().toMap === Map(1L -> 3L, 2L -> 1L))
+    assert(rows(all.filter($"_change_gen" === 2L)) === Set((2L, "A", 21.0, 2L)))
+  }
+
+  test("streaming: consumer lagging past retention fails loudly, names the window") {
+    val dir = freshDir("lag")
+    val out = Files.createTempDirectory("graft-cfl-out").toString
+    val ckpt = Files.createTempDirectory("graft-cfl-ckpt").toString
+    CommittedTable.write(base(), dir, "status") // retain = 2
+    runFeed(dir, out, ckpt) // checkpoint commits generation 1
+
+    // writer advances to gen 4 while the consumer sleeps: readable 3..4,
+    // the checkpointed next batch (gen 2) is gone
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 21.0, 2L),
+      "id", "version", "status")
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 22.0, 3L),
+      "id", "version", "status")
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 23.0, 4L),
+      "id", "version", "status")
+    val e = intercept[StreamingQueryException] {
+      runFeed(dir, out, ckpt)
+    }
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msg.contains("not retained") && msg.contains("readable 3..4"), msg)
+  }
+}
