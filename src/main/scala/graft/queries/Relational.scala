@@ -777,6 +777,64 @@ object Relational {
         AND o_orderkey >= 1000 AND o_orderkey <= 40000
       GROUP BY o_orderstatus""")),
 
+    // ---- Change feed over a committed table (key-level CDC) ---------------
+    // write (gen 1) then a merge (gen 2: price bumps on ~1% of keys), then
+    // stream the table's change feed in keys mode through the REAL DSv1
+    // source (AvailableNow → parquet sink → read back). The gate pins the
+    // CDC contract end-to-end: gen 1's batch is the whole initial load,
+    // gen 2's batch is ONLY the upserted rows — the hot partitions'
+    // unchanged rows must NOT re-emit (the oracle has no path that would
+    // produce them). Fixture-scrub convention (q100/q119): the timed query
+    // writes its own table, checkpoint, and sink, and removes them.
+    Q("q133_change_feed", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+      val root = java.nio.file.Files.createTempDirectory("graft-cf-q133")
+      try {
+        val wh = root.toString + "/wh"
+        graft.sources.CommittedTable.write(o, wh, "o_orderstatus")
+        val upserts = o.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("version", lit(2L))
+        graft.sources.CommittedTable.merge(s, wh, upserts,
+          "o_orderkey", "version", "o_orderstatus")
+        val sink = root.toString + "/out"
+        val q = graft.streaming.ChangeFeed
+          .read(s, wh, keyDelta = Some(("o_orderkey", "version")))
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", root.toString + "/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        val out = s.read.parquet(sink)
+          .groupBy(col("_change_gen").as("change_gen"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("sum_keys"),
+            dsum(col("o_totalprice")).as("sum_price"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }, Some("""
+      WITH feed AS (
+        SELECT CAST(1 AS BIGINT) AS change_gen, o_orderkey, o_orderstatus,
+          o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), o_orderkey, o_orderstatus,
+          o_totalprice + 1000.0
+        FROM orders WHERE o_orderkey % 97 = 0)
+      SELECT change_gen, o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM feed GROUP BY change_gen, o_orderstatus""")),
+
     // ---- Time-travel read of a committed table ----------------------------
     // write (gen 1) then a destructive merge (gen 2: price bumps + status
     // moves); readAt(1) must reproduce the PRE-merge table exactly — the
