@@ -4,8 +4,13 @@ import org.apache.spark.sql.SparkSession
 
 /** One-off measurement main for the BPE learner (BENCH_NOTES evidence):
   * learns `numMerges` merges over a documents table and prints wall time
-  * for (a) the one corpus aggregation and (b) the merge-iteration phase.
-  * Usage: runMain graft.tools.BpeLearnBench <sfDir> [numMerges] [cap]
+  * for the learn (one corpus aggregation + merge iteration) and for the
+  * APPLY kernels run with the learned table. The synthetic corpus
+  * exhausts its learnable merges well under production vocab sizes, so
+  * `padTo` widens the applied rank table with inert never-matching pairs
+  * — the honest way to exercise the apply kernel's rank-map width on
+  * this corpus (the claim under test: probes are O(1), width-invariant).
+  * Usage: runMain graft.tools.BpeLearnBench <sfDir> [numMerges] [cap] [padTo]
   */
 object BpeLearnBench {
   def main(args: Array[String]): Unit = {
@@ -23,8 +28,30 @@ object BpeLearnBench {
     val merges = graft.operators.TextAnalysis.bpeLearn(
       docs, numMerges = numMerges, maxDistinctWords = cap)
     val sec = (System.nanoTime() - t0) / 1e9
+
+    // apply-kernel timing with the freshly learned table (the rank loop
+    // exercised at full merge-table width): materialize every token of
+    // the corpus through each codegen'd kernel
+    import org.apache.spark.sql.functions.{col, size, sum}
+    def applySec(c: org.apache.spark.sql.Column): (Double, Long) = {
+      val a0 = System.nanoTime()
+      val n = docs.select(sum(size(c)).as("n"))
+        .collect().head.getLong(0)
+      ((System.nanoTime() - a0) / 1e9, n)
+    }
+    val padTo = args.lift(3).map(_.toInt).getOrElse(0)
+    val applied =
+      if (padTo <= merges.size) merges
+      else merges ++ (merges.size until padTo).map(i => (s"¤$i", s"¤$i"))
+    val (wordSec, wordToks) =
+      applySec(graft.functions.Bpe.tokens(col("text"), applied))
+    val (byteSec, byteToks) =
+      applySec(graft.functions.Bpe.tokensByteLevel(col("text"), applied))
+
     println(f"""{"tool":"BpeLearnBench","dir":"$dir","numMerges":$numMerges,""" +
-      f""""cap":$cap,"learned":${merges.size},"sec":$sec%.3f,""" +
+      f""""cap":$cap,"learned":${merges.size},"applied":${applied.size},"sec":$sec%.3f,""" +
+      f""""applyWordSec":$wordSec%.3f,"wordTokens":$wordToks,""" +
+      f""""applyByteSec":$byteSec%.3f,"byteTokens":$byteToks,""" +
       f""""first5":"${merges.take(5).map(p => p._1 + "+" + p._2).mkString(" ")}"}""")
     spark.stop()
   }

@@ -304,7 +304,30 @@ object ExplainDump {
         |the scan as a pushed data filter, and the aggregate is the standard
         |partial→exchange→final over the ~10% that survives. Bench times
         |THIS plan: the repeated-sample read the layout exists to make
-        |cheap.""".stripMargin)
+        |cheap.""".stripMargin,
+    "q127_decontaminate_drop" ->
+      """Wants: the benchmark side collapses to a DISTINCT n-gram relation
+        |(tiny — bench suites are small by definition) that BROADCASTS into
+        |the corpus side's exploded n-gram stream; the per-doc hit count is
+        |a partial-then-final aggregate on doc_id, and the drop is a join
+        |back on doc_id. The corpus is never shuffled by n-gram — the only
+        |corpus-wide exchanges key on doc_id (bounded by corpus rows, not
+        |n-gram mass). No sort, no window.""".stripMargin,
+    "q128_split_leakage" ->
+      """Wants: split assignment is a PROJECTION (hash-bucket arithmetic on
+        |doc_id — no shuffle, no lookup table), candidate pairs come from
+        |the banded signature equi-join (band_no, band_key) — never an
+        |all-pairs join — and the leakage check is a filter on the two
+        |sides' split labels riding the verify join. Exchanges key only on
+        |band buckets and doc ids.""".stripMargin,
+    "q130_fuzzy_join_best" ->
+      """Wants: the q125 fuzzy-join plan verbatim (band equi-join on
+        |(band_no, band_key) → distinct candidates → shingle verify joins
+        |on the two id sides) capped by ONE ObjectHashAggregate running the
+        |TopKByScore bounded heap keyed on left_id — k rows per left id per
+        |partial buffer, so the post-verify shuffle moves ≤ k·tasks rows
+        |per left id. NO Window, NO global Sort, and the full qualifying
+        |pair set never materializes.""".stripMargin)
 
   /** Per-band bucket-size distribution of the q93 LSH signature (3×2,
     * seeds 0..5) — buckets, max/mean size, and the candidate-pair mass
@@ -504,6 +527,66 @@ object ExplainDump {
             .withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
         })
+
+      // zone-mapped committed table: q124/q131's read paths (their gated
+      // queries hash LocalTableScans of collected aggregates, so the plan
+      // evidence lives in the pruned reads a deployment repeats)
+      val zmDir = s"$tmp/zm"
+      graft.sources.CommittedTable.write(base, zmDir, "o_orderstatus",
+        statsCols = Seq("o_totalprice", "o_orderkey"),
+        sortCols = Seq("o_orderkey"))
+      section("q124_zonemap_range (CommittedTable.readRange)",
+        """Wants: segment pruning happened on the DRIVER as a manifest
+          |min/max filter — zero extra Spark jobs, zero file listings for a
+          |pruned segment; the scan's root paths are only the segments whose
+          |zone intersects [50k, 150k]. The residual range predicate rides
+          |the surviving scan as pushed data filters (parquet row-group
+          |stats then skip WITHIN segments — the sortCols first-write made
+          |those stats tight). One FileSourceScan, no join, no shuffle
+          |before the caller's aggregate.""".stripMargin,
+        graft.sources.CommittedTable.readRange(spark, zmDir, "o_totalprice",
+          Some(50000.0), Some(150000.0)))
+      section("q131_zonemap_multi (CommittedTable.readRangeMulti)",
+        """Wants: the CONJUNCTION of both column ranges evaluated in the
+          |same single manifest pass (a segment survives only if every
+          |predicate's zone intersects) — still metadata-only, still zero
+          |extra jobs regardless of predicate count; both residual ranges
+          |pushed to the one surviving scan.""".stripMargin,
+        graft.sources.CommittedTable.readRangeMulti(spark, zmDir, Seq(
+          ("o_totalprice", Some(50000.0), Some(150000.0)),
+          ("o_orderkey", Some(1000L), Some(40000L)))))
+
+      // advance ctDir to gen 2 so time travel + the change feed have
+      // history to resolve (q126/q133's read paths)
+      graft.sources.CommittedTable.merge(spark, ctDir,
+        base.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("version", lit(2L)),
+        "o_orderkey", "version", "o_orderstatus")
+      section("q126_time_travel (CommittedTable.readAt gen 1)",
+        """Wants: the IDENTICAL pruned-scan shape as a live read — time
+          |travel is a metadata choice (resolve the gen-1 anchor manifest
+          |instead of _commit), not a data copy: root paths are exactly the
+          |gen-1 segment dirs, including those the gen-2 merge superseded
+          |(retention keeps them on disk). No version column filtering, no
+          |join against a log — ONE FileSourceScan.""".stripMargin,
+        graft.sources.CommittedTable.readAt(spark, ctDir, 1L))
+      section("q133_change_feed (CommittedTable.changesFor gen 2)",
+        """Wants: the generation's change batch resolves from its anchor
+          |manifest to ONLY the partitions the merge touched — root paths
+          |are exactly the seg-g2-* dirs, nothing proportional to table
+          |size. One FileSourceScan; the streaming source wraps THIS plan
+          |per generation.""".stripMargin,
+        graft.sources.CommittedTable.changesFor(spark, ctDir, 2L))
+      section("q133_change_feed keys mode (CommittedTable.changesForKeys gen 2)",
+        """Wants: the same touched-partition scan LEFT-ANTI joined against
+          |the previous generation's snapshot of the SAME partitions on
+          |(key, version) — both sides manifest-pruned to the rewrite, so
+          |the delta costs O(rewritten partitions), never a full-table
+          |diff. The baseline side projects only (key, version) before the
+          |join (2-column ReadSchema).""".stripMargin,
+        graft.sources.CommittedTable.changesForKeys(spark, ctDir, 2L,
+          "o_orderkey", "version"))
     }
 
     Files.write(Paths.get("EXPLAIN.md"), sb.toString.getBytes("UTF-8"))

@@ -151,6 +151,21 @@ class BpeSpec extends SparkSpec {
         Bpe.decodeByteLevel(Bpe.tokensByteLevel(col("text"), Nil)) === col("text"))
       .as[Boolean].collect()
     assert(back0.forall(identity))
+
+    // decode contract: a token outside the byte alphabet (a word-level
+    // token with a literal space, a char >= 324) fails naming the
+    // offender — never AIOOBE, never a silent NUL byte
+    for (bad <- Seq("the quick", "日 本")) { // space = non-image; 日 >= 324
+      // constant folding may evaluate eagerly (bare IAE) or at task run
+      // (wrapped in SparkException) — accept either, demand the message
+      val e = intercept[Exception](
+        Seq(Seq(bad)).toDF("toks")
+          .select(Bpe.decodeByteLevel(col("toks"))).collect())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("not a byte-level BPE token stream"), msgs)
+    }
   }
 
   test("byte level: pretokenizer contract (concatenation identity, GPT-2 splits)") {

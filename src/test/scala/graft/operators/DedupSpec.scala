@@ -233,6 +233,15 @@ class DedupSpec extends SparkSpec {
     // the heap head never widens the row set: every (left, right) in k=2
     // with rank 1 equals the k=1 result
     assert(top2.view.mapValues(_.head._3).toMap === best)
+
+    // id contract: the bounded heap is typed on integral ids — a string
+    // id fails up front naming the escape hatch, not at analysis depth
+    val strIds = left.withColumn("doc_id", col("doc_id").cast("string"))
+    val e = intercept[IllegalArgumentException](
+      Dedup.fuzzyJoinBest(strIds, right.withColumn("doc_id",
+        col("doc_id").cast("string")), "text", "doc_id", threshold = 0.2))
+    assert(e.getMessage.contains("integral") &&
+      e.getMessage.contains("fuzzyJoinSigs"), e.getMessage)
   }
 
   test("containmentOverPairs == containmentPairs on the same candidate set") {
