@@ -253,6 +253,45 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Token-BUDGETED mixture — the unit real pretraining mixes in ("30 B
+    * tokens of books, 5 B of crawl"), vs [[sampleByGroup]]'s row rates:
+    * per group, keep documents in the deterministic md5-by-key order
+    * until the group's token budget is exhausted. A document is kept iff
+    * the budget was not already spent BEFORE it, so a group overshoots by
+    * at most its one boundary document and never undershoots while
+    * documents remain; budget 0 drops the group, unlisted groups take
+    * `defaultBudget`, NULL token counts weigh 0, NULL keys drop (the
+    * rule everywhere in this file). Same-budget nesting does NOT hold
+    * across budgets (the prefix ORDER is what's stable — raising a
+    * budget extends the kept prefix, never reshuffles it).
+    *
+    * Scale shape: ONE window per group (shuffle on the group key +
+    * in-partition sort for the running sum) — exactly the cumulative-sum
+    * plan the SQL oracle runs; no driver loop, no collect, and group
+    * skew is document-count skew, not token skew (the window is a
+    * streaming frame, O(1) state per row). */
+  def mixByTokenBudget(df: DataFrame, keyCol: String, groupCol: String,
+      tokenCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = 0L): DataFrame = {
+    require((budgets.values ++ Seq(defaultBudget)).forall(_ >= 0L),
+      "budgets must be non-negative")
+    require(!df.columns.contains("__cum"),
+      "input must not contain reserved column __cum (it would be overwritten)")
+    import org.apache.spark.sql.expressions.Window
+    val budget = budgets.toSeq.sortBy(_._1).foldRight(
+      lit(defaultBudget): Column) { case ((g, b), rest) =>
+      when(col(groupCol) === g, lit(b)).otherwise(rest)
+    }
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tok = coalesce(col(tokenCol).cast("long"), lit(0L))
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("__cum", sum(tok).over(w))
+      .filter(col("__cum") - tok < budget)
+      .drop("__cum")
+  }
+
   /** The same hash-mod function as DuckDB SQL (oracle parity). */
   def hashModSql(keyExpr: String, n: Long): String =
     s"(CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 8)) AS BIGINT) % $n)"

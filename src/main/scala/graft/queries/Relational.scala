@@ -835,6 +835,47 @@ object Relational {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM feed GROUP BY change_gen, o_orderstatus""")),
 
+    // ---- Row-level DELETE on a committed table ----------------------------
+    // The right-to-be-forgotten primitive: delete every row matching a
+    // predicate (price band ∪ a key residue class — cross-partition, with
+    // survivors in every touched partition) by rewriting ONLY affected
+    // partitions behind one manifest swap, then read the table back. The
+    // oracle is a plain NOT-filter over the original rows — delete must
+    // equal "the table, minus exactly the matching rows", nothing about
+    // the publish mechanics visible in the data. Fixture-scrub convention
+    // (q100/q119).
+    Q("q134_committed_delete", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-del-q134").toString + "/wh"
+      try {
+        graft.sources.CommittedTable.write(o, wh, "o_orderstatus")
+        graft.sources.CommittedTable.delete(s, wh,
+          col("o_totalprice") > 250000.0 || col("o_orderkey") % 13 === 0,
+          "o_orderstatus")
+        val out = graft.sources.CommittedTable.read(s, wh)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("sum_keys"),
+            dsum(col("o_totalprice")).as("sum_price"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE NOT (o_totalprice > 250000.0 OR o_orderkey % 13 = 0)
+      GROUP BY o_orderstatus""")),
+
     // ---- Time-travel read of a committed table ----------------------------
     // write (gen 1) then a destructive merge (gen 2: price bumps + status
     // moves); readAt(1) must reproduce the PRE-merge table exactly — the

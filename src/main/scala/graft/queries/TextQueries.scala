@@ -563,6 +563,37 @@ object TextQueries {
                     WHEN 'src2' THEN 2500 ELSE 1000 END
       GROUP BY source""")),
 
+    // ---- Token-budgeted mixture (the "N tokens of source X" unit) ---------
+    // Per source: keep the md5-ordered document prefix until the TOKEN
+    // budget is spent (kept iff budget not exhausted before the doc, so
+    // overshoot ≤ one boundary doc). src0's 3k budget exhausts at every
+    // SF, src1's 100k never does (keep-all path live), the 5k default
+    // partially fills — all three regimes inside the one gate. The oracle
+    // is the identical running-sum window over the identical order.
+    Q("q135_token_budget_mix", (s, dir) => {
+      graft.operators.Sampling.mixByTokenBudget(
+          table(s, dir, "documents"), "doc_id", "source", "n_chars",
+          Map("src0" -> 3000L, "src1" -> 100000L), defaultBudget = 5000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_tokens"),
+          sum(col("doc_id")).as("sum_ids"))
+    }, Some("""
+      WITH t AS (
+        SELECT source, doc_id, n_chars,
+          SUM(COALESCE(n_chars, 0)) OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents WHERE doc_id IS NOT NULL)
+      SELECT source, COUNT(*) AS n,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_tokens,
+        CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+      FROM t
+      WHERE cum - COALESCE(n_chars, 0) <
+        CASE source WHEN 'src0' THEN 3000 WHEN 'src1' THEN 100000
+                    ELSE 5000 END
+      GROUP BY source""")),
+
     // ---- Epoch upsampling (the >1x mixture side) --------------------------
     // src0 at 2.5 epochs (two full copies + a stable md5-half a third
     // time), src2 at 0.4, everything else 1.0. The oracle re-derives the

@@ -852,6 +852,65 @@ object CommittedTable {
     collectGarbage(fs, table)
   }
 
+  /** Row-level DELETE with the table's atomic publish: removes every row
+    * where `predicate` is TRUE (NULL = not matched = kept, the SQL DELETE
+    * contract) by rewriting ONLY the partitions that hold a matching row
+    * — the right-to-be-forgotten primitive a training-data lakehouse
+    * needs, with the same fencing/retention/GC envelope as [[merge]].
+    *
+    * Scale shape: the affected set is one metadata-bounded collect
+    * (distinct partition values of matching rows — the predicate scan is
+    * manifest-resolved and Catalyst pushes the predicate down); untouched
+    * partitions are never listed, opened, or rewritten. A partition whose
+    * every row matches retires (its manifest entry drops) — no empty
+    * segment is written. Retained generations still serve the pre-delete
+    * rows via [[readAt]] until they age out: a DELETE is durable going
+    * forward, and the retention window is the compliance clock for
+    * history (shrink `retainGenerations` accordingly).
+    *
+    * Change-feed interplay: the delete generation's [[changesFor]] batch
+    * is the surviving contents of the rewritten partitions (a downstream
+    * latest-wins consumer re-merging by key will NOT drop the rows —
+    * partition-granularity CDC carries no tombstones); in `keys` mode the
+    * delete generation emits ZERO rows (no (key, version) pair is new).
+    * Propagating deletes downstream needs an explicit anti-join against
+    * the source table — the documented no-tombstone contract. */
+  def delete(spark: SparkSession, path: String, predicate:
+      org.apache.spark.sql.Column, partitionCol: String,
+      crashPoint: String => Unit = _ => ()): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path to delete from"))
+    collectGarbage(fs, table)
+    if (m.segments.isEmpty) return
+    require(m.cols.contains(partitionCol),
+      s"$partitionCol is not a column of the committed table (${m.cols.mkString(",")})")
+    val matched = predicate.isNotNull && predicate // NULL-safe: TRUE only
+    val affected: Array[String] = read(spark, path)
+      .filter(matched)
+      .select(col(partitionCol)).distinct()
+      .collect().map(_.getString(0))
+    if (affected.isEmpty) return // nothing matches: no generation burned
+
+    // survivors of the affected partitions only (manifest-pruned read)
+    val keep = read(spark, path, Some(affected.toIndexedSeq)).filter(!matched)
+    crashPoint("before-staging")
+    val gen = m.gen + 1
+    val staged = stageSegments(keep, path, partitionCol, gen)
+    crashPoint("after-staging")
+    val segStats = statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
+    val next = Manifest(gen, m.cols,
+      (m.segments -- affected) ++ staged.view.filterKeys(affected.contains),
+      m.retain, m.statsCols,
+      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains))
+    crashPoint("before-swap")
+    publishOrAbort(hconf, table, m.gen, next, staged)
+    crashPoint("after-swap")
+    collectGarbage(fs, table)
+  }
+
   /** Rewrite every live partition as ONE fresh-generation segment, one
     * file per partition sorted by `sortCols` (parquet row-group stats then
     * support range skipping within the partition — the

@@ -250,4 +250,44 @@ class SamplingSpec extends SparkSpec {
       .filter(col("n_contaminated_ngrams") > 0)
     assert(ids(corpus).size - exact.size === hits.count().toInt)
   }
+
+  test("mixByTokenBudget: md5-prefix until spent, overshoot ≤ 1 doc, budget edges") {
+    // group g: 6 docs of 100 tokens each; group h: 3 docs; group z unlisted
+    val df = ((1L to 6L).map(i => (i, "g", 100L)) ++
+      (11L to 13L).map(i => (i, "h", 100L)) ++
+      (21L to 23L).map(i => (i, "z", 100L)))
+      .toDF("doc_id", "grp", "toks")
+    def kept(budgets: Map[String, Long], default: Long = 0L): Map[String, Set[Long]] =
+      Sampling.mixByTokenBudget(df, "doc_id", "grp", "toks", budgets, default)
+        .select("grp", "doc_id").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the md5 order the operator promises, independently derived
+    val order = df.filter($"grp" === "g")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      .select("doc_id").as[Long].collect()
+
+    // 250 tokens buys the first 2 docs + the one overshooting boundary doc
+    val k = kept(Map("g" -> 250L))
+    assert(k("g") === order.take(3).toSet)
+    assert(!k.contains("h") && !k.contains("z")) // default 0 drops
+    // exact-multiple budget: NO overshoot doc (300 = exactly 3 docs)
+    assert(kept(Map("g" -> 300L))("g") === order.take(3).toSet)
+    // budget ≥ group mass keeps all; default budget applies to unlisted
+    val all = kept(Map("g" -> 600L), default = 150L)
+    assert(all("g").size === 6 && all("h").size === 2 && all("z").size === 2)
+    // raising a budget EXTENDS the kept prefix (order stability)
+    assert(kept(Map("g" -> 250L))("g").subsetOf(kept(Map("g" -> 450L))("g")))
+
+    // NULL tokens weigh 0 (kept for free while budget unspent); NULL keys drop
+    val nulls = Seq((1L, "g", Some(100L)), (2L, "g", None))
+      .toDF("doc_id", "grp", "toks")
+    assert(Sampling.mixByTokenBudget(nulls, "doc_id", "grp", "toks",
+      Map("g" -> 150L)).count() === 2L)
+    // partition-stability: same kept set at any parallelism
+    assert(kept(Map("g" -> 250L)) ===
+      Sampling.mixByTokenBudget(df.repartition(7), "doc_id", "grp", "toks",
+          Map("g" -> 250L))
+        .select("grp", "doc_id").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap)
+  }
 }

@@ -345,6 +345,52 @@ class CommittedTableSpec extends SparkSpec {
     assert(pruned.select("id").as[Long].collect().toSet === Set(4L, 9L))
   }
 
+  test("delete: matching rows go, only touched partitions rewrite, NULL = kept") {
+    val dir = freshDir("del")
+    // a NULL value rides along: the predicate must treat it as NOT matched
+    val withNull = base().unionByName(
+      Seq((7L, "A", 1L)).toDF("id", "status", "version")
+        .withColumn("value", lit(null).cast("double"))
+        .select("id", "status", "value", "version"))
+    CommittedTable.write(withNull, dir, "status", retainGenerations = 3)
+    CommittedTable.delete(spark, dir, $"value" >= 20.0 && $"value" < 40.0,
+      "status") // hits A(20) and B(30); C(40) and the NULL row survive
+    assert(CommittedTable.read(spark, dir).select($"id", $"status")
+      .as[(Long, String)].collect().toSet ===
+      Set((1L, "A"), (4L, "C"), (7L, "A")))
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = CommittedTable.readManifest(fs, table).get
+    assert(m.gen === 2L)
+    // B lost its only row: retired. C was untouched: still its GEN-1
+    // segment (never listed, opened, or rewritten). A rewrote at gen 2.
+    assert(m.segments.keySet === Set("A", "C"))
+    assert(m.segments("C").startsWith("seg-g1-"), m.segments("C"))
+    assert(m.segments("A").startsWith("seg-g2-"), m.segments("A"))
+    // pre-delete rows still served inside the retain window (the
+    // compliance clock documented on delete())
+    assert(CommittedTable.readAt(spark, dir, 1L).count() === 5L)
+    // no-match delete: no generation burned
+    CommittedTable.delete(spark, dir, $"value" > 1e9, "status")
+    assert(CommittedTable.readManifest(fs, table).get.gen === 2L)
+  }
+
+  test("delete: crash before the swap leaves the old table fully visible") {
+    val dir = freshDir("delcrash")
+    CommittedTable.write(base(), dir, "status")
+    val boom = intercept[RuntimeException] {
+      CommittedTable.delete(spark, dir, $"status" === "A", "status",
+        crashPoint = p => if (p == "before-swap") throw new RuntimeException("kill"))
+    }
+    assert(boom.getMessage === "kill")
+    assert(content(dir) === Set(
+      (1L, "A", 10.0, 1L), (2L, "A", 20.0, 1L), (3L, "B", 30.0, 1L),
+      (4L, "C", 40.0, 1L)))
+    // rerun completes; the crashed attempt's staging is invisible garbage
+    CommittedTable.delete(spark, dir, $"status" === "A", "status")
+    assert(content(dir).map(_._1) === Set(3L, 4L))
+  }
+
   test("zone maps: readRange prunes segments from metadata; answer == read().filter") {
     val dir = freshDir("zm")
     // values chosen so LEXICAL min/max compare would lie ("10" < "9.5")

@@ -105,6 +105,19 @@ class ChangeFeedSpec extends SparkSpec {
       e.getMessage.contains("retainGenerations - 2"), e.getMessage)
   }
 
+  test("delete interplay: full mode emits survivors, keys mode emits ZERO (no tombstones)") {
+    val dir = freshDir("del")
+    CommittedTable.write(base(), dir, "status", retainGenerations = 3)
+    CommittedTable.delete(spark, dir, $"id" === 2L, "status") // gen 2: A loses id 2
+    // full mode: the rewritten partition's surviving contents
+    assert(rows(CommittedTable.changesFor(spark, dir, 2L)) ===
+      Set((1L, "A", 10.0, 1L)))
+    // keys mode: no (key, version) pair is new — the documented
+    // no-tombstone contract (propagating deletes needs an anti-join)
+    assert(CommittedTable.changesForKeys(spark, dir, 2L, "id", "version")
+      .count() === 0L)
+  }
+
   // ---- the streaming Source -----------------------------------------------
 
   private def runFeed(dir: String, out: String, ckpt: String,
