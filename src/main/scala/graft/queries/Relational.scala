@@ -876,6 +876,45 @@ object Relational {
       WHERE NOT (o_totalprice > 250000.0 OR o_orderkey % 13 = 0)
       GROUP BY o_orderstatus""")),
 
+    // ---- Row-level UPDATE on a committed table ----------------------------
+    // UPDATE ... SET price = price*2+10 (exact in binary, no rounding hazard), status untouched, WHERE a key
+    // residue class matches — partitions without a match keep their
+    // original segments. The oracle is the CASE-mapped table: update must
+    // equal "the table with the expression applied to exactly the
+    // matching rows". Fixture-scrub convention (q100/q119).
+    Q("q136_committed_update", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-upd-q136").toString + "/wh"
+      try {
+        graft.sources.CommittedTable.write(o, wh, "o_orderstatus")
+        graft.sources.CommittedTable.update(s, wh,
+          col("o_orderkey") % 7 === 0,
+          Map("o_totalprice" -> (col("o_totalprice") * 2.0 + 10.0)),
+          "o_orderstatus")
+        val out = graft.sources.CommittedTable.read(s, wh)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("sum_keys"),
+            dsum(col("o_totalprice")).as("sum_price"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
+          THEN o_totalprice * 2.0 + 10.0 ELSE o_totalprice END
+          AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus""")),
+
     // ---- Time-travel read of a committed table ----------------------------
     // write (gen 1) then a destructive merge (gen 2: price bumps + status
     // moves); readAt(1) must reproduce the PRE-merge table exactly — the

@@ -911,6 +911,72 @@ object CommittedTable {
     collectGarbage(fs, table)
   }
 
+  /** Row-level UPDATE with the table's atomic publish: for every row
+    * where `predicate` is TRUE (NULL = not matched = untouched, the SQL
+    * UPDATE contract), replace each assigned column with its expression
+    * (evaluated against the row's CURRENT values, all assignments
+    * simultaneous — `a -> b, b -> a` swaps). Same partition-scoped
+    * rewrite as [[delete]]: only partitions holding a match are staged,
+    * untouched partitions keep their existing segments, one manifest
+    * swap publishes, fencing/retention/GC inherited.
+    *
+    * The partition column cannot be assigned (a row changing partition
+    * is a key MOVE — that is [[merge]]'s latest-version-wins job, and
+    * letting update do it silently would bypass the version protocol);
+    * assigned columns must exist (widening is merge's
+    * `allowAddColumns`). */
+  def update(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      partitionCol: String,
+      crashPoint: String => Unit = _ => ()): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path to update"))
+    collectGarbage(fs, table)
+    if (m.segments.isEmpty || assignments.isEmpty) return
+    require(m.cols.contains(partitionCol),
+      s"$partitionCol is not a column of the committed table (${m.cols.mkString(",")})")
+    val unknown = assignments.keySet -- m.cols.toSet
+    require(unknown.isEmpty,
+      s"cannot assign columns the table lacks: ${unknown.mkString(",")} " +
+        "(schema widening is merge's allowAddColumns)")
+    require(!assignments.contains(partitionCol),
+      s"cannot assign the partition column $partitionCol: a row changing " +
+        "partition is a key move — use merge (latest-version-wins) instead")
+    val matched = predicate.isNotNull && predicate
+    val affected: Array[String] = read(spark, path)
+      .filter(matched)
+      .select(col(partitionCol)).distinct()
+      .collect().map(_.getString(0))
+    if (affected.isEmpty) return
+
+    // simultaneous assignment: every expression sees pre-update values
+    val rewritten = m.cols.map { c =>
+      assignments.get(c) match {
+        case Some(e) => when(matched, e).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }
+    val upd = read(spark, path, Some(affected.toIndexedSeq))
+      .select(rewritten.toIndexedSeq: _*)
+    crashPoint("before-staging")
+    val gen = m.gen + 1
+    val staged = stageSegments(upd, path, partitionCol, gen)
+    crashPoint("after-staging")
+    val segStats = statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
+    val next = Manifest(gen, m.cols,
+      (m.segments -- affected) ++ staged.view.filterKeys(affected.contains),
+      m.retain, m.statsCols,
+      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains))
+    crashPoint("before-swap")
+    publishOrAbort(hconf, table, m.gen, next, staged)
+    crashPoint("after-swap")
+    collectGarbage(fs, table)
+  }
+
   /** Rewrite every live partition as ONE fresh-generation segment, one
     * file per partition sorted by `sortCols` (parquet row-group stats then
     * support range skipping within the partition — the

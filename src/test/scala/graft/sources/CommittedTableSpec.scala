@@ -375,6 +375,34 @@ class CommittedTableSpec extends SparkSpec {
     assert(CommittedTable.readManifest(fs, table).get.gen === 2L)
   }
 
+  test("update: simultaneous assignments on matched rows only; partition col refused") {
+    val dir = freshDir("upd")
+    CommittedTable.write(base(), dir, "status")
+    // swap semantics: both expressions see PRE-update values
+    CommittedTable.update(spark, dir, $"value" < 25.0,
+      Map("value" -> ($"value" + $"version"), "version" -> lit(2L)), "status")
+    assert(content(dir) === Set(
+      (1L, "A", 11.0, 2L), (2L, "A", 21.0, 2L), (3L, "B", 30.0, 1L),
+      (4L, "C", 40.0, 1L)))
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = CommittedTable.readManifest(fs, table).get
+    // only A matched: B and C keep their gen-1 segments untouched
+    assert(m.segments("A").startsWith("seg-g2-"))
+    assert(m.segments("B").startsWith("seg-g1-") &&
+      m.segments("C").startsWith("seg-g1-"))
+    // the partition column is merge's job, not update's
+    val e = intercept[IllegalArgumentException](
+      CommittedTable.update(spark, dir, lit(true),
+        Map("status" -> lit("X")), "status"))
+    assert(e.getMessage.contains("key move"), e.getMessage)
+    // unknown column refused (widening is merge's allowAddColumns)
+    val e2 = intercept[IllegalArgumentException](
+      CommittedTable.update(spark, dir, lit(true),
+        Map("origin" -> lit("x")), "status"))
+    assert(e2.getMessage.contains("allowAddColumns"), e2.getMessage)
+  }
+
   test("delete: crash before the swap leaves the old table fully visible") {
     val dir = freshDir("delcrash")
     CommittedTable.write(base(), dir, "status")

@@ -178,6 +178,43 @@ class ChangeFeedSpec extends SparkSpec {
     assert(rows(all.filter($"_change_gen" === 2L)) === Set((2L, "A", 21.0, 2L)))
   }
 
+  test("CDC sync end-to-end: feed → StreamingMerge keeps a derived table == source") {
+    // the full loop the library sells: writes land in src via merge, the
+    // change feed streams the per-key deltas, StreamingMerge.toCommitted
+    // re-merges them into dst — an incrementally-maintained replica whose
+    // per-sync work is bounded by the true upserts, never table size
+    val src = freshDir("syncsrc")
+    val dst = freshDir("syncdst")
+    val ckpt = Files.createTempDirectory("graft-cf-sync-ckpt").toString
+    CommittedTable.write(base(), src, "status", retainGenerations = 4)
+    // bootstrap dst with the schema and zero rows (a fully-retired table
+    // accepts insert-only merges — the documented path)
+    CommittedTable.write(base().filter(lit(false)), dst, "status")
+
+    def sync(): Unit = {
+      val feed = ChangeFeed.read(spark, src, keyDelta = Some(("id", "version")))
+        .drop(ChangeFeed.GenColumn)
+      val q = StreamingMerge.toCommitted(feed, dst, "id", "version", "status",
+        checkpoint = ckpt).start()
+      q.awaitTermination(120000)
+    }
+    def snap(dir: String) = rows(CommittedTable.read(spark, dir))
+
+    sync() // drains gen 1 (the initial load)
+    assert(snap(dst) === snap(src))
+
+    CommittedTable.merge(spark, src, upsert(2L, "A", 21.0, 2L),
+      "id", "version", "status")
+    CommittedTable.merge(spark, src, upsert(9L, "B", 90.0, 2L),
+      "id", "version", "status")
+    sync() // incremental: two generations, three delta rows total
+    assert(snap(dst) === snap(src))
+
+    // idempotence: a sync with nothing new changes nothing
+    sync()
+    assert(snap(dst) === snap(src))
+  }
+
   test("streaming: consumer lagging past retention fails loudly, names the window") {
     val dir = freshDir("lag")
     val out = Files.createTempDirectory("graft-cfl-out").toString
