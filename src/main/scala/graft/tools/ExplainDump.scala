@@ -320,6 +320,12 @@ object ExplainDump {
         |all-pairs join — and the leakage check is a filter on the two
         |sides' split labels riding the verify join. Exchanges key only on
         |band buckets and doc ids.""".stripMargin,
+    "q135_token_budget_mix" ->
+      """Wants: ONE exchange (hash by the group key) + ONE in-partition
+        |sort feeding a single running-sum Window with a streaming frame —
+        |never a global sort, no self-join, no collect; the budget CASE
+        |and the keep filter are projections riding the window
+        |output.""".stripMargin,
     "q130_fuzzy_join_best" ->
       """Wants: the q125 fuzzy-join plan verbatim (band equi-join on
         |(band_no, band_key) → distinct candidates → shingle verify joins
@@ -578,6 +584,17 @@ object ExplainDump {
           |size. One FileSourceScan; the streaming source wraps THIS plan
           |per generation.""".stripMargin,
         graft.sources.CommittedTable.changesFor(spark, ctDir, 2L))
+      section("q134/q136 DML affected-set scan (the delete/update probe)",
+        """Wants: the predicate pushed into the manifest-resolved scan
+          |(PushedFilters) with a partition-column-only ReadSchema feeding
+          |a distinct — the affected-set collect reads the predicate
+          |columns + partition column, never the full width, and its
+          |output is partition-bounded metadata. The subsequent rewrite
+          |read (not shown) is the same manifest-pruned scan as
+          |§q119.""".stripMargin,
+        graft.sources.CommittedTable.read(spark, ctDir)
+          .filter(col("o_totalprice") > 250000.0)
+          .select(col("o_orderstatus")).distinct())
       section("q133_change_feed keys mode (CommittedTable.changesForKeys gen 2)",
         """Wants: the same touched-partition scan LEFT-ANTI joined against
           |the previous generation's snapshot of the SAME partitions on
