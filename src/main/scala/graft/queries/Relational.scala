@@ -876,6 +876,87 @@ object Relational {
       WHERE NOT (o_totalprice > 250000.0 OR o_orderkey % 13 = 0)
       GROUP BY o_orderstatus""")),
 
+    // ---- Full CDF (insert/update-pre/post/delete) over two generations ----
+    // gen 2 = a merge (price bumps on ~1% of keys + shifted-key inserts),
+    // gen 3 = a delete of a residue class. The CDF of each generation is
+    // re-derived in SQL from the same construction: gen 2 classifies the
+    // bumped keys as update pre+post pairs and the shifted keys as
+    // inserts; gen 3 tombstones exactly the deleted survivors. The gate
+    // hashes per-(gen, type) aggregates — the classification itself, not
+    // just row counts. Fixture-scrub convention (q100/q119).
+    Q("q137_change_feed_cdf", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-cdf-q137").toString + "/wh"
+      try {
+        graft.sources.CommittedTable.write(o, wh, "o_orderstatus",
+          retainGenerations = 4)
+        val k = col("o_orderkey")
+        val upserts = o.filter(k % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("version", lit(2L))
+        val inserts = o.filter(k % 101 === 0)
+          .withColumn("o_orderkey", k + 100000000L)
+          .withColumn("version", lit(2L))
+        graft.sources.CommittedTable.merge(s, wh,
+          upserts.unionByName(inserts), "o_orderkey", "version",
+          "o_orderstatus") // gen 2
+        graft.sources.CommittedTable.delete(s, wh, k % 89 === 0,
+          "o_orderstatus") // gen 3
+        val cdf = Seq(2L, 3L).map(g =>
+          graft.sources.CommittedTable
+            .changesCdf(s, wh, g, "o_orderkey", "version")
+            .withColumn("change_gen", lit(g)))
+          .reduce(_ unionByName _)
+        val out = cdf.groupBy(col("change_gen"),
+            col(graft.sources.CommittedTable.ChangeTypeColumn)
+              .as("change_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("sum_keys"),
+            dsum(col("o_totalprice")).as("sum_price"),
+            sum(col("version")).as("sum_version"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }, Some("""
+      WITH cdf AS (
+        -- gen 2: the ~1% bumped keys as update pre+post, shifted keys as inserts
+        SELECT CAST(2 AS BIGINT) AS change_gen, 'update_postimage' AS change_type,
+          o_orderkey, o_totalprice + 1000.0 AS o_totalprice, 2 AS version
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT 2, 'update_preimage', o_orderkey, o_totalprice, 1
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT 2, 'insert', o_orderkey + 100000000, o_totalprice, 2
+        FROM orders WHERE o_orderkey % 101 = 0
+        UNION ALL
+        -- gen 3: tombstones for the deleted residue class, at its CURRENT
+        -- (post-gen-2) values — bumped keys carry the bump, and the
+        -- shifted inserts are deleted only if their NEW key matches
+        SELECT 3, 'delete', o_orderkey,
+          CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+               ELSE o_totalprice END,
+          CASE WHEN o_orderkey % 97 = 0 THEN 2 ELSE 1 END
+        FROM orders WHERE o_orderkey % 89 = 0
+        UNION ALL
+        SELECT 3, 'delete', o_orderkey + 100000000, o_totalprice, 2
+        FROM orders WHERE o_orderkey % 101 = 0
+          AND (o_orderkey + 100000000) % 89 = 0)
+      SELECT change_gen, change_type, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(version) AS BIGINT) AS sum_version
+      FROM cdf GROUP BY change_gen, change_type""")),
+
     // ---- Row-level UPDATE on a committed table ----------------------------
     // UPDATE ... SET price = price*2+10 (exact in binary, no rounding hazard), status untouched, WHERE a key
     // residue class matches — partitions without a match keep their

@@ -565,6 +565,128 @@ object CommittedTable {
     full.join(baseline, Seq(key, versionCol), "left_anti")
   }
 
+  /** Change-type marker column of [[changesCdf]] (the Delta CDF model). */
+  val ChangeTypeColumn = "_change_type"
+
+  /** FULL change-data-feed batch of generation `gen`, the Delta-CDF
+    * model: every row of the touched partitions classified against the
+    * previous generation's same partitions by `key` —
+    *
+    *  - `insert`: key absent before — the new row;
+    *  - `update_postimage` / `update_preimage`: key present on both
+    *    sides with `versionCol` changed — the new and the replaced row
+    *    (a key MOVE between touched partitions classifies here too);
+    *  - `delete`: key present before, gone now (a [[delete]], or a key
+    *    that lost latest-version-wins) — the removed row, the TOMBSTONE
+    *    [[changesForKeys]] deliberately lacks.
+    *
+    * A row whose (key, version) pair is unchanged emits nothing — a
+    * compact generation's CDF is EMPTY (layout is not change). Both
+    * sides are manifest-pruned to the touched partitions, so the feed
+    * costs O(rewritten data), never a full-table diff; preimage rows of
+    * a pre-widen generation NULL-fill widened columns. Same retention
+    * contract as [[changesForKeys]]: generation `gen - 1` must be
+    * retained (lag ≤ retainGenerations − 2); generation 1 is all
+    * `insert`. Downstream, [[graft.streaming.ChangeFeed.applyCdf]]
+    * replays a CDF batch into a replica — deletes included. */
+  def changesCdf(spark: SparkSession, path: String, gen: Long,
+      key: String, versionCol: String): DataFrame = {
+    val full = changesFor(spark, path, gen)
+    require(!full.columns.contains(ChangeTypeColumn),
+      s"table at $path already has a $ChangeTypeColumn column; the CDF " +
+        "reserves that name for its change marker")
+    if (gen <= 1L) return full.withColumn(ChangeTypeColumn, lit("insert"))
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    val m = resolveAnchor(fs, table, path, gen, cur)
+    val touched = m.segments.collect {
+      case (pv, seg) if genOf(seg) == gen => pv
+    }.toSeq
+    // NOTE: touched may be EMPTY for a retirement-only generation (a
+    // delete that emptied partitions stages nothing) — its tombstones
+    // come from the prev-side diff below, so no early return here
+    val prev =
+      try resolveAnchor(fs, table, path, gen - 1, cur)
+      catch {
+        case e: java.io.IOException => throw new java.io.IOException(
+          s"CDF for generation $gen of $path needs generation ${gen - 1} " +
+            s"retained as its baseline (${e.getMessage}); keep a CDF " +
+            "consumer within retainGenerations - 2 of the writer", e)
+      }
+    // a retired partition (all rows deleted/moved away) is still TOUCHED
+    // history: its entry left the manifest, so its previous rows must
+    // surface as deletes — diff against every previously-live partition
+    // that is either rewritten at gen or absent from gen's manifest
+    val prevDiff = prev.segments.keys.filter(pv =>
+      touched.contains(pv) || !m.segments.contains(pv)).toSeq
+    val prevRows =
+      if (prevDiff.isEmpty) null else readFrom(spark, table, prev, Some(prevDiff))
+    if (prevRows == null) return full.withColumn(ChangeTypeColumn, lit("insert"))
+
+    val k = col(key)
+    val inserts = full.join(prevRows.select(k), Seq(key), "left_anti")
+      .withColumn(ChangeTypeColumn, lit("insert"))
+    val deletes = prevRows.join(full.select(k), Seq(key), "left_anti")
+      .withColumn(ChangeTypeColumn, lit("delete"))
+    val changed = full.select(k, col(versionCol))
+      .join(prevRows.select(k.as(key), col(versionCol).as("__pv")), Seq(key))
+      .filter(!(col(versionCol) <=> col("__pv")))
+      .select(k)
+    val posts = full.join(changed, Seq(key), "left_semi")
+      .withColumn(ChangeTypeColumn, lit("update_postimage"))
+    val pres = prevRows.join(changed, Seq(key), "left_semi")
+      .withColumn(ChangeTypeColumn, lit("update_preimage"))
+    // preimage/delete rows of a pre-widen generation NULL-fill the wider
+    // schema; column order pinned to the new generation's
+    inserts.unionByName(posts, allowMissingColumns = true)
+      .unionByName(pres, allowMissingColumns = true)
+      .unionByName(deletes, allowMissingColumns = true)
+      .select((full.columns :+ ChangeTypeColumn).map(col).toIndexedSeq: _*)
+  }
+
+  /** Bulk key-set DELETE: removes every row whose `key` appears in
+    * `keys` (one column or a DataFrame projected to it) — the CDF-replay
+    * and retention-takedown primitive ([[delete]]'s predicate form would
+    * need a driver-side isin for this). Affected partitions come from a
+    * semi-join (broadcast when small — never a collect of the key set);
+    * same staging/publish/fencing envelope as [[delete]]. */
+  def deleteKeys(spark: SparkSession, path: String, keys: DataFrame,
+      key: String, partitionCol: String,
+      crashPoint: String => Unit = _ => ()): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path to delete from"))
+    collectGarbage(fs, table)
+    if (m.segments.isEmpty) return
+    require(m.cols.contains(partitionCol),
+      s"$partitionCol is not a column of the committed table (${m.cols.mkString(",")})")
+    val keySet = keys.select(col(key)).distinct()
+    val affected: Array[String] = read(spark, path)
+      .join(keySet, Seq(key), "left_semi")
+      .select(col(partitionCol)).distinct()
+      .collect().map(_.getString(0))
+    if (affected.isEmpty) return
+    val keep = read(spark, path, Some(affected.toIndexedSeq))
+      .join(keySet, Seq(key), "left_anti")
+    crashPoint("before-staging")
+    val gen = m.gen + 1
+    val staged = stageSegments(keep, path, partitionCol, gen)
+    crashPoint("after-staging")
+    val segStats = statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
+    val next = Manifest(gen, m.cols,
+      (m.segments -- affected) ++ staged.view.filterKeys(affected.contains),
+      m.retain, m.statsCols,
+      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains))
+    crashPoint("before-swap")
+    publishOrAbort(hconf, table, m.gen, next, staged)
+    crashPoint("after-swap")
+    collectGarbage(fs, table)
+  }
+
   /** Per-partition zone-map stats (min/max of each stats column) for the
     * rows of `df`, in the manifest's canonical string encoding. One
     * aggregate job whose output is PARTITION-bounded (one row per value —

@@ -23,7 +23,7 @@ import graft.sources.CommittedTable
   * generation. Each row carries `_change_gen`, the generation that
   * published it.
   *
-  * Two delta granularities (`mode` option):
+  * Three delta granularities (`mode` option):
   *  - `full` (default): [[CommittedTable.changesFor]] — a generation's
   *    batch is the FULL rewritten contents of every partition it touched
   *    (latest-version-wins rows, an idempotent upsert batch downstream
@@ -36,7 +36,11 @@ import graft.sources.CommittedTable
   *    partitions (requires `key` + `versionCol` options). Amplification
   *    drops to the true upsert set; the consumer must stay within
   *    `retainGenerations - 2` of the writer (the baseline generation
-  *    must be retained too).
+  *    must be retained too). No tombstones: deletes do not surface.
+  *  - `cdf`: [[CommittedTable.changesCdf]] — the Delta-CDF model: every
+  *    changed row tagged `_change_type` ∈ insert / update_preimage /
+  *    update_postimage / delete (tombstones included), replayable into a
+  *    replica via [[ChangeFeed.applyCdf]]. Same lag bound as `keys`.
   *
   * Retention contract: a consumer lagging past the table's retain window
   * fails LOUDLY at the next batch ([[CommittedTable.changesFor]] names
@@ -76,12 +80,63 @@ object ChangeFeed {
     }.load()
   }
 
-  private[streaming] def tableSchema(spark: SparkSession, path: String): StructType = {
+  /** [[read]] in FULL-CDF mode ([[CommittedTable.changesCdf]]): every
+    * row additionally tagged `_change_type` ∈ insert / update_preimage /
+    * update_postimage / delete — the variant whose batches [[applyCdf]]
+    * can replay into a replica, deletes included. */
+  def readCdf(spark: SparkSession, path: String, key: String,
+      versionCol: String,
+      startingGeneration: String = "earliest"): DataFrame =
+    spark.readStream
+      .format(classOf[ChangeFeedProvider].getName)
+      .option("path", path)
+      .option("startingGeneration", startingGeneration)
+      .option("mode", "cdf")
+      .option("key", key).option("versionCol", versionCol)
+      .load()
+
+  /** Replay one [[readCdf]] micro-batch into the committed replica at
+    * `dst` (typically from `foreachBatch`): per generation in order,
+    * inserts + postimages MERGE (latest-version-wins keeps the replay
+    * idempotent under at-least-once delivery) and deletes remove by key
+    * ([[CommittedTable.deleteKeys]] — no driver-side key list). The
+    * per-generation loop is metadata-bounded (a micro-batch spans few
+    * generations by construction); preimage rows are audit data, not
+    * replayed. Bootstrap `dst` with a zero-row [[CommittedTable.write]]
+    * of the source schema. */
+  def applyCdf(batch: DataFrame, dst: String, key: String,
+      versionCol: String, partitionCol: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val gens = batch.select(col(GenColumn)).distinct()
+      .as[Long].collect().sorted
+    gens.foreach { g =>
+      val b = batch.filter(col(GenColumn) === g)
+      val ups = b
+        .filter(col(CommittedTable.ChangeTypeColumn)
+          .isin("insert", "update_postimage"))
+        .drop(GenColumn, CommittedTable.ChangeTypeColumn)
+      if (!ups.isEmpty)
+        CommittedTable.merge(spark, dst, ups, key, versionCol, partitionCol)
+      val dels = b
+        .filter(col(CommittedTable.ChangeTypeColumn) === "delete")
+        .select(col(key))
+      if (!dels.isEmpty)
+        CommittedTable.deleteKeys(spark, dst, dels, key, partitionCol)
+    }
+  }
+
+  private[streaming] def tableSchema(spark: SparkSession, path: String,
+      cdf: Boolean = false): StructType = {
     val s = CommittedTable.read(spark, path).schema
     require(!s.fieldNames.contains(GenColumn),
       s"committed table at $path already has a $GenColumn column; the " +
         "change feed reserves that name for its generation marker")
-    StructType(s.fields :+ StructField(GenColumn, LongType, nullable = false))
+    val withType =
+      if (cdf) s.fields :+ StructField(CommittedTable.ChangeTypeColumn,
+        org.apache.spark.sql.types.StringType, nullable = false)
+      else s.fields
+    StructType(withType :+ StructField(GenColumn, LongType, nullable = false))
   }
 }
 
@@ -98,7 +153,8 @@ class ChangeFeedProvider extends StreamSourceProvider {
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     ("committed-change-feed",
-      ChangeFeed.tableSchema(sqlContext.sparkSession, path(parameters)))
+      ChangeFeed.tableSchema(sqlContext.sparkSession, path(parameters),
+        cdf = parameters.get("mode").contains("cdf")))
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -106,18 +162,20 @@ class ChangeFeedProvider extends StreamSourceProvider {
     val p = path(parameters)
     val spark = sqlContext.sparkSession
     val mode = parameters.getOrElse("mode", "full")
-    val keyDelta = mode match {
-      case "full" => None
-      case "keys" => Some((
-        parameters.getOrElse("key", throw new IllegalArgumentException(
-          "mode=keys needs a 'key' option")),
-        parameters.getOrElse("versionCol", throw new IllegalArgumentException(
-          "mode=keys needs a 'versionCol' option"))))
+    def kv(): (String, String) = (
+      parameters.getOrElse("key", throw new IllegalArgumentException(
+        s"mode=$mode needs a 'key' option")),
+      parameters.getOrElse("versionCol", throw new IllegalArgumentException(
+        s"mode=$mode needs a 'versionCol' option")))
+    val (keyDelta, cdf) = mode match {
+      case "full" => (None, false)
+      case "keys" => (Some(kv()), false)
+      case "cdf" => (Some(kv()), true)
       case other => throw new IllegalArgumentException(
-        s"unknown ChangeFeed mode '$other' (expected full or keys)")
+        s"unknown ChangeFeed mode '$other' (expected full, keys, or cdf)")
     }
     val start = parameters.getOrElse("startingGeneration", "earliest")
-    new ChangeFeedSource(spark, p, start, keyDelta)
+    new ChangeFeedSource(spark, p, start, keyDelta, cdf)
   }
 }
 
@@ -130,11 +188,14 @@ class ChangeFeedProvider extends StreamSourceProvider {
   * source creation so "latest" means latest-at-start, not
   * latest-at-first-batch. */
 class ChangeFeedSource(spark: SparkSession, path: String,
-    startingGeneration: String, keyDelta: Option[(String, String)])
+    startingGeneration: String, keyDelta: Option[(String, String)],
+    cdf: Boolean = false)
   extends Source {
 
-  override val schema: StructType = ChangeFeed.tableSchema(spark, path)
-  private val tableCols = schema.fields.dropRight(1) // minus _change_gen
+  override val schema: StructType = ChangeFeed.tableSchema(spark, path, cdf)
+  // minus _change_gen (and, in cdf mode, the _change_type the batch carries)
+  private val tableCols =
+    schema.fields.dropRight(if (cdf) 2 else 1)
 
   private def currentGen(): Long = {
     val table = new Path(path)
@@ -180,9 +241,12 @@ class ChangeFeedSource(spark: SparkSession, path: String,
       return bridge.asStreamingDataFrame(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
     val batches = (base + 1) to endGen map { g =>
-      val delta = keyDelta match {
-        case Some((k, v)) => CommittedTable.changesForKeys(spark, path, g, k, v)
-        case None => CommittedTable.changesFor(spark, path, g)
+      val delta = (keyDelta, cdf) match {
+        case (Some((k, v)), true) =>
+          CommittedTable.changesCdf(spark, path, g, k, v)
+        case (Some((k, v)), false) =>
+          CommittedTable.changesForKeys(spark, path, g, k, v)
+        case _ => CommittedTable.changesFor(spark, path, g)
       }
       // conform to the stream's fixed schema: NULL-fill a column the
       // generation predates, drop one widened after stream start
@@ -190,7 +254,11 @@ class ChangeFeedSource(spark: SparkSession, path: String,
         if (delta.columns.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq
-      delta.select(cells: _*).withColumn(ChangeFeed.GenColumn, lit(g))
+      val conformed =
+        if (cdf) delta.select(
+          (cells :+ col(CommittedTable.ChangeTypeColumn)): _*)
+        else delta.select(cells: _*)
+      conformed.withColumn(ChangeFeed.GenColumn, lit(g))
     }
     bridge.asStreamingDataFrame(batches.reduce(_ unionByName _))
   }

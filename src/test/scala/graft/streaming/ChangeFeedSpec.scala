@@ -118,6 +118,72 @@ class ChangeFeedSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("changesCdf: insert / update pre+post / delete classified; compact is silent") {
+    val dir = freshDir("cdf")
+    CommittedTable.write(base(), dir, "status", retainGenerations = 6)
+    // gen 2: update id 2, insert id 9, move id 3 B→A (version advanced)
+    CommittedTable.merge(spark, dir,
+      Seq((2L, "A", 21.0, 2L), (9L, "B", 90.0, 2L), (3L, "A", 31.0, 2L))
+        .toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    def cdf(g: Long) = CommittedTable
+      .changesCdf(spark, dir, g, "id", "version")
+      .select($"id", $"status", $"value", $"version",
+        col(CommittedTable.ChangeTypeColumn))
+      .as[(Long, String, Double, Long, String)].collect().toSet
+    assert(cdf(1L).forall(_._5 === "insert")) // gen 1 = all inserts
+    assert(cdf(2L) === Set(
+      (9L, "B", 90.0, 2L, "insert"),
+      (2L, "A", 21.0, 2L, "update_postimage"),
+      (2L, "A", 20.0, 1L, "update_preimage"),
+      (3L, "A", 31.0, 2L, "update_postimage"), // the move, new home
+      (3L, "B", 30.0, 1L, "update_preimage")))
+    // gen 3: delete B's only row — a tombstone from a RETIRED partition
+    // (B's manifest entry drops; its previous rows must still surface)
+    CommittedTable.delete(spark, dir, $"id" === 9L, "status")
+    assert(cdf(3L) === Set((9L, "B", 90.0, 2L, "delete")))
+    // gen 4: compact — layout only, CDF must be EMPTY
+    CommittedTable.compact(spark, dir, "status")
+    assert(cdf(4L).isEmpty)
+  }
+
+  test("CDF replica sync: deletes propagate — dst tracks src through all DML") {
+    val src = freshDir("cdfsrc")
+    val dst = freshDir("cdfdst")
+    val ckpt = Files.createTempDirectory("graft-cdf-sync-ckpt").toString
+    CommittedTable.write(base(), src, "status", retainGenerations = 8)
+    CommittedTable.write(base().filter(lit(false)), dst, "status")
+
+    def sync(): Unit = {
+      val q = ChangeFeed.readCdf(spark, src, "id", "version")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.persist()
+          try ChangeFeed.applyCdf(b, dst, "id", "version", "status")
+          finally { b.unpersist(); () }
+        }.start()
+      q.awaitTermination(120000)
+    }
+    def snap(dir: String) = rows(CommittedTable.read(spark, dir))
+
+    sync() // initial load
+    assert(snap(dst) === snap(src))
+    // a merge, a delete, and an update land; ONE sync replays all three
+    CommittedTable.merge(spark, src, upsert(2L, "A", 21.0, 2L),
+      "id", "version", "status")
+    CommittedTable.delete(spark, src, $"id" === 3L, "status")
+    CommittedTable.update(spark, src, $"id" === 1L,
+      Map("value" -> lit(11.0), "version" -> lit(2L)), "status")
+    sync()
+    assert(snap(dst) === snap(src))
+    assert(snap(dst).map(_._1) === Set(1L, 2L)) // 3 really deleted downstream
+    // idempotent re-sync
+    sync()
+    assert(snap(dst) === snap(src))
+  }
+
   // ---- the streaming Source -----------------------------------------------
 
   private def runFeed(dir: String, out: String, ckpt: String,
