@@ -595,6 +595,16 @@ object ExplainDump {
         graft.sources.CommittedTable.read(spark, ctDir)
           .filter(col("o_totalprice") > 250000.0)
           .select(col("o_orderstatus")).distinct())
+      section("q137_change_feed_cdf (CommittedTable.changesCdf gen 2)",
+        """Wants: both diff sides are the SAME manifest-pruned scans as
+          |§q133 (new = gen-2 segments, baseline = gen-1 snapshot of the
+          |touched partitions) — the four change classes are anti/semi
+          |joins on the key over those two bounded scans, unioned; no scan
+          |of an untouched partition anywhere, no full-table diff, and the
+          |changed-key set is a two-column join (key, version) before any
+          |wide row is touched.""".stripMargin,
+        graft.sources.CommittedTable.changesCdf(spark, ctDir, 2L,
+          "o_orderkey", "version"))
       section("q133_change_feed keys mode (CommittedTable.changesForKeys gen 2)",
         """Wants: the same touched-partition scan LEFT-ANTI joined against
           |the previous generation's snapshot of the SAME partitions on

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.CommittedTable
+
+/** The incrementally-maintained aggregate view: signed-CDF folding equals
+  * a full recompute through every DML shape, replay is a no-op, and
+  * cross-group moves debit/credit correctly. Values are binary-exact
+  * doubles so incremental and full sums compare exactly. */
+class IncrementalAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    Files.createTempDirectory(s"graft-iagg-$tag").toString + "/t"
+
+  private def base() = Seq(
+    (1L, "A", 10.0), (2L, "A", 20.5), (3L, "B", 30.0), (4L, "C", 40.0))
+    .toDF("id", "status", "value")
+    .withColumn("version", lit(1L))
+
+  private def viewRows(dst: String): Map[String, (Long, Double)] =
+    CommittedTable.read(spark, dst)
+      .select($"status", $"n", $"sum_value")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  /** The recompute-comparable face: emptied groups (n = 0, kept for
+    * applied_gen memory) have no counterpart in a fresh groupBy. */
+  private def liveViewRows(dst: String): Map[String, (Long, Double)] =
+    viewRows(dst).filter(_._2._1 > 0)
+
+  private def recompute(src: String): Map[String, (Long, Double)] =
+    CommittedTable.read(spark, src)
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n"), sum($"value").as("s"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+
+  test("view == full recompute through merge, cross-group move, update, delete; replay no-op") {
+    val src = freshDir("src")
+    val dst = freshDir("dst")
+    val ckpt = Files.createTempDirectory("graft-iagg-ckpt").toString
+    CommittedTable.write(base(), src, "status", retainGenerations = 8)
+    val g0 = IncrementalAgg.init(spark, src, dst, "status", "value")
+    assert(g0 === 1L)
+    assert(liveViewRows(dst) === recompute(src))
+
+    def sync(): Unit = {
+      val q = IncrementalAgg.sync(spark, src, dst, "id", "version",
+        "status", "value", ckpt).start()
+      q.awaitTermination(120000)
+    }
+
+    // gen 2: in-group update (A: 20.5 → 25.5), cross-group move (3: B → A,
+    // value changes too), insert (9 → C)
+    CommittedTable.merge(spark, src,
+      Seq((2L, "A", 25.5, 2L), (3L, "A", 31.0, 2L), (9L, "C", 90.0, 2L))
+        .toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    // gen 3: predicate delete; gen 4: UPDATE with version bump
+    CommittedTable.delete(spark, src, $"id" === 4L, "status")
+    CommittedTable.update(spark, src, $"id" === 1L,
+      Map("value" -> lit(12.0), "version" -> lit(2L)), "status")
+    sync()
+    assert(liveViewRows(dst) === recompute(src))
+    // B emptied by the move: its row stays at n = 0 (applied_gen memory)
+    assert(viewRows(dst)("B") === ((0L, 0.0)))
+
+    // replay: restart with the SAME checkpoint and no new generations —
+    // and also re-apply a stale batch by hand; both must change nothing
+    val before = viewRows(dst)
+    sync()
+    assert(viewRows(dst) === before)
+    val stale = CommittedTable.changesCdf(spark, src, 2L, "id", "version")
+      .withColumn(ChangeFeed.GenColumn, lit(2L))
+    IncrementalAgg.apply(stale, dst, "status", "value")
+    assert(viewRows(dst) === before)
+
+    // further generations keep folding
+    CommittedTable.merge(spark, src,
+      Seq((10L, "B", 5.0, 5L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    sync()
+    assert(liveViewRows(dst) === recompute(src))
+    assert(viewRows(dst)("B") === ((1L, 5.0)))
+  }
+}
