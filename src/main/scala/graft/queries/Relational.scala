@@ -876,6 +876,47 @@ object Relational {
       WHERE NOT (o_totalprice > 250000.0 OR o_orderkey % 13 = 0)
       GROUP BY o_orderstatus""")),
 
+    // ---- Z-order compact + conjunctive zone-map read ----------------------
+    // q131's read with the layout rewritten by compactZOrder first: the
+    // multi-dimensional clustering must be LAYOUT-ONLY (the oracle is the
+    // same plain conjunctive filter — any content drift fails the hash),
+    // and the zone-map prune still composes (fresh per-segment stats are
+    // recomputed from the staged files). Fixture-scrub convention.
+    Q("q138_zorder_read", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-zo-q138").toString + "/wh"
+      try {
+        graft.sources.CommittedTable.write(o, wh, "o_orderstatus",
+          statsCols = Seq("o_totalprice", "o_orderkey"))
+        graft.sources.CommittedTable.compactZOrder(s, wh, "o_orderstatus",
+          Seq("o_totalprice", "o_orderkey"), bits = 10)
+        val out = graft.sources.CommittedTable.readRangeMulti(s, wh, Seq(
+            ("o_totalprice", Some(80000.0), Some(200000.0)),
+            ("o_orderkey", Some(500L), Some(60000L))))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("sum_keys"),
+            dsum(col("o_totalprice")).as("sum_price"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_totalprice >= 80000.0 AND o_totalprice <= 200000.0
+        AND o_orderkey >= 500 AND o_orderkey <= 60000
+      GROUP BY o_orderstatus""")),
+
     // ---- Full CDF (insert/update-pre/post/delete) over two generations ----
     // gen 2 = a merge (price bumps on ~1% of keys + shifted-key inserts),
     // gen 3 = a delete of a residue class. The CDF of each generation is

@@ -377,7 +377,8 @@ object CommittedTable {
     * affected-set would drop the segment from the manifest — data loss a
     * GC later makes permanent. */
   private def stageSegments(df: DataFrame, path: String, partitionCol: String,
-      gen: Long, sortCols: Seq[String] = Nil): Map[String, String] = {
+      gen: Long, sortCols: Seq[String] = Nil,
+      sortExprs: Seq[org.apache.spark.sql.Column] = Nil): Map[String, String] = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
@@ -402,10 +403,15 @@ object CommittedTable {
       // the sort must LEAD with __part: FileFormatWriter requires an
       // ordering by the partition column and inserts its own (unstable)
       // sort when the incoming order doesn't satisfy it — which would
-      // silently discard the canonical sortCols order
-      (if (sortCols.isEmpty) arranged
-       else arranged.sortWithinPartitions(
-         ("__part" +: sortCols).map(col): _*))
+      // silently discard the canonical sortCols order. sortExprs sorts by
+      // EXPRESSIONS (the z-order key) that never materialize in the files.
+      val ordered =
+        if (sortExprs.nonEmpty)
+          arranged.sortWithinPartitions((col("__part") +: sortExprs): _*)
+        else if (sortCols.nonEmpty)
+          arranged.sortWithinPartitions(("__part" +: sortCols).map(col): _*)
+        else arranged
+      ordered
         .write.partitionBy("__part")
         .mode(SaveMode.Overwrite).parquet(staging.toString)
       fs.listStatus(staging).toSeq
@@ -970,6 +976,83 @@ object CommittedTable {
       (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains))
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen, next, staged)
+    crashPoint("after-swap")
+    collectGarbage(fs, table)
+  }
+
+  /** Morton (Z-order) key over equal-width bucketizations of `cols`,
+    * each given as (column, min, max): bucket `b_i` gets `bits` bits and
+    * the key interleaves them — bit `j` of column `i` lands at position
+    * `j·n + i` — so sorting by the key clusters rows that are close in
+    * EVERY dimension. NULL and out-of-range values clamp to the edge
+    * buckets (they sort to the ends, never error). Pure column
+    * arithmetic (floor/shift/and/or) — codegen'd, no UDF. */
+  private[sources] def mortonKey(cols: Seq[(org.apache.spark.sql.Column, Double, Double)],
+      bits: Int): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && bits >= 1 && bits * cols.size <= 60,
+      s"need 1..60 total key bits, got ${bits * cols.size}")
+    val n = cols.size
+    val terms = for (((c, mn, mx), ci) <- cols.zipWithIndex; b <- 0 until bits)
+      yield {
+        val range = if (mx > mn) mx - mn else 1.0
+        val bucket = least(greatest(
+          floor((c.cast("double") - lit(mn)) / lit(range) * lit(1 << bits)),
+          lit(0.0)), lit((1 << bits) - 1.0)).cast("long")
+        shiftleft(shiftrightunsigned(coalesce(bucket, lit(0L)), b)
+          .bitwiseAND(lit(1L)), b * n + ci)
+      }
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** [[compact]] with MULTI-dimensional clustering: every live partition
+    * rewritten as one fresh segment whose rows are sorted by the Morton
+    * key over `zCols` (equal-width buckets between each column's table-
+    * wide min/max — one tiny aggregate job, driver-bounded). Content is
+    * untouched; what changes is which rows share a parquet ROW GROUP:
+    * after a single-column sort, a range predicate on any OTHER column
+    * skips nothing (every row group spans its full range), while z-order
+    * gives every `zCols` member row-group ranges ~2^(bits/n) narrower —
+    * the Delta/Iceberg OPTIMIZE ZORDER move, feeding the same pushed-
+    * filter row-group skipping [[compact]]'s sortCols feeds for one
+    * column. Equal-width bucketing is skew-sensitive by design (rank
+    * bucketing would cost a global sort per column); heavy skew wants a
+    * pre-transform (log, clamp) in the caller's column expression. */
+  def compactZOrder(spark: SparkSession, path: String, partitionCol: String,
+      zCols: Seq[String], bits: Int = 12,
+      crashPoint: String => Unit = _ => ()): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path to compact"))
+    collectGarbage(fs, table)
+    if (m.segments.isEmpty) return
+    require(zCols.nonEmpty && zCols.forall(m.cols.contains),
+      s"zCols must be table columns (${m.cols.mkString(",")}); got ${zCols.mkString(",")}")
+    val cur = read(spark, path).select(m.cols.map(col).toIndexedSeq: _*)
+    // table-wide min/max per z column: one aggregate, 2·|zCols| numbers
+    val bounds = cur.select(zCols.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c"))).toIndexedSeq: _*)
+      .collect().head
+    val dims = zCols.zipWithIndex.map { case (c, i) =>
+      val mn = Option(bounds.get(2 * i)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val mx = Option(bounds.get(2 * i + 1)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+      (col(c), mn, mx)
+    }
+    crashPoint("before-staging")
+    val gen = m.gen + 1
+    val staged = stageSegments(cur, path, partitionCol, gen,
+      sortExprs = Seq(mortonKey(dims, bits)))
+    crashPoint("after-staging")
+    val missing = m.segments.keySet -- staged.keySet
+    if (missing.nonEmpty)
+      throw new java.io.IOException(
+        s"compactZOrder staged no segment for partitions ${missing.mkString(",")}")
+    val segStats = statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
+    crashPoint("before-swap")
+    publishOrAbort(hconf, table, m.gen,
+      Manifest(gen, m.cols, staged, m.retain, m.statsCols, segStats), staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }

@@ -403,6 +403,70 @@ class CommittedTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("allowAddColumns"), e2.getMessage)
   }
 
+  test("mortonKey: interleaves bucket bits — hand-derived codes on a 2-bit grid") {
+    // 2 cols × 2 bits, ranges [0,4): bucket == floor(v); classic morton
+    // codes: key(x,y) interleaves x's bits at even positions, y's at odd
+    val pts = for (x <- 0 to 3; y <- 0 to 3) yield (x.toDouble, y.toDouble)
+    val df = pts.toDF("x", "y")
+    val got = df.select($"x", $"y",
+        CommittedTable.mortonKey(
+          Seq(($"x", 0.0, 4.0), ($"y", 0.0, 4.0)), bits = 2).as("z"))
+      .as[(Double, Double, Long)].collect()
+      .map(r => (r._1.toInt, r._2.toInt) -> r._3).toMap
+    def morton(x: Int, y: Int): Long =
+      (0 until 2).map(b => (((x >> b) & 1) << (2 * b)) |
+        (((y >> b) & 1) << (2 * b + 1))).sum.toLong
+    pts.foreach { case (x, y) =>
+      assert(got((x.toInt, y.toInt)) === morton(x.toInt, y.toInt),
+        s"($x,$y)")
+    }
+    // clamping: out-of-range and NULL sort to the edges, never error
+    val edge = Seq((Some(-5.0), Some(99.0)), (None, None))
+      .toDF("x", "y")
+      .select(CommittedTable.mortonKey(
+        Seq(($"x", 0.0, 4.0), ($"y", 0.0, 4.0)), bits = 2).as("z"))
+      .as[Long].collect()
+    assert(edge(0) === morton(0, 3) && edge(1) === morton(0, 0))
+  }
+
+  test("compactZOrder: content identical; a 2-D box skips row groups a 1-D sort cannot") {
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    // uncorrelated uniform dims; small row groups so each segment file
+    // holds MANY row groups for the pushed filters to skip or keep
+    spark.sparkContext.hadoopConfiguration.setInt("parquet.block.size", 16 * 1024)
+    try {
+      val dir = freshDir("zorder")
+      val df = spark.range(200000).toDF("id")
+        .withColumn("p", lit("only"))
+        .withColumn("a", (col("id") * 48271 % 100000).cast("double"))
+        .withColumn("b", (col("id") * 69621 % 100000).cast("double"))
+      CommittedTable.write(df, dir, "p", sortCols = Seq("a"))
+      val before = CommittedTable.read(spark, dir)
+        .select($"id").as[Long].collect().toSet
+      val box = (col("a").between(10000.0, 20000.0)
+        && col("b").between(10000.0, 20000.0))
+      // 1-D sorted layout: row groups are narrow in a but span ALL of b
+      val sorted1d = scanRows(CommittedTable.read(spark, dir).filter(box))
+
+      CommittedTable.compactZOrder(spark, dir, "p", Seq("a", "b"), bits = 8)
+      // layout-only: content must be bit-identical
+      assert(CommittedTable.read(spark, dir)
+        .select($"id").as[Long].collect().toSet === before)
+      val zordered = scanRows(CommittedTable.read(spark, dir).filter(box))
+      // the honest claim, measured at the scan: surviving-row-group mass
+      // shrinks materially when BOTH dimensions cluster (~1% selectivity
+      // box; 1-D sort must read ~10% of rows, z-order ~1-3%)
+      info(f"2-D box scan: 1-D sorted layout $sorted1d rows, " +
+        f"z-ordered $zordered rows (${sorted1d.toDouble / zordered}%.1fx fewer)")
+      assert(zordered < sorted1d / 2,
+        s"z-order scanned $zordered rows vs 1-D sort's $sorted1d")
+    } finally spark.sparkContext.hadoopConfiguration.unset("parquet.block.size")
+  }
+
   test("delete: crash before the swap leaves the old table fully visible") {
     val dir = freshDir("delcrash")
     CommittedTable.write(base(), dir, "status")
