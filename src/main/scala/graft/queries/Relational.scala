@@ -876,6 +876,69 @@ object Relational {
       WHERE NOT (o_totalprice > 250000.0 OR o_orderkey % 13 = 0)
       GROUP BY o_orderstatus""")),
 
+    // ---- Metadata-only COUNT(*) (manifest row counts) ---------------------
+    // write + merge (q119's exact batch construction), then read per-
+    // partition counts from the MANIFEST — rowCounts() plans zero jobs and
+    // opens zero files; the oracle recomputes the merged table and counts
+    // it the hard way. A drifted count would hash-mismatch. Fixture-scrub
+    // convention (q100/q119).
+    Q("q139_metadata_count", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-cnt-q139").toString + "/wh"
+      try {
+        graft.sources.CommittedTable.write(
+          o.withColumn("version", lit(1L)), wh, "o_orderstatus")
+        val k = col("o_orderkey")
+        val upserts = o.filter(k % 19 === 0 || k % 31 === 0)
+          .withColumn("o_orderstatus",
+            when(k % 31 === 0 && k % 19 =!= 0, lit("X"))
+              .otherwise(col("o_orderstatus")))
+          .withColumn("version", lit(2L))
+        val inserts = o.filter(k % 53 === 0)
+          .withColumn("o_orderkey", k + 100000000L)
+          .withColumn("o_orderstatus", lit("N"))
+          .withColumn("version", lit(2L))
+        graft.sources.CommittedTable.merge(s, wh,
+          upserts.unionByName(inserts), "o_orderkey", "version",
+          "o_orderstatus")
+        val counts = graft.sources.CommittedTable.rowCounts(s, wh)
+          .getOrElse(throw new IllegalStateException(
+            "manifest lacks row counts — the metadata path is broken"))
+        import s.implicits._
+        counts.toSeq.toDF("o_orderstatus", "n_rows")
+          .orderBy(col("o_orderstatus"))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }, Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus FROM orders),
+      upd AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 31 = 0 AND o_orderkey % 19 <> 0
+               THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+          2 AS version
+        FROM orders WHERE o_orderkey % 19 = 0 OR o_orderkey % 31 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, 'N', 2
+        FROM orders WHERE o_orderkey % 53 = 0),
+      merged AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                      ORDER BY version DESC) AS rn
+          FROM (SELECT o_orderkey, o_orderstatus, 1 AS version FROM base
+                UNION ALL SELECT * FROM upd))
+        WHERE rn = 1)
+      SELECT o_orderstatus, COUNT(*) AS n_rows
+      FROM merged GROUP BY o_orderstatus""")),
+
     // ---- Z-order compact + conjunctive zone-map read ----------------------
     // q131's read with the layout rewritten by compactZOrder first: the
     // multi-dimensional clustering must be LAYOUT-ONLY (the oracle is the

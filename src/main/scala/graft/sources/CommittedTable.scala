@@ -88,7 +88,8 @@ object CommittedTable {
   private[graft] final case class Manifest(gen: Long, cols: Seq[String],
       segments: Map[String, String], retain: Int = 2,
       statsCols: Seq[String] = Nil,
-      stats: Map[String, Seq[(Option[String], Option[String])]] = Map.empty)
+      stats: Map[String, Seq[(Option[String], Option[String])]] = Map.empty,
+      rowCounts: Map[String, Long] = Map.empty)
 
   private[graft] def readManifest(fs: FileSystem, table: Path): Option[Manifest] =
     readManifestFile(fs, new Path(table, Commit))
@@ -122,8 +123,16 @@ object CommittedTable {
     val statsCols = lines.drop(2).find(_.startsWith("stats="))
       .map(_.stripPrefix("stats=").split('\t').toSeq.filter(_.nonEmpty))
       .getOrElse(Nil)
+    val rowCounts = lines.drop(2).filter(_.startsWith("rows="))
+      .map { l =>
+        l.stripPrefix("rows=").split('\t') match {
+          case Array(v, n) => unesc(v) -> n.toLong
+          case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
+        }
+      }.toMap
     val segLines = lines.drop(2).filter(l =>
-      l.nonEmpty && !l.startsWith("retain=") && !l.startsWith("stats="))
+      l.nonEmpty && !l.startsWith("retain=") && !l.startsWith("stats=") &&
+        !l.startsWith("rows="))
     val parsed = segLines.map { l =>
       l.split('\t') match {
         case Array(v, d) => (unesc(v), d, Nil: Seq[(Option[String], Option[String])])
@@ -136,7 +145,8 @@ object CommittedTable {
     }
     Some(Manifest(gen, cols,
       parsed.map(t => t._1 -> t._2).toMap, retain, statsCols,
-      parsed.collect { case (v, _, st) if st.nonEmpty => v -> st }.toMap))
+      parsed.collect { case (v, _, st) if st.nonEmpty => v -> st }.toMap,
+      rowCounts))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
@@ -153,8 +163,11 @@ object CommittedTable {
     val tmp = new Path(table, Commit + ".tmp")
     val statsLine =
       if (m.statsCols.isEmpty) Nil else Seq(s"stats=${m.statsCols.mkString("\t")}")
+    val rowLines = m.rowCounts.toSeq.sortBy(_._1)
+      .filter { case (v, _) => m.segments.contains(v) }
+      .map { case (v, n) => s"rows=${esc(v)}\t$n" }
     val body = (Seq(s"gen=${m.gen}", s"cols=${m.cols.mkString("\t")}",
-      s"retain=${m.retain}") ++ statsLine ++
+      s"retain=${m.retain}") ++ statsLine ++ rowLines ++
       m.segments.toSeq.sortBy(_._1).map { case (v, d) =>
         val st = m.stats.get(v).filter(_ => m.statsCols.nonEmpty)
           .map(_.flatMap(p => Seq(encStat(p._1), encStat(p._2)))
@@ -358,10 +371,10 @@ object CommittedTable {
     // write — parquet row-group stats support range skipping without
     // waiting for a compaction pass
     val staged = stageSegments(df, path, partitionCol, gen = 1L, sortCols)
-    val stats = statsFromStaged(spark, table, staged, partitionCol, statsCols)
+    val (stats, counts) = statsFromStaged(spark, table, staged, partitionCol, statsCols)
     publishOrAbort(hconf, table, baseGen = 0L,
       Manifest(1L, df.columns.toSeq, staged, retainGenerations,
-        statsCols, stats), staged)
+        statsCols, stats, counts), staged)
   }
 
   /** Write one segment dir per partition value of `df` under a staging
@@ -472,6 +485,67 @@ object CommittedTable {
             s"retain ${cur.retain} ⇒ readable ${math.max(1, cur.gen - cur.retain + 1)}..${cur.gen}); " +
             "raise retainGenerations at write() to keep a deeper history"))
     readFrom(spark, table, m, partitionValues)
+  }
+
+  /** Per-partition row counts from MANIFEST METADATA alone — zero file
+    * reads, zero jobs. `None` if any selected partition predates the
+    * row-count manifest line (fall back to a scan). `gen` time-travels
+    * through the retained anchor. */
+  def rowCounts(spark: SparkSession, path: String,
+      partitionValues: Option[Seq[String]] = None,
+      gen: Option[Long] = None): Option[Map[String, Long]] = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    val m = gen.map(g => resolveAnchor(fs, table, path, g, cur)).getOrElse(cur)
+    val wanted = partitionValues match {
+      case Some(vs) => vs.filter(m.segments.contains)
+      case None => m.segments.keys.toSeq
+    }
+    if (wanted.forall(m.rowCounts.contains))
+      Some(wanted.map(v => v -> m.rowCounts(v)).toMap)
+    else None
+  }
+
+  /** `COUNT(*)` of the table (optionally at a retained generation / for
+    * selected partitions) — O(1) from the manifest when every selected
+    * partition carries its count (every publish since the feature), a
+    * footer-count scan otherwise. The Delta/Iceberg metadata-count move:
+    * at 100 TB a count is a sum of a few hundred manifest integers. */
+  def count(spark: SparkSession, path: String,
+      partitionValues: Option[Seq[String]] = None,
+      gen: Option[Long] = None): Long =
+    rowCounts(spark, path, partitionValues, gen) match {
+      case Some(counts) => counts.values.sum
+      case None =>
+        val df = gen match {
+          case Some(g) => readAt(spark, path, g, partitionValues)
+          case None => read(spark, path, partitionValues)
+        }
+        df.count()
+    }
+
+  /** Re-publish the table with a new `retainGenerations` — the
+    * compliance-clock dial [[delete]] documents: shrinking it lets the
+    * next GC collect pre-delete history sooner; growing it deepens the
+    * time-travel budget for FUTURE publishes (already-collected anchors
+    * do not resurrect). Metadata-only (segments untouched) but a REAL
+    * generation behind the usual fencing — concurrent writers race it
+    * loudly instead of silently resurrecting the old setting. */
+  def setRetention(spark: SparkSession, path: String,
+      retainGenerations: Int): Unit = {
+    require(retainGenerations >= 1,
+      s"retainGenerations must be >= 1, got $retainGenerations")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    collectGarbage(fs, table)
+    publishOrAbort(hconf, table, m.gen,
+      m.copy(gen = m.gen + 1, retain = retainGenerations), Map.empty)
+    collectGarbage(fs, table)
   }
 
   /** The CHANGE BATCH of generation `gen`: exactly the rows written AT
@@ -682,25 +756,29 @@ object CommittedTable {
     val gen = m.gen + 1
     val staged = stageSegments(keep, path, partitionCol, gen)
     crashPoint("after-staging")
-    val segStats = statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
+    val (segStats, segCounts) =
+      statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
     val next = Manifest(gen, m.cols,
       (m.segments -- affected) ++ staged.view.filterKeys(affected.contains),
       m.retain, m.statsCols,
-      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains))
+      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains),
+      (m.rowCounts -- affected) ++ segCounts.view.filterKeys(affected.contains))
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen, next, staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }
 
-  /** Per-partition zone-map stats (min/max of each stats column) for the
-    * rows of `df`, in the manifest's canonical string encoding. One
-    * aggregate job whose output is PARTITION-bounded (one row per value —
-    * the same metadata-bounded collect class as merge's affected-set). */
+  /** Per-partition zone-map stats (min/max of each stats column, in the
+    * manifest's canonical string encoding) AND row counts for the rows of
+    * `df`. One aggregate job whose output is PARTITION-bounded (one row
+    * per value — the same metadata-bounded collect class as merge's
+    * affected-set). Counts ride every manifest (the O(1) COUNT path);
+    * stats only when `statsCols` is set. */
   private def computeStats(df: DataFrame, partitionCol: String,
-      statsCols: Seq[String]): Map[String, Seq[(Option[String], Option[String])]] = {
+      statsCols: Seq[String])
+      : (Map[String, Seq[(Option[String], Option[String])]], Map[String, Long]) = {
     import org.apache.spark.sql.types._
-    if (statsCols.isEmpty) return Map.empty
     statsCols.foreach(c => require(df.columns.contains(c),
       s"stats column $c absent from the batch (${df.columns.mkString(",")})"))
     def canon(c: String, agg: org.apache.spark.sql.Column)
@@ -708,14 +786,19 @@ object CommittedTable {
       case TimestampType => unix_micros(agg).cast("string")
       case _ => agg.cast("string")
     }
-    val aggs = statsCols.flatMap(c => Seq(
+    val aggs = org.apache.spark.sql.functions.count(lit(1)).as("__cnt") +:
+      statsCols.flatMap(c => Seq(
       canon(c, min(col(c))).as(s"__mn_$c"), canon(c, max(col(c))).as(s"__mx_$c")))
-    df.groupBy(col(partitionCol).cast("string").as("__pv"))
+    val rows = df.groupBy(col(partitionCol).cast("string").as("__pv"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect().map { r =>
+      .collect()
+    val stats =
+      if (statsCols.isEmpty) Map.empty[String, Seq[(Option[String], Option[String])]]
+      else rows.map { r =>
         r.getString(0) -> statsCols.indices.map(i =>
-          (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i)))).toSeq
+          (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i)))).toSeq
       }.toMap
+    (stats, rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
   /** [[computeStats]] over segments ALREADY staged on disk: reads back
@@ -723,12 +806,28 @@ object CommittedTable {
     * instead of re-running the caller's merge/compact plan. */
   private def statsFromStaged(spark: SparkSession, table: Path,
       staged: Map[String, String], partitionCol: String,
-      statsCols: Seq[String]): Map[String, Seq[(Option[String], Option[String])]] =
-    if (statsCols.isEmpty || staged.isEmpty) Map.empty
-    else computeStats(
+      statsCols: Seq[String])
+      : (Map[String, Seq[(Option[String], Option[String])]], Map[String, Long]) =
+    if (staged.isEmpty) (Map.empty, Map.empty)
+    else try computeStats(
       spark.read.parquet(
         staged.values.toSeq.sorted.map(d => new Path(table, d).toString): _*),
       partitionCol, statsCols)
+    catch {
+      // a concurrent writer can WIN the generation between our staging
+      // and this read-back; its start-of-merge GC then collects our
+      // staged (unreferenced, superseded-name) segments. That is the
+      // fence loss, just observed one step early — surface it as the
+      // documented race outcome, not a missing-path analysis error
+      case e: Exception if {
+        val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        staged.values.exists(d => !fs.exists(new Path(table, d)))
+      } =>
+        throw new java.util.ConcurrentModificationException(
+          s"staged segments for $table vanished before publish — a " +
+            "concurrent writer won this generation and collected them; " +
+            "re-run the merge to land on top of the winner", e)
+    }
 
   private def statCompare(dt: org.apache.spark.sql.types.DataType)
       : (String, String) => Int = {
@@ -969,11 +1068,13 @@ object CommittedTable {
     // new manifest: affected entries replaced by their staged segments; an
     // affected partition with NO staged segment lost its last row to a key
     // move — dropping its entry IS its retirement
-    val segStats = statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
+    val (segStats, segCounts) =
+      statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
     val next = Manifest(gen, cols.toSeq,
       (m.segments -- affected) ++ staged.view.filterKeys(affected.contains),
       m.retain, m.statsCols,
-      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains))
+      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains),
+      (m.rowCounts -- affected) ++ segCounts.view.filterKeys(affected.contains))
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen, next, staged)
     crashPoint("after-swap")
@@ -1049,10 +1150,12 @@ object CommittedTable {
     if (missing.nonEmpty)
       throw new java.io.IOException(
         s"compactZOrder staged no segment for partitions ${missing.mkString(",")}")
-    val segStats = statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
+    val (segStats, segCounts) =
+      statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen,
-      Manifest(gen, m.cols, staged, m.retain, m.statsCols, segStats), staged)
+      Manifest(gen, m.cols, staged, m.retain, m.statsCols, segStats,
+        segCounts), staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }
@@ -1105,11 +1208,13 @@ object CommittedTable {
     val gen = m.gen + 1
     val staged = stageSegments(keep, path, partitionCol, gen)
     crashPoint("after-staging")
-    val segStats = statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
+    val (segStats, segCounts) =
+      statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
     val next = Manifest(gen, m.cols,
       (m.segments -- affected) ++ staged.view.filterKeys(affected.contains),
       m.retain, m.statsCols,
-      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains))
+      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains),
+      (m.rowCounts -- affected) ++ segCounts.view.filterKeys(affected.contains))
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen, next, staged)
     crashPoint("after-swap")
@@ -1171,11 +1276,13 @@ object CommittedTable {
     val gen = m.gen + 1
     val staged = stageSegments(upd, path, partitionCol, gen)
     crashPoint("after-staging")
-    val segStats = statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
+    val (segStats, segCounts) =
+      statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
     val next = Manifest(gen, m.cols,
       (m.segments -- affected) ++ staged.view.filterKeys(affected.contains),
       m.retain, m.statsCols,
-      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains))
+      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains),
+      (m.rowCounts -- affected) ++ segCounts.view.filterKeys(affected.contains))
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen, next, staged)
     crashPoint("after-swap")
@@ -1216,9 +1323,11 @@ object CommittedTable {
       throw new java.io.IOException(
         s"compact staged no segment for partitions ${missing.mkString(",")}")
     crashPoint("before-swap")
+    val (compactStats, compactCounts) =
+      statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
     publishOrAbort(hconf, table, m.gen,
       Manifest(gen, m.cols, staged, m.retain, m.statsCols,
-        statsFromStaged(spark, table, staged, partitionCol, m.statsCols)), staged)
+        compactStats, compactCounts), staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }

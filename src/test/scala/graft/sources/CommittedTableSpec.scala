@@ -403,6 +403,52 @@ class CommittedTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("allowAddColumns"), e2.getMessage)
   }
 
+  test("metadata counts: O(1) count tracks every DML; time travel + pruning compose") {
+    val dir = freshDir("cnt")
+    CommittedTable.write(base(), dir, "status", retainGenerations = 6)
+    def metaCount(pv: Option[Seq[String]] = None, gen: Option[Long] = None) =
+      CommittedTable.count(spark, dir, pv, gen)
+    def dataCount() = CommittedTable.read(spark, dir).count()
+    assert(CommittedTable.rowCounts(spark, dir).isDefined)
+    assert(metaCount() === 4L && metaCount() === dataCount())
+
+    CommittedTable.merge(spark, dir, updates(), "id", "version", "status")
+    assert(metaCount() === dataCount()) // upsert+move+retire+insert: 5
+    CommittedTable.delete(spark, dir, $"id" === 9L, "status")
+    assert(metaCount() === dataCount())
+    CommittedTable.compact(spark, dir, "status")
+    assert(metaCount() === dataCount())
+    // pruned count: only partition A; time travel: gen-1 count preserved
+    assert(metaCount(Some(Seq("A"))) ===
+      CommittedTable.read(spark, dir, Some(Seq("A"))).count())
+    assert(metaCount(gen = Some(1L)) === 4L)
+  }
+
+  test("setRetention: shrink collects old anchors, grow deepens the future budget") {
+    val dir = freshDir("retain")
+    CommittedTable.write(base(), dir, "status", retainGenerations = 5)
+    CommittedTable.merge(spark, dir, updates(), "id", "version", "status") // gen 2
+    CommittedTable.merge(spark, dir,
+      Seq((2L, "A", 22.0, 3L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status") // gen 3
+    assert(CommittedTable.generations(spark, dir) === Seq(1L, 2L, 3L))
+    // shrink to 2: the setRetention publish is gen 4, window = {3, 4}
+    CommittedTable.setRetention(spark, dir, 2)
+    assert(CommittedTable.generations(spark, dir) === Seq(3L, 4L))
+    intercept[java.io.IOException](CommittedTable.readAt(spark, dir, 2L))
+    // content untouched; gen 4 (metadata-only) reads same as gen 3
+    assert(CommittedTable.readAt(spark, dir, 4L).count() ===
+      CommittedTable.readAt(spark, dir, 3L).count())
+    // its change batch is the defensive empty-delta branch: zero rows
+    assert(CommittedTable.changesFor(spark, dir, 4L).count() === 0L)
+    // grow again: future publishes retain deeper (old anchors stay gone)
+    CommittedTable.setRetention(spark, dir, 4)
+    CommittedTable.merge(spark, dir,
+      Seq((2L, "A", 23.0, 6L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status") // gen 6
+    assert(CommittedTable.generations(spark, dir) === Seq(3L, 4L, 5L, 6L))
+  }
+
   test("mortonKey: interleaves bucket bits — hand-derived codes on a 2-bit grid") {
     // 2 cols × 2 bits, ranges [0,4): bucket == floor(v); classic morton
     // codes: key(x,y) interleaves x's bits at even positions, y's at odd
