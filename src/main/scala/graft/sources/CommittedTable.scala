@@ -355,7 +355,7 @@ object CommittedTable {
     * published atomically after every segment is in place. */
   def write(df: DataFrame, path: String, partitionCol: String,
       retainGenerations: Int = 2, statsCols: Seq[String] = Nil,
-      sortCols: Seq[String] = Nil): Unit = {
+      sortCols: Seq[String] = Nil, filesPerPartition: Int = 1): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
@@ -370,7 +370,8 @@ object CommittedTable {
     // sortCols: the [[compact]] canonical in-segment order from the FIRST
     // write — parquet row-group stats support range skipping without
     // waiting for a compaction pass
-    val staged = stageSegments(df, path, partitionCol, gen = 1L, sortCols)
+    val staged = stageSegments(df, path, partitionCol, gen = 1L, sortCols,
+      filesPerPartition = filesPerPartition)
     val (stats, counts) = statsFromStaged(spark, table, staged, partitionCol, statsCols)
     publishOrAbort(hconf, table, baseGen = 0L,
       Manifest(1L, df.columns.toSeq, staged, retainGenerations,
@@ -391,7 +392,10 @@ object CommittedTable {
     * GC later makes permanent. */
   private def stageSegments(df: DataFrame, path: String, partitionCol: String,
       gen: Long, sortCols: Seq[String] = Nil,
-      sortExprs: Seq[org.apache.spark.sql.Column] = Nil): Map[String, String] = {
+      sortExprs: Seq[org.apache.spark.sql.Column] = Nil,
+      filesPerPartition: Int = 1): Map[String, String] = {
+    require(filesPerPartition >= 1,
+      s"filesPerPartition must be >= 1, got $filesPerPartition")
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
@@ -409,10 +413,21 @@ object CommittedTable {
       // __part duplicates the partition value for partitionBy, so the files
       // KEEP the column as data (a multi-root manifest read then needs no
       // per-segment value reattachment and stays one FileSourceScan);
-      // repartition on the value ⇒ one splittable file per segment per batch
-      val arranged = df.withColumn(partitionCol, col(partitionCol).cast("string"))
+      // repartition on the value ⇒ one splittable file per segment per
+      // batch — except under filesPerPartition > 1, where a DETERMINISTIC
+      // salt (spark_partition_id % n — stable per task attempt, so a
+      // retried map task re-routes rows identically; a rand() salt here is
+      // the classic repartition-retry row-loss bug) spreads one HOT
+      // partition's write across n tasks and n sorted files per segment
+      val keyed = df.withColumn(partitionCol, col(partitionCol).cast("string"))
         .withColumn("__part", col(partitionCol))
-        .repartition(col(partitionCol))
+      val arranged =
+        if (filesPerPartition <= 1) keyed.repartition(col(partitionCol))
+        else keyed
+          .withColumn("__salt",
+            pmod(spark_partition_id(), lit(filesPerPartition)))
+          .repartition(col(partitionCol), col("__salt"))
+          .drop("__salt")
       // the sort must LEAD with __part: FileFormatWriter requires an
       // ordering by the partition column and inserts its own (unstable)
       // sort when the incoming order doesn't satisfy it — which would
@@ -1301,7 +1316,8 @@ object CommittedTable {
     * merge: racing writers lose loudly, nothing vanishes. */
   def compact(spark: SparkSession, path: String, partitionCol: String,
       sortCols: Seq[String] = Nil,
-      crashPoint: String => Unit = _ => ()): Unit = {
+      crashPoint: String => Unit = _ => (),
+      filesPerPartition: Int = 1): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
     val fs = table.getFileSystem(hconf)
@@ -1314,7 +1330,8 @@ object CommittedTable {
     val gen = m.gen + 1
     require(m.cols.contains(partitionCol),
       s"$partitionCol is not a column of the committed table (${m.cols.mkString(",")})")
-    val staged = stageSegments(cur, path, partitionCol, gen, sortCols)
+    val staged = stageSegments(cur, path, partitionCol, gen, sortCols,
+      filesPerPartition = filesPerPartition)
     crashPoint("after-staging")
     // every live partition restaged; a value absent from staged would mean
     // data loss, so check the cover before publishing

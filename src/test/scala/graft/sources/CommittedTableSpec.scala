@@ -403,6 +403,42 @@ class CommittedTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("allowAddColumns"), e2.getMessage)
   }
 
+  test("filesPerPartition: a hot partition stages through parallel sorted files") {
+    val dir = freshDir("fpp")
+    // one hot partition, enough rows to populate several upstream tasks
+    val df = spark.range(10000).toDF("id")
+      .withColumn("status", lit("HOT"))
+      .withColumn("value", col("id").cast("double"))
+      .withColumn("version", lit(1L))
+      .repartition(8)
+    // at spec scale AQE would coalesce the salted shuffle back to one
+    // tiny partition (at real scale the partitions are large and stay
+    // split — the point of the feature); pin it off to see the mechanism
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try CommittedTable.write(df, dir, "status", sortCols = Seq("id"),
+      filesPerPartition = 4)
+    finally spark.conf
+      .set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = CommittedTable.readManifest(fs, table).get
+    val seg = new org.apache.hadoop.fs.Path(table, m.segments("HOT"))
+    val files = fs.listStatus(seg).map(_.getPath.getName)
+      .count(_.endsWith(".parquet"))
+    assert(files > 1 && files <= 4, s"expected 2..4 data files, got $files")
+    // content, metadata count, and the read path are unaffected
+    assert(CommittedTable.read(spark, dir).select($"id").as[Long]
+      .collect().toSet === (0L until 10000L).toSet)
+    assert(CommittedTable.count(spark, dir) === 10000L)
+    // compact back to the canonical single sorted file per partition
+    CommittedTable.compact(spark, dir, "status", sortCols = Seq("id"))
+    val seg2 = new org.apache.hadoop.fs.Path(table,
+      CommittedTable.readManifest(fs, table).get.segments("HOT"))
+    assert(fs.listStatus(seg2).map(_.getPath.getName)
+      .count(_.endsWith(".parquet")) === 1)
+    assert(CommittedTable.count(spark, dir) === 10000L)
+  }
+
   test("metadata counts: O(1) count tracks every DML; time travel + pruning compose") {
     val dir = freshDir("cnt")
     CommittedTable.write(base(), dir, "status", retainGenerations = 6)
