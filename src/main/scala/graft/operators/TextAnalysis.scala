@@ -20,6 +20,45 @@ object TextAnalysis {
       .withColumn("n_bpeish_tokens", bpeishTokenCount(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
 
+  /** N-gram NOVELTY against a reference corpus — the data-SELECTION twin
+    * of decontamination: instead of dropping overlap with an eval suite,
+    * score how much of each document is new relative to what the model
+    * has already seen (dedup-aware mixing, curriculum ordering, dataset
+    * diffing). Per document: `n_grams` distinct word n-grams, `n_novel`
+    * of them absent from the reference's distinct n-gram set, and their
+    * ratio `novelty` (NULL for a document with no n-grams — too short to
+    * judge, the caller's policy). Documents with no n-grams stay in the
+    * output with n_grams = 0.
+    *
+    * Scale shape: the reference collapses to its DISTINCT n-gram set and
+    * BROADCASTS into the corpus explode (same plan family as
+    * [[Dedup.contaminated]] — the corpus is never shuffled by n-gram;
+    * the only corpus-wide exchange keys on the doc id). A reference too
+    * big to broadcast wants the bloom route ([[Dedup.contaminatedBloom]]
+    * pattern); here novelty tolerates the sketch's fpp directly (a false
+    * positive marks a novel gram as seen — novelty UNDERestimates by
+    * ≤ fpp, no verify join needed), so the exact form is the gate and
+    * the bloom form is the documented 100 TB path. */
+  def ngramNovelty(docs: DataFrame, reference: DataFrame, textCol: String,
+      idCol: String, n: Int = 3): DataFrame = {
+    val refGrams = reference
+      .select(explode(shingles(col(textCol), n)).as("__g")).distinct()
+      .withColumn("__seen", lit(1))
+    val scored = docs
+      .select(col(idCol), explode(array_distinct(shingles(col(textCol), n))).as("__g"))
+      .join(broadcast(refGrams), Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_grams") > 0,
+          col("n_novel").cast("double") / col("n_grams")))
+  }
+
   /** Corpus-level quality report grouped by a key column. */
   def qualityReport(df: DataFrame, keyCol: String, textCol: String = "text"): DataFrame =
     df.groupBy(col(keyCol))

@@ -787,6 +787,43 @@ object TextQueries {
       GROUP BY source"""
     }),
 
+    // ---- N-gram novelty vs a reference corpus (data selection) ------------
+    // The decontamination plan's scoring twin: per doc, how many distinct
+    // word trigrams are ABSENT from the reference (src0)? Summed exactly
+    // per source (the per-doc novelty ratio is a clean division the
+    // caller applies; sums keep the gate FP-free). Reference broadcast,
+    // corpus never shuffled by gram — EXPLAIN §q127's shape.
+    Q("q140_ngram_novelty", (s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.TextAnalysis.ngramNovelty(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "text", "doc_id", n = 3)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_grams")).as("sum_grams"),
+          sum(col("n_novel")).as("sum_novel"))
+    }, Some {
+      val sh3 = s"list_distinct(list_transform(generate_series(1, GREATEST(len($TOKS)-2, 0)), i -> array_to_string(($TOKS)[i:i+2], ' ')))"
+      s"""
+      WITH bg AS (
+        SELECT DISTINCT unnest($sh3) AS g FROM documents WHERE source = 'src0'),
+      dg AS (
+        SELECT doc_id, unnest($sh3) AS g
+        FROM documents WHERE source <> 'src0'),
+      per_doc AS (
+        SELECT dg.doc_id, COUNT(*) AS n_grams,
+          COUNT(*) FILTER (WHERE bg.g IS NULL) AS n_novel
+        FROM dg LEFT JOIN bg ON dg.g = bg.g GROUP BY dg.doc_id)
+      SELECT d.source, COUNT(*) AS n_docs,
+        CAST(SUM(COALESCE(p.n_grams, 0)) AS BIGINT) AS sum_grams,
+        CAST(SUM(COALESCE(p.n_novel, 0)) AS BIGINT) AS sum_novel
+      FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+      WHERE d.source <> 'src0'
+      GROUP BY d.source"""
+    }),
+
     // ---- BPE subword tokenization (REAL merges-apply kernel) --------------
     // The codegen'd GPT-2-style greedy apply (lowest-ranked adjacent pair,
     // leftmost-non-overlapping, per word) under a FIXED merge table, over

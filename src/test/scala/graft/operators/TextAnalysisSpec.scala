@@ -209,4 +209,29 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("__rn"))
   }
+
+  test("ngramNovelty: hand-counted trigram overlap; short docs stay with NULL ratio") {
+    import spark.implicits._
+    val reference = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),      // all 3 trigrams seen → 0 novel
+      (2L, "the quick brown dog sleeps"),     // 1 seen, 2 novel
+      (3L, "completely different text here"), // 2 trigrams, both novel
+      (4L, "too short"),                      // < 3 tokens → 0 grams, NULL ratio
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .ngramNovelty(docs, reference, "text", "doc_id", n = 3)
+      .select($"doc_id", $"n_grams", $"n_novel")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out === Map(
+      1L -> ((3L, 0L)), 2L -> ((3L, 2L)), 3L -> ((2L, 2L)),
+      4L -> ((0L, 0L)), 5L -> ((0L, 0L))))
+    val ratios = TextAnalysis
+      .ngramNovelty(docs, reference, "text", "doc_id", n = 3)
+      .select($"doc_id", $"novelty").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(ratios(1L).contains(0.0) && ratios(2L).contains(2.0 / 3.0))
+    assert(ratios(4L).isEmpty && ratios(5L).isEmpty)
+  }
 }
