@@ -326,6 +326,13 @@ object ExplainDump {
         |never a global sort, no self-join, no collect; the budget CASE
         |and the keep filter are projections riding the window
         |output.""".stripMargin,
+    "q140_ngram_novelty" ->
+      """Wants: the q127 decontamination shape re-used for scoring — the
+        |reference side collapses to DISTINCT trigrams and BROADCASTS into
+        |the corpus explode; the left join marks seen grams map-side, and
+        |the only corpus-wide exchange keys on doc_id for the per-doc
+        |aggregate. No gram-keyed shuffle of the corpus
+        |anywhere.""".stripMargin,
     "q130_fuzzy_join_best" ->
       """Wants: the q125 fuzzy-join plan verbatim (band equi-join on
         |(band_no, band_key) → distinct candidates → shingle verify joins
