@@ -234,7 +234,18 @@ class ChangeFeedSource(spark: SparkSession, path: String,
     val base = start.map(genOf).getOrElse {
       // "earliest" floor: the oldest generation changesFor can still serve
       if (initialBase > 0L) initialBase
-      else math.max(0L, currentGen() - retain() + 1 - 1)
+      else {
+        // "earliest" floor: full mode can serve every retained generation;
+        // keys/cdf need the BASELINE generation retained too, so on an
+        // AGED table their floor is one generation tighter — otherwise an
+        // earliest start dies on its very first batch's missing baseline.
+        // Generation 1 (the initial load) is all-insert and needs no
+        // baseline, so a table whose history still reaches gen 1 streams
+        // from the very beginning in every mode.
+        val oldestReadable = currentGen() - retain() + 1
+        if (keyDelta.isDefined && oldestReadable > 1L) oldestReadable
+        else math.max(0L, oldestReadable - 1L)
+      }
     }
     val endGen = genOf(end)
     if (endGen <= base) // replayed no-op range: zero rows, stream schema

@@ -281,6 +281,23 @@ class ChangeFeedSpec extends SparkSpec {
     assert(snap(dst) === snap(src))
   }
 
+  test("earliest start on an AGED table: keys mode floors at the oldest gen with a baseline") {
+    val dir = freshDir("agedstart")
+    val out = Files.createTempDirectory("graft-cfa-out").toString
+    val ckpt = Files.createTempDirectory("graft-cfa-ckpt").toString
+    CommittedTable.write(base(), dir, "status") // retain = 2
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 21.0, 2L),
+      "id", "version", "status")
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 22.0, 3L),
+      "id", "version", "status")
+    // readable = {2, 3}, but gen 2's baseline (gen 1) is aged out: a keys
+    // stream from "earliest" must start AT gen 3, not die on gen 2
+    runFeed(dir, out, ckpt, keyDelta = Some(("id", "version")))
+    val got = spark.read.parquet(out)
+    assert(got.select($"_change_gen").as[Long].collect().toSet === Set(3L))
+    assert(rows(got) === Set((2L, "A", 22.0, 3L)))
+  }
+
   test("streaming: consumer lagging past retention fails loudly, names the window") {
     val dir = freshDir("lag")
     val out = Files.createTempDirectory("graft-cfl-out").toString
