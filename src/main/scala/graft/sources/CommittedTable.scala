@@ -1111,9 +1111,13 @@ object CommittedTable {
     val terms = for (((c, mn, mx), ci) <- cols.zipWithIndex; b <- 0 until bits)
       yield {
         val range = if (mx > mn) mx - mn else 1.0
+        // Long shift: Int `1 << bits` wraps mod 32 for bits >= 31 (the
+        // single-column guard admits up to 60), degenerating the key to a
+        // constant and silently publishing an unclustered layout
+        val buckets = 1L << bits
         val bucket = least(greatest(
-          floor((c.cast("double") - lit(mn)) / lit(range) * lit(1 << bits)),
-          lit(0.0)), lit((1 << bits) - 1.0)).cast("long")
+          floor((c.cast("double") - lit(mn)) / lit(range) * lit(buckets.toDouble)),
+          lit(0.0)), lit(buckets - 1.0)).cast("long")
         shiftleft(shiftrightunsigned(coalesce(bucket, lit(0L)), b)
           .bitwiseAND(lit(1L)), b * n + ci)
       }
@@ -1249,12 +1253,23 @@ object CommittedTable {
     * is a key MOVE — that is [[merge]]'s latest-version-wins job, and
     * letting update do it silently would bypass the version protocol);
     * assigned columns must exist (widening is merge's
-    * `allowAddColumns`). */
+    * `allowAddColumns`).
+    *
+    * CDC visibility contract: [[changesForKeys]]/[[changesCdf]] detect a
+    * row's change by its (key, version) pair — an update that rewrites
+    * data columns WITHOUT bumping the table's version column leaves the
+    * pair unchanged, so keys/cdf consumers (CDF replicas, incremental
+    * views) classify the row UNCHANGED and silently drift from the
+    * source. A table consumed through those feeds must bump its version
+    * column in the same update; pass it as `versionCol` and this method
+    * ENFORCES that (refusing an assignment set that omits it) rather
+    * than trusting every call site to remember. */
   def update(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
       partitionCol: String,
-      crashPoint: String => Unit = _ => ()): Unit = {
+      crashPoint: String => Unit = _ => (),
+      versionCol: Option[String] = None): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
     val fs = table.getFileSystem(hconf)
@@ -1271,6 +1286,15 @@ object CommittedTable {
     require(!assignments.contains(partitionCol),
       s"cannot assign the partition column $partitionCol: a row changing " +
         "partition is a key move — use merge (latest-version-wins) instead")
+    versionCol.foreach { v =>
+      require(m.cols.contains(v),
+        s"versionCol $v is not a column of the committed table (${m.cols.mkString(",")})")
+      require(assignments.contains(v),
+        s"this table is consumed via keys/cdf change feeds keyed on version " +
+          s"column $v: an update that does not assign $v leaves (key, version) " +
+          "unchanged and the change invisible to CDC consumers — assign a " +
+          "bumped version in the same update")
+    }
     val matched = predicate.isNotNull && predicate
     val affected: Array[String] = read(spark, path)
       .filter(matched)

@@ -218,7 +218,15 @@ class ChangeFeedSource(spark: SparkSession, path: String,
         s"number; got '$other'")
   }
 
+  // Recovery discriminator: on a checkpoint restart MicroBatchExecution
+  // re-issues getBatch for the last WAL'd batch BEFORE any getOffset of
+  // this run (source re-initialization — the batch's rows were already
+  // delivered). Only a batch planned AFTER a getOffset of this process
+  // can be genuinely new, so only that path may raise the lost-range error.
+  @volatile private var offsetPolled = false
+
   override def getOffset: Option[Offset] = {
+    offsetPolled = true
     val gen = currentGen()
     if (gen <= initialBase) None else Some(LongOffset(gen))
   }
@@ -248,9 +256,26 @@ class ChangeFeedSource(spark: SparkSession, path: String,
       }
     }
     val endGen = genOf(end)
-    if (endGen <= base) // replayed no-op range: zero rows, stream schema
+    if (endGen <= base) {
+      // With a committed start this is a replayed no-op range (restart
+      // re-plans an already-delivered batch): zero rows, stream schema.
+      // With NO start (earliest), the floor was re-derived at batch-
+      // planning time; a writer racing past the retain window between
+      // getOffset and here would make base swallow the whole requested
+      // range — that is retention lag, and it must fail LOUDLY (the
+      // module's contract), not commit a silently empty batch. The one
+      // start=None call that is NOT a fresh plan is checkpoint-recovery
+      // re-initialization (already delivered; precedes any getOffset of
+      // this run) — benign, returns empty like any replay.
+      if (start.isEmpty && offsetPolled)
+        throw new IllegalStateException(
+          s"change feed on $path lost generations 1..$endGen before the " +
+            s"first batch: the earliest retained start is now ${base + 1} " +
+            "(writer outran the retention window during stream start); " +
+            "raise retainGenerations or start the stream from latest")
       return bridge.asStreamingDataFrame(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+    }
     val batches = (base + 1) to endGen map { g =>
       val delta = (keyDelta, cdf) match {
         case (Some((k, v)), true) =>

@@ -47,10 +47,14 @@ object IncrementalAgg {
       throw new java.io.IOException(s"no committed table at $src"))
     // the group value doubles as the view's PARTITION value — string-typed
     // so batch-side joins and manifest pruning agree on the encoding
+    // sum_value is DOUBLE by contract: apply()'s fold arithmetic produces
+    // doubles, and a bootstrap that wrote int64 for an integral valueCol
+    // would leave untouched partitions unreadable after the first fold
+    // (parquet cannot serve INT64 as the view's probed DoubleType)
     val agg = CommittedTable.read(spark, src)
       .groupBy(col(groupCol).cast("string").as(groupCol))
       .agg(count(lit(1)).as("n"),
-        sum(col(valueCol)).as("sum_value"))
+        sum(col(valueCol)).cast("double").as("sum_value"))
       .withColumn("applied_gen", lit(gen))
     CommittedTable.write(agg, dst, groupCol)
     gen
@@ -86,7 +90,8 @@ object IncrementalAgg {
     if (fresh.isEmpty) return
     val delta = fresh.groupBy(col(groupCol))
       .agg(sum(col("__sign")).as("__dn"),
-        sum(col("__sign") * coalesce(col(valueCol), lit(0))).as("__dsum"),
+        sum(col("__sign") * coalesce(col(valueCol).cast("double"), lit(0.0)))
+          .as("__dsum"),
         max(col(ChangeFeed.GenColumn)).as("__gen"))
     val next = delta.join(cur, Seq(groupCol), "left")
       .select(col(groupCol),

@@ -403,6 +403,32 @@ class CommittedTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("allowAddColumns"), e2.getMessage)
   }
 
+  test("update: versionCol guard refuses a data-only update invisible to CDC feeds") {
+    val dir = freshDir("updguard")
+    CommittedTable.write(base(), dir, "status")
+    // data columns change but (key, version) does not: keys/cdf consumers
+    // would classify the row UNCHANGED — the guard refuses the call
+    val e = intercept[IllegalArgumentException](
+      CommittedTable.update(spark, dir, $"id" === 1L,
+        Map("value" -> lit(99.0)), "status",
+        versionCol = Some("version")))
+    assert(e.getMessage.contains("invisible to CDC"), e.getMessage)
+    // same update WITH the bump passes the guard and the cdf feed sees it
+    CommittedTable.update(spark, dir, $"id" === 1L,
+      Map("value" -> lit(99.0), "version" -> lit(2L)), "status",
+      versionCol = Some("version"))
+    val cdf = CommittedTable.changesCdf(spark, dir, 2L, "id", "version")
+    assert(cdf.filter($"id" === 1L &&
+      col(CommittedTable.ChangeTypeColumn) === "update_postimage").count() === 1L)
+    // unknown version column named loudly (without tripping the earlier
+    // unknown-ASSIGNMENT check: the assignment set itself is valid)
+    val e2 = intercept[IllegalArgumentException](
+      CommittedTable.update(spark, dir, $"id" === 2L,
+        Map("value" -> lit(1.0)), "status",
+        versionCol = Some("nope")))
+    assert(e2.getMessage.contains("not a column"), e2.getMessage)
+  }
+
   test("filesPerPartition: a hot partition stages through parallel sorted files") {
     val dir = freshDir("fpp")
     // one hot partition, enough rows to populate several upstream tasks
@@ -509,6 +535,20 @@ class CommittedTableSpec extends SparkSpec {
         Seq(($"x", 0.0, 4.0), ($"y", 0.0, 4.0)), bits = 2).as("z"))
       .as[Long].collect()
     assert(edge(0) === morton(0, 3) && edge(1) === morton(0, 0))
+  }
+
+  test("mortonKey: bits >= 31 uses Long shifts — no Int wrap to a constant key") {
+    // a single column may take up to 60 bits; Int `1 << 32` wraps to 1 and
+    // degenerates every key to a constant (an unclustered layout published
+    // silently). 40 bits must keep distinct buckets distinct and ordered.
+    val df = Seq(0.0, 1.0, 2.0, 3.0).toDF("x")
+    val keys = df.select(CommittedTable.mortonKey(
+        Seq(($"x", 0.0, 4.0)), bits = 40).as("z"))
+      .as[Long].collect()
+    assert(keys.distinct.length === 4, s"degenerate keys: ${keys.toSeq}")
+    assert(keys.sorted.toSeq === keys.toSeq) // bucket order preserved
+    // bucket width = 2^40 / 4: endpoints land where Long arithmetic says
+    assert(keys(3) === 3L * (1L << 38))
   }
 
   test("compactZOrder: content identical; a 2-D box skips row groups a 1-D sort cannot") {

@@ -320,4 +320,39 @@ class ChangeFeedSpec extends SparkSpec {
       .map(_.getMessage).mkString(" | ")
     assert(msg.contains("not retained") && msg.contains("readable 3..4"), msg)
   }
+
+  test("earliest start outrun by the writer fails loudly, never a silent empty batch") {
+    // the race: getOffset captured `end` while the table was young; by the
+    // time getBatch plans the first batch the writer has pushed the retain
+    // floor past `end`. The whole requested range is lost — that must be
+    // the retention error, not a committed empty batch skipping gens.
+    val dir = freshDir("race")
+    CommittedTable.write(base(), dir, "status") // retain = 2
+    val src = new ChangeFeedSource(spark, dir, "earliest", None)
+    // planning starts: getOffset captures gen 1 (this also marks the
+    // stream as live-planning — a recovery getBatch precedes any poll)
+    val endAtStart = src.getOffset.get
+    // writer races: gens 2..4 published, floor now past gen 1
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 21.0, 2L),
+      "id", "version", "status")
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 22.0, 3L),
+      "id", "version", "status")
+    CommittedTable.merge(spark, dir, upsert(2L, "A", 23.0, 4L),
+      "id", "version", "status")
+    val e = intercept[IllegalStateException](
+      src.getBatch(None, endAtStart))
+    assert(e.getMessage.contains("lost generations"), e.getMessage)
+    // a COMMITTED start replaying an already-delivered range is still the
+    // benign no-op (restart semantics), not an error — zero-row batch in
+    // the stream schema
+    val replay = src.getBatch(
+      Some(org.apache.spark.sql.execution.streaming.runtime.LongOffset(4L)),
+      org.apache.spark.sql.execution.streaming.runtime.LongOffset(4L))
+    assert(replay.isStreaming && replay.schema === src.schema)
+    // checkpoint-recovery shape: a FRESH source's first call is getBatch
+    // (no prior getOffset this run) — re-initialization, never the error
+    val recovered = new ChangeFeedSource(spark, dir, "earliest", None)
+    val reinit = recovered.getBatch(None, endAtStart)
+    assert(reinit.isStreaming && reinit.schema === recovered.schema)
+  }
 }

@@ -88,4 +88,31 @@ class IncrementalAggSpec extends SparkSpec {
     assert(liveViewRows(dst) === recompute(src))
     assert(viewRows(dst)("B") === ((1L, 5.0)))
   }
+
+  test("integral valueCol: bootstrap and fold agree on a DOUBLE sum_value") {
+    // init over a LONG value column must not write int64 sum_value: the
+    // first fold rewrites only the touched groups' partitions as double,
+    // and a mixed-type view is unreadable (parquet cannot serve INT64
+    // through the newest segment's probed DoubleType)
+    val src = freshDir("int-src")
+    val dst = freshDir("int-dst")
+    val ckpt = Files.createTempDirectory("graft-iagg-ickpt").toString
+    val rows = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "B", 30L),
+      (4L, "C", 40L)).toDF("id", "status", "value")
+      .withColumn("version", lit(1L))
+    CommittedTable.write(rows, src, "status", retainGenerations = 8)
+    IncrementalAgg.init(spark, src, dst, "status", "value")
+    assert(CommittedTable.read(spark, dst).schema("sum_value").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    // touch ONLY group A; groups B and C keep their bootstrap partitions
+    CommittedTable.merge(spark, src,
+      Seq((1L, "A", 15L, 2L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    val q = IncrementalAgg.sync(spark, src, dst, "id", "version",
+      "status", "value", ckpt).start()
+    q.awaitTermination(120000)
+    // the full view — untouched partitions included — stays readable
+    assert(viewRows(dst) === Map(
+      "A" -> ((2L, 35.0)), "B" -> ((1L, 30.0)), "C" -> ((1L, 40.0))))
+  }
 }
