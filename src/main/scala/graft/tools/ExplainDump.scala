@@ -621,6 +621,48 @@ object ExplainDump {
           |join (2-column ReadSchema).""".stripMargin,
         graft.sources.CommittedTable.changesForKeys(spark, ctDir, 2L,
           "o_orderkey", "version"))
+
+      // q139's read path: the gate's count DataFrame is manifest metadata
+      // turned into local rows — prove the "zero jobs" claim by counting
+      // Spark jobs around the whole path, not just showing the plan
+      val jobsBefore = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      val counts = graft.sources.CommittedTable.rowCounts(spark, ctDir)
+        .getOrElse(throw new IllegalStateException("manifest lacks row counts"))
+      import spark.implicits._
+      val countDf = counts.toSeq.toDF("o_orderstatus", "n_rows")
+        .orderBy(org.apache.spark.sql.functions.col("o_orderstatus"))
+      val jobsAfter = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      section("q139_metadata_count (CommittedTable.rowCounts → local rows)",
+        s"""Wants: NO FileSourceScan anywhere — the per-partition counts are
+          |manifest integers read on the driver (one _commit + one anchor
+          |file), so the whole "query" plans as a LocalTableScan/LocalRelation
+          |of already-known rows. Spark jobs launched while resolving the
+          |counts, measured in this dump run: ${jobsAfter - jobsBefore}
+          |(the zero-jobs claim, pinned). At 100 TB a COUNT(*) is a sum of
+          |a few hundred manifest integers; only a pre-feature manifest
+          |falls back to a footer-count scan.""".stripMargin,
+        countDf)
+
+      // q138's read path: compact the zone-mapped table into the z-ordered
+      // layout first (the gate's exact sequence), then the conjunctive
+      // range read a deployment repeats
+      graft.sources.CommittedTable.compactZOrder(spark, zmDir,
+        "o_orderstatus", Seq("o_totalprice", "o_orderkey"), bits = 10)
+      section("q138_zorder_read (readRangeMulti after compactZOrder)",
+        """Wants: the SAME metadata shape as §q131 — z-order changes row
+          |ORDER inside segments, never the read plan: the conjunctive
+          |zone-map prune still resolves on the driver from the fresh
+          |post-compact manifest stats (a segment survives only if every
+          |predicate's zone intersects), root paths are only the surviving
+          |seg-g2 dirs, and both residual ranges ride the ONE
+          |FileSourceScan as PushedFilters. The clustering win is then
+          |WITHIN that scan — parquet row-group stats are tight in BOTH
+          |dimensions, so the pushed ranges skip ~2.4× more row groups
+          |than a 1-D sort (measured in CommittedTableSpec) — invisible in
+          |the plan, visible in rows-scanned metrics.""".stripMargin,
+        graft.sources.CommittedTable.readRangeMulti(spark, zmDir, Seq(
+          ("o_totalprice", Some(50000.0), Some(150000.0)),
+          ("o_orderkey", Some(1000L), Some(40000L)))))
     }
 
     Files.write(Paths.get("EXPLAIN.md"), sb.toString.getBytes("UTF-8"))
