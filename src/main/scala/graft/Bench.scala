@@ -20,6 +20,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

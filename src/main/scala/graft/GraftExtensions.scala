@@ -18,7 +18,7 @@ import graft.functions._
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftFunctions.defs
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     defs.foreach { case (name, builder) =>
       e.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
@@ -26,6 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             "graft", name),
           (args: Seq[Expression]) => builder(args)))
     }
+    // committed-table SQL surface (GraftCatalog): native-scan read
+    // substitution + DELETE/UPDATE/MERGE/INSERT routing, and the
+    // manifest-fed COUNT(*) collapse
+    e.injectResolutionRule(session => graft.sql.GraftAnalysis(session))
+    e.injectOptimizerRule(session => graft.sql.GraftMetadataCount(session))
+  }
 }
 
 object GraftFunctions {

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.Registry.table
+
+/** The committed-table SQL surface (graft.sql.GraftCatalog), gated
+  * against the same DuckDB oracles as the Scala lakehouse verbs: every
+  * statement here goes through `spark.sql(...)` TEXT — resolution via
+  * the DSv2 catalog, reads substituted with the manifest-pruned native
+  * parquet scan, DML routed into the one CommittedTable protocol — so a
+  * pass proves SQL is a real front end over the same semantics, not a
+  * parallel implementation.
+  *
+  * Fixture-scrub convention (q100/q119/q126): each query writes its own
+  * committed table under a temp dir inside the timed body, runs the SQL,
+  * collects, deletes the dir, and returns the collected rows.
+  */
+object SqlSurface {
+
+  private val DSUM = (x: String) => s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  private def scrub(wh: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  private def finish(s: org.apache.spark.sql.SparkSession,
+      out: org.apache.spark.sql.DataFrame, wh: String)
+      : org.apache.spark.sql.DataFrame = {
+    val rows = out.collect()
+    val schema = out.schema
+    scrub(wh)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
+  val queries: Seq[Q] = Seq(
+
+    // ---- SQL SELECT over a committed table --------------------------------
+    // graft.`<path>` resolves through the DSv2 catalog; the WHERE combines
+    // a partition-column equality (manifest key prune — unselected
+    // segments never listed) with a zone-map range on o_totalprice
+    // (segment min/max prune), both decided from metadata by
+    // GraftFileIndex before the native vectorized scan runs; the exact
+    // predicates are ALSO pushed to parquet, so pruning changes I/O only.
+    // GraftCatalogSpec pins the pruned file counts; the oracle pins the
+    // answer.
+    Q("q141_sql_select", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q141").toString + "/wh"
+      graft.sources.CommittedTable.write(o, wh, "o_orderstatus",
+        statsCols = Seq("o_totalprice", "o_orderkey"))
+      val out = s.sql(
+        s"""SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$wh`
+            WHERE o_orderstatus = 'O'
+              AND o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+            GROUP BY o_orderpriority""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_orderstatus = 'O'
+        AND o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+      GROUP BY o_orderpriority""")),
+
+    // ---- SQL DELETE FROM --------------------------------------------------
+    // q134's row-level delete issued as SQL text: the routed command runs
+    // CommittedTable.delete — partition-scoped rewrite, atomic manifest
+    // swap, fencing — so the survivors must equal the oracle's NOT-matched
+    // set exactly (NULL predicate = kept is the spec's job; here the
+    // predicate is total).
+    Q("q142_sql_delete", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q142").toString + "/wh"
+      graft.sources.CommittedTable.write(o, wh, "o_orderstatus")
+      s.sql(s"DELETE FROM graft.`$wh` " +
+        "WHERE o_orderkey % 7 = 0 AND o_totalprice < 200000.0")
+      val out = s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$wh` GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE NOT (o_orderkey % 7 = 0 AND o_totalprice < 200000.0)
+      GROUP BY o_orderstatus""")),
+
+    // ---- SQL UPDATE -------------------------------------------------------
+    // q136's row-level update as SQL text, INCLUDING the CDC-visibility
+    // guard: the table declares versionCol, so the statement must bump it
+    // in the same SET (a data-only update is refused — the r14 drift
+    // finding made a contract). Assignments are simultaneous against
+    // pre-update values on both engines.
+    Q("q143_sql_update", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q143").toString + "/wh"
+      graft.sources.CommittedTable.write(o, wh, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      s.sql(s"UPDATE graft.`$wh` SET " +
+        "o_totalprice = o_totalprice + 500.0, version = version + 1 " +
+        "WHERE o_orderstatus = 'O' AND o_orderkey % 3 = 0")
+      val out = s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+              ${DSUM("o_totalprice")} AS sum_price,
+              CAST(SUM(version) AS BIGINT) AS sum_version
+            FROM graft.`$wh` GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      WITH upd AS (
+        SELECT o_orderstatus,
+          CASE WHEN o_orderstatus = 'O' AND o_orderkey % 3 = 0
+               THEN o_totalprice + 500.0 ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderstatus = 'O' AND o_orderkey % 3 = 0
+               THEN 2 ELSE 1 END AS version
+        FROM orders)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(version) AS BIGINT) AS sum_version
+      FROM upd GROUP BY o_orderstatus""")),
+
+    // ---- SQL MERGE INTO ---------------------------------------------------
+    // q119's exact merge fixture (upsert + partition move + insert, latest
+    // version wins) issued as `MERGE INTO … WHEN MATCHED THEN UPDATE SET *
+    // WHEN NOT MATCHED THEN INSERT *` — routed to CommittedTable.merge
+    // using the key/version columns the MANIFEST declares, so the q119
+    // oracle applies verbatim: SQL changes the entry point, never the
+    // merge semantics.
+    Q("q144_sql_merge", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q144").toString + "/wh"
+      graft.sources.CommittedTable.write(
+        o.withColumn("version", lit(1L)), wh, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      val k = col("o_orderkey")
+      val upserts = o.filter(k % 19 === 0 || k % 31 === 0)
+        .withColumn("o_totalprice",
+          when(k % 19 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderstatus",
+          when(k % 31 === 0 && k % 19 =!= 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("version", lit(2L))
+      val inserts = o.filter(k % 53 === 0)
+        .withColumn("o_orderkey", k + 100000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("version", lit(2L))
+      upserts.unionByName(inserts).createOrReplaceTempView("q144_src")
+      s.sql(s"MERGE INTO graft.`$wh` t USING q144_src s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      val out = s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price,
+              CAST(SUM(version) AS BIGINT) AS sum_version
+            FROM graft.`$wh` GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS version
+        FROM orders),
+      upd AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 31 = 0 AND o_orderkey % 19 <> 0
+               THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+          CASE WHEN o_orderkey % 19 = 0
+               THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+          2 AS version
+        FROM orders WHERE o_orderkey % 19 = 0 OR o_orderkey % 31 = 0
+        UNION ALL
+        SELECT o_orderkey + 100000000, o_custkey, 'N', o_totalprice, 2
+        FROM orders WHERE o_orderkey % 53 = 0),
+      merged AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                      ORDER BY version DESC) AS rn
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
+        WHERE rn = 1)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(version) AS BIGINT) AS sum_version
+      FROM merged GROUP BY o_orderstatus""")),
+
+    // ---- SQL metadata-only COUNT(*) ---------------------------------------
+    // q139's zero-job count through SQL text: GraftMetadataCount collapses
+    // the groupless COUNT(*) over the unfiltered committed scan to a
+    // LocalRelation fed by manifest row counts — no file listed, no job
+    // run (GraftCatalogSpec pins the plan shape; EXPLAIN.md carries the
+    // dump). At 100 TB this is the difference between a metadata lookup
+    // and a full scan.
+    Q("q145_sql_metadata_count", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q145").toString + "/wh"
+      graft.sources.CommittedTable.write(o, wh, "o_orderstatus")
+      val out = s.sql(s"SELECT COUNT(*) AS n FROM graft.`$wh`")
+      finish(s, out, wh)
+    }, Some("SELECT COUNT(*) AS n FROM orders")))
+}

@@ -89,7 +89,17 @@ object CommittedTable {
       segments: Map[String, String], retain: Int = 2,
       statsCols: Seq[String] = Nil,
       stats: Map[String, Seq[(Option[String], Option[String])]] = Map.empty,
-      rowCounts: Map[String, Long] = Map.empty)
+      rowCounts: Map[String, Long] = Map.empty,
+      // table-role metadata (optional lines partcol=/keycol=/vercol=): the
+      // partition column every physical operation is scoped by, and the
+      // merge key/version columns — recorded at write()/first merge so the
+      // SQL surface (graft.sql.GraftCatalog) can route DELETE/UPDATE/MERGE
+      // INTO without the caller re-declaring what the table already knows.
+      // Pre-feature manifests lack all three (Scala API unaffected; SQL DML
+      // on such a table fails loudly asking for a re-write with metadata).
+      partitionCol: Option[String] = None,
+      keyCol: Option[String] = None,
+      verCol: Option[String] = None)
 
   private[graft] def readManifest(fs: FileSystem, table: Path): Option[Manifest] =
     readManifestFile(fs, new Path(table, Commit))
@@ -123,6 +133,11 @@ object CommittedTable {
     val statsCols = lines.drop(2).find(_.startsWith("stats="))
       .map(_.stripPrefix("stats=").split('\t').toSeq.filter(_.nonEmpty))
       .getOrElse(Nil)
+    def metaLine(prefix: String): Option[String] =
+      lines.drop(2).find(_.startsWith(prefix)).map(l => unesc(l.stripPrefix(prefix)))
+    val partCol = metaLine("partcol=")
+    val keyCol = metaLine("keycol=")
+    val verCol = metaLine("vercol=")
     val rowCounts = lines.drop(2).filter(_.startsWith("rows="))
       .map { l =>
         l.stripPrefix("rows=").split('\t') match {
@@ -132,7 +147,8 @@ object CommittedTable {
       }.toMap
     val segLines = lines.drop(2).filter(l =>
       l.nonEmpty && !l.startsWith("retain=") && !l.startsWith("stats=") &&
-        !l.startsWith("rows="))
+        !l.startsWith("rows=") && !l.startsWith("partcol=") &&
+        !l.startsWith("keycol=") && !l.startsWith("vercol="))
     val parsed = segLines.map { l =>
       l.split('\t') match {
         case Array(v, d) => (unesc(v), d, Nil: Seq[(Option[String], Option[String])])
@@ -146,7 +162,7 @@ object CommittedTable {
     Some(Manifest(gen, cols,
       parsed.map(t => t._1 -> t._2).toMap, retain, statsCols,
       parsed.collect { case (v, _, st) if st.nonEmpty => v -> st }.toMap,
-      rowCounts))
+      rowCounts, partCol, keyCol, verCol))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
@@ -166,8 +182,12 @@ object CommittedTable {
     val rowLines = m.rowCounts.toSeq.sortBy(_._1)
       .filter { case (v, _) => m.segments.contains(v) }
       .map { case (v, n) => s"rows=${esc(v)}\t$n" }
+    val metaLines =
+      m.partitionCol.map(v => s"partcol=${esc(v)}").toSeq ++
+        m.keyCol.map(v => s"keycol=${esc(v)}").toSeq ++
+        m.verCol.map(v => s"vercol=${esc(v)}").toSeq
     val body = (Seq(s"gen=${m.gen}", s"cols=${m.cols.mkString("\t")}",
-      s"retain=${m.retain}") ++ statsLine ++ rowLines ++
+      s"retain=${m.retain}") ++ metaLines ++ statsLine ++ rowLines ++
       m.segments.toSeq.sortBy(_._1).map { case (v, d) =>
         val st = m.stats.get(v).filter(_ => m.statsCols.nonEmpty)
           .map(_.flatMap(p => Seq(encStat(p._1), encStat(p._2)))
@@ -355,7 +375,8 @@ object CommittedTable {
     * published atomically after every segment is in place. */
   def write(df: DataFrame, path: String, partitionCol: String,
       retainGenerations: Int = 2, statsCols: Seq[String] = Nil,
-      sortCols: Seq[String] = Nil, filesPerPartition: Int = 1): Unit = {
+      sortCols: Seq[String] = Nil, filesPerPartition: Int = 1,
+      keyCol: Option[String] = None, versionCol: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
@@ -365,8 +386,9 @@ object CommittedTable {
     require(readManifest(fs, table).isEmpty,
       s"$path already holds a committed table; use merge for updates")
     fs.mkdirs(table)
-    (statsCols ++ sortCols).foreach(c => require(df.columns.contains(c),
-      s"column $c absent from the table (${df.columns.mkString(",")})"))
+    (statsCols ++ sortCols ++ keyCol ++ versionCol).foreach(c =>
+      require(df.columns.contains(c),
+        s"column $c absent from the table (${df.columns.mkString(",")})"))
     // sortCols: the [[compact]] canonical in-segment order from the FIRST
     // write — parquet row-group stats support range skipping without
     // waiting for a compaction pass
@@ -375,7 +397,8 @@ object CommittedTable {
     val (stats, counts) = statsFromStaged(spark, table, staged, partitionCol, statsCols)
     publishOrAbort(hconf, table, baseGen = 0L,
       Manifest(1L, df.columns.toSeq, staged, retainGenerations,
-        statsCols, stats, counts), staged)
+        statsCols, stats, counts, Some(partitionCol), keyCol, versionCol),
+      staged)
   }
 
   /** Write one segment dir per partition value of `df` under a staging
@@ -773,11 +796,13 @@ object CommittedTable {
     crashPoint("after-staging")
     val (segStats, segCounts) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
-    val next = Manifest(gen, m.cols,
-      (m.segments -- affected) ++ staged.view.filterKeys(affected.contains),
-      m.retain, m.statsCols,
-      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains),
-      (m.rowCounts -- affected) ++ segCounts.view.filterKeys(affected.contains))
+    val next = m.copy(gen = gen,
+      segments = (m.segments -- affected) ++
+        staged.view.filterKeys(affected.contains),
+      stats = (m.stats -- affected) ++
+        segStats.view.filterKeys(affected.contains),
+      rowCounts = (m.rowCounts -- affected) ++
+        segCounts.view.filterKeys(affected.contains))
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen, next, staged)
     crashPoint("after-swap")
@@ -935,20 +960,48 @@ object CommittedTable {
       if (m.segments.isEmpty) None // unreachable below; readFrom throws
       else Some(spark.read.parquet(
         new Path(table, m.segments.values.maxBy(genOf)).toString).schema)
-    // per-column pruning state: stats index, comparator, canonical bounds
-    val colPlans = ranges.map { case (statsCol, lower, upper) =>
-      val dt = probed.fold(TimestampType: org.apache.spark.sql.types.DataType)(
-        _.find(_.name == statsCol).map(_.dataType)
-          .getOrElse(throw new java.io.IOException(
-            s"stats column $statsCol absent from the newest segment")))
-      (statsCol, m.statsCols.indexOf(statsCol), dt, statCompare(dt),
-        lower.map(canonBound(dt, _)), upper.map(canonBound(dt, _)),
-        lower, upper)
-    }
     val base = partitionValues.map(_.filter(m.segments.contains))
       .getOrElse(m.segments.keys.toSeq)
-    val kept = base.filter { v =>
-      colPlans.forall { case (_, idx, _, cmp, lo, hi, _, _) =>
+    val kept = zoneSurvivors(m, probed, ranges, base)
+    val pruned = readFrom(spark, table, m, Some(kept))
+    val preds = ranges.map { case (statsCol, lower, upper) =>
+      (statsCol, typeOf(probed, statsCol),
+        lower.map(canonBound(typeOf(probed, statsCol), _)),
+        upper.map(canonBound(typeOf(probed, statsCol), _)), lower, upper)
+    }.flatMap { case (statsCol, dt, lo, hi, lower, upper) =>
+      val c =
+        if (dt == TimestampType) unix_micros(col(statsCol)) else col(statsCol)
+      lo.map(l => if (dt == TimestampType) c >= lit(l.toLong) else c >= lit(lower.get)).toSeq ++
+        hi.map(h => if (dt == TimestampType) c <= lit(h.toLong) else c <= lit(upper.get)).toSeq
+    }
+    preds.foldLeft(pruned)((df, p) => df.filter(p))
+  }
+
+  private def typeOf(probed: Option[org.apache.spark.sql.types.StructType],
+      statsCol: String): org.apache.spark.sql.types.DataType =
+    probed.fold(org.apache.spark.sql.types.TimestampType
+        : org.apache.spark.sql.types.DataType)(
+      _.find(_.name == statsCol).map(_.dataType)
+        .getOrElse(throw new java.io.IOException(
+          s"stats column $statsCol absent from the newest segment")))
+
+  /** Zone-map pruning core, shared by [[readRangeMulti]] and the SQL
+    * surface's [[graft.sql.GraftFileIndex]]: of `base` partition values,
+    * those whose stored per-column [min,max] can intersect EVERY bounded
+    * column's [lower, upper]. Purely a metadata filter — conservative on
+    * missing stats / unparsable bounds (KEEP), all-NULL segments dropped
+    * only under a bound (a range predicate never selects NULLs). */
+  private[graft] def zoneSurvivors(m: Manifest,
+      probed: Option[org.apache.spark.sql.types.StructType],
+      ranges: Seq[(String, Option[Any], Option[Any])],
+      base: Seq[String]): Seq[String] = {
+    val colPlans = ranges.map { case (statsCol, lower, upper) =>
+      val dt = typeOf(probed, statsCol)
+      (m.statsCols.indexOf(statsCol), statCompare(dt),
+        lower.map(canonBound(dt, _)), upper.map(canonBound(dt, _)))
+    }
+    base.filter { v =>
+      colPlans.forall { case (idx, cmp, lo, hi) =>
         if (idx < 0) true
         else m.stats.get(v).map(_(idx)) match {
           case None => true // no stats recorded for this segment: keep
@@ -966,14 +1019,6 @@ object CommittedTable {
         }
       }
     }
-    val pruned = readFrom(spark, table, m, Some(kept))
-    val preds = colPlans.flatMap { case (statsCol, _, dt, _, lo, hi, lower, upper) =>
-      val c =
-        if (dt == TimestampType) unix_micros(col(statsCol)) else col(statsCol)
-      lo.map(l => if (dt == TimestampType) c >= lit(l.toLong) else c >= lit(lower.get)).toSeq ++
-        hi.map(h => if (dt == TimestampType) c <= lit(h.toLong) else c <= lit(upper.get)).toSeq
-    }
-    preds.foldLeft(pruned)((df, p) => df.filter(p))
   }
 
   private def readFrom(spark: SparkSession, table: Path, m: Manifest,
@@ -984,17 +1029,8 @@ object CommittedTable {
     }
     if (m.segments.isEmpty)
       throw new java.io.IOException(s"committed table $table is empty; no schema")
-    // types come from ONE probe of a newest-generation segment — the merge
-    // that introduced the current manifest wrote its segments with the
-    // FULL current column list, so after a schema widen the older
-    // segments' missing columns NULL-fill by-name under the explicit
-    // schema (zero extra footers read; never a mergeSchema sweep)
     val newestDir = m.segments.values.maxBy(genOf)
-    val probed = spark.read.parquet(new Path(table, newestDir).toString).schema
-    val schema = org.apache.spark.sql.types.StructType(
-      m.cols.map(c => probed.find(_.name == c).getOrElse(
-        throw new java.io.IOException(
-          s"manifest column $c absent from newest segment $newestDir"))))
+    val schema = schemaOf(spark, table, m)
     if (wanted.isEmpty)
       // prune-to-nothing: schema preserved, statically no rows
       return spark.read.schema(schema)
@@ -1003,8 +1039,35 @@ object CommittedTable {
     spark.read.schema(schema).parquet(dirs: _*)
   }
 
-  private def genOf(segDir: String): Long =
+  private[graft] def genOf(segDir: String): Long =
     segDir.stripPrefix("seg-g").takeWhile(_.isDigit).toLong
+
+  /** The table's typed schema in manifest column order — types from ONE
+    * probe of a newest-generation segment (the merge that introduced the
+    * current manifest wrote its segments with the FULL current column
+    * list, so after a schema widen the older segments' missing columns
+    * NULL-fill by-name under the explicit schema; zero extra footers
+    * read, never a mergeSchema sweep). */
+  private[graft] def schemaOf(spark: SparkSession, table: Path,
+      m: Manifest): org.apache.spark.sql.types.StructType = {
+    if (m.segments.isEmpty)
+      throw new java.io.IOException(s"committed table $table is empty; no schema")
+    val newestDir = m.segments.values.maxBy(genOf)
+    val probed = spark.read.parquet(new Path(table, newestDir).toString).schema
+    org.apache.spark.sql.types.StructType(
+      m.cols.map(c => probed.find(_.name == c).getOrElse(
+        throw new java.io.IOException(
+          s"manifest column $c absent from newest segment $newestDir"))))
+  }
+
+  /** Current manifest, or a loud error naming the path — the SQL
+    * surface's entry point ([[graft.sql.GraftCatalog]]). */
+  private[graft] def manifestAt(spark: SparkSession, path: String): Manifest = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(fs, table).getOrElse(throw new java.io.IOException(
+      s"no committed table at $path (missing $Commit)"))
+  }
 
   /** Keyed latest-version-wins merge with an ATOMIC publish: identical
     * merge semantics to [[Warehouse.merge]] (same affected-partition set,
@@ -1085,11 +1148,19 @@ object CommittedTable {
     // move — dropping its entry IS its retirement
     val (segStats, segCounts) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
-    val next = Manifest(gen, cols.toSeq,
-      (m.segments -- affected) ++ staged.view.filterKeys(affected.contains),
-      m.retain, m.statsCols,
-      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains),
-      (m.rowCounts -- affected) ++ segCounts.view.filterKeys(affected.contains))
+    // keycol/vercol metadata backfills from the first merge of a
+    // pre-feature table (the merge call IS the declaration of the key
+    // protocol); partcol likewise
+    val next = m.copy(gen = gen, cols = cols.toSeq,
+      segments = (m.segments -- affected) ++
+        staged.view.filterKeys(affected.contains),
+      stats = (m.stats -- affected) ++
+        segStats.view.filterKeys(affected.contains),
+      rowCounts = (m.rowCounts -- affected) ++
+        segCounts.view.filterKeys(affected.contains),
+      partitionCol = m.partitionCol.orElse(Some(partitionCol)),
+      keyCol = m.keyCol.orElse(Some(key)),
+      verCol = m.verCol.orElse(Some(versionCol)))
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen, next, staged)
     crashPoint("after-swap")
@@ -1173,8 +1244,8 @@ object CommittedTable {
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen,
-      Manifest(gen, m.cols, staged, m.retain, m.statsCols, segStats,
-        segCounts), staged)
+      m.copy(gen = gen, segments = staged, stats = segStats,
+        rowCounts = segCounts), staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }
@@ -1229,11 +1300,13 @@ object CommittedTable {
     crashPoint("after-staging")
     val (segStats, segCounts) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
-    val next = Manifest(gen, m.cols,
-      (m.segments -- affected) ++ staged.view.filterKeys(affected.contains),
-      m.retain, m.statsCols,
-      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains),
-      (m.rowCounts -- affected) ++ segCounts.view.filterKeys(affected.contains))
+    val next = m.copy(gen = gen,
+      segments = (m.segments -- affected) ++
+        staged.view.filterKeys(affected.contains),
+      stats = (m.stats -- affected) ++
+        segStats.view.filterKeys(affected.contains),
+      rowCounts = (m.rowCounts -- affected) ++
+        segCounts.view.filterKeys(affected.contains))
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen, next, staged)
     crashPoint("after-swap")
@@ -1317,11 +1390,13 @@ object CommittedTable {
     crashPoint("after-staging")
     val (segStats, segCounts) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
-    val next = Manifest(gen, m.cols,
-      (m.segments -- affected) ++ staged.view.filterKeys(affected.contains),
-      m.retain, m.statsCols,
-      (m.stats -- affected) ++ segStats.view.filterKeys(affected.contains),
-      (m.rowCounts -- affected) ++ segCounts.view.filterKeys(affected.contains))
+    val next = m.copy(gen = gen,
+      segments = (m.segments -- affected) ++
+        staged.view.filterKeys(affected.contains),
+      stats = (m.stats -- affected) ++
+        segStats.view.filterKeys(affected.contains),
+      rowCounts = (m.rowCounts -- affected) ++
+        segCounts.view.filterKeys(affected.contains))
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen, next, staged)
     crashPoint("after-swap")
@@ -1367,8 +1442,8 @@ object CommittedTable {
     val (compactStats, compactCounts) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
     publishOrAbort(hconf, table, m.gen,
-      Manifest(gen, m.cols, staged, m.retain, m.statsCols,
-        compactStats, compactCounts), staged)
+      m.copy(gen = gen, segments = staged, stats = compactStats,
+        rowCounts = compactCounts), staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }

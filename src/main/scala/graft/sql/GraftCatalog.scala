@@ -1,0 +1,227 @@
+package graft.sql
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.CommittedTable
+
+/** DSv2 `TableCatalog` over [[CommittedTable]] warehouses — the SQL
+  * front door the lakehouse verbs were missing: with
+  * `spark.sql.catalog.graft = graft.sql.GraftCatalog` (+ optional
+  * `spark.sql.catalog.graft.warehouse = <root>`),
+  *
+  *  - `SELECT … FROM graft.ns.t` resolves through [[GraftTableV2]] and is
+  *    substituted by [[GraftAnalysis]] with a native parquet scan whose
+  *    [[GraftFileIndex]] prunes segments from manifest METADATA
+  *    (partition values + zone maps) before any file is listed;
+  *  - `DELETE FROM` / `UPDATE` / `MERGE INTO` / `INSERT INTO` route to
+  *    `CommittedTable.delete/update/merge` — the SAME atomic-publish,
+  *    fencing, retention and CDC protocol as the Scala API (SQL is a
+  *    front end, not a second write path);
+  *  - `SELECT COUNT(*) FROM graft.ns.t` collapses to manifest row counts
+  *    (zero jobs) via [[GraftMetadataCount]].
+  *
+  * Identifier → path: `graft.ns.t` → `<warehouse>/ns/t` (any namespace
+  * depth); a BACKQUOTED ABSOLUTE name — `` graft.`/data/tables/t` `` —
+  * addresses a committed table by path directly, no warehouse conf
+  * needed (the Delta `delta.`/path`` convention). The warehouse root is
+  * re-read from the session conf on every call, so tests and multi-root
+  * deployments can repoint it without a new session (the catalog
+  * instance itself is cached per session by Spark's CatalogManager).
+  *
+  * Table metadata (partition/key/version columns) comes from the
+  * manifest's `partcol=`/`keycol=`/`vercol=` lines, recorded by
+  * `CommittedTable.write(keyCol=…, versionCol=…)` or backfilled by the
+  * first Scala `merge` — SQL never re-declares what the table knows.
+  * `CREATE TABLE` is deliberately absent: a committed table is born from
+  * data (`CommittedTable.write`), not from an empty DDL shell; `DROP
+  * TABLE` works (it removes the table directory).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  private var initOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initOptions = options
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Warehouse root, re-read from the live session conf each call (the
+    * conf key is `spark.sql.catalog.<name>.warehouse`); falls back to
+    * the initialize-time option. Only consulted for non-path idents. */
+  private def warehouse: String = {
+    val key = s"spark.sql.catalog.$catalogName.warehouse"
+    spark.conf.getOption(key)
+      .orElse(Option(initOptions.get("warehouse")))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$key is not set; either set it or address tables by absolute " +
+          s"path: SELECT … FROM $catalogName.`/abs/path/to/table`"))
+  }
+
+  private def isPathIdent(ident: Identifier): Boolean =
+    ident.namespace.isEmpty && ident.name.startsWith("/")
+
+  private[sql] def tablePath(ident: Identifier): String =
+    if (isPathIdent(ident)) ident.name
+    else (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val p = new Path(tablePath(ident))
+    try CommittedTable.readManifest(fs(p), p).isDefined
+    catch { case _: Exception => false }
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    val table = new Path(path)
+    val m =
+      try CommittedTable.readManifest(fs(table), table)
+        .getOrElse(throw new NoSuchTableException(ident))
+      catch {
+        case _: NoSuchTableException => throw new NoSuchTableException(ident)
+        case _: java.io.FileNotFoundException => throw new NoSuchTableException(ident)
+      }
+    // ONE schema probe per load; the manifest snapshot rides the Table
+    // object so analysis, pruning and planning all see the same
+    // generation even under a concurrent publish
+    val schema = CommittedTable.schemaOf(spark, table, m)
+    GraftTableV2(s"$catalogName.${ident.toString}", path, m, schema)
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val root = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(root)
+    if (!f.exists(root)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        f.exists(new Path(st.getPath, "_commit")))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "a committed table is created from data: use " +
+        "CommittedTable.write(df, path, partitionCol, keyCol=…, versionCol=…) " +
+        "or INSERT-less CTAS is not supported")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema widening is " +
+        "CommittedTable.merge(allowAddColumns = true)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(tablePath(ident))
+    val f = fs(p)
+    val existed = try CommittedTable.readManifest(f, p).isDefined
+      catch { case _: Exception => false }
+    if (existed) f.delete(p, true) else false
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME TABLE is not supported on committed tables")
+
+  // ---- namespaces = directories under the warehouse root ----------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    val f = fs(root)
+    if (!f.exists(root)) Array.empty
+    else f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && !f.exists(new Path(st.getPath, "_commit")))
+      .map(st => Array(st.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+      Array.empty
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val p = new Path((warehouse +: namespace.toSeq).mkString("/"))
+      try fs(p).exists(p) catch { case _: Exception => false }
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val p = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    fs(p).mkdirs(p); ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) return false
+    val p = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    val f = fs(p)
+    if (!cascade && f.listStatus(p).nonEmpty)
+      throw new IllegalStateException(
+        s"namespace ${namespace.mkString(".")} is not empty; use CASCADE")
+    f.delete(p, true)
+  }
+}
+
+/** The v2 [[Table]] handle [[GraftCatalog.loadTable]] returns: schema +
+  * manifest SNAPSHOT (analysis, pruning and the scan all see one
+  * committed generation) + the table-role metadata SQL DML routing
+  * needs. Declares no read/write capabilities on purpose —
+  * [[GraftAnalysis]] substitutes every reference before Spark would ask
+  * for them, so the scan is a native parquet `FileSourceScanExec`, not a
+  * DSv2 row reader. */
+final case class GraftTableV2(ident: String, path: String,
+    manifest: CommittedTable.Manifest, tableSchema: StructType)
+    extends Table {
+
+  override def name(): String = ident
+
+  @deprecated("inherited from Table", "")
+  override def schema(): StructType = tableSchema
+
+  override def partitioning(): Array[Transform] =
+    manifest.partitionCol.map(c => Expressions.identity(c)).toArray
+
+  override def properties(): util.Map[String, String] =
+    (Map("path" -> path, "generation" -> manifest.gen.toString,
+      "retain" -> manifest.retain.toString) ++
+      manifest.partitionCol.map("partition_col" -> _) ++
+      manifest.keyCol.map("key_col" -> _) ++
+      manifest.verCol.map("version_col" -> _) ++
+      (if (manifest.statsCols.nonEmpty)
+        Map("stats_cols" -> manifest.statsCols.mkString(",")) else Map.empty))
+      .asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.emptySet()
+}

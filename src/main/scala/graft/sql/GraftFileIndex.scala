@@ -1,0 +1,143 @@
+package graft.sql
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.CommittedTable
+import graft.sources.CommittedTable.Manifest
+
+/** Manifest-backed [[FileIndex]] — how a SQL `SELECT` over a committed
+  * table gets the SAME metadata pruning as the Scala
+  * `CommittedTable.read/readRangeMulti` path while keeping Spark's
+  * native vectorized parquet scan: the index snapshots one committed
+  * generation at plan time, and `listFiles` prunes SEGMENTS (never
+  * listing an unselected one) from the pushed-down data filters —
+  *
+  *  - equality / IN on the table's partition column → manifest key
+  *    filter (the partition column is stored as a DATA column, so these
+  *    arrive as dataFilters; partitionSchema is deliberately empty);
+  *  - range / equality predicates on zone-mapped stats columns →
+  *    [[CommittedTable.zoneSurvivors]], the same conservative min/max
+  *    intersection `readRangeMulti` uses.
+  *
+  * Pruning only ever shrinks I/O: every predicate is ALSO pushed to the
+  * parquet reader by Spark (these are ordinary data filters), so an
+  * unprunable shape (OR, cast, UDF…) degrades to scanning all segments
+  * with row-group skipping — never a wrong answer. */
+final class GraftFileIndex(spark: SparkSession, tablePath: Path,
+    m: Manifest, schema: StructType) extends FileIndex {
+
+  private val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def segFiles(values: Seq[String]): Seq[FileStatus] =
+    values.sorted.flatMap { v =>
+      fs.listStatus(new Path(tablePath, m.segments(v))).toSeq
+        .filter(st => st.isFile && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+    }
+
+  override def rootPaths: Seq[Path] = Seq(tablePath)
+
+  // the partition column lives IN the files; exposing an empty partition
+  // schema routes every predicate to dataFilters (and to the reader)
+  override def partitionSchema: StructType = new StructType()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val survivors = prune(dataFilters)
+    Seq(PartitionDirectory(InternalRow.empty, segFiles(survivors).toArray))
+  }
+
+  override lazy val inputFiles: Array[String] =
+    segFiles(m.segments.keys.toSeq).map(_.getPath.toString).toArray
+
+  override lazy val sizeInBytes: Long =
+    segFiles(m.segments.keys.toSeq).map(_.getLen).sum
+
+  override def refresh(): Unit = ()
+
+  /** Sum of manifest row counts when every partition carries one — the
+    * zero-job `COUNT(*)` feed for [[GraftMetadataCount]]. */
+  def totalRowCount: Option[Long] =
+    if (m.segments.nonEmpty && m.segments.keys.forall(m.rowCounts.contains))
+      // keys is set-like: map-then-sum would DEDUPLICATE equal counts
+      Some(m.segments.keys.iterator.map(m.rowCounts).sum)
+    else if (m.segments.isEmpty) Some(0L)
+    else None
+
+  /** Partition values surviving the translatable conjuncts of
+    * `dataFilters` (exposed for specs: the pruning decision without the
+    * scan). */
+  private[sql] def prune(dataFilters: Seq[Expression]): Seq[String] = {
+    val base = m.segments.keys.toSeq
+    val partPruned = m.partitionCol match {
+      case Some(pc) =>
+        val allowed = dataFilters.flatMap(partitionValuesOf(pc, _))
+        allowed.foldLeft(base)((acc, set) => acc.filter(set))
+      case None => base
+    }
+    val ranges = dataFilters.flatMap(rangeOf)
+      .filter { case (c, _, _) => m.statsCols.contains(c) }
+    if (ranges.isEmpty) partPruned
+    else CommittedTable.zoneSurvivors(m, Some(schema), ranges, partPruned)
+  }
+
+  private def external(l: Literal): Any =
+    CatalystTypeConverters.convertToScala(l.value, l.dataType)
+
+  /** `pc = 'v'` / `pc IN (…)` / `pc <=> 'v'` → the allowed value set;
+    * None when this conjunct does not constrain the partition column.
+    * Values compare in their string form — the partition column is typed
+    * STRING by the table contract. */
+  private def partitionValuesOf(pc: String, e: Expression)
+      : Option[Set[String]] = e match {
+    case EqualTo(a: AttributeReference, l: Literal) if a.name == pc =>
+      Option(external(l)).map(v => Set(v.toString))
+    case EqualTo(l: Literal, a: AttributeReference) if a.name == pc =>
+      Option(external(l)).map(v => Set(v.toString))
+    case EqualNullSafe(a: AttributeReference, l: Literal) if a.name == pc =>
+      Option(external(l)).map(v => Set(v.toString))
+    case In(a: AttributeReference, vs) if a.name == pc &&
+        vs.forall(_.isInstanceOf[Literal]) =>
+      Some(vs.collect { case l: Literal if l.value != null =>
+        external(l).toString }.toSet)
+    case InSet(a: AttributeReference, vs) if a.name == pc =>
+      Some(vs.filter(_ != null).map(v =>
+        CatalystTypeConverters.convertToScala(v, a.dataType).toString))
+    case _ => None
+  }
+
+  /** One conjunct → a zone-map range on a column, conservative: strict
+    * bounds widen to inclusive (pruning-safe), unsupported shapes (OR,
+    * casts, functions) prune nothing. */
+  private def rangeOf(e: Expression)
+      : Option[(String, Option[Any], Option[Any])] = e match {
+    case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+      Some((a.name, Some(external(l)), Some(external(l))))
+    case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+      Some((a.name, Some(external(l)), Some(external(l))))
+    case GreaterThan(a: AttributeReference, l: Literal) if l.value != null =>
+      Some((a.name, Some(external(l)), None))
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+      Some((a.name, Some(external(l)), None))
+    case LessThan(a: AttributeReference, l: Literal) if l.value != null =>
+      Some((a.name, None, Some(external(l))))
+    case LessThanOrEqual(a: AttributeReference, l: Literal) if l.value != null =>
+      Some((a.name, None, Some(external(l))))
+    case GreaterThan(l: Literal, a: AttributeReference) if l.value != null =>
+      Some((a.name, None, Some(external(l))))
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+      Some((a.name, None, Some(external(l))))
+    case LessThan(l: Literal, a: AttributeReference) if l.value != null =>
+      Some((a.name, Some(external(l)), None))
+    case LessThanOrEqual(l: Literal, a: AttributeReference) if l.value != null =>
+      Some((a.name, Some(external(l)), None))
+    case _ => None
+  }
+}

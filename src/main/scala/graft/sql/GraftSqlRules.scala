@@ -1,0 +1,286 @@
+package graft.sql
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.CommittedTable
+
+/** Unwrap a (possibly aliased) reference to a committed table. */
+private[sql] object GraftRel {
+  def unapply(plan: LogicalPlan): Option[(DataSourceV2Relation, GraftTableV2)] =
+    plan match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftTableV2 => Some((r, t))
+        case _ => None
+      }
+      case SubqueryAlias(_, child) => unapply(child)
+      case _ => None
+    }
+}
+
+/** The committed-table SQL front end, injected as a resolution rule
+  * (`GraftExtensions`):
+  *
+  *  - every read reference (`SELECT`, a `MERGE` source, a subquery) to a
+  *    [[GraftTableV2]] is substituted with a NATIVE parquet relation over
+  *    a [[GraftFileIndex]] manifest snapshot — whole-stage-codegen'd
+  *    vectorized scan, pushed filters, and manifest/zone-map segment
+  *    pruning, identical plan shape to the Scala read path;
+  *  - `DELETE FROM` / `UPDATE` / `MERGE INTO` / `INSERT INTO` become
+  *    [[GraftDmlCommand]]s that run the existing
+  *    `CommittedTable.delete/update/merge` protocol — one write path, so
+  *    SQL writes inherit atomic publish, generation fencing, retention,
+  *    zone-map upkeep and CDC visibility for free (GraftCatalogSpec
+  *    races a SQL DELETE against a Scala merge to pin the fencing).
+  *
+  * Routing needs the table-role metadata from the manifest: the
+  * partition column for every verb, key/version for MERGE (and the
+  * version-bump guard for UPDATE). Conditions/assignments are rebound by
+  * NAME (attribute references → `UnresolvedAttribute`) so the command
+  * can re-resolve them against the table read it performs at execution
+  * time; subqueries inside DML conditions are rejected loudly.
+  *
+  * Firing inside the resolution fixed point (guarded on `resolved`)
+  * pre-empts both the row-level-operation rewrites and the capability
+  * checks that would otherwise reject a table that declares no DSv2
+  * read/write capabilities. */
+final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d @ DeleteFromTable(GraftRel(_, t), cond)
+        if d.childrenResolved && cond.resolved =>
+      val pc = partitionColOf(t, "DELETE FROM")
+      GraftDmlCommand(s"DELETE FROM ${t.name()}", { s =>
+        CommittedTable.delete(s, t.path, bridge.column(unresolve(cond)), pc)
+      })
+    // an in-progress DML statement keeps its v2 target until the routing
+    // case above can fire — the generic substitution below must never
+    // strip the relation out from under it
+    case d: DeleteFromTable => d
+
+    case u @ UpdateTable(GraftRel(_, t), assignments, cond)
+        if u.childrenResolved && assignments.forall(_.resolved) &&
+          cond.forall(_.resolved) =>
+      val pc = partitionColOf(t, "UPDATE")
+      val assigns = assignments.map { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => fail(s"UPDATE ${t.name()}: cannot assign to " +
+            s"${other.sql} — only plain columns are assignable")
+        }
+        name -> unresolve(a.value)
+      }
+      val condExpr = cond.map(unresolve)
+      GraftDmlCommand(s"UPDATE ${t.name()}", { s =>
+        CommittedTable.update(s, t.path,
+          condExpr.map(bridge.column)
+            .getOrElse(org.apache.spark.sql.functions.lit(true)),
+          assigns.map { case (n, e) => n -> bridge.column(e) }.toMap,
+          pc, versionCol = t.manifest.verCol)
+      })
+    case u: UpdateTable => u
+
+    case mi: MergeIntoTable if mi.resolved =>
+      GraftRel.unapply(mi.targetTable) match {
+        case Some((_, t)) => routeMerge(mi, t)
+        case None => mi
+      }
+    // graft relations in the merge SOURCE stay v2 through analysis; the
+    // routed command re-analyzes the source plan at execution, where the
+    // generic substitution applies to them
+    case mi: MergeIntoTable
+        if GraftRel.unapply(mi.targetTable).isDefined => mi
+
+    case a @ AppendData(GraftRel(_, t), query, _, _, _, _)
+        if query.resolved && a.outputResolved =>
+      val pc = partitionColOf(t, "INSERT INTO")
+      val (key, ver) = keyVersionOf(t, "INSERT INTO")
+      val cols = t.tableSchema.fieldNames.toSeq
+      GraftDmlCommand(s"INSERT INTO ${t.name()}", { s =>
+        // INSERT routes through merge: committed tables are keyed, so an
+        // insert IS an idempotent latest-version-wins upsert (documented;
+        // duplicate-key appends are not a thing a keyed lakehouse offers)
+        CommittedTable.merge(s, t.path,
+          bridge.ofRows(s, query).toDF(cols: _*), key, ver, pc)
+      })
+    case a: AppendData if GraftRel.unapply(a.table).isDefined => a
+
+    case other =>
+      other.transformUpWithSubqueries {
+        case GraftRel(r, t) => substitute(r, t)
+      }
+  }
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(msg)
+
+  private def partitionColOf(t: GraftTableV2, verb: String): String =
+    t.manifest.partitionCol.getOrElse(fail(
+      s"$verb on ${t.name()}: the manifest records no partition column " +
+        "(pre-metadata table) — re-publish via CommittedTable.write/merge " +
+        "to record it"))
+
+  private def keyVersionOf(t: GraftTableV2, verb: String): (String, String) =
+    (t.manifest.keyCol, t.manifest.verCol) match {
+      case (Some(k), Some(v)) => (k, v)
+      case _ => fail(
+        s"$verb on ${t.name()}: the manifest records no key/version " +
+          "columns — declare them at CommittedTable.write(keyCol=…, " +
+          "versionCol=…) or run one Scala merge to backfill them")
+    }
+
+  /** Rebind a resolved condition/assignment value by NAME so it
+    * re-resolves against the committed-table read the command performs
+    * at execution time (exprIds from analysis would dangle there). */
+  private def unresolve(e: Expression): Expression = {
+    if (e.exists(_.isInstanceOf[SubqueryExpression]))
+      fail(s"subqueries are not supported in committed-table DML " +
+        s"conditions: ${e.sql}")
+    e.transform { case a: AttributeReference => UnresolvedAttribute.quoted(a.name) }
+  }
+
+  /** Canonical-upsert MERGE: `ON t.key = s.key WHEN MATCHED THEN UPDATE
+    * SET * WHEN NOT MATCHED THEN INSERT *` routes to
+    * `CommittedTable.merge` (latest-version-wins by the table's declared
+    * key/version). Richer shapes fail loudly naming the supported one —
+    * partial-column UPDATE or conditional actions have no sound mapping
+    * onto a keyed full-row upsert. */
+  private def routeMerge(mi: MergeIntoTable, t: GraftTableV2): LogicalPlan = {
+    val pc = partitionColOf(t, "MERGE INTO")
+    val (key, ver) = keyVersionOf(t, "MERGE INTO")
+    val shape = "MERGE INTO <graft table> t USING <source> s ON t." + key +
+      " = s." + key + " WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
+      "THEN INSERT *"
+    def failShape(why: String): Nothing =
+      fail(s"MERGE INTO ${t.name()}: $why; the supported form is: $shape")
+    mi.mergeCondition match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name == key && b.name == key => ()
+      case other => failShape(
+        s"ON must be equality on the table's declared key column " +
+          s"'$key', got ${other.sql}")
+    }
+    if (mi.notMatchedBySourceActions.nonEmpty)
+      failShape("WHEN NOT MATCHED BY SOURCE is not supported")
+    val srcAttrs = mi.sourceTable.outputSet
+    def fullRowByName(assigns: Seq[Assignment], what: String): Unit = {
+      val targets = assigns.flatMap(_.key match {
+        case ar: AttributeReference => Some(ar.name)
+        case _ => None
+      })
+      // assignment alignment may wrap the source side in a no-op cast
+      def stripCast(e: Expression): Expression = e match {
+        case Cast(c, _, _, _) => stripCast(c)
+        case other => other
+      }
+      val ok = assigns.forall { asg =>
+        (asg.key, stripCast(asg.value)) match {
+          case (k: AttributeReference, v: AttributeReference) =>
+            k.name == v.name && srcAttrs.contains(v)
+          case _ => false
+        }
+      }
+      if (!ok || targets.toSet != t.tableSchema.fieldNames.toSet)
+        failShape(s"$what must assign every table column from the " +
+          "same-named source column (the SET * / INSERT * expansion)")
+    }
+    mi.matchedActions match {
+      case Seq(UpdateAction(None, assigns, _)) =>
+        fullRowByName(assigns, "UPDATE")
+      case _ => failShape("WHEN MATCHED must be exactly one unconditional " +
+        "UPDATE SET *")
+    }
+    mi.notMatchedActions match {
+      case Seq(InsertAction(None, assigns)) =>
+        fullRowByName(assigns, "INSERT")
+      case _ => failShape("WHEN NOT MATCHED must be exactly one " +
+        "unconditional INSERT *")
+    }
+    val source = mi.sourceTable
+    val cols = t.tableSchema.fieldNames.toSeq
+    GraftDmlCommand(s"MERGE INTO ${t.name()}", { s =>
+      val src = bridge.ofRows(s, source)
+        .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      CommittedTable.merge(s, t.path, src, key, ver, pc)
+    })
+  }
+
+  /** Read substitution: the v2 relation becomes a native parquet
+    * [[LogicalRelation]] over a [[GraftFileIndex]] built from the table's
+    * manifest snapshot; an aliasing Project pins the original exprIds so
+    * every already-resolved reference above keeps working. */
+  private def substitute(r: DataSourceV2Relation, t: GraftTableV2): LogicalPlan = {
+    val index = new GraftFileIndex(spark, new Path(t.path), t.manifest,
+      t.tableSchema)
+    val fsRelation = HadoopFsRelation(index, new StructType(), t.tableSchema,
+      None, new ParquetFileFormat(), Map.empty)(spark)
+    val lr = LogicalRelation(fsRelation)
+    val byName = lr.output.map(a => a.name -> a).toMap
+    Project(r.output.map(o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId,
+        qualifier = o.qualifier)), lr)
+  }
+}
+
+/** A routed committed-table DML statement: runs the Scala protocol on
+  * the session, returns no rows. The closure carries only
+  * name-unresolved expressions, so execution re-resolves them against
+  * the table's own read. */
+final case class GraftDmlCommand(description: String,
+    body: SparkSession => Unit) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = { body(session); Nil }
+  override def simpleString(maxFields: Int): String =
+    s"GraftDmlCommand [$description]"
+}
+
+/** Manifest-fed `COUNT(*)`: a groupless all-count aggregate directly
+  * over an unfiltered committed-table scan collapses to a
+  * [[LocalRelation]] holding the SUM OF MANIFEST ROW COUNTS — the SQL
+  * twin of `CommittedTable.count` (zero jobs, zero files opened; the
+  * q139 move). Fires only when every live partition carries a manifest
+  * count; intervening Projects are fine (they never change
+  * cardinality), any Filter/Join/grouping leaves the plan alone. */
+final case class GraftMetadataCount(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private def graftIndexOf(plan: LogicalPlan): Option[GraftFileIndex] =
+    plan match {
+      case LogicalRelation(fsRel: HadoopFsRelation, _, _, _, _) =>
+        fsRel.location match {
+          case idx: GraftFileIndex => Some(idx)
+          case _ => None
+        }
+      case Project(projections, child) if projections.forall(_.deterministic) =>
+        graftIndexOf(child)
+      case _ => None
+    }
+
+  private def isPlainCount(e: NamedExpression): Boolean = e match {
+    case Alias(AggregateExpression(Count(Seq(_: Literal)), _, false, None, _), _) =>
+      true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case agg @ Aggregate(Nil, aggs, child, _)
+        if aggs.nonEmpty && aggs.forall(isPlainCount) =>
+      graftIndexOf(child).flatMap(_.totalRowCount) match {
+        case Some(n) =>
+          LocalRelation(agg.output,
+            Seq(InternalRow.fromSeq(Seq.fill(aggs.size)(n))))
+        case None => agg
+      }
+  }
+}

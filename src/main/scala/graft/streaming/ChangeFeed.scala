@@ -48,10 +48,13 @@ import graft.sources.CommittedTable
   * by restarting from a fresh checkpoint (a full re-sync), the same
   * remedy as any CDC reader that outlived the log.
   *
-  * Schema is fixed at stream start from the table's current manifest; a
-  * column widened AFTER start is dropped from later batches (restart the
-  * stream to pick it up), and pre-widen generations NULL-fill it — the
-  * usual streaming schema-stability contract.
+  * Schema is fixed at stream start from the table's current manifest;
+  * pre-widen generations NULL-fill a later column. A column widened
+  * AFTER start cannot ride the fixed schema: the batch that first
+  * carries it FAILS LOUDLY naming the remedy (restart the stream — the
+  * checkpoint resumes at the same generation with the widened schema)
+  * unless `schemaDrift=drop` opts into delivering batches without the
+  * new column — no silent narrowing either way.
   *
   * Scale shape: offset discovery is ONE manifest read (metadata, no
   * listing); a batch plans only the touched partitions' segments via the
@@ -175,7 +178,13 @@ class ChangeFeedProvider extends StreamSourceProvider {
         s"unknown ChangeFeed mode '$other' (expected full, keys, or cdf)")
     }
     val start = parameters.getOrElse("startingGeneration", "earliest")
-    new ChangeFeedSource(spark, p, start, keyDelta, cdf)
+    val dropDrift = parameters.get("schemaDrift") match {
+      case None | Some("fail") => false
+      case Some("drop") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown schemaDrift '$other' (expected fail or drop)")
+    }
+    new ChangeFeedSource(spark, p, start, keyDelta, cdf, dropDrift)
   }
 }
 
@@ -189,7 +198,7 @@ class ChangeFeedProvider extends StreamSourceProvider {
   * latest-at-first-batch. */
 class ChangeFeedSource(spark: SparkSession, path: String,
     startingGeneration: String, keyDelta: Option[(String, String)],
-    cdf: Boolean = false)
+    cdf: Boolean = false, dropDrift: Boolean = false)
   extends Source {
 
   override val schema: StructType = ChangeFeed.tableSchema(spark, path, cdf)
@@ -284,8 +293,22 @@ class ChangeFeedSource(spark: SparkSession, path: String,
           CommittedTable.changesForKeys(spark, path, g, k, v)
         case _ => CommittedTable.changesFor(spark, path, g)
       }
+      // a column WIDENED after stream start cannot ride the stream's fixed
+      // schema — narrowing it silently (the one quiet contract this module
+      // had) would let a consumer replicate post-widen generations minus
+      // their new column and drift; fail loudly naming the remedy unless
+      // the caller opted into dropping (schemaDrift=drop)
+      val reserved = Set(ChangeFeed.GenColumn, CommittedTable.ChangeTypeColumn)
+      val widened = delta.columns.toSet -- tableCols.map(_.name) -- reserved
+      if (widened.nonEmpty && !dropDrift)
+        throw new IllegalStateException(
+          s"change feed on $path: generation $g carries column(s) " +
+            s"${widened.toSeq.sorted.mkString(", ")} added after stream " +
+            "start; the stream's schema is fixed at start, so restart the " +
+            "stream (fresh readStream, same checkpoint) to pick them up — " +
+            "or set schemaDrift=drop to deliver batches without them")
       // conform to the stream's fixed schema: NULL-fill a column the
-      // generation predates, drop one widened after stream start
+      // generation predates
       val cells = tableCols.map { f =>
         if (delta.columns.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)

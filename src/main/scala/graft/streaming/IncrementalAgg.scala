@@ -6,18 +6,29 @@ import org.apache.spark.sql.functions._
 import graft.sources.CommittedTable
 
 /** Incrementally-maintained aggregate VIEW over a committed table — the
-  * materialized-view closure of the CDF loop: `COUNT(*)` + `SUM(value)`
-  * per group, kept current by REPLAYING [[ChangeFeed.readCdf]] batches
-  * instead of rescanning the source.
+  * materialized-view closure of the CDF loop: `COUNT(*)`, `SUM`, `MIN`,
+  * `MAX` (and AVG, derived) per group, kept current by REPLAYING
+  * [[ChangeFeed.readCdf]] batches instead of rescanning the source.
   *
-  * The increment is exact because CDF rows are SIGNED: an insert or
+  * COUNT/SUM are exact because CDF rows are SIGNED: an insert or
   * update_postimage contributes `(+1, +value)`, an update_preimage or
   * delete contributes `(−1, −value)` — an in-group update nets to the
   * value change, a row MOVING between groups debits its old group and
-  * credits its new one, and a delete debits cleanly. Averages and other
-  * sum/count-derived measures follow at read time; measures that are not
-  * incrementally maintainable from (pre, post) pairs (MIN/MAX after a
-  * retraction) are out of scope by design — recompute those.
+  * credits its new one, and a delete debits cleanly. AVG follows at read
+  * time ([[readView]]: `sum_value / n`).
+  *
+  * MIN/MAX are NOT invertible under retraction, so they fold
+  * asymmetrically: inserts/postimages only ever EXTEND the extremes
+  * (`least`/`greatest` — exact); a retraction whose value touches a
+  * candidate extreme triggers a PER-GROUP RESCAN of the source —
+  * manifest-pruned when the source is partitioned by the group column,
+  * a pushed-down filter scan otherwise. The rescan reads the source's
+  * CURRENT state, which may be ahead of the batch's generation; that is
+  * convergent (later batches' inserts fold idempotently via
+  * least/greatest, later retractions re-trigger the rescan), and under
+  * the normal AvailableNow drain the batch's last generation IS the
+  * current state. Retraction values strictly inside the (min, max)
+  * candidates rescan nothing.
   *
   * Idempotence (exactly-once EFFECT under at-least-once delivery): each
   * group row carries `applied_gen`, the newest generation folded into
@@ -29,8 +40,9 @@ import graft.sources.CommittedTable
   *
   * Scale shape: the delta aggregation touches only the BATCH (bounded by
   * what the writer rewrote); the read-modify-write touches only the
-  * affected groups' partitions via the manifest-pruned read. Nothing is
-  * proportional to the source-table or view size. */
+  * affected groups' partitions via the manifest-pruned read; rescans
+  * touch only retraction-hit groups. Nothing is proportional to the
+  * source-table or view size. */
 object IncrementalAgg {
 
   /** Bootstrap the view at `dst` from the CURRENT contents of the source
@@ -46,28 +58,43 @@ object IncrementalAgg {
     val gen = CommittedTable.readManifest(fs, table).map(_.gen).getOrElse(
       throw new java.io.IOException(s"no committed table at $src"))
     // the group value doubles as the view's PARTITION value — string-typed
-    // so batch-side joins and manifest pruning agree on the encoding
-    // sum_value is DOUBLE by contract: apply()'s fold arithmetic produces
-    // doubles, and a bootstrap that wrote int64 for an integral valueCol
-    // would leave untouched partitions unreadable after the first fold
-    // (parquet cannot serve INT64 as the view's probed DoubleType)
+    // so batch-side joins and manifest pruning agree on the encoding.
+    // Every measure is DOUBLE by contract: apply()'s fold arithmetic
+    // produces doubles, and a bootstrap that wrote int64 for an integral
+    // valueCol would leave untouched partitions unreadable after the
+    // first fold (parquet cannot serve INT64 as the view's probed
+    // DoubleType)
+    val v = col(valueCol).cast("double")
     val agg = CommittedTable.read(spark, src)
       .groupBy(col(groupCol).cast("string").as(groupCol))
       .agg(count(lit(1)).as("n"),
-        sum(col(valueCol)).cast("double").as("sum_value"))
+        sum(col(valueCol)).cast("double").as("sum_value"),
+        min(v).as("min_value"),
+        max(v).as("max_value"))
       .withColumn("applied_gen", lit(gen))
     CommittedTable.write(agg, dst, groupCol)
     gen
   }
 
+  /** The view with its derived measure: `avg_value = sum_value / n`
+    * (NULL for a retired n = 0 group). */
+  def readView(spark: SparkSession, dst: String): DataFrame =
+    CommittedTable.read(spark, dst)
+      .withColumn("avg_value",
+        when(col("n") > 0, col("sum_value") / col("n")))
+
   /** Fold one [[ChangeFeed.readCdf]] micro-batch into the view at `dst`
     * (from `foreachBatch`). Signed delta per group → read-modify-write
     * of the affected groups only, published as one merge (version =
     * the batch's newest generation per group, monotone). Groups whose
-    * count reaches zero KEEP their row (n = 0) — retiring them would
-    * make `applied_gen` forgettable and break replay idempotence. */
+    * count reaches zero KEEP their row (n = 0, NULL extremes) —
+    * retiring them would make `applied_gen` forgettable and break
+    * replay idempotence. `src` (the source table path) is required only
+    * when a retraction touches a group's extreme and the view maintains
+    * MIN/MAX — the rescan path; views bootstrapped before the min/max
+    * columns existed fold COUNT/SUM exactly as before. */
   def apply(batch: DataFrame, dst: String, groupCol: String,
-      valueCol: String): Unit = {
+      valueCol: String, src: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val signed = batch
@@ -79,26 +106,97 @@ object IncrementalAgg {
     val touchedGroups: Array[String] = signed
       .select(col(groupCol).cast("string")).distinct()
       .collect().map(_.getString(0))
-    val cur = CommittedTable.read(spark, dst,
+    val curAll = CommittedTable.read(spark, dst,
       Some(touchedGroups.toIndexedSeq))
-      .select(col(groupCol), col("n"), col("sum_value"), col("applied_gen"))
+    val hasMinMax = curAll.columns.contains("min_value")
+    val cur = curAll.select(
+      (Seq(col(groupCol), col("n"), col("sum_value"), col("applied_gen")) ++
+        (if (hasMinMax) Seq(col("min_value"), col("max_value"))
+        else Nil)): _*)
     // replay guard BEFORE aggregation: drop generations already folded in
     val fresh = signed.join(
         cur.select(col(groupCol), col("applied_gen")), Seq(groupCol), "left")
       .filter(col(ChangeFeed.GenColumn) >
         coalesce(col("applied_gen"), lit(0L)))
     if (fresh.isEmpty) return
+    val vd = coalesce(col(valueCol).cast("double"), lit(0.0))
+    val vraw = col(valueCol).cast("double")
+    val aggCols = Seq(
+      sum(col("__sign")).as("__dn"),
+      sum(col("__sign") * vd).as("__dsum"),
+      max(col(ChangeFeed.GenColumn)).as("__gen")) ++
+      (if (hasMinMax) Seq(
+        min(when(col("__sign") === 1L, vraw)).as("__pmin"),
+        max(when(col("__sign") === 1L, vraw)).as("__pmax"),
+        min(when(col("__sign") === -1L, vraw)).as("__rmin"),
+        max(when(col("__sign") === -1L, vraw)).as("__rmax"))
+      else Nil)
     val delta = fresh.groupBy(col(groupCol))
-      .agg(sum(col("__sign")).as("__dn"),
-        sum(col("__sign") * coalesce(col(valueCol).cast("double"), lit(0.0)))
-          .as("__dsum"),
-        max(col(ChangeFeed.GenColumn)).as("__gen"))
-    val next = delta.join(cur, Seq(groupCol), "left")
-      .select(col(groupCol),
+      .agg(aggCols.head, aggCols.tail: _*)
+    val joined = delta.join(cur, Seq(groupCol), "left")
+
+    if (!hasMinMax) {
+      val next = joined.select(col(groupCol),
         (coalesce(col("n"), lit(0L)) + col("__dn")).as("n"),
         (coalesce(col("sum_value"), lit(0.0)) + col("__dsum")).as("sum_value"),
         col("__gen").as("applied_gen"))
-    CommittedTable.merge(spark, dst, next, groupCol, "applied_gen", groupCol)
+      CommittedTable.merge(spark, dst, next, groupCol, "applied_gen", groupCol)
+      return
+    }
+
+    // inserts extend extremes exactly; a retraction ENDANGERS one when its
+    // value reaches a candidate extreme (equality included: the candidate
+    // may be exactly the retracted row) — those groups rescan the source
+    val minCand = least(col("min_value"), col("__pmin"))
+    val maxCand = greatest(col("max_value"), col("__pmax"))
+    val endangered = coalesce(
+      col("__rmin") <= minCand || col("__rmax") >= maxCand, lit(false))
+    val staged = joined.select(col(groupCol),
+      (coalesce(col("n"), lit(0L)) + col("__dn")).as("n"),
+      (coalesce(col("sum_value"), lit(0.0)) + col("__dsum")).as("sum_value"),
+      minCand.as("__cmin"), maxCand.as("__cmax"),
+      endangered.as("__rescan"),
+      col("__gen").as("applied_gen"))
+    staged.persist()
+    try {
+      val rescanGroups: Array[String] = staged
+        .filter(col("__rescan") && col("n") > 0)
+        .select(col(groupCol)).collect().map(_.getString(0))
+      val withScan =
+        if (rescanGroups.isEmpty)
+          staged.withColumn("__smin", lit(null).cast("double"))
+            .withColumn("__smax", lit(null).cast("double"))
+        else {
+          val srcPath = src.getOrElse(throw new IllegalArgumentException(
+            s"view at $dst maintains MIN/MAX and this batch retracts a " +
+              "group extreme: pass src=Some(<source table path>) so the " +
+              "affected groups can be rescanned"))
+          val m = CommittedTable.manifestAt(spark, srcPath)
+          // manifest-pruned when the source is partitioned by the group
+          // column; a pushed-down filter scan otherwise
+          val srcRows =
+            if (m.partitionCol.contains(groupCol))
+              CommittedTable.read(spark, srcPath,
+                Some(rescanGroups.toIndexedSeq))
+            else CommittedTable.read(spark, srcPath)
+              .filter(col(groupCol).cast("string")
+                .isin(rescanGroups.toIndexedSeq: _*))
+          val scan = srcRows
+            .groupBy(col(groupCol).cast("string").as(groupCol))
+            .agg(min(vraw).as("__smin"), max(vraw).as("__smax"))
+          staged.join(scan, Seq(groupCol), "left")
+        }
+      val nullD = lit(null).cast("double")
+      val next = withScan.select(col(groupCol), col("n"), col("sum_value"),
+        when(col("n") === 0L, nullD)
+          .when(col("__rescan"), col("__smin"))
+          .otherwise(col("__cmin")).as("min_value"),
+        when(col("n") === 0L, nullD)
+          .when(col("__rescan"), col("__smax"))
+          .otherwise(col("__cmax")).as("max_value"),
+        col("applied_gen"))
+      CommittedTable.merge(spark, dst, next, groupCol, "applied_gen", groupCol)
+    } finally { staged.unpersist(); () }
   }
 
   /** The assembled pipeline: a `foreachBatch` streaming query keeping
@@ -113,7 +211,7 @@ object IncrementalAgg {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, _: Long) =>
         b.persist()
-        try apply(b, dst, groupCol, valueCol)
+        try apply(b, dst, groupCol, valueCol, Some(src))
         finally { b.unpersist(); () }
       }
 }

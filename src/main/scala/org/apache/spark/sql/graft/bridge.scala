@@ -11,6 +11,15 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Materialize a resolved LogicalPlan as a DataFrame (`Dataset.ofRows`,
+    * `private[sql]`) — how the SQL surface's routed `MERGE INTO` hands
+    * its analyzed source subplan to the committed-table merge. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Re-tag a batch DataFrame as STREAMING — the contract a DSv1
     * streaming `Source.getBatch` must satisfy (the same
     * internalCreateDataFrame(isStreaming = true) call FileStreamSource

@@ -14,6 +14,8 @@ trait SparkSpec extends AnyFunSuite {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

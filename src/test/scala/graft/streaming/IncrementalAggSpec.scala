@@ -89,6 +89,75 @@ class IncrementalAggSpec extends SparkSpec {
     assert(viewRows(dst)("B") === ((1L, 5.0)))
   }
 
+  private def minMaxRows(dst: String): Map[String, (Option[Double], Option[Double])] =
+    CommittedTable.read(spark, dst)
+      .select($"status", $"min_value", $"max_value")
+      .as[(String, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  private def recomputeMinMax(src: String): Map[String, (Option[Double], Option[Double])] =
+    CommittedTable.read(spark, src)
+      .groupBy($"status")
+      .agg(min($"value").as("mn"), max($"value").as("mx"))
+      .as[(String, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("MIN/MAX == full recompute through extreme-removing delete, update, move; AVG derived") {
+    val src = freshDir("mm-src")
+    val dst = freshDir("mm-dst")
+    val ckpt = Files.createTempDirectory("graft-iagg-mm-ckpt").toString
+    CommittedTable.write(base(), src, "status", retainGenerations = 10)
+    IncrementalAgg.init(spark, src, dst, "status", "value")
+    assert(minMaxRows(dst).filter(_._2._1.isDefined) === recomputeMinMax(src))
+
+    def sync(): Unit = {
+      val q = IncrementalAgg.sync(spark, src, dst, "id", "version",
+        "status", "value", ckpt).start()
+      q.awaitTermination(120000)
+    }
+
+    // gen 2: insert extends A's max (fold-only path, no rescan possible)
+    CommittedTable.merge(spark, src,
+      Seq((5L, "A", 99.0, 2L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    sync()
+    assert(minMaxRows(dst)("A") === ((Some(10.0), Some(99.0))))
+
+    // gen 3: DELETE removes A's max (99) — the non-invertible case; the
+    // rescan must restore max = 20.5, not keep the stale 99
+    CommittedTable.delete(spark, src, $"id" === 5L, "status")
+    sync()
+    assert(minMaxRows(dst)("A") === ((Some(10.0), Some(20.5))))
+    assert(minMaxRows(dst).filter(_._2._1.isDefined) === recomputeMinMax(src))
+
+    // gen 4: UPDATE raises A's min row from 10 → 15 (preimage retracts
+    // the current min); gen 5: cross-group move empties B
+    CommittedTable.update(spark, src, $"id" === 1L,
+      Map("value" -> lit(15.0), "version" -> lit(2L)), "status")
+    CommittedTable.merge(spark, src,
+      Seq((3L, "A", 31.0, 2L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    sync()
+    assert(minMaxRows(dst).filter(_._2._1.isDefined) === recomputeMinMax(src))
+    // B retired: n = 0, NULL extremes
+    assert(minMaxRows(dst)("B") === ((None, None)))
+
+    // AVG derives from the folded sums
+    val avg = IncrementalAgg.readView(spark, dst)
+      .filter($"status" === "A")
+      .select($"avg_value").as[Double].collect().head
+    val expect = CommittedTable.read(spark, src).filter($"status" === "A")
+      .agg(sum($"value") / count(lit(1))).as[Double].collect().head
+    assert(math.abs(avg - expect) < 1e-12)
+
+    // replayed stale batch: still a no-op with min/max present
+    val before = minMaxRows(dst)
+    val stale = CommittedTable.changesCdf(spark, src, 2L, "id", "version")
+      .withColumn(ChangeFeed.GenColumn, lit(2L))
+    IncrementalAgg.apply(stale, dst, "status", "value", Some(src))
+    assert(minMaxRows(dst) === before)
+  }
+
   test("integral valueCol: bootstrap and fold agree on a DOUBLE sum_value") {
     // init over a LONG value column must not write int64 sum_value: the
     // first fold rewrites only the touched groups' partitions as double,
