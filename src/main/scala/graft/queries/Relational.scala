@@ -1203,6 +1203,76 @@ object Relational {
         CAST(SUM(LENGTH(source)) AS BIGINT) AS len_sources,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         CAST(SUM(version) AS BIGINT) AS sum_version
-      FROM merged GROUP BY o_orderstatus"""))
+      FROM merged GROUP BY o_orderstatus""")),
+
+    // ---- Bloom sidecars: segment-level point-lookup skipping --------------
+    // The table blooms o_orderkey; readKeys consults per-segment `_bloom-*`
+    // sidecars so an id probe opens only segments that can contain a probed
+    // key (no false negatives ⇒ answer identical to a full semi-join — the
+    // oracle IS the full-scan IN-list). Fixture-scrub convention (q100/q119).
+    Q("q146_bloom_point_lookup", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-bloom-q146").toString + "/wh"
+      try {
+        graft.sources.CommittedTable.write(o, wh, "o_orderstatus",
+          keyCol = Some("o_orderkey"), bloomCols = Seq("o_orderkey"))
+        import s.implicits._
+        val probes = Seq(1L, 7L, 32L, 69L, 134L, 999999999L).toDF("o_orderkey")
+        val out = graft.sources.CommittedTable.readKeys(s, wh, probes,
+          "o_orderkey")
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }, Some("""
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderkey IN (1, 7, 32, 69, 134, 999999999)""")),
+
+    // ---- Bloom-pruned bulk key delete -------------------------------------
+    // deleteKeys' affected-partition discovery consults the sidecars before
+    // scanning anything; the final table must equal the oracle's NOT IN —
+    // the sidecars change the I/O of the discovery, never the result.
+    Q("q147_bloom_delete_keys", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-blodel-q147").toString + "/wh"
+      try {
+        graft.sources.CommittedTable.write(o, wh, "o_orderstatus",
+          keyCol = Some("o_orderkey"), bloomCols = Seq("o_orderkey"))
+        import s.implicits._
+        val doomed = Seq(1L, 3L, 5L, 32L, 69L, 134L, 999999999L)
+        graft.sources.CommittedTable.deleteKeys(s, wh,
+          doomed.toDF("o_orderkey"), "o_orderkey", "o_orderstatus")
+        val out = graft.sources.CommittedTable.read(s, wh)
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_orderkey")).as("sum_keys"),
+            dsum(col("o_totalprice")).as("sum_price"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_orderkey NOT IN (1, 3, 5, 32, 69, 134, 999999999)
+      GROUP BY o_orderstatus"""))
   )
 }

@@ -99,7 +99,18 @@ object CommittedTable {
       // on such a table fails loudly asking for a re-write with metadata).
       partitionCol: Option[String] = None,
       keyCol: Option[String] = None,
-      verCol: Option[String] = None)
+      verCol: Option[String] = None,
+      // columns carrying per-SEGMENT Bloom sidecars (`_bloom-<col>` files
+      // inside each segment dir — underscore-prefixed, so parquet scans
+      // never see them): the point-lookup complement to zone maps. A
+      // range probe prunes on min/max; an equality probe on a
+      // high-cardinality unsorted key (the deleteKeys / CDC-sync access
+      // pattern) prunes on the sidecar instead — segments whose filter
+      // cannot contain any probed key are never listed, opened, or
+      // planned. Optional line bloom=<tab-joined cols>, set at write(),
+      // carried forward by every publish; a segment with no sidecar
+      // (pre-feature) conservatively "might contain".
+      bloomCols: Seq[String] = Nil)
 
   private[graft] def readManifest(fs: FileSystem, table: Path): Option[Manifest] =
     readManifestFile(fs, new Path(table, Commit))
@@ -133,6 +144,9 @@ object CommittedTable {
     val statsCols = lines.drop(2).find(_.startsWith("stats="))
       .map(_.stripPrefix("stats=").split('\t').toSeq.filter(_.nonEmpty))
       .getOrElse(Nil)
+    val bloomCols = lines.drop(2).find(_.startsWith("bloom="))
+      .map(_.stripPrefix("bloom=").split('\t').toSeq.filter(_.nonEmpty))
+      .getOrElse(Nil)
     def metaLine(prefix: String): Option[String] =
       lines.drop(2).find(_.startsWith(prefix)).map(l => unesc(l.stripPrefix(prefix)))
     val partCol = metaLine("partcol=")
@@ -148,7 +162,8 @@ object CommittedTable {
     val segLines = lines.drop(2).filter(l =>
       l.nonEmpty && !l.startsWith("retain=") && !l.startsWith("stats=") &&
         !l.startsWith("rows=") && !l.startsWith("partcol=") &&
-        !l.startsWith("keycol=") && !l.startsWith("vercol="))
+        !l.startsWith("keycol=") && !l.startsWith("vercol=") &&
+        !l.startsWith("bloom="))
     val parsed = segLines.map { l =>
       l.split('\t') match {
         case Array(v, d) => (unesc(v), d, Nil: Seq[(Option[String], Option[String])])
@@ -162,7 +177,7 @@ object CommittedTable {
     Some(Manifest(gen, cols,
       parsed.map(t => t._1 -> t._2).toMap, retain, statsCols,
       parsed.collect { case (v, _, st) if st.nonEmpty => v -> st }.toMap,
-      rowCounts, partCol, keyCol, verCol))
+      rowCounts, partCol, keyCol, verCol, bloomCols))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
@@ -179,6 +194,8 @@ object CommittedTable {
     val tmp = new Path(table, Commit + ".tmp")
     val statsLine =
       if (m.statsCols.isEmpty) Nil else Seq(s"stats=${m.statsCols.mkString("\t")}")
+    val bloomLine =
+      if (m.bloomCols.isEmpty) Nil else Seq(s"bloom=${m.bloomCols.mkString("\t")}")
     val rowLines = m.rowCounts.toSeq.sortBy(_._1)
       .filter { case (v, _) => m.segments.contains(v) }
       .map { case (v, n) => s"rows=${esc(v)}\t$n" }
@@ -187,7 +204,7 @@ object CommittedTable {
         m.keyCol.map(v => s"keycol=${esc(v)}").toSeq ++
         m.verCol.map(v => s"vercol=${esc(v)}").toSeq
     val body = (Seq(s"gen=${m.gen}", s"cols=${m.cols.mkString("\t")}",
-      s"retain=${m.retain}") ++ metaLines ++ statsLine ++ rowLines ++
+      s"retain=${m.retain}") ++ metaLines ++ statsLine ++ bloomLine ++ rowLines ++
       m.segments.toSeq.sortBy(_._1).map { case (v, d) =>
         val st = m.stats.get(v).filter(_ => m.statsCols.nonEmpty)
           .map(_.flatMap(p => Seq(encStat(p._1), encStat(p._2)))
@@ -376,7 +393,8 @@ object CommittedTable {
   def write(df: DataFrame, path: String, partitionCol: String,
       retainGenerations: Int = 2, statsCols: Seq[String] = Nil,
       sortCols: Seq[String] = Nil, filesPerPartition: Int = 1,
-      keyCol: Option[String] = None, versionCol: Option[String] = None): Unit = {
+      keyCol: Option[String] = None, versionCol: Option[String] = None,
+      bloomCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
@@ -386,7 +404,7 @@ object CommittedTable {
     require(readManifest(fs, table).isEmpty,
       s"$path already holds a committed table; use merge for updates")
     fs.mkdirs(table)
-    (statsCols ++ sortCols ++ keyCol ++ versionCol).foreach(c =>
+    (statsCols ++ sortCols ++ keyCol ++ versionCol ++ bloomCols).foreach(c =>
       require(df.columns.contains(c),
         s"column $c absent from the table (${df.columns.mkString(",")})"))
     // sortCols: the [[compact]] canonical in-segment order from the FIRST
@@ -394,10 +412,12 @@ object CommittedTable {
     // waiting for a compaction pass
     val staged = stageSegments(df, path, partitionCol, gen = 1L, sortCols,
       filesPerPartition = filesPerPartition)
-    val (stats, counts) = statsFromStaged(spark, table, staged, partitionCol, statsCols)
+    val (stats, counts) = statsFromStaged(spark, table, staged, partitionCol,
+      statsCols, bloomCols)
     publishOrAbort(hconf, table, baseGen = 0L,
       Manifest(1L, df.columns.toSeq, staged, retainGenerations,
-        statsCols, stats, counts, Some(partitionCol), keyCol, versionCol),
+        statsCols, stats, counts, Some(partitionCol), keyCol, versionCol,
+        bloomCols),
       staged)
   }
 
@@ -783,19 +803,29 @@ object CommittedTable {
     require(m.cols.contains(partitionCol),
       s"$partitionCol is not a column of the committed table (${m.cols.mkString(",")})")
     val keySet = keys.select(col(key)).distinct()
-    val affected: Array[String] = read(spark, path)
+    // sidecar prune FIRST (when the table blooms `key` and the probe set
+    // is small): the affected-partition discovery scan — previously the
+    // full table — opens only segments that can contain a probed key
+    val candidates: Option[Seq[String]] =
+      if (m.bloomCols.contains(key))
+        probeHashes(keySet, key).flatMap(hs =>
+          bloomSurvivors(spark, table, m, key, hs))
+      else None
+    if (candidates.exists(_.isEmpty)) return // no segment can hold any key
+    val affected: Array[String] = readFrom(spark, table, m, candidates)
       .join(keySet, Seq(key), "left_semi")
       .select(col(partitionCol)).distinct()
       .collect().map(_.getString(0))
     if (affected.isEmpty) return
-    val keep = read(spark, path, Some(affected.toIndexedSeq))
+    val keep = readFrom(spark, table, m, Some(affected.toIndexedSeq))
       .join(keySet, Seq(key), "left_anti")
     crashPoint("before-staging")
     val gen = m.gen + 1
     val staged = stageSegments(keep, path, partitionCol, gen)
     crashPoint("after-staging")
     val (segStats, segCounts) =
-      statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
+      statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
+        m.bloomCols)
     val next = m.copy(gen = gen,
       segments = (m.segments -- affected) ++
         staged.view.filterKeys(affected.contains),
@@ -846,13 +876,17 @@ object CommittedTable {
     * instead of re-running the caller's merge/compact plan. */
   private def statsFromStaged(spark: SparkSession, table: Path,
       staged: Map[String, String], partitionCol: String,
-      statsCols: Seq[String])
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil)
       : (Map[String, Seq[(Option[String], Option[String])]], Map[String, Long]) =
     if (staged.isEmpty) (Map.empty, Map.empty)
-    else try computeStats(
-      spark.read.parquet(
-        staged.values.toSeq.sorted.map(d => new Path(table, d).toString): _*),
-      partitionCol, statsCols)
+    else try {
+      val fresh = spark.read.parquet(
+        staged.values.toSeq.sorted.map(d => new Path(table, d).toString): _*)
+      val res = computeStats(fresh, partitionCol, statsCols)
+      writeBloomSidecars(spark, table, staged, partitionCol, bloomCols,
+        res._2, fresh)
+      res
+    }
     catch {
       // a concurrent writer can WIN the generation between our staging
       // and this read-back; its start-of-merge GC then collects our
@@ -868,6 +902,124 @@ object CommittedTable {
             "concurrent writer won this generation and collected them; " +
             "re-run the merge to land on top of the winner", e)
     }
+
+  private val BloomFpp = 0.01
+  // ≈4 MB ceiling per sidecar: past ~3.5M rows/segment the fpp degrades
+  // gracefully instead of the sidecar growing without bound
+  private val BloomMaxBits = 1L << 25
+  // deleteKeys/readKeys probe sets above this skip the sidecar prune (a
+  // bulk retraction touching most partitions gains nothing from it)
+  private val BloomProbeLimit = 100000
+
+  private def bloomSidecarName(colName: String) = s"_bloom-${esc(colName)}"
+
+  /** Write one `_bloom-<col>` sidecar per staged segment per bloom
+    * column: ONE aggregate job over the fresh files (same shape as
+    * [[computeStats]] — grouped by partition value, output bounded by
+    * the AFFECTED partition set), filters streamed to the driver one
+    * result-partition at a time (`toLocalIterator` — never all blooms in
+    * driver memory at once) and dropped inside the still-unpublished
+    * segment dirs, so the sidecar is atomic WITH the segment: the
+    * manifest swap publishes both or neither, and segment GC removes
+    * both. Sized for the largest staged partition at 1% fpp (the
+    * aggregate's size literal is per-job, not per-group), capped at
+    * [[BloomMaxBits]]. Hash domain = `xxhash64(col)` — the same
+    * `BloomFilterAggregate` longs the consult side probes with. */
+  private def writeBloomSidecars(spark: SparkSession, table: Path,
+      staged: Map[String, String], partitionCol: String,
+      bloomCols: Seq[String], counts: Map[String, Long],
+      fresh: DataFrame): Unit = {
+    if (bloomCols.isEmpty || staged.isEmpty) return
+    import org.apache.spark.sql.graft.bridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    bloomCols.foreach(c => require(fresh.columns.contains(c),
+      s"bloom column $c absent from the staged batch (${fresh.columns.mkString(",")})"))
+    val maxRows = math.max(64L, counts.values.foldLeft(0L)(math.max))
+    val nBits = math.min(BloomMaxBits, math.ceil(
+      -maxRows * math.log(BloomFpp) / (math.log(2) * math.log(2))).toLong)
+    val aggs = bloomCols.map { c =>
+      column(new BloomFilterAggregate(
+        expression(xxhash64(col(c))),
+        expression(lit(maxRows)), expression(lit(nBits)))
+        .toAggregateExpression()).as(s"__bf_$c")
+    }
+    val rows = fresh
+      .groupBy(col(partitionCol).cast("string").as("__pv"))
+      .agg(aggs.head, aggs.tail: _*)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = rows.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      staged.get(r.getString(0)).foreach { seg =>
+        bloomCols.zipWithIndex.foreach { case (c, i) =>
+          val bytes = r.getAs[Array[Byte]](1 + i)
+          if (bytes != null) {
+            val out = fs.create(
+              new Path(new Path(table, seg), bloomSidecarName(c)), true)
+            try out.write(bytes) finally out.close()
+          }
+        }
+      }
+    }
+  }
+
+  /** Segment-level point-lookup prune: partitions whose `_bloom-<col>`
+    * sidecar cannot contain ANY of `hashes` (xxhash64 of the probed
+    * values) are dropped. `None` when the column carries no sidecars
+    * (prune not applicable); a segment MISSING its sidecar (written
+    * before the column was bloomed) conservatively survives. Driver-side
+    * metadata I/O: one small-file read per live segment, the same cost
+    * class as the manifest itself — never a data scan. No false
+    * negatives by the Bloom contract, so callers compose an exact
+    * predicate on top and the sidecars change the I/O, never the
+    * answer. */
+  private[graft] def bloomSurvivors(spark: SparkSession, table: Path,
+      m: Manifest, colName: String, hashes: Array[Long]): Option[Seq[String]] = {
+    if (!m.bloomCols.contains(colName)) return None
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Some(m.segments.toSeq.sortBy(_._1).collect { case (pv, seg) if {
+      val p = new Path(new Path(table, seg), bloomSidecarName(colName))
+      if (!fs.exists(p)) true
+      else {
+        val in = fs.open(p)
+        val bf =
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+          finally in.close()
+        hashes.exists(bf.mightContainLong)
+      }
+    } => pv })
+  }
+
+  /** xxhash64 probe hashes for a small key set, or None above
+    * [[BloomProbeLimit]] (bulk probes skip the sidecar prune). Hashes
+    * are computed by Spark's own `xxhash64` so driver probes and the
+    * sidecar's `BloomFilterAggregate` inserts share one hash domain
+    * across every input type. */
+  private def probeHashes(keySet: DataFrame, key: String): Option[Array[Long]] = {
+    val hs = keySet.select(xxhash64(col(key)).as("__h"))
+      .limit(BloomProbeLimit + 1).collect()
+    if (hs.length > BloomProbeLimit) None else Some(hs.map(_.getLong(0)))
+  }
+
+  /** Point-lookup read: rows whose `key` appears in `keys`, identical to
+    * `read().join(keys, semi)` — but when the table blooms `key`, only
+    * sidecar-surviving segments are listed, opened, or planned. The
+    * 100 TB story: an id probe against a thousand-partition table opens
+    * the handful of segments that can contain it, from metadata alone —
+    * zone maps answer ranges, sidecars answer equality. */
+  def readKeys(spark: SparkSession, path: String, keys: DataFrame,
+      key: String): DataFrame = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    require(m.cols.contains(key),
+      s"$key is not a column of the committed table (${m.cols.mkString(",")})")
+    val keySet = keys.select(col(key)).distinct()
+    val pruned = probeHashes(keySet, key)
+      .flatMap(hs => bloomSurvivors(spark, table, m, key, hs))
+    readFrom(spark, table, m, pruned).join(keySet, Seq(key), "left_semi")
+  }
 
   private def statCompare(dt: org.apache.spark.sql.types.DataType)
       : (String, String) => Int = {
@@ -1147,7 +1299,8 @@ object CommittedTable {
     // affected partition with NO staged segment lost its last row to a key
     // move — dropping its entry IS its retirement
     val (segStats, segCounts) =
-      statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
+      statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
+        m.bloomCols)
     // keycol/vercol metadata backfills from the first merge of a
     // pre-feature table (the merge call IS the declaration of the key
     // protocol); partcol likewise
@@ -1241,7 +1394,8 @@ object CommittedTable {
       throw new java.io.IOException(
         s"compactZOrder staged no segment for partitions ${missing.mkString(",")}")
     val (segStats, segCounts) =
-      statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
+      statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
+        m.bloomCols)
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen, segments = staged, stats = segStats,
@@ -1299,7 +1453,8 @@ object CommittedTable {
     val staged = stageSegments(keep, path, partitionCol, gen)
     crashPoint("after-staging")
     val (segStats, segCounts) =
-      statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
+      statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
+        m.bloomCols)
     val next = m.copy(gen = gen,
       segments = (m.segments -- affected) ++
         staged.view.filterKeys(affected.contains),
@@ -1389,7 +1544,8 @@ object CommittedTable {
     val staged = stageSegments(upd, path, partitionCol, gen)
     crashPoint("after-staging")
     val (segStats, segCounts) =
-      statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
+      statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
+        m.bloomCols)
     val next = m.copy(gen = gen,
       segments = (m.segments -- affected) ++
         staged.view.filterKeys(affected.contains),
@@ -1440,7 +1596,8 @@ object CommittedTable {
         s"compact staged no segment for partitions ${missing.mkString(",")}")
     crashPoint("before-swap")
     val (compactStats, compactCounts) =
-      statsFromStaged(spark, table, staged, partitionCol, m.statsCols)
+      statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
+        m.bloomCols)
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen, segments = staged, stats = compactStats,
         rowCounts = compactCounts), staged)

@@ -82,11 +82,49 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
         allowed.foldLeft(base)((acc, set) => acc.filter(set))
       case None => base
     }
+    // equality / IN on a bloomed column → per-segment `_bloom-*` sidecar
+    // probe (the point-lookup complement to zone maps): one small-file
+    // read per candidate segment at PLAN time, no false negatives, and
+    // the predicate still reaches the parquet reader — the sidecars only
+    // ever shrink the I/O
+    val bloomPruned = dataFilters.flatMap(bloomProbeOf)
+      .filter { case (c, _) => m.bloomCols.contains(c) }
+      .foldLeft(partPruned) { case (acc, (c, lits)) =>
+        val hashes: Array[Long] = lits.map(l =>
+          new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]).toArray
+        CommittedTable.bloomSurvivors(spark, tablePath, m, c, hashes) match {
+          case Some(surv) => val keep = surv.toSet; acc.filter(keep)
+          case None => acc
+        }
+      }
     val ranges = dataFilters.flatMap(rangeOf)
       .filter { case (c, _, _) => m.statsCols.contains(c) }
-    if (ranges.isEmpty) partPruned
-    else CommittedTable.zoneSurvivors(m, Some(schema), ranges, partPruned)
+    if (ranges.isEmpty) bloomPruned
+    else CommittedTable.zoneSurvivors(m, Some(schema), ranges, bloomPruned)
   }
+
+  /** `c = lit` / `c IN (…)` → the probed literals (typed AS THE COLUMN —
+    * post-analysis both sides share the attribute's type, so the driver
+    * hash equals the executor-side `xxhash64(col)` the sidecar was built
+    * from). NULL probes are dropped: `= NULL` selects nothing, pruning
+    * nothing stays sound. */
+  private def bloomProbeOf(e: Expression): Option[(String, Seq[Literal])] =
+    e match {
+      case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+        Some((a.name, Seq(l)))
+      case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+        Some((a.name, Seq(l)))
+      case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+        Some((a.name, Seq(l)))
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        Some((a.name,
+          vs.collect { case l: Literal if l.value != null => l }))
+      case InSet(a: AttributeReference, vs) =>
+        Some((a.name,
+          vs.filter(_ != null).map(v => Literal(v, a.dataType)).toSeq))
+      case _ => None
+    }
 
   private def external(l: Literal): Any =
     CatalystTypeConverters.convertToScala(l.value, l.dataType)

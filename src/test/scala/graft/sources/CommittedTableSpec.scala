@@ -927,4 +927,101 @@ class CommittedTableSpec extends SparkSpec {
     assert(CommittedTable.read(spark, dir).select("status")
       .as[String].collect().toSet === Set("A", "B"))
   }
+
+  // ---- Bloom sidecars: segment-level point-lookup skipping -------------
+
+  private def bloomTable(tag: String, bloom: Boolean): String = {
+    val dir = freshDir(tag)
+    val df = spark.range(0, 800)
+      .select($"id",
+        concat(lit("p"), ($"id" / 100).cast("long").cast("string")).as("status"),
+        ($"id" * 1.5).as("value"))
+      .withColumn("version", lit(1L))
+    CommittedTable.write(df, dir, "status",
+      keyCol = Some("id"), versionCol = Some("version"),
+      bloomCols = if (bloom) Seq("id") else Nil)
+    dir
+  }
+
+  private def survivorsFor(dir: String, ids: Seq[Long]): Option[Seq[String]] = {
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = CommittedTable.readManifest(fs, table).get
+    val hashes = ids.toDF("id").select(xxhash64($"id"))
+      .collect().map(_.getLong(0))
+    CommittedTable.bloomSurvivors(spark, table, m, "id", hashes)
+  }
+
+  test("bloom sidecars: a point probe opens a strict subset of segments, answer unchanged") {
+    val dir = bloomTable("bloom", bloom = true)
+    // id=250 lives only in partition p2: the sidecars must keep p2 and
+    // drop (almost) everything else — deterministic for fixed data
+    val surv = survivorsFor(dir, Seq(250L)).get
+    assert(surv.contains("p2"))
+    assert(surv.size <= 2, s"sidecar prune kept too much: $surv")
+    // the pruned read PLANS fewer files than the full read
+    val allFiles = CommittedTable.read(spark, dir).inputFiles.length
+    val prunedFiles = CommittedTable.read(spark, dir, Some(surv)).inputFiles.length
+    assert(prunedFiles < allFiles)
+    // readKeys == read().semi-join, bloom or not (no false negatives)
+    val expect = CommittedTable.read(spark, dir)
+      .filter($"id".isin(250L, 601L, 9999L))
+      .select($"id", $"status", $"value").as[(Long, String, Double)]
+      .collect().toSet
+    val got = CommittedTable.readKeys(spark, dir,
+        Seq(250L, 601L, 9999L).toDF("id"), "id")
+      .select($"id", $"status", $"value").as[(Long, String, Double)]
+      .collect().toSet
+    assert(got === expect)
+    // a column with no sidecars: prune not applicable
+    assert(survivorsFor(bloomTable("nobloom", bloom = false), Seq(1L)).isEmpty)
+  }
+
+  test("bloom sidecars: a segment missing its sidecar conservatively survives") {
+    val dir = bloomTable("bloomiss", bloom = true)
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = CommittedTable.readManifest(fs, table).get
+    // simulate a pre-feature segment: strip p5's sidecar
+    val seg = new org.apache.hadoop.fs.Path(table, m.segments("p5"))
+    assert(fs.delete(new org.apache.hadoop.fs.Path(seg, "_bloom-id"), false))
+    val surv = survivorsFor(dir, Seq(250L)).get
+    assert(surv.contains("p2") && surv.contains("p5"))
+  }
+
+  test("bloom sidecars: deleteKeys prunes discovery; result identical to the unbloomed path") {
+    val bloomed = bloomTable("blodel", bloom = true)
+    val plain = bloomTable("plndel", bloom = false)
+    val probe = Seq(17L, 250L, 777L).toDF("id")
+    CommittedTable.deleteKeys(spark, bloomed, probe, "id", "status")
+    CommittedTable.deleteKeys(spark, plain, probe, "id", "status")
+    val a = CommittedTable.read(spark, bloomed)
+      .select($"id", $"status", $"value").as[(Long, String, Double)].collect().toSet
+    val b = CommittedTable.read(spark, plain)
+      .select($"id", $"status", $"value").as[(Long, String, Double)].collect().toSet
+    assert(a === b)
+    assert(!a.exists(r => Set(17L, 250L, 777L).contains(r._1)))
+    // a probe no segment can hold: deleteKeys returns without a new generation
+    val genBefore = CommittedTable.generations(spark, bloomed).max
+    CommittedTable.deleteKeys(spark, bloomed, Seq(424242L).toDF("id"), "id", "status")
+    assert(CommittedTable.generations(spark, bloomed).max === genBefore)
+  }
+
+  test("bloom sidecars: carried forward by merge and compact, fresh segments re-bloomed") {
+    val dir = bloomTable("blofwd", bloom = true)
+    // merge moves id=250 p2→p9 and inserts id=950 in p9
+    val upd = Seq((250L, "p9", 1.0, 2L), (950L, "p9", 2.0, 2L))
+      .toDF("id", "status", "value", "version")
+    CommittedTable.merge(spark, dir, upd, "id", "version", "status")
+    val s250 = survivorsFor(dir, Seq(250L)).get
+    assert(s250.contains("p9"))
+    assert(!s250.contains("p2"), // p2 was rewritten WITHOUT 250: fresh sidecar excludes it
+      s"rewritten p2 sidecar still claims 250: $s250")
+    CommittedTable.compact(spark, dir, "status")
+    val sAfter = survivorsFor(dir, Seq(250L)).get
+    assert(sAfter.contains("p9") && sAfter.size <= 2)
+    val got = CommittedTable.readKeys(spark, dir, Seq(250L, 950L).toDF("id"), "id")
+      .select($"id", $"status").as[(Long, String)].collect().toSet
+    assert(got === Set((250L, "p9"), (950L, "p9")))
+  }
 }

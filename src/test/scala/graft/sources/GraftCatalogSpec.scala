@@ -227,6 +227,43 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL point probe on a bloomed column opens only sidecar-surviving segments") {
+    withTable("graft-cat-bloom") { path =>
+      import spark.implicits._
+      // no zone maps on id here: the prune below is the SIDECAR's alone
+      val df = Seq(
+        (1L, "a", 10.0, 1L), (2L, "a", 20.0, 1L), (3L, "a", 30.0, 1L),
+        (4L, "b", 40.0, 1L), (5L, "b", 50.0, 1L),
+        (6L, "c", 60.0, 1L), (7L, "c", 70.0, 1L), (8L, "c", 80.0, 1L))
+        .toDF("id", "part", "price", "version")
+      CommittedTable.write(df, path, "part",
+        keyCol = Some("id"), versionCol = Some("version"),
+        bloomCols = Seq("id"))
+      def scannedFiles(sql: String): (Long, Seq[Long]) = {
+        val out = spark.sql(sql)
+        val scan = out.queryExecution.executedPlan.collectFirst {
+          case s: FileSourceScanExec => s
+        }.getOrElse(fail(s"no FileSourceScanExec in plan for: $sql"))
+        (scan.selectedPartitions.totalNumberOfFiles,
+          out.collect().map(_.getLong(0)).toSeq.sorted)
+      }
+      val (oneFile, oneRows) =
+        scannedFiles(s"SELECT id FROM graft.`$path` WHERE id = 5")
+      assert(oneFile === 1 && oneRows === Seq(5L))
+      val (inFiles, inRows) =
+        scannedFiles(s"SELECT id FROM graft.`$path` WHERE id IN (1, 8)")
+      assert(inFiles === 2 && inRows === Seq(1L, 8L))
+      // a probe no segment can hold plans an empty scan, not a wrong answer
+      val (missFiles, missRows) =
+        scannedFiles(s"SELECT id FROM graft.`$path` WHERE id = 42")
+      assert(missFiles === 0 && missRows === Seq.empty)
+      // unprunable shape (OR) keeps every segment and stays correct
+      val (orFiles, orRows) =
+        scannedFiles(s"SELECT id FROM graft.`$path` WHERE id = 5 OR id = 7")
+      assert(orFiles === 3 && orRows === Seq(5L, 7L))
+    }
+  }
+
   test("schema widen NULL-fills through the SQL read") {
     withTable("graft-cat-widen") { path =>
       seed(path)
