@@ -1273,6 +1273,68 @@ object Relational {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM orders
       WHERE o_orderkey NOT IN (1, 3, 5, 32, 69, 134, 999999999)
-      GROUP BY o_orderstatus"""))
+      GROUP BY o_orderstatus""")),
+
+    // ---- Composite (multi-column) partitioning ----------------------------
+    // documents partitioned by (lang, source) through the composite-key
+    // encoding; the update batch upserts AND moves rows across composite
+    // partitions (source reassignment), then a MID-key component probe
+    // (source alone, every lang) range-reads through the per-component zone
+    // maps — the prune hive prefix-dirs cannot express. Fixture-scrub
+    // convention (q100/q119).
+    Q("q148_composite_partition", (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .withColumn("version", lit(1L))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-comp-q148").toString + "/wh"
+      try {
+        graft.sources.CommittedTable.writeComposite(d, wh, Seq("lang", "source"),
+          keyCol = Some("doc_id"), versionCol = Some("version"))
+        val k = col("doc_id")
+        val upserts = d.filter(k % 7 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("version", lit(2L))
+        val moves = d.filter(k % 11 === 0 && k % 7 =!= 0)
+          .withColumn("source", lit("resync"))
+          .withColumn("version", lit(2L))
+        graft.sources.CommittedTable.mergeComposite(s, wh,
+          upserts.unionByName(moves), "doc_id", "version", Seq("lang", "source"))
+        val out = graft.sources.CommittedTable.readRangeMulti(s, wh,
+            Seq(("source", Some("src7"), Some("src7"))))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("doc_id")).as("sum_ids"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(col("version")).as("sum_version"))
+        val rows = out.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh).getParent)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, lang, source, n_chars, 1 AS version FROM documents),
+      upd AS (
+        SELECT doc_id, lang, source, n_chars + 1000 AS n_chars, 2 AS version
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id, lang, 'resync', n_chars, 2
+        FROM documents WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0),
+      merged AS (
+        SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY version DESC) AS rn
+          FROM (SELECT * FROM base UNION ALL SELECT * FROM upd))
+        WHERE rn = 1)
+      SELECT lang, COUNT(*) AS n,
+        CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(version) AS BIGINT) AS sum_version
+      FROM merged WHERE source = 'src7' GROUP BY lang"""))
   )
 }

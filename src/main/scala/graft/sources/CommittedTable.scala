@@ -1021,6 +1021,95 @@ object CommittedTable {
     readFrom(spark, table, m, pruned).join(keySet, Seq(key), "left_semi")
   }
 
+  // ---- Composite (multi-column) partitioning -----------------------------
+  //
+  // Real lakehouse tables partition by PAIRS — (date, source), (region,
+  // day). The committed protocol is single-partition-column by design (one
+  // manifest line per value); multi-column partitioning is a first-class
+  // ENCODING on top: [[compositeKey]] derives one string key per row
+  // ('%'→'%25', '/'→'%2F' per component, then '/'-joined — unambiguous,
+  // order-preserving, reversible), stored as an ordinary data column the
+  // whole surface already understands: merge/delete/update/deleteKeys scope
+  // rewrites by composite value, the change feed / CDF / time travel are
+  // untouched, and SQL routes DML through the same column.
+  //
+  // Pruning is BETTER than hive-style nested dirs: declare the component
+  // columns as statsCols ([[writeComposite]] does) and every segment —
+  // holding exactly one composite value — has min==max per component, so
+  // zone maps prune EXACTLY on ANY component subset ((source) alone, (date)
+  // alone, both), not just key prefixes. `readRangeMulti`/SQL need no new
+  // machinery.
+
+  /** The composite partition key for `components` (each cast to string,
+    * percent-escaped, '/'-joined) — pure codegen'd column arithmetic. A
+    * NULL component poisons the whole key to NULL, which every write path
+    * rejects loudly (a silently skipped component would alias distinct
+    * tuples). */
+  def compositeKey(components: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.Column = {
+    require(components.nonEmpty, "compositeKey needs at least one component")
+    val escaped = components.map(c =>
+      replace(replace(c.cast("string"), lit("%"), lit("%25")),
+        lit("/"), lit("%2F")))
+    escaped.reduceLeft((a, b) => concat(a, lit("/"), b))
+  }
+
+  /** Component `i` (0-based) of a [[compositeKey]] column, unescaped, as
+    * string; NULL past the end. */
+  def compositeComponent(key: org.apache.spark.sql.Column, i: Int)
+      : org.apache.spark.sql.Column = {
+    require(i >= 0, s"component index must be >= 0, got $i")
+    val part = split(key, "/").getItem(i)
+    replace(replace(part, lit("%2F"), lit("/")), lit("%25"), lit("%"))
+  }
+
+  /** Driver-side form of [[compositeKey]] for partition-value lists: the
+    * manifest key a row with these component values lands under. */
+  def compositeValue(components: Seq[String]): String = {
+    require(components.nonEmpty, "compositeValue needs at least one component")
+    components.map(c => c.replace("%", "%25").replace("/", "%2F"))
+      .mkString("/")
+  }
+
+  /** [[write]] partitioned by the composite of `partitionCols`: derives
+    * the key column (named `keyName`, stored as data like any partition
+    * column), declares the components as zone-map stats columns (exact
+    * per-component pruning — see the section note), and carries the
+    * caller's extra statsCols on top. Every other verb takes `keyName` as
+    * the table's partition column. */
+  def writeComposite(df: DataFrame, path: String,
+      partitionCols: Seq[String], keyName: String = "part_key",
+      retainGenerations: Int = 2, statsCols: Seq[String] = Nil,
+      sortCols: Seq[String] = Nil, filesPerPartition: Int = 1,
+      keyCol: Option[String] = None, versionCol: Option[String] = None,
+      bloomCols: Seq[String] = Nil): Unit = {
+    require(partitionCols.size >= 2,
+      s"writeComposite needs >= 2 partition columns, got $partitionCols " +
+        "(use write() for one)")
+    partitionCols.foreach(c => require(df.columns.contains(c),
+      s"partition column $c absent from the table (${df.columns.mkString(",")})"))
+    require(!df.columns.contains(keyName),
+      s"$keyName already exists in the table; pass a fresh keyName")
+    write(df.withColumn(keyName, compositeKey(partitionCols.map(col): _*)),
+      path, keyName, retainGenerations,
+      (partitionCols ++ statsCols).distinct, sortCols, filesPerPartition,
+      keyCol, versionCol, bloomCols)
+  }
+
+  /** [[merge]] into a [[writeComposite]] table: derives the same
+    * composite key on the update batch (the batch carries the COMPONENT
+    * columns, not the key) and routes to the standard keyed merge. */
+  def mergeComposite(spark: SparkSession, path: String, updates: DataFrame,
+      key: String, versionCol: String, partitionCols: Seq[String],
+      keyName: String = "part_key", allowAddColumns: Boolean = false): Unit = {
+    partitionCols.foreach(c => require(updates.columns.contains(c),
+      s"partition column $c absent from the update batch " +
+        s"(${updates.columns.mkString(",")})"))
+    merge(spark, path,
+      updates.withColumn(keyName, compositeKey(partitionCols.map(col): _*)),
+      key, versionCol, keyName, allowAddColumns)
+  }
+
   private def statCompare(dt: org.apache.spark.sql.types.DataType)
       : (String, String) => Int = {
     import org.apache.spark.sql.types._

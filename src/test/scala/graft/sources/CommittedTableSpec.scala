@@ -1024,4 +1024,102 @@ class CommittedTableSpec extends SparkSpec {
       .select($"id", $"status").as[(Long, String)].collect().toSet
     assert(got === Set((250L, "p9"), (950L, "p9")))
   }
+
+  // ---- Composite (multi-column) partitioning ---------------------------
+
+  private def compositeBase() = Seq(
+    (1L, "2026-01-01", "web", 10.0), (2L, "2026-01-01", "web/api", 20.0),
+    (3L, "2026-01-01", "crawl", 30.0), (4L, "2026-01-02", "web", 40.0),
+    (5L, "2026-01-02", "50%", 50.0), (6L, "2026-01-03", "crawl", 60.0))
+    .toDF("id", "day", "source", "value")
+    .withColumn("version", lit(1L))
+
+  test("composite partitioning: reversible encoding, exact per-component pruning") {
+    val dir = freshDir("comp")
+    CommittedTable.writeComposite(compositeBase(), dir, Seq("day", "source"),
+      keyCol = Some("id"), versionCol = Some("version"))
+    // the manifest keys are the documented encoding — '/' and '%' escaped
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = CommittedTable.readManifest(fs, table).get
+    assert(m.segments.keySet === Set(
+      "2026-01-01/web", "2026-01-01/web%2Fapi", "2026-01-01/crawl",
+      "2026-01-02/web", "2026-01-02/50%25", "2026-01-03/crawl"))
+    assert(CommittedTable.compositeValue(Seq("2026-01-01", "web/api")) ===
+      "2026-01-01/web%2Fapi")
+    // components decode back exactly, gnarly values included
+    val decoded = CommittedTable.read(spark, dir)
+      .select($"id",
+        CommittedTable.compositeComponent($"part_key", 0).as("d"),
+        CommittedTable.compositeComponent($"part_key", 1).as("s"))
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(decoded(2L) === ("2026-01-01", "web/api"))
+    assert(decoded(5L) === ("2026-01-02", "50%"))
+    // component zone maps: a (source) probe prunes MID-key — hive nested
+    // dirs can only prune prefixes
+    val bySource = CommittedTable.readRangeMulti(spark, dir,
+      Seq(("source", Some("web"), Some("web"))))
+    assert(bySource.inputFiles.length === 2)
+    assert(bySource.select($"id").as[Long].collect().toSet === Set(1L, 4L))
+    // (day) range alone
+    val byDay = CommittedTable.readRangeMulti(spark, dir,
+      Seq(("day", Some("2026-01-02"), None)))
+    assert(byDay.inputFiles.length === 3)
+    assert(byDay.select($"id").as[Long].collect().toSet === Set(4L, 5L, 6L))
+    // both components = one segment
+    val one = CommittedTable.readRangeMulti(spark, dir,
+      Seq(("day", Some("2026-01-01"), Some("2026-01-01")),
+        ("source", Some("crawl"), Some("crawl"))))
+    assert(one.inputFiles.length === 1)
+    assert(one.select($"id").as[Long].collect().toSet === Set(3L))
+    // NULL component poisons the key and fails loudly, never aliases
+    intercept[IllegalArgumentException] {
+      CommittedTable.writeComposite(
+        Seq((9L, null: String, "web", 1.0, 1L))
+          .toDF("id", "day", "source", "value", "version"),
+        freshDir("compnull"), Seq("day", "source"))
+    }
+  }
+
+  test("composite partitioning: merge, DML, and CDF flow through the composite column") {
+    val dir = freshDir("compdml")
+    CommittedTable.writeComposite(compositeBase(), dir, Seq("day", "source"),
+      keyCol = Some("id"), versionCol = Some("version"))
+    // upsert id=1 in place; MOVE id=3 crawl→web (same day); insert id=9
+    val upd = Seq(
+      (1L, "2026-01-01", "web", 11.0, 2L),
+      (3L, "2026-01-01", "web", 31.0, 2L),
+      (9L, "2026-01-03", "web", 90.0, 2L))
+      .toDF("id", "day", "source", "value", "version")
+    CommittedTable.mergeComposite(spark, dir, upd, "id", "version",
+      Seq("day", "source"))
+    val after = CommittedTable.read(spark, dir)
+      .select($"id", $"day", $"source", $"value")
+      .as[(Long, String, String, Double)].collect().toSet
+    assert(after === Set(
+      (1L, "2026-01-01", "web", 11.0), (2L, "2026-01-01", "web/api", 20.0),
+      (3L, "2026-01-01", "web", 31.0), (4L, "2026-01-02", "web", 40.0),
+      (5L, "2026-01-02", "50%", 50.0), (6L, "2026-01-03", "crawl", 60.0),
+      (9L, "2026-01-03", "web", 90.0)))
+    // CDF over the merge generation sees the move as update pre/post
+    val cdf = CommittedTable.changesCdf(spark, dir, 2L, "id", "version")
+      .select($"id", $"_change_type").as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(cdf(1L) === Seq("update_postimage", "update_preimage"))
+    assert(cdf(3L) === Seq("update_postimage", "update_preimage"))
+    assert(cdf(9L) === Seq("insert"))
+    assert(!cdf.contains(5L)) // untouched partitions stay out of the diff
+    // predicate DELETE on a component column, scoped by composite value
+    CommittedTable.delete(spark, dir, col("source") === "crawl", "part_key")
+    assert(CommittedTable.read(spark, dir).filter($"source" === "crawl").count() === 0)
+    assert(CommittedTable.read(spark, dir).count() === 6)
+    // UPDATE with the version bump, composite untouched
+    CommittedTable.update(spark, dir, col("id") === 4L,
+      Map("value" -> lit(44.0), "version" -> lit(3L)), "part_key",
+      versionCol = Some("version"))
+    val r4 = CommittedTable.read(spark, dir).filter($"id" === 4L)
+      .select($"value", $"version").as[(Double, Long)].head()
+    assert(r4 === ((44.0, 3L)))
+  }
 }
