@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   * `padTo` widens the applied rank table with inert never-matching pairs
   * — the honest way to exercise the apply kernel's rank-map width on
   * this corpus (the claim under test: probes are O(1), width-invariant).
-  * Usage: runMain graft.tools.BpeLearnBench <sfDir> [numMerges] [cap] [padTo]
+  * Usage: runMain graft.tools.BpeLearnBench <sfDir> [numMerges] [cap] [padTo] [batchTopK]
   */
 object BpeLearnBench {
   def main(args: Array[String]): Unit = {
@@ -23,11 +23,15 @@ object BpeLearnBench {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val numMerges = args.lift(1).map(_.toInt).getOrElse(1000)
     val cap = args.lift(2).map(_.toLong).getOrElse(2000000L)
+    val batchTopK = args.lift(4).map(_.toInt).getOrElse(256)
+    val exactBatching = args.lift(5).forall(_.toBoolean)
     val docs = graft.queries.Registry.table(spark, dir, "documents")
     val t0 = System.nanoTime()
     val merges = graft.operators.TextAnalysis.bpeLearn(
-      docs, numMerges = numMerges, maxDistinctWords = cap)
+      docs, numMerges = numMerges, maxDistinctWords = cap,
+      batchTopK = batchTopK, exactBatching = exactBatching)
     val sec = (System.nanoTime() - t0) / 1e9
+    val rounds = graft.operators.TextAnalysis.lastDistributedRounds
 
     // apply-kernel timing with the freshly learned table (the rank loop
     // exercised at full merge-table width): materialize every token of
@@ -49,7 +53,8 @@ object BpeLearnBench {
       applySec(graft.functions.Bpe.tokensByteLevel(col("text"), applied))
 
     println(f"""{"tool":"BpeLearnBench","dir":"$dir","numMerges":$numMerges,""" +
-      f""""cap":$cap,"learned":${merges.size},"applied":${applied.size},"sec":$sec%.3f,""" +
+      f""""cap":$cap,"batchTopK":$batchTopK,"exact":$exactBatching,"rounds":$rounds,""" +
+      f""""learned":${merges.size},"applied":${applied.size},"sec":$sec%.3f,""" +
       f""""applyWordSec":$wordSec%.3f,"wordTokens":$wordToks,""" +
       f""""applyByteSec":$byteSec%.3f,"byteTokens":$byteToks,""" +
       f""""first5":"${merges.take(5).map(p => p._1 + "+" + p._2).mkString(" ")}"}""")

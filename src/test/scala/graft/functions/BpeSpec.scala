@@ -108,6 +108,51 @@ class BpeSpec extends SparkSpec {
     assert(local.size === 24) // a real corpus sustains 24 merges ≥ minCount
   }
 
+  test("bpeLearn: batched distributed adoption == sequential, deep into the merge list") {
+    // 150 merges over a real corpus slice: the batch prefix rule fires on
+    // every shape that matters (symbol overlap, chained products, count
+    // ties) and must still replay the driver path's exact sequence —
+    // including the exhaustion tail if the corpus runs dry
+    val docs = graft.queries.Registry.table(spark, sf0001, "documents")
+      .limit(120).select(col("doc_id"), col("text"))
+    val local = graft.operators.TextAnalysis.bpeLearn(docs, numMerges = 150)
+    val dist = graft.operators.TextAnalysis.bpeLearn(docs, numMerges = 150,
+      maxDistinctWords = 1L)
+    assert(dist === local)
+    // the slice runs dry under minCount before 150 — the exhaustion tail
+    // is exercised and both paths must agree on WHERE it ends
+    assert(local.size > 50 && local.size < 150)
+  }
+
+  test("bpeLearn: approximate batching — fewer rounds, characterized deviation") {
+    val docs = graft.queries.Registry.table(spark, sf0001, "documents")
+      .limit(120).select(col("doc_id"), col("text"))
+    val seq = graft.operators.TextAnalysis.bpeLearn(docs, numMerges = 80,
+      maxDistinctWords = 1L)
+    val seqRounds = graft.operators.TextAnalysis.lastDistributedRounds
+    val approx = graft.operators.TextAnalysis.bpeLearn(docs, numMerges = 80,
+      maxDistinctWords = 1L, exactBatching = false)
+    val approxRounds = graft.operators.TextAnalysis.lastDistributedRounds
+    // the point of the mode: an order of magnitude fewer aggregation rounds
+    assert(approxRounds * 5 <= seqRounds,
+      s"approx took $approxRounds rounds vs sequential $seqRounds")
+    // deviation is bounded, not wild: identical first pick, high merge-set
+    // overlap, equivalent corpus compression
+    assert(approx.head === seq.head)
+    assert(approx.size === seq.size)
+    val overlap = approx.toSet.intersect(seq.toSet).size.toDouble / seq.size
+    assert(overlap >= 0.7, s"merge-set overlap $overlap")
+    def tokenCount(merges: Seq[(String, String)]): Long =
+      docs.select(explode(Bpe.tokens(Text.normalize(col("text")), merges)).as("t"))
+        .count()
+    val (na, ns) = (tokenCount(approx), tokenCount(seq))
+    assert(math.abs(na - ns).toDouble / ns < 0.02,
+      s"compression drift: approx $na vs sequential $ns tokens")
+    // determinism: the approximate path is still a pure function of input
+    assert(approx === graft.operators.TextAnalysis.bpeLearn(docs,
+      numMerges = 80, maxDistinctWords = 1L, exactBatching = false))
+  }
+
   test("bpeLearn: ONE corpus pass regardless of numMerges") {
     // opaque mapPartitions barrier counts input-scan tasks (Catalyst can
     // neither prune nor skip it) — the CurationSpec pass-count pattern
