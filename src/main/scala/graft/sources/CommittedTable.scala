@@ -642,7 +642,7 @@ object CommittedTable {
     * that never existed yet (ahead of the writer), one aged past the
     * retain window (lagging consumer — names the readable range), or the
     * current head (served from `_commit` itself, no anchor needed). */
-  private def resolveAnchor(fs: FileSystem, table: Path, path: String,
+  private[graft] def resolveAnchor(fs: FileSystem, table: Path, path: String,
       gen: Long, cur: Manifest): Manifest = {
     if (gen > cur.gen) throw new java.io.IOException(
       s"generation $gen of $path has not been published yet (current ${cur.gen})")

@@ -105,6 +105,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTableV2(s"$catalogName.${ident.toString}", path, m, schema)
   }
 
+  /** `VERSION AS OF <gen>` — SQL time travel straight onto the retained
+    * generation anchors: the loaded Table carries THAT generation's
+    * manifest snapshot (content AND schema — a pre-widen generation reads
+    * with its narrower column list), so the substituted scan, pruning and
+    * metadata counts all serve the historical snapshot with zero new
+    * machinery. Aged-out generations fail with the retention window, the
+    * same loud contract as the Scala `readAt`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val gen =
+      try version.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"committed-table versions are generation numbers; got '$version'") }
+    val path = tablePath(ident)
+    val table = new Path(path)
+    val f = fs(table)
+    val cur = CommittedTable.readManifest(f, table)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val m = CommittedTable.resolveAnchor(f, table, path, gen, cur)
+    val schema = CommittedTable.schemaOf(spark, table, m)
+    GraftTableV2(s"$catalogName.${ident.toString}@v$gen", path, m, schema)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — resolves to the newest retained generation
+    * whose anchor file was published at or before `timestampMicros`
+    * (anchor mtime = publish time: the `_commit.g<n>` copy is written in
+    * the same swap). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = tablePath(ident)
+    val table = new Path(path)
+    val f = fs(table)
+    val cur = CommittedTable.readManifest(f, table)
+      .getOrElse(throw new NoSuchTableException(ident))
+    val tsMillis = timestampMicros / 1000L
+    val floor = math.max(1L, cur.gen - cur.retain + 1)
+    val eligible = (floor to cur.gen).reverse.find { g =>
+      val anchor = new Path(table, s"_commit.g$g")
+      f.exists(anchor) && f.getFileStatus(anchor).getModificationTime <= tsMillis
+    }
+    val gen = eligible.getOrElse(throw new IllegalArgumentException(
+      s"no retained generation of $path was published at or before " +
+        s"timestamp ${java.time.Instant.ofEpochMilli(tsMillis)} (retained " +
+        s"window $floor..${cur.gen})"))
+    loadTable(ident, gen.toString)
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val root = new Path((warehouse +: namespace.toSeq).mkString("/"))
     val f = fs(root)

@@ -264,6 +264,48 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF serve retained generations through SQL") {
+    withTable("graft-cat-tt") { path =>
+      import spark.implicits._
+      seed(path) // gen 1: 8 rows
+      val betweenMs = System.currentTimeMillis()
+      Thread.sleep(20) // anchor mtimes separate gen 1 from gen 2
+      spark.sql(s"DELETE FROM graft.`$path` WHERE part = 'c'") // gen 2: 5 rows
+      def count(sql: String): Long = spark.sql(sql).collect().head.getLong(0)
+      assert(count(s"SELECT COUNT(*) FROM graft.`$path`") === 5L)
+      assert(count(
+        s"SELECT COUNT(*) FROM graft.`$path` VERSION AS OF 1") === 8L)
+      assert(count(
+        s"SELECT COUNT(*) FROM graft.`$path` VERSION AS OF 2") === 5L)
+      // the snapshot composes with predicates and pruning machinery
+      val old = spark.sql(
+        s"SELECT id FROM graft.`$path` VERSION AS OF 1 WHERE part = 'c' ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(old === Seq(6L, 7L, 8L))
+      // timestamp between the publishes resolves to gen 1 (epoch-seconds
+      // cast: timezone-independent on both sides)
+      assert(count(s"SELECT COUNT(*) FROM graft.`$path` " +
+        s"TIMESTAMP AS OF CAST(${betweenMs / 1000.0} AS TIMESTAMP)") === 8L)
+      // an unpublished generation fails loudly
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft.`$path` VERSION AS OF 9").collect()
+      }
+      assert(e.getMessage.contains("not been published"))
+      // aged-out: default retain=2, a third publish retires gen 1
+      spark.sql(s"DELETE FROM graft.`$path` WHERE id = 1") // gen 3
+      val aged = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft.`$path` VERSION AS OF 1").collect()
+      }
+      assert(aged.getMessage.contains("not retained"))
+      // a timestamp before the first retained anchor fails with the window
+      val early = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft.`$path` " +
+          "TIMESTAMP AS OF '2001-01-01 00:00:00'").collect()
+      }
+      assert(early.getMessage.contains("no retained generation"))
+    }
+  }
+
   test("schema widen NULL-fills through the SQL read") {
     withTable("graft-cat-widen") { path =>
       seed(path)
