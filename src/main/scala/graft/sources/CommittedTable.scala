@@ -1204,7 +1204,31 @@ object CommittedTable {
     val base = partitionValues.map(_.filter(m.segments.contains))
       .getOrElse(m.segments.keys.toSeq)
     val kept = zoneSurvivors(m, probed, ranges, base)
-    val pruned = readFrom(spark, table, m, Some(kept))
+    // a POINT range (lower == upper) on a bloomed column additionally
+    // consults the `_bloom-<col>` sidecars — zone maps answer "could the
+    // range intersect", the sidecar answers "is this exact value
+    // possibly here", which is decisive on high-cardinality unsorted
+    // keys where every segment's [min,max] straddles the probe. Skipped
+    // when the probe value cannot cast to the column type (the hash
+    // domain would not match; the exact filter below still decides).
+    val keptB = ranges.foldLeft(kept) {
+      case (acc, (c, Some(lo), Some(hi))) if lo == hi && m.bloomCols.contains(c) =>
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+        val dt = typeOf(probed, c)
+        val casted = Cast(Literal(lo), dt,
+          Some(java.time.ZoneOffset.UTC.getId)).eval(null)
+        if (casted == null) acc
+        else {
+          val hash = new XxHash64(Seq(Literal.create(casted, dt)))
+            .eval(null).asInstanceOf[Long]
+          bloomSurvivors(spark, table, m, c, Array(hash)) match {
+            case Some(surv) => val keep = surv.toSet; acc.filter(keep)
+            case None => acc
+          }
+        }
+      case (acc, _) => acc
+    }
+    val pruned = readFrom(spark, table, m, Some(keptB))
     val preds = ranges.map { case (statsCol, lower, upper) =>
       (statsCol, typeOf(probed, statsCol),
         lower.map(canonBound(typeOf(probed, statsCol), _)),

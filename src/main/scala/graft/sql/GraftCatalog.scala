@@ -46,7 +46,8 @@ import graft.sources.CommittedTable
   * data (`CommittedTable.write`), not from an empty DDL shell; `DROP
   * TABLE` works (it removes the table directory).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var initOptions: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty()
@@ -226,6 +227,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterNamespace(namespace: Array[String],
       changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  // ---- maintenance procedures (CALL graft.compact(...) etc.) ------------
+
+  private def resolveProcPath(raw: String): String =
+    if (raw.startsWith("/")) raw else s"$warehouse/$raw"
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.isEmpty || ident.namespace.sameElements(Array("system")),
+      s"unknown procedure namespace ${ident.namespace.mkString(".")}")
+    GraftProcedures.all(resolveProcPath).getOrElse(ident.name.toLowerCase,
+      throw new UnsupportedOperationException(
+        s"unknown procedure ${ident.name}; available: " +
+          GraftProcedures.all(resolveProcPath).keys.toSeq.sorted.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.all(resolveProcPath).keys.toSeq.sorted
+      .map(n => Identifier.of(namespace, n)).toArray
 
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {

@@ -1,0 +1,134 @@
+package graft.sql
+
+import java.util.{Iterator => JIterator}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.CommittedTable
+
+/** SQL `CALL` surface for the committed-table maintenance verbs — the
+  * Iceberg-procedure shape on Spark 4's `ProcedureCatalog`:
+  *
+  *   CALL graft.compact(table => '/abs/path')
+  *   CALL graft.compact(table => '/abs/path', zorder_by => 'x,y', zorder_bits => 12)
+  *   CALL graft.set_retention(table => '/abs/path', retain => 5)
+  *   CALL graft.recover(table => '/abs/path')
+  *
+  * Each routes into the one Scala protocol (fencing, atomic publish, GC
+  * — a procedure is a front end, not a second write path) and returns a
+  * one-row result set naming the table and the generation it left
+  * behind, so operational runbooks can be pure SQL. The table's
+  * partition column comes from the manifest's `partcol=` metadata —
+  * CALL never re-declares what the table knows; a pre-metadata table
+  * fails loudly naming the remedy (same contract as routed DML).
+  *
+  * `table` accepts an absolute path (matching the catalog's
+  * `` graft.`/abs/path` `` ident convention) or a warehouse-relative
+  * `ns/t` resolved against `spark.sql.catalog.<name>.warehouse`. */
+private[sql] object GraftProcedures {
+
+  private val resultSchema = StructType(Seq(
+    StructField("table", StringType, nullable = false),
+    StructField("generation", LongType, nullable = false)))
+
+  private final case class ResultScan(out: Array[InternalRow]) extends LocalScan {
+    override def rows(): Array[InternalRow] = out
+    override def readSchema(): StructType = resultSchema
+  }
+
+  private def result(path: String, gen: Long): JIterator[Scan] =
+    java.util.Collections.singletonList[Scan](ResultScan(Array(
+      new GenericInternalRow(Array[Any](UTF8String.fromString(path), gen)))))
+      .iterator()
+
+  private def currentGen(spark: SparkSession, path: String): Long = {
+    val t = new Path(path)
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommittedTable.readManifest(fs, t).map(_.gen).getOrElse(0L)
+  }
+
+  private def partitionColOf(spark: SparkSession, path: String,
+      verb: String): String = {
+    val t = new Path(path)
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommittedTable.readManifest(fs, t)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed table at $path"))
+      .partitionCol.getOrElse(throw new UnsupportedOperationException(
+        s"CALL $verb needs the table's partition column recorded in the " +
+          s"manifest (partcol=); the table at $path predates that metadata " +
+          "— re-write it with CommittedTable.write or run one Scala merge"))
+  }
+
+  /** One fixed-parameter procedure: `bind` is schema-validation-free
+    * (Spark aligns named/positional args against `parameters()` and
+    * applies the declared SQL-text defaults before `call`). */
+  private abstract class Proc(val name: String,
+      params: Array[ProcedureParameter]) extends UnboundProcedure
+      with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def description(): String = s"graft committed-table $name"
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false // mutates table state
+  }
+
+  private def str(input: InternalRow, i: Int): Option[String] =
+    if (input.isNullAt(i)) None else Some(input.getUTF8String(i).toString)
+
+  def compact(resolve: String => String): UnboundProcedure = new Proc("compact", Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("zorder_by", StringType).defaultValue("NULL")
+      .comment("comma-separated z-order columns; plain compact when absent")
+      .build(),
+    ProcedureParameter.in("zorder_bits", IntegerType).defaultValue("12")
+      .build())) {
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val path = resolve(str(input, 0).getOrElse(
+        throw new IllegalArgumentException("table must not be NULL")))
+      val pc = partitionColOf(spark, path, "compact")
+      str(input, 1).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq) match {
+        case Some(z) if z.nonEmpty =>
+          CommittedTable.compactZOrder(spark, path, pc, z, input.getInt(2))
+        case _ =>
+          CommittedTable.compact(spark, path, pc)
+      }
+      result(path, currentGen(spark, path))
+    }
+  }
+
+  def setRetention(resolve: String => String): UnboundProcedure = new Proc("set_retention", Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("retain", IntegerType).build())) {
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val path = resolve(str(input, 0).getOrElse(
+        throw new IllegalArgumentException("table must not be NULL")))
+      CommittedTable.setRetention(spark, path, input.getInt(1))
+      result(path, currentGen(spark, path))
+    }
+  }
+
+  def recover(resolve: String => String): UnboundProcedure = new Proc("recover", Array(
+    ProcedureParameter.in("table", StringType).build())) {
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val path = resolve(str(input, 0).getOrElse(
+        throw new IllegalArgumentException("table must not be NULL")))
+      CommittedTable.recover(spark, path)
+      result(path, currentGen(spark, path))
+    }
+  }
+
+  def all(resolve: String => String): Map[String, UnboundProcedure] = Map(
+    "compact" -> compact(resolve),
+    "set_retention" -> setRetention(resolve),
+    "recover" -> recover(resolve))
+}

@@ -663,6 +663,60 @@ object ExplainDump {
         graft.sources.CommittedTable.readRangeMulti(spark, zmDir, Seq(
           ("o_totalprice", Some(50000.0), Some(150000.0)),
           ("o_orderkey", Some(1000L), Some(40000L)))))
+
+      // q146/q147's read paths: a bloomed committed table — the sidecar
+      // prune happens at plan time, so the evidence is the scan's root
+      // paths plus the planned-file count
+      val blDir = s"$tmp/bl"
+      graft.sources.CommittedTable.write(base, blDir, "o_orderstatus",
+        keyCol = Some("o_orderkey"), bloomCols = Seq("o_orderkey"))
+      import spark.implicits._
+      val probeDf = Seq(7L, 32L).toDF("o_orderkey")
+      val probed2 = graft.sources.CommittedTable.readKeys(spark, blDir,
+        probeDf, "o_orderkey")
+      section("q146_bloom_point_lookup (CommittedTable.readKeys)",
+        s"""Wants: the scan's root paths are ONLY the segments whose
+          |`_bloom-o_orderkey` sidecar might contain a probed key — the
+          |prune ran on the DRIVER (one small-file read per live segment,
+          |metadata-class I/O) before any listing; the exact semi-join
+          |rides on top so the answer equals the full-scan IN-list oracle.
+          |Planned files for this 2-key probe: ${probed2.inputFiles.length}
+          |of ${graft.sources.CommittedTable.read(spark, blDir).inputFiles.length}
+          |live segment files. The SQL route (WHERE o_orderkey IN (…))
+          |makes the same decision inside GraftFileIndex.listFiles; a
+          |guaranteed miss plans an EMPTY scan (GraftCatalogSpec pins 1
+          |file for a 1-key hit, 0 for a miss).""".stripMargin,
+        probed2)
+      section("q147_bloom_delete_keys (deleteKeys discovery scan)",
+        """Wants: deleteKeys' affected-partition discovery — previously a
+          |full-table semi-join — scans only the sidecar-surviving
+          |segments (same pruned root paths as §q146) projected to the
+          |(key, partition) pair; the rewrite then touches only the truly
+          |affected partitions. A probe set no segment can hold returns
+          |without staging a generation at all.""".stripMargin,
+        graft.sources.CommittedTable.read(spark, blDir)
+          .join(probeDf, Seq("o_orderkey"), "left_semi")
+          .select(col("o_orderstatus")).distinct())
+
+      // q148's read path: composite (lang,source)-style partitioning —
+      // the component probe prunes EXACTLY through per-component zone maps
+      val cpDir = s"$tmp/cp"
+      graft.sources.CommittedTable.writeComposite(
+        base.withColumn("o_clerkish",
+          concat(lit("c"), (col("o_orderkey") % 3).cast("string"))),
+        cpDir, Seq("o_orderstatus", "o_clerkish"))
+      section("q148_composite_partition (readRangeMulti on ONE component)",
+        """Wants: a mid-key component probe (o_clerkish alone, every
+          |o_orderstatus) resolved ENTIRELY from per-component zone maps —
+          |each segment holds one composite value so its component
+          |min==max, making the metadata prune EXACT: root paths are only
+          |the `*/c1` segments, something hive prefix-directories cannot
+          |express without enumerating the leading component. The residual
+          |equality still rides the scan as a pushed filter; merge, DML,
+          |CDF and SQL all scope by the same composite data column with
+          |zero new protocol.""".stripMargin,
+        graft.sources.CommittedTable.readRangeMulti(spark, cpDir, Seq(
+          ("o_clerkish", Some("c1"), Some("c1")))))
     }
 
     Files.write(Paths.get("EXPLAIN.md"), sb.toString.getBytes("UTF-8"))

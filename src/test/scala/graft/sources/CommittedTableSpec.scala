@@ -975,6 +975,15 @@ class CommittedTableSpec extends SparkSpec {
     assert(got === expect)
     // a column with no sidecars: prune not applicable
     assert(survivorsFor(bloomTable("nobloom", bloom = false), Seq(1L)).isEmpty)
+    // a POINT readRange on the bloomed key consults the sidecars too:
+    // every segment's id [min,max] straddles nothing here (ids are
+    // contiguous per partition), so this is the zone-map-decisive case —
+    // use a table WITHOUT id stats to isolate the sidecar's contribution
+    val point = CommittedTable.readRange(spark, dir, "id",
+      Some(250L), Some(250L))
+    assert(point.inputFiles.length <= 2 && point.inputFiles.nonEmpty)
+    assert(point.select($"id", $"status").as[(Long, String)].collect().toSet
+      === Set((250L, "p2")))
   }
 
   test("bloom sidecars: a segment missing its sidecar conservatively survives") {

@@ -306,6 +306,52 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL procedures: compact, z-order compact, set_retention, recover via SQL") {
+    withTable("graft-cat-call") { path =>
+      seed(path)
+      import spark.implicits._
+      // fragment partition 'a' across two generations
+      CommittedTable.merge(spark,
+        path, Seq((10L, "a", 15.0, 2L)).toDF("id", "part", "price", "version"),
+        "id", "version", "part")
+      val before = spark.sql(s"SELECT * FROM graft.`$path`").collect()
+        .map(_.toSeq).toSet
+      // plain compact: content identical, generation advanced, result row
+      val res = spark.sql(s"CALL graft.compact(table => '$path')").collect()
+      assert(res.length === 1 && res.head.getString(0) === path)
+      val genAfterCompact = res.head.getLong(1)
+      assert(genAfterCompact === 3L)
+      assert(spark.sql(s"SELECT * FROM graft.`$path`").collect()
+        .map(_.toSeq).toSet === before)
+      // z-order compact via the optional args
+      val zres = spark.sql(s"CALL graft.compact(table => '$path', " +
+        "zorder_by => 'id,price', zorder_bits => 8)").collect()
+      assert(zres.head.getLong(1) === 4L)
+      assert(spark.sql(s"SELECT * FROM graft.`$path`").collect()
+        .map(_.toSeq).toSet === before)
+      // retention dial through CALL
+      spark.sql(s"CALL graft.set_retention(table => '$path', retain => 5)")
+      val m = CommittedTable.readManifest(
+        new org.apache.hadoop.fs.Path(path).getFileSystem(
+          spark.sparkContext.hadoopConfiguration),
+        new org.apache.hadoop.fs.Path(path)).get
+      assert(m.retain === 5)
+      // recover is callable (healthy table: no-op, reports the current gen)
+      val rec = spark.sql(s"CALL graft.recover(table => '$path')").collect()
+      assert(rec.head.getLong(1) === m.gen)
+      // unknown procedure fails loudly (Spark wraps the catalog's
+      // inventory-naming error in FAILED_TO_LOAD_ROUTINE)
+      val e = intercept[Exception] {
+        spark.sql(s"CALL graft.vacuum(table => '$path')").collect()
+      }
+      val messages = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+      assert(messages.contains("vacuum"))
+      assert(messages.contains("unknown procedure") ||
+        messages.contains("FAILED_TO_LOAD_ROUTINE"))
+    }
+  }
+
   test("schema widen NULL-fills through the SQL read") {
     withTable("graft-cat-widen") { path =>
       seed(path)
