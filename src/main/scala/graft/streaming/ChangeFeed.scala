@@ -144,10 +144,15 @@ object ChangeFeed {
 }
 
 /** DSv1 `StreamSourceProvider` for [[ChangeFeed]] — use via
-  * `spark.readStream.format(classOf[ChangeFeedProvider].getName)` or the
-  * [[ChangeFeed.read]] convenience. The table must already exist (the
-  * feed follows a table, it does not create one). */
-class ChangeFeedProvider extends StreamSourceProvider {
+  * `spark.readStream.format("graft-changefeed")` (registered through
+  * META-INF/services, the standard Spark short-name route — no internal
+  * class names in user code) or the [[ChangeFeed.read]] convenience. The
+  * table must already exist (the feed follows a table, it does not
+  * create one). */
+class ChangeFeedProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "graft-changefeed"
   private def path(parameters: Map[String, String]): String =
     parameters.getOrElse("path",
       throw new IllegalArgumentException("ChangeFeed needs a 'path' option"))

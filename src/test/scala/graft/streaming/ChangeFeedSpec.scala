@@ -197,6 +197,31 @@ class ChangeFeedSpec extends SparkSpec {
     q.awaitTermination(120000)
   }
 
+  test("the feed resolves by SHORT NAME: readStream.format(\"graft-changefeed\")") {
+    // META-INF/services registration — user code needs no internal class
+    // names; options (path, mode) flow through the provider unchanged
+    val dir = freshDir("short")
+    val out = Files.createTempDirectory("graft-cfsn-out").toString
+    val ckpt = Files.createTempDirectory("graft-cfsn-ckpt").toString
+    CommittedTable.write(base(), dir, "status", retainGenerations = 4)
+    val q = spark.readStream.format("graft-changefeed")
+      .option("path", dir)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(out)
+    assert(got.count() === 3L)
+    assert(got.columns.contains("_change_gen"))
+    // cdf mode through the short name carries the change-type column
+    val cdfSchema = spark.readStream.format("graft-changefeed")
+      .option("path", dir).option("mode", "cdf").load().schema
+    assert(cdfSchema.fieldNames.contains("_change_type"))
+  }
+
   test("streaming: gens delivered exactly-once across restarts, in order, tagged") {
     val dir = freshDir("stream")
     val out = Files.createTempDirectory("graft-cf-out").toString
