@@ -40,6 +40,12 @@ object Vectors {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Index of the nearest centroid (squared L2, ties → lowest index) in a
+    * fixed matrix — the map-side argmin of Lloyd iterations and IVF
+    * routing; see [[NearestCentroidF]] for the cross-engine contract. */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    column(NearestCentroidF(expression(vec), centroids))
+
   /** Squared euclidean distance. */
   def l2sq(a: Column, b: Column): Column =
     sumArr(zip_with(a, b, (x, y) => {

@@ -186,4 +186,39 @@ class VectorExprsSpec extends SparkSpec {
       .collect().head.getAs[scala.collection.Seq[Long]]("fps").toSeq
     assert(got === winnowRef("abcdefghijklmnop", 8, 4))
   }
+
+  test("NearestCentroidF == composed argmin over broadcast rows, bitwise") {
+    // reference formulation: explicit per-centroid l2sq columns + a
+    // least-with-tie-to-lowest fold, all index-order double arithmetic
+    val cents: Array[Array[Double]] = Array(
+      Array.tabulate(64)(d => math.sin(d * 0.31) * 2.0),
+      Array.tabulate(64)(d => math.cos(d * 0.17) * 3.0),
+      Array.tabulate(64)(d => (d % 5) - 2.0))
+    def d2(c: Array[Double]) = {
+      val lits = c.map(lit)
+      (0 until 64).map { i =>
+        val t = col("embedding").getItem(i).cast("double") - lits(i)
+        t * t
+      }.reduce(_ + _)
+    }
+    val withD = emb.select(col("vec_id"), col("embedding"),
+      Vectors.nearestCentroid(col("embedding"), cents).as("fast"),
+      d2(cents(0)).as("d0"), d2(cents(1)).as("d1"), d2(cents(2)).as("d2"))
+    val bad = withD.withColumn("ref",
+        when(col("d0") <= col("d1") && col("d0") <= col("d2"), 0)
+          .when(col("d1") <= col("d2"), 1).otherwise(2))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad === 0)
+  }
+
+  test("NearestCentroidF ties break to the lowest index; null vec is null") {
+    import spark.implicits._
+    val cents = Array(Array(1.0, 1.0), Array(1.0, 1.0), Array(0.0, 0.0))
+    val df = Seq(Tuple1(Seq(1.0f, 1.0f)), Tuple1(null.asInstanceOf[Seq[Float]]))
+      .toDF("v")
+      .select(Vectors.nearestCentroid(col("v"), cents).as("cell"))
+    val rows = df.collect()
+    assert(rows(0).getInt(0) === 0)
+    assert(rows(1).isNullAt(0))
+  }
 }
