@@ -353,9 +353,39 @@ object Similarity {
     * the write (silent wrong-cell probing) and never re-scanned at query
     * time. Queries against the stored index read only their probed cells
     * via partition pruning (metadata-only cell selection). */
+  /** Whole-corpus quantizer: [[Clustering.fit]] folds EVERY vector into
+    * every Lloyd update (exact-decimal accumulators — deterministic under
+    * any partitioning) instead of the 4096-row sample the driver quantizer
+    * caps at. Same output contract as [[ivfCentroids]]: (cell_id, centroid
+    * float array), an emptied cell keeps its seed. Reach for it when the
+    * corpus is so clustered that a 4096-row sample misrepresents cell
+    * balance; the cost is `iters` distributed passes instead of a bounded
+    * driver loop. */
+  private[operators] def ivfCentroidsDistributed(embeddings: DataFrame,
+      nCells: Int, idCol: String, vecCol: String,
+      iters: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import org.apache.spark.sql.types._
+    val seeds = Clustering.seedsByHashSample(embeddings, idCol, vecCol, nCells)
+    val scope = new CacheScope
+    val model =
+      try Clustering.fit(embeddings, vecCol, seeds, maxIter = iters,
+        tol = 1e-9, scope = scope)
+      finally scope.unpersistAll()
+    val centSchema = StructType(Seq(
+      StructField("cell_id", LongType, nullable = false),
+      StructField("centroid", ArrayType(FloatType))))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    model.centroids.zipWithIndex.foreach { case (v, c) =>
+      rows.add(org.apache.spark.sql.Row(c.toLong, v.map(_.toFloat).toSeq))
+    }
+    spark.createDataFrame(rows, centSchema)
+  }
+
   def ivfWriteIndex(embeddings: DataFrame, path: String,
       nCells: Int = 16,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      wholeCorpusQuantizer: Boolean = false): Unit = {
     // both halves of the index are written under a NEW generation dir and
     // published with ONE atomic manifest swap: independent overwrites of a
     // live path could expose new cells paired with old centroids to a
@@ -386,7 +416,10 @@ object Similarity {
     }
     val genName = s"gen-${curN + 1}"
     val genDir = new org.apache.hadoop.fs.Path(live, genName)
-    val centroids = ivfCentroids(embeddings, nCells, idCol, vecCol)
+    val centroids =
+      if (wholeCorpusQuantizer)
+        ivfCentroidsDistributed(embeddings, nCells, idCol, vecCol)
+      else ivfCentroids(embeddings, nCells, idCol, vecCol)
     assignCells(embeddings, centroids, idCol, vecCol)
       .write
       .partitionBy("cell_id")

@@ -219,5 +219,37 @@ object SqlSurface {
       graft.sources.CommittedTable.write(o, wh, "o_orderstatus")
       val out = s.sql(s"SELECT COUNT(*) AS n FROM graft.`$wh`")
       finish(s, out, wh)
-    }, Some("SELECT COUNT(*) AS n FROM orders")))
+    }, Some("SELECT COUNT(*) AS n FROM orders")),
+
+    // ---- CBO: a small committed dim auto-broadcasts ----------------------
+    // The star-join shape through the SQL surface, with NO hint anywhere:
+    // GraftFileIndex reports the dim's real byte size (post-snapshot, from
+    // the manifest's own segment files), so Catalyst's size estimate puts
+    // the committed side under the broadcast threshold and plans a
+    // BroadcastHashJoin — the fact side is never shuffled.
+    // GraftCatalogSpec pins the plan (broadcast side = the graft scan);
+    // the oracle pins the answer.
+    Q("q150_sql_broadcast_join", (s, dir) => {
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q150").toString + "/wh"
+      graft.sources.CommittedTable.write(c, wh, "c_mktsegment")
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("q150_orders")
+      val out = s.sql(
+        s"""SELECT c.c_mktsegment, COUNT(*) AS n,
+              CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o.o_totalprice")} AS sum_price
+            FROM q150_orders o JOIN graft.`$wh` c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT c.c_mktsegment, COUNT(*) AS n,
+        CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment""")))
 }

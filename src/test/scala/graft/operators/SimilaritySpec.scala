@@ -102,6 +102,31 @@ class SimilaritySpec extends SparkSpec {
       s"hot cell: max ${sizes.max} vs mean $mean (sizes ${sizes.sorted.toSeq})")
   }
 
+  test("whole-corpus quantizer: deterministic, balanced, index round-trips") {
+    // determinism across calls AND partitionings (exact decimal updates)
+    val d1 = Similarity.ivfCentroidsDistributed(emb, 8, "vec_id", "embedding", iters = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val d2 = Similarity.ivfCentroidsDistributed(emb.repartition(7), 8,
+        "vec_id", "embedding", iters = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(d1 === d2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-wc").toString + "/index"
+    Similarity.ivfWriteIndex(emb, dir, nCells = 8, wholeCorpusQuantizer = true)
+    val root = Similarity.ivfIndexRoot(spark, dir)
+    val sizes = spark.read.parquet(s"$root/cells")
+      .groupBy("cell_id").count().as[(Long, Long)].collect().map(_._2)
+    assert(sizes.sum === emb.count(), "every vector assigned to exactly one cell")
+    val mean = sizes.sum.toDouble / 8
+    assert(sizes.max <= 4 * mean,
+      s"hot cell: max ${sizes.max} vs mean $mean (sizes ${sizes.sorted.toSeq})")
+    // and the stored index serves queries (self at rank 1, k results)
+    val got = Similarity.ivfTopKFromIndex(spark, dir,
+      emb.filter(col("vec_id") === 3).select(col("embedding").as("qvec")),
+      10, nProbe = 4).as[(Long, Double)].collect()
+    assert(got.length === 10)
+    assert(got.head._1 === 3L, s"self not first: ${got.take(3).toSeq}")
+  }
+
   test("IVF index append: batches join existing cells under the frozen quantizer") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString + "/index"
     val first = emb.filter(col("vec_id") % 2 === 0)

@@ -404,4 +404,41 @@ class GraftCatalogSpec extends SparkSpec {
         Seq((1L, None), (2L, None), (3L, None), (20L, Some("new"))))
     }
   }
+
+  test("CBO: a small committed dim auto-broadcasts in a SQL join, no hint") {
+    withTable("graft-cat-cbo") { path =>
+      seed(path) // 8 rows — kilobytes, far under the broadcast threshold
+      import spark.implicits._
+      // a 'fact' side large enough that broadcasting it the other way
+      // would be the wrong plan
+      (1L to 20000L).map(i => (i, (i % 8) + 1, i * 1.5))
+        .toDF("fid", "dim_id", "amount")
+        .createOrReplaceTempView("cbo_fact")
+      val q = spark.sql(
+        s"""SELECT t.part, COUNT(*) AS n
+            FROM cbo_fact f JOIN graft.`$path` t ON f.dim_id = t.id
+            GROUP BY t.part""")
+      assert(q.collect().map(_.getLong(1)).sum === 20000L)
+      // the STATIC physical plan: the broadcast decision must come from
+      // the FileIndex's size estimate at planning time, not from an AQE
+      // runtime rescue
+      val plan = q.queryExecution.sparkPlan
+      val bhj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty, s"no BroadcastHashJoin in:\n$plan")
+      // the BROADCAST side must be the committed-table scan: its subtree
+      // contains the graft FileSourceScan, the fact side does not
+      val build = bhj.head.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => bhj.head.left
+        case _ => bhj.head.right
+      }
+      val buildScans = build.collect {
+        case f: FileSourceScanExec
+            if f.relation.location.isInstanceOf[graft.sql.GraftFileIndex] => f
+      }
+      assert(buildScans.nonEmpty,
+        s"broadcast side is not the committed dim:\n$build")
+    }
+  }
 }
