@@ -111,3 +111,14 @@ for i in range(COPIES):
         eout["embedding"].append(v)
 pq.write_table(pa.table(eout, schema=emb.schema), OUT / "embeddings.parquet")
 print(f"embeddings: {emb.num_rows} -> {emb.num_rows * COPIES} rows")
+
+# ---- dims: copied UNCHANGED (customer/supplier/part/nation/region) ----
+# star-join fixture realism: facts grow 10x, dimensions grow slowly or not
+# at all; replicated orders keep their o_custkey, so each customer simply
+# serves 10x the orders — the exact shape the broadcast-dim plan is for
+import shutil
+for t in ["customer", "supplier", "part", "nation", "region"]:
+    src = SRC / f"{t}.parquet"
+    if src.exists():
+        shutil.copyfile(src, OUT / f"{t}.parquet")
+        print(f"{t}: copied unchanged ({pq.read_table(src).num_rows} rows)")

@@ -394,6 +394,8 @@ object ExplainDump {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.catalog.graft", "graft.sql.GraftCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -717,6 +719,72 @@ object ExplainDump {
           |zero new protocol.""".stripMargin,
         graft.sources.CommittedTable.readRangeMulti(spark, cpDir, Seq(
           ("o_clerkish", Some("c1"), Some("c1")))))
+
+      // q150's join: the committed dim as the SMALL side of a hint-free
+      // SQL star join — the broadcast decision is the evidence
+      val dimDir = s"$tmp/dim"
+      graft.sources.CommittedTable.write(
+        Registry.table(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        dimDir, "c_mktsegment")
+      val factView = Registry.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      factView.createOrReplaceTempView("explain_q150_orders")
+      section("q150_sql_broadcast_join (hint-free CBO broadcast of a committed dim)",
+        """Wants: a BroadcastHashJoin with the graft-side scan under the
+          |BROADCAST exchange and the fact side flowing straight into the
+          |aggregate — NO shuffle of the fact table, NO hint anywhere in
+          |the SQL, and NO AQE rescue: GraftFileIndex reports the dim's
+          |real post-snapshot byte size (summed from the manifest's own
+          |segment files) as sizeInBytes, so Catalyst's static size
+          |estimate puts the committed side under
+          |spark.sql.autoBroadcastJoinThreshold at planning time. At
+          |100 TB this is the difference between shipping kilobytes of
+          |dimension once per executor and shuffling the entire fact
+          |table; GraftCatalogSpec pins the build side on the STATIC
+          |sparkPlan.""".stripMargin,
+        factView.sparkSession.sql(
+          s"""SELECT c.c_mktsegment, COUNT(*) AS n
+              FROM explain_q150_orders o JOIN graft.`$dimDir` c
+                ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_mktsegment"""))
+    }
+
+    // q149's loop: one Lloyd iteration's two plans — the map-side argmin
+    // assignment and the (cell, dim) partial-agg update — over the real
+    // embeddings table. fit() runs the same pair per iteration; the final
+    // answer is one more assignment pass.
+    locally {
+      import org.apache.spark.sql.functions._
+      val e = Registry.table(spark, dir, "embeddings")
+      val seeds = graft.operators.Clustering.seedsByIdAsc(
+        e, "vec_id", "embedding", 8)
+      section("q149_kmeans (assignment pass: map-side codegen argmin)",
+        """Wants: ONE projection over the embeddings scan — the centroid
+          |matrix rides NearestCentroidF as a codegen reference object, so
+          |there is NO join, NO broadcast exchange, NO shuffle of vectors
+          |anywhere in the assignment; WholeStageCodegen spans
+          |scan→project. This is the per-iteration inner loop AND the
+          |final labeling pass, so the whole k-means costs (iters+1)
+          |linear passes plus the bounded update shuffle below.""".stripMargin,
+        graft.operators.Clustering.assign(
+          e.filter(col("embedding").isNotNull), "embedding", seeds)
+          .select(col("vec_id"), col("cell")))
+      section("q149_kmeans (update pass: bounded (cell, dim) partial agg)",
+        """Wants: posexplode inside the same codegen stage as the argmin
+          |projection, then HashAggregate partial BEFORE the exchange — the
+          |shuffle carries at most k×d×partitions pre-combined (cell, dim)
+          |rows (8×64 here), never data-sized, and the driver collect is
+          |k×d decimals. The decimal sum makes the result independent of
+          |Spark's fold order — the determinism the DuckDB oracle replay
+          |depends on.""".stripMargin,
+        e.filter(col("embedding").isNotNull).select(col("embedding").as("v"))
+          .select(graft.functions.Vectors.nearestCentroid(col("v"), seeds).as("cell"),
+            posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("dim"))
+          .agg(sum(round(col("x").cast("double"), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("s"),
+            count(lit(1)).as("n")))
     }
 
     Files.write(Paths.get("EXPLAIN.md"), sb.toString.getBytes("UTF-8"))
