@@ -147,3 +147,151 @@ case class NearestCentroidF(child: Expression, centroids: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidF =
     copy(child = newChild)
 }
+
+/** Product-quantization encoder: all `m` per-subspace argmins in ONE pass
+  * over the vector — `codebooks(s)(code)(d)` rides the expression as a
+  * codegen reference object, the row's floats are read in place (no
+  * per-subspace slice arrays), output is the `array<int>` of codes. Each
+  * subspace uses exactly [[NearestCentroidF]]'s arithmetic contract
+  * (float→double widening, difference squared by multiplication,
+  * index-order accumulation, strict `<` ⇒ lowest code wins ties) over its
+  * own dimension window, so an oracle engine slicing the vector and
+  * replaying the argmin per subspace lands on identical codes. */
+case class PqEncodeF(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "PqEncodeF needs at least one codebook entry per subspace")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val codes = new Array[Int](codebooks.length)
+    var off = 0
+    var s = 0
+    while (s < codebooks.length) {
+      val book = codebooks(s)
+      val dsub = book(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(dsub, x.numElements() - off)
+        while (i < n) {
+          val t = x.getFloat(off + i).toDouble - cent(i)
+          d += t * t
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      off += dsub
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val books = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      val codes = ctx.freshName("codes"); val off = ctx.freshName("off")
+      val s = ctx.freshName("s"); val book = ctx.freshName("book")
+      val dsub = ctx.freshName("dsub"); val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD"); val c = ctx.freshName("c")
+      val cent = ctx.freshName("cent"); val d = ctx.freshName("d")
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      s"""
+        final int[] $codes = new int[$books.length];
+        int $off = 0;
+        for (int $s = 0; $s < $books.length; $s++) {
+          final double[][] $book = $books[$s];
+          final int $dsub = $book[0].length;
+          int $best = 0;
+          double $bestD = Double.MAX_VALUE;
+          for (int $c = 0; $c < $book.length; $c++) {
+            final double[] $cent = $book[$c];
+            final int $n = java.lang.Math.min($dsub, $a.numElements() - $off);
+            double $d = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              final double $t = (double) $a.getFloat($off + $i) - $cent[$i];
+              $d += $t * $t;
+            }
+            if ($d < $bestD) { $bestD = $d; $best = $c; }
+          }
+          $codes[$s] = $best;
+          $off += $dsub;
+        }
+        ${ev.value} =
+          new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeF =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance lookup for a PQ code row: `table(s)(code)` holds the
+  * query's exact index-order squared L2 to subspace `s`'s codebook entry
+  * `code` (computed ONCE on the driver per query), so the per-row distance
+  * is `m` array lookups summed in subspace order — equal, term for term,
+  * to the index-order L2 between the query and the row's RECONSTRUCTION,
+  * which is what lets an oracle replay it from the codebooks. A code
+  * outside the table (a row encoded under a different model) fails loudly
+  * with the offending subspace and code. */
+case class PqAdcF(child: Expression, table: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(table.nonEmpty, "PqAdcF needs a per-subspace lookup table")
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val m = math.min(table.length, codes.numElements())
+    var d = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      if (c < 0 || c >= table(s).length)
+        throw new IllegalArgumentException(
+          s"PqAdcF: code $c out of range for subspace $s " +
+            s"(codebook size ${table(s).length}) — row encoded under a " +
+            "different PQ model?")
+      d += table(s)(c)
+      s += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val tab = ctx.addReferenceObj("table", table, "double[][]")
+      val s = ctx.freshName("s"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      s"""
+        final int $m = java.lang.Math.min($tab.length, $a.numElements());
+        double $d = 0.0;
+        for (int $s = 0; $s < $m; $s++) {
+          final int $c = $a.getInt($s);
+          if ($c < 0 || $c >= $tab[$s].length) {
+            throw new IllegalArgumentException(
+              "PqAdcF: code " + $c + " out of range for subspace " + $s +
+              " (codebook size " + $tab[$s].length +
+              ") — row encoded under a different PQ model?");
+          }
+          $d += $tab[$s][$c];
+        }
+        ${ev.value} = $d;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcF =
+    copy(child = newChild)
+}

@@ -46,6 +46,16 @@ object Vectors {
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
     column(NearestCentroidF(expression(vec), centroids))
 
+  /** All m product-quantization codes in one pass over the vector
+    * (`array<int>`); see [[PqEncodeF]] for the cross-engine contract. */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    column(PqEncodeF(expression(vec), codebooks))
+
+  /** Asymmetric PQ distance: m lookups into the query's per-subspace
+    * distance table, summed in subspace order; see [[PqAdcF]]. */
+  def pqAdc(codes: Column, table: Array[Array[Double]]): Column =
+    column(PqAdcF(expression(codes), table))
+
   /** Squared euclidean distance. */
   def l2sq(a: Column, b: Column): Column =
     sumArr(zip_with(a, b, (x, y) => {

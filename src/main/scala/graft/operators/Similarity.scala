@@ -650,4 +650,149 @@ object Similarity {
       .filter(col("cos") > threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("cos"))
   }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ: the billion-scale composition (Jégou et al., "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011; the FAISS
+  // IVFPQ layout) — coarse IVF cells for partition pruning, PQ codes for
+  // candidate ranking WITHOUT reading the float column. At 100 TB the
+  // query path reads: centroids (k rows), the probed cells' (id, code)
+  // columns (m ints/vector — the embedding column is pruned OUT of the
+  // scan), and full vectors for the shortlist rows only.
+  // ------------------------------------------------------------------
+
+  /** Write an IVF index whose cell rows ALSO carry PQ codes, plus the
+    * codebooks (`_pq`: one row per (sub, code) with the centroid as
+    * array<double>), all under one generation dir published by the same
+    * single manifest swap as [[ivfWriteIndex]] — cells, centroids and
+    * codebooks are always one consistent snapshot. Training: joint
+    * one-pass-per-iteration Lloyd ([[ProductQuantization.fit]]) from
+    * hash-sampled seeds; encoding rides the same pass that assigns IVF
+    * cells (one map-side projection, no extra scan). */
+  def ivfpqWriteIndex(embeddings: DataFrame, path: String,
+      nCells: Int = 16, m: Int = 4, kSub: Int = 16, pqIters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      wholeCorpusQuantizer: Boolean = false): Unit = {
+    val spark = embeddings.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(hconf)
+    val cur = readCommit(fs, live)
+    val curN = cur.map(_.stripPrefix("gen-").toInt).getOrElse(0)
+    cur.foreach { _ =>
+      // prune superseded generations except the live one (readers of the
+      // prior snapshot get the same one-cycle grace as ivfWriteIndex)
+      fs.listStatus(live).filter { st =>
+        st.isDirectory && st.getPath.getName.startsWith("gen-") &&
+          st.getPath.getName != cur.get &&
+          st.getPath.getName.stripPrefix("gen-").toInt < curN
+      }.foreach(st => fs.delete(st.getPath, true))
+    }
+    val genName = s"gen-${curN + 1}"
+    val genDir = new org.apache.hadoop.fs.Path(live, genName)
+    val centroids =
+      if (wholeCorpusQuantizer)
+        ivfCentroidsDistributed(embeddings, nCells, idCol, vecCol)
+      else ivfCentroids(embeddings, nCells, idCol, vecCol)
+    val scope = new CacheScope
+    val model =
+      try {
+        val seeds = ProductQuantization.seedsByHashSample(
+          embeddings, idCol, vecCol, m, kSub)
+        ProductQuantization.fit(embeddings, vecCol, seeds,
+          maxIter = pqIters, tol = 1e-9, scope = scope)
+      } finally scope.unpersistAll()
+    ProductQuantization.encode(
+        assignCells(embeddings, centroids, idCol, vecCol), vecCol, model)
+      .write
+      .partitionBy("cell_id")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$genDir/cells")
+    centroids.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$genDir/_centroids")
+    // codebooks flattened to rows — rebuilt driver-side at query time
+    // (m×k×dsub doubles, config-bounded)
+    import org.apache.spark.sql.types._
+    val bookSchema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("code", IntegerType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType), nullable = false)))
+    val bookRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    for (s <- 0 until model.m; c <- 0 until model.k)
+      bookRows.add(org.apache.spark.sql.Row(s, c,
+        model.codebooks(s)(c).toSeq))
+    spark.createDataFrame(bookRows, bookSchema).coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$genDir/_pq")
+    swapCommit(hconf, live, genName)
+  }
+
+  /** The index's PQ codebooks, rebuilt from the committed `_pq` rows —
+    * the quantizer is part of the snapshot, never re-derived. */
+  def ivfpqReadModel(spark: SparkSession, root: String)
+      : ProductQuantization.PQModel = {
+    val rows = spark.read.parquet(s"$root/_pq")
+      .orderBy(col("sub"), col("code")).collect()
+    require(rows.nonEmpty, s"no PQ codebooks at $root/_pq")
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val books = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { r =>
+      books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    ProductQuantization.PQModel(books.map(_.toArray),
+      books.map(_.map(_ => 0L)), 0, converged = true)
+  }
+
+  /** The ADC candidate scan: probed cells only (LITERAL partition filter —
+    * unprobed cells are pruned from metadata), and the scan's ReadSchema
+    * is (id, code, cell) — THE FLOAT COLUMN IS NEVER READ. Returns the
+    * `shortlist` best ids by ADC distance (TakeOrderedAndProject, no
+    * global sort). Exposed separately so the plan is testable and a
+    * deployment can feed its own re-rank. */
+  def ivfpqShortlist(spark: SparkSession, path: String, q: Array[Double],
+      shortlist: Int, nProbe: Int = 4,
+      idCol: String = "vec_id"): DataFrame = {
+    val root = ivfIndexRoot(spark, path)
+    val model = ivfpqReadModel(spark, root)
+    val centroids = spark.read.parquet(s"$root/_centroids").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val probed = centroids.map { case (cell, cent) =>
+        var d = 0.0; var i = 0
+        val n = math.min(q.length, cent.length)
+        while (i < n) { val t = q(i) - cent(i); d += t * t; i += 1 }
+        (d, cell)
+      }.sorted.take(nProbe).map(_._2)
+    val table = model.adcTable(q)
+    spark.read.parquet(s"$root/cells")
+      .filter(col("cell_id").isin(probed.toIndexedSeq: _*))
+      .select(col(idCol),
+        graft.functions.Vectors.pqAdc(col("pq_code"), table).as("adc_d2"))
+      .orderBy(col("adc_d2").asc, col(idCol).asc)
+      .limit(shortlist)
+  }
+
+  /** IVF-PQ top-k: ADC shortlist over codes, then an EXACT cosine re-rank
+    * that reads full vectors for the shortlist rows only (semi-join into
+    * the probed cells — the only touch of the float column). Same output
+    * contract as [[ivfTopKFromIndex]]: (id, cos) by cosine desc, ties to
+    * the lowest id. */
+  def ivfpqTopKFromIndex(spark: SparkSession, path: String,
+      query: DataFrame, k: Int, nProbe: Int = 4, shortlist: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val q = query.select(col("qvec")).collect().head
+      .getSeq[Float](0).toArray.map(_.toDouble)
+    val cand = ivfpqShortlist(spark, path, q, shortlist, nProbe, idCol)
+      .select(col(idCol))
+    val root = ivfIndexRoot(spark, path)
+    spark.read.parquet(s"$root/cells")
+      .join(broadcast(cand), Seq(idCol), "left_semi")
+      .crossJoin(broadcast(query.select(col("qvec"))))
+      .withColumn("cos", cosine(col(vecCol), col("qvec")))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .select(col(idCol), col("cos"))
+      .limit(k)
+  }
 }

@@ -113,7 +113,7 @@ object Registry {
   lazy val all: Seq[Q] =
     (Relational.queries ++ HousePriceQueries.queries ++ TextQueries.queries ++
       VectorQueries.queries ++ EventQueries.queries ++ Extended.queries ++
-      SqlSurface.queries ++ ClusterQueries.queries)
+      SqlSurface.queries ++ ClusterQueries.queries ++ PqQueries.queries)
       .map(q => q.copy(run = (s, dir) => q.run(contractSession(s), dir)))
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -251,5 +251,94 @@ object SqlSurface {
         CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_keys,
         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      GROUP BY c.c_mktsegment""")))
+      GROUP BY c.c_mktsegment""")),
+
+    // ---- Incremental aggregate view, SQL-only lifecycle ------------------
+    // CALL init_agg_view bootstraps the COUNT/SUM/MIN/MAX view; routed SQL
+    // DML mutates the source (a DELETE plus an UPDATE that MOVES rows into
+    // a brand-new group and bumps the version column so the feed sees it);
+    // CALL sync_agg_view drains the CDF feed (signed folds, per-group
+    // rescans where a retraction hits an extreme); the final SELECT reads
+    // the view as an ordinary committed table. The oracle recomputes the
+    // groups from scratch over the post-DML state — a pass proves the
+    // incremental fold CONVERGES to the full recompute through arbitrary
+    // DML, with every measure integer-exact (value column is a key).
+    Q("q153_sql_incremental_view", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+        .withColumn("version", lit(1L))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sql-q153").toString
+      val src = s"$tmp/src"; val vw = s"$tmp/view"
+      graft.sources.CommittedTable.write(o, src, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      // CDC consumers need the DML generations diffable: the feed cannot
+      // diff the oldest retained generation against its GC'd predecessor,
+      // so widen retention past the planned DML depth first
+      s.sql(s"CALL graft.set_retention(table => '$src', retain => 10)")
+      s.sql(s"CALL graft.init_agg_view(source => '$src', view => '$vw', " +
+        "group_by => 'o_orderpriority', value => 'o_orderkey')")
+      s.sql(s"DELETE FROM graft.`$src` WHERE o_orderkey % 7 = 0")
+      s.sql(s"UPDATE graft.`$src` SET o_orderpriority = '9-MOVED', " +
+        s"version = version + 1 WHERE o_orderkey % 11 = 0")
+      s.sql(s"CALL graft.sync_agg_view(source => '$src', view => '$vw', " +
+        "group_by => 'o_orderpriority', value => 'o_orderkey')")
+      val out = s.sql(
+        s"""SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+              CAST(sum_value AS BIGINT) AS sum_value,
+              CAST(min_value AS BIGINT) AS min_value,
+              CAST(max_value AS BIGINT) AS max_value
+            FROM graft.`$vw`""")
+      finish(s, out, src)
+    }, Some("""
+      WITH final AS (
+        SELECT CASE WHEN o_orderkey % 11 = 0 THEN '9-MOVED'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_orderkey
+        FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_value,
+        CAST(MIN(o_orderkey) AS BIGINT) AS min_value,
+        CAST(MAX(o_orderkey) AS BIGINT) AS max_value
+      FROM final GROUP BY o_orderpriority""")),
+
+    // ---- CTAS: table birth through SQL ------------------------------------
+    // CREATE TABLE … PARTITIONED BY … TBLPROPERTIES(keycol/vercol/
+    // statscols) AS SELECT routes to ONE CommittedTable.write (atomic
+    // first publish, roles recorded in the manifest) — then a routed
+    // DELETE proves the declared roles are live, and the final aggregate
+    // reads through the zone-mapped catalog scan. The oracle recomputes
+    // from the same filtered source.
+    Q("q154_sql_ctas", (s, dir) => {
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+        .createOrReplaceTempView("q154_src")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q154").toString + "/wh"
+      s.sql(
+        s"""CREATE TABLE graft.`$wh`
+            PARTITIONED BY (o_orderstatus)
+            TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version',
+                          'statscols'='o_totalprice')
+            AS SELECT * FROM q154_src WHERE o_totalprice >= 1000.0""")
+      s.sql(s"DELETE FROM graft.`$wh` WHERE o_orderkey % 13 = 0")
+      val out = s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$wh`
+            WHERE o_totalprice <= 200000.0
+            GROUP BY o_orderstatus, o_orderpriority""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_totalprice >= 1000.0 AND o_orderkey % 13 <> 0
+        AND o_totalprice <= 200000.0
+      GROUP BY o_orderstatus, o_orderpriority""")))
 }

@@ -127,8 +127,81 @@ private[sql] object GraftProcedures {
     }
   }
 
+  private def roleOf(spark: SparkSession, path: String, line: String,
+      get: CommittedTable.Manifest => Option[String],
+      verb: String): String = {
+    val t = new Path(path)
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    get(CommittedTable.readManifest(fs, t)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed table at $path")))
+      .getOrElse(throw new UnsupportedOperationException(
+        s"CALL $verb needs the source's $line recorded in the manifest; " +
+          s"the table at $path predates that metadata — re-write it with " +
+          "CommittedTable.write(keyCol=…, versionCol=…) or run one Scala " +
+          "merge"))
+  }
+
+  /** `CALL graft.init_agg_view(source => …, view => …, group_by => 'g',
+    * value => 'v')`: bootstrap an incrementally-maintained COUNT/SUM/MIN/
+    * MAX view ([[graft.streaming.IncrementalAgg.init]]) — one full
+    * aggregation of the source's CURRENT state, stamped with its
+    * generation so a later `sync_agg_view` folds only what changed. */
+  def initAggView(resolve: String => String): UnboundProcedure =
+    new Proc("init_agg_view", Array(
+      ProcedureParameter.in("source", StringType).build(),
+      ProcedureParameter.in("view", StringType).build(),
+      ProcedureParameter.in("group_by", StringType).build(),
+      ProcedureParameter.in("value", StringType).build())) {
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val spark = SparkSession.active
+        val src = resolve(str(input, 0).getOrElse(
+          throw new IllegalArgumentException("source must not be NULL")))
+        val dst = resolve(str(input, 1).getOrElse(
+          throw new IllegalArgumentException("view must not be NULL")))
+        val gen = graft.streaming.IncrementalAgg.init(spark, src, dst,
+          str(input, 2).get, str(input, 3).get)
+        result(dst, gen)
+      }
+    }
+
+  /** `CALL graft.sync_agg_view(source => …, view => …, group_by => 'g',
+    * value => 'v' [, checkpoint => …])`: drain the source's CDF feed into
+    * the view ([[graft.streaming.IncrementalAgg.sync]], AvailableNow —
+    * runs to current and stops). Key/version columns come from the
+    * source manifest's own keycol=/vercol= metadata; the checkpoint
+    * defaults to `<view>/_sync_checkpoint` so repeated CALLs resume the
+    * same feed cursor. Folds only what the writer rewrote; idempotent
+    * under replay (`applied_gen`). */
+  def syncAggView(resolve: String => String): UnboundProcedure =
+    new Proc("sync_agg_view", Array(
+      ProcedureParameter.in("source", StringType).build(),
+      ProcedureParameter.in("view", StringType).build(),
+      ProcedureParameter.in("group_by", StringType).build(),
+      ProcedureParameter.in("value", StringType).build(),
+      ProcedureParameter.in("checkpoint", StringType).defaultValue("NULL")
+        .comment("stream checkpoint dir; default <view>/_sync_checkpoint")
+        .build())) {
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val spark = SparkSession.active
+        val src = resolve(str(input, 0).getOrElse(
+          throw new IllegalArgumentException("source must not be NULL")))
+        val dst = resolve(str(input, 1).getOrElse(
+          throw new IllegalArgumentException("view must not be NULL")))
+        val key = roleOf(spark, src, "keycol=", _.keyCol, "sync_agg_view")
+        val ver = roleOf(spark, src, "vercol=", _.verCol, "sync_agg_view")
+        val ckpt = str(input, 4).getOrElse(s"$dst/_sync_checkpoint")
+        graft.streaming.IncrementalAgg.sync(spark, src, dst,
+            key, ver, str(input, 2).get, str(input, 3).get, ckpt)
+          .start().awaitTermination()
+        result(dst, currentGen(spark, dst))
+      }
+    }
+
   def all(resolve: String => String): Map[String, UnboundProcedure] = Map(
     "compact" -> compact(resolve),
     "set_retention" -> setRetention(resolve),
-    "recover" -> recover(resolve))
+    "recover" -> recover(resolve),
+    "init_agg_view" -> initAggView(resolve),
+    "sync_agg_view" -> syncAggView(resolve))
 }

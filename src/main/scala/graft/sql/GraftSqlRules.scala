@@ -103,6 +103,69 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
     case mi: MergeIntoTable
         if GraftRel.unapply(mi.targetTable).isDefined => mi
 
+    // CREATE TABLE … PARTITIONED BY (p) [TBLPROPERTIES(…)] AS SELECT …:
+    // routed into ONE CommittedTable.write (atomic first publish) — fired
+    // at resolution, pre-empting the default CTAS path that would demand
+    // createTable + append capabilities this catalog deliberately lacks.
+    // Table roles ride TBLPROPERTIES: keycol/vercol (enables later routed
+    // MERGE/INSERT and CDC), statscols (zone maps), bloomcols (sidecars),
+    // retain (generation retention).
+    case ctas @ CreateTableAsSelect(
+        org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
+          cat: GraftCatalog, ident),
+        partitioning, query, ts, _, ignoreIfExists, _) if query.resolved =>
+      val path = cat.tablePath(ident)
+      val props = ts match {
+        case t: TableSpec => t.properties
+        case _ => Map.empty[String, String]
+      }
+      def propList(k: String): Seq[String] =
+        props.get(k).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+      val pc = partitioning.toList match {
+        case id :: Nil if id.name == "identity" &&
+            id.references.length == 1 &&
+            id.references.head.fieldNames.length == 1 =>
+          id.references.head.fieldNames.head
+        case Nil => fail(
+          s"CREATE TABLE ${ident} AS SELECT needs PARTITIONED BY " +
+            "(<one column>): a committed table is partition-scoped by " +
+            "contract (pre-compose multiple columns with " +
+            "CommittedTable.compositeKey and partition by the composite)")
+        case other => fail(
+          s"CREATE TABLE ${ident} AS SELECT: only ONE identity partition " +
+            s"column is supported, got ${other.map(_.describe).mkString(", ")}" +
+            " — pre-compose multiple columns with CommittedTable.compositeKey")
+      }
+      val unknown = props.keySet --
+        Set("keycol", "vercol", "statscols", "bloomcols", "retain") --
+        props.keySet.filter(_.startsWith("option."))
+      if (unknown.nonEmpty) fail(
+        s"CREATE TABLE ${ident}: unknown TBLPROPERTIES ${unknown.mkString(", ")}" +
+          " (supported: keycol, vercol, statscols, bloomcols, retain)")
+      GraftDmlCommand(s"CREATE TABLE $path AS SELECT", { s =>
+        val t = new Path(path)
+        val fs = t.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (CommittedTable.readManifest(fs, t).isDefined) {
+          if (!ignoreIfExists) fail(
+            s"$path already holds a committed table — CREATE TABLE IF NOT " +
+              "EXISTS to no-op, or MERGE/INSERT/DML to change it")
+        } else {
+          CommittedTable.write(bridge.ofRows(s, query), path, pc,
+            retainGenerations = props.get("retain").map(_.toInt).getOrElse(2),
+            statsCols = propList("statscols"),
+            keyCol = props.get("keycol"),
+            versionCol = props.get("vercol"),
+            bloomCols = propList("bloomcols"))
+        }
+      })
+    // an in-progress CTAS keeps its unresolved name until the case above
+    // can fire
+    case ctas: CreateTableAsSelect
+        if ctas.name.collectFirst {
+          case org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
+            _: GraftCatalog, _) => ()
+        }.isDefined => ctas
+
     case a @ AppendData(GraftRel(_, t), query, _, _, _, _)
         if query.resolved && a.outputResolved =>
       val pc = partitionColOf(t, "INSERT INTO")

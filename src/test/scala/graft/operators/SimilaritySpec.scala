@@ -343,4 +343,47 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall(p => p._3 > 0.2))
     assert(pairs.forall(p => p._1 < p._2))
   }
+
+  test("IVF-PQ: shortlist scan never reads the float column") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString + "/index"
+    Similarity.ivfpqWriteIndex(emb, dir, nCells = 8, m = 4, kSub = 8)
+    val q = emb.filter(col("vec_id") === 3).select(col("embedding"))
+      .collect().head.getSeq[Float](0).toArray.map(_.toDouble)
+    val short = Similarity.ivfpqShortlist(spark, dir, q, shortlist = 50, nProbe = 4)
+    val scans = short.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(!read.contains("embedding"),
+        s"ADC scan reads the float column: ${s.requiredSchema.treeString}")
+      assert(read.contains("pq_code") && read.contains("vec_id"))
+    }
+    // and the probe prunes partitions: the scan SELECTS only probed cells
+    // (inputFiles reflects the unfiltered relation, so ask the scan node)
+    val selected = scans.head.selectedPartitions.partitionCount
+    assert(selected <= 4, s"probed-cell prune leaked: $selected partitions")
+    assert(scans.head.partitionFilters.nonEmpty, "no partition filter pushed")
+  }
+
+  test("IVF-PQ: full-width shortlist == plain IVF cosine ranking; self first") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq2").toString + "/index"
+    Similarity.ivfpqWriteIndex(emb, dir, nCells = 8, m = 4, kSub = 8)
+    val query = emb.filter(col("vec_id") === 3).select(col("embedding").as("qvec"))
+    // shortlist >= probed population: the exact re-rank sees every probed
+    // candidate, so the result must EQUAL the non-PQ index search (the PQ
+    // approximation fully repaired)
+    val n = emb.count().toInt
+    val pq = Similarity.ivfpqTopKFromIndex(spark, dir, query, 10,
+      nProbe = 4, shortlist = n).as[(Long, Double)].collect()
+    val plain = Similarity.ivfTopKFromIndex(spark, dir, query, 10, nProbe = 4)
+      .as[(Long, Double)].collect()
+    assert(pq.map(_._1).toSeq === plain.map(_._1).toSeq)
+    assert(pq.head._1 === 3L, s"self not first: ${pq.take(3).toSeq}")
+    // and a narrow shortlist still surfaces the exact-match row
+    val narrow = Similarity.ivfpqTopKFromIndex(spark, dir, query, 5,
+      nProbe = 4, shortlist = 16).as[(Long, Double)].collect()
+    assert(narrow.head._1 === 3L)
+  }
 }

@@ -405,6 +405,104 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CTAS: CREATE TABLE … PARTITIONED BY … AS SELECT routes to one atomic write") {
+    withTable("graft-cat-ctas") { path =>
+      import spark.implicits._
+      Seq((1L, "a", 10.0, 1L), (2L, "b", 20.0, 1L), (3L, "a", 30.0, 1L))
+        .toDF("id", "part", "price", "version")
+        .createOrReplaceTempView("ctas_src")
+      spark.sql(
+        s"""CREATE TABLE graft.`$path`
+            PARTITIONED BY (part)
+            TBLPROPERTIES('keycol'='id', 'vercol'='version',
+                          'statscols'='price,id')
+            AS SELECT * FROM ctas_src""")
+      // the created table serves SQL reads…
+      assert(spark.sql(s"SELECT SUM(id) AS s FROM graft.`$path`")
+        .collect().head.getLong(0) === 6L)
+      // …and the TBLPROPERTIES roles are REAL manifest metadata: routed
+      // INSERT (needs keycol+vercol) works without re-declaring anything
+      spark.sql(s"INSERT INTO graft.`$path` VALUES (4, 'b', 40.0, 1)")
+      assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$path`")
+        .collect().head.getLong(0) === 4L)
+      // plain CREATE on an existing table fails loudly; IF NOT EXISTS no-ops
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.`$path` PARTITIONED BY (part) " +
+          "AS SELECT * FROM ctas_src")
+      }
+      assert(e.getMessage.contains("already holds a committed table"))
+      spark.sql(s"CREATE TABLE IF NOT EXISTS graft.`$path` " +
+        "PARTITIONED BY (part) AS SELECT * FROM ctas_src")
+      assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$path`")
+        .collect().head.getLong(0) === 4L)
+      // contract violations fail at analysis, naming the remedy
+      val e2 = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.`${path}2` AS SELECT * FROM ctas_src")
+      }
+      assert(e2.getMessage.contains("PARTITIONED BY"))
+      val e3 = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.`${path}3` PARTITIONED BY (part) " +
+          "TBLPROPERTIES('zonemaps'='price') AS SELECT * FROM ctas_src")
+      }
+      assert(e3.getMessage.contains("unknown TBLPROPERTIES"))
+    }
+  }
+
+  test("CALL init/sync_agg_view: SQL-only MV lifecycle, idempotent re-sync") {
+    withTable("graft-cat-aggview") { path =>
+      // group column (grp) deliberately DIFFERENT from the partition
+      // column (part): UPDATE may move rows between GROUPS freely; moves
+      // between PARTITIONS are merge-only by contract
+      import spark.implicits._
+      CommittedTable.write(Seq(
+          (1L, "a", "g1", 1L), (2L, "a", "g1", 1L), (3L, "a", "g1", 1L),
+          (4L, "b", "g2", 1L), (5L, "b", "g2", 1L),
+          (6L, "c", "g3", 1L), (7L, "c", "g3", 1L), (8L, "c", "g3", 1L))
+          .toDF("id", "part", "grp", "version"),
+        path, "part", keyCol = Some("id"), versionCol = Some("version"))
+      val vw = path + "-view"
+      spark.sql(s"CALL graft.set_retention(table => '$path', retain => 10)")
+      val initGen = spark.sql(
+        s"CALL graft.init_agg_view(source => '$path', view => '$vw', " +
+          "group_by => 'grp', value => 'id')").collect().head.getLong(1)
+      assert(initGen >= 1L)
+      spark.sql(s"DELETE FROM graft.`$path` WHERE id = 3")
+      spark.sql(s"UPDATE graft.`$path` SET grp = 'z', version = version + 1 " +
+        "WHERE id = 8")
+      def sync() = spark.sql(
+        s"CALL graft.sync_agg_view(source => '$path', view => '$vw', " +
+          "group_by => 'grp', value => 'id')").collect()
+      sync()
+      def view() = spark.sql(
+        s"""SELECT grp, CAST(n AS BIGINT), CAST(sum_value AS BIGINT),
+              CAST(min_value AS BIGINT), CAST(max_value AS BIGINT)
+            FROM graft.`$vw` ORDER BY grp""")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toSeq
+      val after = view()
+      assert(after === Seq(
+        ("g1", 2L, 3L, 1L, 2L),  // id 3 deleted
+        ("g2", 2L, 9L, 4L, 5L),
+        ("g3", 2L, 13L, 6L, 7L), // id 8 moved out (extreme retracted → rescan)
+        ("z", 1L, 8L, 8L, 8L)))  // brand-new group from the move
+      // a second CALL re-drains an empty feed via the SAME checkpoint:
+      // nothing changes (exactly-once effect)
+      sync()
+      assert(view() === after)
+      // a keycol-less source fails loudly naming the remedy
+      val bare = path + "-bare"
+      CommittedTable.write(Seq((1L, "a")).toDF("id", "part"), bare, "part")
+      val e = intercept[Exception] {
+        spark.sql(s"CALL graft.sync_agg_view(source => '$bare', " +
+          s"view => '$vw', group_by => 'part', value => 'id')")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("keycol")), msgs(e).mkString(" | "))
+    }
+  }
+
   test("CBO: a small committed dim auto-broadcasts in a SQL join, no hint") {
     withTable("graft-cat-cbo") { path =>
       seed(path) // 8 rows — kilobytes, far under the broadcast threshold
