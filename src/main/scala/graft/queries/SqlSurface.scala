@@ -264,7 +264,12 @@ object SqlSurface {
     // incremental fold CONVERGES to the full recompute through arbitrary
     // DML, with every measure integer-exact (value column is a key).
     Q("q153_sql_incremental_view", (s, dir) => {
+      // a 1-in-3 slice: the gate proves CONVERGENCE through the DML
+      // sequence (fixture cost is 4 table writes + a real checkpointed
+      // stream — the q137 convention), not bulk throughput, which
+      // q141-q144 already carry
       val o = table(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
         .select(col("o_orderkey"), col("o_orderstatus"),
           col("o_orderpriority"))
         .withColumn("version", lit(1L))
@@ -296,7 +301,7 @@ object SqlSurface {
         SELECT CASE WHEN o_orderkey % 11 = 0 THEN '9-MOVED'
                     ELSE o_orderpriority END AS o_orderpriority,
                o_orderkey
-        FROM orders WHERE o_orderkey % 7 <> 0)
+        FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0)
       SELECT o_orderpriority, COUNT(*) AS n,
         CAST(SUM(o_orderkey) AS BIGINT) AS sum_value,
         CAST(MIN(o_orderkey) AS BIGINT) AS min_value,

@@ -748,6 +748,72 @@ object ExplainDump {
               FROM explain_q150_orders o JOIN graft.`$dimDir` c
                 ON o.o_custkey = c.c_custkey
               GROUP BY c.c_mktsegment"""))
+
+      // q153's read side: the incremental view IS a committed table, so
+      // the SQL read is the §q141 substituted-scan shape over the view's
+      // own manifest. (The lifecycle's other plans are already pinned:
+      // init = one grouped agg + §q119 write; DML = §q134/q136; the CDF
+      // fold = §q137's diff joins; CTAS (q154) executes as one
+      // GraftDmlCommand wrapping the same first-publish write.)
+      val mvSrc = s"$tmp/mvsrc"; val mvDst = s"$tmp/mvview"
+      graft.sources.CommittedTable.write(
+        base.withColumn("o_orderpriority",
+          concat(lit("p"), (col("o_orderkey") % 3).cast("string"))),
+        mvSrc, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      graft.streaming.IncrementalAgg.init(spark, mvSrc, mvDst,
+        "o_orderpriority", "o_orderkey")
+      section("q153_sql_incremental_view (view read through the catalog)",
+        """Wants: the view read is an ordinary §q141-shape committed-table
+          |scan — manifest-pruned root paths over the VIEW's own segments
+          |(partitioned by the group column, so a per-group probe prunes to
+          |one partition), measures served as stored columns with no
+          |recompute of the source anywhere in the plan. The maintenance
+          |cost lives entirely at sync time and is bounded by the CDF
+          |batch + affected groups (§q137's diff shape), never by source
+          |or view size.""".stripMargin,
+        factView.sparkSession.sql(
+          s"""SELECT o_orderpriority, n, sum_value, min_value, max_value
+              FROM graft.`$mvDst` WHERE o_orderpriority = 'p1'"""))
+    }
+
+    // q151/q152: product quantization's two plans — the one-pass encode
+    // projection and the codes-only ADC top-k. Trained with the gate's own
+    // parameters on the real embeddings table.
+    locally {
+      import org.apache.spark.sql.functions._
+      val e = Registry.table(spark, dir, "embeddings")
+      val seeds = graft.operators.ProductQuantization.seedsByIdAsc(
+        e, "vec_id", "embedding", 4, 4)
+      val model = graft.operators.ProductQuantization.fit(
+        e, "embedding", seeds, maxIter = 1, tol = 0.0)
+      section("q151_pq_encode (one-pass PQ encode projection)",
+        """Wants: ONE projection over the embeddings scan — PqEncodeF
+          |computes all m subspace argmins in a single pass over each row
+          |(codebooks ride the expression as a codegen reference object; no
+          |join, no broadcast exchange, no per-subspace slice arrays), and
+          |WholeStageCodegen spans scan→project. Training reuses this same
+          |projection per iteration plus the bounded (sub, cell, dim)
+          |partial agg of §q149's update shape — one distributed pass per
+          |iteration REGARDLESS of m.""".stripMargin,
+        graft.operators.ProductQuantization.encode(
+          e.filter(col("embedding").isNotNull), "embedding", model)
+          .select(col("vec_id"), col("pq_code")))
+      val q = e.filter(col("vec_id") === 3).select(col("embedding"))
+        .collect().head.getSeq[Float](0).toArray.map(_.toDouble)
+      section("q152_pq_adc_topk (codes-only ADC ranking)",
+        """Wants: the ranking scan projects (vec_id, pq_code) ONLY — at
+          |100 TB the float column never enters this plan at all (in the
+          |stored IVF-PQ index the scan's ReadSchema physically excludes
+          |it; SimilaritySpec pins that) — the per-row distance is m array
+          |lookups (PqAdcF, codegen'd), and the head is a
+          |TakeOrderedAndProject (per-task heap + driver k-merge), NOT a
+          |global Sort+Exchange.""".stripMargin,
+        graft.operators.ProductQuantization.adcTopK(
+          graft.operators.ProductQuantization.encode(
+            e.filter(col("embedding").isNotNull), "embedding", model)
+            .select(col("vec_id"), col("pq_code")),
+          model, q, 20))
     }
 
     // q149's loop: one Lloyd iteration's two plans — the map-side argmin
