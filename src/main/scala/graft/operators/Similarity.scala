@@ -745,6 +745,27 @@ object Similarity {
       books.map(_.map(_ => 0L)), 0, converged = true)
   }
 
+  /** Incremental ingest into an IVF-PQ index: the batch is assigned and
+    * ENCODED under the index's own frozen quantizer AND codebooks (both
+    * read from the live snapshot — never re-trained), then appended to
+    * the cell partitions. Same drift contract as [[ivfAppendToIndex]]:
+    * codes stay mutually comparable because the codebooks never move;
+    * accumulated imbalance is the [[ivfShouldRequantize]] advisory's job,
+    * and a rebuild is one [[ivfpqWriteIndex]] publish. */
+  def ivfpqAppendToIndex(newVectors: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val root = ivfIndexRoot(spark, path)
+    val centroids = spark.read.parquet(s"$root/_centroids")
+    val model = ivfpqReadModel(spark, root)
+    ProductQuantization.encode(
+        assignCells(newVectors, centroids, idCol, vecCol), vecCol, model)
+      .write
+      .partitionBy("cell_id")
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$root/cells")
+  }
+
   /** The ADC candidate scan: probed cells only (LITERAL partition filter —
     * unprobed cells are pruned from metadata), and the scan's ReadSchema
     * is (id, code, cell) — THE FLOAT COLUMN IS NEVER READ. Returns the

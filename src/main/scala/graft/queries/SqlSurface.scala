@@ -345,5 +345,46 @@ object SqlSurface {
       FROM orders
       WHERE o_totalprice >= 1000.0 AND o_orderkey % 13 <> 0
         AND o_totalprice <= 200000.0
-      GROUP BY o_orderstatus, o_orderpriority""")))
+      GROUP BY o_orderstatus, o_orderpriority""")),
+
+    // ---- REPLACE TABLE AS SELECT: atomic overwrite with travelable past --
+    // CTAS births the table (gen 1), set_retention republished (gen 2),
+    // REPLACE swaps the whole content in ONE generation (gen 3) — and the
+    // output reads BOTH worlds through SQL: the current table (the
+    // replacement) and VERSION AS OF 2 (the pre-replace content), tagged
+    // and unioned. The oracle recomputes both filters from the raw
+    // source — a pass proves the overwrite is complete AND non-destructive
+    // inside the retention window.
+    Q("q155_sql_replace", (s, dir) => {
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+        .createOrReplaceTempView("q155_src")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q155").toString + "/wh"
+      s.sql(
+        s"""CREATE TABLE graft.`$wh`
+            PARTITIONED BY (o_orderstatus)
+            TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version')
+            AS SELECT * FROM q155_src WHERE o_orderkey % 2 = 0""")
+      s.sql(s"CALL graft.set_retention(table => '$wh', retain => 5)")
+      s.sql(s"REPLACE TABLE graft.`$wh` AS " +
+        "SELECT * FROM q155_src WHERE o_orderkey % 3 = 0")
+      val out = s.sql(
+        s"""SELECT 'now' AS world, o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+            FROM graft.`$wh` GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'was' AS world, o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+            FROM graft.`$wh` VERSION AS OF 2 GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT 'now' AS world, o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+      FROM orders WHERE o_orderkey % 3 = 0 GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'was' AS world, o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus""")))
 }

@@ -1682,6 +1682,61 @@ object CommittedTable {
     * age out through the normal one-cycle reader grace (an in-flight
     * reader of the pre-compact manifest keeps working). Same fencing as
     * merge: racing writers lose loudly, nothing vanishes. */
+  /** REPLACE the table's content in ONE atomic generation: the new
+    * dataframe stages as generation gen+1 under the same manifest lineage
+    * and publishes with the usual single swap — so history inside the
+    * retention window stays TIME-TRAVELABLE across the replace (readAt /
+    * `VERSION AS OF` the pre-replace generation still serves it), the
+    * change feed sees the replace as one generation's diff (partitions
+    * absent from the new data read as deletes), and fencing is identical
+    * to merge (a concurrent writer aborts the slower publisher).
+    *
+    * Schema and roles MAY change: `partitionCol`/`statsCols`/`keyCol`/
+    * `versionCol`/`bloomCols` default to the CURRENT manifest's values,
+    * each inherited only while its column still exists in the new data —
+    * a role whose column the replace drops is cleared (later routed DML
+    * needing it fails loudly, as on any role-less table). */
+  def overwrite(df: DataFrame, path: String,
+      partitionCol: Option[String] = None,
+      statsCols: Option[Seq[String]] = None,
+      sortCols: Seq[String] = Nil, filesPerPartition: Int = 1,
+      keyCol: Option[String] = None, versionCol: Option[String] = None,
+      bloomCols: Option[Seq[String]] = None): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(
+        s"no committed table at $path to overwrite; use write() to create"))
+    collectGarbage(fs, table)
+    val cols = df.columns.toSet
+    def inherit(explicit: Option[String], cur: Option[String]): Option[String] =
+      explicit.orElse(cur.filter(cols.contains))
+    val pc = partitionCol.orElse(m.partitionCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"overwrite of $path needs a partition column (manifest records " +
+          "none — pre-metadata table)"))
+    val newStats = statsCols.getOrElse(m.statsCols.filter(cols.contains))
+    val newBlooms = bloomCols.getOrElse(m.bloomCols.filter(cols.contains))
+    val newKey = inherit(keyCol, m.keyCol)
+    val newVer = inherit(versionCol, m.verCol)
+    (Seq(pc) ++ newStats ++ sortCols ++ newKey ++ newVer ++ newBlooms)
+      .foreach(c => require(df.columns.contains(c),
+        s"column $c absent from the replacement (${df.columns.mkString(",")})"))
+    val gen = m.gen + 1
+    val staged = stageSegments(df, path, pc, gen, sortCols,
+      filesPerPartition = filesPerPartition)
+    val (stats, counts) = statsFromStaged(spark, table, staged, pc,
+      newStats, newBlooms)
+    publishOrAbort(hconf, table, m.gen,
+      m.copy(gen = gen, cols = df.columns.toSeq, segments = staged,
+        statsCols = newStats, stats = stats, rowCounts = counts,
+        partitionCol = Some(pc), keyCol = newKey, verCol = newVer,
+        bloomCols = newBlooms), staged)
+    collectGarbage(fs, table)
+  }
+
   def compact(spark: SparkSession, path: String, partitionCol: String,
       sortCols: Seq[String] = Nil,
       crashPoint: String => Unit = _ => (),

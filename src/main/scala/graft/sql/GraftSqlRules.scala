@@ -166,6 +166,71 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
             _: GraftCatalog, _) => ()
         }.isDefined => ctas
 
+    // [CREATE OR] REPLACE TABLE … AS SELECT: one atomic full-generation
+    // overwrite (CommittedTable.overwrite) — history inside the retention
+    // window stays time-travelable across the replace, the feed sees one
+    // generation's diff, fencing is merge's. Roles inherit from the
+    // current manifest unless re-declared via TBLPROPERTIES; a missing
+    // table is created when OR CREATE was said, else fails loudly.
+    case rtas @ ReplaceTableAsSelect(
+        org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
+          cat: GraftCatalog, ident),
+        partitioning, query, ts, _, orCreate, _) if query.resolved =>
+      val path = cat.tablePath(ident)
+      val props = ts match {
+        case t: TableSpec => t.properties
+        case _ => Map.empty[String, String]
+      }
+      def propList(k: String): Option[Seq[String]] =
+        props.get(k).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      val pcOpt = partitioning.toList match {
+        case id :: Nil if id.name == "identity" &&
+            id.references.length == 1 &&
+            id.references.head.fieldNames.length == 1 =>
+          Some(id.references.head.fieldNames.head)
+        case Nil => None // inherit the current partition column
+        case other => fail(
+          s"REPLACE TABLE ${ident} AS SELECT: only ONE identity partition " +
+            s"column is supported, got ${other.map(_.describe).mkString(", ")}")
+      }
+      val unknown = props.keySet --
+        Set("keycol", "vercol", "statscols", "bloomcols", "retain") --
+        props.keySet.filter(_.startsWith("option."))
+      if (unknown.nonEmpty) fail(
+        s"REPLACE TABLE ${ident}: unknown TBLPROPERTIES " +
+          s"${unknown.mkString(", ")} (supported: keycol, vercol, " +
+          "statscols, bloomcols, retain)")
+      GraftDmlCommand(s"REPLACE TABLE $path AS SELECT", { s =>
+        val t = new Path(path)
+        val fs = t.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val df = bridge.ofRows(s, query)
+        if (CommittedTable.readManifest(fs, t).isDefined)
+          CommittedTable.overwrite(df, path,
+            partitionCol = pcOpt,
+            statsCols = propList("statscols"),
+            keyCol = props.get("keycol"),
+            versionCol = props.get("vercol"),
+            bloomCols = propList("bloomcols"))
+        else if (orCreate)
+          CommittedTable.write(df, path,
+            pcOpt.getOrElse(fail(
+              s"CREATE OR REPLACE of the NEW table $path needs " +
+                "PARTITIONED BY (<one column>)")),
+            retainGenerations = props.get("retain").map(_.toInt).getOrElse(2),
+            statsCols = propList("statscols").getOrElse(Nil),
+            keyCol = props.get("keycol"),
+            versionCol = props.get("vercol"),
+            bloomCols = propList("bloomcols").getOrElse(Nil))
+        else fail(
+          s"REPLACE TABLE: no committed table at $path — say CREATE OR " +
+            "REPLACE to create it")
+      })
+    case rtas: ReplaceTableAsSelect
+        if rtas.name.collectFirst {
+          case org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier(
+            _: GraftCatalog, _) => ()
+        }.isDefined => rtas
+
     case a @ AppendData(GraftRel(_, t), query, _, _, _, _)
         if query.resolved && a.outputResolved =>
       val pc = partitionColOf(t, "INSERT INTO")

@@ -386,4 +386,27 @@ class SimilaritySpec extends SparkSpec {
       nProbe = 4, shortlist = 16).as[(Long, Double)].collect()
     assert(narrow.head._1 === 3L)
   }
+
+  test("IVF-PQ append: batches encode under the frozen quantizer+codebooks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq3").toString + "/index"
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    Similarity.ivfpqWriteIndex(first, dir, nCells = 8, m = 4, kSub = 8)
+    Similarity.ivfpqAppendToIndex(emb.filter(col("vec_id") % 2 =!= 0), dir)
+    val root = Similarity.ivfIndexRoot(spark, dir)
+    val cells = spark.read.parquet(s"$root/cells")
+    assert(cells.count() === emb.filter(col("embedding").isNotNull).count())
+    // appended rows carry codes from the INDEX's codebooks: re-encoding
+    // the whole corpus under the stored model must agree row for row
+    val model = Similarity.ivfpqReadModel(spark, root)
+    val again = graft.operators.ProductQuantization.encode(
+      emb.filter(col("embedding").isNotNull), "embedding", model, "re_code")
+      .select(col("vec_id"), col("re_code"))
+    assert(cells.join(again, "vec_id")
+      .filter(col("pq_code") =!= col("re_code")).count() === 0)
+    // and an appended (odd-id) vector is findable
+    val q7 = emb.filter(col("vec_id") === 7).select(col("embedding").as("qvec"))
+    val got = Similarity.ivfpqTopKFromIndex(spark, dir, q7, 5,
+      nProbe = 4, shortlist = 64).as[(Long, Double)].collect()
+    assert(got.head._1 === 7L)
+  }
 }

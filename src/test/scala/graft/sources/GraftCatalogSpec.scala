@@ -448,6 +448,48 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("REPLACE TABLE AS SELECT: atomic overwrite, history stays travelable") {
+    withTable("graft-cat-rtas") { path =>
+      seed(path) // gen 1: ids 1..8
+      spark.sql(s"CALL graft.set_retention(table => '$path', retain => 5)")
+      import spark.implicits._
+      Seq((100L, "a", 1.0, 1L), (200L, "d", 2.0, 1L))
+        .toDF("id", "part", "price", "version")
+        .createOrReplaceTempView("rtas_src")
+      spark.sql(s"REPLACE TABLE graft.`$path` AS SELECT * FROM rtas_src")
+      // current = the replacement; partitions b, c are GONE
+      assert(spark.sql(s"SELECT id FROM graft.`$path` ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === Seq(100L, 200L))
+      // the pre-replace generation still serves through time travel
+      // (set_retention republished as gen 2, so the seed data is gen 1
+      // and the replace is gen 3)
+      assert(spark.sql(
+        s"SELECT COUNT(*) AS n FROM graft.`$path` VERSION AS OF 2")
+        .collect().head.getLong(0) === 8L)
+      // roles were INHERITED across the replace: routed DML still works
+      spark.sql(s"DELETE FROM graft.`$path` WHERE id = 100")
+      assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$path`")
+        .collect().head.getLong(0) === 1L)
+      // plain REPLACE of a missing table fails; CREATE OR REPLACE creates
+      val e = intercept[Exception] {
+        spark.sql(s"REPLACE TABLE graft.`${path}-x` AS SELECT * FROM rtas_src")
+      }
+      assert(e.getMessage.contains("CREATE OR REPLACE"))
+      spark.sql(s"CREATE OR REPLACE TABLE graft.`${path}-x` " +
+        "PARTITIONED BY (part) AS SELECT * FROM rtas_src")
+      assert(spark.sql(s"SELECT COUNT(*) AS n FROM graft.`${path}-x`")
+        .collect().head.getLong(0) === 2L)
+      // a replace that DROPS a role column clears the role: later routed
+      // INSERT (needs key+version) fails loudly, it does not corrupt
+      spark.sql(s"REPLACE TABLE graft.`$path` AS " +
+        "SELECT id, part, price FROM rtas_src")
+      val e2 = intercept[Exception] {
+        spark.sql(s"INSERT INTO graft.`$path` VALUES (9, 'a', 9.0)")
+      }
+      assert(e2.getMessage.contains("key/version"))
+    }
+  }
+
   test("CALL init/sync_agg_view: SQL-only MV lifecycle, idempotent re-sync") {
     withTable("graft-cat-aggview") { path =>
       // group column (grp) deliberately DIFFERENT from the partition
