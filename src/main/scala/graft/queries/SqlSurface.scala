@@ -386,5 +386,45 @@ object SqlSurface {
       UNION ALL
       SELECT 'was' AS world, o_orderstatus, COUNT(*) AS n,
         CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
-      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus""")))
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus""")),
+
+    // ---- INSERT OVERWRITE PARTITION: the backfill verb --------------------
+    // One partition ('O') is recomputed and swapped wholesale — the query
+    // result REPLACES the partition's content (no key matching, unlike
+    // INSERT INTO's upsert route) while every other status's segment
+    // files are carried forward untouched (GraftCatalogSpec pins the
+    // file-level carry). The oracle rebuilds the table as (all statuses
+    // except 'O') ∪ (the recomputed 'O' subset) — a pass proves the
+    // replacement is exact and the carry lost nothing.
+    Q("q156_insert_overwrite", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q156").toString + "/wh"
+      graft.sources.CommittedTable.write(o, wh, "o_orderstatus",
+        statsCols = Seq("o_totalprice"))
+      o.filter(col("o_orderstatus") === "O" &&
+          col("o_totalprice") >= lit(100000.0))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .createOrReplaceTempView("q156_backfill")
+      s.sql(s"INSERT OVERWRITE graft.`$wh` PARTITION (o_orderstatus = 'O') " +
+        "SELECT o_orderkey, o_totalprice FROM q156_backfill")
+      val out = s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$wh` GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      WITH replaced AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderstatus = 'O' AND o_totalprice >= 100000.0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderstatus <> 'O')
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM replaced GROUP BY o_orderstatus""")))
 }

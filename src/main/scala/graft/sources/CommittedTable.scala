@@ -1737,6 +1737,53 @@ object CommittedTable {
     collectGarbage(fs, table)
   }
 
+  /** Dynamic-partition OVERWRITE — the lakehouse backfill verb: every
+    * partition PRESENT in `df` is replaced wholesale by df's rows for it,
+    * in ONE atomic generation; partitions absent from df are carried
+    * forward untouched — their segment files, zone-map entries and bloom
+    * sidecars are REUSED, not rewritten, so recomputing one day of a
+    * 3 650-day table moves one day's bytes. Schema must match the table
+    * exactly (this is overwrite-of-content, not evolution — widen via
+    * merge(allowAddColumns) and reshape via [[overwrite]]). History
+    * inside the retention window stays time-travelable, the change feed
+    * sees one generation whose diff is exactly the replaced partitions,
+    * and fencing is merge's (a racing writer aborts loudly). NULL/empty
+    * partition values are rejected before publish by [[stageSegments]]. */
+  def overwritePartitions(df: DataFrame, path: String,
+      sortCols: Seq[String] = Nil, filesPerPartition: Int = 1): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(
+        s"no committed table at $path to overwrite partitions of"))
+    val pc = m.partitionCol.getOrElse(
+      throw new UnsupportedOperationException(
+        s"overwritePartitions on $path needs the manifest's partition " +
+          "column (partcol=); the table predates that metadata — " +
+          "re-publish via write/merge to record it"))
+    collectGarbage(fs, table)
+    require(df.columns.toSet == m.cols.toSet,
+      s"overwritePartitions must match the table schema exactly (table: " +
+        s"${m.cols.mkString(",")}; got: ${df.columns.mkString(",")}) — " +
+        "schema changes go through merge(allowAddColumns=true) or overwrite()")
+    val data = df.select(m.cols.map(col).toIndexedSeq: _*)
+    val gen = m.gen + 1
+    val staged = stageSegments(data, path, pc, gen, sortCols,
+      filesPerPartition = filesPerPartition)
+    if (staged.isEmpty) return // an empty batch overwrites nothing
+    val (segStats, segCounts) = statsFromStaged(spark, table, staged, pc,
+      m.statsCols, m.bloomCols)
+    val affected = staged.keySet
+    publishOrAbort(hconf, table, m.gen,
+      m.copy(gen = gen,
+        segments = (m.segments -- affected) ++ staged,
+        stats = (m.stats -- affected) ++ segStats,
+        rowCounts = (m.rowCounts -- affected) ++ segCounts), staged)
+    collectGarbage(fs, table)
+  }
+
   def compact(spark: SparkSession, path: String, partitionCol: String,
       sortCols: Seq[String] = Nil,
       crashPoint: String => Unit = _ => (),

@@ -245,6 +245,55 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
       })
     case a: AppendData if GraftRel.unapply(a.table).isDefined => a
 
+    // INSERT OVERWRITE, static mode (the default): no PARTITION clause
+    // resolves to deleteExpr=true — a full-content REPLACE through
+    // CommittedTable.overwrite (roles and partition column inherit);
+    // PARTITION (pc = v) resolves to a null-safe equality on the
+    // partition column and every query row carries the static value —
+    // exactly a one-partition dynamic overwrite, routed as such. Any
+    // other overwrite condition has no sound mapping onto
+    // partition-wholesale replacement and fails naming the three
+    // supported forms.
+    case o @ OverwriteByExpression(GraftRel(_, t), deleteExpr, query,
+        _, _, _, _)
+        if query.resolved && o.outputResolved && deleteExpr.resolved =>
+      val pc = partitionColOf(t, "INSERT OVERWRITE")
+      val cols = t.tableSchema.fieldNames.toSeq
+      deleteExpr match {
+        case Literal(true, _) =>
+          GraftDmlCommand(s"INSERT OVERWRITE ${t.name()}", { s =>
+            CommittedTable.overwrite(bridge.ofRows(s, query).toDF(cols: _*),
+              t.path)
+          })
+        case EqualNullSafe(a: AttributeReference, v)
+            if a.name == pc && v.foldable =>
+          GraftDmlCommand(s"INSERT OVERWRITE ${t.name()} PARTITION ($pc)", { s =>
+            CommittedTable.overwritePartitions(
+              bridge.ofRows(s, query).toDF(cols: _*), t.path)
+          })
+        case other => fail(
+          s"INSERT OVERWRITE ${t.name()}: unsupported overwrite condition " +
+            s"${other.sql}; supported: full-table overwrite (no PARTITION " +
+            s"clause, static mode), PARTITION ($pc = <value>), or dynamic " +
+            "partition overwrite (SET spark.sql.sources." +
+            "partitionOverwriteMode=dynamic)")
+      }
+    case o: OverwriteByExpression if GraftRel.unapply(o.table).isDefined => o
+
+    // INSERT OVERWRITE under partitionOverwriteMode=dynamic: replace
+    // exactly the partitions present in the query result, carry every
+    // other partition's files forward untouched — the backfill verb.
+    case o @ OverwritePartitionsDynamic(GraftRel(_, t), query, _, _, _)
+        if query.resolved && o.outputResolved =>
+      partitionColOf(t, "INSERT OVERWRITE (dynamic)")
+      val cols = t.tableSchema.fieldNames.toSeq
+      GraftDmlCommand(s"INSERT OVERWRITE ${t.name()} (dynamic)", { s =>
+        CommittedTable.overwritePartitions(
+          bridge.ofRows(s, query).toDF(cols: _*), t.path)
+      })
+    case o: OverwritePartitionsDynamic
+        if GraftRel.unapply(o.table).isDefined => o
+
     case other =>
       other.transformUpWithSubqueries {
         case GraftRel(r, t) => substitute(r, t)

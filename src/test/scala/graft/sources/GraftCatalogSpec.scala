@@ -490,6 +490,92 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("INSERT OVERWRITE: dynamic replaces present partitions, carries the rest") {
+    withTable("graft-cat-iow") { path =>
+      seed(path) // parts a(1,2,3) b(4,5) c(6,7,8), one segment each
+      val t = new org.apache.hadoop.fs.Path(path)
+      val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def segs = CommittedTable.readManifest(fs, t).get.segments
+      val before = segs
+      import spark.implicits._
+      Seq((40L, "b", 400.0, 2L), (41L, "b", 410.0, 2L))
+        .toDF("id", "part", "price", "version")
+        .createOrReplaceTempView("iow_src")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try spark.sql(s"INSERT OVERWRITE graft.`$path` SELECT * FROM iow_src")
+      finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      // partition b replaced wholesale; a and c rows untouched
+      assert(spark.sql(s"SELECT id FROM graft.`$path` ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq ===
+        Seq(1L, 2L, 3L, 6L, 7L, 8L, 40L, 41L))
+      // carry-forward is FILE-level: untouched partitions keep their exact
+      // segment dirs (no rewrite), only b got a new one
+      val after = segs
+      assert(after("a") === before("a") && after("c") === before("c"))
+      assert(after("b") !== before("b"))
+      // zone maps track the rewrite: price >= 300 now prunes to b only
+      val scan = spark.sql(s"SELECT * FROM graft.`$path` WHERE price >= 300.0")
+      val files = scan.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s
+      }.get.selectedPartitions.totalNumberOfFiles
+      assert(files === 1 && scan.count() === 2)
+    }
+  }
+
+  test("INSERT OVERWRITE: static PARTITION and full-table forms") {
+    withTable("graft-cat-iow2") { path =>
+      seed(path)
+      spark.sql(s"CALL graft.set_retention(table => '$path', retain => 5)")
+      import spark.implicits._
+      // static PARTITION (part = 'c'): query supplies the other columns
+      Seq((60L, 600.0, 2L)).toDF("id", "price", "version")
+        .createOrReplaceTempView("iow2_src")
+      spark.sql(s"INSERT OVERWRITE graft.`$path` PARTITION (part = 'c') " +
+        "SELECT id, price, version FROM iow2_src")
+      assert(spark.sql(
+        s"SELECT id FROM graft.`$path` WHERE part = 'c'")
+        .collect().map(_.getLong(0)).toSeq === Seq(60L))
+      assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$path`")
+        .collect().head.getLong(0) === 6L) // 3 a + 2 b + 1 c
+      // the pre-overwrite generation stays travelable (seed=1, retain=2,
+      // partition overwrite=3)
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM graft.`$path` VERSION AS OF 2")
+        .collect().head.getLong(0) === 8L)
+      // full-table static overwrite = REPLACE content; roles inherit so
+      // routed DML still works afterwards
+      Seq((100L, "z", 1.0, 1L), (101L, "z", 2.0, 1L))
+        .toDF("id", "part", "price", "version")
+        .createOrReplaceTempView("iow2_all")
+      spark.sql(s"INSERT OVERWRITE graft.`$path` SELECT * FROM iow2_all")
+      assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$path`")
+        .collect().head.getLong(0) === 2L)
+      spark.sql(s"DELETE FROM graft.`$path` WHERE id = 100")
+      assert(spark.sql(s"SELECT id FROM graft.`$path`")
+        .collect().map(_.getLong(0)).toSeq === Seq(101L))
+    }
+  }
+
+  test("overwritePartitions: schema drift and NULL partitions fail loudly") {
+    withTable("graft-cat-iow3") { path =>
+      seed(path)
+      import spark.implicits._
+      val drifted = Seq((1L, "a", 1.0)).toDF("id", "part", "price")
+      val e = intercept[IllegalArgumentException] {
+        CommittedTable.overwritePartitions(drifted, path)
+      }
+      assert(e.getMessage.contains("match the table schema exactly"))
+      val nulled = Seq((1L, null.asInstanceOf[String], 1.0, 1L))
+        .toDF("id", "part", "price", "version")
+      val e2 = intercept[IllegalArgumentException] {
+        CommittedTable.overwritePartitions(nulled, path)
+      }
+      assert(e2.getMessage.contains("NULL or empty-string"))
+      // failures above published nothing: table unchanged, next gen clean
+      assert(CommittedTable.read(spark, path).count() === 8L)
+    }
+  }
+
   test("CALL init/sync_agg_view: SQL-only MV lifecycle, idempotent re-sync") {
     withTable("graft-cat-aggview") { path =>
       // group column (grp) deliberately DIFFERENT from the partition
