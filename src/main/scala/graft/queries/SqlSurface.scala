@@ -426,5 +426,40 @@ object SqlSurface {
       SELECT o_orderstatus, COUNT(*) AS n,
         CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-      FROM replaced GROUP BY o_orderstatus""")))
+      FROM replaced GROUP BY o_orderstatus""")),
+
+    // ---- ALTER TABLE ADD COLUMNS: metadata-only widen ---------------------
+    // The column is DECLARED (one manifest swap, zero data files moved —
+    // GraftCatalogSpec pins the segment identity), reads NULL-fill it,
+    // and a routed UPDATE then materializes values in the partitions it
+    // rewrites while every other partition keeps NULL-filling. The
+    // aggregate reads the mixed world: materialized 'O' rows + virtual
+    // NULLs elsewhere. The oracle models the declare+update as one CASE.
+    Q("q157_alter_add_columns", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q157").toString + "/wh"
+      graft.sources.CommittedTable.write(o, wh, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      s.sql(s"ALTER TABLE graft.`$wh` ADD COLUMNS (fee DOUBLE)")
+      s.sql(s"UPDATE graft.`$wh` SET fee = o_totalprice * 0.01, " +
+        "version = version + 1 WHERE o_orderstatus = 'O'")
+      val out = s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+              COUNT(fee) AS n_fee,
+              CAST(SUM(CAST(fee AS DECIMAL(18,4))) AS DOUBLE) AS sum_fee
+            FROM graft.`$wh` GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      WITH widened AS (
+        SELECT o_orderstatus,
+          CASE WHEN o_orderstatus = 'O'
+               THEN CAST(o_totalprice AS DOUBLE) * 0.01 END AS fee
+        FROM orders)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        COUNT(fee) AS n_fee,
+        CAST(SUM(CAST(fee AS DECIMAL(18,4))) AS DOUBLE) AS sum_fee
+      FROM widened GROUP BY o_orderstatus""")))
 }

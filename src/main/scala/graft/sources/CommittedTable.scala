@@ -110,7 +110,18 @@ object CommittedTable {
       // planned. Optional line bloom=<tab-joined cols>, set at write(),
       // carried forward by every publish; a segment with no sidecar
       // (pre-feature) conservatively "might contain".
-      bloomCols: Seq[String] = Nil)
+      bloomCols: Seq[String] = Nil,
+      // METADATA-ONLY columns ([[addColumns]] / SQL ALTER TABLE ADD
+      // COLUMNS): (name, DDL type) pairs for columns declared on the
+      // table but possibly present in NO segment file yet — [[schemaOf]]
+      // types them from here when the newest-segment probe misses them,
+      // and the explicit-schema parquet read NULL-fills every file that
+      // lacks them (zero data movement at declare time; a petabyte table
+      // widens for the cost of one manifest swap). The first rewrite of a
+      // partition materializes the column there; entries stay harmlessly
+      // (the segment probe wins once any newest segment carries the
+      // column). One line per column: virtual=<esc name>\t<esc ddl-type>.
+      virtualCols: Seq[(String, String)] = Nil)
 
   private[graft] def readManifest(fs: FileSystem, table: Path): Option[Manifest] =
     readManifestFile(fs, new Path(table, Commit))
@@ -159,11 +170,18 @@ object CommittedTable {
           case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
         }
       }.toMap
+    val virtualCols = lines.drop(2).filter(_.startsWith("virtual="))
+      .map { l =>
+        l.stripPrefix("virtual=").split('\t') match {
+          case Array(n, t) => (unesc(n), unesc(t))
+          case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
+        }
+      }
     val segLines = lines.drop(2).filter(l =>
       l.nonEmpty && !l.startsWith("retain=") && !l.startsWith("stats=") &&
         !l.startsWith("rows=") && !l.startsWith("partcol=") &&
         !l.startsWith("keycol=") && !l.startsWith("vercol=") &&
-        !l.startsWith("bloom="))
+        !l.startsWith("bloom=") && !l.startsWith("virtual="))
     val parsed = segLines.map { l =>
       l.split('\t') match {
         case Array(v, d) => (unesc(v), d, Nil: Seq[(Option[String], Option[String])])
@@ -177,7 +195,7 @@ object CommittedTable {
     Some(Manifest(gen, cols,
       parsed.map(t => t._1 -> t._2).toMap, retain, statsCols,
       parsed.collect { case (v, _, st) if st.nonEmpty => v -> st }.toMap,
-      rowCounts, partCol, keyCol, verCol, bloomCols))
+      rowCounts, partCol, keyCol, verCol, bloomCols, virtualCols))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
@@ -202,7 +220,8 @@ object CommittedTable {
     val metaLines =
       m.partitionCol.map(v => s"partcol=${esc(v)}").toSeq ++
         m.keyCol.map(v => s"keycol=${esc(v)}").toSeq ++
-        m.verCol.map(v => s"vercol=${esc(v)}").toSeq
+        m.verCol.map(v => s"vercol=${esc(v)}").toSeq ++
+        m.virtualCols.map { case (n, t) => s"virtual=${esc(n)}\t${esc(t)}" }
     val body = (Seq(s"gen=${m.gen}", s"cols=${m.cols.mkString("\t")}",
       s"retain=${m.retain}") ++ metaLines ++ statsLine ++ bloomLine ++ rowLines ++
       m.segments.toSeq.sortBy(_._1).map { case (v, d) =>
@@ -603,6 +622,76 @@ object CommittedTable {
     collectGarbage(fs, table)
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = m.gen + 1, retain = retainGenerations), Map.empty)
+    collectGarbage(fs, table)
+  }
+
+  /** METADATA-ONLY schema widen (SQL `ALTER TABLE … ADD COLUMNS` routes
+    * here): declare `(name, DDL type)` columns on the table without
+    * touching one data file — the cost is a manifest swap, identical at
+    * 8 rows and 100 TB. Every read NULL-fills the new columns (the
+    * explicit-schema parquet read, typed from the manifest declaration)
+    * until a partition's next rewrite materializes real values there.
+    * Nullable by construction — a NOT NULL or defaulted add would need a
+    * full rewrite and is refused at the SQL layer. A real generation
+    * behind the usual fencing; time travel to a pre-alter generation
+    * serves the OLD schema (the anchor's own column list). */
+  def addColumns(spark: SparkSession, path: String,
+      columns: Seq[(String, String)]): Unit = {
+    require(columns.nonEmpty, "ADD COLUMNS: no columns given")
+    require(columns.map(_._1).distinct.size == columns.size,
+      s"ADD COLUMNS: duplicate names in ${columns.map(_._1).mkString(",")}")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    columns.foreach { case (n, t) =>
+      require(!m.cols.contains(n),
+        s"ADD COLUMNS: column $n already exists on $path")
+      try org.apache.spark.sql.types.DataType.fromDDL(t)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"ADD COLUMNS $n: unparsable type '$t'", e) }
+    }
+    collectGarbage(fs, table)
+    publishOrAbort(hconf, table, m.gen,
+      m.copy(gen = m.gen + 1, cols = m.cols ++ columns.map(_._1),
+        virtualCols = m.virtualCols ++ columns), Map.empty)
+    collectGarbage(fs, table)
+  }
+
+  /** METADATA-ONLY role re-declaration (SQL `ALTER TABLE … SET
+    * TBLPROPERTIES` routes here): update the table's keycol/vercol/
+    * statscols/bloomcols lines without rewriting data. `None` keeps the
+    * current value. Re-declaring `statsCols` DROPS the recorded
+    * per-segment zone maps (they are indexed by the statsCols list, so a
+    * changed list would mis-align them) — every segment conservatively
+    * survives range pruning until its partition's next rewrite or one
+    * `compact` rebuilds the maps; answers never change, only I/O. A
+    * changed `bloomCols` likewise takes effect per segment as sidecars
+    * (re)build on rewrite — a missing sidecar conservatively survives. */
+  def setRoles(spark: SparkSession, path: String,
+      keyCol: Option[String] = None, versionCol: Option[String] = None,
+      statsCols: Option[Seq[String]] = None,
+      bloomCols: Option[Seq[String]] = None): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    (keyCol ++ versionCol ++ statsCols.getOrElse(Nil) ++
+        bloomCols.getOrElse(Nil)).foreach(c =>
+      require(m.cols.contains(c),
+        s"SET TBLPROPERTIES on $path: column $c does not exist " +
+          s"(columns: ${m.cols.mkString(",")})"))
+    val statsChanged = statsCols.exists(_ != m.statsCols)
+    collectGarbage(fs, table)
+    publishOrAbort(hconf, table, m.gen,
+      m.copy(gen = m.gen + 1,
+        keyCol = keyCol.orElse(m.keyCol),
+        verCol = versionCol.orElse(m.verCol),
+        statsCols = statsCols.getOrElse(m.statsCols),
+        stats = if (statsChanged) Map.empty else m.stats,
+        bloomCols = bloomCols.getOrElse(m.bloomCols)), Map.empty)
     collectGarbage(fs, table)
   }
 
@@ -1319,8 +1408,15 @@ object CommittedTable {
       throw new java.io.IOException(s"committed table $table is empty; no schema")
     val newestDir = m.segments.values.maxBy(genOf)
     val probed = spark.read.parquet(new Path(table, newestDir).toString).schema
+    val declared = m.virtualCols.toMap
     org.apache.spark.sql.types.StructType(
-      m.cols.map(c => probed.find(_.name == c).getOrElse(
+      m.cols.map(c => probed.find(_.name == c).orElse(
+        // a metadata-only column no rewrite has materialized yet: typed
+        // from its ALTER-time declaration, NULL-filled by the explicit
+        // schema in every file that lacks it
+        declared.get(c).map(t => org.apache.spark.sql.types.StructField(
+          c, org.apache.spark.sql.types.DataType.fromDDL(t),
+          nullable = true))).getOrElse(
         throw new java.io.IOException(
           s"manifest column $c absent from newest segment $newestDir"))))
   }
@@ -1733,7 +1829,9 @@ object CommittedTable {
       m.copy(gen = gen, cols = df.columns.toSeq, segments = staged,
         statsCols = newStats, stats = stats, rowCounts = counts,
         partitionCol = Some(pc), keyCol = newKey, verCol = newVer,
-        bloomCols = newBlooms), staged)
+        bloomCols = newBlooms,
+        // the replacement materializes every column it declares
+        virtualCols = Nil), staged)
     collectGarbage(fs, table)
   }
 

@@ -171,10 +171,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "CommittedTable.write(df, path, partitionCol, keyCol=…, versionCol=…) " +
         "or INSERT-less CTAS is not supported")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema widening is " +
-        "CommittedTable.merge(allowAddColumns = true)")
+  /** `ALTER TABLE` — two METADATA-ONLY verbs, both one manifest swap
+    * regardless of table size:
+    *
+    *  - `ADD COLUMNS (c TYPE, …)`: top-level nullable columns only (a
+    *    NOT NULL or defaulted or nested or positioned add would need a
+    *    data rewrite — refused loudly); reads NULL-fill until a
+    *    partition's next rewrite materializes values
+    *    ([[CommittedTable.addColumns]]);
+    *  - `SET TBLPROPERTIES`: re-declare `keycol`/`vercol`/`statscols`/
+    *    `bloomcols` roles or `retain` ([[CommittedTable.setRoles]] /
+    *    `setRetention`); a changed statscols resets zone maps to
+    *    conservative until `CALL graft.compact` rebuilds them.
+    *
+    * Any other change class fails naming what IS supported. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val path = tablePath(ident)
+    def bad(what: String): Nothing = throw new UnsupportedOperationException(
+      s"ALTER TABLE ${ident}: $what; supported: ADD COLUMNS (top-level, " +
+        "nullable, no DEFAULT/position) and SET TBLPROPERTIES " +
+        "(keycol, vercol, statscols, bloomcols, retain)")
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      if (a.fieldNames().length != 1)
+        bad(s"nested column ${a.fieldNames().mkString(".")} cannot be added")
+      if (!a.isNullable)
+        bad(s"column ${a.fieldNames().head} NOT NULL cannot be added to " +
+          "existing rows without a rewrite")
+      if (a.position() != null)
+        bad(s"column ${a.fieldNames().head} with a position needs a rewrite")
+      if (a.defaultValue() != null)
+        bad(s"column ${a.fieldNames().head} with a DEFAULT needs a rewrite")
+      (a.fieldNames().head, a.dataType().sql)
+    }
+    val props = changes.collect { case p: TableChange.SetProperty =>
+      (p.property().toLowerCase(java.util.Locale.ROOT), p.value())
+    }
+    val known = Set("keycol", "vercol", "statscols", "bloomcols", "retain")
+    props.collectFirst { case (k, _) if !known.contains(k) => k }
+      .foreach(k => bad(s"unknown table property '$k'"))
+    changes.foreach {
+      case _: TableChange.AddColumn | _: TableChange.SetProperty => ()
+      case other => bad(s"unsupported change ${other.getClass.getSimpleName}")
+    }
+    if (adds.nonEmpty) CommittedTable.addColumns(spark, path, adds)
+    val pm = props.toMap
+    def list(k: String): Option[Seq[String]] =
+      pm.get(k).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    if (pm.contains("keycol") || pm.contains("vercol") ||
+        pm.contains("statscols") || pm.contains("bloomcols"))
+      CommittedTable.setRoles(spark, path,
+        keyCol = pm.get("keycol"), versionCol = pm.get("vercol"),
+        statsCols = list("statscols"), bloomCols = list("bloomcols"))
+    pm.get("retain").foreach(r =>
+      CommittedTable.setRetention(spark, path, r.toInt))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(tablePath(ident))

@@ -576,6 +576,93 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE ADD COLUMNS: metadata-only widen, zero data files moved") {
+    withTable("graft-cat-alter") { path =>
+      seed(path)
+      spark.sql(s"CALL graft.set_retention(table => '$path', retain => 5)")
+      val t = new org.apache.hadoop.fs.Path(path)
+      val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val before = CommittedTable.readManifest(fs, t).get.segments
+      spark.sql(s"ALTER TABLE graft.`$path` " +
+        "ADD COLUMNS (note STRING, score DOUBLE)")
+      // ZERO data movement: every segment dir is byte-identical
+      assert(CommittedTable.readManifest(fs, t).get.segments === before)
+      // reads NULL-fill the declared columns, typed from the manifest
+      val df = spark.sql(s"SELECT id, note, score FROM graft.`$path`")
+      assert(df.schema("note").dataType ===
+        org.apache.spark.sql.types.StringType)
+      assert(df.schema("score").dataType ===
+        org.apache.spark.sql.types.DoubleType)
+      assert(df.filter(col("note").isNotNull || col("score").isNotNull)
+        .count() === 0L)
+      // the Scala read path agrees (one schemaOf, two front ends)
+      assert(CommittedTable.read(spark, path).schema.fieldNames.toSeq ===
+        Seq("id", "part", "price", "version", "note", "score"))
+      // a later UPDATE materializes values in rewritten partitions only
+      spark.sql(s"UPDATE graft.`$path` SET note = 'hot', " +
+        "version = version + 1 WHERE part = 'b'")
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM graft.`$path` WHERE note = 'hot'")
+        .collect().head.getLong(0) === 2L)
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM graft.`$path` WHERE note IS NULL")
+        .collect().head.getLong(0) === 6L)
+      // time travel to a pre-alter generation serves the OLD schema
+      // (seed=1, retention=2, alter=3, update=4)
+      assert(spark.sql(s"SELECT * FROM graft.`$path` VERSION AS OF 2")
+        .schema.fieldNames.toSeq === Seq("id", "part", "price", "version"))
+      // illegal adds fail loudly, table untouched
+      val e1 = intercept[Exception] { spark.sql(
+        s"ALTER TABLE graft.`$path` ADD COLUMNS (x INT NOT NULL)") }
+      assert(e1.getMessage.contains("NOT NULL"))
+      val e2 = intercept[Exception] { spark.sql(
+        s"ALTER TABLE graft.`$path` ADD COLUMNS (y INT FIRST)") }
+      assert(e2.getMessage.contains("position"))
+      val e3 = intercept[Exception] { spark.sql(
+        s"ALTER TABLE graft.`$path` ADD COLUMNS (note INT)") }
+      assert(e3.getMessage.contains("already exists"))
+    }
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES: role re-declaration, conservative maps") {
+    withTable("graft-cat-roles") { path =>
+      import spark.implicits._
+      // born role-less: no stats, no key/version
+      val df = Seq((1L, "a", 10.0, 1L), (4L, "b", 40.0, 1L),
+        (6L, "c", 60.0, 1L), (7L, "c", 70.0, 1L))
+        .toDF("id", "part", "price", "version")
+      CommittedTable.write(df, path, "part")
+      // routed DML needs key/version: fails before the ALTER…
+      val e = intercept[Exception] { spark.sql(
+        s"INSERT INTO graft.`$path` VALUES (9, 'a', 9.0, 1)") }
+      assert(e.getMessage.contains("key/version"))
+      // …works after it
+      spark.sql(s"ALTER TABLE graft.`$path` SET TBLPROPERTIES(" +
+        "'keycol'='id', 'vercol'='version', 'statscols'='price')")
+      spark.sql(s"INSERT INTO graft.`$path` VALUES (9, 'a', 9.0, 1)")
+      assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$path`")
+        .collect().head.getLong(0) === 5L)
+      // fresh statscols: the rewritten partition (a) has zone maps, the
+      // untouched ones conservatively survive — answers exact either way
+      val scan = spark.sql(
+        s"SELECT id FROM graft.`$path` WHERE price >= 60.0")
+      assert(scan.collect().map(_.getLong(0)).sorted.toSeq === Seq(6L, 7L))
+      // one compact rebuilds maps everywhere: price >= 60 prunes to c only
+      spark.sql(s"CALL graft.compact(table => '$path')")
+      val pruned = spark.sql(
+        s"SELECT id FROM graft.`$path` WHERE price >= 60.0")
+      val files = pruned.queryExecution.executedPlan.collectFirst {
+        case s: FileSourceScanExec => s
+      }.get.selectedPartitions.totalNumberOfFiles
+      assert(files === 1 &&
+        pruned.collect().map(_.getLong(0)).sorted.toSeq === Seq(6L, 7L))
+      // unknown property fails loudly
+      val e2 = intercept[Exception] { spark.sql(
+        s"ALTER TABLE graft.`$path` SET TBLPROPERTIES('zorder'='id')") }
+      assert(e2.getMessage.contains("unknown table property"))
+    }
+  }
+
   test("CALL init/sync_agg_view: SQL-only MV lifecycle, idempotent re-sync") {
     withTable("graft-cat-aggview") { path =>
       // group column (grp) deliberately DIFFERENT from the partition
