@@ -461,5 +461,49 @@ object SqlSurface {
       SELECT o_orderstatus, COUNT(*) AS n,
         COUNT(fee) AS n_fee,
         CAST(SUM(CAST(fee AS DECIMAL(18,4))) AS DOUBLE) AS sum_fee
-      FROM widened GROUP BY o_orderstatus""")))
+      FROM widened GROUP BY o_orderstatus""")),
+
+    // ---- dynamic partition pruning between two committed tables ----------
+    // A month-partitioned committed fact star-joined to a committed month
+    // dim: the dim's year filter prunes the fact scan's partitions at
+    // RUNTIME through the reused broadcast (dynamicpruningexpression in
+    // PartitionFilters — GraftCatalogSpec pins the filter and the
+    // 12-of-N runtime file count; EXPLAIN §q158 the plan). At 100 TB the
+    // fact's unselected months are never read — the scan does the year's
+    // I/O, not the table's. The oracle collapses join+filter to the
+    // equivalent month predicate.
+    Q("q158_sql_dpp", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("omonth"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q158").toString
+      val factPath = s"$wh/fact"
+      val dimPath = s"$wh/dim"
+      graft.sources.CommittedTable.write(o, factPath, "omonth")
+      graft.sources.CommittedTable.write(
+        o.select(col("omonth")).distinct()
+          .withColumn("oyear", substring(col("omonth"), 1, 4)),
+        dimPath, "oyear")
+      s.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      try {
+        val out = s.sql(
+          s"""SELECT f.omonth, COUNT(*) AS n,
+                CAST(SUM(f.o_orderkey) AS BIGINT) AS sum_keys,
+                ${DSUM("f.o_totalprice")} AS sum_price
+              FROM graft.`$factPath` f JOIN graft.`$dimPath` d
+                ON f.omonth = d.omonth
+              WHERE d.oyear = '1997'
+              GROUP BY f.omonth""")
+        finish(s, out, factPath)
+      } finally s.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    }, Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS omonth, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE strftime(o_orderdate, '%Y-%m') LIKE '1997-%'
+      GROUP BY 1""")))
 }

@@ -340,6 +340,37 @@ object CommittedTable {
       .sorted
   }
 
+  /** One retained generation's summary for [[history]]. `rows` is None
+    * when any live partition of that snapshot predates manifest row
+    * counts. */
+  final case class GenerationInfo(gen: Long, publishedAtMillis: Long,
+      partitions: Int, rows: Option[Long], current: Boolean)
+
+  /** The table's operational history — one entry per RETAINED generation
+    * (the [[readAt]]/`VERSION AS OF` window), oldest first: publish time
+    * (anchor mtime), live partition count, total rows when recorded.
+    * Pure driver-side metadata: one directory listing plus one small
+    * anchor-manifest read per retained generation — zero data files
+    * opened at any table size. SQL front end: `CALL graft.history`. */
+  def history(spark: SparkSession, path: String): Seq[GenerationInfo] = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    generations(spark, path).flatMap { g =>
+      val anchor = new Path(table, s"$CommitGen$g")
+      readManifestFile(fs, anchor).map { m =>
+        val rows =
+          if (m.segments.nonEmpty && m.segments.keys.forall(m.rowCounts.contains))
+            Some(m.segments.keys.iterator.map(m.rowCounts).sum)
+          else if (m.segments.isEmpty) Some(0L)
+          else None
+        GenerationInfo(g, fs.getFileStatus(anchor).getModificationTime,
+          m.segments.size, rows, current = g == cur.gen)
+      }
+    }
+  }
+
   /** Remove a crashed writer's stale generation claim (a claim AHEAD of
     * the committed generation — left only by a crash in the claim→swap
     * window) and collect orphaned segments. Run ONLY when no writer is
@@ -1846,7 +1877,14 @@ object CommittedTable {
     * inside the retention window stays time-travelable, the change feed
     * sees one generation whose diff is exactly the replaced partitions,
     * and fencing is merge's (a racing writer aborts loudly). NULL/empty
-    * partition values are rejected before publish by [[stageSegments]]. */
+    * partition values are rejected before publish by [[stageSegments]].
+    *
+    * CDC caveat (the [[update]] contract generalized): FULL-mode feeds
+    * see the replacement exactly; keys/cdf-mode feeds classify by
+    * `(key, version)` pairs, so a backfilled row that keeps both
+    * unchanged while its other columns differ reads as UNCHANGED there —
+    * a backfill feeding key-level consumers must bump the version column
+    * for rows it intends them to see. */
   def overwritePartitions(df: DataFrame, path: String,
       sortCols: Seq[String] = Nil, filesPerPartition: Int = 1): Unit = {
     val spark = df.sparkSession

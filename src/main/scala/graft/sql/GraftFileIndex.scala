@@ -17,9 +17,13 @@ import graft.sources.CommittedTable.Manifest
   * generation at plan time, and `listFiles` prunes SEGMENTS (never
   * listing an unselected one) from the pushed-down data filters —
   *
-  *  - equality / IN on the table's partition column → manifest key
-  *    filter (the partition column is stored as a DATA column, so these
-  *    arrive as dataFilters; partitionSchema is deliberately empty);
+  *  - the manifest's partition column is exposed as a REAL partition
+  *    column (partitionSchema), so equality / IN on it arrives as
+  *    partitionFilters (evaluated here against the manifest value list)
+  *    and Spark's dynamic partition pruning applies at execution time —
+  *    a filtered dim in a star join prunes this scan through the reused
+  *    broadcast; the legacy dataFilter path for the same predicates is
+  *    kept as a harmless belt-and-braces;
   *  - range / equality predicates on zone-mapped stats columns →
   *    [[CommittedTable.zoneSurvivors]], the same conservative min/max
   *    intersection `readRangeMulti` uses.
@@ -33,25 +37,61 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
 
   private val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private def filesOf(v: String): Seq[FileStatus] =
+    fs.listStatus(new Path(tablePath, m.segments(v))).toSeq
+      .filter(st => st.isFile && {
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+
   private def segFiles(values: Seq[String]): Seq[FileStatus] =
-    values.sorted.flatMap { v =>
-      fs.listStatus(new Path(tablePath, m.segments(v))).toSeq
-        .filter(st => st.isFile && {
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        })
-    }
+    values.sorted.flatMap(filesOf)
 
   override def rootPaths: Seq[Path] = Seq(tablePath)
 
-  // the partition column lives IN the files; exposing an empty partition
-  // schema routes every predicate to dataFilters (and to the reader)
-  override def partitionSchema: StructType = new StructType()
+  // the manifest's partition column, exposed as a REAL partition column
+  // when the table records one: Spark then drives static partition
+  // filters AND dynamic partition pruning (a selective dim filter in a
+  // star join prunes this fact scan's partitions at RUNTIME through the
+  // reused broadcast — no fact bytes read for unselected partitions)
+  // through the standard FileSourceScanExec machinery. The column is
+  // typed from the table schema (STRING by the stage contract) and is
+  // ALSO present in the data files — harmless: the reader only
+  // materializes dataSchema columns and appends the directory value.
+  private val pcField = m.partitionCol.flatMap(pc =>
+    schema.fields.find(_.name == pc))
+
+  override def partitionSchema: StructType = StructType(pcField.toSeq)
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val survivors = prune(dataFilters)
-    Seq(PartitionDirectory(InternalRow.empty, segFiles(survivors).toArray))
+    pcField match {
+      case None =>
+        Seq(PartitionDirectory(InternalRow.empty, segFiles(survivors).toArray))
+      case Some(f) =>
+        // static partition filters evaluate here against the manifest's
+        // value list (the PartitioningAwareFileIndex contract); DYNAMIC
+        // pruning filters never reach this method — FileSourceScanExec
+        // re-filters the returned directories at execution time once the
+        // dim side has run
+        val kept =
+          if (partitionFilters.isEmpty) survivors
+          else {
+            val bound = Predicate.createInterpreted(
+              partitionFilters.reduce(And).transform {
+                case _: AttributeReference =>
+                  BoundReference(0, f.dataType, nullable = true)
+              })
+            survivors.filter(v => bound.eval(
+              InternalRow(org.apache.spark.unsafe.types.UTF8String
+                .fromString(v))))
+          }
+        kept.sorted.map(v => PartitionDirectory(
+          InternalRow(
+            org.apache.spark.unsafe.types.UTF8String.fromString(v)),
+          filesOf(v).toArray))
+    }
   }
 
   override lazy val inputFiles: Array[String] =

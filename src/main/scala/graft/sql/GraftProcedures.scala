@@ -198,10 +198,46 @@ private[sql] object GraftProcedures {
       }
     }
 
+  private val historySchema = StructType(Seq(
+    StructField("generation", LongType, nullable = false),
+    StructField("published_at", TimestampType, nullable = false),
+    StructField("partitions", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("is_current", BooleanType, nullable = false)))
+
+  private final case class HistoryScan(out: Array[InternalRow]) extends LocalScan {
+    override def rows(): Array[InternalRow] = out
+    override def readSchema(): StructType = historySchema
+  }
+
+  /** `CALL graft.history(table => …)`: one row per RETAINED generation
+    * (the `VERSION AS OF` window), oldest first — generation, publish
+    * time, live partition count, total rows when recorded, current flag.
+    * Pure manifest metadata ([[CommittedTable.history]]): a directory
+    * listing plus one anchor read per retained generation, zero data
+    * files opened at any table size. */
+  def history(resolve: String => String): UnboundProcedure =
+    new Proc("history", Array(
+      ProcedureParameter.in("table", StringType).build())) {
+      override def isDeterministic: Boolean = false // reads table state
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val spark = SparkSession.active
+        val path = resolve(str(input, 0).getOrElse(
+          throw new IllegalArgumentException("table must not be NULL")))
+        val rows = CommittedTable.history(spark, path).map { g =>
+          new GenericInternalRow(Array[Any](
+            g.gen, g.publishedAtMillis * 1000L, g.partitions,
+            g.rows.map(Long.box).orNull, g.current))
+        }.toArray[InternalRow]
+        java.util.Collections.singletonList[Scan](HistoryScan(rows)).iterator()
+      }
+    }
+
   def all(resolve: String => String): Map[String, UnboundProcedure] = Map(
     "compact" -> compact(resolve),
     "set_retention" -> setRetention(resolve),
     "recover" -> recover(resolve),
+    "history" -> history(resolve),
     "init_agg_view" -> initAggView(resolve),
     "sync_agg_view" -> syncAggView(resolve))
 }

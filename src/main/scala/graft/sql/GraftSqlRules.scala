@@ -401,7 +401,15 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
   private def substitute(r: DataSourceV2Relation, t: GraftTableV2): LogicalPlan = {
     val index = new GraftFileIndex(spark, new Path(t.path), t.manifest,
       t.tableSchema)
-    val fsRelation = HadoopFsRelation(index, new StructType(), t.tableSchema,
+    // the manifest's partition column is a REAL partition column of the
+    // relation (dataSchema excludes it; each PartitionDirectory carries
+    // its value) so static partition filters AND dynamic partition
+    // pruning flow through Spark's standard machinery; the by-name
+    // Project below restores the table's declared column order
+    val partSchema = index.partitionSchema
+    val dataSchema = StructType(t.tableSchema.fields.filterNot(f =>
+      partSchema.fieldNames.contains(f.name)))
+    val fsRelation = HadoopFsRelation(index, partSchema, dataSchema,
       None, new ParquetFileFormat(), Map.empty)(spark)
     val lr = LogicalRelation(fsRelation)
     val byName = lr.output.map(a => a.name -> a).toMap

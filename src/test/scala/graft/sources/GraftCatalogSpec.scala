@@ -663,6 +663,86 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("dynamic partition pruning: a dim filter prunes the fact scan at runtime") {
+    withTable("graft-cat-dpp") { path =>
+      import spark.implicits._
+      // 26-partition fact; the dim filter selects 2 of them — at 100 TB
+      // this is the difference between scanning the table and scanning
+      // two partitions, decided at RUNTIME from the broadcast dim
+      val fact = (0 until 26).flatMap { p =>
+        val part = ('a' + p).toChar.toString
+        (1 to 50).map(i => (p * 1000L + i, part, i.toDouble))
+      }.toDF("id", "part", "price")
+      CommittedTable.write(fact, path, "part")
+      // the dim must be a FILE relation: a local Seq would constant-fold
+      // through the optimizer and leave no selective filter for the
+      // PartitionPruning rule to see
+      val dimPath = java.nio.file.Files
+        .createTempDirectory("graft-cat-dpp-dim").toString + "/d"
+      Seq.tabulate(26)(i =>
+        (('a' + i).toChar.toString, if (i < 2) "hot" else "cold"))
+        .toDF("part", "grp").write.parquet(dimPath)
+      spark.read.parquet(dimPath).createOrReplaceTempView("dpp_dim")
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      try {
+        val q = spark.sql(
+          s"""SELECT COUNT(*) AS n, CAST(SUM(f.price) AS BIGINT) AS s
+              FROM graft.`$path` f JOIN dpp_dim d ON f.part = d.part
+              WHERE d.grp = 'hot'""")
+        val res = q.collect()
+        assert(res.head.getLong(0) === 100L &&
+          res.head.getLong(1) === 2L * (1 to 50).sum)
+        // the fact scan carries a dynamicpruning partition filter…
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def scans(p: SparkPlan): Seq[FileSourceScanExec] =
+          p.collect {
+            case s: FileSourceScanExec => Seq(s)
+            case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+            case qs: QueryStageExec => scans(qs.plan)
+          }.flatten
+        val plan = q.queryExecution.executedPlan
+        val scan = scans(plan).find(
+          _.relation.location.isInstanceOf[graft.sql.GraftFileIndex])
+          .getOrElse(fail(s"no committed-table scan in the DPP plan:\n$plan"))
+        assert(scan.partitionFilters.exists(
+          _.exists(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.expressions.DynamicPruningExpression])),
+          s"no dynamic pruning filter on the fact scan:\n$plan")
+        // …and at execution only the 2 hot partitions' files were read
+        assert(scan.metrics("numFiles").value === 2,
+          s"expected 2 dynamically selected files, got " +
+            s"${scan.metrics("numFiles").value}")
+      } finally spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    }
+  }
+
+  test("CALL history: one row per retained generation, metadata-only") {
+    withTable("graft-cat-hist") { path =>
+      seed(path) // gen 1: 8 rows
+      spark.sql(s"CALL graft.set_retention(table => '$path', retain => 5)") // gen 2
+      spark.sql(s"DELETE FROM graft.`$path` WHERE id % 2 = 0") // gen 3
+      val h = spark.sql(s"CALL graft.history(table => '$path')")
+        .collect()
+      assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+      assert(h.map(_.getBoolean(4)).toSeq === Seq(false, false, true))
+      // row totals track the snapshots: 8 seeded, 8 unchanged, 4 deleted
+      assert(h.map(_.getLong(3)).toSeq === Seq(8L, 8L, 4L))
+      // publish times are nondecreasing and real
+      val ts = h.map(_.getTimestamp(1).getTime).toSeq
+      assert(ts === ts.sorted && ts.head > 0L)
+      // partitions: 3 (a,b,c) throughout — the delete rewrites, not drops
+      assert(h.map(_.getInt(2)).toSeq === Seq(3, 3, 3))
+      // missing table fails loudly
+      val e = intercept[Exception] {
+        spark.sql(s"CALL graft.history(table => '${path}-none')").collect()
+      }
+      assert(e.getMessage.contains("no committed table"))
+    }
+  }
+
   test("CALL init/sync_agg_view: SQL-only MV lifecycle, idempotent re-sync") {
     withTable("graft-cat-aggview") { path =>
       // group column (grp) deliberately DIFFERENT from the partition
