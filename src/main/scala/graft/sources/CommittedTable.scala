@@ -121,7 +121,18 @@ object CommittedTable {
       // partition materializes the column there; entries stay harmlessly
       // (the segment probe wins once any newest segment carries the
       // column). One line per column: virtual=<esc name>\t<esc ddl-type>.
-      virtualCols: Seq[(String, String)] = Nil)
+      virtualCols: Seq[(String, String)] = Nil,
+      // per-SEGMENT data-file lists: segment dir name → (file name, byte
+      // length), captured once when the segment is STAGED (segments are
+      // immutable, so the list is carried forward verbatim by every later
+      // publish) — the Iceberg/Delta move that makes query PLANNING
+      // zero-listing: [[graft.sql.GraftFileIndex]] answers sizeInBytes /
+      // listFiles from these lines instead of one listStatus RPC per
+      // partition per query plan (O(partitions) driver I/O at 100k
+      // partitions). A segment absent from the map (pre-feature manifest)
+      // falls back to listing and is backfilled at the next publish.
+      // One line per file: f=<segName>\t<esc fileName>\t<len>.
+      files: Map[String, Seq[(String, Long)]] = Map.empty)
 
   private[graft] def readManifest(fs: FileSystem, table: Path): Option[Manifest] =
     readManifestFile(fs, new Path(table, Commit))
@@ -177,11 +188,19 @@ object CommittedTable {
           case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
         }
       }
+    val files = lines.drop(2).filter(_.startsWith("f="))
+      .map { l =>
+        l.stripPrefix("f=").split('\t') match {
+          case Array(seg, name, len) => (seg, (unesc(name), len.toLong))
+          case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val segLines = lines.drop(2).filter(l =>
       l.nonEmpty && !l.startsWith("retain=") && !l.startsWith("stats=") &&
         !l.startsWith("rows=") && !l.startsWith("partcol=") &&
         !l.startsWith("keycol=") && !l.startsWith("vercol=") &&
-        !l.startsWith("bloom=") && !l.startsWith("virtual="))
+        !l.startsWith("bloom=") && !l.startsWith("virtual=") &&
+        !l.startsWith("f="))
     val parsed = segLines.map { l =>
       l.split('\t') match {
         case Array(v, d) => (unesc(v), d, Nil: Seq[(Option[String], Option[String])])
@@ -195,7 +214,7 @@ object CommittedTable {
     Some(Manifest(gen, cols,
       parsed.map(t => t._1 -> t._2).toMap, retain, statsCols,
       parsed.collect { case (v, _, st) if st.nonEmpty => v -> st }.toMap,
-      rowCounts, partCol, keyCol, verCol, bloomCols, virtualCols))
+      rowCounts, partCol, keyCol, verCol, bloomCols, virtualCols, files))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
@@ -221,7 +240,11 @@ object CommittedTable {
       m.partitionCol.map(v => s"partcol=${esc(v)}").toSeq ++
         m.keyCol.map(v => s"keycol=${esc(v)}").toSeq ++
         m.verCol.map(v => s"vercol=${esc(v)}").toSeq ++
-        m.virtualCols.map { case (n, t) => s"virtual=${esc(n)}\t${esc(t)}" }
+        m.virtualCols.map { case (n, t) => s"virtual=${esc(n)}\t${esc(t)}" } ++
+        m.files.toSeq.sortBy(_._1)
+          .filter { case (seg, _) => m.segments.values.exists(_ == seg) }
+          .flatMap { case (seg, fsq) =>
+            fsq.map { case (n, len) => s"f=$seg\t${esc(n)}\t$len" } }
     val body = (Seq(s"gen=${m.gen}", s"cols=${m.cols.mkString("\t")}",
       s"retain=${m.retain}") ++ metaLines ++ statsLine ++ bloomLine ++ rowLines ++
       m.segments.toSeq.sortBy(_._1).map { case (v, d) =>
@@ -427,13 +450,29 @@ object CommittedTable {
     // retain window, never deleted at commit — but a historical GC bug
     // aside, re-verifying under the claim costs one manifest read and
     // closes the window for good: holding the claim, nobody else can swap)
-    val cur2 = readManifest(fs, table).map(_.gen).getOrElse(0L)
+    val cur2M = readManifest(fs, table)
+    val cur2 = cur2M.map(_.gen).getOrElse(0L)
     if (cur2 != baseGen) {
       fs.delete(claim, false) // ours — re-created after the winner's commit
       abort(s"another writer advanced the table $baseGen -> $cur2 before the " +
         "claim was acquired")
     }
-    swapManifest(hconf, table, next)
+    // fill the per-segment FILE LISTS once, here, for every publish path:
+    // a carried-forward segment keeps its recorded list verbatim
+    // (segments are immutable); a freshly-staged or pre-feature segment
+    // is listed exactly once and recorded — query planning then never
+    // lists a directory again
+    val carried = cur2M.map(_.files).getOrElse(Map.empty) ++ next.files
+    val filled = next.segments.values.toSeq.distinct.map { seg =>
+      seg -> carried.getOrElse(seg,
+        fs.listStatus(new Path(table, seg)).toSeq
+          .filter(st => st.isFile && {
+            val n = st.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+          .map(st => (st.getPath.getName, st.getLen)))
+    }.toMap
+    swapManifest(hconf, table, next.copy(files = filled))
   }
 
   /** Initial full load (generation 1): one segment per partition value,

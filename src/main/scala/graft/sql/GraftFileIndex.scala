@@ -37,12 +37,26 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
 
   private val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def filesOf(v: String): Seq[FileStatus] =
-    fs.listStatus(new Path(tablePath, m.segments(v))).toSeq
-      .filter(st => st.isFile && {
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      })
+  // file lists come from the MANIFEST when recorded (one `f=` line per
+  // data file, captured at staging — segments are immutable), so query
+  // planning costs zero listStatus RPCs however many partitions the
+  // table has; a pre-feature segment falls back to one listing and is
+  // backfilled by the table's next publish
+  private def filesOf(v: String): Seq[FileStatus] = {
+    val seg = m.segments(v)
+    m.files.get(seg) match {
+      case Some(recorded) => recorded.map { case (name, len) =>
+        new FileStatus(len, false, 1, 134217728L, 0L,
+          fs.makeQualified(new Path(new Path(tablePath, seg), name)))
+      }
+      case None =>
+        fs.listStatus(new Path(tablePath, seg)).toSeq
+          .filter(st => st.isFile && {
+            val n = st.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          })
+    }
+  }
 
   private def segFiles(values: Seq[String]): Seq[FileStatus] =
     values.sorted.flatMap(filesOf)

@@ -719,6 +719,58 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("manifest file lists: query planning opens zero directories") {
+    withTable("graft-cat-flist") { path =>
+      seed(path)
+      val t = new org.apache.hadoop.fs.Path(path)
+      val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def manifest = CommittedTable.readManifest(fs, t).get
+      // every segment's files are recorded with REAL lengths
+      val m0 = manifest
+      assert(m0.segments.values.toSet === m0.files.keySet)
+      m0.segments.foreach { case (_, seg) =>
+        val real = fs.listStatus(new org.apache.hadoop.fs.Path(t, seg))
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => (st.getPath.getName, st.getLen)).toSet
+        assert(m0.files(seg).toSet === real)
+      }
+      // a merge records the fresh segment's list and CARRIES b/c verbatim
+      import spark.implicits._
+      CommittedTable.merge(spark,
+        path, Seq((1L, "a", 11.0, 2L)).toDF("id", "part", "price", "version"),
+        "id", "version", "part")
+      val m1 = manifest
+      assert(m1.files(m1.segments("b")) === m0.files(m0.segments("b")))
+      assert(m1.segments("a") !== m0.segments("a"))
+      assert(m1.files.contains(m1.segments("a")))
+      // PROOF planning never lists: hide partition c's data file on disk —
+      // a plan (and a pruned read) must still work entirely from the
+      // manifest; only an actual scan of c would notice
+      val cSeg = new org.apache.hadoop.fs.Path(t, m1.segments("c"))
+      val cFile = fs.listStatus(cSeg).filter(_.getPath.getName.endsWith(".parquet"))
+        .head.getPath
+      val hidden = new org.apache.hadoop.fs.Path(cSeg, "_hidden")
+      assert(fs.rename(cFile, hidden))
+      try {
+        val pruned = spark.sql(s"SELECT id FROM graft.`$path` WHERE part = 'a'")
+        // plans from the manifest (sizeInBytes + file list), reads only a
+        assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ===
+          Seq(1L, 2L, 3L))
+        val full = spark.sql(s"SELECT id FROM graft.`$path`")
+        val scan = full.queryExecution.executedPlan.collectFirst {
+          case s: FileSourceScanExec => s
+        }.get
+        // the full plan still claims all 3 partitions' files — listed from
+        // the manifest, not the (now-lying) filesystem
+        assert(scan.selectedPartitions.totalNumberOfFiles === 3)
+      } finally assert(fs.rename(hidden, cFile))
+      // filesystem restored: the full read is exact
+      assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$path`")
+        .collect().head.getLong(0) === 8L) // merge replaced id 1 in place
+    }
+  }
+
   test("CALL history: one row per retained generation, metadata-only") {
     withTable("graft-cat-hist") { path =>
       seed(path) // gen 1: 8 rows
