@@ -132,7 +132,15 @@ object CommittedTable {
       // partitions). A segment absent from the map (pre-feature manifest)
       // falls back to listing and is backfilled at the next publish.
       // One line per file: f=<segName>\t<esc fileName>\t<len>.
-      files: Map[String, Seq[(String, Long)]] = Map.empty)
+      files: Map[String, Seq[(String, Long)]] = Map.empty,
+      // TOMBSTONES for metadata-only [[dropColumns]]: unrewritten segment
+      // files still physically CARRY a dropped column's bytes, and the
+      // by-name parquet read would silently RESURRECT them if the name
+      // were re-declared — so a dropped name is quarantined here until a
+      // full rewrite (compact / z-order compact / overwrite) physically
+      // sheds the residue everywhere and clears the list. Line:
+      // dropped=<tab-joined esc names>.
+      droppedCols: Seq[String] = Nil)
 
   private[graft] def readManifest(fs: FileSystem, table: Path): Option[Manifest] =
     readManifestFile(fs, new Path(table, Commit))
@@ -188,6 +196,10 @@ object CommittedTable {
           case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
         }
       }
+    val droppedCols = lines.drop(2).find(_.startsWith("dropped="))
+      .map(_.stripPrefix("dropped=").split('\t').toSeq
+        .filter(_.nonEmpty).map(unesc))
+      .getOrElse(Nil)
     val files = lines.drop(2).filter(_.startsWith("f="))
       .map { l =>
         l.stripPrefix("f=").split('\t') match {
@@ -200,7 +212,7 @@ object CommittedTable {
         !l.startsWith("rows=") && !l.startsWith("partcol=") &&
         !l.startsWith("keycol=") && !l.startsWith("vercol=") &&
         !l.startsWith("bloom=") && !l.startsWith("virtual=") &&
-        !l.startsWith("f="))
+        !l.startsWith("f=") && !l.startsWith("dropped="))
     val parsed = segLines.map { l =>
       l.split('\t') match {
         case Array(v, d) => (unesc(v), d, Nil: Seq[(Option[String], Option[String])])
@@ -214,7 +226,8 @@ object CommittedTable {
     Some(Manifest(gen, cols,
       parsed.map(t => t._1 -> t._2).toMap, retain, statsCols,
       parsed.collect { case (v, _, st) if st.nonEmpty => v -> st }.toMap,
-      rowCounts, partCol, keyCol, verCol, bloomCols, virtualCols, files))
+      rowCounts, partCol, keyCol, verCol, bloomCols, virtualCols, files,
+      droppedCols))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
@@ -241,6 +254,8 @@ object CommittedTable {
         m.keyCol.map(v => s"keycol=${esc(v)}").toSeq ++
         m.verCol.map(v => s"vercol=${esc(v)}").toSeq ++
         m.virtualCols.map { case (n, t) => s"virtual=${esc(n)}\t${esc(t)}" } ++
+        (if (m.droppedCols.isEmpty) Nil
+         else Seq(s"dropped=${m.droppedCols.map(esc).mkString("\t")}")) ++
         m.files.toSeq.sortBy(_._1)
           .filter { case (seg, _) => m.segments.values.exists(_ == seg) }
           .flatMap { case (seg, fsq) =>
@@ -718,6 +733,12 @@ object CommittedTable {
     columns.foreach { case (n, t) =>
       require(!m.cols.contains(n),
         s"ADD COLUMNS: column $n already exists on $path")
+      require(!m.droppedCols.contains(n),
+        s"ADD COLUMNS: $n was dropped metadata-only and unrewritten " +
+          s"segment files of $path still carry its old bytes — re-adding " +
+          "the name now would RESURRECT them through the by-name read; " +
+          "run CALL graft.compact (or overwrite the table) to physically " +
+          "shed the residue first")
       try org.apache.spark.sql.types.DataType.fromDDL(t)
       catch { case e: Exception => throw new IllegalArgumentException(
         s"ADD COLUMNS $n: unparsable type '$t'", e) }
@@ -726,6 +747,56 @@ object CommittedTable {
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = m.gen + 1, cols = m.cols ++ columns.map(_._1),
         virtualCols = m.virtualCols ++ columns), Map.empty)
+    collectGarbage(fs, table)
+  }
+
+  /** METADATA-ONLY column drop (SQL `ALTER TABLE … DROP COLUMN(S)`
+    * routes here): remove columns from the table's declared schema
+    * without touching one data file — every read's explicit schema is
+    * built from the manifest column list, so the dropped column's bytes
+    * simply stop being requested from parquet (column pruning makes the
+    * residue free; a later compact/rewrite of a partition physically
+    * sheds it there). Columns carrying a table ROLE (partition, key,
+    * version, zone-map stats, bloom) are refused loudly — clear the role
+    * first via [[setRoles]] if the drop is intended. A real generation
+    * behind the usual fencing; time travel to a pre-drop generation
+    * serves the old schema. The dropped NAME is tombstoned
+    * (`droppedCols`): unrewritten files still carry its bytes, and the
+    * by-name read would silently resurrect them on a re-add — so
+    * [[addColumns]] refuses the name until one full rewrite (compact /
+    * z-order / overwrite) physically sheds the residue and clears the
+    * tombstone. */
+  def dropColumns(spark: SparkSession, path: String,
+      columns: Seq[String]): Unit = {
+    require(columns.nonEmpty, "DROP COLUMNS: no columns given")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    columns.foreach { c =>
+      require(m.cols.contains(c),
+        s"DROP COLUMNS: column $c does not exist on $path " +
+          s"(columns: ${m.cols.mkString(",")})")
+      val role =
+        if (m.partitionCol.contains(c)) Some("the partition column")
+        else if (m.keyCol.contains(c)) Some("the merge key (keycol)")
+        else if (m.verCol.contains(c)) Some("the version column (vercol)")
+        else if (m.statsCols.contains(c)) Some("a zone-map stats column")
+        else if (m.bloomCols.contains(c)) Some("a bloom-sidecar column")
+        else None
+      role.foreach(r => throw new UnsupportedOperationException(
+        s"DROP COLUMNS: $c is $r of $path; clear the role first " +
+          "(SET TBLPROPERTIES / setRoles) if the drop is intended"))
+    }
+    require((m.cols.toSet -- columns).nonEmpty,
+      s"DROP COLUMNS would leave $path with no columns")
+    collectGarbage(fs, table)
+    publishOrAbort(hconf, table, m.gen,
+      m.copy(gen = m.gen + 1, cols = m.cols.filterNot(columns.contains),
+        virtualCols = m.virtualCols.filterNot(v => columns.contains(v._1)),
+        droppedCols = (m.droppedCols ++ columns).distinct),
+      Map.empty)
     collectGarbage(fs, table)
   }
 
@@ -1678,7 +1749,9 @@ object CommittedTable {
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen, segments = staged, stats = segStats,
-        rowCounts = segCounts), staged)
+        rowCounts = segCounts,
+        // a full rewrite physically sheds dropped-column residue
+        droppedCols = Nil), staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }
@@ -1900,8 +1973,9 @@ object CommittedTable {
         statsCols = newStats, stats = stats, rowCounts = counts,
         partitionCol = Some(pc), keyCol = newKey, verCol = newVer,
         bloomCols = newBlooms,
-        // the replacement materializes every column it declares
-        virtualCols = Nil), staged)
+        // the replacement materializes every column it declares and
+        // physically sheds any dropped-column residue
+        virtualCols = Nil, droppedCols = Nil), staged)
     collectGarbage(fs, table)
   }
 
@@ -1990,7 +2064,9 @@ object CommittedTable {
         m.bloomCols)
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen, segments = staged, stats = compactStats,
-        rowCounts = compactCounts), staged)
+        rowCounts = compactCounts,
+        // a full rewrite physically sheds dropped-column residue
+        droppedCols = Nil), staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }

@@ -204,6 +204,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         bad(s"column ${a.fieldNames().head} with a DEFAULT needs a rewrite")
       (a.fieldNames().head, a.dataType().sql)
     }
+    val drops = changes.collect { case d: TableChange.DeleteColumn =>
+      if (d.fieldNames().length != 1)
+        bad(s"nested column ${d.fieldNames().mkString(".")} cannot be dropped")
+      (d.fieldNames().head, Boolean.unbox(d.ifExists()))
+    }
     val props = changes.collect { case p: TableChange.SetProperty =>
       (p.property().toLowerCase(java.util.Locale.ROOT), p.value())
     }
@@ -211,10 +216,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     props.collectFirst { case (k, _) if !known.contains(k) => k }
       .foreach(k => bad(s"unknown table property '$k'"))
     changes.foreach {
-      case _: TableChange.AddColumn | _: TableChange.SetProperty => ()
+      case _: TableChange.AddColumn | _: TableChange.SetProperty |
+           _: TableChange.DeleteColumn => ()
       case other => bad(s"unsupported change ${other.getClass.getSimpleName}")
     }
     if (adds.nonEmpty) CommittedTable.addColumns(spark, path, adds)
+    if (drops.nonEmpty) {
+      val existing = loadTable(ident).asInstanceOf[GraftTableV2]
+        .tableSchema.fieldNames.toSet
+      val toDrop = drops.collect {
+        case (c, _) if existing.contains(c) => c
+        case (c, false) => c // missing without IF EXISTS: fail in dropColumns
+      }
+      if (toDrop.nonEmpty) CommittedTable.dropColumns(spark, path, toDrop)
+    }
     val pm = props.toMap
     def list(k: String): Option[Seq[String]] =
       pm.get(k).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -337,7 +352,9 @@ final case class GraftTableV2(ident: String, path: String,
       manifest.keyCol.map("key_col" -> _) ++
       manifest.verCol.map("version_col" -> _) ++
       (if (manifest.statsCols.nonEmpty)
-        Map("stats_cols" -> manifest.statsCols.mkString(",")) else Map.empty))
+        Map("stats_cols" -> manifest.statsCols.mkString(",")) else Map.empty) ++
+      (if (manifest.bloomCols.nonEmpty)
+        Map("bloom_cols" -> manifest.bloomCols.mkString(",")) else Map.empty))
       .asJava
 
   override def capabilities(): util.Set[TableCapability] =

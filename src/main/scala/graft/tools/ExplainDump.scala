@@ -775,6 +775,65 @@ object ExplainDump {
         factView.sparkSession.sql(
           s"""SELECT o_orderpriority, n, sum_value, min_value, max_value
               FROM graft.`$mvDst` WHERE o_orderpriority = 'p1'"""))
+
+      // q158: dynamic partition pruning between two committed tables —
+      // the runtime complement of q150's static CBO broadcast
+      val dppFact = s"$tmp/dppfact"; val dppDim = s"$tmp/dppdim"
+      val withMonth = Registry.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("omonth"))
+      graft.sources.CommittedTable.write(withMonth, dppFact, "omonth")
+      graft.sources.CommittedTable.write(
+        withMonth.select(col("omonth")).distinct()
+          .withColumn("oyear", substring(col("omonth"), 1, 4)),
+        dppDim, "oyear")
+      spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+      try section("q158_sql_dpp (runtime partition pruning of a committed fact)",
+        """Wants: the fact scan's PartitionFilters carry
+          |`dynamicpruningexpression(omonth IN dynamicpruning#N)` fed by a
+          |SubqueryAdaptiveBroadcast REUSING the join's own broadcast of
+          |the filtered dim — the twelve 1997 months are decided at
+          |RUNTIME from the dim's content and every other month's files
+          |are never opened (GraftCatalogSpec pins the post-execution
+          |numFiles metric at 2-of-26 on its fixture). Composes with the
+          |partition-aware GraftFileIndex: static partition filters
+          |evaluate against the manifest value list, zone-map/bloom
+          |predicates keep arriving as dataFilters, and the file lists
+          |themselves come from the manifest (zero listStatus at plan
+          |time). At 100 TB the fact scan does the selected year's I/O,
+          |not the table's.""".stripMargin,
+        spark.sql(
+          s"""SELECT f.omonth, COUNT(*) AS n
+              FROM graft.`$dppFact` f JOIN graft.`$dppDim` d
+                ON f.omonth = d.omonth
+              WHERE d.oyear = '1997' GROUP BY f.omonth"""))
+      finally spark.conf.unset(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats")
+
+      // q155/q156/q157 are SQL-lifecycle DML gates: their write paths are
+      // the already-pinned shapes (REPLACE/full INSERT OVERWRITE = the
+      // q119-family staged publish; partition INSERT OVERWRITE = the same
+      // staging scoped to present partitions, carry-forward is manifest
+      // metadata; ALTER ADD COLUMNS is a pure manifest swap — no plan at
+      // all). The read after the ALTER is the one new plan shape: a scan
+      // whose ReadSchema contains a column NO file carries.
+      val alterDir = s"$tmp/altered"
+      graft.sources.CommittedTable.write(base, alterDir, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      graft.sources.CommittedTable.addColumns(spark, alterDir,
+        Seq(("fee", "DOUBLE")))
+      section("q157_alter_add_columns (read of a declared-only column)",
+        """Wants: an ordinary substituted committed scan whose ReadSchema
+          |INCLUDES the declared `fee` column although no data file
+          |carries it — the explicit schema (typed from the manifest's
+          |virtual= line) makes the vectorized reader NULL-fill it per
+          |file batch, costing nothing: no joins, no backfill job, no
+          |second pass. The declare itself (q157's ALTER) has no plan —
+          |it is one manifest swap, identical at 8 rows and 100 TB.""".stripMargin,
+        spark.sql(
+          s"""SELECT o_orderkey, fee FROM graft.`$alterDir`
+              WHERE o_orderstatus = 'O'"""))
     }
 
     // q151/q152: product quantization's two plans — the one-pass encode

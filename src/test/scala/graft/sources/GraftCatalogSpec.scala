@@ -624,6 +624,55 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("ALTER TABLE DROP COLUMN: metadata-only shed, roles guarded") {
+    withTable("graft-cat-drop") { path =>
+      seed(path) // price is a stats column, id the key, version the vercol
+      spark.sql(s"CALL graft.set_retention(table => '$path', retain => 5)")
+      val t = new org.apache.hadoop.fs.Path(path)
+      val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a role-carrying column is refused, naming the remedy
+      val e = intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.`$path` DROP COLUMN price")
+      }
+      assert(e.getMessage.contains("zone-map stats column"))
+      val e2 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.`$path` DROP COLUMN id")
+      }
+      assert(e2.getMessage.contains("merge key"))
+      // clear the role, then the drop is one manifest swap — zero files
+      spark.sql(s"ALTER TABLE graft.`$path` SET TBLPROPERTIES('statscols'='id')")
+      val before = CommittedTable.readManifest(fs, t).get.segments
+      spark.sql(s"ALTER TABLE graft.`$path` DROP COLUMN price")
+      assert(CommittedTable.readManifest(fs, t).get.segments === before)
+      assert(spark.sql(s"SELECT * FROM graft.`$path`").schema.fieldNames.toSeq
+        === Seq("id", "part", "version"))
+      // pre-drop generation still serves the column WITH its values
+      // (seed=1, retention=2, statscols=3, drop=4)
+      val old = spark.sql(
+        s"SELECT price FROM graft.`$path` VERSION AS OF 3 WHERE id = 1")
+      assert(old.collect().head.getDouble(0) === 10.0)
+      // re-adding a tombstoned name is REFUSED — unrewritten files still
+      // carry the old bytes and the by-name read would resurrect them
+      val eRe = intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (price DOUBLE)")
+      }
+      assert(eRe.getMessage.contains("RESURRECT"))
+      // one compact physically sheds the residue and clears the
+      // tombstone; the re-add is then a clean NULL-filled declaration
+      spark.sql(s"CALL graft.compact(table => '$path')")
+      spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (price DOUBLE)")
+      assert(spark.sql(
+        s"SELECT COUNT(*) FROM graft.`$path` WHERE price IS NOT NULL")
+        .collect().head.getLong(0) === 0L)
+      // missing column: loud without IF EXISTS, silent with
+      val e3 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.`$path` DROP COLUMN nope")
+      }
+      assert(e3.getMessage.contains("cannot be resolved")) // analyzer-level
+      spark.sql(s"ALTER TABLE graft.`$path` DROP COLUMN IF EXISTS nope")
+    }
+  }
+
   test("ALTER TABLE SET TBLPROPERTIES: role re-declaration, conservative maps") {
     withTable("graft-cat-roles") { path =>
       import spark.implicits._
