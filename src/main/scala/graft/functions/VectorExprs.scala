@@ -295,3 +295,90 @@ case class PqAdcF(child: Expression, table: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): PqAdcF =
     copy(child = newChild)
 }
+
+/** Asymmetric PQ distance computed directly from the RAW query vector —
+  * the batch-ADC kernel: per row, for each subspace `s`, accumulate
+  * `||q_sub − codebooks(s)(code_s)||²`. Bit-equal to [[PqAdcF]] over
+  * `adcTable(q)` (the single-query path precomputes per-subspace tables
+  * once; here the query varies per ROW — a multi-query join — so the
+  * distance folds the reconstruction directly: d multiply-adds per row,
+  * the cost of one plain vector distance, still codegen'd). Inputs:
+  * codes `array<int>`, query `array<double>` (cast upstream). A code out
+  * of range or a query shorter than the codebook dims fails loudly —
+  * both mean rows and model diverged. */
+case class PqAdcQueryF(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "PqAdcQueryF needs at least one codebook entry per subspace")
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(codesAny: Any, qAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val q = qAny.asInstanceOf[ArrayData]
+    val m = math.min(codebooks.length, codes.numElements())
+    var d = 0.0; var off = 0; var s = 0
+    while (s < m) {
+      val book = codebooks(s)
+      val c = codes.getInt(s)
+      if (c < 0 || c >= book.length)
+        throw new IllegalArgumentException(
+          s"PqAdcQueryF: code $c out of range for subspace $s " +
+            s"(codebook size ${book.length}) — row encoded under a " +
+            "different PQ model?")
+      val cent = book(c)
+      if (off + cent.length > q.numElements())
+        throw new IllegalArgumentException(
+          s"PqAdcQueryF: query has ${q.numElements()} dims, codebooks " +
+            s"need ${codebooks.map(_(0).length).sum}")
+      var j = 0
+      while (j < cent.length) {
+        val t = q.getDouble(off + j) - cent(j); d += t * t; j += 1
+      }
+      off += cent.length
+      s += 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, q) => {
+      val books = ctx.addReferenceObj("codebooks", codebooks, "double[][][]")
+      val s = ctx.freshName("s"); val m = ctx.freshName("m")
+      val c = ctx.freshName("c"); val d = ctx.freshName("d")
+      val off = ctx.freshName("off"); val j = ctx.freshName("j")
+      val cent = ctx.freshName("cent"); val t = ctx.freshName("t")
+      s"""
+        final int $m = java.lang.Math.min($books.length, $a.numElements());
+        double $d = 0.0;
+        int $off = 0;
+        for (int $s = 0; $s < $m; $s++) {
+          final int $c = $a.getInt($s);
+          if ($c < 0 || $c >= $books[$s].length) {
+            throw new IllegalArgumentException(
+              "PqAdcQueryF: code " + $c + " out of range for subspace " + $s +
+              " (codebook size " + $books[$s].length +
+              ") — row encoded under a different PQ model?");
+          }
+          final double[] $cent = $books[$s][$c];
+          if ($off + $cent.length > $q.numElements()) {
+            throw new IllegalArgumentException(
+              "PqAdcQueryF: query has " + $q.numElements() +
+              " dims, fewer than the codebooks cover");
+          }
+          for (int $j = 0; $j < $cent.length; $j++) {
+            final double $t = $q.getDouble($off + $j) - $cent[$j];
+            $d += $t * $t;
+          }
+          $off += $cent.length;
+        }
+        ${ev.value} = $d;
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdcQueryF =
+    copy(left = newLeft, right = newRight)
+}

@@ -56,6 +56,13 @@ object Vectors {
   def pqAdc(codes: Column, table: Array[Array[Double]]): Column =
     column(PqAdcF(expression(codes), table))
 
+  /** Asymmetric PQ distance from the RAW query vector (array<double>) —
+    * the multi-query/batch form where the query varies per row; see
+    * [[PqAdcQueryF]] for the contract (== [[pqAdc]] over `adcTable(q)`). */
+  def pqAdcQuery(codes: Column, qvec: Column,
+      codebooks: Array[Array[Array[Double]]]): Column =
+    column(PqAdcQueryF(expression(codes), expression(qvec), codebooks))
+
   /** Squared euclidean distance. */
   def l2sq(a: Column, b: Column): Column =
     sumArr(zip_with(a, b, (x, y) => {

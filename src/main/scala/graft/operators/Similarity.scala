@@ -794,6 +794,61 @@ object Similarity {
       .limit(shortlist)
   }
 
+  /** Batched IVF-PQ top-k — every row of `queries` (`qidCol`, `qvec`)
+    * ranked in ONE dataflow, no per-query driver loop: each query probes
+    * its nProbe cells against the broadcast centroid array, the probe set
+    * equi-joins the cells scan ON `cell_id` reading (cell, id, code) ONLY
+    * — the corpus float column never enters the ADC stage — and
+    * [[graft.functions.Vectors.pqAdcQuery]] folds the reconstruction
+    * distance per (row, query) pair map-side (d multiply-adds, codegen'd,
+    * codebooks ride as a reference object since the query varies per row
+    * and a per-query table would be a driver loop). A bounded heap keeps
+    * `shortlist` candidates per query; the exact cosine re-rank then
+    * reads vectors for shortlist rows only (equi-join on id). Same
+    * output contract as [[ivfBatchTopKFromIndex]]: (qid, id, cos, rank).
+    * Integral qid/id required (the [[TopKByScore]] heap contract). */
+  def ivfpqBatchTopKFromIndex(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, nProbe: Int = 4, shortlist: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid"): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val root = ivfIndexRoot(spark, path)
+    val centroids = spark.read.parquet(s"$root/_centroids")
+    if (centroids.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(qidCol, LongType), StructField(idCol, LongType),
+          StructField("cos", DoubleType), StructField("rank", LongType))))
+    }
+    val model = ivfpqReadModel(spark, root)
+    val centArr = centroids
+      .agg(sort_array(collect_list(struct(col("cell_id"), col("centroid"))))
+        .as("__cents"))
+    val probes = queries.crossJoin(broadcast(centArr))
+      .withColumn("__probe", explode(slice(array_sort(
+        transform(col("__cents"), c =>
+          struct(l2sq(col("qvec"), c.getField("centroid")).as("d2"),
+            c.getField("cell_id").as("cell_id")))), 1, nProbe)))
+      .select(col(qidCol), col("qvec"), col("__probe.cell_id").as("cell_id"))
+    val cells = spark.read.parquet(s"$root/cells")
+    // ADC stage: smaller distance = better; the heap keeps LARGEST score,
+    // so the shortlist ranks by negated distance (discarded afterwards)
+    val scored = cells.select(col("cell_id"), col(idCol), col("pq_code"))
+      .join(probes, Seq("cell_id"))
+      .select(col(qidCol), col(idCol),
+        negate(graft.functions.Vectors.pqAdcQuery(col("pq_code"),
+          col("qvec").cast("array<double>"), model.codebooks)).as("cos"))
+    val cand = groupedTopK(scored, shortlist, qidCol, idCol)
+      .select(col(qidCol), col(idCol))
+    val reranked = cells.select(col(idCol), col(vecCol))
+      .join(cand, Seq(idCol))
+      .join(broadcast(queries.select(col(qidCol), col("qvec"))), Seq(qidCol))
+      .select(col(qidCol), col(idCol),
+        cosine(col(vecCol), col("qvec")).as("cos"))
+    groupedTopK(reranked, k, qidCol, idCol)
+  }
+
   /** IVF-PQ top-k: ADC shortlist over codes, then an EXACT cosine re-rank
     * that reads full vectors for the shortlist rows only (semi-join into
     * the probed cells — the only touch of the float column). Same output

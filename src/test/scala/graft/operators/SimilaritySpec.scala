@@ -409,4 +409,42 @@ class SimilaritySpec extends SparkSpec {
       nProbe = 4, shortlist = 64).as[(Long, Double)].collect()
     assert(got.head._1 === 7L)
   }
+
+  test("batch IVF-PQ: one dataflow == the per-query path, query for query") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq4").toString + "/index"
+    Similarity.ivfpqWriteIndex(emb, dir, nCells = 8, m = 4, kSub = 8)
+    val qids = Seq(1L, 5L, 9L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Similarity.ivfpqBatchTopKFromIndex(spark, dir, queries, 5,
+      nProbe = 4, shortlist = 32)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)))
+      .toMap
+    qids.foreach { q =>
+      val single = Similarity.ivfpqTopKFromIndex(spark, dir,
+        emb.filter(col("vec_id") === q).select(col("embedding").as("qvec")),
+        5, nProbe = 4, shortlist = 32).as[(Long, Double)].collect()
+      assert(batch(q).map(_._1).toSeq === single.map(_._1).toSeq,
+        s"qid $q: batch ${batch(q).toSeq} vs single ${single.toSeq}")
+      // self first, exact scores agree to double precision
+      assert(batch(q).head._1 === q)
+      batch(q).map(_._2).zip(single.map(_._2)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12) }
+    }
+    // the ADC kernel from the raw query == the precomputed-table kernel
+    val model = Similarity.ivfpqReadModel(spark, Similarity.ivfIndexRoot(spark, dir))
+    val q1 = emb.filter(col("vec_id") === 1L).select(col("embedding"))
+      .collect().head.getSeq[Float](0).toArray.map(_.toDouble)
+    val enc = graft.operators.ProductQuantization.encode(
+      emb.filter(col("embedding").isNotNull), "embedding", model)
+    val viaTable = enc.select(col("vec_id"),
+      graft.functions.Vectors.pqAdc(col("pq_code"), model.adcTable(q1)).as("d"))
+    val viaQuery = enc.select(col("vec_id"),
+      graft.functions.Vectors.pqAdcQuery(col("pq_code"),
+        lit(q1).cast("array<double>"), model.codebooks).as("d2"))
+    assert(viaTable.join(viaQuery, "vec_id")
+      .filter(abs(col("d") - col("d2")) > 1e-9).count() === 0)
+  }
 }
