@@ -189,7 +189,12 @@ class ChangeFeedProvider extends StreamSourceProvider
       case Some(other) => throw new IllegalArgumentException(
         s"unknown schemaDrift '$other' (expected fail or drop)")
     }
-    new ChangeFeedSource(spark, p, start, keyDelta, cdf, dropDrift)
+    val maxGens = parameters.get("maxGenerationsPerBatch").map { v =>
+      val n = v.toInt
+      require(n >= 1, s"maxGenerationsPerBatch must be >= 1, got $n")
+      n
+    }
+    new ChangeFeedSource(spark, p, start, keyDelta, cdf, dropDrift, maxGens)
   }
 }
 
@@ -203,8 +208,10 @@ class ChangeFeedProvider extends StreamSourceProvider
   * latest-at-first-batch. */
 class ChangeFeedSource(spark: SparkSession, path: String,
     startingGeneration: String, keyDelta: Option[(String, String)],
-    cdf: Boolean = false, dropDrift: Boolean = false)
-  extends Source {
+    cdf: Boolean = false, dropDrift: Boolean = false,
+    maxGenerationsPerBatch: Option[Int] = None)
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   override val schema: StructType = ChangeFeed.tableSchema(spark, path, cdf)
   // minus _change_gen (and, in cdf mode, the _change_type the batch carries)
@@ -239,11 +246,55 @@ class ChangeFeedSource(spark: SparkSession, path: String,
   // can be genuinely new, so only that path may raise the lost-range error.
   @volatile private var offsetPolled = false
 
-  override def getOffset: Option[Offset] = {
-    offsetPolled = true
-    val gen = currentGen()
-    if (gen <= initialBase) None else Some(LongOffset(gen))
+  // rate-limit watermark: the highest generation already planned into a
+  // batch (synced from the WAL'd end on checkpoint recovery via getBatch)
+  @volatile private var lastPlanned: Long = initialBase
+
+  // Trigger.AvailableNow freeze: without this trait the engine would
+  // wrap a v1 Source and SNAPSHOT getOffset once at start — a rate-capped
+  // offset would then silently truncate the drain to the first batch.
+  // Implementing SupportsTriggerAvailableNow makes the engine poll
+  // getOffset per micro-batch until it stops advancing, while the cap
+  // recorded here freezes the drain target so a concurrent writer cannot
+  // keep the query alive forever.
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(currentGen())
   }
+
+  /** `maxGenerationsPerBatch` caps each micro-batch at N generations —
+    * a backlog (a stream started `earliest` on a long history, or one
+    * resumed after downtime) drains as bounded batches instead of one
+    * giant catch-up batch whose shuffle must fit at once. The cap trades
+    * batch size for LAG: while draining, the consumer trails the writer,
+    * so the table's `retainGenerations` must cover backlog ÷ cap extra
+    * cycles — the retention contract stays loud if it doesn't. */
+  private def cappedOffset(): Option[LongOffset] = {
+    offsetPolled = true
+    val gen = availableNowCap.fold(currentGen())(c =>
+      math.min(currentGen(), c))
+    val capped = maxGenerationsPerBatch match {
+      case Some(n) => math.min(gen, math.max(lastPlanned, initialBase) + n)
+      case None => gen
+    }
+    if (capped <= initialBase) None else Some(LongOffset(capped))
+  }
+
+  override def getOffset: Option[Offset] = cappedOffset()
+
+  // the SupportsAdmissionControl form the engine actually calls once the
+  // AvailableNow trait is present (FileStreamSource's shape): the rate
+  // cap steps from the internal lastPlanned watermark, startOffset is
+  // not needed
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    cappedOffset().orNull
 
   private def genOf(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -253,6 +304,7 @@ class ChangeFeedSource(spark: SparkSession, path: String,
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    lastPlanned = math.max(lastPlanned, genOf(end))
     val base = start.map(genOf).getOrElse {
       // "earliest" floor: the oldest generation changesFor can still serve
       if (initialBase > 0L) initialBase
