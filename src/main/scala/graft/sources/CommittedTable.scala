@@ -397,15 +397,20 @@ object CommittedTable {
       throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
     generations(spark, path).flatMap { g =>
       val anchor = new Path(table, s"$CommitGen$g")
-      readManifestFile(fs, anchor).map { m =>
-        val rows =
-          if (m.segments.nonEmpty && m.segments.keys.forall(m.rowCounts.contains))
-            Some(m.segments.keys.iterator.map(m.rowCounts).sum)
-          else if (m.segments.isEmpty) Some(0L)
-          else None
-        GenerationInfo(g, fs.getFileStatus(anchor).getModificationTime,
-          m.segments.size, rows, current = g == cur.gen)
-      }
+      // a concurrent writer's GC can age the anchor out between the
+      // listing and these reads — skip it, exactly as generations()
+      // would have on a later call
+      scala.util.Try {
+        readManifestFile(fs, anchor).map { m =>
+          val rows =
+            if (m.segments.nonEmpty && m.segments.keys.forall(m.rowCounts.contains))
+              Some(m.segments.keys.iterator.map(m.rowCounts).sum)
+            else if (m.segments.isEmpty) Some(0L)
+            else None
+          GenerationInfo(g, fs.getFileStatus(anchor).getModificationTime,
+            m.segments.size, rows, current = g == cur.gen)
+        }
+      }.toOption.flatten
     }
   }
 
@@ -2018,6 +2023,22 @@ object CommittedTable {
         s"${m.cols.mkString(",")}; got: ${df.columns.mkString(",")}) — " +
         "schema changes go through merge(allowAddColumns=true) or overwrite()")
     val data = df.select(m.cols.map(col).toIndexedSeq: _*)
+    // TYPE drift is as fatal as column drift: a backfilled segment whose
+    // column type differs from the carried segments' makes the table
+    // unreadable (one explicit schema, two parquet physical types) — the
+    // exact failure class the IncrementalAgg r14 finding fixed. One
+    // footer probe against the current schema, loud before any staging.
+    if (m.segments.nonEmpty) {
+      val cur = schemaOf(spark, table, m)
+      data.schema.fields.zip(cur.fields).foreach { case (n, o) =>
+        require(n.dataType == o.dataType,
+          s"overwritePartitions type drift on ${n.name}: table has " +
+            s"${o.dataType.simpleString}, batch has " +
+            s"${n.dataType.simpleString} — cast the batch (carried " +
+            "segments keep the old physical type and one explicit " +
+            "schema cannot read both)")
+      }
+    }
     val gen = m.gen + 1
     val staged = stageSegments(data, path, pc, gen, sortCols,
       filesPerPartition = filesPerPartition)

@@ -935,4 +935,57 @@ class GraftCatalogSpec extends SparkSpec {
         s"broadcast side is not the committed dim:\n$build")
     }
   }
+
+  test("CBO honesty both ways: a committed side OVER the threshold is not broadcast") {
+    withTable("graft-cat-cbo2") { path =>
+      import spark.implicits._
+      // ~40k rows with a fat payload — comfortably past a 64 KB threshold
+      val big = (1L to 40000L)
+        .map(i => (i, s"p${i % 4}", ("x" * 64) + i, 1L))
+        .toDF("id", "part", "payload", "version")
+      CommittedTable.write(big, path, "part")
+      (1L to 500L).map(i => (i, i % 40000L + 1))
+        .toDF("fid", "dim_id").createOrReplaceTempView("cbo2_probe")
+      val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      try {
+        val q = spark.sql(
+          s"""SELECT COUNT(*) AS n
+              FROM cbo2_probe p JOIN graft.`$path` t ON p.dim_id = t.id""")
+        val plan = q.queryExecution.sparkPlan
+        // the STATIC plan must NOT put the big committed table on a
+        // broadcast build side — sizeInBytes (summed from the manifest's
+        // recorded file lengths) reports the real size, so the estimate
+        // is honest in BOTH directions, not just the q150 small case
+        val bigBroadcast = plan.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+            val build = b.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft => b.left
+              case _ => b.right
+            }
+            build.collect {
+              case f: FileSourceScanExec
+                  if f.relation.location.isInstanceOf[graft.sql.GraftFileIndex] => f
+            }
+        }.flatten
+        assert(bigBroadcast.isEmpty,
+          s"the over-threshold committed table was broadcast:\n$plan")
+        assert(q.collect().head.getLong(0) === 500L)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    }
+  }
+
+  test("overwritePartitions: type drift fails loudly before any staging") {
+    withTable("graft-cat-tdrift") { path =>
+      seed(path)
+      import spark.implicits._
+      val drifted = Seq((9L, "a", 9, 1L)) // price INT, table has DOUBLE
+        .toDF("id", "part", "price", "version")
+      val e = intercept[IllegalArgumentException] {
+        CommittedTable.overwritePartitions(drifted, path)
+      }
+      assert(e.getMessage.contains("type drift"))
+      assert(CommittedTable.read(spark, path).count() === 8L)
+    }
+  }
 }
