@@ -121,20 +121,22 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       def propList(k: String): Seq[String] =
         props.get(k).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-      val pc = partitioning.toList match {
-        case id :: Nil if id.name == "identity" &&
-            id.references.length == 1 &&
-            id.references.head.fieldNames.length == 1 =>
-          id.references.head.fieldNames.head
+      // PARTITIONED BY (a) → plain single-column table; PARTITIONED BY
+      // (a, b, …) → the composite convention (writeComposite): one
+      // reversible composite data column (`part_key`), components doubling
+      // as zone-map stats columns, so SELECTs prune EXACTLY on any
+      // component subset (q148) and routed DML scopes by the key
+      val pcs: Seq[String] = partitioning.toList match {
+        case ids if ids.nonEmpty && ids.forall(id =>
+            id.name == "identity" && id.references.length == 1 &&
+              id.references.head.fieldNames.length == 1) =>
+          ids.map(_.references.head.fieldNames.head)
         case Nil => fail(
           s"CREATE TABLE ${ident} AS SELECT needs PARTITIONED BY " +
-            "(<one column>): a committed table is partition-scoped by " +
-            "contract (pre-compose multiple columns with " +
-            "CommittedTable.compositeKey and partition by the composite)")
+            "(<columns>): a committed table is partition-scoped by contract")
         case other => fail(
-          s"CREATE TABLE ${ident} AS SELECT: only ONE identity partition " +
-            s"column is supported, got ${other.map(_.describe).mkString(", ")}" +
-            " — pre-compose multiple columns with CommittedTable.compositeKey")
+          s"CREATE TABLE ${ident} AS SELECT: only identity partition " +
+            s"columns are supported, got ${other.map(_.describe).mkString(", ")}")
       }
       val unknown = props.keySet --
         Set("keycol", "vercol", "statscols", "bloomcols", "retain") --
@@ -149,8 +151,15 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
           if (!ignoreIfExists) fail(
             s"$path already holds a committed table — CREATE TABLE IF NOT " +
               "EXISTS to no-op, or MERGE/INSERT/DML to change it")
+        } else if (pcs.size == 1) {
+          CommittedTable.write(bridge.ofRows(s, query), path, pcs.head,
+            retainGenerations = props.get("retain").map(_.toInt).getOrElse(2),
+            statsCols = propList("statscols"),
+            keyCol = props.get("keycol"),
+            versionCol = props.get("vercol"),
+            bloomCols = propList("bloomcols"))
         } else {
-          CommittedTable.write(bridge.ofRows(s, query), path, pc,
+          CommittedTable.writeComposite(bridge.ofRows(s, query), path, pcs,
             retainGenerations = props.get("retain").map(_.toInt).getOrElse(2),
             statsCols = propList("statscols"),
             keyCol = props.get("keycol"),
