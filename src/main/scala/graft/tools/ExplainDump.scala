@@ -811,13 +811,9 @@ object ExplainDump {
       finally spark.conf.unset(
         "spark.sql.optimizer.dynamicPartitionPruning.useStats")
 
-      // q155/q156/q157 are SQL-lifecycle DML gates: their write paths are
-      // the already-pinned shapes (REPLACE/full INSERT OVERWRITE = the
-      // q119-family staged publish; partition INSERT OVERWRITE = the same
-      // staging scoped to present partitions, carry-forward is manifest
-      // metadata; ALTER ADD COLUMNS is a pure manifest swap — no plan at
-      // all). The read after the ALTER is the one new plan shape: a scan
-      // whose ReadSchema contains a column NO file carries.
+      // q157: the ALTER itself is a pure manifest swap (no plan at all);
+      // the read after it is the one new plan shape — a scan whose
+      // ReadSchema contains a column NO file carries.
       val alterDir = s"$tmp/altered"
       graft.sources.CommittedTable.write(base, alterDir, "o_orderstatus",
         keyCol = Some("o_orderkey"), versionCol = Some("version"))
@@ -834,6 +830,146 @@ object ExplainDump {
         spark.sql(
           s"""SELECT o_orderkey, fee FROM graft.`$alterDir`
               WHERE o_orderstatus = 'O'"""))
+
+      // q141–q145/q154–q156: the SQL front end's own plan shapes. Each
+      // routed verb's WRITE body is an already-pinned plan (§q119 staged
+      // publish; §q134/q136 affected-set probe + rewrite); what the SQL
+      // route adds — and what these dumps pin — is (a) SELECT text
+      // substituting at analysis into the native pruned scan, (b) every
+      // DML verb routing to ONE GraftDmlCommand wrapping the Scala
+      // protocol (no second write path for SQL to diverge through), and
+      // (c) the groupless COUNT(*) collapsing to manifest rows.
+      val sqDir = s"$tmp/sqlgate"
+      graft.sources.CommittedTable.write(
+        base.withColumn("o_orderpriority",
+          concat(lit("p"), (col("o_orderkey") % 3).cast("string"))),
+        sqDir, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"),
+        statsCols = Seq("o_totalprice"))
+      section("q141_sql_select (substituted committed scan via SQL text)",
+        """Wants: the SQL text plans as the SAME native FileSourceScan the
+          |Scala read path produces — GraftAnalysis substitutes the catalog
+          |relation with a parquet relation over GraftFileIndex, so the
+          |partition equality prunes to the manifest's 'O' segments and
+          |the o_totalprice range prunes zone-mapped segments at PLAN time
+          |(root paths bounded from manifest metadata before any listing),
+          |with the residual range riding the scan as PushedFilters into
+          |the partial/final hash aggregate. No DSv2 row-conversion
+          |wrapper anywhere: SQL is a front end over the one read
+          |path.""".stripMargin,
+        spark.sql(
+          s"""SELECT o_orderpriority, COUNT(*) AS n,
+                SUM(o_totalprice) AS sum_price
+              FROM graft.`$sqDir`
+              WHERE o_orderstatus = 'O'
+                AND o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+              GROUP BY o_orderpriority"""))
+      section("q145_sql_metadata_count (groupless COUNT(*) → manifest rows)",
+        """Wants: NO scan node anywhere — GraftMetadataCount collapses the
+          |groupless COUNT(*) over the unfiltered committed relation into
+          |a LocalRelation holding the SUM of the manifest's per-segment
+          |row counts, so the whole statement plans as a LocalTableScan of
+          |one already-known row: §q139's zero-jobs claim, through SQL
+          |text. Any filter, grouping, or additional aggregate disables
+          |the rule and plans the ordinary §q141 substituted scan
+          |instead.""".stripMargin,
+        spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$sqDir`"))
+      section("q142_sql_delete (DELETE FROM — the routed command)",
+        """Wants: the statement analyzes to ONE GraftDmlCommand
+          |("DELETE FROM …") — SQL routes into CommittedTable.delete, the
+          |SAME protocol the Scala path uses: the affected-set probe is
+          |§q134/q136's partition-bounded two-column scan, the rewrite is
+          |partition-scoped, the publish is one atomic manifest swap under
+          |the fencing claim. The CommandResult below IS the evidence that
+          |no second write path exists; the probe/rewrite plans are pinned
+          |at §q134/q136.""".stripMargin,
+        spark.sql(s"DELETE FROM graft.`$sqDir` " +
+          "WHERE o_orderkey % 7 = 0 AND o_totalprice < 200000.0"))
+      section("q143_sql_update (UPDATE — routed, CDC-visible)",
+        """Wants: the same single GraftDmlCommand shape as §q142, routing
+          |to CommittedTable.update — and because the table declares a
+          |version column, the statement must bump it in the same SET
+          |(a data-only update is refused loudly: silent CDC-invisible
+          |mutations were the r14 drift finding). Assignments evaluate
+          |simultaneously against pre-update values; the rewrite is the
+          |§q134/q136 affected-partition shape.""".stripMargin,
+        spark.sql(s"UPDATE graft.`$sqDir` " +
+          "SET o_totalprice = o_totalprice + 10.0, version = version + 1 " +
+          "WHERE o_orderstatus = 'F' AND o_orderkey % 11 = 0"))
+      graft.sources.CommittedTable.read(spark, sqDir)
+        .filter(col("o_orderkey") % 19 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("version", col("version") + 1)
+        .createOrReplaceTempView("explain_q144_src")
+      section("q144_sql_merge (MERGE INTO — routed canonical upsert)",
+        """Wants: one GraftDmlCommand routing the canonical upsert
+          |(`WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT
+          |*` on the table's declared key) into CommittedTable.merge — the
+          |§q119 keyed merge: source partitions decide the touched set,
+          |existing rows of ONLY those partitions join the batch on the
+          |key, and the swap is one atomic generation. The source subplan
+          |is analyzed once inside the command; nothing about the verb
+          |changes the merge's plan, which §q119 pins.""".stripMargin,
+        spark.sql(s"MERGE INTO graft.`$sqDir` t USING explain_q144_src s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+
+      // q154/q155/q156: the lifecycle verbs that CREATE or REPLACE whole
+      // tables/partitions — each is one routed command whose body is the
+      // q119-family staged publish; the dumps pin the single-command
+      // routing and the carry-by-metadata claims stated in COVERAGE.md.
+      // Registry.table returns DataFrames bound to the contract child
+      // session — register and resolve the source views through it (the
+      // q150/q153 sections' pattern)
+      val ctasDir = s"$tmp/ctas"
+      val ctasSrc = base.withColumn("o_orderpriority",
+        concat(lit("p"), (col("o_orderkey") % 3).cast("string")))
+      ctasSrc.createOrReplaceTempView("explain_q154_src")
+      val css = ctasSrc.sparkSession
+      section("q154_sql_ctas (CREATE TABLE … AS SELECT — one atomic first publish)",
+        """Wants: ONE GraftDmlCommand wrapping the first publish — the
+          |SELECT subplan (an ordinary scan/filter over the source) feeds
+          |CommittedTable.write with the PARTITIONED BY column and the
+          |TBLPROPERTIES roles (keycol/vercol/statscols) recorded in the
+          |manifest at birth: stage → stats → atomic swap, the §q119
+          |shape. There is no intermediate unpartitioned materialization;
+          |the table is immediately routable (the gate DELETEs through it)
+          |and its reads are the §q141 substituted scan.""".stripMargin,
+        css.sql(
+          s"""CREATE TABLE graft.`$ctasDir`
+              PARTITIONED BY (o_orderstatus)
+              TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version',
+                            'statscols'='o_totalprice')
+              AS SELECT * FROM explain_q154_src WHERE o_totalprice >= 1000.0"""))
+      section("q155_sql_replace (REPLACE TABLE AS SELECT — atomic full overwrite)",
+        """Wants: the same one-command shape as §q154 routing to
+          |CommittedTable.overwrite — the replacement content is staged as
+          |ONE new full generation and swapped atomically, the previous
+          |generation stays time-travelable inside the retention window
+          |(the gate reads both worlds, VERSION AS OF pre-replace), and
+          |roles inherit unless re-declared. No delete-then-write window
+          |exists in which a reader could observe an empty table.""".stripMargin,
+        css.sql(s"REPLACE TABLE graft.`$ctasDir` AS " +
+          "SELECT * FROM explain_q154_src WHERE o_orderkey % 3 = 0"))
+      graft.sources.CommittedTable.read(css, ctasDir)
+        .filter(col("o_orderstatus") === "O" && col("o_totalprice") >= 100000.0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          col("version"), col("o_orderpriority"))
+        .createOrReplaceTempView("explain_q156_backfill")
+      section("q156_insert_overwrite (PARTITION backfill — carry by metadata)",
+        """Wants: one routed command scoping the staged rewrite to the
+          |partitions PRESENT in the batch — here exactly the 'O'
+          |partition is recomputed and swapped wholesale while every other
+          |status's segment files (and their zone maps/blooms) are carried
+          |forward as manifest METADATA, untouched on disk
+          |(GraftCatalogSpec pins file-level identity). At 100 TB,
+          |backfilling one day of a ten-year table moves one day's bytes;
+          |the SELECT subplan below is the only data-sized term.""".stripMargin,
+        css.sql(s"INSERT OVERWRITE graft.`$ctasDir` " +
+          "PARTITION (o_orderstatus = 'O') " +
+          "SELECT o_orderkey, o_totalprice, version, o_orderpriority " +
+          "FROM explain_q156_backfill"))
     }
 
     // q151/q152: product quantization's two plans — the one-pass encode
