@@ -337,70 +337,121 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
     e.transform { case a: AttributeReference => UnresolvedAttribute.quoted(a.name) }
   }
 
-  /** Canonical-upsert MERGE: `ON t.key = s.key WHEN MATCHED THEN UPDATE
-    * SET * WHEN NOT MATCHED THEN INSERT *` routes to
-    * `CommittedTable.merge` (latest-version-wins by the table's declared
-    * key/version). Richer shapes fail loudly naming the supported one —
-    * partial-column UPDATE or conditional actions have no sound mapping
-    * onto a keyed full-row upsert. */
+  /** MERGE routing. The canonical upsert — `ON t.key = s.key WHEN
+    * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` — routes
+    * to `CommittedTable.merge` (latest-version-wins arbitration by the
+    * table's declared key/version, widening allowed). Every other clause
+    * shape — conditional UPDATE/DELETE chains, partial-column SET,
+    * conditional INSERTs, WHEN NOT MATCHED BY SOURCE — routes to
+    * `CommittedTable.mergeClauses` (first-true-wins SQL semantics;
+    * source must be unique per key, and on a version-consuming table
+    * every writing clause must assign the version column — the command
+    * fails loudly naming the remedy otherwise). */
   private def routeMerge(mi: MergeIntoTable, t: GraftTableV2): LogicalPlan = {
     val pc = partitionColOf(t, "MERGE INTO")
-    val (key, ver) = keyVersionOf(t, "MERGE INTO")
-    val shape = "MERGE INTO <graft table> t USING <source> s ON t." + key +
-      " = s." + key + " WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED " +
-      "THEN INSERT *"
-    def failShape(why: String): Nothing =
-      fail(s"MERGE INTO ${t.name()}: $why; the supported form is: $shape")
+    val key = t.manifest.keyCol.getOrElse(fail(
+      s"MERGE INTO ${t.name()}: the manifest records no key column — " +
+        "declare it at CommittedTable.write(keyCol=…) or via " +
+        "SET TBLPROPERTIES('keycol'=…)"))
     mi.mergeCondition match {
       case EqualTo(a: AttributeReference, b: AttributeReference)
           if a.name == key && b.name == key => ()
-      case other => failShape(
-        s"ON must be equality on the table's declared key column " +
-          s"'$key', got ${other.sql}")
+      case other => fail(
+        s"MERGE INTO ${t.name()}: ON must be equality on the table's " +
+          s"declared key column '$key', got ${other.sql} (put extra " +
+          "predicates in the WHEN clauses' AND conditions)")
     }
-    if (mi.notMatchedBySourceActions.nonEmpty)
-      failShape("WHEN NOT MATCHED BY SOURCE is not supported")
     val srcAttrs = mi.sourceTable.outputSet
-    def fullRowByName(assigns: Seq[Assignment], what: String): Unit = {
+    val tgtAttrs = mi.targetTable.outputSet
+    // assignment alignment may wrap the source side in a no-op cast
+    def stripCast(e: Expression): Expression = e match {
+      case Cast(c, _, _, _) => stripCast(c)
+      case other => other
+    }
+    def isFullRowByName(assigns: Seq[Assignment]): Boolean = {
       val targets = assigns.flatMap(_.key match {
         case ar: AttributeReference => Some(ar.name)
         case _ => None
       })
-      // assignment alignment may wrap the source side in a no-op cast
-      def stripCast(e: Expression): Expression = e match {
-        case Cast(c, _, _, _) => stripCast(c)
-        case other => other
-      }
-      val ok = assigns.forall { asg =>
+      assigns.forall { asg =>
         (asg.key, stripCast(asg.value)) match {
           case (k: AttributeReference, v: AttributeReference) =>
             k.name == v.name && srcAttrs.contains(v)
           case _ => false
         }
-      }
-      if (!ok || targets.toSet != t.tableSchema.fieldNames.toSet)
-        failShape(s"$what must assign every table column from the " +
-          "same-named source column (the SET * / INSERT * expansion)")
+      } && targets.toSet == t.tableSchema.fieldNames.toSet
     }
-    mi.matchedActions match {
-      case Seq(UpdateAction(None, assigns, _)) =>
-        fullRowByName(assigns, "UPDATE")
-      case _ => failShape("WHEN MATCHED must be exactly one unconditional " +
-        "UPDATE SET *")
-    }
-    mi.notMatchedActions match {
-      case Seq(InsertAction(None, assigns)) =>
-        fullRowByName(assigns, "INSERT")
-      case _ => failShape("WHEN NOT MATCHED must be exactly one " +
-        "unconditional INSERT *")
-    }
+    val canonical = mi.notMatchedBySourceActions.isEmpty &&
+      (mi.matchedActions match {
+        case Seq(UpdateAction(None, assigns, _)) => isFullRowByName(assigns)
+        case _ => false
+      }) &&
+      (mi.notMatchedActions match {
+        case Seq(InsertAction(None, assigns)) => isFullRowByName(assigns)
+        case _ => false
+      })
     val source = mi.sourceTable
-    val cols = t.tableSchema.fieldNames.toSeq
-    GraftDmlCommand(s"MERGE INTO ${t.name()}", { s =>
-      val src = bridge.ofRows(s, source)
-        .select(cols.map(org.apache.spark.sql.functions.col): _*)
-      CommittedTable.merge(s, t.path, src, key, ver, pc)
-    })
+    if (canonical) {
+      val (k, ver) = keyVersionOf(t, "MERGE INTO")
+      val cols = t.tableSchema.fieldNames.toSeq
+      GraftDmlCommand(s"MERGE INTO ${t.name()}", { s =>
+        val src = bridge.ofRows(s, source)
+          .select(cols.map(org.apache.spark.sql.functions.col): _*)
+        CommittedTable.merge(s, t.path, src, k, ver, pc)
+      })
+    } else {
+      // rebind each clause expression into mergeClauses' two-sided
+      // namespace: source attrs → s.<name>, target attrs → t.<name>
+      // (by exprId, so same-named columns land on the right side)
+      def rebind2(e: Expression): org.apache.spark.sql.Column = {
+        if (e.exists(_.isInstanceOf[SubqueryExpression]))
+          fail(s"subqueries are not supported in MERGE clause " +
+            s"conditions/values: ${e.sql}")
+        bridge.column(e.transform {
+          case a: AttributeReference if srcAttrs.contains(a) =>
+            UnresolvedAttribute(Seq("s", a.name))
+          case a: AttributeReference if tgtAttrs.contains(a) =>
+            UnresolvedAttribute(Seq("t", a.name))
+        })
+      }
+      def setOf(assigns: Seq[Assignment], what: String)
+          : Map[String, org.apache.spark.sql.Column] =
+        assigns.map { asg =>
+          asg.key match {
+            case ar: AttributeReference => ar.name -> rebind2(asg.value)
+            case other => fail(s"MERGE INTO ${t.name()}: $what supports " +
+              s"only top-level column assignments, got ${other.sql}")
+          }
+        }.toMap
+      val matchedClauses: Seq[CommittedTable.MatchedClause] =
+        mi.matchedActions.map {
+          case UpdateAction(c, assigns, _) => CommittedTable.MatchedUpdate(
+            c.map(rebind2), setOf(assigns, "WHEN MATCHED UPDATE"))
+          case DeleteAction(c) => CommittedTable.MatchedDelete(c.map(rebind2))
+          case other => fail(s"MERGE INTO ${t.name()}: unsupported WHEN " +
+            s"MATCHED action ${other.getClass.getSimpleName}")
+        }
+      val insertClauses: Seq[CommittedTable.NotMatchedInsert] =
+        mi.notMatchedActions.map {
+          case InsertAction(c, assigns) => CommittedTable.NotMatchedInsert(
+            c.map(rebind2), setOf(assigns, "WHEN NOT MATCHED INSERT"))
+          case other => fail(s"MERGE INTO ${t.name()}: unsupported WHEN " +
+            s"NOT MATCHED action ${other.getClass.getSimpleName}")
+        }
+      val bySourceClauses: Seq[CommittedTable.BySourceClause] =
+        mi.notMatchedBySourceActions.map {
+          case UpdateAction(c, assigns, _) => CommittedTable.BySourceUpdate(
+            c.map(rebind2),
+            setOf(assigns, "WHEN NOT MATCHED BY SOURCE UPDATE"))
+          case DeleteAction(c) => CommittedTable.BySourceDelete(c.map(rebind2))
+          case other => fail(s"MERGE INTO ${t.name()}: unsupported WHEN " +
+            s"NOT MATCHED BY SOURCE action ${other.getClass.getSimpleName}")
+        }
+      GraftDmlCommand(s"MERGE INTO ${t.name()} (clauses)", { s =>
+        CommittedTable.mergeClauses(s, t.path, bridge.ofRows(s, source),
+          matchedClauses, insertClauses, bySourceClauses)
+      })
+    }
   }
 
   /** Read substitution: the v2 relation becomes a native parquet

@@ -913,6 +913,25 @@ object ExplainDump {
         spark.sql(s"MERGE INTO graft.`$sqDir` t USING explain_q144_src s " +
           "ON t.o_orderkey = s.o_orderkey " +
           "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+      section("q159_sql_merge_full (MERGE INTO — routed clause merge)",
+        """Wants: the same single-GraftDmlCommand routing as §q144, but to
+          |CommittedTable.mergeClauses — the non-canonical clause set
+          |(conditional UPDATE/DELETE, conditional INSERT, NOT MATCHED BY
+          |SOURCE) is rebound into the two-sided t./s. namespace and
+          |arbitrated first-true-wins inside ONE full-outer join per
+          |statement: target side = only the partitions the bloom-pruned
+          |readKeys probe says hold source keys (by-source widens to all
+          |live partitions — the clause's definition), every clause
+          |condition evaluated once via a single integer action column,
+          |output columns cast to the table's types so a clause can never
+          |drift the parquet schema. MergeClausesSpec pins the semantics;
+          |the staged publish is §q119's.""".stripMargin,
+        spark.sql(s"MERGE INTO graft.`$sqDir` t USING explain_q144_src s " +
+          "ON t.o_orderkey = s.o_orderkey " +
+          "WHEN MATCHED AND s.o_totalprice > t.o_totalprice THEN " +
+          "UPDATE SET o_totalprice = s.o_totalprice, version = t.version + 1 " +
+          "WHEN MATCHED THEN DELETE " +
+          "WHEN NOT MATCHED THEN INSERT *"))
 
       // q154/q155/q156: the lifecycle verbs that CREATE or REPLACE whole
       // tables/partitions — each is one routed command whose body is the

@@ -159,12 +159,17 @@ class GraftCatalogSpec extends SparkSpec {
       assert(after.filter(col("id") === 2L).select("price")
         .collect().head.getDouble(0) === 999.0)
       assert(after.filter(col("part") === "d").count() === 1L)
-      // a non-canonical shape fails loudly, naming the supported form
+      // a non-canonical clause shape routes to mergeClauses (first-true-
+      // wins SQL semantics) instead of failing: the matched rows delete
+      spark.sql(s"MERGE INTO graft.`$path` t USING merge_src s " +
+        "ON t.id = s.id WHEN MATCHED THEN DELETE")
+      assert(CommittedTable.read(spark, path).count() === 7L)
+      // what still fails loudly: an ON condition off the declared key
       val e = intercept[Exception] {
         spark.sql(s"MERGE INTO graft.`$path` t USING merge_src s " +
-          "ON t.id = s.id WHEN MATCHED THEN DELETE")
+          "ON t.price = s.price WHEN MATCHED THEN DELETE")
       }
-      assert(e.getMessage.contains("WHEN MATCHED"))
+      assert(e.getMessage.contains("key column"))
     }
   }
 

@@ -89,6 +89,37 @@ class IncrementalAggSpec extends SparkSpec {
     assert(viewRows(dst)("B") === ((1L, 5.0)))
   }
 
+  test("view == full recompute through a CLAUSE merge (conditional update, delete, insert, by-source)") {
+    val src = freshDir("mcsrc")
+    val dst = freshDir("mcdst")
+    val ckpt = Files.createTempDirectory("graft-iagg-mc-ckpt").toString
+    CommittedTable.write(base(), src, "status", retainGenerations = 8,
+      keyCol = Some("id"), versionCol = Some("version"))
+    IncrementalAgg.init(spark, src, dst, "status", "value")
+    // one mergeClauses generation touching every change class: id=1
+    // updated in-group, id=3 deleted, id=9 inserted into a fresh group,
+    // id=4 moved C→A by a by-source update (version bumped everywhere —
+    // the CDC guard both enforces and the fold depends on)
+    CommittedTable.mergeClauses(spark, src,
+      Seq((1L, 12.0), (3L, 0.0), (20L, 5.0)).toDF("id", "sval"),
+      matched = Seq(
+        CommittedTable.MatchedUpdate(Some(expr("s.sval > 0")),
+          Map("value" -> expr("s.sval"), "version" -> expr("t.version + 1"))),
+        CommittedTable.MatchedDelete(None)),
+      notMatched = Seq(CommittedTable.NotMatchedInsert(None,
+        Map("id" -> expr("s.id + 9"), "status" -> lit("D"),
+          "value" -> lit(7.5), "version" -> lit(1L)))),
+      bySource = Seq(CommittedTable.BySourceUpdate(Some(expr("t.status = 'C'")),
+        Map("status" -> lit("A"), "version" -> expr("t.version + 1")))))
+    val q = IncrementalAgg.sync(spark, src, dst, "id", "version",
+      "status", "value", ckpt).start()
+    q.awaitTermination(120000)
+    assert(liveViewRows(dst) === recompute(src))
+    // B emptied by the clause delete; C emptied by the by-source move
+    assert(viewRows(dst)("B") === ((0L, 0.0)))
+    assert(viewRows(dst)("C") === ((0L, 0.0)))
+  }
+
   private def minMaxRows(dst: String): Map[String, (Option[Double], Option[Double])] =
     CommittedTable.read(spark, dst)
       .select($"status", $"min_value", $"max_value")
