@@ -20,6 +20,20 @@ object bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The inverse of [[asStreamingDataFrame]]: wrap a micro-batch's
+    * streaming-tagged DataFrame (the `data` a DSv1 `Sink.addBatch`
+    * receives, backed by an IncrementalExecution) as an ordinary BATCH
+    * DataFrame over its materialized RDD — the same move Spark's
+    * ForeachBatchSink makes before handing the user function a
+    * re-queryable frame. Callers should persist it: the wrapper
+    * re-evaluates the RDD lineage per action otherwise. */
+  def asBatchDataFrame(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cdf = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = false)
+  }
+
   /** Re-tag a batch DataFrame as STREAMING — the contract a DSv1
     * streaming `Source.getBatch` must satisfy (the same
     * internalCreateDataFrame(isStreaming = true) call FileStreamSource
