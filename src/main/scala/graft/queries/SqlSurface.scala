@@ -595,5 +595,51 @@ object SqlSurface {
         CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
         CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         CAST(SUM(version) AS BIGINT) AS sum_version
-      FROM merged GROUP BY o_orderstatus""")))
+      FROM merged GROUP BY o_orderstatus""")),
+
+    // ---- shallow clone ------------------------------------------------------
+    // CALL graft.clone branches the table as METADATA (zero data copied —
+    // CloneSpec pins that no segment dir exists under the clone until a
+    // write); routed DML then makes the two worlds diverge copy-on-write:
+    // the clone is DELETEd, the SOURCE is UPDATEd, and the gate reads
+    // both tagged — a pass proves the clone saw the full snapshot, the
+    // delete touched only the clone, and the source update never leaked
+    // into the clone's inherited references.
+    Q("q160_shallow_clone", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q160").toString
+      val srcPath = s"$wh/src"; val clonePath = s"$wh/clone"
+      graft.sources.CommittedTable.write(
+        o.withColumn("version", lit(1L)), srcPath, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      s.sql(s"CALL graft.clone(source => '$srcPath', target => '$clonePath')")
+      s.sql(s"DELETE FROM graft.`$clonePath` WHERE o_orderkey % 5 = 0")
+      s.sql(s"UPDATE graft.`$srcPath` SET o_totalprice = o_totalprice " +
+        "+ 100.0, version = version + 1 WHERE o_orderkey % 7 = 0")
+      val out = s.sql(
+        s"""SELECT 'clone' AS world, o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$clonePath` GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'src' AS world, o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$srcPath` GROUP BY o_orderstatus""")
+      finish(s, out, srcPath)
+    }, Some("""
+      SELECT 'clone' AS world, o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'src' AS world, o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
+                           THEN CAST(o_totalprice AS DOUBLE) + 100.0
+                           ELSE CAST(o_totalprice AS DOUBLE) END
+                 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus""")))
 }

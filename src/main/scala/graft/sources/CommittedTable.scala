@@ -250,11 +250,10 @@ object CommittedTable {
     * bookkeeping), then POSIX rename-with-overwrite tmp → `_commit`.
     * Readers see the old manifest or the new one, never a partial file
     * and never an absent one. */
-  private[sources] def swapManifest(hconf: org.apache.hadoop.conf.Configuration,
-      table: Path, m: Manifest): Unit = {
-    val fs = table.getFileSystem(hconf)
-    val live = new Path(table, Commit)
-    val tmp = new Path(table, Commit + ".tmp")
+  /** The manifest's serialized form (the exact body [[swapManifest]]
+    * publishes) — factored out so [[cloneShallow]] can write anchor
+    * copies with rewritten segment references. */
+  private def manifestBody(m: Manifest): String = {
     val statsLine =
       if (m.statsCols.isEmpty) Nil else Seq(s"stats=${m.statsCols.mkString("\t")}")
     val bloomLine =
@@ -273,7 +272,7 @@ object CommittedTable {
           .filter { case (seg, _) => m.segments.values.exists(_ == seg) }
           .flatMap { case (seg, fsq) =>
             fsq.map { case (n, len) => s"f=$seg\t${esc(n)}\t$len" } }
-    val body = (Seq(s"gen=${m.gen}", s"cols=${m.cols.mkString("\t")}",
+    (Seq(s"gen=${m.gen}", s"cols=${m.cols.mkString("\t")}",
       s"retain=${m.retain}") ++ metaLines ++ statsLine ++ bloomLine ++ rowLines ++
       m.segments.toSeq.sortBy(_._1).map { case (v, d) =>
         val st = m.stats.get(v).filter(_ => m.statsCols.nonEmpty)
@@ -283,10 +282,19 @@ object CommittedTable {
         s"${esc(v)}\t$d$st"
       })
       .mkString("", "\n", "\n")
-    def put(p: Path): Unit = {
-      val out = fs.create(p, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-    }
+  }
+
+  private def writeManifestTo(fs: FileSystem, p: Path, m: Manifest): Unit = {
+    val out = fs.create(p, true)
+    try out.write(manifestBody(m).getBytes("UTF-8")) finally out.close()
+  }
+
+  private[sources] def swapManifest(hconf: org.apache.hadoop.conf.Configuration,
+      table: Path, m: Manifest): Unit = {
+    val fs = table.getFileSystem(hconf)
+    val live = new Path(table, Commit)
+    val tmp = new Path(table, Commit + ".tmp")
+    def put(p: Path): Unit = writeManifestTo(fs, p, m)
     put(tmp)
     // history copy BEFORE the swap: every committed generation is
     // guaranteed its anchor (a crash here leaves a stale future-gen file
@@ -541,6 +549,66 @@ object CommittedTable {
         statsCols, stats, counts, Some(partitionCol), keyCol, versionCol,
         bloomCols),
       staged)
+  }
+
+  /** SHALLOW CLONE: a new committed table at `dstPath` whose manifest
+    * references `srcPath`'s CURRENT segment files by absolute path —
+    * zero data copied, zero data listed, so cloning a 100 TB table costs
+    * a few manifest writes (the Delta/Iceberg shallow-clone move: branch
+    * a production table for a dev/backfill experiment in milliseconds).
+    *
+    * Semantics:
+    *  - the clone continues the source's generation NUMBERING from the
+    *    snapshot (clone gen = src gen at clone time) and copies every
+    *    RETAINED anchor with rewritten references, so `VERSION AS OF`
+    *    works on the clone across the source's retained history;
+    *  - the clone is fully WRITABLE: merge/DML/compact stage their new
+    *    segments LOCALLY (copy-on-write — an untouched partition keeps
+    *    pointing at the source bytes forever), fencing/GC/retention all
+    *    operate per-table as usual (the clone's GC only ever deletes
+    *    segment dirs under its OWN path);
+    *  - writes to the SOURCE never change the clone (its references are
+    *    to immutable segment dirs of the snapshot generation).
+    *
+    * The one hazard, stated plainly (it is Delta's VACUUM hazard too):
+    * the source's garbage collection does not know about clones. Once
+    * the snapshot generation ages out of the SOURCE's retain window and
+    * a source publish GCs it, the clone's un-rewritten references
+    * dangle and its reads fail. Keep the source's retention ≥ the
+    * clone's intended lifetime, or materialize the clone with ONE
+    * [[compact]] (every partition rewritten locally — after that the
+    * clone owns all its bytes and the source can do anything). */
+  def cloneShallow(spark: SparkSession, srcPath: String,
+      dstPath: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(srcPath)
+    val dst = new Path(dstPath)
+    val fs = src.getFileSystem(hconf)
+    val dstFs = dst.getFileSystem(hconf)
+    require(fs.getUri == dstFs.getUri,
+      s"shallow clone references source bytes in place: source " +
+        s"(${fs.getUri}) and destination (${dstFs.getUri}) must live on " +
+        "the same filesystem (cross-store cloning is a data COPY — " +
+        "read + write instead)")
+    val m = readManifest(fs, src).getOrElse(throw new java.io.IOException(
+      s"no committed table at $srcPath to clone"))
+    require(readManifest(dstFs, dst).isEmpty,
+      s"$dstPath already holds a committed table — clone into a fresh path")
+    def qualify(d: String): String =
+      if (d.contains("/")) d // already absolute (cloning a clone)
+      else fs.makeQualified(new Path(src, d)).toString
+    def rewrite(man: Manifest): Manifest = man.copy(
+      segments = man.segments.view.mapValues(qualify).toMap,
+      files = man.files.map { case (seg, fl) => qualify(seg) -> fl })
+    dstFs.mkdirs(dst)
+    // retained history first (anchors are plain files — a crash mid-clone
+    // leaves no readable table, recover/GC sweeps the debris), then the
+    // fenced publish of the live manifest + its own anchor
+    generations(spark, srcPath).filter(_ < m.gen).foreach { g =>
+      readManifestFile(fs, new Path(src, s"$CommitGen$g")).foreach(am =>
+        writeManifestTo(dstFs, new Path(dst, s"$CommitGen$g"), rewrite(am)))
+    }
+    publishOrAbort(hconf, dst, baseGen = 0L, rewrite(m), staged = Map.empty)
   }
 
   /** Write one segment dir per partition value of `df` under a staging
@@ -1552,8 +1620,12 @@ object CommittedTable {
     spark.read.schema(schema).parquet(dirs: _*)
   }
 
-  private[graft] def genOf(segDir: String): Long =
-    segDir.stripPrefix("seg-g").takeWhile(_.isDigit).toLong
+  private[graft] def genOf(segDir: String): Long = {
+    // a shallow clone's manifest references segments by ABSOLUTE path —
+    // the generation is encoded in the directory's own name either way
+    val base = segDir.substring(segDir.lastIndexOf('/') + 1)
+    base.stripPrefix("seg-g").takeWhile(_.isDigit).toLong
+  }
 
   /** The table's typed schema in manifest column order — types from ONE
     * probe of a newest-generation segment (the merge that introduced the

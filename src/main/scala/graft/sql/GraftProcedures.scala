@@ -127,6 +127,24 @@ private[sql] object GraftProcedures {
     }
   }
 
+  /** `CALL graft.clone(source => …, target => …)`: shallow clone —
+    * [[CommittedTable.cloneShallow]]'s metadata-only branch of the
+    * source's current snapshot (zero data copied; see its scaladoc for
+    * the copy-on-write and source-GC contracts). */
+  def cloneProc(resolve: String => String): UnboundProcedure = new Proc("clone", Array(
+    ProcedureParameter.in("source", StringType).build(),
+    ProcedureParameter.in("target", StringType).build())) {
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val src = resolve(str(input, 0).getOrElse(
+        throw new IllegalArgumentException("source must not be NULL")))
+      val dst = resolve(str(input, 1).getOrElse(
+        throw new IllegalArgumentException("target must not be NULL")))
+      CommittedTable.cloneShallow(spark, src, dst)
+      result(dst, currentGen(spark, dst))
+    }
+  }
+
   private def roleOf(spark: SparkSession, path: String, line: String,
       get: CommittedTable.Manifest => Option[String],
       verb: String): String = {
@@ -239,5 +257,6 @@ private[sql] object GraftProcedures {
     "recover" -> recover(resolve),
     "history" -> history(resolve),
     "init_agg_view" -> initAggView(resolve),
-    "sync_agg_view" -> syncAggView(resolve))
+    "sync_agg_view" -> syncAggView(resolve),
+    "clone" -> cloneProc(resolve))
 }

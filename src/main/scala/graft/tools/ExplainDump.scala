@@ -976,6 +976,24 @@ object ExplainDump {
           (col("o_totalprice") + 1000.0).as("o_totalprice"),
           col("version"), col("o_orderpriority"))
         .createOrReplaceTempView("explain_q156_backfill")
+      val cloneDir = s"$tmp/clone"
+      graft.sources.CommittedTable.cloneShallow(spark, sqDir, cloneDir)
+      val cloneRead = spark.sql(
+        s"SELECT o_orderkey, o_totalprice FROM graft.`$cloneDir` " +
+          "WHERE o_orderstatus = 'F'")
+      section("q160_shallow_clone (read of an un-rewritten clone partition)",
+        s"""Wants: the clone op itself has NO plan (a few manifest writes —
+          |identical cost at 8 rows and 100 TB, like §q157's ALTER); the
+          |evidence is the clone's READ: an ordinary substituted committed
+          |scan whose data files resolve INTO THE SOURCE's segment
+          |directories by the manifest's absolute references — zero bytes
+          |were copied at clone time, and they stay shared until a write
+          |to that partition stages a local replacement (copy-on-write;
+          |CloneSpec pins the no-local-segments birth and the one-
+          |partition divergence). The clone relation's data files
+          |(note the SOURCE's paths, not the clone's):
+          |${cloneRead.inputFiles.toSeq.sorted.mkString("\n")}""".stripMargin,
+        cloneRead)
       section("q156_insert_overwrite (PARTITION backfill — carry by metadata)",
         """Wants: one routed command scoping the staged rewrite to the
           |partitions PRESENT in the batch — here exactly the 'O'
