@@ -641,5 +641,53 @@ object SqlSurface {
                            THEN CAST(o_totalprice AS DOUBLE) + 100.0
                            ELSE CAST(o_totalprice AS DOUBLE) END
                  AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus""")),
+
+    // ---- CHECK constraints --------------------------------------------------
+    // The table is born (via CTAS) with a declared CHECK; a violating
+    // routed UPDATE is REFUSED before the manifest swap (caught here —
+    // the abort burns no generation and the staging is GC'd), then a
+    // clean UPDATE lands. The oracle recomputes the final state with ONLY
+    // the clean update applied: a pass proves the violating write left no
+    // trace AND the enforcement did not disturb the valid one.
+    Q("q161_check_constraints", (s, dir) => {
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+        .createOrReplaceTempView("q161_src")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q161").toString + "/wh"
+      s.sql(
+        s"""CREATE TABLE graft.`$wh`
+            PARTITIONED BY (o_orderstatus)
+            TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version',
+                          'check:positive_price'='o_totalprice >= 0')
+            AS SELECT * FROM q161_src""")
+      val refused =
+        try {
+          s.sql(s"UPDATE graft.`$wh` SET o_totalprice = -1.0, " +
+            "version = version + 1 WHERE o_orderkey % 9 = 0")
+          false
+        } catch { case e: Exception
+            if e.getMessage.contains("positive_price") => true }
+      require(refused, "violating UPDATE must be refused by the CHECK")
+      s.sql(s"UPDATE graft.`$wh` SET o_totalprice = o_totalprice + 50.0, " +
+        "version = version + 1 WHERE o_orderkey % 9 = 0")
+      val out = s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price,
+              CAST(SUM(version) AS BIGINT) AS sum_version
+            FROM graft.`$wh` GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(CASE WHEN o_orderkey % 9 = 0
+                           THEN CAST(o_totalprice AS DOUBLE) + 50.0
+                           ELSE CAST(o_totalprice AS DOUBLE) END
+                 AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(CASE WHEN o_orderkey % 9 = 0 THEN 2 ELSE 1 END) AS BIGINT)
+          AS sum_version
       FROM orders GROUP BY o_orderstatus""")))
 }

@@ -140,7 +140,18 @@ object CommittedTable {
       // full rewrite (compact / z-order compact / overwrite) physically
       // sheds the residue everywhere and clears the list. Line:
       // dropped=<tab-joined esc names>.
-      droppedCols: Seq[String] = Nil)
+      droppedCols: Seq[String] = Nil,
+      // CHECK constraints ([[setChecks]] / TBLPROPERTIES 'check:<name>'):
+      // (name, SQL boolean expression) pairs validated against every
+      // publish that CREATES or MODIFIES rows (write/merge/mergeClauses/
+      // update/overwritePartitions and their SQL/streaming routes) — one
+      // aggregate over the freshly STAGED files only, never the table; a
+      // violation aborts before the manifest swap, so the table can never
+      // hold a row any declared check rejects. SQL CHECK semantics: a
+      // NULL-valued expression passes, FALSE fails. Rewrite-only verbs
+      // (delete/deleteKeys/compact/z-order) restage rows that already
+      // passed and skip re-validation. Line: check=<esc name>\t<esc expr>.
+      checks: Seq[(String, String)] = Nil)
 
   private[graft] def readManifest(fs: FileSystem, table: Path): Option[Manifest] =
     readManifestFile(fs, new Path(table, Commit))
@@ -220,12 +231,20 @@ object CommittedTable {
           case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
         }
       }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val checks = lines.drop(2).filter(_.startsWith("check="))
+      .map { l =>
+        l.stripPrefix("check=").split('\t') match {
+          case Array(n, e) => (unesc(n), unesc(e))
+          case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
+        }
+      }
     val segLines = lines.drop(2).filter(l =>
       l.nonEmpty && !l.startsWith("retain=") && !l.startsWith("stats=") &&
         !l.startsWith("rows=") && !l.startsWith("partcol=") &&
         !l.startsWith("keycol=") && !l.startsWith("vercol=") &&
         !l.startsWith("bloom=") && !l.startsWith("virtual=") &&
-        !l.startsWith("f=") && !l.startsWith("dropped="))
+        !l.startsWith("f=") && !l.startsWith("dropped=") &&
+        !l.startsWith("check="))
     val parsed = segLines.map { l =>
       l.split('\t') match {
         case Array(v, d) => (unesc(v), d, Nil: Seq[(Option[String], Option[String])])
@@ -240,7 +259,7 @@ object CommittedTable {
       parsed.map(t => t._1 -> t._2).toMap, retain, statsCols,
       parsed.collect { case (v, _, st) if st.nonEmpty => v -> st }.toMap,
       rowCounts, partCol, keyCol, verCol, bloomCols, virtualCols, files,
-      droppedCols))
+      droppedCols, checks))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
@@ -268,6 +287,7 @@ object CommittedTable {
         m.virtualCols.map { case (n, t) => s"virtual=${esc(n)}\t${esc(t)}" } ++
         (if (m.droppedCols.isEmpty) Nil
          else Seq(s"dropped=${m.droppedCols.map(esc).mkString("\t")}")) ++
+        m.checks.map { case (n, e) => s"check=${esc(n)}\t${esc(e)}" } ++
         m.files.toSeq.sortBy(_._1)
           .filter { case (seg, _) => m.segments.values.exists(_ == seg) }
           .flatMap { case (seg, fsq) =>
@@ -440,6 +460,24 @@ object CommittedTable {
     * window) and collect orphaned segments. Run ONLY when no writer is
     * active: an in-flight writer's claim is indistinguishable from a
     * crashed one by content. */
+  /** Explicit garbage collection (`CALL graft.vacuum`): sweep aged-out
+    * segments, claims, anchors and crashed stagings NOW. Every merge
+    * already runs the same sweep before and after its publish, so this
+    * exists for tables that STOPPED receiving writes — the last
+    * generations' garbage otherwise waits for a write that never comes.
+    * Deletes only what the retention window already says is dead; pure
+    * metadata + unreferenced-dir I/O. The shallow-clone caveat applies
+    * here as everywhere (see [[cloneShallow]]): vacuuming a SOURCE can
+    * dangle a lazy clone's references once the cloned generation ages
+    * out. */
+  def vacuum(spark: SparkSession, path: String): Unit = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(readManifest(fs, table).isDefined,
+      s"no committed table at $path to vacuum")
+    collectGarbage(fs, table)
+  }
+
   def recover(spark: SparkSession, path: String): Unit = {
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -524,7 +562,8 @@ object CommittedTable {
       retainGenerations: Int = 2, statsCols: Seq[String] = Nil,
       sortCols: Seq[String] = Nil, filesPerPartition: Int = 1,
       keyCol: Option[String] = None, versionCol: Option[String] = None,
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil,
+      checks: Seq[(String, String)] = Nil): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
@@ -543,11 +582,11 @@ object CommittedTable {
     val staged = stageSegments(df, path, partitionCol, gen = 1L, sortCols,
       filesPerPartition = filesPerPartition)
     val (stats, counts) = statsFromStaged(spark, table, staged, partitionCol,
-      statsCols, bloomCols)
+      statsCols, bloomCols, checks)
     publishOrAbort(hconf, table, baseGen = 0L,
       Manifest(1L, df.columns.toSeq, staged, retainGenerations,
         statsCols, stats, counts, Some(partitionCol), keyCol, versionCol,
-        bloomCols),
+        bloomCols, checks = checks),
       staged)
   }
 
@@ -793,6 +832,55 @@ object CommittedTable {
     collectGarbage(fs, table)
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = m.gen + 1, retain = retainGenerations), Map.empty)
+    collectGarbage(fs, table)
+  }
+
+  /** Declare (or re-declare) the table's CHECK constraints: `(name, SQL
+    * boolean expression)` pairs enforced against every later publish
+    * that creates or modifies rows (see [[Manifest.checks]]). By default
+    * the CURRENT rows are validated first — a constraint the existing
+    * data already violates is refused before anything is published (one
+    * early-exit scan; pass `validateExisting = false` to skip when the
+    * data is known clean, e.g. re-declaring after a REPLACE). An empty
+    * `checks` clears them. Expressions must resolve against the current
+    * schema — and a later schema change that drops a checked column
+    * makes the next validating publish fail loudly; re-declare the
+    * checks in the same breath as such a replace. */
+  def setChecks(spark: SparkSession, path: String,
+      checks: Seq[(String, String)],
+      validateExisting: Boolean = true): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    val names = checks.map(_._1)
+    require(names.distinct.size == names.size,
+      s"duplicate check names: ${names.diff(names.distinct).mkString(",")}")
+    if (checks.nonEmpty && m.segments.nonEmpty) {
+      val cur = read(spark, path)
+      // resolve every expression against the real schema up front, so a
+      // typo fails HERE naming the check, not inside a later publish
+      checks.foreach { case (n, e) =>
+        try cur.select(org.apache.spark.sql.functions.expr(e)).queryExecution.analyzed
+        catch { case ex: Exception => throw new IllegalArgumentException(
+          s"check $n ($e) does not resolve against the table's schema: " +
+            ex.getMessage, ex) }
+      }
+      if (validateExisting) {
+        val viol = checks.map { case (_, e) =>
+          !coalesce(org.apache.spark.sql.functions.expr(e), lit(true)) }
+          .reduce(_ || _)
+        val offender = cur.filter(viol).limit(1).collect()
+        if (offender.nonEmpty) throw new IllegalStateException(
+          s"existing rows of $path violate the declared check(s) — first " +
+            s"offender: ${offender.head}; clean the data first or declare " +
+            "with validateExisting = false at your own risk")
+      }
+    }
+    collectGarbage(fs, table)
+    publishOrAbort(hconf, table, m.gen,
+      m.copy(gen = m.gen + 1, checks = checks), Map.empty)
     collectGarbage(fs, table)
   }
 
@@ -1187,17 +1275,40 @@ object CommittedTable {
     (stats, rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
   }
 
+  /** CHECK enforcement over freshly staged rows: ONE aggregate counting
+    * violations of every declared check (SQL semantics — NULL passes,
+    * FALSE fails), thrown loudly BEFORE the manifest swap so the table
+    * can never hold a rejected row; the orphaned staging is swept by the
+    * next GC like any crashed publish. Cost is one pass over the staged
+    * (new/modified) files only — never the table. */
+  private def validateChecks(fresh: DataFrame,
+      checks: Seq[(String, String)], table: Path): Unit = {
+    if (checks.isEmpty) return
+    import org.apache.spark.sql.functions.{count => fcount, expr => fexpr}
+    val aggs = checks.zipWithIndex.map { case ((_, e), i) =>
+      fcount(when(!coalesce(fexpr(e), lit(true)), 1)).as(s"__c$i") }
+    val row = fresh.agg(aggs.head, aggs.tail: _*).head()
+    val bad = checks.zipWithIndex.collect {
+      case ((n, e), i) if row.getLong(i) > 0 => s"$n ($e): ${row.getLong(i)} row(s)" }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"CHECK constraint violation publishing to $table: " +
+        bad.mkString("; ") + " — publish aborted, the table is unchanged " +
+        "(staged segments are orphans, swept by the next GC)")
+  }
+
   /** [[computeStats]] over segments ALREADY staged on disk: reads back
     * only the fresh files (which carry the partition column as data)
     * instead of re-running the caller's merge/compact plan. */
   private def statsFromStaged(spark: SparkSession, table: Path,
       staged: Map[String, String], partitionCol: String,
-      statsCols: Seq[String], bloomCols: Seq[String] = Nil)
+      statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+      checks: Seq[(String, String)] = Nil)
       : (Map[String, Seq[(Option[String], Option[String])]], Map[String, Long]) =
     if (staged.isEmpty) (Map.empty, Map.empty)
     else try {
       val fresh = spark.read.parquet(
         staged.values.toSeq.sorted.map(d => new Path(table, d).toString): _*)
+      validateChecks(fresh, checks, table)
       val res = computeStats(fresh, partitionCol, statsCols)
       writeBloomSidecars(spark, table, staged, partitionCol, bloomCols,
         res._2, fresh)
@@ -1398,7 +1509,8 @@ object CommittedTable {
       retainGenerations: Int = 2, statsCols: Seq[String] = Nil,
       sortCols: Seq[String] = Nil, filesPerPartition: Int = 1,
       keyCol: Option[String] = None, versionCol: Option[String] = None,
-      bloomCols: Seq[String] = Nil): Unit = {
+      bloomCols: Seq[String] = Nil,
+      checks: Seq[(String, String)] = Nil): Unit = {
     require(partitionCols.size >= 2,
       s"writeComposite needs >= 2 partition columns, got $partitionCols " +
         "(use write() for one)")
@@ -1409,7 +1521,7 @@ object CommittedTable {
     write(df.withColumn(keyName, compositeKey(partitionCols.map(col): _*)),
       path, keyName, retainGenerations,
       (partitionCols ++ statsCols).distinct, sortCols, filesPerPartition,
-      keyCol, versionCol, bloomCols)
+      keyCol, versionCol, bloomCols, checks)
   }
 
   /** [[merge]] into a [[writeComposite]] table: derives the same
@@ -1740,7 +1852,7 @@ object CommittedTable {
     // move — dropping its entry IS its retirement
     val (segStats, segCounts) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
-        m.bloomCols)
+        m.bloomCols, m.checks)
     // keycol/vercol metadata backfills from the first merge of a
     // pre-feature table (the merge call IS the declaration of the key
     // protocol); partcol likewise
@@ -2007,7 +2119,8 @@ object CommittedTable {
       val staged = stageSegments(finalDf, path, pc, gen)
       crashPoint("after-staging")
       val (segStats, segCounts) =
-        statsFromStaged(spark, table, staged, pc, m.statsCols, m.bloomCols)
+        statsFromStaged(spark, table, staged, pc, m.statsCols,
+          m.bloomCols, m.checks)
       val next = m.copy(gen = gen,
         segments = (m.segments -- affected) ++
           staged.view.filterKeys(affected.contains),
@@ -2249,7 +2362,7 @@ object CommittedTable {
     crashPoint("after-staging")
     val (segStats, segCounts) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
-        m.bloomCols)
+        m.bloomCols, m.checks)
     val next = m.copy(gen = gen,
       segments = (m.segments -- affected) ++
         staged.view.filterKeys(affected.contains),
@@ -2319,7 +2432,7 @@ object CommittedTable {
     val staged = stageSegments(df, path, pc, gen, sortCols,
       filesPerPartition = filesPerPartition)
     val (stats, counts) = statsFromStaged(spark, table, staged, pc,
-      newStats, newBlooms)
+      newStats, newBlooms, m.checks)
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen, cols = df.columns.toSeq, segments = staged,
         statsCols = newStats, stats = stats, rowCounts = counts,
@@ -2391,7 +2504,7 @@ object CommittedTable {
       filesPerPartition = filesPerPartition)
     if (staged.isEmpty) return // an empty batch overwrites nothing
     val (segStats, segCounts) = statsFromStaged(spark, table, staged, pc,
-      m.statsCols, m.bloomCols)
+      m.statsCols, m.bloomCols, m.checks)
     val affected = staged.keySet
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen,

@@ -191,7 +191,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     def bad(what: String): Nothing = throw new UnsupportedOperationException(
       s"ALTER TABLE ${ident}: $what; supported: ADD COLUMNS (top-level, " +
         "nullable, no DEFAULT/position) and SET TBLPROPERTIES " +
-        "(keycol, vercol, statscols, bloomcols, retain)")
+        "(keycol, vercol, statscols, bloomcols, retain, check:<name>)")
     val adds = changes.collect { case a: TableChange.AddColumn =>
       if (a.fieldNames().length != 1)
         bad(s"nested column ${a.fieldNames().mkString(".")} cannot be added")
@@ -209,9 +209,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         bad(s"nested column ${d.fieldNames().mkString(".")} cannot be dropped")
       (d.fieldNames().head, Boolean.unbox(d.ifExists()))
     }
-    val props = changes.collect { case p: TableChange.SetProperty =>
-      (p.property().toLowerCase(java.util.Locale.ROOT), p.value())
+    val rawProps = changes.collect { case p: TableChange.SetProperty =>
+      (p.property(), p.value())
     }
+    // CHECK constraints keep the declared name's case: 'check:<name>'
+    val checkProps = rawProps.filter(
+      _._1.toLowerCase(java.util.Locale.ROOT).startsWith("check:"))
+      .map { case (k, v) => (k.substring("check:".length), v) }
+    val props = rawProps.filterNot(
+      _._1.toLowerCase(java.util.Locale.ROOT).startsWith("check:"))
+      .map { case (k, v) => (k.toLowerCase(java.util.Locale.ROOT), v) }
     val known = Set("keycol", "vercol", "statscols", "bloomcols", "retain")
     props.collectFirst { case (k, _) if !known.contains(k) => k }
       .foreach(k => bad(s"unknown table property '$k'"))
@@ -240,6 +247,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         statsCols = list("statscols"), bloomCols = list("bloomcols"))
     pm.get("retain").foreach(r =>
       CommittedTable.setRetention(spark, path, r.toInt))
+    if (checkProps.nonEmpty) {
+      // 'check:<name>' = '<expr>' adds/replaces that named check; an
+      // empty value drops it. The full resulting set revalidates against
+      // existing rows (setChecks' contract).
+      val p2 = new Path(path)
+      val m = CommittedTable.readManifest(
+        p2.getFileSystem(spark.sparkContext.hadoopConfiguration), p2)
+        .getOrElse(throw new java.io.IOException(
+          s"no committed table at $path"))
+      val dropped = checkProps.collect { case (n, v) if v.trim.isEmpty => n }.toSet
+      val added = checkProps.filter(_._2.trim.nonEmpty)
+      val merged = m.checks.filterNot(c =>
+        dropped.contains(c._1) || added.exists(_._1 == c._1)) ++ added
+      CommittedTable.setChecks(spark, path, merged)
+    }
     loadTable(ident)
   }
 

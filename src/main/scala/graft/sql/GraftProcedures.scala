@@ -127,6 +127,20 @@ private[sql] object GraftProcedures {
     }
   }
 
+  /** `CALL graft.vacuum(table => …)`: explicit retention sweep
+    * ([[CommittedTable.vacuum]]) for tables that stopped receiving
+    * writes (merges GC on their own). */
+  def vacuumProc(resolve: String => String): UnboundProcedure = new Proc("vacuum", Array(
+    ProcedureParameter.in("table", StringType).build())) {
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val path = resolve(str(input, 0).getOrElse(
+        throw new IllegalArgumentException("table must not be NULL")))
+      CommittedTable.vacuum(spark, path)
+      result(path, currentGen(spark, path))
+    }
+  }
+
   /** `CALL graft.clone(source => …, target => …)`: shallow clone —
     * [[CommittedTable.cloneShallow]]'s metadata-only branch of the
     * source's current snapshot (zero data copied; see its scaladoc for
@@ -258,5 +272,6 @@ private[sql] object GraftProcedures {
     "history" -> history(resolve),
     "init_agg_view" -> initAggView(resolve),
     "sync_agg_view" -> syncAggView(resolve),
-    "clone" -> cloneProc(resolve))
+    "clone" -> cloneProc(resolve),
+    "vacuum" -> vacuumProc(resolve))
 }

@@ -140,10 +140,15 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       val unknown = props.keySet --
         Set("keycol", "vercol", "statscols", "bloomcols", "retain") --
-        props.keySet.filter(_.startsWith("option."))
+        props.keySet.filter(_.startsWith("option.")) --
+        props.keySet.filter(_.startsWith("check:"))
       if (unknown.nonEmpty) fail(
         s"CREATE TABLE ${ident}: unknown TBLPROPERTIES ${unknown.mkString(", ")}" +
-          " (supported: keycol, vercol, statscols, bloomcols, retain)")
+          " (supported: keycol, vercol, statscols, bloomcols, retain, " +
+          "check:<name>)")
+      val ctasChecks: Seq[(String, String)] = props.toSeq.collect {
+        case (k, v) if k.startsWith("check:") && v.trim.nonEmpty =>
+          (k.substring("check:".length), v) }
       GraftDmlCommand(s"CREATE TABLE $path AS SELECT", { s =>
         val t = new Path(path)
         val fs = t.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -157,14 +162,16 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
             statsCols = propList("statscols"),
             keyCol = props.get("keycol"),
             versionCol = props.get("vercol"),
-            bloomCols = propList("bloomcols"))
+            bloomCols = propList("bloomcols"),
+            checks = ctasChecks)
         } else {
           CommittedTable.writeComposite(bridge.ofRows(s, query), path, pcs,
             retainGenerations = props.get("retain").map(_.toInt).getOrElse(2),
             statsCols = propList("statscols"),
             keyCol = props.get("keycol"),
             versionCol = props.get("vercol"),
-            bloomCols = propList("bloomcols"))
+            bloomCols = propList("bloomcols"),
+            checks = ctasChecks)
         }
       })
     // an in-progress CTAS keeps its unresolved name until the case above

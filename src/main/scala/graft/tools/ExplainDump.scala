@@ -976,6 +976,23 @@ object ExplainDump {
           (col("o_totalprice") + 1000.0).as("o_totalprice"),
           col("version"), col("o_orderpriority"))
         .createOrReplaceTempView("explain_q156_backfill")
+      // q161: the CHECK enforcement cost — ONE aggregate over freshly
+      // STAGED files per publish (never the table). The shape below is
+      // that exact aggregate, here issued over the table's live segments
+      // for dumping purposes.
+      section("q161_check_constraints (the validation aggregate's shape)",
+        """Wants: the declared checks validate as ONE partial/final count
+          |aggregate (count of rows where NOT coalesce(check, true), all
+          |checks in the same pass) over a plain parquet scan of the
+          |FRESHLY STAGED segment files — at 100 TB the cost tracks what
+          |the publish wrote, never table size; a violation throws before
+          |the manifest swap, so no generation is burned and the staging
+          |is swept as an ordinary crashed-publish orphan. The DML verbs'
+          |own plans are unchanged (§q134/q136/§q119); enforcement is this
+          |one extra aggregate on row-writing publishes only.""".stripMargin,
+        graft.sources.CommittedTable.read(spark, sqDir).agg(
+          count(when(!coalesce(expr("o_totalprice >= 0"), lit(true)), 1))
+            .as("violations")))
       val cloneDir = s"$tmp/clone"
       graft.sources.CommittedTable.cloneShallow(spark, sqDir, cloneDir)
       val cloneRead = spark.sql(

@@ -345,13 +345,16 @@ class GraftCatalogSpec extends SparkSpec {
       val rec = spark.sql(s"CALL graft.recover(table => '$path')").collect()
       assert(rec.head.getLong(1) === m.gen)
       // unknown procedure fails loudly (Spark wraps the catalog's
+      // vacuum is callable too (healthy table: sweeps nothing, reports gen)
+      val vac = spark.sql(s"CALL graft.vacuum(table => '$path')").collect()
+      assert(vac.head.getLong(1) === m.gen)
       // inventory-naming error in FAILED_TO_LOAD_ROUTINE)
       val e = intercept[Exception] {
-        spark.sql(s"CALL graft.vacuum(table => '$path')").collect()
+        spark.sql(s"CALL graft.defrobulate(table => '$path')").collect()
       }
       val messages = Iterator.iterate(e: Throwable)(_.getCause)
         .takeWhile(_ != null).map(_.getMessage).mkString("; ")
-      assert(messages.contains("vacuum"))
+      assert(messages.contains("defrobulate"))
       assert(messages.contains("unknown procedure") ||
         messages.contains("FAILED_TO_LOAD_ROUTINE"))
     }
