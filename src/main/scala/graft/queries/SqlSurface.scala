@@ -689,5 +689,47 @@ object SqlSurface {
                  AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         CAST(SUM(CASE WHEN o_orderkey % 9 = 0 THEN 2 ELSE 1 END) AS BIGINT)
           AS sum_version
-      FROM orders GROUP BY o_orderstatus""")))
+      FROM orders GROUP BY o_orderstatus""")),
+
+    // ---- bucketed tables: the shuffle-free keyed join ----------------------
+    // Both sides written bucketed by their join key (8 buckets,
+    // pmod(murmur3, n) file splits with Spark's _NNNNN suffixes); the
+    // substituted scans carry the BucketSpec, so the SQL join plans a
+    // sort-merge join with NO shuffle exchange on either side — the
+    // dominant cost of a 100 TB keyed join removed at write time
+    // (broadcast disabled in-gate so the bucketed path, not the q150 CBO
+    // broadcast, is what runs; BucketedTableSpec pins the plan shape,
+    // EXPLAIN §q162 the dump). The oracle is the plain join recompute —
+    // bucketing must change the plan, never the answer.
+    Q("q162_bucketed_join", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q162").toString
+      val fPath = s"$wh/fact"; val dPath = s"$wh/dim"
+      graft.sources.CommittedTable.write(o, fPath, "o_orderstatus",
+        bucketBy = Some((8, Seq("o_custkey"))))
+      graft.sources.CommittedTable.write(c, dPath, "c_mktsegment",
+        bucketBy = Some((8, Seq("c_custkey"))))
+      val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val out = s.sql(
+          s"""SELECT c.c_mktsegment, COUNT(*) AS n,
+                CAST(SUM(f.o_orderkey) AS BIGINT) AS sum_keys,
+                ${DSUM("f.o_totalprice")} AS sum_price
+              FROM graft.`$fPath` f JOIN graft.`$dPath` c
+                ON f.o_custkey = c.c_custkey
+              GROUP BY c.c_mktsegment""")
+        finish(s, out, fPath)
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }, Some("""
+      SELECT c.c_mktsegment, COUNT(*) AS n,
+        CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment""")))
 }

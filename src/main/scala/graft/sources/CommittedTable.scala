@@ -141,6 +141,17 @@ object CommittedTable {
       // sheds the residue everywhere and clears the list. Line:
       // dropped=<tab-joined esc names>.
       droppedCols: Seq[String] = Nil,
+      // BUCKETED layout ([[write]] bucketBy / CTAS TBLPROPERTIES buckets/
+      // bucketcols): every segment's files are split by
+      // pmod(murmur3(bucketCols), n) and named with Spark's _NNNNN bucket
+      // suffix, and the SQL substitution attaches the matching BucketSpec
+      // — so joins/aggregations on the bucket columns between two
+      // same-bucketed committed tables plan WITHOUT a shuffle exchange
+      // on either side (the classic 100 TB join killer removed at write
+      // time). Immutable for the table's life: every publish path threads
+      // it through staging, so all live files are always bucket-parseable.
+      // Line: bucketby=<n>\t<cols...>.
+      bucketing: Option[(Int, Seq[String])] = None,
       // CHECK constraints ([[setChecks]] / TBLPROPERTIES 'check:<name>'):
       // (name, SQL boolean expression) pairs validated against every
       // publish that CREATES or MODIFIES rows (write/merge/mergeClauses/
@@ -244,7 +255,7 @@ object CommittedTable {
         !l.startsWith("keycol=") && !l.startsWith("vercol=") &&
         !l.startsWith("bloom=") && !l.startsWith("virtual=") &&
         !l.startsWith("f=") && !l.startsWith("dropped=") &&
-        !l.startsWith("check="))
+        !l.startsWith("check=") && !l.startsWith("bucketby="))
     val parsed = segLines.map { l =>
       l.split('\t') match {
         case Array(v, d) => (unesc(v), d, Nil: Seq[(Option[String], Option[String])])
@@ -255,11 +266,18 @@ object CommittedTable {
         case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
       }
     }
+    val bucketing = lines.drop(2).find(_.startsWith("bucketby="))
+      .map { l =>
+        l.stripPrefix("bucketby=").split('\t').toSeq match {
+          case n +: cs if cs.nonEmpty => (n.toInt, cs.map(unesc))
+          case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
+        }
+      }
     Some(Manifest(gen, cols,
       parsed.map(t => t._1 -> t._2).toMap, retain, statsCols,
       parsed.collect { case (v, _, st) if st.nonEmpty => v -> st }.toMap,
       rowCounts, partCol, keyCol, verCol, bloomCols, virtualCols, files,
-      droppedCols, checks))
+      droppedCols, bucketing = bucketing, checks = checks))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
@@ -288,6 +306,8 @@ object CommittedTable {
         (if (m.droppedCols.isEmpty) Nil
          else Seq(s"dropped=${m.droppedCols.map(esc).mkString("\t")}")) ++
         m.checks.map { case (n, e) => s"check=${esc(n)}\t${esc(e)}" } ++
+        m.bucketing.map { case (n, cs) =>
+          s"bucketby=$n\t${cs.map(esc).mkString("\t")}" }.toSeq ++
         m.files.toSeq.sortBy(_._1)
           .filter { case (seg, _) => m.segments.values.exists(_ == seg) }
           .flatMap { case (seg, fsq) =>
@@ -563,7 +583,8 @@ object CommittedTable {
       sortCols: Seq[String] = Nil, filesPerPartition: Int = 1,
       keyCol: Option[String] = None, versionCol: Option[String] = None,
       bloomCols: Seq[String] = Nil,
-      checks: Seq[(String, String)] = Nil): Unit = {
+      checks: Seq[(String, String)] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
@@ -579,14 +600,22 @@ object CommittedTable {
     // sortCols: the [[compact]] canonical in-segment order from the FIRST
     // write — parquet row-group stats support range skipping without
     // waiting for a compaction pass
+    bucketBy.foreach { case (n, cs) =>
+      require(n >= 1, s"bucketBy needs n >= 1, got $n")
+      cs.foreach(c => require(df.columns.contains(c),
+        s"bucket column $c absent from the table (${df.columns.mkString(",")})"))
+      require(!cs.contains(partitionCol),
+        "bucketing by the partition column is redundant (it is already the " +
+          "physical scope); bucket by the JOIN key instead")
+    }
     val staged = stageSegments(df, path, partitionCol, gen = 1L, sortCols,
-      filesPerPartition = filesPerPartition)
+      filesPerPartition = filesPerPartition, bucketing = bucketBy)
     val (stats, counts) = statsFromStaged(spark, table, staged, partitionCol,
       statsCols, bloomCols, checks)
     publishOrAbort(hconf, table, baseGen = 0L,
       Manifest(1L, df.columns.toSeq, staged, retainGenerations,
         statsCols, stats, counts, Some(partitionCol), keyCol, versionCol,
-        bloomCols, checks = checks),
+        bloomCols, checks = checks, bucketing = bucketBy),
       staged)
   }
 
@@ -665,7 +694,21 @@ object CommittedTable {
   private def stageSegments(df: DataFrame, path: String, partitionCol: String,
       gen: Long, sortCols: Seq[String] = Nil,
       sortExprs: Seq[org.apache.spark.sql.Column] = Nil,
-      filesPerPartition: Int = 1): Map[String, String] = {
+      filesPerPartition: Int = 1,
+      bucketing: Option[(Int, Seq[String])] = None): Map[String, String] =
+    bucketing match {
+      case Some((n, cs)) =>
+        require(n >= 1 && cs.nonEmpty, "bucketing needs n >= 1 and columns")
+        stageBucketed(df, path, partitionCol, gen, n, cs, sortCols)
+      case None =>
+        stageFlat(df, path, partitionCol, gen, sortCols, sortExprs,
+          filesPerPartition)
+    }
+
+  private def stageFlat(df: DataFrame, path: String, partitionCol: String,
+      gen: Long, sortCols: Seq[String],
+      sortExprs: Seq[org.apache.spark.sql.Column],
+      filesPerPartition: Int): Map[String, String] = {
     require(filesPerPartition >= 1,
       s"filesPerPartition must be >= 1, got $filesPerPartition")
     val spark = df.sparkSession
@@ -733,6 +776,71 @@ object CommittedTable {
     } finally { fs.delete(staging, true); () }
     // a failure after SOME renames leaves nonce-named segments in the
     // table dir that no manifest references — ordinary orphans for GC
+  }
+
+  /** Bucketed staging: every segment's rows are split by
+    * `pmod(murmur3(bucketCols), n)` — BIT-IDENTICAL to Spark's
+    * `HashPartitioning.partitionIdExpression`, which is what makes the
+    * layout a real BucketSpec the planner can trust — and each bucket's
+    * file is renamed to carry Spark's `_NNNNN` bucket suffix so
+    * FileSourceScanExec can group files by bucket id at read time. An
+    * empty (partition, bucket) combination simply has no file (the
+    * bucketed read treats it as empty). */
+  private def stageBucketed(df: DataFrame, path: String, partitionCol: String,
+      gen: Long, nBuckets: Int, bucketCols: Seq[String],
+      sortCols: Seq[String]): Map[String, String] = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(path + StagingInfix + nonce)
+    try {
+      val keyed = df.withColumn(partitionCol, col(partitionCol).cast("string"))
+        .withColumn("__part", col(partitionCol))
+        .withColumn("__bucket",
+          pmod(hash(bucketCols.map(col): _*), lit(nBuckets)))
+      val ordered =
+        if (sortCols.nonEmpty)
+          keyed.repartition(col(partitionCol), col("__bucket"))
+            .sortWithinPartitions(
+              ("__part" +: "__bucket" +: sortCols).map(col): _*)
+        else keyed.repartition(col(partitionCol), col("__bucket"))
+          .sortWithinPartitions(col("__part"), col("__bucket"))
+      ordered
+        .write.partitionBy("__part", "__bucket")
+        .mode(SaveMode.Overwrite).parquet(staging.toString)
+      fs.listStatus(staging).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
+        .map { st =>
+          val escaped = st.getPath.getName.stripPrefix("__part=")
+          if (escaped == NullPartName)
+            throw new IllegalArgumentException(
+              s"partition column $partitionCol contains NULL or empty-string " +
+                "values; CommittedTable requires a concrete partition value " +
+                "per row (normalize upstream)")
+          val v = unesc(escaped)
+          val segName = s"seg-g$gen-$nonce-${esc(v)}"
+          val dest = new Path(table, segName)
+          if (!fs.mkdirs(dest))
+            throw new java.io.IOException(s"failed to create segment $dest")
+          fs.listStatus(st.getPath).toSeq
+            .filter(b => b.isDirectory && b.getPath.getName.startsWith("__bucket="))
+            .foreach { b =>
+              val bId = b.getPath.getName.stripPrefix("__bucket=").toInt
+              val dataFiles = fs.listStatus(b.getPath).toSeq.filter(f =>
+                f.isFile && !f.getPath.getName.startsWith("_") &&
+                  !f.getPath.getName.startsWith("."))
+              dataFiles.zipWithIndex.foreach { case (f, i) =>
+                val name = f"part-$i%05d-$nonce-b_$bId%05d.c000.snappy.parquet"
+                if (!fs.rename(f.getPath, new Path(dest, name)))
+                  throw new java.io.IOException(
+                    s"failed to stage bucket file ${f.getPath} -> $dest/$name")
+              }
+            }
+          v -> segName
+        }.toMap
+    } finally { fs.delete(staging, true); () }
   }
 
   /** Read the committed table: resolve segments through the manifest
@@ -958,6 +1066,8 @@ object CommittedTable {
         else if (m.verCol.contains(c)) Some("the version column (vercol)")
         else if (m.statsCols.contains(c)) Some("a zone-map stats column")
         else if (m.bloomCols.contains(c)) Some("a bloom-sidecar column")
+        else if (m.bucketing.exists(_._2.contains(c)))
+          Some("a bucket column (the table's physical layout)")
         else None
       role.foreach(r => throw new UnsupportedOperationException(
         s"DROP COLUMNS: $c is $r of $path; clear the role first " +
@@ -1225,7 +1335,8 @@ object CommittedTable {
       .join(keySet, Seq(key), "left_anti")
     crashPoint("before-staging")
     val gen = m.gen + 1
-    val staged = stageSegments(keep, path, partitionCol, gen)
+    val staged = stageSegments(keep, path, partitionCol, gen,
+      bucketing = m.bucketing)
     crashPoint("after-staging")
     val (segStats, segCounts) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
@@ -1844,7 +1955,8 @@ object CommittedTable {
 
     crashPoint("before-staging")
     val gen = m.gen + 1
-    val staged = stageSegments(merged, path, partitionCol, gen)
+    val staged = stageSegments(merged, path, partitionCol, gen,
+      bucketing = m.bucketing)
     crashPoint("after-staging")
 
     // new manifest: affected entries replaced by their staged segments; an
@@ -2116,7 +2228,8 @@ object CommittedTable {
 
       crashPoint("before-staging")
       val gen = m.gen + 1
-      val staged = stageSegments(finalDf, path, pc, gen)
+      val staged = stageSegments(finalDf, path, pc, gen,
+        bucketing = m.bucketing)
       crashPoint("after-staging")
       val (segStats, segCounts) =
         statsFromStaged(spark, table, staged, pc, m.statsCols,
@@ -2201,6 +2314,11 @@ object CommittedTable {
     }
     crashPoint("before-staging")
     val gen = m.gen + 1
+    require(m.bucketing.isEmpty,
+      "compactZOrder on a bucketed table: z-order and bucketing are " +
+        "competing physical layouts — this table's files must stay " +
+        "bucket-grouped (use compact(), which preserves the buckets and " +
+        "sorts within them via sortCols)")
     val staged = stageSegments(cur, path, partitionCol, gen,
       sortExprs = Seq(mortonKey(dims, bits)))
     crashPoint("after-staging")
@@ -2267,7 +2385,8 @@ object CommittedTable {
     val keep = read(spark, path, Some(affected.toIndexedSeq)).filter(!matched)
     crashPoint("before-staging")
     val gen = m.gen + 1
-    val staged = stageSegments(keep, path, partitionCol, gen)
+    val staged = stageSegments(keep, path, partitionCol, gen,
+      bucketing = m.bucketing)
     crashPoint("after-staging")
     val (segStats, segCounts) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
@@ -2358,7 +2477,8 @@ object CommittedTable {
       .select(rewritten.toIndexedSeq: _*)
     crashPoint("before-staging")
     val gen = m.gen + 1
-    val staged = stageSegments(upd, path, partitionCol, gen)
+    val staged = stageSegments(upd, path, partitionCol, gen,
+      bucketing = m.bucketing)
     crashPoint("after-staging")
     val (segStats, segCounts) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
@@ -2429,15 +2549,20 @@ object CommittedTable {
       .foreach(c => require(df.columns.contains(c),
         s"column $c absent from the replacement (${df.columns.mkString(",")})"))
     val gen = m.gen + 1
+    // bucketing carries across a full overwrite only while every bucket
+    // column survives the new schema; otherwise it clears (like roles
+    // whose column a REPLACE drops) — the invariant is that a manifest
+    // with bucketby= references ONLY bucket-suffixed files
+    val keptBucketing = m.bucketing.filter(_._2.forall(df.columns.contains))
     val staged = stageSegments(df, path, pc, gen, sortCols,
-      filesPerPartition = filesPerPartition)
+      filesPerPartition = filesPerPartition, bucketing = keptBucketing)
     val (stats, counts) = statsFromStaged(spark, table, staged, pc,
       newStats, newBlooms, m.checks)
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen, cols = df.columns.toSeq, segments = staged,
         statsCols = newStats, stats = stats, rowCounts = counts,
         partitionCol = Some(pc), keyCol = newKey, verCol = newVer,
-        bloomCols = newBlooms,
+        bloomCols = newBlooms, bucketing = keptBucketing,
         // the replacement materializes every column it declares and
         // physically sheds any dropped-column residue
         virtualCols = Nil, droppedCols = Nil), staged)
@@ -2501,7 +2626,7 @@ object CommittedTable {
     }
     val gen = m.gen + 1
     val staged = stageSegments(data, path, pc, gen, sortCols,
-      filesPerPartition = filesPerPartition)
+      filesPerPartition = filesPerPartition, bucketing = m.bucketing)
     if (staged.isEmpty) return // an empty batch overwrites nothing
     val (segStats, segCounts) = statsFromStaged(spark, table, staged, pc,
       m.statsCols, m.bloomCols, m.checks)
@@ -2531,7 +2656,7 @@ object CommittedTable {
     require(m.cols.contains(partitionCol),
       s"$partitionCol is not a column of the committed table (${m.cols.mkString(",")})")
     val staged = stageSegments(cur, path, partitionCol, gen, sortCols,
-      filesPerPartition = filesPerPartition)
+      filesPerPartition = filesPerPartition, bucketing = m.bucketing)
     crashPoint("after-staging")
     // every live partition restaged; a value absent from staged would mean
     // data loss, so check the cover before publishing

@@ -139,13 +139,21 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
             s"columns are supported, got ${other.map(_.describe).mkString(", ")}")
       }
       val unknown = props.keySet --
-        Set("keycol", "vercol", "statscols", "bloomcols", "retain") --
+        Set("keycol", "vercol", "statscols", "bloomcols", "retain",
+          "buckets", "bucketcols") --
         props.keySet.filter(_.startsWith("option.")) --
         props.keySet.filter(_.startsWith("check:"))
       if (unknown.nonEmpty) fail(
         s"CREATE TABLE ${ident}: unknown TBLPROPERTIES ${unknown.mkString(", ")}" +
           " (supported: keycol, vercol, statscols, bloomcols, retain, " +
-          "check:<name>)")
+          "buckets + bucketcols, check:<name>)")
+      val ctasBuckets: Option[(Int, Seq[String])] =
+        (props.get("buckets"), propList("bucketcols")) match {
+          case (Some(n), cs) if cs.nonEmpty => Some((n.toInt, cs))
+          case (None, Nil) => None
+          case _ => fail(s"CREATE TABLE ${ident}: buckets and bucketcols " +
+            "must be declared together ('buckets'='8', 'bucketcols'='k')")
+        }
       val ctasChecks: Seq[(String, String)] = props.toSeq.collect {
         case (k, v) if k.startsWith("check:") && v.trim.nonEmpty =>
           (k.substring("check:".length), v) }
@@ -163,7 +171,8 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
             keyCol = props.get("keycol"),
             versionCol = props.get("vercol"),
             bloomCols = propList("bloomcols"),
-            checks = ctasChecks)
+            checks = ctasChecks,
+            bucketBy = ctasBuckets)
         } else {
           CommittedTable.writeComposite(bridge.ofRows(s, query), path, pcs,
             retainGenerations = props.get("retain").map(_.toInt).getOrElse(2),
@@ -476,8 +485,16 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
     val partSchema = index.partitionSchema
     val dataSchema = StructType(t.tableSchema.fields.filterNot(f =>
       partSchema.fieldNames.contains(f.name)))
+    // a bucketed table's manifest carries its BucketSpec: the planner
+    // then reports HashPartitioning(bucketCols, n) for this scan, and a
+    // join/aggregation on the bucket columns between two same-bucketed
+    // committed tables needs NO shuffle exchange on either side — the
+    // file-name _NNNNN suffixes written by the bucketed staging are what
+    // FileSourceScanExec groups by
+    val bucketSpec = t.manifest.bucketing.map { case (n, cs) =>
+      org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cs, Nil) }
     val fsRelation = HadoopFsRelation(index, partSchema, dataSchema,
-      None, new ParquetFileFormat(), Map.empty)(spark)
+      bucketSpec, new ParquetFileFormat(), Map.empty)(spark)
     val lr = LogicalRelation(fsRelation)
     val byName = lr.output.map(a => a.name -> a).toMap
     Project(r.output.map(o =>

@@ -976,6 +976,45 @@ object ExplainDump {
           (col("o_totalprice") + 1000.0).as("o_totalprice"),
           col("version"), col("o_orderpriority"))
         .createOrReplaceTempView("explain_q156_backfill")
+      // q162: the bucketed join — both sides written bucketed by the
+      // join key; the evidence is the ABSENCE of exchanges under the
+      // sort-merge join (broadcast + AQE disabled for a static dump)
+      val bkF = s"$tmp/bkf"; val bkD = s"$tmp/bkd"
+      graft.sources.CommittedTable.write(
+        base.select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice")).withColumn("o_custkey", col("o_orderkey") % 97),
+        bkF, "o_orderstatus", bucketBy = Some((8, Seq("o_custkey"))))
+      graft.sources.CommittedTable.write(
+        base.select((col("o_orderkey") % 97).as("c_custkey")).distinct()
+          .withColumn("c_mktsegment", concat(lit("m"),
+            (col("c_custkey") % 3).cast("string"))),
+        bkD, "c_mktsegment", bucketBy = Some((8, Seq("c_custkey"))))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try section("q162_bucketed_join (shuffle-free keyed join of two bucketed tables)",
+        """Wants: a SortMergeJoin whose BOTH children are Sort→Scan with
+          |NO Exchange anywhere below the join — each scan reads
+          |`Bucketed: true` with the manifest's BucketSpec
+          |(pmod(murmur3(key), 8) file splits written at publish time, the
+          |same partitionIdExpression HashPartitioning evaluates, so the
+          |planner's co-partitioning claim is exact). At 100 TB this is
+          |the keyed join's dominant cost — shuffling both sides — paid
+          |ONCE at write time and amortized over every subsequent join,
+          |aggregation, or bucket-pruned point probe on the key.
+          |Broadcast/AQE disabled for this dump so the bucketed path is
+          |what prints; with them on, a small dim broadcasts (§q150) and
+          |bucketing simply stops mattering — the planner picks the
+          |cheaper of the two.""".stripMargin,
+        spark.sql(
+          s"""SELECT c.c_mktsegment, COUNT(*) AS n
+              FROM graft.`$bkF` f JOIN graft.`$bkD` c
+                ON f.o_custkey = c.c_custkey
+              GROUP BY c.c_mktsegment"""))
+      finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+
       // q161: the CHECK enforcement cost — ONE aggregate over freshly
       // STAGED files per publish (never the table). The shape below is
       // that exact aggregate, here issued over the table's live segments
