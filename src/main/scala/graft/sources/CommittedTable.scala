@@ -607,6 +607,10 @@ object CommittedTable {
       require(!cs.contains(partitionCol),
         "bucketing by the partition column is redundant (it is already the " +
           "physical scope); bucket by the JOIN key instead")
+      require(filesPerPartition == 1,
+        "bucketBy and filesPerPartition are both file-count policies: a " +
+          "bucketed segment holds one file per non-empty bucket (n = " +
+          s"$n), so filesPerPartition must stay 1")
     }
     val staged = stageSegments(df, path, partitionCol, gen = 1L, sortCols,
       filesPerPartition = filesPerPartition, bucketing = bucketBy)
