@@ -163,6 +163,29 @@ class BucketedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("bucketcols"))
   }
 
+  test("empty buckets (missing files) read and join correctly") {
+    // 2 distinct keys into 8 buckets: most buckets have NO file at all —
+    // the bucketed read must treat them as empty, not fail or drop rows
+    val f = freshDir("empty-f"); val d = freshDir("empty-d")
+    CommittedTable.write(
+      Seq((1L, "k1", "A", 1.0), (2L, "k2", "A", 2.0), (3L, "k1", "B", 3.0))
+        .toDF("id", "cust", "status", "amount"),
+      f, "status", bucketBy = Some((8, Seq("cust"))))
+    CommittedTable.write(
+      Seq(("k1", "s1"), ("k2", "s2")).toDF("cust", "segment")
+        .withColumn("status", lit("D")),
+      d, "status", bucketBy = Some((8, Seq("cust"))))
+    noBroadcast {
+      val j = spark.sql(
+        s"""SELECT f.id, d.segment FROM graft.`$f` f
+            JOIN graft.`$d` d ON f.cust = d.cust ORDER BY f.id""")
+      assert(j.as[(Long, String)].collect().toSeq ===
+        Seq((1L, "s1"), (2L, "s2"), (3L, "s1")))
+      val smj = finalPlan(j).collectFirst { case s: SortMergeJoinExec => s }
+      assert(smj.exists(_.collect { case e: ShuffleExchangeExec => e }.isEmpty))
+    }
+  }
+
   test("contracts: bucket column must exist; partition column refused") {
     val dir = freshDir("guard")
     intercept[IllegalArgumentException] {
