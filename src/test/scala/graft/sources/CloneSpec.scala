@@ -138,6 +138,39 @@ class CloneSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("a clone of a bucketed table inherits the layout: its joins stay exchange-free") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val src = freshDir("bksrc"); val dst = freshDir("bkdst")
+    val other = freshDir("bkother")
+    CommittedTable.write(
+      base().withColumn("cust", concat(lit("c"), ($"id" % 3).cast("string"))),
+      src, "status", bucketBy = Some((4, Seq("cust"))))
+    CommittedTable.write(
+      Seq(("c0", "s0"), ("c1", "s1"), ("c2", "s2")).toDF("cust", "seg")
+        .withColumn("status", lit("D")),
+      other, "status", bucketBy = Some((4, Seq("cust"))))
+    CommittedTable.cloneShallow(spark, src, dst)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val j = spark.sql(
+        s"""SELECT d.seg, COUNT(*) AS n FROM graft.`$dst` f
+            JOIN graft.`$other` d ON f.cust = d.cust GROUP BY d.seg""")
+      assert(j.as[(String, Long)].collect().toMap ===
+        Map("s0" -> 1L, "s1" -> 2L, "s2" -> 1L))
+      val smj = j.queryExecution.executedPlan
+        .collectFirst { case s: SortMergeJoinExec => s }
+      assert(smj.exists(_.collect { case e: ShuffleExchangeExec => e }.isEmpty),
+        s"clone's bucketed join must stay exchange-free:\n${j.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("contracts: cloning onto an existing table or from a missing one fails loudly") {
     val src = writeSrc()
     val dst = freshDir("dst6")
