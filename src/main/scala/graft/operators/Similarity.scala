@@ -181,7 +181,21 @@ object Similarity {
     * query scores only the `nProbe` cells whose centroids are closest to
     * it. The 100 TB shape: cell assignment is a broadcast argmin at ingest
     * (write-once, partition-by-cell), and each query reads nProbe/nCells
-    * of the data. */
+    * of the data.
+    *
+    * RECALL is governed by the nProbe/nCells ratio, and the defaults here
+    * (4 of 16 = 25%) are the MEASURED floor for ~0.8 recall@10 on weakly
+    * clustered embeddings — on the driver corpus (BENCH_NOTES r15,
+    * `tools/AnnRecall`): nProbe 2/32 ⇒ 0.345, 4/32 ⇒ 0.505, 8/32 ⇒
+    * 0.67, 16/32 ⇒ 0.84. Strongly clustered real-world embeddings do
+    * better at the same ratio; uniform random vectors do worse. Rule of
+    * thumb: probe ≥ 25% of cells ([[recommendedNProbe]]) unless you have
+    * measured your corpus with [[ivfRecallAt]]; raising nCells without
+    * raising nProbe silently TRADES RECALL FOR SPEED. The same knob and
+    * numbers apply to every IVF entry point (`ivfBatchTopK`,
+    * `ivfTopKFromIndex`, `ivfBatchTopKFromIndex`, `ivfpqTopKFromIndex` —
+    * the PQ variants add shortlist re-ranking on top, equal to plain IVF
+    * at shortlist ≥ 256). */
   def ivfTopK(embeddings: DataFrame, query: DataFrame, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -199,6 +213,13 @@ object Similarity {
       .select(col(idCol), col("cos"))
       .limit(k)
   }
+
+  /** The nProbe targeting ~0.8 recall@10 on weakly clustered data: 25% of
+    * the cells (measured — see the recall table on [[ivfTopK]]). Use as
+    * the safe default when the corpus has not been measured with
+    * [[ivfRecallAt]]; halve it only after the measurement says so. */
+  def recommendedNProbe(nCells: Int): Int =
+    math.max(1, math.ceil(nCells / 4.0).toInt)
 
   /** Deterministic coarse quantizer: Lloyd k-means over a HASH-ORDERED
     * sample, run on the driver. Why not the nCells lowest-id vectors (the

@@ -643,6 +643,37 @@ object Extended {
       FROM sigs s, q, masks
       WHERE s.sig = xor(q.qsig, CAST(m AS BIGINT))
       ORDER BY cos DESC, s.vec_id ASC LIMIT 10"""
-    })
+    }),
+
+    // ---- MinHash dedup through PURE SQL (CALL procedure) ------------------
+    // The q56 pipeline driven entirely from SQL text: the corpus lands in
+    // a committed table, `CALL graft.dedup_minhash` runs the SAME Scala
+    // operator (banded equi-join, never all-pairs) and writes the
+    // candidate pairs, and the result is read back with a parquet SELECT
+    // — one implementation, three front ends (Scala / routed DML / CALL).
+    // The oracle is q56's band-OR join recomputed from the raw corpus.
+    Q("q164_sql_call_dedup", (s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q164").toString
+      graft.sources.CommittedTable.write(
+        table(s, dir, "documents"), s"$wh/docs", "source",
+        keyCol = Some("doc_id"), versionCol = Some("doc_id"))
+      s.sql(s"CALL graft.dedup_minhash(input => '$wh/docs', " +
+        s"output => '$wh/cands', id => 'doc_id', text => 'text')")
+      val out = s.sql(
+        s"SELECT doc_a, doc_b FROM parquet.`$wh/cands`")
+      val rows = out.collect()
+      val schema = out.schema
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }, Some(s"""
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ${minhashSigSql(6)} a JOIN ${minhashSigSql(6)} b
+        ON a.doc_id < b.doc_id
+        AND (a.band_0 = b.band_0 OR a.band_1 = b.band_1 OR a.band_2 = b.band_2)"""))
   )
 }

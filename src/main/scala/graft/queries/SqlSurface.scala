@@ -731,5 +731,96 @@ object SqlSurface {
         CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_keys,
         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      GROUP BY c.c_mktsegment""")))
+      GROUP BY c.c_mktsegment""")),
+
+    // ---- schema-only CREATE TABLE + INSERT INTO the empty table ----------
+    // The one DDL verb every Delta/Iceberg migration script leads with:
+    // CREATE TABLE declares the schema and roles as pure manifest
+    // metadata (an atomic ZERO-ROW generation-1 publish — no data file
+    // exists anywhere), the empty table immediately reads as a typed
+    // empty relation, and INSERT INTO … SELECT lands as an ordinary
+    // generation-2 keyed publish under the same fencing. The oracle is
+    // the inserted subset recomputed from the raw source — a pass proves
+    // the DDL shell added nothing, lost nothing, and the declared
+    // key/version roles routed the insert correctly.
+    Q("q163_sql_create_insert", (s, dir) => {
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+        .createOrReplaceTempView("q163_src")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q163").toString + "/wh"
+      s.sql(
+        s"""CREATE TABLE graft.`$wh`
+            (o_orderkey BIGINT, o_orderstatus STRING,
+             o_orderpriority STRING, o_totalprice DOUBLE, version BIGINT)
+            PARTITIONED BY (o_orderstatus)
+            TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version',
+                          'statscols'='o_totalprice')""")
+      // the freshly created table is EMPTY by contract (counted from the
+      // manifest, zero jobs) — fold that witness into the gated result
+      val born = s.sql(s"SELECT COUNT(*) AS n FROM graft.`$wh`")
+        .collect().head.getLong(0)
+      s.sql(s"INSERT INTO graft.`$wh` " +
+        "SELECT * FROM q163_src WHERE o_orderkey % 5 = 0")
+      val out = s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority,
+              COUNT(*) + $born AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$wh`
+            GROUP BY o_orderstatus, o_orderpriority""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_orderkey % 5 = 0
+      GROUP BY o_orderstatus, o_orderpriority""")),
+
+    // ---- ALTER TABLE RENAME COLUMN (metadata-only) ------------------------
+    // The rename never touches a data file: gen-1 files physically carry
+    // the OLD name and serve the new one through the manifest's was=
+    // mapping (read-side coalesce); the post-rename INSERT materializes
+    // the new name, so the final aggregate reads BOTH file generations
+    // through one scan. The oracle recomputes the same content from the
+    // raw source under the new name — a pass proves the rename is exact
+    // across mixed physical layouts.
+    Q("q165_sql_rename_column", (s, dir) => {
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+        .createOrReplaceTempView("q165_src")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q165").toString + "/wh"
+      s.sql(
+        s"""CREATE TABLE graft.`$wh`
+            PARTITIONED BY (o_orderstatus)
+            TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version')
+            AS SELECT * FROM q165_src WHERE o_orderkey % 2 = 0""")
+      s.sql(s"ALTER TABLE graft.`$wh` RENAME COLUMN o_totalprice TO amount")
+      // one partition only: every OTHER status keeps gen-1 files that
+      // physically carry the old name — the final scan mixes layouts
+      s.sql(s"INSERT INTO graft.`$wh` " +
+        "SELECT * FROM q165_src WHERE o_orderkey % 2 = 1 " +
+        "AND o_orderkey % 3 = 0 AND o_orderstatus = 'O'")
+      val out = s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("amount")} AS sum_amount
+            FROM graft.`$wh`
+            WHERE amount >= 1000.0
+            GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
+      FROM orders
+      WHERE (o_orderkey % 2 = 0
+             OR (o_orderkey % 6 = 3 AND o_orderstatus = 'O'))
+        AND o_totalprice >= 1000.0
+      GROUP BY o_orderstatus""")))
 }

@@ -141,6 +141,19 @@ object CommittedTable {
       // sheds the residue everywhere and clears the list. Line:
       // dropped=<tab-joined esc names>.
       droppedCols: Seq[String] = Nil,
+      // ---- manifest-SHARDING bookkeeping (serialization state, not table
+      // state) — see the sharding note on the companion. `shards` is the
+      // layout this manifest was hydrated from (empty for inline roots
+      // and freshly built manifests); `shardBodies` maps shard file →
+      // raw body for the publish-time carry-forward diff; `probeSeg`
+      // names the newest segment (root `probe=` line) so schema
+      // discovery needs zero shard reads; `partial` marks a PRUNED
+      // hydration (only surviving shards' partitions present) — read
+      // paths may serve from it, every publish path refuses it.
+      shards: Seq[ShardRef] = Nil,
+      shardBodies: Map[String, String] = Map.empty,
+      probeSeg: Option[String] = None,
+      partial: Boolean = false,
       // BUCKETED layout ([[write]] bucketBy / CTAS TBLPROPERTIES buckets/
       // bucketcols): every segment's files are split by
       // pmod(murmur3(bucketCols), n) and named with Spark's _NNNNN bucket
@@ -152,6 +165,27 @@ object CommittedTable {
       // it through staging, so all live files are always bucket-parseable.
       // Line: bucketby=<n>\t<cols...>.
       bucketing: Option[(Int, Seq[String])] = None,
+      // METADATA-ONLY column renames ([[renameColumn]] / SQL ALTER TABLE
+      // RENAME COLUMN): current name → its FORMER physical names, newest
+      // first. Unrewritten segment files still carry a former name's
+      // bytes, so every read requests the old names too and projects
+      // coalesce(new, old1, old2 …) — zero data movement at rename time,
+      // a petabyte table renames for one manifest swap. Former names are
+      // quarantined like DROP's tombstones (re-declaring one would
+      // resurrect the residue through the by-name read) until a full
+      // rewrite (compact / z-order / overwrite) sheds it and clears the
+      // mapping. Line: was=<esc new>\t<esc old1>[\t<esc old2>…].
+      renames: Map[String, Seq[String]] = Map.empty,
+      // TIME-BASED retention cap ([[setRetention]] retainHours / SQL
+      // TBLPROPERTIES 'retainhours'): when set, a non-current generation
+      // whose anchor was published more than this many hours ago is
+      // collected by the next GC and refused by time travel EVEN IF the
+      // count-based `retain` window would keep it — the compliance clock
+      // ("pre-delete rows readable for ≤ N days") measured in wall-clock,
+      // immune to publish-cadence changes. The readable window is the
+      // INTERSECTION of the count and time windows; the current
+      // generation is always readable. Line: retainh=<hours>.
+      retainHours: Option[Long] = None,
       // CHECK constraints ([[setChecks]] / TBLPROPERTIES 'check:<name>'):
       // (name, SQL boolean expression) pairs validated against every
       // publish that CREATES or MODIFIES rows (write/merge/mergeClauses/
@@ -164,6 +198,41 @@ object CommittedTable {
       // passed and skip re-validation. Line: check=<esc name>\t<esc expr>.
       checks: Seq[(String, String)] = Nil)
 
+  /** One manifest shard's root-line record: file name (relative to the
+    * table dir), the ESCAPED partition-value range its members span
+    * (membership/pruning compare escaped values — the same ordering the
+    * body sorts by), member count, total data bytes and total rows
+    * (None when any member predates row counts) — the last two feed
+    * sizeInBytes / COUNT(*) from the ROOT alone. */
+  private[graft] final case class ShardRef(file: String, minEsc: String,
+      maxEsc: String, parts: Int, bytes: Long, rows: Option[Long])
+
+  // ---- manifest sharding -------------------------------------------------
+  // A single `_commit` file with one line per partition and per data file
+  // rewrites whole on every publish and parses whole on every plan — at
+  // ~10⁶ files that is tens of MB of metadata write amplification per
+  // commit and driver-side parse per query (the reason Delta checkpoints
+  // and Iceberg shards its manifest list). Above [[InlineMaxParts]]
+  // partitions the manifest therefore splits: the root keeps the header +
+  // table metadata + one `shard=` line per shard, and the per-partition
+  // lines (seg/stats, rows=, f=) move into IMMUTABLE shard files
+  // (`_ms-g<gen>-<k>-<nonce>`). A publish re-serializes only shards whose
+  // content changed — untouched shards are carried forward BY REFERENCE,
+  // so publish metadata writes are O(touched partitions), not O(table).
+  // Reads hydrate shards on demand: a partition-value probe parses the
+  // root + only the shards whose escaped range can contain a probed
+  // value (O(survivors)); sizeInBytes / COUNT(*) come from the root
+  // alone. Shards are grouped by contiguous escaped-value ranges
+  // ([[ShardTargetParts]] per shard at creation); a value born later
+  // routes into the range-owning shard (which that publish rewrites
+  // anyway), and an oversized dirty shard re-splits on rewrite. Tables
+  // at or below [[InlineMaxParts]] keep the single-file inline format —
+  // identical bytes to the pre-sharding protocol, both directions
+  // readable forever.
+  private val ShardPrefix = "_ms-"
+  private[sources] val InlineMaxParts = 64
+  private[sources] val ShardTargetParts = 64
+
   private[graft] def readManifest(fs: FileSystem, table: Path): Option[Manifest] =
     readManifestFile(fs, new Path(table, Commit))
 
@@ -174,7 +243,139 @@ object CommittedTable {
     else if (s == "n:") None
     else throw new java.io.IOException(s"corrupt stat field: $s")
 
-  private def readManifestFile(fs: FileSystem, p: Path): Option[Manifest] = {
+  /** Fully hydrated manifest: root + every shard (inline roots need no
+    * shard reads). The publish paths' entry point. */
+  private def readManifestFile(fs: FileSystem, p: Path): Option[Manifest] =
+    readRoot(fs, p).map { root =>
+      if (root.shards.isEmpty) root
+      else hydrate(fs, p.getParent, root, root.shards)
+    }
+
+  /** Root-only parse: header + table metadata + shard refs; partition
+    * maps populated only for inline roots (`partial` marks a sharded
+    * root awaiting hydration). The O(1)-metadata entry point for
+    * planning, schema discovery and COUNT(*). */
+  private[graft] def readManifestRoot(fs: FileSystem, table: Path)
+      : Option[Manifest] = readRoot(fs, new Path(table, Commit))
+
+  /** Pruned hydration: root + only the shards whose escaped range can
+    * contain a wanted partition value — the plan-time path is
+    * O(surviving shards), never O(table). The result is `partial`:
+    * correct for reads over `wanted`, refused by every publish. */
+  private[graft] def readManifestPruned(fs: FileSystem, table: Path,
+      wanted: Set[String]): Option[Manifest] =
+    readRoot(fs, new Path(table, Commit)).map { root =>
+      if (root.shards.isEmpty) root
+      else {
+        val wantedEsc = wanted.map(esc)
+        val survivors = root.shards.filter(s =>
+          wantedEsc.exists(v => s.minEsc <= v && v <= s.maxEsc))
+        hydrate(fs, table, root, survivors).copy(partial = true)
+      }
+    }
+
+  /** Hydrate a SNAPSHOT root (e.g. the one riding a SQL Table handle)
+    * without re-reading `_commit` — shard files are immutable and
+    * referenced by name from the root, so hydration always reproduces
+    * exactly the snapshot generation even under concurrent publishes.
+    * `wanted = None` hydrates everything; `Some(values)` only the shards
+    * whose escaped range can contain a value (result is `partial`). */
+  private[graft] def hydrateSnapshot(fs: FileSystem, table: Path,
+      root: Manifest, wanted: Option[Set[String]]): Manifest =
+    if (root.shards.isEmpty) root.copy(partial = false)
+    else wanted match {
+      case None => hydrate(fs, table, root, root.shards)
+      case Some(vs) =>
+        val we = vs.map(esc)
+        hydrate(fs, table, root, root.shards.filter(s =>
+          we.exists(v => s.minEsc <= v && v <= s.maxEsc)))
+          .copy(partial = true)
+    }
+
+  /** Merge `survivors`' shard bodies into the root skeleton. */
+  private def hydrate(fs: FileSystem, table: Path, root: Manifest,
+      survivors: Seq[ShardRef]): Manifest = {
+    var segments = root.segments
+    var stats = root.stats
+    var rowCounts = root.rowCounts
+    var files = root.files
+    var bodies = Map.empty[String, String]
+    survivors.foreach { s =>
+      val body = readRaw(fs, new Path(table, s.file)).getOrElse(
+        throw new java.io.IOException(
+          s"manifest shard ${s.file} of $table is missing — the root " +
+            "references it, so either the table dir was hand-edited or a " +
+            "clone outlived its source's retention"))
+      val part = parsePartitionLines(body.linesIterator.toList,
+        root.statsCols, s"$table/${s.file}")
+      segments ++= part.segments
+      stats ++= part.stats
+      rowCounts ++= part.rowCounts
+      files ++= part.files
+      bodies += (s.file -> body)
+    }
+    root.copy(segments = segments, stats = stats, rowCounts = rowCounts,
+      files = files, shardBodies = bodies, partial = false)
+  }
+
+  private def readRaw(fs: FileSystem, p: Path): Option[String] = {
+    if (!fs.exists(p)) return None
+    val in = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        c.getRawFileSystem.open(p)
+      case other => other.open(p)
+    }
+    try Some(new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+    finally in.close()
+  }
+
+  /** The per-partition line groups one shard (or an inline root) holds. */
+  private final case class PartitionLines(
+      segments: Map[String, String],
+      stats: Map[String, Seq[(Option[String], Option[String])]],
+      rowCounts: Map[String, Long],
+      files: Map[String, Seq[(String, Long)]])
+
+  private def parsePartitionLines(lines: List[String], statsCols: Seq[String],
+      src: String): PartitionLines = {
+    val rowCounts = lines.filter(_.startsWith("rows="))
+      .map { l =>
+        l.stripPrefix("rows=").split('\t') match {
+          case Array(v, n) => unesc(v) -> n.toLong
+          case _ => throw new java.io.IOException(s"corrupt manifest line in $src: $l")
+        }
+      }.toMap
+    val files = lines.filter(_.startsWith("f="))
+      .map { l =>
+        l.stripPrefix("f=").split('\t') match {
+          case Array(seg, name, len) => (seg, (unesc(name), len.toLong))
+          case _ => throw new java.io.IOException(s"corrupt manifest line in $src: $l")
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val segLines = lines.filter(l =>
+      l.nonEmpty && !MetaPrefixes.exists(l.startsWith))
+    val parsed = segLines.map { l =>
+      l.split('\t') match {
+        case Array(v, d) => (unesc(v), d, Nil: Seq[(Option[String], Option[String])])
+        case arr if arr.length == 2 + 2 * statsCols.size =>
+          val st = arr.drop(2).grouped(2)
+            .map(g => (decStat(g(0)), decStat(g(1)))).toSeq
+          (unesc(arr(0)), arr(1), st)
+        case _ => throw new java.io.IOException(s"corrupt manifest line in $src: $l")
+      }
+    }
+    PartitionLines(
+      parsed.map(t => t._1 -> t._2).toMap,
+      parsed.collect { case (v, _, st) if st.nonEmpty => v -> st }.toMap,
+      rowCounts, files)
+  }
+
+  private val MetaPrefixes = Seq("retain=", "retainh=", "stats=", "rows=",
+    "partcol=", "keycol=", "vercol=", "bloom=", "virtual=", "f=",
+    "dropped=", "check=", "bucketby=", "shard=", "probe=", "was=")
+
+  private def readRoot(fs: FileSystem, p: Path): Option[Manifest] = {
     if (!fs.exists(p)) return None
     // On a checksummed LOCAL filesystem, rename-with-overwrite moves the
     // data file and its .crc sidecar in TWO steps (ChecksumFs.rename), so
@@ -206,6 +407,8 @@ object CommittedTable {
     }
     val retain = lines.drop(2).find(_.startsWith("retain="))
       .map(_.stripPrefix("retain=").toInt).getOrElse(2)
+    val retainHours = lines.drop(2).find(_.startsWith("retainh="))
+      .map(_.stripPrefix("retainh=").toLong)
     val statsCols = lines.drop(2).find(_.startsWith("stats="))
       .map(_.stripPrefix("stats=").split('\t').toSeq.filter(_.nonEmpty))
       .getOrElse(Nil)
@@ -217,13 +420,6 @@ object CommittedTable {
     val partCol = metaLine("partcol=")
     val keyCol = metaLine("keycol=")
     val verCol = metaLine("vercol=")
-    val rowCounts = lines.drop(2).filter(_.startsWith("rows="))
-      .map { l =>
-        l.stripPrefix("rows=").split('\t') match {
-          case Array(v, n) => unesc(v) -> n.toLong
-          case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
-        }
-      }.toMap
     val virtualCols = lines.drop(2).filter(_.startsWith("virtual="))
       .map { l =>
         l.stripPrefix("virtual=").split('\t') match {
@@ -235,13 +431,6 @@ object CommittedTable {
       .map(_.stripPrefix("dropped=").split('\t').toSeq
         .filter(_.nonEmpty).map(unesc))
       .getOrElse(Nil)
-    val files = lines.drop(2).filter(_.startsWith("f="))
-      .map { l =>
-        l.stripPrefix("f=").split('\t') match {
-          case Array(seg, name, len) => (seg, (unesc(name), len.toLong))
-          case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
-        }
-      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val checks = lines.drop(2).filter(_.startsWith("check="))
       .map { l =>
         l.stripPrefix("check=").split('\t') match {
@@ -249,23 +438,6 @@ object CommittedTable {
           case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
         }
       }
-    val segLines = lines.drop(2).filter(l =>
-      l.nonEmpty && !l.startsWith("retain=") && !l.startsWith("stats=") &&
-        !l.startsWith("rows=") && !l.startsWith("partcol=") &&
-        !l.startsWith("keycol=") && !l.startsWith("vercol=") &&
-        !l.startsWith("bloom=") && !l.startsWith("virtual=") &&
-        !l.startsWith("f=") && !l.startsWith("dropped=") &&
-        !l.startsWith("check=") && !l.startsWith("bucketby="))
-    val parsed = segLines.map { l =>
-      l.split('\t') match {
-        case Array(v, d) => (unesc(v), d, Nil: Seq[(Option[String], Option[String])])
-        case arr if arr.length == 2 + 2 * statsCols.size =>
-          val st = arr.drop(2).grouped(2)
-            .map(g => (decStat(g(0)), decStat(g(1)))).toSeq
-          (unesc(arr(0)), arr(1), st)
-        case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
-      }
-    }
     val bucketing = lines.drop(2).find(_.startsWith("bucketby="))
       .map { l =>
         l.stripPrefix("bucketby=").split('\t').toSeq match {
@@ -273,11 +445,33 @@ object CommittedTable {
           case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
         }
       }
-    Some(Manifest(gen, cols,
-      parsed.map(t => t._1 -> t._2).toMap, retain, statsCols,
-      parsed.collect { case (v, _, st) if st.nonEmpty => v -> st }.toMap,
-      rowCounts, partCol, keyCol, verCol, bloomCols, virtualCols, files,
-      droppedCols, bucketing = bucketing, checks = checks))
+    val shards = lines.drop(2).filter(_.startsWith("shard="))
+      .map { l =>
+        l.stripPrefix("shard=").split('\t') match {
+          case Array(f, mn, mx, n, b, r) =>
+            ShardRef(unesc(f), mn, mx, n.toInt, b.toLong,
+              if (r == "-") None else Some(r.toLong))
+          case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
+        }
+      }
+    val probeSeg = lines.drop(2).find(_.startsWith("probe="))
+      .map(l => unesc(l.stripPrefix("probe=")))
+    val renames = lines.drop(2).filter(_.startsWith("was="))
+      .map { l =>
+        l.stripPrefix("was=").split('\t').toSeq match {
+          case cur +: olds if olds.nonEmpty => unesc(cur) -> olds.map(unesc)
+          case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
+        }
+      }.toMap
+    val part = parsePartitionLines(lines.drop(2), statsCols, p.toString)
+    if (shards.nonEmpty && part.segments.nonEmpty)
+      throw new java.io.IOException(
+        s"corrupt manifest $p: sharded root carries inline partition lines")
+    Some(Manifest(gen, cols, part.segments, retain, statsCols, part.stats,
+      part.rowCounts, partCol, keyCol, verCol, bloomCols, virtualCols,
+      part.files, droppedCols, shards = shards, probeSeg = probeSeg,
+      partial = shards.nonEmpty, bucketing = bucketing,
+      renames = renames, retainHours = retainHours, checks = checks))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
@@ -290,51 +484,171 @@ object CommittedTable {
   /** The manifest's serialized form (the exact body [[swapManifest]]
     * publishes) — factored out so [[cloneShallow]] can write anchor
     * copies with rewritten segment references. */
-  private def manifestBody(m: Manifest): String = {
+  private def headerLines(m: Manifest): Seq[String] = {
     val statsLine =
       if (m.statsCols.isEmpty) Nil else Seq(s"stats=${m.statsCols.mkString("\t")}")
     val bloomLine =
       if (m.bloomCols.isEmpty) Nil else Seq(s"bloom=${m.bloomCols.mkString("\t")}")
-    val rowLines = m.rowCounts.toSeq.sortBy(_._1)
-      .filter { case (v, _) => m.segments.contains(v) }
-      .map { case (v, n) => s"rows=${esc(v)}\t$n" }
-    val metaLines =
+    Seq(s"gen=${m.gen}", s"cols=${m.cols.mkString("\t")}",
+      s"retain=${m.retain}") ++
+      m.retainHours.map(h => s"retainh=$h").toSeq ++
       m.partitionCol.map(v => s"partcol=${esc(v)}").toSeq ++
-        m.keyCol.map(v => s"keycol=${esc(v)}").toSeq ++
-        m.verCol.map(v => s"vercol=${esc(v)}").toSeq ++
-        m.virtualCols.map { case (n, t) => s"virtual=${esc(n)}\t${esc(t)}" } ++
-        (if (m.droppedCols.isEmpty) Nil
-         else Seq(s"dropped=${m.droppedCols.map(esc).mkString("\t")}")) ++
-        m.checks.map { case (n, e) => s"check=${esc(n)}\t${esc(e)}" } ++
-        m.bucketing.map { case (n, cs) =>
-          s"bucketby=$n\t${cs.map(esc).mkString("\t")}" }.toSeq ++
-        m.files.toSeq.sortBy(_._1)
-          .filter { case (seg, _) => m.segments.values.exists(_ == seg) }
-          .flatMap { case (seg, fsq) =>
-            fsq.map { case (n, len) => s"f=$seg\t${esc(n)}\t$len" } }
-    (Seq(s"gen=${m.gen}", s"cols=${m.cols.mkString("\t")}",
-      s"retain=${m.retain}") ++ metaLines ++ statsLine ++ bloomLine ++ rowLines ++
-      m.segments.toSeq.sortBy(_._1).map { case (v, d) =>
-        val st = m.stats.get(v).filter(_ => m.statsCols.nonEmpty)
-          .map(_.flatMap(p => Seq(encStat(p._1), encStat(p._2)))
-            .mkString("\t", "\t", ""))
-          .getOrElse("")
-        s"${esc(v)}\t$d$st"
-      })
-      .mkString("", "\n", "\n")
+      m.keyCol.map(v => s"keycol=${esc(v)}").toSeq ++
+      m.verCol.map(v => s"vercol=${esc(v)}").toSeq ++
+      m.virtualCols.map { case (n, t) => s"virtual=${esc(n)}\t${esc(t)}" } ++
+      (if (m.droppedCols.isEmpty) Nil
+       else Seq(s"dropped=${m.droppedCols.map(esc).mkString("\t")}")) ++
+      m.renames.toSeq.sortBy(_._1).map { case (cur, olds) =>
+        s"was=${esc(cur)}\t${olds.map(esc).mkString("\t")}" } ++
+      m.checks.map { case (n, e) => s"check=${esc(n)}\t${esc(e)}" } ++
+      m.bucketing.map { case (n, cs) =>
+        s"bucketby=$n\t${cs.map(esc).mkString("\t")}" }.toSeq ++
+      statsLine ++ bloomLine
   }
 
-  private def writeManifestTo(fs: FileSystem, p: Path, m: Manifest): Unit = {
-    val out = fs.create(p, true)
-    try out.write(manifestBody(m).getBytes("UTF-8")) finally out.close()
+  /** The per-partition lines for `members` (f= by segment, rows=, then
+    * seg/stats lines) — a shard's whole body, or an inline root's tail.
+    * Deterministic ordering, so an untouched shard re-serializes to
+    * byte-identical content and the publish carries it by reference. */
+  private def partitionBody(m: Manifest, members: Seq[String]): String = {
+    // strictly O(|members| log |members|): a sharded publish serializes
+    // every group against the SAME full maps, so touching the whole map
+    // per shard would make the publish O(shards × table)
+    val live = members.filter(m.segments.contains).sorted
+    val fLines = live.map(m.segments).distinct.sorted.flatMap(seg =>
+      m.files.getOrElse(seg, Nil)
+        .map { case (n, len) => s"f=$seg\t${esc(n)}\t$len" })
+    val rowLines = live.collect {
+      case v if m.rowCounts.contains(v) => s"rows=${esc(v)}\t${m.rowCounts(v)}"
+    }
+    val segLines = live.map { v =>
+      val st = m.stats.get(v).filter(_ => m.statsCols.nonEmpty)
+        .map(_.flatMap(p => Seq(encStat(p._1), encStat(p._2)))
+          .mkString("\t", "\t", ""))
+        .getOrElse("")
+      s"${esc(v)}\t${m.segments(v)}$st"
+    }
+    (fLines ++ rowLines ++ segLines).mkString("", "\n", "\n")
   }
+
+  /** The single-file (inline) serialized form — what every manifest below
+    * [[InlineMaxParts]] partitions publishes (byte-identical to the
+    * pre-sharding protocol) and what [[cloneShallow]] writes for anchor
+    * copies. */
+  private def manifestBody(m: Manifest): String =
+    headerLines(m).mkString("", "\n", "\n") +
+      partitionBody(m, m.segments.keys.toSeq)
+
+  private def writeManifestTo(fs: FileSystem, p: Path, m: Manifest): Unit =
+    writeRaw(fs, p, manifestBody(m))
+
+  private def writeRaw(fs: FileSystem, p: Path, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Decide the published layout of `m`: None = inline (small table);
+    * Some((refs, newFiles)) = sharded — `refs` is the root's shard list
+    * and `newFiles` the (name, body) shard files this publish must
+    * write. A table leaves the inline format the first publish it
+    * exceeds [[InlineMaxParts]] partitions and never returns (layout
+    * stability beats a few root bytes). Untouched shards re-serialize to
+    * the byte-identical body and are carried BY REFERENCE; a dirty shard
+    * is rewritten (splitting into [[ShardTargetParts]]-sized chunks when
+    * it outgrew 2× the target); a new partition value routes into the
+    * shard whose escaped range owns it. */
+  private def shardLayout(m: Manifest, nonce: String)
+      : Option[(Seq[ShardRef], Seq[(String, String)])] = {
+    val partsSorted: Seq[(String, String)] =
+      m.segments.keys.map(v => (v, esc(v))).toSeq.sortBy(_._2)
+    if (m.shards.isEmpty && partsSorted.size <= InlineMaxParts) return None
+    val base = m.shards.sortBy(_.minEsc)
+    val groups: Seq[(Option[ShardRef], Seq[(String, String)])] =
+      if (base.isEmpty)
+        partsSorted.grouped(ShardTargetParts).map(g => (None, g)).toSeq
+      else {
+        // ranges are contiguous by construction: a value belongs to the
+        // LAST shard whose minEsc is at or below it (values below every
+        // range join the first shard) — binary search, the assignment
+        // runs once per partition of the table
+        val mins = base.map(_.minEsc).toArray
+        def owner(escV: String): Int = {
+          var lo = 0; var hi = mins.length - 1; var ans = 0
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (mins(mid) <= escV) { ans = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          ans
+        }
+        partsSorted.groupBy(p => owner(p._2)).toSeq.sortBy(_._1)
+          .map { case (i, members) => (Some(base(i)), members) }
+      }
+    def bytesOf(members: Seq[(String, String)]): Long =
+      members.iterator.flatMap { case (v, _) => m.segments.get(v) }
+        .flatMap(seg => m.files.getOrElse(seg, Nil)).map(_._2).sum
+    def rowsOf(members: Seq[(String, String)]): Option[Long] =
+      if (members.forall { case (v, _) => m.rowCounts.contains(v) })
+        Some(members.iterator.map { case (v, _) => m.rowCounts(v) }.sum)
+      else None
+    val refs = Seq.newBuilder[ShardRef]
+    val newFiles = Seq.newBuilder[(String, String)]
+    var k = 0
+    groups.foreach { case (baseRef, members) =>
+      if (members.nonEmpty) {
+        val body = partitionBody(m, members.map(_._1))
+        baseRef.filter(r => m.shardBodies.get(r.file).contains(body)) match {
+          case Some(r) => refs += r // untouched: carried by reference
+          case None =>
+            val chunks =
+              if (members.size > 2 * ShardTargetParts)
+                members.grouped(ShardTargetParts).toSeq
+              else Seq(members)
+            chunks.foreach { c =>
+              val b =
+                if (chunks.size == 1) body else partitionBody(m, c.map(_._1))
+              val f = s"${ShardPrefix}g${m.gen}-$k-$nonce"
+              k += 1
+              newFiles += ((f, b))
+              refs += ShardRef(f, c.head._2, c.last._2, c.size,
+                bytesOf(c), rowsOf(c))
+            }
+        }
+      }
+    }
+    Some((refs.result(), newFiles.result()))
+  }
+
+  private def rootBodySharded(m: Manifest, refs: Seq[ShardRef]): String =
+    (headerLines(m) ++
+      m.probeSeg.map(s => s"probe=${esc(s)}").toSeq ++
+      refs.map(r => s"shard=${esc(r.file)}\t${r.minEsc}\t${r.maxEsc}\t" +
+        s"${r.parts}\t${r.bytes}\t${r.rows.map(_.toString).getOrElse("-")}"))
+      .mkString("", "\n", "\n")
 
   private[sources] def swapManifest(hconf: org.apache.hadoop.conf.Configuration,
-      table: Path, m: Manifest): Unit = {
+      table: Path, m0: Manifest): Unit = {
+    require(!m0.partial,
+      "internal error: a partially-hydrated manifest must never publish")
     val fs = table.getFileSystem(hconf)
     val live = new Path(table, Commit)
     val tmp = new Path(table, Commit + ".tmp")
-    def put(p: Path): Unit = writeManifestTo(fs, p, m)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    // the newest segment, recorded in the root so sharded-table schema
+    // discovery probes ONE dir without hydrating any shard
+    val m = m0.copy(probeSeg =
+      if (m0.segments.isEmpty) None
+      else Some(m0.segments.values.maxBy(genOf)))
+    val put: Path => Unit = shardLayout(m, nonce) match {
+      case None => p => writeManifestTo(fs, p, m)
+      case Some((refs, newFiles)) =>
+        // shard files land BEFORE any root references them — a crash here
+        // leaves unreferenced `_ms-*` debris the age-gated GC sweeps; the
+        // nonce keeps racing writers' files apart
+        newFiles.foreach { case (f, b) => writeRaw(fs, new Path(table, f), b) }
+        val body = rootBodySharded(m, refs)
+        p => writeRaw(fs, p, body)
+    }
     put(tmp)
     // history copy BEFORE the swap: every committed generation is
     // guaranteed its anchor (a crash here leaves a stale future-gen file
@@ -364,14 +678,39 @@ object CommittedTable {
     * Manifests are parsed with the structure-aware reader (the old
     * `.tail`-and-split scan treated the cols= header as a segment line
     * and threw on single-column tables). */
+  /** Oldest generation currently readable — the count window (`retain`)
+    * intersected with the wall-clock window when `retainHours` is set
+    * (anchor mtime = publish time; the `_commit.g<n>` copy is written in
+    * the same swap). The current generation is always readable. Cost:
+    * one small getFileStatus per generation inside the count window,
+    * only when a time cap is declared. */
+  private[graft] def retainedFloor(fs: FileSystem, table: Path,
+      m: Manifest): Long = {
+    val countFloor = m.gen - math.max(1, m.retain) + 1
+    val floor = m.retainHours match {
+      case Some(h) =>
+        val horizon = System.currentTimeMillis() - h * 3600L * 1000L
+        // publishes are sequential, so anchor mtimes are monotone in the
+        // generation number and the time-expired set is a prefix
+        val expired = (math.max(1L, countFloor) until m.gen).filter { g =>
+          val a = new Path(table, s"$CommitGen$g")
+          try fs.exists(a) && fs.getFileStatus(a).getModificationTime < horizon
+          catch { case _: java.io.IOException => false }
+        }
+        if (expired.isEmpty) countFloor else math.max(countFloor, expired.max + 1)
+      case None => countFloor
+    }
+    math.min(m.gen, floor)
+  }
+
   private def collectGarbage(fs: FileSystem, table: Path): Unit = {
     if (!fs.exists(table)) return
     val curM = readManifest(fs, table)
     val cur = curM.map(_.segments.values.toSet).getOrElse(Set.empty)
     val curGen = curM.map(_.gen).getOrElse(0L)
-    val retain = math.max(1, curM.map(_.retain).getOrElse(2))
-    val floor = curGen - retain + 1 // oldest generation kept readable
-    val prev: Set[String] = readManifestFile(fs, new Path(table, CommitPrev))
+    val floor = curM.map(retainedFloor(fs, table, _)).getOrElse(0L)
+    val prevM = readManifestFile(fs, new Path(table, CommitPrev))
+    val prev: Set[String] = prevM
       .map(_.segments.values.toSet).getOrElse(Set.empty)
     def genSuffix(name: String, prefix: String): Option[Long] = {
       val s = name.stripPrefix(prefix)
@@ -379,19 +718,32 @@ object CommittedTable {
         Some(s.toLong)
       else None
     }
-    val retained: Set[String] = fs.listStatus(table).toSeq.flatMap { st =>
+    val retainedMs: Seq[Manifest] = fs.listStatus(table).toSeq.flatMap { st =>
       genSuffix(st.getPath.getName, CommitGen) match {
         case Some(g) if !st.isDirectory && g >= floor && g <= curGen =>
           readManifestFile(fs, st.getPath)
-            .map(_.segments.values.toSet).getOrElse(Set.empty[String])
-        case _ => Set.empty[String]
+        case _ => None
       }
-    }.toSet
+    }
+    val retained: Set[String] =
+      retainedMs.flatMap(_.segments.values).toSet
     val protectedSegs = cur ++ prev ++ retained
+    // manifest shard files referenced by ANY protected manifest (live,
+    // prev, retained anchors) stay; the rest are aged-out or
+    // crashed-publish debris — deleted only once old enough that no
+    // in-flight publish (which writes its shards BEFORE the swap) can
+    // still be about to reference them
+    val protectedShards: Set[String] =
+      (curM.toSeq ++ prevM.toSeq ++ retainedMs).flatMap(_.shards.map(_.file)).toSet
+    val now0 = System.currentTimeMillis()
     fs.listStatus(table).foreach { st =>
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("seg-") && !protectedSegs(n))
         fs.delete(st.getPath, true)
+      else if (!st.isDirectory && n.startsWith(ShardPrefix) &&
+          !protectedShards(n) &&
+          now0 - st.getModificationTime > StagingSweepAgeMs)
+        fs.delete(st.getPath, false)
       // committed-generation claims age out with the retain window, NOT at
       // commit: deleting a just-committed claim would re-open its name for
       // a stalled writer that passed its base-gen check before the winner
@@ -623,6 +975,62 @@ object CommittedTable {
       staged)
   }
 
+  /** Schema-only table birth (SQL `CREATE TABLE (…) PARTITIONED BY (pc)`
+    * routes here): an ATOMIC ZERO-ROW first publish — generation 1 with
+    * no segments, every column declared as a manifest `virtual=` entry
+    * (name + DDL type, the same machinery [[addColumns]] uses), roles
+    * (key/version/stats/bloom/bucketing/checks/retention) recorded up
+    * front. The empty table is immediately readable (typed empty
+    * relation from the declarations alone) and writable: `INSERT INTO` /
+    * [[merge]] land as ordinary generation-2+ publishes under the same
+    * fencing — the "fully retired table accepts insert-only merges"
+    * path, starting from birth. Cost: one manifest swap, no data files,
+    * identical at any target scale. The first real write materializes
+    * columns physically; the virtual declarations stay harmlessly (the
+    * newest-segment probe wins once files carry the columns). */
+  def create(spark: SparkSession, path: String,
+      columns: Seq[(String, String)], partitionCol: String,
+      retainGenerations: Int = 2, statsCols: Seq[String] = Nil,
+      keyCol: Option[String] = None, versionCol: Option[String] = None,
+      bloomCols: Seq[String] = Nil,
+      checks: Seq[(String, String)] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    require(columns.nonEmpty, "CREATE TABLE: no columns declared")
+    require(columns.map(_._1).distinct.size == columns.size,
+      s"CREATE TABLE: duplicate column names in ${columns.map(_._1).mkString(",")}")
+    require(retainGenerations >= 1,
+      s"retainGenerations must be >= 1, got $retainGenerations")
+    require(readManifest(fs, table).isEmpty,
+      s"$path already holds a committed table; use merge/DML to change it")
+    columns.foreach { case (n, t) =>
+      try { org.apache.spark.sql.types.DataType.fromDDL(t); () }
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"CREATE TABLE column $n: unparsable type '$t'", e) }
+    }
+    val names = columns.map(_._1)
+    (Seq(partitionCol) ++ statsCols ++ keyCol ++ versionCol ++ bloomCols ++
+      bucketBy.toSeq.flatMap(_._2)).foreach(c =>
+      require(names.contains(c),
+        s"CREATE TABLE: column $c absent from the declared schema " +
+          s"(${names.mkString(",")})"))
+    bucketBy.foreach { case (n, cs) =>
+      require(n >= 1, s"bucketBy needs n >= 1, got $n")
+      require(!cs.contains(partitionCol),
+        "bucketing by the partition column is redundant (it is already " +
+          "the physical scope); bucket by the JOIN key instead")
+    }
+    fs.mkdirs(table)
+    publishOrAbort(hconf, table, baseGen = 0L,
+      Manifest(1L, names, Map.empty, retainGenerations, statsCols,
+        Map.empty, Map.empty, Some(partitionCol), keyCol, versionCol,
+        bloomCols, virtualCols = columns, checks = checks,
+        bucketing = bucketBy),
+      staged = Map.empty)
+  }
+
   /** SHALLOW CLONE: a new committed table at `dstPath` whose manifest
     * references `srcPath`'s CURRENT segment files by absolute path —
     * zero data copied, zero data listed, so cloning a 100 TB table costs
@@ -669,9 +1077,15 @@ object CommittedTable {
     def qualify(d: String): String =
       if (d.contains("/")) d // already absolute (cloning a clone)
       else fs.makeQualified(new Path(src, d)).toString
+    // shard bookkeeping is cleared: a reference would point into the
+    // SOURCE's dir (shard files resolve relative to their own table), so
+    // the clone always serializes fresh — anchors inline, the live
+    // manifest re-sharding under the clone's dir at publish
     def rewrite(man: Manifest): Manifest = man.copy(
       segments = man.segments.view.mapValues(qualify).toMap,
-      files = man.files.map { case (seg, fl) => qualify(seg) -> fl })
+      files = man.files.map { case (seg, fl) => qualify(seg) -> fl },
+      shards = Nil, shardBodies = Map.empty, probeSeg = None,
+      partial = false)
     dstFs.mkdirs(dst)
     // retained history first (anchors are plain files — a crash mid-clone
     // leaves no readable table, recover/GC sweeps the debris), then the
@@ -855,7 +1269,13 @@ object CommittedTable {
       partitionValues: Option[Seq[String]] = None): DataFrame = {
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val m = readManifest(fs, table).getOrElse(
+    // a partition-value probe against a SHARDED manifest parses the root
+    // plus only the shards whose range can hold a probed value — the
+    // planning cost is O(surviving shards), not O(table)
+    val m = (partitionValues match {
+      case Some(vs) => readManifestPruned(fs, table, vs.toSet)
+      case None => readManifest(fs, table)
+    }).getOrElse(
       throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
     readFrom(spark, table, m, partitionValues)
   }
@@ -878,10 +1298,12 @@ object CommittedTable {
     val m =
       if (gen == cur.gen) cur // pre-anchor tables still time-travel to NOW
       else readManifestFile(fs, new Path(table, s"$CommitGen$gen"))
-        .filter(_ => gen < cur.gen && gen >= cur.gen - cur.retain + 1)
+        .filter(_ => gen < cur.gen && gen >= retainedFloor(fs, table, cur))
         .getOrElse(throw new java.io.IOException(
           s"generation $gen of $path is not retained (current ${cur.gen}, " +
-            s"retain ${cur.retain} ⇒ readable ${math.max(1, cur.gen - cur.retain + 1)}..${cur.gen}); " +
+            s"retain ${cur.retain}" +
+            cur.retainHours.map(h => s", retainHours $h").getOrElse("") +
+            s" ⇒ readable ${math.max(1, retainedFloor(fs, table, cur))}..${cur.gen}); " +
             "raise retainGenerations at write() to keep a deeper history"))
     readFrom(spark, table, m, partitionValues)
   }
@@ -931,11 +1353,26 @@ object CommittedTable {
     * time-travel budget for FUTURE publishes (already-collected anchors
     * do not resurrect). Metadata-only (segments untouched) but a REAL
     * generation behind the usual fencing — concurrent writers race it
-    * loudly instead of silently resurrecting the old setting. */
+    * loudly instead of silently resurrecting the old setting.
+    *
+    * `retainHours` adds (and `clearRetainHours` removes) the WALL-CLOCK
+    * retention cap: a non-current generation published more than that
+    * many hours ago is collected by the next GC/vacuum and refused by
+    * time travel even inside the count window — the compliance clock
+    * ("pre-delete rows readable for ≤ N days" = 24·N), immune to
+    * publish-cadence changes. The readable window is the intersection of
+    * both; count-based `retain` still bounds how MANY generations can
+    * ever be readable. SQL: `ALTER TABLE … SET TBLPROPERTIES
+    * ('retainhours'='72')`, empty value clears. */
   def setRetention(spark: SparkSession, path: String,
-      retainGenerations: Int): Unit = {
+      retainGenerations: Int, retainHours: Option[Long] = None,
+      clearRetainHours: Boolean = false): Unit = {
     require(retainGenerations >= 1,
       s"retainGenerations must be >= 1, got $retainGenerations")
+    retainHours.foreach(h => require(h >= 1,
+      s"retainHours must be >= 1, got $h"))
+    require(retainHours.isEmpty || !clearRetainHours,
+      "pass retainHours OR clearRetainHours, not both")
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
     val fs = table.getFileSystem(hconf)
@@ -943,7 +1380,10 @@ object CommittedTable {
       throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
     collectGarbage(fs, table)
     publishOrAbort(hconf, table, m.gen,
-      m.copy(gen = m.gen + 1, retain = retainGenerations), Map.empty)
+      m.copy(gen = m.gen + 1, retain = retainGenerations,
+        retainHours =
+          if (clearRetainHours) None else retainHours.orElse(m.retainHours)),
+      Map.empty)
     collectGarbage(fs, table)
   }
 
@@ -1025,6 +1465,11 @@ object CommittedTable {
           "the name now would RESURRECT them through the by-name read; " +
           "run CALL graft.compact (or overwrite the table) to physically " +
           "shed the residue first")
+      require(!m.renames.values.flatten.toSeq.contains(n),
+        s"ADD COLUMNS: $n is the FORMER name of a renamed column and " +
+          s"unrewritten files of $path still carry its bytes — the " +
+          "rename's coalesce would read them as the renamed column; " +
+          "run CALL graft.compact first")
       try org.apache.spark.sql.types.DataType.fromDDL(t)
       catch { case e: Exception => throw new IllegalArgumentException(
         s"ADD COLUMNS $n: unparsable type '$t'", e) }
@@ -1083,8 +1528,79 @@ object CommittedTable {
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = m.gen + 1, cols = m.cols.filterNot(columns.contains),
         virtualCols = m.virtualCols.filterNot(v => columns.contains(v._1)),
-        droppedCols = (m.droppedCols ++ columns).distinct),
+        // dropping a RENAMED column also tombstones its former physical
+        // names — unrewritten files carry those bytes too
+        droppedCols = (m.droppedCols ++ columns ++
+          columns.flatMap(c => m.renames.getOrElse(c, Nil))).distinct,
+        renames = m.renames -- columns),
       Map.empty)
+    collectGarbage(fs, table)
+  }
+
+  /** METADATA-ONLY column rename (SQL `ALTER TABLE … RENAME COLUMN old
+    * TO new` routes here): one manifest swap, zero data files touched.
+    * Unrewritten files still physically carry the OLD name, so the
+    * manifest records a name mapping (`was=`) and every read requests
+    * the old names too, projecting `coalesce(new, old…)` — by-name
+    * correctness without Iceberg's field IDs. Chained renames compose
+    * (a→b→c reads coalesce(c, b, a)); time travel to a pre-rename
+    * generation serves the OLD name (the anchor's own column list).
+    * Guards, each loud: role columns (partition/key/version/stats/bloom/
+    * bucket) are refused — clear the role first; the new name must not
+    * collide with a live column, a DROP tombstone, or another mapping's
+    * former name (file residue would resurrect). The former name is
+    * quarantined until one full rewrite (compact / z-order / overwrite)
+    * sheds the residue and clears the mapping. */
+  def renameColumn(spark: SparkSession, path: String,
+      oldName: String, newName: String): Unit = {
+    require(oldName != newName, s"RENAME COLUMN: $oldName to itself")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    require(m.cols.contains(oldName),
+      s"RENAME COLUMN: $oldName does not exist on $path " +
+        s"(columns: ${m.cols.mkString(",")})")
+    require(!m.cols.contains(newName),
+      s"RENAME COLUMN: $newName already exists on $path")
+    require(!m.droppedCols.contains(newName),
+      s"RENAME COLUMN: $newName was dropped metadata-only and unrewritten " +
+        s"files of $path still carry its bytes — the by-name read would " +
+        "resurrect them; CALL graft.compact first")
+    require(!m.renames.values.flatten.toSeq.contains(newName),
+      s"RENAME COLUMN: $newName is the FORMER name of a renamed column " +
+        s"and unrewritten files of $path still carry its bytes; " +
+        "CALL graft.compact first")
+    val role =
+      if (m.partitionCol.contains(oldName)) Some("the partition column")
+      else if (m.keyCol.contains(oldName)) Some("the merge key (keycol)")
+      else if (m.verCol.contains(oldName)) Some("the version column (vercol)")
+      else if (m.statsCols.contains(oldName)) Some("a zone-map stats column")
+      else if (m.bloomCols.contains(oldName)) Some("a bloom-sidecar column")
+      else if (m.bucketing.exists(_._2.contains(oldName)))
+        Some("a bucket column (the table's physical layout)")
+      else None
+    role.foreach(r => throw new UnsupportedOperationException(
+      s"RENAME COLUMN: $oldName is $r of $path; clear the role first " +
+        "(SET TBLPROPERTIES / setRoles) if the rename is intended"))
+    // a CHECK expression referencing the old name would fail every later
+    // validating publish — refuse now, naming the check
+    m.checks.find(_._2.matches(
+      s"(?s).*\\b${java.util.regex.Pattern.quote(oldName)}\\b.*"))
+      .foreach { case (n, e) => throw new UnsupportedOperationException(
+        s"RENAME COLUMN: check '$n' ($e) references $oldName — drop or " +
+          "re-declare the check in the same breath as the rename " +
+          "(SET TBLPROPERTIES)") }
+    val chained = oldName +: m.renames.getOrElse(oldName, Nil)
+    collectGarbage(fs, table)
+    publishOrAbort(hconf, table, m.gen,
+      m.copy(gen = m.gen + 1,
+        cols = m.cols.map(c => if (c == oldName) newName else c),
+        virtualCols = m.virtualCols.map { case (n, t) =>
+          (if (n == oldName) newName else n, t) },
+        renames = (m.renames - oldName) + (newName -> chained),
+        checks = m.checks), Map.empty)
     collectGarbage(fs, table)
   }
 
@@ -1166,11 +1682,13 @@ object CommittedTable {
       s"generation $gen of $path has not been published yet (current ${cur.gen})")
     if (gen == cur.gen) cur
     else readManifestFile(fs, new Path(table, s"$CommitGen$gen"))
-      .filter(_ => gen >= cur.gen - cur.retain + 1)
+      .filter(_ => gen >= retainedFloor(fs, table, cur))
       .getOrElse(throw new java.io.IOException(
         s"generation $gen of $path is not retained (current ${cur.gen}, " +
-          s"retain ${cur.retain} ⇒ readable " +
-          s"${math.max(1, cur.gen - cur.retain + 1)}..${cur.gen}); a " +
+          s"retain ${cur.retain}" +
+          cur.retainHours.map(h => s", retainHours $h").getOrElse("") +
+          s" ⇒ readable " +
+          s"${math.max(1, retainedFloor(fs, table, cur))}..${cur.gen}); a " +
           "change-feed consumer must not lag more than retainGenerations - 1 " +
           "behind the writer"))
   }
@@ -1730,20 +2248,36 @@ object CommittedTable {
       case Some(g) if g == live.gen => live
       case Some(g) =>
         readManifestFile(fs, new Path(table, s"$CommitGen$g"))
-          .filter(_ => g < live.gen && g >= live.gen - live.retain + 1)
+          .filter(_ => g < live.gen && g >= retainedFloor(fs, table, live))
           .getOrElse(throw new java.io.IOException(
             s"generation $g of $path is not retained (current ${live.gen}, " +
-              s"retain ${live.retain})"))
+              s"retain ${live.retain}" +
+              live.retainHours.map(h => s", retainHours $h").getOrElse("") + ")"))
     }
     ranges.foreach { case (statsCol, _, _) =>
       require(m.cols.contains(statsCol),
         s"$statsCol is not a column of the committed table (${m.cols.mkString(",")})")
     }
-    // ONE schema probe serves every bounded column's type lookup
+    // ONE schema probe serves every bounded column's type lookup; a
+    // renamed column may appear in the probed file under a FORMER name —
+    // normalize to the current name (same type by the rename contract)
     val probed =
       if (m.segments.isEmpty) None // unreachable below; readFrom throws
-      else Some(spark.read.parquet(
-        new Path(table, m.segments.values.maxBy(genOf)).toString).schema)
+      else Some {
+        val raw = spark.read.parquet(
+          new Path(table, m.segments.values.maxBy(genOf)).toString).schema
+        if (m.renames.isEmpty) raw
+        else {
+          val toCur = m.renames.toSeq
+            .flatMap { case (cur, olds) => olds.map(_ -> cur) }.toMap
+          val present = raw.fieldNames.toSet
+          org.apache.spark.sql.types.StructType(raw.fields.map(f =>
+            toCur.get(f.name) match {
+              case Some(cur) if !present.contains(cur) => f.copy(name = cur)
+              case _ => f
+            }))
+        }
+      }
     val base = partitionValues.map(_.filter(m.segments.contains))
       .getOrElse(m.segments.keys.toSeq)
     val kept = zoneSurvivors(m, probed, ranges, base)
@@ -1835,16 +2369,39 @@ object CommittedTable {
       case Some(vs) => val keep = vs.toSet; m.segments.view.filterKeys(keep).toMap
       case None => m.segments
     }
-    if (m.segments.isEmpty)
-      throw new java.io.IOException(s"committed table $table is empty; no schema")
+    if (m.segments.isEmpty) {
+      // schema-only-created (or fully retired) table: typed empty result
+      // from the manifest declarations — schemaOf throws if untyped
+      val schema = schemaOf(spark, table, m)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
     val newestDir = m.segments.values.maxBy(genOf)
     val schema = schemaOf(spark, table, m)
+    // metadata-only renames: unrewritten files carry a FORMER name, so the
+    // physical read schema requests the old names too (typed as the
+    // current column) and the projection coalesces newest-name-first —
+    // by-name correctness across the rename with zero data movement
+    val readSchema =
+      if (m.renames.isEmpty) schema
+      else org.apache.spark.sql.types.StructType(schema.fields.toSeq ++
+        m.renames.toSeq.flatMap { case (cur, olds) =>
+          schema.find(_.name == cur).toSeq.flatMap(f =>
+            olds.map(o => f.copy(name = o, nullable = true))) })
+    def project(df: DataFrame): DataFrame =
+      if (m.renames.isEmpty) df
+      else df.select(m.cols.map { c =>
+        m.renames.get(c) match {
+          case Some(olds) => coalesce((c +: olds).map(col): _*).as(c)
+          case None => col(c)
+        }
+      }: _*)
     if (wanted.isEmpty)
       // prune-to-nothing: schema preserved, statically no rows
-      return spark.read.schema(schema)
-        .parquet(new Path(table, newestDir).toString).filter(lit(false))
+      return project(spark.read.schema(readSchema)
+        .parquet(new Path(table, newestDir).toString).filter(lit(false)))
     val dirs = wanted.values.toSeq.sorted.map(d => new Path(table, d).toString)
-    spark.read.schema(schema).parquet(dirs: _*)
+    project(spark.read.schema(readSchema).parquet(dirs: _*))
   }
 
   private[graft] def genOf(segDir: String): Long = {
@@ -1862,13 +2419,37 @@ object CommittedTable {
     * read, never a mergeSchema sweep). */
   private[graft] def schemaOf(spark: SparkSession, table: Path,
       m: Manifest): org.apache.spark.sql.types.StructType = {
-    if (m.segments.isEmpty)
+    // a root-only (or pruned) hydration of a sharded manifest carries no
+    // segment entries, but the root's `probe=` line names the newest
+    // segment — one parquet footer probe, zero shard reads
+    if ((m.partial || m.segments.isEmpty) && m.probeSeg.isDefined)
+      return schemaFromProbe(spark, table, m, m.probeSeg.get)
+    if (m.segments.isEmpty) {
+      // a schema-only [[create]] (or a table every partition of which was
+      // retired) types entirely from the manifest's virtual declarations —
+      // no file to probe, and none needed
+      val declared = m.virtualCols.toMap
+      if (m.cols.nonEmpty && m.cols.forall(declared.contains))
+        return org.apache.spark.sql.types.StructType(
+          m.cols.map(c => org.apache.spark.sql.types.StructField(
+            c, org.apache.spark.sql.types.DataType.fromDDL(declared(c)),
+            nullable = true)))
       throw new java.io.IOException(s"committed table $table is empty; no schema")
-    val newestDir = m.segments.values.maxBy(genOf)
+    }
+    schemaFromProbe(spark, table, m, m.segments.values.maxBy(genOf))
+  }
+
+  private def schemaFromProbe(spark: SparkSession, table: Path, m: Manifest,
+      newestDir: String): org.apache.spark.sql.types.StructType = {
     val probed = spark.read.parquet(new Path(table, newestDir).toString).schema
     val declared = m.virtualCols.toMap
     org.apache.spark.sql.types.StructType(
       m.cols.map(c => probed.find(_.name == c).orElse(
+        // a renamed column no rewrite has materialized yet: the probed
+        // file carries a FORMER name — same type, new name
+        m.renames.getOrElse(c, Nil).iterator
+          .flatMap(o => probed.find(_.name == o)).nextOption()
+          .map(_.copy(name = c))).orElse(
         // a metadata-only column no rewrite has materialized yet: typed
         // from its ALTER-time declaration, NULL-filled by the explicit
         // schema in every file that lacks it
@@ -2337,8 +2918,9 @@ object CommittedTable {
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen, segments = staged, stats = segStats,
         rowCounts = segCounts,
-        // a full rewrite physically sheds dropped-column residue
-        droppedCols = Nil), staged)
+        // a full rewrite physically sheds dropped-column (and renamed
+        // former-name) residue
+        droppedCols = Nil, renames = Map.empty), staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }
@@ -2568,8 +3150,8 @@ object CommittedTable {
         partitionCol = Some(pc), keyCol = newKey, verCol = newVer,
         bloomCols = newBlooms, bucketing = keptBucketing,
         // the replacement materializes every column it declares and
-        // physically sheds any dropped-column residue
-        virtualCols = Nil, droppedCols = Nil), staged)
+        // physically sheds any dropped-column / renamed-residue bytes
+        virtualCols = Nil, droppedCols = Nil, renames = Map.empty), staged)
     collectGarbage(fs, table)
   }
 
@@ -2675,8 +3257,9 @@ object CommittedTable {
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen, segments = staged, stats = compactStats,
         rowCounts = compactCounts,
-        // a full rewrite physically sheds dropped-column residue
-        droppedCols = Nil), staged)
+        // a full rewrite physically sheds dropped-column (and renamed
+        // former-name) residue
+        droppedCols = Nil, renames = Map.empty), staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }

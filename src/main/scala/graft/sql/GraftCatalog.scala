@@ -93,15 +93,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val path = tablePath(ident)
     val table = new Path(path)
     val m =
-      try CommittedTable.readManifest(fs(table), table)
+      // ROOT-ONLY parse: for a sharded manifest the Table handle carries
+      // just the header + shard refs; GraftFileIndex hydrates shards
+      // lazily and PRUNED at plan time, so a filtered SELECT over a
+      // 100k-partition table parses O(surviving shards) of metadata
+      try CommittedTable.readManifestRoot(fs(table), table)
         .getOrElse(throw new NoSuchTableException(ident))
       catch {
         case _: NoSuchTableException => throw new NoSuchTableException(ident)
         case _: java.io.FileNotFoundException => throw new NoSuchTableException(ident)
       }
-    // ONE schema probe per load; the manifest snapshot rides the Table
-    // object so analysis, pruning and planning all see the same
-    // generation even under a concurrent publish
+    // ONE schema probe per load (the root's probe= line for sharded
+    // manifests); the manifest snapshot rides the Table object so
+    // analysis, pruning and planning all see the same generation even
+    // under a concurrent publish
     val schema = CommittedTable.schemaOf(spark, table, m)
     GraftTableV2(s"$catalogName.${ident.toString}", path, m, schema)
   }
@@ -163,13 +168,72 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .toArray
   }
 
+  /** Schema-only `CREATE TABLE (…) PARTITIONED BY (pc) [TBLPROPERTIES]`
+    * — the empty-DDL-shell birth every Delta/Iceberg migration script
+    * starts with: one atomic zero-row publish ([[CommittedTable.create]])
+    * declaring every column as manifest metadata, roles from
+    * TBLPROPERTIES (`keycol`/`vercol` enable the routed `INSERT INTO` /
+    * `MERGE INTO` immediately; `statscols`/`bloomcols`/`retain`/
+    * `buckets`+`bucketcols`/`check:<name>` as in CTAS). The created
+    * table reads as a typed empty relation and accepts inserts as
+    * ordinary generation-2 publishes. Multi-column PARTITIONED BY is
+    * refused here (the composite key is DERIVED from data — use CTAS,
+    * which routes through writeComposite). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "a committed table is created from data: use " +
-        "CommittedTable.write(df, path, partitionCol, keyCol=…, versionCol=…) " +
-        "or INSERT-less CTAS is not supported")
+      properties: util.Map[String, String]): Table = {
+    val path = tablePath(ident)
+    val props = properties.asScala.toMap
+    def propList(k: String): Seq[String] =
+      props.get(k).toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    val pc = partitions.toList match {
+      case id :: Nil if id.name == "identity" && id.references.length == 1 &&
+          id.references.head.fieldNames.length == 1 =>
+        id.references.head.fieldNames.head
+      case Nil => throw new UnsupportedOperationException(
+        s"CREATE TABLE $ident needs PARTITIONED BY (<one column>): a " +
+          "committed table is partition-scoped by contract")
+      case other => throw new UnsupportedOperationException(
+        s"CREATE TABLE $ident: schema-only creation supports exactly ONE " +
+          "identity partition column (a composite partition key is derived " +
+          s"from data — use CREATE TABLE … AS SELECT); got " +
+          other.map(_.describe).mkString(", "))
+    }
+    val unknown = props.keySet --
+      Set("keycol", "vercol", "statscols", "bloomcols", "retain",
+        "buckets", "bucketcols") --
+      props.keySet.filter(_.startsWith("option.")) --
+      props.keySet.filter(_.startsWith("check:")) --
+      // Spark itself injects reserved properties (owner, provider, …)
+      props.keySet.filter(TableCatalog.PROP_OWNER == _) -
+      TableCatalog.PROP_PROVIDER - TableCatalog.PROP_COMMENT -
+      TableCatalog.PROP_LOCATION - TableCatalog.PROP_EXTERNAL
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"CREATE TABLE $ident: unknown TBLPROPERTIES ${unknown.mkString(", ")}" +
+        " (supported: keycol, vercol, statscols, bloomcols, retain, " +
+        "buckets + bucketcols, check:<name>)")
+    val buckets: Option[(Int, Seq[String])] =
+      (props.get("buckets"), propList("bucketcols")) match {
+        case (Some(n), cs) if cs.nonEmpty => Some((n.toInt, cs))
+        case (None, Nil) => None
+        case _ => throw new IllegalArgumentException(
+          s"CREATE TABLE $ident: buckets and bucketcols must be declared " +
+            "together ('buckets'='8', 'bucketcols'='k')")
+      }
+    val checks: Seq[(String, String)] = props.toSeq.collect {
+      case (k, v) if k.startsWith("check:") && v.trim.nonEmpty =>
+        (k.substring("check:".length), v) }
+    CommittedTable.create(spark, path,
+      schema.fields.toSeq.map(f => (f.name, f.dataType.sql)), pc,
+      retainGenerations = props.get("retain").map(_.toInt).getOrElse(2),
+      statsCols = propList("statscols"),
+      keyCol = props.get("keycol"),
+      versionCol = props.get("vercol"),
+      bloomCols = propList("bloomcols"),
+      checks = checks,
+      bucketBy = buckets)
+    loadTable(ident)
+  }
 
   /** `ALTER TABLE` — two METADATA-ONLY verbs, both one manifest swap
     * regardless of table size:
@@ -190,8 +254,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val path = tablePath(ident)
     def bad(what: String): Nothing = throw new UnsupportedOperationException(
       s"ALTER TABLE ${ident}: $what; supported: ADD COLUMNS (top-level, " +
-        "nullable, no DEFAULT/position) and SET TBLPROPERTIES " +
-        "(keycol, vercol, statscols, bloomcols, retain, check:<name>)")
+        "nullable, no DEFAULT/position), DROP COLUMN(S), RENAME COLUMN " +
+        "(top-level, non-role) and SET TBLPROPERTIES " +
+        "(keycol, vercol, statscols, bloomcols, retain, retainhours, " +
+        "check:<name>)")
     val adds = changes.collect { case a: TableChange.AddColumn =>
       if (a.fieldNames().length != 1)
         bad(s"nested column ${a.fieldNames().mkString(".")} cannot be added")
@@ -203,6 +269,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       if (a.defaultValue() != null)
         bad(s"column ${a.fieldNames().head} with a DEFAULT needs a rewrite")
       (a.fieldNames().head, a.dataType().sql)
+    }
+    val renames = changes.collect { case r: TableChange.RenameColumn =>
+      if (r.fieldNames().length != 1)
+        bad(s"nested column ${r.fieldNames().mkString(".")} cannot be renamed")
+      (r.fieldNames().head, r.newName())
     }
     val drops = changes.collect { case d: TableChange.DeleteColumn =>
       if (d.fieldNames().length != 1)
@@ -219,15 +290,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val props = rawProps.filterNot(
       _._1.toLowerCase(java.util.Locale.ROOT).startsWith("check:"))
       .map { case (k, v) => (k.toLowerCase(java.util.Locale.ROOT), v) }
-    val known = Set("keycol", "vercol", "statscols", "bloomcols", "retain")
+    val known = Set("keycol", "vercol", "statscols", "bloomcols", "retain",
+      "retainhours")
     props.collectFirst { case (k, _) if !known.contains(k) => k }
       .foreach(k => bad(s"unknown table property '$k'"))
     changes.foreach {
       case _: TableChange.AddColumn | _: TableChange.SetProperty |
-           _: TableChange.DeleteColumn => ()
+           _: TableChange.DeleteColumn | _: TableChange.RenameColumn => ()
       case other => bad(s"unsupported change ${other.getClass.getSimpleName}")
     }
     if (adds.nonEmpty) CommittedTable.addColumns(spark, path, adds)
+    renames.foreach { case (o, n) =>
+      CommittedTable.renameColumn(spark, path, o, n) }
     if (drops.nonEmpty) {
       val existing = loadTable(ident).asInstanceOf[GraftTableV2]
         .tableSchema.fieldNames.toSet
@@ -245,8 +319,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       CommittedTable.setRoles(spark, path,
         keyCol = pm.get("keycol"), versionCol = pm.get("vercol"),
         statsCols = list("statscols"), bloomCols = list("bloomcols"))
-    pm.get("retain").foreach(r =>
-      CommittedTable.setRetention(spark, path, r.toInt))
+    if (pm.contains("retain") || pm.contains("retainhours")) {
+      val curRetain = pm.get("retain").map(_.toInt).getOrElse(
+        loadTable(ident).asInstanceOf[GraftTableV2].manifest.retain)
+      val hours = pm.get("retainhours").map(_.trim)
+      CommittedTable.setRetention(spark, path, curRetain,
+        retainHours = hours.filter(_.nonEmpty).map(_.toLong),
+        clearRetainHours = hours.contains(""))
+    }
     if (checkProps.nonEmpty) {
       // 'check:<name>' = '<expr>' adds/replaces that named check; an
       // empty value drops it. The full resulting set revalidates against

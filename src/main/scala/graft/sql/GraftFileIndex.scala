@@ -37,14 +37,35 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
 
   private val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // `m` may be a root-only snapshot of a SHARDED manifest (partition
+  // maps not yet loaded): hydration is lazy and PRUNED — a query whose
+  // filters pin partition values parses only the shards whose range can
+  // hold one (O(survivors)); an unconstrained scan pays the one full
+  // hydration it needs anyway. Shard files are immutable and referenced
+  // by name, so every hydration reproduces exactly this snapshot
+  // generation regardless of concurrent publishes.
+  private lazy val fullM: Manifest =
+    if (!m.partial) m
+    else CommittedTable.hydrateSnapshot(fs, tablePath, m, None)
+
+  private def hydratedFor(filters: Seq[Expression]): Manifest =
+    if (!m.partial) m
+    else {
+      val sets = m.partitionCol.toSeq.flatMap(pc =>
+        filters.flatMap(partitionValuesOf(pc, _)))
+      if (sets.isEmpty) fullM
+      else CommittedTable.hydrateSnapshot(fs, tablePath, m,
+        Some(sets.reduce(_ intersect _)))
+    }
+
   // file lists come from the MANIFEST when recorded (one `f=` line per
   // data file, captured at staging — segments are immutable), so query
   // planning costs zero listStatus RPCs however many partitions the
   // table has; a pre-feature segment falls back to one listing and is
   // backfilled by the table's next publish
-  private def filesOf(v: String): Seq[FileStatus] = {
-    val seg = m.segments(v)
-    m.files.get(seg) match {
+  private def filesOf(h: Manifest, v: String): Seq[FileStatus] = {
+    val seg = h.segments(v)
+    h.files.get(seg) match {
       case Some(recorded) => recorded.map { case (name, len) =>
         new FileStatus(len, false, 1, 134217728L, 0L,
           fs.makeQualified(new Path(new Path(tablePath, seg), name)))
@@ -58,8 +79,8 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
     }
   }
 
-  private def segFiles(values: Seq[String]): Seq[FileStatus] =
-    values.sorted.flatMap(filesOf)
+  private def segFiles(h: Manifest, values: Seq[String]): Seq[FileStatus] =
+    values.sorted.flatMap(filesOf(h, _))
 
   override def rootPaths: Seq[Path] = Seq(tablePath)
 
@@ -79,10 +100,15 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val survivors = prune(dataFilters)
+    // partition-column predicates arrive as partitionFilters on the
+    // partitioned relation (dataFilters on the legacy shape) — both feed
+    // the shard-pruned hydration
+    val h = hydratedFor(partitionFilters ++ dataFilters)
+    val survivors = prune(h, dataFilters)
     pcField match {
       case None =>
-        Seq(PartitionDirectory(InternalRow.empty, segFiles(survivors).toArray))
+        Seq(PartitionDirectory(InternalRow.empty,
+          segFiles(h, survivors).toArray))
       case Some(f) =>
         // static partition filters evaluate here against the manifest's
         // value list (the PartitioningAwareFileIndex contract); DYNAMIC
@@ -104,22 +130,31 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
         kept.sorted.map(v => PartitionDirectory(
           InternalRow(
             org.apache.spark.unsafe.types.UTF8String.fromString(v)),
-          filesOf(v).toArray))
+          filesOf(h, v).toArray))
     }
   }
 
   override lazy val inputFiles: Array[String] =
-    segFiles(m.segments.keys.toSeq).map(_.getPath.toString).toArray
+    segFiles(fullM, fullM.segments.keys.toSeq).map(_.getPath.toString).toArray
 
+  // a sharded root records per-shard byte totals, so the CBO
+  // size estimate (auto-broadcast, q150) costs zero shard reads
   override lazy val sizeInBytes: Long =
-    segFiles(m.segments.keys.toSeq).map(_.getLen).sum
+    if (m.partial) m.shards.map(_.bytes).sum
+    else segFiles(m, m.segments.keys.toSeq).map(_.getLen).sum
 
   override def refresh(): Unit = ()
 
   /** Sum of manifest row counts when every partition carries one — the
-    * zero-job `COUNT(*)` feed for [[GraftMetadataCount]]. */
+    * zero-job `COUNT(*)` feed for [[GraftMetadataCount]]. A sharded root
+    * answers from its per-shard totals, zero shard reads. */
   def totalRowCount: Option[Long] =
-    if (m.segments.nonEmpty && m.segments.keys.forall(m.rowCounts.contains))
+    if (m.partial) {
+      if (m.shards.forall(_.rows.isDefined))
+        Some(m.shards.flatMap(_.rows).sum)
+      else None
+    }
+    else if (m.segments.nonEmpty && m.segments.keys.forall(m.rowCounts.contains))
       // keys is set-like: map-then-sum would DEDUPLICATE equal counts
       Some(m.segments.keys.iterator.map(m.rowCounts).sum)
     else if (m.segments.isEmpty) Some(0L)
@@ -128,9 +163,12 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
   /** Partition values surviving the translatable conjuncts of
     * `dataFilters` (exposed for specs: the pruning decision without the
     * scan). */
-  private[sql] def prune(dataFilters: Seq[Expression]): Seq[String] = {
-    val base = m.segments.keys.toSeq
-    val partPruned = m.partitionCol match {
+  private[sql] def prune(dataFilters: Seq[Expression]): Seq[String] =
+    prune(hydratedFor(dataFilters), dataFilters)
+
+  private def prune(h: Manifest, dataFilters: Seq[Expression]): Seq[String] = {
+    val base = h.segments.keys.toSeq
+    val partPruned = h.partitionCol match {
       case Some(pc) =>
         val allowed = dataFilters.flatMap(partitionValuesOf(pc, _))
         allowed.foldLeft(base)((acc, set) => acc.filter(set))
@@ -142,19 +180,19 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
     // the predicate still reaches the parquet reader — the sidecars only
     // ever shrink the I/O
     val bloomPruned = dataFilters.flatMap(bloomProbeOf)
-      .filter { case (c, _) => m.bloomCols.contains(c) }
+      .filter { case (c, _) => h.bloomCols.contains(c) }
       .foldLeft(partPruned) { case (acc, (c, lits)) =>
         val hashes: Array[Long] = lits.map(l =>
           new XxHash64(Seq(l)).eval(null).asInstanceOf[Long]).toArray
-        CommittedTable.bloomSurvivors(spark, tablePath, m, c, hashes) match {
+        CommittedTable.bloomSurvivors(spark, tablePath, h, c, hashes) match {
           case Some(surv) => val keep = surv.toSet; acc.filter(keep)
           case None => acc
         }
       }
     val ranges = dataFilters.flatMap(rangeOf)
-      .filter { case (c, _, _) => m.statsCols.contains(c) }
+      .filter { case (c, _, _) => h.statsCols.contains(c) }
     if (ranges.isEmpty) bloomPruned
-    else CommittedTable.zoneSurvivors(m, Some(schema), ranges, bloomPruned)
+    else CommittedTable.zoneSurvivors(h, Some(schema), ranges, bloomPruned)
   }
 
   /** `c = lit` / `c IN (…)` → the probed literals (typed AS THE COLUMN —

@@ -106,12 +106,18 @@ private[sql] object GraftProcedures {
 
   def setRetention(resolve: String => String): UnboundProcedure = new Proc("set_retention", Array(
     ProcedureParameter.in("table", StringType).build(),
-    ProcedureParameter.in("retain", IntegerType).build())) {
+    ProcedureParameter.in("retain", IntegerType).build(),
+    ProcedureParameter.in("retain_hours", LongType).defaultValue("NULL")
+      .comment("wall-clock retention cap in hours; 0 clears it")
+      .build())) {
     override def call(input: InternalRow): JIterator[Scan] = {
       val spark = SparkSession.active
       val path = resolve(str(input, 0).getOrElse(
         throw new IllegalArgumentException("table must not be NULL")))
-      CommittedTable.setRetention(spark, path, input.getInt(1))
+      val hours = if (input.isNullAt(2)) None else Some(input.getLong(2))
+      CommittedTable.setRetention(spark, path, input.getInt(1),
+        retainHours = hours.filter(_ > 0L),
+        clearRetainHours = hours.contains(0L))
       result(path, currentGen(spark, path))
     }
   }
@@ -230,6 +236,170 @@ private[sql] object GraftProcedures {
       }
     }
 
+  // ---- LLM-pipeline operators as CALL procedures --------------------------
+  // The curation verbs (dedup, decontamination, ANN) composed behind pure
+  // SQL: each reads its input (a committed table when the path holds one,
+  // a plain parquet dir otherwise — raw corpora usually predate the
+  // lakehouse), runs the SAME Scala operator the Scala surface exposes
+  // (one implementation, SQL is a front end), writes parquet at `output`
+  // and returns (output, rows). Compose with SELECT … FROM
+  // parquet.`<output>` — the q164 gate runs the full loop against the
+  // q56-family DuckDB oracle.
+
+  private val opResultSchema = StructType(Seq(
+    StructField("output", StringType, nullable = false),
+    StructField("rows", LongType, nullable = false)))
+
+  private final case class OpResultScan(out: Array[InternalRow]) extends LocalScan {
+    override def rows(): Array[InternalRow] = out
+    override def readSchema(): StructType = opResultSchema
+  }
+
+  private def opResult(output: String, rows: Long): JIterator[Scan] =
+    java.util.Collections.singletonList[Scan](OpResultScan(Array(
+      new GenericInternalRow(Array[Any](UTF8String.fromString(output), rows)))))
+      .iterator()
+
+  /** Committed table when the path holds one, plain parquet otherwise. */
+  private def readAny(spark: SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    val t = new Path(path)
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (CommittedTable.readManifestRoot(fs, t).isDefined)
+      CommittedTable.read(spark, path)
+    else spark.read.parquet(path)
+  }
+
+  private def writeOut(df: org.apache.spark.sql.DataFrame, output: String)
+      : Long = {
+    df.write.mode("overwrite").parquet(output)
+    df.sparkSession.read.parquet(output).count()
+  }
+
+  /** `CALL graft.dedup_minhash(input => …, output => …, id => 'doc_id',
+    * text => 'text' [, n_shingle, bands, rows_per_band, threshold])`:
+    * MinHash-LSH near-duplicate detection through pure SQL. Without
+    * `threshold` the output is the banded CANDIDATE pairs (doc_a, doc_b)
+    * — exactly [[graft.operators.Dedup.minhashCandidates]], the q56
+    * shape; with a threshold each candidate is verified by true n-gram
+    * Jaccard and only pairs at or above it survive
+    * ([[graft.operators.Dedup.minhashNearDups]]). Scale shape unchanged
+    * from the Scala verb: banded equi-join, never all-pairs. */
+  def dedupMinhash(resolve: String => String): UnboundProcedure =
+    new Proc("dedup_minhash", Array(
+      ProcedureParameter.in("input", StringType).build(),
+      ProcedureParameter.in("output", StringType).build(),
+      ProcedureParameter.in("id", StringType).defaultValue("'doc_id'").build(),
+      ProcedureParameter.in("text", StringType).defaultValue("'text'").build(),
+      ProcedureParameter.in("n_shingle", IntegerType).defaultValue("3").build(),
+      ProcedureParameter.in("bands", IntegerType).defaultValue("3").build(),
+      ProcedureParameter.in("rows_per_band", IntegerType).defaultValue("2").build(),
+      ProcedureParameter.in("threshold", DoubleType).defaultValue("NULL")
+        .comment("verified-Jaccard floor; candidates only when absent")
+        .build())) {
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val spark = SparkSession.active
+        val in = resolve(str(input, 0).getOrElse(
+          throw new IllegalArgumentException("input must not be NULL")))
+        val out = resolve(str(input, 1).getOrElse(
+          throw new IllegalArgumentException("output must not be NULL")))
+        val (id, text) = (str(input, 2).get, str(input, 3).get)
+        val (n, bands, rows) =
+          (input.getInt(4), input.getInt(5), input.getInt(6))
+        val docs = readAny(spark, in)
+        val pairs =
+          if (input.isNullAt(7))
+            graft.operators.Dedup.minhashCandidates(docs, text, id,
+              n, bands, rows)
+          else graft.operators.Dedup.minhashNearDups(docs, text, id,
+            input.getDouble(7), n, bands, rows)
+        opResult(out, writeOut(pairs, out))
+      }
+    }
+
+  /** `CALL graft.decontaminate(input => …, benchmark => …, output => …,
+    * id => 'doc_id', text => 'text' [, n, max_hits, bloom])`: benchmark
+    * decontamination through pure SQL — documents sharing more than
+    * `max_hits` distinct `n`-grams with the benchmark are dropped
+    * ([[graft.operators.Dedup.decontaminate]]); `bloom => true` routes
+    * candidate generation through the Bloom prefilter for benchmark
+    * suites too large to broadcast exactly (answer identical). The
+    * output is the SURVIVING corpus. */
+  def decontaminateProc(resolve: String => String): UnboundProcedure =
+    new Proc("decontaminate", Array(
+      ProcedureParameter.in("input", StringType).build(),
+      ProcedureParameter.in("benchmark", StringType).build(),
+      ProcedureParameter.in("output", StringType).build(),
+      ProcedureParameter.in("id", StringType).defaultValue("'doc_id'").build(),
+      ProcedureParameter.in("text", StringType).defaultValue("'text'").build(),
+      ProcedureParameter.in("n", IntegerType).defaultValue("13").build(),
+      ProcedureParameter.in("max_hits", LongType).defaultValue("0").build(),
+      ProcedureParameter.in("bloom", BooleanType).defaultValue("false").build())) {
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val spark = SparkSession.active
+        val in = resolve(str(input, 0).getOrElse(
+          throw new IllegalArgumentException("input must not be NULL")))
+        val bench = resolve(str(input, 1).getOrElse(
+          throw new IllegalArgumentException("benchmark must not be NULL")))
+        val out = resolve(str(input, 2).getOrElse(
+          throw new IllegalArgumentException("output must not be NULL")))
+        val survivors = graft.operators.Dedup.decontaminate(
+          readAny(spark, in), readAny(spark, bench),
+          str(input, 4).get, str(input, 3).get,
+          input.getInt(5), input.getLong(6), input.getBoolean(7))
+        opResult(out, writeOut(survivors, out))
+      }
+    }
+
+  /** `CALL graft.ann_topk(input => …, queries => …, output => …, k => 10
+    * [, id, vec, qid, qvec, index, nprobe])`: batched cosine top-k
+    * through pure SQL. Default is the EXACT brute-force baseline
+    * ([[graft.operators.Similarity.batchBruteForceTopK]] — one broadcast
+    * join + bounded-heap per query, the correctness yardstick); pass
+    * `index => '<stored IVF index path>'` to rank against the
+    * partitioned index instead ([[graft.operators.Similarity
+    * .ivfBatchTopKFromIndex]] — reads only probed cells; approximate,
+    * recall governed by nprobe — see the recall guidance on that
+    * method). Output rows: (qid, id, cos). */
+  def annTopK(resolve: String => String): UnboundProcedure =
+    new Proc("ann_topk", Array(
+      ProcedureParameter.in("input", StringType).build(),
+      ProcedureParameter.in("queries", StringType).build(),
+      ProcedureParameter.in("output", StringType).build(),
+      ProcedureParameter.in("k", IntegerType).defaultValue("10").build(),
+      ProcedureParameter.in("id", StringType).defaultValue("'vec_id'").build(),
+      ProcedureParameter.in("vec", StringType).defaultValue("'embedding'").build(),
+      ProcedureParameter.in("qid", StringType).defaultValue("'qid'").build(),
+      ProcedureParameter.in("qvec", StringType).defaultValue("'qvec'").build(),
+      ProcedureParameter.in("index", StringType).defaultValue("NULL")
+        .comment("stored IVF index path; exact brute force when absent")
+        .build(),
+      ProcedureParameter.in("nprobe", IntegerType).defaultValue("4").build())) {
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val spark = SparkSession.active
+        val in = resolve(str(input, 0).getOrElse(
+          throw new IllegalArgumentException("input must not be NULL")))
+        val qs = resolve(str(input, 1).getOrElse(
+          throw new IllegalArgumentException("queries must not be NULL")))
+        val out = resolve(str(input, 2).getOrElse(
+          throw new IllegalArgumentException("output must not be NULL")))
+        val k = input.getInt(3)
+        val (id, vec) = (str(input, 4).get, str(input, 5).get)
+        val (qid, qvec) = (str(input, 6).get, str(input, 7).get)
+        val queries = readAny(spark, qs)
+          .withColumnRenamed(qvec, "qvec")
+        val top = str(input, 8) match {
+          case Some(index) =>
+            graft.operators.Similarity.ivfBatchTopKFromIndex(spark,
+              resolve(index), queries, k, input.getInt(9), id, vec, qid)
+          case None =>
+            graft.operators.Similarity.batchBruteForceTopK(
+              readAny(spark, in), queries, k, id, vec, qid)
+        }
+        opResult(out, writeOut(top, out))
+      }
+    }
+
   private val historySchema = StructType(Seq(
     StructField("generation", LongType, nullable = false),
     StructField("published_at", TimestampType, nullable = false),
@@ -273,5 +443,8 @@ private[sql] object GraftProcedures {
     "init_agg_view" -> initAggView(resolve),
     "sync_agg_view" -> syncAggView(resolve),
     "clone" -> cloneProc(resolve),
-    "vacuum" -> vacuumProc(resolve))
+    "vacuum" -> vacuumProc(resolve),
+    "dedup_minhash" -> dedupMinhash(resolve),
+    "decontaminate" -> decontaminateProc(resolve),
+    "ann_topk" -> annTopK(resolve))
 }

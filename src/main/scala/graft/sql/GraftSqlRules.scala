@@ -369,9 +369,23 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
       s"MERGE INTO ${t.name()}: the manifest records no key column — " +
         "declare it at CommittedTable.write(keyCol=…) or via " +
         "SET TBLPROPERTIES('keycol'=…)"))
+    // analysis may wrap either side in an implicit widening cast (a
+    // source key narrower than the table's); the routed merge re-derives
+    // the comparison itself, so the cast is shape noise here
+    def stripKeyCast(e: Expression): Expression = e match {
+      case Cast(c, _, _, _) => stripKeyCast(c)
+      case other => other
+    }
+    val keyEquality = mi.mergeCondition match {
+      case EqualTo(l, r) => (stripKeyCast(l), stripKeyCast(r)) match {
+        case (a: AttributeReference, b: AttributeReference) =>
+          a.name == key && b.name == key
+        case _ => false
+      }
+      case _ => false
+    }
     mi.mergeCondition match {
-      case EqualTo(a: AttributeReference, b: AttributeReference)
-          if a.name == key && b.name == key => ()
+      case _ if keyEquality => ()
       case other => fail(
         s"MERGE INTO ${t.name()}: ON must be equality on the table's " +
           s"declared key column '$key', got ${other.sql} (put extra " +
@@ -483,8 +497,16 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
     // pruning flow through Spark's standard machinery; the by-name
     // Project below restores the table's declared column order
     val partSchema = index.partitionSchema
+    // metadata-only renames: unrewritten files carry a FORMER name, so the
+    // physical data schema also requests the old names (typed as the
+    // current column) and the pinning Project below coalesces
+    // newest-name-first — the SQL twin of the Scala read's projection
+    val renames = t.manifest.renames
+    val renamedFields = renames.toSeq.flatMap { case (cur, olds) =>
+      t.tableSchema.fields.find(_.name == cur).toSeq.flatMap(f =>
+        olds.map(o => f.copy(name = o, nullable = true))) }
     val dataSchema = StructType(t.tableSchema.fields.filterNot(f =>
-      partSchema.fieldNames.contains(f.name)))
+      partSchema.fieldNames.contains(f.name)) ++ renamedFields)
     // a bucketed table's manifest carries its BucketSpec: the planner
     // then reports HashPartitioning(bucketCols, n) for this scan, and a
     // join/aggregation on the bucket columns between two same-bucketed
@@ -497,9 +519,15 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
       bucketSpec, new ParquetFileFormat(), Map.empty)(spark)
     val lr = LogicalRelation(fsRelation)
     val byName = lr.output.map(a => a.name -> a).toMap
-    Project(r.output.map(o =>
-      Alias(byName(o.name), o.name)(exprId = o.exprId,
-        qualifier = o.qualifier)), lr)
+    Project(r.output.map { o =>
+      val e: Expression = renames.get(o.name) match {
+        case Some(olds) =>
+          org.apache.spark.sql.catalyst.expressions.Coalesce(
+            (o.name +: olds).map(byName))
+        case None => byName(o.name)
+      }
+      Alias(e, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }, lr)
   }
 }
 

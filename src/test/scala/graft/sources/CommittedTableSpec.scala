@@ -511,6 +511,58 @@ class CommittedTableSpec extends SparkSpec {
     assert(CommittedTable.generations(spark, dir) === Seq(3L, 4L, 5L, 6L))
   }
 
+  test("retainHours: generations older than the wall-clock horizon collect " +
+      "regardless of publish cadence; within-horizon history unaffected") {
+    val dir = freshDir("retainh")
+    // count-based window of 10 would keep everything — the time cap must
+    // collect anyway (the compliance clock)
+    CommittedTable.write(base(), dir, "status", retainGenerations = 10)
+    CommittedTable.merge(spark, dir, updates(), "id", "version", "status") // gen 2
+    CommittedTable.merge(spark, dir,
+      Seq((2L, "A", 22.0, 3L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status") // gen 3
+    CommittedTable.setRetention(spark, dir, 10, retainHours = Some(48L)) // gen 4
+    assert(CommittedTable.generations(spark, dir) === Seq(1L, 2L, 3L, 4L))
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // age gens 1 and 2 past the 48 h horizon (anchor mtime = publish time)
+    val old = System.currentTimeMillis() - 72L * 3600 * 1000
+    Seq(1L, 2L).foreach(g => fs.setTimes(
+      new org.apache.hadoop.fs.Path(table, s"_commit.g$g"), old, -1))
+    // time travel refuses the expired generations BEFORE any GC runs
+    val e = intercept[java.io.IOException](CommittedTable.readAt(spark, dir, 2L))
+    assert(e.getMessage.contains("retainHours 48"))
+    // ...and vacuum physically collects them; 3 and 4 stay readable
+    CommittedTable.vacuum(spark, dir)
+    assert(CommittedTable.generations(spark, dir) === Seq(3L, 4L))
+    assert(CommittedTable.readAt(spark, dir, 3L).count() === 5L)
+    // current generation is ALWAYS readable, even when its anchor ages:
+    // age everything, vacuum, and the live table still reads
+    CommittedTable.generations(spark, dir).foreach(g => fs.setTimes(
+      new org.apache.hadoop.fs.Path(table, s"_commit.g$g"), old, -1))
+    CommittedTable.vacuum(spark, dir)
+    assert(CommittedTable.generations(spark, dir) === Seq(4L))
+    assert(CommittedTable.read(spark, dir).count() === 5L)
+    // clearing the cap restores pure count-based retention for the future
+    CommittedTable.setRetention(spark, dir, 10, clearRetainHours = true)
+    assert(CommittedTable.manifestAt(spark, dir).retainHours === None)
+  }
+
+  test("retainHours via SQL TBLPROPERTIES: set, observe, clear") {
+    val dir = freshDir("retainh-sql")
+    CommittedTable.write(base(), dir, "status",
+      keyCol = Some("id"), versionCol = Some("version"))
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES('retainhours'='72')")
+    assert(CommittedTable.manifestAt(spark, dir).retainHours === Some(72L))
+    // retain co-sets in the same statement
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES" +
+      "('retain'='5', 'retainhours'='24')")
+    val m = CommittedTable.manifestAt(spark, dir)
+    assert(m.retain === 5 && m.retainHours === Some(24L))
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES('retainhours'='')")
+    assert(CommittedTable.manifestAt(spark, dir).retainHours === None)
+  }
+
   test("mortonKey: interleaves bucket bits — hand-derived codes on a 2-bit grid") {
     // 2 cols × 2 bits, ranges [0,4): bucket == floor(v); classic morton
     // codes: key(x,y) interleaves x's bits at even positions, y's at odd

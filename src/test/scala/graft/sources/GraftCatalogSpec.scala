@@ -1010,6 +1010,143 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("schema-only CREATE TABLE: typed empty read, INSERT INTO lands, " +
+      "roles recorded from TBLPROPERTIES") {
+    withTable("graft-cat-create") { path =>
+      spark.sql(
+        s"""CREATE TABLE graft.`$path`
+            (id BIGINT, part STRING, price DOUBLE, version BIGINT)
+            PARTITIONED BY (part)
+            TBLPROPERTIES('keycol'='id', 'vercol'='version',
+              'statscols'='price,id')""")
+      // born empty: typed relation, zero rows, COUNT(*) collapses to the
+      // manifest (zero segments ⇒ zero)
+      val empty = spark.sql(s"SELECT * FROM graft.`$path`")
+      assert(empty.schema.fieldNames.toSeq ===
+        Seq("id", "part", "price", "version"))
+      assert(empty.schema("price").dataType ===
+        org.apache.spark.sql.types.DoubleType)
+      assert(empty.count() === 0L)
+      assert(CommittedTable.read(spark, path).count() === 0L)
+      // INSERT INTO the empty table is an ordinary generation-2 publish
+      spark.sql(s"INSERT INTO graft.`$path` VALUES " +
+        "(1, 'a', 10.0, 1), (2, 'b', 20.0, 1), (3, 'a', 30.0, 1)")
+      val rows = spark.sql(
+        s"SELECT part, COUNT(*) AS n, SUM(id) AS ids FROM graft.`$path` " +
+          "GROUP BY part ORDER BY part")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq === Seq(("a", 2L, 4L), ("b", 1L, 2L)))
+      // the declared roles drove the insert (merge key/version) and the
+      // stats columns survived into the publish: zone maps recorded
+      val m = CommittedTable.manifestAt(spark, path)
+      assert(m.gen === 2L)
+      assert(m.keyCol === Some("id") && m.verCol === Some("version"))
+      assert(m.statsCols === Seq("price", "id"))
+      assert(m.stats.nonEmpty)
+      // MERGE works too (key/version declared at create)
+      spark.sql(s"MERGE INTO graft.`$path` t USING " +
+        "(SELECT 1 AS id, 'a' AS part, 99.0 AS price, 2 AS version) s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      assert(spark.sql(s"SELECT price FROM graft.`$path` WHERE id = 1")
+        .collect().head.getDouble(0) === 99.0)
+    }
+  }
+
+  test("CREATE TABLE contracts: double-create refused, roles validated " +
+      "against the declared schema, partition clause required") {
+    withTable("graft-cat-create2") { path =>
+      spark.sql(s"CREATE TABLE graft.`$path` (id BIGINT, part STRING) " +
+        "PARTITIONED BY (part)")
+      val dup = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.`$path` (x INT, part STRING) " +
+          "PARTITIONED BY (part)")
+      }
+      assert(dup.getMessage.contains("already"))
+      // IF NOT EXISTS no-ops
+      spark.sql(s"CREATE TABLE IF NOT EXISTS graft.`$path` " +
+        "(x INT, part STRING) PARTITIONED BY (part)")
+      assert(spark.sql(s"SELECT * FROM graft.`$path`")
+        .schema.fieldNames.toSeq === Seq("id", "part"))
+    }
+    withTable("graft-cat-create3") { path =>
+      val noPart = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.`$path` (id BIGINT, part STRING)")
+      }
+      assert(noPart.getMessage.contains("PARTITIONED BY"))
+      val badRole = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.`$path` (id BIGINT, part STRING) " +
+          "PARTITIONED BY (part) TBLPROPERTIES('keycol'='nope')")
+      }
+      assert(badRole.getMessage.contains("absent from the declared schema"))
+      val badProp = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.`$path` (id BIGINT, part STRING) " +
+          "PARTITIONED BY (part) TBLPROPERTIES('frobnicate'='1')")
+      }
+      assert(badProp.getMessage.contains("unknown TBLPROPERTIES"))
+    }
+  }
+
+  test("RENAME COLUMN: metadata-only, old files read through the mapping, " +
+      "mixed generations coalesce, VERSION AS OF serves the old name") {
+    withTable("graft-cat-rename") { path =>
+      seed(path) // gen 1: files physically carry 'price'
+      // deep retention: the test travels back across several metadata gens
+      spark.sql(s"ALTER TABLE graft.`$path` SET TBLPROPERTIES('retain'='10')")
+      // price is a zone-map stats column — the rename refuses until the
+      // role is cleared (renaming under a role would desync the maps)
+      val statsRole = intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.`$path` RENAME COLUMN price TO amount")
+      }
+      assert(statsRole.getMessage.contains("zone-map stats column"))
+      spark.sql(s"ALTER TABLE graft.`$path` SET TBLPROPERTIES('statscols'='id')")
+      spark.sql(s"ALTER TABLE graft.`$path` RENAME COLUMN price TO amount")
+      // SQL read: new name over unrewritten files
+      assert(spark.sql(s"SELECT amount FROM graft.`$path` WHERE id = 1")
+        .collect().head.getDouble(0) === 10.0)
+      // Scala read agrees; old name is gone from the schema
+      val df = CommittedTable.read(spark, path)
+      assert(df.columns.toSeq === Seq("id", "part", "amount", "version"))
+      assert(df.filter(col("id") === 2).select("amount")
+        .as[Double](org.apache.spark.sql.Encoders.scalaDouble).head() === 20.0)
+      // a post-rename write materializes 'amount'; both generations of
+      // files serve one query through the coalesce
+      spark.sql(s"INSERT INTO graft.`$path` VALUES (9, 'a', 90.0, 1)")
+      assert(spark.sql(
+        s"SELECT CAST(SUM(amount) AS DOUBLE) FROM graft.`$path` WHERE part = 'a'")
+        .collect().head.getDouble(0) === 10.0 + 20.0 + 30.0 + 90.0)
+      // time travel to the pre-rename generation serves the OLD name
+      val was = spark.sql(s"SELECT * FROM graft.`$path` VERSION AS OF 1")
+      assert(was.schema.fieldNames.contains("price") &&
+        !was.schema.fieldNames.contains("amount"))
+      // guards: re-adding the former name is quarantined; renaming a
+      // role column refused
+      val resurrect = intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (price DOUBLE)")
+      }
+      assert(resurrect.getMessage.contains("FORMER name"))
+      val role = intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft.`$path` RENAME COLUMN id TO key_id")
+      }
+      assert(role.getMessage.contains("merge key"))
+      // chained rename composes: amount -> cost reads all three names
+      spark.sql(s"ALTER TABLE graft.`$path` RENAME COLUMN amount TO cost")
+      assert(spark.sql(
+        s"SELECT CAST(SUM(cost) AS DOUBLE) FROM graft.`$path`")
+        .collect().head.getDouble(0) === 450.0)
+      // one full rewrite sheds the residue and clears the mapping
+      spark.sql(s"CALL graft.compact(table => '$path')")
+      assert(CommittedTable.manifestAt(spark, path).renames.isEmpty)
+      assert(spark.sql(
+        s"SELECT CAST(SUM(cost) AS DOUBLE) FROM graft.`$path`")
+        .collect().head.getDouble(0) === 450.0)
+      // after the shed, the former name is free again
+      spark.sql(s"ALTER TABLE graft.`$path` ADD COLUMNS (price DOUBLE)")
+      assert(spark.sql(s"SELECT price FROM graft.`$path` WHERE id = 1")
+        .collect().head.isNullAt(0))
+    }
+  }
+
   test("overwritePartitions: type drift fails loudly before any staging") {
     withTable("graft-cat-tdrift") { path =>
       seed(path)
