@@ -30,7 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // substitution + DELETE/UPDATE/MERGE/INSERT routing, and the
     // manifest-fed COUNT(*) collapse
     e.injectResolutionRule(session => graft.sql.GraftAnalysis(session))
-    e.injectOptimizerRule(session => graft.sql.GraftMetadataCount(session))
+    e.injectOptimizerRule(session => graft.sql.GraftMetadataAgg(session))
   }
 }
 

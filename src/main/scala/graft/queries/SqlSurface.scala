@@ -205,7 +205,7 @@ object SqlSurface {
       FROM merged GROUP BY o_orderstatus""")),
 
     // ---- SQL metadata-only COUNT(*) ---------------------------------------
-    // q139's zero-job count through SQL text: GraftMetadataCount collapses
+    // q139's zero-job count through SQL text: GraftMetadataAgg collapses
     // the groupless COUNT(*) over the unfiltered committed scan to a
     // LocalRelation fed by manifest row counts — no file listed, no job
     // run (GraftCatalogSpec pins the plan shape; EXPLAIN.md carries the
@@ -822,5 +822,153 @@ object SqlSurface {
       WHERE (o_orderkey % 2 = 0
              OR (o_orderkey % 6 = 3 AND o_orderstatus = 'O'))
         AND o_totalprice >= 1000.0
-      GROUP BY o_orderstatus""")))
+      GROUP BY o_orderstatus""")),
+
+    // ---- Metadata-only MIN/MAX/COUNT (zone-map fold) ----------------------
+    // GraftMetadataAgg collapses BOTH groupless aggregate subqueries to
+    // LocalRelations fed by the manifest: COUNT(*) from the per-partition
+    // row counts, MIN/MAX from the zone maps (per-segment min/max are
+    // exact at publish, so their fold IS the table's extremes), and the
+    // second subquery's partition-only WHERE restricts the fold to the
+    // surviving partitions — the Iceberg `MAX(ts)` planner-query answered
+    // without listing one file. MetadataAggSpec pins the no-scan plan and
+    // every bail-out shape; EXPLAIN.md carries the dump. At 100 TB these
+    // are the queries schedulers fire constantly ("how fresh is the
+    // table", "how many rows landed today") — metadata answers or a
+    // full-scan regression, nothing between.
+    Q("q166_sql_metadata_minmax", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q166").toString + "/wh"
+      graft.sources.CommittedTable.write(o, wh, "o_orderstatus",
+        statsCols = Seq("o_totalprice", "o_orderkey"))
+      val out = s.sql(
+        s"""SELECT g.n, g.mn_key, g.mx_key, g.mn_price, g.mx_price,
+                   f.mx_price_o
+            FROM (SELECT COUNT(*) AS n,
+                    MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+                    MIN(o_totalprice) AS mn_price,
+                    MAX(o_totalprice) AS mx_price
+                  FROM graft.`$wh`) g
+            CROSS JOIN
+                 (SELECT MAX(o_totalprice) AS mx_price_o
+                  FROM graft.`$wh` WHERE o_orderstatus = 'O') f""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT g.n, g.mn_key, g.mx_key, g.mn_price, g.mx_price, f.mx_price_o
+      FROM (SELECT COUNT(*) AS n,
+              MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+              MIN(o_totalprice) AS mn_price, MAX(o_totalprice) AS mx_price
+            FROM orders) g
+      CROSS JOIN
+           (SELECT MAX(o_totalprice) AS mx_price_o
+            FROM orders WHERE o_orderstatus = 'O') f""")),
+
+    // ---- Optimistic concurrency: partition-disjoint rebase ----------------
+    // Two writers race deterministically (crashPoint injection): while an
+    // overwritePartitions of partition 'F' sits staged-but-unpublished, a
+    // merge INSERTs brand-new keys into partition 'O' and wins the
+    // generation. The overwrite then REBASES — its staged bytes depend on
+    // nothing the winner touched (readParts = ∅, touched = {F}, winner
+    // touched {O}) — and publishes on top instead of aborting, so the
+    // final table carries BOTH effects with no retry recompute.
+    // ConcurrencySpec pins the abort cases (overlap, metadata motion,
+    // merge's whole-table read scope); the oracle pins that rebased =
+    // both-effects-applied, exactly. The 100 TB story: ingestion and
+    // backfills to disjoint partitions never serialize on the manifest.
+    Q("q167_concurrent_rebase", (s, dir) => {
+      val src = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q167").toString + "/wh"
+      graft.sources.CommittedTable.write(src, wh, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      val overwriteF = src.filter(col("o_orderstatus") === "F")
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+        .withColumn("version", lit(2L))
+      val insertO = src.filter(col("o_orderkey") % 997 === 0)
+        .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+          lit("O").as("o_orderstatus"), col("o_totalprice"),
+          lit(2L).as("version"))
+      var injected = false
+      graft.sources.CommittedTable.overwritePartitions(overwriteF, wh,
+        crashPoint = {
+          case "before-swap" if !injected =>
+            injected = true
+            graft.sources.CommittedTable.merge(s, wh, insertO,
+              "o_orderkey", "version", "o_orderstatus")
+          case _ => ()
+        })
+      val out = s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              CAST(SUM(version) AS BIGINT) AS sum_version,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$wh`
+            GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      WITH src AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+                     1 AS version FROM orders),
+      final AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END AS version
+        FROM src
+        UNION ALL
+        SELECT o_orderkey + 100000000, 'O', o_totalprice, 2
+        FROM src WHERE o_orderkey % 997 = 0)
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(version) AS BIGINT) AS sum_version,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM final GROUP BY o_orderstatus""")),
+
+    // ---- Partition-scoped compaction (bounded maintenance) ----------------
+    // The 100 TB maintenance verb: whole-table compact is a non-starter
+    // there, but fragmentation is LOCAL (streams and small merges
+    // fragment the partitions they touch). fragmentedPartitions selects
+    // targets from the manifest's f= lists alone (zero listStatus), and
+    // compactPartitions rewrites ONLY those — every other partition's
+    // segments carry by reference — under Rebase credentials, so
+    // maintenance never blocks disjoint ingestion (ConcurrencySpec races
+    // it). The gate fragments every partition (salted parallel staging),
+    // compacts the selected set, and proves content identity plus the
+    // all-compacted witness; the aggregate afterwards still answers
+    // COUNT from metadata.
+    Q("q168_compact_partitions", (s, dir) => {
+      val src = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+        .repartition(8)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q168").toString + "/wh"
+      // pin AQE's small-shuffle coalescing off so the salted staging
+      // actually fans out at gate scale (at real scale it always does)
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try graft.sources.CommittedTable.write(src, wh, "o_orderstatus",
+        filesPerPartition = 4,
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      finally s.conf
+        .set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val frag = graft.sources.CommittedTable
+        .fragmentedPartitions(s, wh, maxFiles = 1)
+      graft.sources.CommittedTable.compactPartitions(s, wh, frag)
+      val compacted = graft.sources.CommittedTable
+        .fragmentedPartitions(s, wh, maxFiles = 1).isEmpty
+      val out = s.sql(
+        s"""SELECT o_orderstatus, $compacted AS compacted, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$wh`
+            GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT o_orderstatus, TRUE AS compacted, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus""")))
 }

@@ -52,6 +52,18 @@ object CommittedTable {
   private val CommitGen = "_commit.g"
   private val ClaimPrefix = "_claim-g"
   private val StagingInfix = ".ct-staging-"
+  // A live writer's STAGING INTENT: `_intent-<nonce>` is created in the
+  // table dir the moment `seg-g<gen>-<nonce>-*` dirs start renaming in,
+  // and removed by [[publishOrAbort]] at commit or abort. GC must not
+  // collect a staged-but-unpublished segment whose writer is still
+  // running — with [[Rebase]] two writers legitimately overlap, and the
+  // winner's post-commit GC would otherwise delete the loser's staging
+  // out from under its rebase. A crashed writer's intent ages out with
+  // [[StagingSweepAgeMs]] (its segments collect right after); recover()
+  // sweeps intents unconditionally ("no writer active" is its contract).
+  private val IntentPrefix = "_intent-"
+  private def segNonce(segName: String): String =
+    segName.split('-').lift(2).getOrElse("")
   // staging roots older than this are crash debris for collectGarbage (an
   // in-flight writer's root is indistinguishable by content; recover(),
   // which documents "no writer active", sweeps them regardless of age)
@@ -165,6 +177,18 @@ object CommittedTable {
       // it through staging, so all live files are always bucket-parseable.
       // Line: bucketby=<n>\t<cols...>.
       bucketing: Option[(Int, Seq[String])] = None,
+      // TABLE-LEVEL approximate distinct counts ([[analyzeTable]] / CALL
+      // graft.analyze): column → approx NDV, the ANALYZE-TABLE statistic
+      // that lets the SQL layer hand Spark's cost-based optimizer real
+      // column stats — with them (plus the exact manifest row counts) a
+      // multi-join query REORDERS by estimated intermediate size
+      // (CostBasedJoinReorder needs rowCount + join-key distinctCount).
+      // Collected by one aggregate pass at analyze time and CARRIED
+      // FORWARD by later publishes as estimates (the Delta/Iceberg
+      // ANALYZE model — stats staleness changes plans, never answers);
+      // re-run analyze (or compact) after heavy DML. Line:
+      // ndv=<esc col>\t<n>.
+      ndv: Map[String, Long] = Map.empty,
       // METADATA-ONLY column renames ([[renameColumn]] / SQL ALTER TABLE
       // RENAME COLUMN): current name → its FORMER physical names, newest
       // first. Unrewritten segment files still carry a former name's
@@ -373,7 +397,7 @@ object CommittedTable {
 
   private val MetaPrefixes = Seq("retain=", "retainh=", "stats=", "rows=",
     "partcol=", "keycol=", "vercol=", "bloom=", "virtual=", "f=",
-    "dropped=", "check=", "bucketby=", "shard=", "probe=", "was=")
+    "dropped=", "check=", "bucketby=", "shard=", "probe=", "was=", "ndv=")
 
   private def readRoot(fs: FileSystem, p: Path): Option[Manifest] = {
     if (!fs.exists(p)) return None
@@ -463,6 +487,13 @@ object CommittedTable {
           case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
         }
       }.toMap
+    val ndv = lines.drop(2).filter(_.startsWith("ndv="))
+      .map { l =>
+        l.stripPrefix("ndv=").split('\t') match {
+          case Array(c, n) => unesc(c) -> n.toLong
+          case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
+        }
+      }.toMap
     val part = parsePartitionLines(lines.drop(2), statsCols, p.toString)
     if (shards.nonEmpty && part.segments.nonEmpty)
       throw new java.io.IOException(
@@ -471,7 +502,8 @@ object CommittedTable {
       part.rowCounts, partCol, keyCol, verCol, bloomCols, virtualCols,
       part.files, droppedCols, shards = shards, probeSeg = probeSeg,
       partial = shards.nonEmpty, bucketing = bucketing,
-      renames = renames, retainHours = retainHours, checks = checks))
+      ndv = ndv, renames = renames, retainHours = retainHours,
+      checks = checks))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
@@ -500,6 +532,7 @@ object CommittedTable {
        else Seq(s"dropped=${m.droppedCols.map(esc).mkString("\t")}")) ++
       m.renames.toSeq.sortBy(_._1).map { case (cur, olds) =>
         s"was=${esc(cur)}\t${olds.map(esc).mkString("\t")}" } ++
+      m.ndv.toSeq.sortBy(_._1).map { case (c, n) => s"ndv=${esc(c)}\t$n" } ++
       m.checks.map { case (n, e) => s"check=${esc(n)}\t${esc(e)}" } ++
       m.bucketing.map { case (n, cs) =>
         s"bucketby=$n\t${cs.map(esc).mkString("\t")}" }.toSeq ++
@@ -736,10 +769,24 @@ object CommittedTable {
     val protectedShards: Set[String] =
       (curM.toSeq ++ prevM.toSeq ++ retainedMs).flatMap(_.shards.map(_.file)).toSet
     val now0 = System.currentTimeMillis()
+    // nonces with a LIVE staging intent: a concurrent writer staged these
+    // segments and hasn't published or aborted yet — not garbage, however
+    // unreferenced they look (the Rebase window). A crashed writer's
+    // intent ages out, and its segments become ordinary orphans then.
+    val liveIntents: Set[String] = fs.listStatus(table).toSeq.collect {
+      case st if !st.isDirectory &&
+          st.getPath.getName.startsWith(IntentPrefix) &&
+          now0 - st.getModificationTime <= StagingSweepAgeMs =>
+        st.getPath.getName.stripPrefix(IntentPrefix)
+    }.toSet
     fs.listStatus(table).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("seg-") && !protectedSegs(n))
+      if (st.isDirectory && n.startsWith("seg-") && !protectedSegs(n) &&
+          !liveIntents(segNonce(n)))
         fs.delete(st.getPath, true)
+      else if (!st.isDirectory && n.startsWith(IntentPrefix) &&
+          now0 - st.getModificationTime > StagingSweepAgeMs)
+        fs.delete(st.getPath, false)
       else if (!st.isDirectory && n.startsWith(ShardPrefix) &&
           !protectedShards(n) &&
           now0 - st.getModificationTime > StagingSweepAgeMs)
@@ -860,6 +907,10 @@ object CommittedTable {
           n.stripPrefix(ClaimPrefix).forall(_.isDigit) &&
           n.stripPrefix(ClaimPrefix).toLong > curGen)
         fs.delete(st.getPath, false)
+      // "no writer active" is recover's contract: every staging intent is
+      // a crashed writer's — sweep them so the next GC collects the segs
+      else if (!st.isDirectory && n.startsWith(IntentPrefix))
+        fs.delete(st.getPath, false)
     }
     // with no writer active, every per-attempt staging root is crash debris
     val parent = table.getParent
@@ -871,59 +922,148 @@ object CommittedTable {
     collectGarbage(fs, table)
   }
 
+  /** A publish's REBASE credentials (optimistic concurrency, the Delta/
+    * Iceberg logical-conflict model): `base` is the manifest the verb
+    * planned against, `touched` the partition values whose entries it
+    * replaces or retires, `readParts` the partition values whose CONTENT
+    * its staged output depends on. Only verbs whose read scope is
+    * provably a partition set may carry one — [[overwritePartitions]]
+    * (reads nothing: readParts = ∅) and [[compactPartitions]] (readParts
+    * = touched). A verb that discovers its scope by scanning the table
+    * (merge's key-location pass, delete's predicate pass) must NOT: a
+    * concurrent commit could have placed matching rows in partitions it
+    * would then silently miss (the write-skew Delta aborts with
+    * ConcurrentAppendException). Those verbs keep the loud abort; the
+    * documented remedy — re-run on top of the winner — stays sound
+    * because the re-run re-scans. */
+  private[graft] final case class Rebase(base: Manifest,
+      touched: Set[String], readParts: Set[String])
+
   /** The write-side fence: verify the manifest is still at `baseGen`,
     * atomically claim `next.gen` (create-no-overwrite picks exactly one
-    * winner among racing writers), then swap. On either failure the
-    * caller's staged segments are deleted (they are nonce-named — only
-    * ours) and `ConcurrentModificationException` raised; the caller can
-    * re-run its merge on top of the winner's table. */
+    * winner among racing writers), then swap. On failure, a publish
+    * carrying [[Rebase]] credentials first tries to REBASE: if the
+    * winner's commits changed only partitions DISJOINT from what this
+    * publish read and wrote, and no table-level metadata (schema, roles,
+    * checks, bucketing, tombstones) moved, the already-staged segments
+    * are still exactly right — the commit is equivalent to having run
+    * after the winner — so the manifest delta is re-applied on top of
+    * the winner's manifest and the claim retried (bounded attempts).
+    * Otherwise the caller's staged segments are deleted (they are
+    * nonce-named — only ours) and `ConcurrentModificationException`
+    * raised; the caller can re-run its merge on top of the winner's
+    * table. */
   private def publishOrAbort(hconf: org.apache.hadoop.conf.Configuration,
       table: Path, baseGen: Long, next: Manifest,
-      staged: Map[String, String]): Unit = {
+      staged: Map[String, String],
+      rebase: Option[Rebase] = None): Unit = {
     val fs = table.getFileSystem(hconf)
+    // the manifest delta this publish applies, extracted ONCE from the
+    // caller's `next` so a rebase can replay it onto any winner: entries
+    // for touched partitions (absence = retirement)
+    val ourSegs = rebase.map(r => next.segments.view
+      .filterKeys(r.touched).toMap).getOrElse(Map.empty)
+    val ourStats = rebase.map(r => next.stats.view
+      .filterKeys(r.touched).toMap).getOrElse(Map.empty)
+    val ourCounts = rebase.map(r => next.rowCounts.view
+      .filterKeys(r.touched).toMap).getOrElse(Map.empty)
+    var attempt = next
+    var base = baseGen
+    var rebases = 0
+    // staging intents riding this publish: cleared at commit or abort —
+    // the moment the manifest references the segments (or they're gone),
+    // the GC shield is no longer needed
+    def clearIntents(): Unit =
+      staged.values.map(segNonce).toSet[String].filter(_.nonEmpty).foreach(n =>
+        fs.delete(new Path(table, s"$IntentPrefix$n"), false))
     def abort(reason: String): Nothing = {
       staged.values.foreach(d => fs.delete(new Path(table, d), true))
+      clearIntents()
       throw new java.util.ConcurrentModificationException(
-        s"committed-table publish of $table generation ${next.gen} aborted: " +
+        s"committed-table publish of $table generation ${attempt.gen} aborted: " +
           s"$reason; staged segments removed — re-run the merge to retry on " +
           "top of the current table")
     }
-    val cur = readManifest(fs, table).map(_.gen).getOrElse(0L)
-    if (cur != baseGen)
-      abort(s"another writer advanced the table $baseGen -> $cur while staging")
-    val claim = new Path(table, s"$ClaimPrefix${next.gen}")
-    try fs.create(claim, false).close()
-    catch { case _: java.io.IOException => abort(
-      s"another writer holds $claim (if that writer CRASHED between claim " +
-        "and swap, CommittedTable.recover(path) clears it)") }
-    // the gen-check and the claim create are not atomic: a winner may have
-    // published OUR generation in between (its claim then aged into the
-    // retain window, never deleted at commit — but a historical GC bug
-    // aside, re-verifying under the claim costs one manifest read and
-    // closes the window for good: holding the claim, nobody else can swap)
-    val cur2M = readManifest(fs, table)
-    val cur2 = cur2M.map(_.gen).getOrElse(0L)
-    if (cur2 != baseGen) {
-      fs.delete(claim, false) // ours — re-created after the winner's commit
-      abort(s"another writer advanced the table $baseGen -> $cur2 before the " +
-        "claim was acquired")
+    // table-level metadata this publish's staged bytes assumed: a winner
+    // moving ANY of it (a widened schema, a new CHECK the staged rows
+    // never validated against, a bucketing change, a rename/drop
+    // tombstone) invalidates the staging — refuse the rebase
+    def metaMoved(a: Manifest, b: Manifest): Boolean =
+      a.cols != b.cols || a.statsCols != b.statsCols ||
+        a.bloomCols != b.bloomCols || a.partitionCol != b.partitionCol ||
+        a.keyCol != b.keyCol || a.verCol != b.verCol ||
+        a.virtualCols != b.virtualCols || a.droppedCols != b.droppedCols ||
+        a.renames != b.renames || a.checks != b.checks ||
+        a.bucketing != b.bucketing
+    def rebaseOnto(curM: Option[Manifest], at: String): Unit = {
+      val r = rebase.getOrElse(abort(
+        s"another writer advanced the table $base -> " +
+          s"${curM.map(_.gen).getOrElse(0L)} $at"))
+      val cur = curM.getOrElse(abort(
+        s"the committed table vanished under a publish $at"))
+      rebases += 1
+      if (rebases > 5) abort(
+        "5 rebases exhausted under continuous contention — back off and re-run")
+      if (metaMoved(r.base, cur)) abort(
+        s"another writer changed table metadata $base -> ${cur.gen} " +
+          "(schema/roles/checks/bucketing/tombstones) — staged segments were " +
+          s"planned against the old table $at")
+      val winnerTouched = (r.base.segments.keySet ++ cur.segments.keySet)
+        .filter(p => r.base.segments.get(p) != cur.segments.get(p))
+      val overlap = winnerTouched & (r.touched ++ r.readParts)
+      if (overlap.nonEmpty) abort(
+        s"another writer rewrote partition(s) ${overlap.mkString(",")} this " +
+          s"publish also read or wrote ($base -> ${cur.gen}) $at")
+      attempt = cur.copy(gen = cur.gen + 1,
+        segments = (cur.segments -- r.touched) ++ ourSegs,
+        stats = (cur.stats -- r.touched) ++ ourStats,
+        rowCounts = (cur.rowCounts -- r.touched) ++ ourCounts)
+      base = cur.gen
     }
-    // fill the per-segment FILE LISTS once, here, for every publish path:
-    // a carried-forward segment keeps its recorded list verbatim
-    // (segments are immutable); a freshly-staged or pre-feature segment
-    // is listed exactly once and recorded — query planning then never
-    // lists a directory again
-    val carried = cur2M.map(_.files).getOrElse(Map.empty) ++ next.files
-    val filled = next.segments.values.toSeq.distinct.map { seg =>
-      seg -> carried.getOrElse(seg,
-        fs.listStatus(new Path(table, seg)).toSeq
-          .filter(st => st.isFile && {
-            val n = st.getPath.getName
-            !n.startsWith("_") && !n.startsWith(".")
-          })
-          .map(st => (st.getPath.getName, st.getLen)))
-    }.toMap
-    swapManifest(hconf, table, next.copy(files = filled))
+    while (true) {
+      val curM = readManifest(fs, table)
+      val cur = curM.map(_.gen).getOrElse(0L)
+      if (cur != base) {
+        rebaseOnto(curM, "while staging")
+      } else {
+        val claim = new Path(table, s"$ClaimPrefix${attempt.gen}")
+        try fs.create(claim, false).close()
+        catch { case _: java.io.IOException => abort(
+          s"another writer holds $claim (if that writer CRASHED between claim " +
+            "and swap, CommittedTable.recover(path) clears it)") }
+        // the gen-check and the claim create are not atomic: a winner may
+        // have published OUR generation in between (its claim then aged into
+        // the retain window, never deleted at commit — but a historical GC
+        // bug aside, re-verifying under the claim costs one manifest read
+        // and closes the window for good: holding the claim, nobody else
+        // can swap)
+        val cur2M = readManifest(fs, table)
+        val cur2 = cur2M.map(_.gen).getOrElse(0L)
+        if (cur2 != base) {
+          fs.delete(claim, false) // ours — re-created after the winner's commit
+          rebaseOnto(cur2M, "before the claim was acquired")
+        } else {
+          // fill the per-segment FILE LISTS once, here, for every publish
+          // path: a carried-forward segment keeps its recorded list verbatim
+          // (segments are immutable); a freshly-staged or pre-feature
+          // segment is listed exactly once and recorded — query planning
+          // then never lists a directory again
+          val carried = cur2M.map(_.files).getOrElse(Map.empty) ++ attempt.files
+          val filled = attempt.segments.values.toSeq.distinct.map { seg =>
+            seg -> carried.getOrElse(seg,
+              fs.listStatus(new Path(table, seg)).toSeq
+                .filter(st => st.isFile && {
+                  val n = st.getPath.getName
+                  !n.startsWith("_") && !n.startsWith(".")
+                })
+                .map(st => (st.getPath.getName, st.getLen)))
+          }.toMap
+          swapManifest(hconf, table, attempt.copy(files = filled))
+          clearIntents()
+          return
+        }
+      }
+    }
   }
 
   /** Initial full load (generation 1): one segment per partition value,
@@ -1175,9 +1315,14 @@ object CommittedTable {
       ordered
         .write.partitionBy("__part")
         .mode(SaveMode.Overwrite).parquet(staging.toString)
-      fs.listStatus(staging).toSeq
+      val parts = fs.listStatus(staging).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
-        .map { st =>
+      // declare the staging intent BEFORE the first rename lands a
+      // segment in the table dir — from here until publish/abort, GC
+      // leaves this nonce's segments alone
+      if (parts.nonEmpty)
+        fs.create(new Path(table, s"$IntentPrefix$nonce"), true).close()
+      parts.map { st =>
           val escaped = st.getPath.getName.stripPrefix("__part=")
           if (escaped == NullPartName)
             throw new IllegalArgumentException(
@@ -1228,9 +1373,13 @@ object CommittedTable {
       ordered
         .write.partitionBy("__part", "__bucket")
         .mode(SaveMode.Overwrite).parquet(staging.toString)
-      fs.listStatus(staging).toSeq
+      val parts = fs.listStatus(staging).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("__part="))
-        .map { st =>
+      // same intent declaration as stageFlat: GC keeps its hands off this
+      // nonce's segments until the writer publishes or aborts
+      if (parts.nonEmpty)
+        fs.create(new Path(table, s"$IntentPrefix$nonce"), true).close()
+      parts.map { st =>
           val escaped = st.getPath.getName.stripPrefix("__part=")
           if (escaped == NullPartName)
             throw new IllegalArgumentException(
@@ -1336,7 +1485,18 @@ object CommittedTable {
     * at 100 TB a count is a sum of a few hundred manifest integers. */
   def count(spark: SparkSession, path: String,
       partitionValues: Option[Seq[String]] = None,
-      gen: Option[Long] = None): Long =
+      gen: Option[Long] = None): Long = {
+    // whole-table count of a SHARDED manifest: the root's per-shard row
+    // totals answer without hydrating one shard
+    if (partitionValues.isEmpty && gen.isEmpty) {
+      val table = new Path(path)
+      val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      readManifestRoot(fs, table) match {
+        case Some(root) if root.partial && root.shards.forall(_.rows.isDefined) =>
+          return root.shards.flatMap(_.rows).sum
+        case _ => ()
+      }
+    }
     rowCounts(spark, path, partitionValues, gen) match {
       case Some(counts) => counts.values.sum
       case None =>
@@ -1346,6 +1506,7 @@ object CommittedTable {
         }
         df.count()
     }
+  }
 
   /** Re-publish the table with a new `retainGenerations` — the
     * compliance-clock dial [[delete]] documents: shrinking it lets the
@@ -1532,8 +1693,47 @@ object CommittedTable {
         // names — unrewritten files carry those bytes too
         droppedCols = (m.droppedCols ++ columns ++
           columns.flatMap(c => m.renames.getOrElse(c, Nil))).distinct,
-        renames = m.renames -- columns),
+        renames = m.renames -- columns,
+        ndv = m.ndv -- columns),
       Map.empty)
+    collectGarbage(fs, table)
+  }
+
+  /** ANALYZE TABLE for the cost-based optimizer (`CALL graft.analyze`):
+    * ONE aggregate pass over the table computing approximate distinct
+    * counts (HLL — `approx_count_distinct`) for `columns` (default: the
+    * partition/key/version/stats columns — the ones joins and filters
+    * actually touch), published as table-level manifest metadata. With
+    * these plus the exact manifest row counts, the SQL layer hands Spark
+    * real `CatalogStatistics`, and under `spark.sql.cbo.enabled` +
+    * `spark.sql.cbo.joinReorder.enabled` a multi-join query REORDERS by
+    * estimated intermediate size. Stats are carried forward by later
+    * publishes as ESTIMATES (staleness changes plans, never answers) —
+    * re-run after heavy DML. */
+  def analyzeTable(spark: SparkSession, path: String,
+      columns: Seq[String] = Nil): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    val targets =
+      if (columns.nonEmpty) columns
+      else (m.partitionCol.toSeq ++ m.keyCol ++ m.verCol ++ m.statsCols).distinct
+    targets.foreach(c => require(m.cols.contains(c),
+      s"ANALYZE: column $c does not exist on $path (${m.cols.mkString(",")})"))
+    require(targets.nonEmpty, s"ANALYZE: no columns to analyze on $path " +
+      "(no roles recorded — pass columns explicitly)")
+    val counts: Map[String, Long] =
+      if (m.segments.isEmpty) targets.map(_ -> 0L).toMap
+      else {
+        val aggs = targets.map(c => approx_count_distinct(col(c)).as(c))
+        val row = read(spark, path).agg(aggs.head, aggs.tail: _*).head()
+        targets.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+      }
+    collectGarbage(fs, table)
+    publishOrAbort(hconf, table, m.gen,
+      m.copy(gen = m.gen + 1, ndv = m.ndv ++ counts), Map.empty)
     collectGarbage(fs, table)
   }
 
@@ -1600,6 +1800,8 @@ object CommittedTable {
         virtualCols = m.virtualCols.map { case (n, t) =>
           (if (n == oldName) newName else n, t) },
         renames = (m.renames - oldName) + (newName -> chained),
+        ndv = (m.ndv - oldName) ++
+          m.ndv.get(oldName).map(newName -> _).toMap,
         checks = m.checks), Map.empty)
     collectGarbage(fs, table)
   }
@@ -1948,19 +2150,26 @@ object CommittedTable {
       res
     }
     catch {
-      // a concurrent writer can WIN the generation between our staging
-      // and this read-back; its start-of-merge GC then collects our
-      // staged (unreferenced, superseded-name) segments. That is the
-      // fence loss, just observed one step early — surface it as the
-      // documented race outcome, not a missing-path analysis error
-      case e: Exception if {
+      case e: Exception =>
         val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        staged.values.exists(d => !fs.exists(new Path(table, d)))
-      } =>
-        throw new java.util.ConcurrentModificationException(
-          s"staged segments for $table vanished before publish — a " +
-            "concurrent writer won this generation and collected them; " +
-            "re-run the merge to land on top of the winner", e)
+        // any throw from here aborts the caller's publish before
+        // publishOrAbort ever runs, so its commit/abort intent clearing
+        // never fires: drop the staged nonces' GC shields NOW, or a
+        // CHECK-violation's orphans sit unsweepable behind a "live"
+        // intent for the whole crashed-writer age-out window
+        staged.values.map(segNonce).toSet[String].filter(_.nonEmpty)
+          .foreach(n => fs.delete(new Path(table, s"$IntentPrefix$n"), false))
+        // a concurrent writer can WIN the generation between our staging
+        // and this read-back; its start-of-merge GC then collects our
+        // staged (unreferenced, superseded-name) segments. That is the
+        // fence loss, just observed one step early — surface it as the
+        // documented race outcome, not a missing-path analysis error
+        if (staged.values.exists(d => !fs.exists(new Path(table, d))))
+          throw new java.util.ConcurrentModificationException(
+            s"staged segments for $table vanished before publish — a " +
+              "concurrent writer won this generation and collected them; " +
+              "re-run the merge to land on top of the winner", e)
+        else throw e
     }
 
   private val BloomFpp = 0.01
@@ -3175,7 +3384,8 @@ object CommittedTable {
     * a backfill feeding key-level consumers must bump the version column
     * for rows it intends them to see. */
   def overwritePartitions(df: DataFrame, path: String,
-      sortCols: Seq[String] = Nil, filesPerPartition: Int = 1): Unit = {
+      sortCols: Seq[String] = Nil, filesPerPartition: Int = 1,
+      crashPoint: String => Unit = _ => ()): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
@@ -3210,18 +3420,26 @@ object CommittedTable {
             "schema cannot read both)")
       }
     }
+    crashPoint("before-staging")
     val gen = m.gen + 1
     val staged = stageSegments(data, path, pc, gen, sortCols,
       filesPerPartition = filesPerPartition, bucketing = m.bucketing)
     if (staged.isEmpty) return // an empty batch overwrites nothing
+    crashPoint("after-staging")
     val (segStats, segCounts) = statsFromStaged(spark, table, staged, pc,
       m.statsCols, m.bloomCols, m.checks)
     val affected = staged.keySet
+    crashPoint("before-swap")
+    // the staged bytes are a pure function of the BATCH (the table is
+    // never read), so a concurrent commit to OTHER partitions rebases —
+    // readParts = ∅ is the strongest possible credential
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen,
         segments = (m.segments -- affected) ++ staged,
         stats = (m.stats -- affected) ++ segStats,
-        rowCounts = (m.rowCounts -- affected) ++ segCounts), staged)
+        rowCounts = (m.rowCounts -- affected) ++ segCounts), staged,
+      rebase = Some(Rebase(m, affected, Set.empty)))
+    crashPoint("after-swap")
     collectGarbage(fs, table)
   }
 
@@ -3262,5 +3480,88 @@ object CommittedTable {
         droppedCols = Nil, renames = Map.empty), staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
+  }
+
+  /** Partition-scoped [[compact]]: rewrite ONLY the named partitions'
+    * segments (coalescing their files, optionally re-sorting in), leaving
+    * every other partition's segments carried by reference — the
+    * maintenance verb that matters at 100 TB, where whole-table compact
+    * is a non-starter and fragmentation is LOCAL (the hot partitions
+    * streams and frequent merges keep appending to). Reads only the named
+    * partitions (manifest-pruned), and publishes with [[Rebase]]
+    * credentials (readParts = touched): a concurrent commit to DISJOINT
+    * partitions does not abort the compaction — the staged rewrite is
+    * still exact, so its manifest delta replays on top of the winner and
+    * maintenance never blocks ingestion. Content-preserving: rows
+    * already passed the table's CHECKs, so none re-validate; dropped/
+    * rename residue sheds only in the rewritten partitions (the
+    * tombstones stay until a full [[compact]] sheds it everywhere).
+    * Select targets with [[fragmentedPartitions]] — manifest metadata
+    * alone, zero listings. */
+  def compactPartitions(spark: SparkSession, path: String,
+      partitions: Seq[String], sortCols: Seq[String] = Nil,
+      filesPerPartition: Int = 1,
+      crashPoint: String => Unit = _ => ()): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path to compact"))
+    collectGarbage(fs, table)
+    if (partitions.isEmpty) return
+    val pc = m.partitionCol.getOrElse(
+      throw new UnsupportedOperationException(
+        s"compactPartitions on $path needs the manifest's partition column " +
+          "(partcol=); the table predates that metadata — re-publish via " +
+          "write/merge to record it"))
+    val missing = partitions.filterNot(m.segments.contains)
+    require(missing.isEmpty,
+      s"compactPartitions: no live partition(s) ${missing.mkString(",")} on " +
+        s"$path (live: ${m.segments.keys.toSeq.sorted.take(20).mkString(",")})")
+    val cur = read(spark, path, Some(partitions.toIndexedSeq))
+      .select(m.cols.map(col).toIndexedSeq: _*)
+    crashPoint("before-staging")
+    val gen = m.gen + 1
+    val staged = stageSegments(cur, path, pc, gen, sortCols,
+      filesPerPartition = filesPerPartition, bucketing = m.bucketing)
+    crashPoint("after-staging")
+    // content-preserving cover check: every named partition must restage
+    // (its rows came straight from the live segment)
+    val lost = partitions.toSet -- staged.keySet
+    if (lost.nonEmpty)
+      throw new java.io.IOException(
+        s"compactPartitions staged no segment for ${lost.mkString(",")}")
+    val (segStats, segCounts) =
+      statsFromStaged(spark, table, staged, pc, m.statsCols, m.bloomCols)
+    crashPoint("before-swap")
+    publishOrAbort(hconf, table, m.gen,
+      m.copy(gen = gen,
+        segments = m.segments ++ staged,
+        stats = m.stats ++ segStats,
+        rowCounts = m.rowCounts ++ segCounts), staged,
+      rebase = Some(Rebase(m, partitions.toSet, partitions.toSet)))
+    crashPoint("after-swap")
+    collectGarbage(fs, table)
+  }
+
+  /** Partitions whose live segment holds more than `maxFiles` data files,
+    * answered from the manifest's f= lists alone — zero listStatus RPCs
+    * at any table size. The [[compactPartitions]] target selector:
+    * streaming sinks and frequent small merges fragment exactly the
+    * partitions they touch; this finds those and nothing else. A segment
+    * with no recorded file list (pre-feature manifest) reports as
+    * fragmented — unknown is worth compacting once, and the rewrite
+    * records the list. */
+  def fragmentedPartitions(spark: SparkSession, path: String,
+      maxFiles: Int = 8): Seq[String] = {
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path"))
+    m.segments.toSeq.collect {
+      case (p, seg)
+          if m.files.get(seg).map(_.size).getOrElse(Int.MaxValue) > maxFiles =>
+        p
+    }.sorted
   }
 }

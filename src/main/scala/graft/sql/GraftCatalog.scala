@@ -28,7 +28,7 @@ import graft.sources.CommittedTable
   *    fencing, retention and CDC protocol as the Scala API (SQL is a
   *    front end, not a second write path);
   *  - `SELECT COUNT(*) FROM graft.ns.t` collapses to manifest row counts
-  *    (zero jobs) via [[GraftMetadataCount]].
+  *    (zero jobs) via [[GraftMetadataAgg]].
   *
   * Identifier → path: `graft.ns.t` → `<warehouse>/ns/t` (any namespace
   * depth); a BACKQUOTED ABSOLUTE name — `` graft.`/data/tables/t` `` —
@@ -85,7 +85,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def tableExists(ident: Identifier): Boolean = {
     val p = new Path(tablePath(ident))
-    try CommittedTable.readManifest(fs(p), p).isDefined
+    try CommittedTable.readManifestRoot(fs(p), p).isDefined
     catch { case _: Exception => false }
   }
 
@@ -348,7 +348,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(tablePath(ident))
     val f = fs(p)
-    val existed = try CommittedTable.readManifest(f, p).isDefined
+    val existed = try CommittedTable.readManifestRoot(f, p).isDefined
       catch { case _: Exception => false }
     if (existed) f.delete(p, true) else false
   }

@@ -146,7 +146,7 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
   override def refresh(): Unit = ()
 
   /** Sum of manifest row counts when every partition carries one — the
-    * zero-job `COUNT(*)` feed for [[GraftMetadataCount]]. A sharded root
+    * zero-job `COUNT(*)` feed for [[GraftMetadataAgg]]. A sharded root
     * answers from its per-shard totals, zero shard reads. */
   def totalRowCount: Option[Long] =
     if (m.partial) {
@@ -159,6 +159,37 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
       Some(m.segments.keys.iterator.map(m.rowCounts).sum)
     else if (m.segments.isEmpty) Some(0L)
     else None
+
+  /** The manifest's partition column, if the table records one — the
+    * [[GraftMetadataAgg]] filter-composition guard. */
+  def partitionColumn: Option[String] = m.partitionCol
+
+  /** Every live partition value of this snapshot. */
+  def livePartitionValues: Seq[String] = fullM.segments.keys.toSeq
+
+  /** Sum of manifest row counts over exactly `parts` — None when any
+    * lacks a recorded count (pre-feature segment). */
+  def rowCountFor(parts: Seq[String]): Option[Long] = {
+    val h = fullM
+    if (parts.forall(h.rowCounts.contains)) Some(parts.map(h.rowCounts).sum)
+    else None
+  }
+
+  /** Per-partition zone-map bounds of `colName` (canonical strings, the
+    * manifest encoding) for exactly `parts` — Some only when the column
+    * is zone-mapped AND every named partition carries recorded stats,
+    * the exactness precondition for answering MIN/MAX from metadata.
+    * A (None, None) element is an all-NULL segment. */
+  def columnBounds(colName: String, parts: Seq[String])
+      : Option[Seq[(Option[String], Option[String])]] = {
+    val h = fullM
+    val idx = h.statsCols.indexOf(colName)
+    if (idx < 0) None
+    else {
+      val per = parts.map(p => h.stats.get(p).flatMap(_.lift(idx)))
+      if (per.forall(_.isDefined)) Some(per.map(_.get)) else None
+    }
+  }
 
   /** Partition values surviving the translatable conjuncts of
     * `dataFilters` (exposed for specs: the pruning decision without the

@@ -51,14 +51,14 @@ private[sql] object GraftProcedures {
   private def currentGen(spark: SparkSession, path: String): Long = {
     val t = new Path(path)
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    CommittedTable.readManifest(fs, t).map(_.gen).getOrElse(0L)
+    CommittedTable.readManifestRoot(fs, t).map(_.gen).getOrElse(0L)
   }
 
   private def partitionColOf(spark: SparkSession, path: String,
       verb: String): String = {
     val t = new Path(path)
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    CommittedTable.readManifest(fs, t)
+    CommittedTable.readManifestRoot(fs, t)
       .getOrElse(throw new IllegalArgumentException(
         s"no committed table at $path"))
       .partitionCol.getOrElse(throw new UnsupportedOperationException(
@@ -170,7 +170,7 @@ private[sql] object GraftProcedures {
       verb: String): String = {
     val t = new Path(path)
     val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    get(CommittedTable.readManifest(fs, t)
+    get(CommittedTable.readManifestRoot(fs, t)
       .getOrElse(throw new IllegalArgumentException(
         s"no committed table at $path")))
       .getOrElse(throw new UnsupportedOperationException(
@@ -233,6 +233,29 @@ private[sql] object GraftProcedures {
             key, ver, str(input, 2).get, str(input, 3).get, ckpt)
           .start().awaitTermination()
         result(dst, currentGen(spark, dst))
+      }
+    }
+
+  /** `CALL graft.analyze(table => … [, columns => 'a,b'])`: one
+    * aggregate pass computing approximate distinct counts for the named
+    * columns (default: the table's recorded roles), published as
+    * manifest metadata ([[CommittedTable.analyzeTable]]) — the ANALYZE
+    * TABLE verb that feeds `CatalogStatistics` to Spark's cost-based
+    * optimizer so multi-join SQL reorders. */
+  def analyzeProc(resolve: String => String): UnboundProcedure =
+    new Proc("analyze", Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("columns", StringType).defaultValue("NULL")
+        .comment("comma-separated columns; the table's roles when absent")
+        .build())) {
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val spark = SparkSession.active
+        val path = resolve(str(input, 0).getOrElse(
+          throw new IllegalArgumentException("table must not be NULL")))
+        val cols = str(input, 1).toSeq
+          .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+        CommittedTable.analyzeTable(spark, path, cols)
+        result(path, currentGen(spark, path))
       }
     }
 
@@ -444,6 +467,7 @@ private[sql] object GraftProcedures {
     "sync_agg_view" -> syncAggView(resolve),
     "clone" -> cloneProc(resolve),
     "vacuum" -> vacuumProc(resolve),
+    "analyze" -> analyzeProc(resolve),
     "dedup_minhash" -> dedupMinhash(resolve),
     "decontaminate" -> decontaminateProc(resolve),
     "ann_topk" -> annTopK(resolve))

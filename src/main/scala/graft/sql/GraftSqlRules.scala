@@ -160,7 +160,7 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftDmlCommand(s"CREATE TABLE $path AS SELECT", { s =>
         val t = new Path(path)
         val fs = t.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (CommittedTable.readManifest(fs, t).isDefined) {
+        if (CommittedTable.readManifestRoot(fs, t).isDefined) {
           if (!ignoreIfExists) fail(
             s"$path already holds a committed table — CREATE TABLE IF NOT " +
               "EXISTS to no-op, or MERGE/INSERT/DML to change it")
@@ -229,7 +229,7 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
         val t = new Path(path)
         val fs = t.getFileSystem(s.sparkContext.hadoopConfiguration)
         val df = bridge.ofRows(s, query)
-        if (CommittedTable.readManifest(fs, t).isDefined)
+        if (CommittedTable.readManifestRoot(fs, t).isDefined)
           CommittedTable.overwrite(df, path,
             partitionCol = pcOpt,
             statsCols = propList("statscols"),
@@ -517,7 +517,34 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
       org.apache.spark.sql.catalyst.catalog.BucketSpec(n, cs, Nil) }
     val fsRelation = HadoopFsRelation(index, partSchema, dataSchema,
       bucketSpec, new ParquetFileFormat(), Map.empty)(spark)
-    val lr = LogicalRelation(fsRelation)
+    // hand the cost-based optimizer real statistics: EXACT row count from
+    // the manifest (root shard totals or per-partition counts) and
+    // approximate per-column distinct counts from the table's ANALYZE
+    // metadata (CALL graft.analyze). With cbo/joinReorder enabled, a
+    // multi-join over committed tables then reorders by estimated
+    // intermediate size; without stats the relation falls back to
+    // sizeInBytes (the q150 auto-broadcast path, unchanged).
+    val rowCount: Option[Long] = index.totalRowCount
+    val catalogTable = rowCount.map { n =>
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      import org.apache.spark.sql.catalyst.catalog._
+      val colStats = t.manifest.ndv.collect {
+        case (c, d) if t.tableSchema.fieldNames.contains(c) =>
+          c -> CatalogColumnStat(distinctCount = Some(BigInt(d)))
+      }
+      CatalogTable(
+        identifier = TableIdentifier(t.path),
+        tableType = CatalogTableType.EXTERNAL,
+        storage = CatalogStorageFormat.empty,
+        schema = t.tableSchema,
+        provider = Some("parquet"),
+        stats = Some(CatalogStatistics(BigInt(index.sizeInBytes),
+          Some(BigInt(n)), colStats)))
+    }
+    val lr = catalogTable match {
+      case Some(ct) => LogicalRelation(fsRelation, ct)
+      case None => LogicalRelation(fsRelation)
+    }
     val byName = lr.output.map(a => a.name -> a).toMap
     Project(r.output.map { o =>
       val e: Expression = renames.get(o.name) match {
@@ -542,41 +569,164 @@ final case class GraftDmlCommand(description: String,
     s"GraftDmlCommand [$description]"
 }
 
-/** Manifest-fed `COUNT(*)`: a groupless all-count aggregate directly
-  * over an unfiltered committed-table scan collapses to a
-  * [[LocalRelation]] holding the SUM OF MANIFEST ROW COUNTS — the SQL
-  * twin of `CommittedTable.count` (zero jobs, zero files opened; the
-  * q139 move). Fires only when every live partition carries a manifest
-  * count; intervening Projects are fine (they never change
-  * cardinality), any Filter/Join/grouping leaves the plan alone. */
-final case class GraftMetadataCount(spark: SparkSession)
+/** Manifest-fed metadata aggregates: a groupless `COUNT(*)` / `MIN(c)` /
+  * `MAX(c)` aggregate over a committed-table scan collapses to a
+  * [[LocalRelation]] computed from the MANIFEST alone — row counts from
+  * the per-partition `rows=` lines (the SQL twin of
+  * `CommittedTable.count`, the q139 move) and column extremes from the
+  * zone maps (per-segment min/max are EXACT, computed from the staged
+  * files at publish, so their fold over live segments IS the table's
+  * min/max — the Iceberg `max(ts)` planner-query trick). Zero jobs, zero
+  * files opened.
+  *
+  * Composes with a PARTITION-ONLY `WHERE`: each conjunct is evaluated
+  * against the manifest's partition values (the stage contract stores
+  * the partition column as its exact string value), restricting which
+  * partitions' counts/bounds fold — `SELECT MAX(ts) FROM t WHERE day =
+  * '2026-08-14'` stays metadata-only. Bails to the ordinary scan (never
+  * a wrong answer) when: any aggregate is distinct/filtered or not
+  * COUNT(*)/MIN/MAX-of-a-bare-column, the column isn't zone-mapped, any
+  * surviving segment lacks recorded stats, a bound fails to parse
+  * (NaN/Infinity residue), or the filter references anything but the
+  * partition column. MIN/MAX ignore NULLs, so all-NULL segments (`n:`)
+  * skip the fold; no survivors ⇒ typed NULL, matching the aggregate. */
+final case class GraftMetadataAgg(spark: SparkSession)
     extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+  import org.apache.spark.sql.types._
 
-  private def graftIndexOf(plan: LogicalPlan): Option[GraftFileIndex] =
+  /** Resolve the aggregate's child down to a committed-table relation:
+    * the index, a map from visible attribute ids to UNDERLYING column
+    * names (through aliasing Projects), and any partition-only filter
+    * conjuncts seen on the way. */
+  private def resolve(plan: LogicalPlan)
+      : Option[(GraftFileIndex, Map[ExprId, String], Seq[Expression])] =
     plan match {
-      case LogicalRelation(fsRel: HadoopFsRelation, _, _, _, _) =>
+      case lr @ LogicalRelation(fsRel: HadoopFsRelation, _, _, _, _) =>
         fsRel.location match {
-          case idx: GraftFileIndex => Some(idx)
+          case idx: GraftFileIndex =>
+            Some((idx, lr.output.map(a => a.exprId -> a.name).toMap, Nil))
           case _ => None
         }
-      case Project(projections, child) if projections.forall(_.deterministic) =>
-        graftIndexOf(child)
+      case Project(ps, child) if ps.forall(_.deterministic) =>
+        resolve(child).map { case (idx, names, fs) =>
+          val out = ps.flatMap {
+            case a: AttributeReference =>
+              names.get(a.exprId).map(a.exprId -> _)
+            case al @ Alias(ar: AttributeReference, _) =>
+              names.get(ar.exprId).map(al.exprId -> _)
+            case _ => None // computed columns carry no zone maps
+          }
+          (idx, out.toMap, fs)
+        }
+      case Filter(cond, child) if cond.deterministic =>
+        resolve(child).flatMap { case (idx, names, fs) =>
+          val pc = idx.partitionColumn
+          val partOnly = pc.exists(p =>
+            cond.references.nonEmpty &&
+              cond.references.forall(r => names.get(r.exprId).contains(p)))
+          if (partOnly) Some((idx, names, fs :+ cond)) else None
+        }
       case _ => None
     }
 
-  private def isPlainCount(e: NamedExpression): Boolean = e match {
-    case Alias(AggregateExpression(Count(Seq(_: Literal)), _, false, None, _), _) =>
-      true
-    case _ => false
+  /** Partition values surviving the partition-only conjuncts — the same
+    * interpreted evaluation listFiles applies to static partition
+    * filters (NULL = excluded, the Filter contract). */
+  private def survivors(idx: GraftFileIndex,
+      conds: Seq[Expression]): Seq[String] = {
+    val all = idx.livePartitionValues
+    if (conds.isEmpty) all
+    else {
+      val bound = Predicate.createInterpreted(conds.reduce(And).transform {
+        case a: AttributeReference =>
+          BoundReference(0, a.dataType, nullable = true)
+      })
+      all.filter(v => bound.eval(InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(v))))
+    }
+  }
+
+  /** Canonical zone-map string → Catalyst internal value; None = cannot
+    * answer exactly from metadata (bail to the scan). */
+  private def internal(dt: DataType, s: String): Option[Any] =
+    try dt match {
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case LongType => Some(s.toLong)
+      case IntegerType => Some(s.toInt)
+      case ShortType => Some(s.toShort)
+      case ByteType => Some(s.toByte)
+      case DoubleType => Some(s.toDouble)
+      case FloatType => Some(s.toFloat)
+      case BooleanType => Some(s.toBoolean)
+      case d: DecimalType =>
+        val v = Decimal(new java.math.BigDecimal(s))
+        if (v.changePrecision(d.precision, d.scale)) Some(v) else None
+      case DateType =>
+        Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
+      case TimestampType => Some(s.toLong) // canonical = epoch micros
+      case _ => None
+    } catch { case _: Exception => None }
+
+  /** Fold one side of the per-partition bounds with the column type's
+    * own ordering. Some(null) = every surviving row NULL (the aggregate
+    * returns NULL); None = unanswerable. */
+  private def fold(idx: GraftFileIndex, colName: String, dt: DataType,
+      parts: Seq[String], takeMin: Boolean): Option[Any] =
+    idx.columnBounds(colName, parts).flatMap { bounds =>
+      val sides = bounds.map(b => if (takeMin) b._1 else b._2)
+      val present = sides.flatten
+      if (present.isEmpty) Some(null) // all segments all-NULL (or none)
+      else {
+        val parsed = present.map(internal(dt, _))
+        if (parsed.exists(_.isEmpty)) None
+        else {
+          val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+            .getInterpretedOrdering(dt)
+          val vs = parsed.map(_.get)
+          Some(if (takeMin) vs.min(ord) else vs.max(ord))
+        }
+      }
+    }
+
+  private def answer(idx: GraftFileIndex, names: Map[ExprId, String],
+      parts: Seq[String], noFilter: Boolean)(e: NamedExpression)
+      : Option[Any] = {
+    def stripped(x: Expression): Expression = x match {
+      case Alias(c, _) => stripped(c)
+      case o => o
+    }
+    stripped(e) match {
+      case AggregateExpression(Count(Seq(_: Literal)), _, false, None, _) =>
+        // the unfiltered whole-table count answers from the root alone
+        // (per-shard totals — zero shard hydration)
+        if (noFilter) idx.totalRowCount else idx.rowCountFor(parts)
+      case AggregateExpression(Min(ar: AttributeReference), _, false, None, _) =>
+        names.get(ar.exprId)
+          .flatMap(c => fold(idx, c, ar.dataType, parts, takeMin = true))
+      case AggregateExpression(Max(ar: AttributeReference), _, false, None, _) =>
+        names.get(ar.exprId)
+          .flatMap(c => fold(idx, c, ar.dataType, parts, takeMin = false))
+      case _ => None
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(Nil, aggs, child, _)
-        if aggs.nonEmpty && aggs.forall(isPlainCount) =>
-      graftIndexOf(child).flatMap(_.totalRowCount) match {
-        case Some(n) =>
-          LocalRelation(agg.output,
-            Seq(InternalRow.fromSeq(Seq.fill(aggs.size)(n))))
+    case agg @ Aggregate(Nil, aggs, child, _) if aggs.nonEmpty =>
+      resolve(child) match {
+        case Some((idx, names, conds)) =>
+          val parts =
+            try survivors(idx, conds)
+            catch { case _: Exception => null } // uninterpretable predicate
+          if (parts == null) agg
+          else {
+            val answers = aggs.map(answer(idx, names, parts, conds.isEmpty))
+            if (answers.forall(_.isDefined))
+              LocalRelation(agg.output,
+                Seq(InternalRow.fromSeq(answers.map(_.get))))
+            else agg
+          }
         case None => agg
       }
   }

@@ -221,7 +221,9 @@ class ChangeFeedSource(spark: SparkSession, path: String,
   private def currentGen(): Long = {
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    CommittedTable.readManifest(fs, table).getOrElse(
+    // ROOT-ONLY parse: the generation number lives in the manifest root,
+    // so a sharded 100k-file table's getOffset stays one small-file read
+    CommittedTable.readManifestRoot(fs, table).getOrElse(
       throw new java.io.IOException(s"committed table at $path vanished " +
         "under a running change feed")).gen
   }
@@ -382,7 +384,7 @@ class ChangeFeedSource(spark: SparkSession, path: String,
   private def retain(): Long = {
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    CommittedTable.readManifest(fs, table).map(_.retain.toLong).getOrElse(2L)
+    CommittedTable.readManifestRoot(fs, table).map(_.retain.toLong).getOrElse(2L)
   }
 
   override def stop(): Unit = ()

@@ -55,7 +55,7 @@ object IncrementalAgg {
       groupCol: String, valueCol: String): Long = {
     val table = new org.apache.hadoop.fs.Path(src)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gen = CommittedTable.readManifest(fs, table).map(_.gen).getOrElse(
+    val gen = CommittedTable.readManifestRoot(fs, table).map(_.gen).getOrElse(
       throw new java.io.IOException(s"no committed table at $src"))
     // the group value doubles as the view's PARTITION value — string-typed
     // so batch-side joins and manifest pruning agree on the encoding.

@@ -865,7 +865,7 @@ object ExplainDump {
                 AND o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
               GROUP BY o_orderpriority"""))
       section("q145_sql_metadata_count (groupless COUNT(*) → manifest rows)",
-        """Wants: NO scan node anywhere — GraftMetadataCount collapses the
+        """Wants: NO scan node anywhere — GraftMetadataAgg collapses the
           |groupless COUNT(*) over the unfiltered committed relation into
           |a LocalRelation holding the SUM of the manifest's per-segment
           |row counts, so the whole statement plans as a LocalTableScan of
@@ -1139,6 +1139,262 @@ object ExplainDump {
           .agg(sum(round(col("x").cast("double"), 6)
             .cast(org.apache.spark.sql.types.DecimalType(18, 6))).as("s"),
             count(lit(1)).as("n")))
+    }
+
+    // ---- round 16: sharded manifests, DDL birth, rename, ANALYZE/CBO ----
+    locally {
+      import org.apache.spark.sql.functions._
+      val tmp = Files.createTempDirectory("graft-explain-r16")
+
+      // manifest sharding: a 200-partition committed table plans a
+      // partition probe from the ROOT + one shard's hydration
+      val shDir = s"$tmp/sharded"
+      graft.sources.CommittedTable.write(
+        spark.range(600).select(col("id"),
+          format_string("p%03d", col("id") % 200).as("part"),
+          (col("id") * 10).cast("double").as("v")).toDF(),
+        shDir, "part", keyCol = Some("id"), versionCol = Some("id"))
+      section("manifest_sharding (partition probe over a 200-partition sharded manifest)",
+        """Wants: the scan's Location lists ONLY the probed partition's
+          |segment — above 64 partitions the `_commit` root holds one
+          |shard= line per ~64-partition shard (escaped-range keyed) and
+          |the per-partition lines live in immutable `_ms-*` shard files,
+          |so this plan was built by parsing the root plus exactly ONE
+          |shard (O(surviving shards), never O(table)); schema came from
+          |the root's probe= line (one footer, zero shard reads), and
+          |sizeInBytes/COUNT(*) would come from the root's per-shard
+          |totals. The publish side is the mirror image: a merge touching
+          |one partition rewrites one shard file and carries every other
+          |by reference — O(touched) metadata bytes where the inline
+          |format rewrote the whole manifest (ManifestShardSpec pins both
+          |on a synthetic 100k-file table).""".stripMargin,
+        spark.sql(
+          s"SELECT CAST(SUM(id) AS BIGINT) AS s FROM graft.`$shDir` " +
+            "WHERE part = 'p007'"))
+
+      // q163: schema-only CREATE TABLE — the empty table's typed read
+      val bornDir = s"$tmp/born"
+      spark.sql(
+        s"""CREATE TABLE graft.`$bornDir`
+            (o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE,
+             version BIGINT)
+            PARTITIONED BY (o_orderstatus)
+            TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version')""")
+      section("q163_sql_create_insert (typed read of a zero-row DDL-born table)",
+        """Wants: an ordinary substituted committed scan whose ReadSchema is
+          |fully typed although NO data file exists anywhere — the schema
+          |comes from the manifest's virtual= declarations written by the
+          |atomic zero-row generation-1 publish (CREATE TABLE is one
+          |manifest swap, identical at any scale), and the file list is
+          |simply empty. The INSERT INTO that follows in the gate is the
+          |ordinary routed §q144 merge publishing generation 2 — no
+          |special-casing of emptiness anywhere in the write path.""".stripMargin,
+        spark.sql(s"SELECT * FROM graft.`$bornDir` WHERE o_totalprice > 0"))
+
+      // q165: RENAME COLUMN — mixed physical layouts through one scan
+      val rnDir = s"$tmp/renamed"
+      graft.sources.CommittedTable.write(
+        Registry.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("version", lit(1L)),
+        rnDir, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      graft.sources.CommittedTable.renameColumn(spark, rnDir,
+        "o_totalprice", "amount")
+      section("q165_sql_rename_column (read across the metadata-only rename)",
+        """Wants: the scan's ReadSchema requests BOTH names — `amount`
+          |(which no unrewritten file carries; the vectorized reader
+          |NULL-fills it) and the former `o_totalprice` (whose bytes the
+          |gen-1 files still hold) — and the pinning Project computes
+          |`coalesce(amount, o_totalprice) AS amount`, newest name first.
+          |That one projection is the whole rename: zero data moved at
+          |ALTER time, files written after the rename materialize the new
+          |name and their old-name slot reads NULL, so one scan serves
+          |every physical layout. A full rewrite (compact) sheds the
+          |residue and drops the mapping, returning this plan to a plain
+          |single-name scan.""".stripMargin,
+        spark.sql(
+          s"SELECT o_orderkey, amount FROM graft.`$rnDir` " +
+            "WHERE o_orderstatus = 'O'"))
+
+      // ANALYZE + CBO: the join order is the evidence
+      val bDir = s"$tmp/cbo-big"; val mDir = s"$tmp/cbo-mid"
+      val sDir = s"$tmp/cbo-small"
+      graft.sources.CommittedTable.write(
+        spark.range(2000).select(col("id"), col("id").as("k"),
+          col("id").as("j"), (col("id") % 4).cast("string").as("p")).toDF(),
+        bDir, "p")
+      graft.sources.CommittedTable.write(
+        spark.range(400).select(col("id").as("k"),
+          (col("id") % 2).cast("string").as("p")).toDF(), mDir, "p")
+      graft.sources.CommittedTable.write(
+        spark.range(20).select(col("id").as("j"),
+          lit("x").as("p")).toDF(), sDir, "p")
+      Seq(bDir -> "k,j", mDir -> "k", sDir -> "j").foreach { case (p, cs) =>
+        spark.sql(s"CALL graft.analyze(table => '$p', columns => '$cs')") }
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      try section("analyze_cbo_join_reorder (stats-driven join reordering)",
+        """Wants: the SQL names big⋈mid FIRST, but the plan joins
+          |big⋈small first — CostBasedJoinReorder flipped the order
+          |because this engine handed it real CatalogStatistics: EXACT row
+          |counts from the manifest (root shard totals — zero data reads)
+          |and per-column distinct counts from `CALL graft.analyze` (one
+          |HLL aggregate pass, stored as ndv= manifest metadata, carried
+          |forward by later publishes as estimates). est(big⋈small) =
+          |2000·20/2000 = 20 rows beats est(big⋈mid) = 400, so the small
+          |intermediate runs first. Without analyze the relations fall
+          |back to sizeInBytes and q150's auto-broadcast behavior is
+          |unchanged.""".stripMargin,
+        spark.sql(
+          s"""SELECT CAST(SUM(b.id) AS BIGINT) AS s FROM graft.`$bDir` b
+              JOIN graft.`$mDir` m ON b.k = m.k
+              JOIN graft.`$sDir` s ON b.j = s.j"""))
+      finally {
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      }
+
+      // q164: the CALL's dataflow IS §q56's banded plan (one operator,
+      // three front ends); what the CALL adds is the routing — pinned by
+      // the command shape of the statement itself.
+      val docsDir = s"$tmp/calldocs"
+      graft.sources.CommittedTable.write(
+        Registry.table(spark, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text")),
+        docsDir, "source", keyCol = Some("doc_id"), versionCol = Some("doc_id"))
+      section("q164_sql_call_dedup (CALL routes into the one dedup implementation)",
+        """Wants: the statement plans as a procedure invocation whose body
+          |runs graft.operators.Dedup.minhashCandidates — the SAME
+          |shingle→minhash→band-explode→equi-join dataflow §q56 pins (no
+          |OR-join, no all-pairs anywhere); the CALL layer only resolves
+          |paths, writes the pair table as parquet and returns (output,
+          |rows). decontaminate and ann_topk route identically into their
+          |Scala operators (§q127's anti-join shape; §q75/batch-brute or
+          |the stored-IVF §q152 shape).""".stripMargin,
+        spark.sql(s"CALL graft.dedup_minhash(input => '$docsDir', " +
+          s"output => '$tmp/callout', id => 'doc_id', text => 'text')"))
+    }
+
+    // ---- round 16b: metadata aggregates, optimistic rebase, bounded
+    // maintenance ----
+    locally {
+      import org.apache.spark.sql.functions._
+      val tmp = Files.createTempDirectory("graft-explain-r16b")
+
+      // q166: MIN/MAX/COUNT from the manifest — no scan node anywhere
+      val maDir = s"$tmp/minmax"
+      graft.sources.CommittedTable.write(
+        Registry.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        maDir, "o_orderstatus", statsCols = Seq("o_totalprice", "o_orderkey"))
+      section("q166_sql_metadata_minmax (groupless MIN/MAX/COUNT → manifest fold)",
+        """Wants: NO scan node anywhere — both aggregate subqueries are
+          |LocalRelations. GraftMetadataAgg folded COUNT(*) from the
+          |manifest row counts and MIN/MAX from the zone maps (per-segment
+          |min/max are EXACT, computed from the staged files at publish,
+          |so their fold over live segments IS the table's extremes —
+          |typed back through the canonical encoding, compared with the
+          |column type's own ordering). The second subquery's
+          |partition-only WHERE restricted the fold to the surviving
+          |partition's entries — still zero files listed. Every
+          |unanswerable shape (non-partition WHERE, expression inside the
+          |aggregate, DISTINCT, un-zone-mapped column, unparsable bound)
+          |bails to the ordinary pruned scan with the identical answer
+          |(MetadataAggSpec pins each). At 100 TB these are the
+          |scheduler's freshness probes — metadata lookups, not scans.""".stripMargin,
+        spark.sql(
+          s"""SELECT g.n, g.mx_price, f.mx_price_o
+              FROM (SELECT COUNT(*) AS n, MAX(o_totalprice) AS mx_price
+                    FROM graft.`$maDir`) g
+              CROSS JOIN (SELECT MAX(o_totalprice) AS mx_price_o
+                          FROM graft.`$maDir`
+                          WHERE o_orderstatus = 'O') f"""))
+
+      // q167: the rebased table — the scan's file list is the protocol
+      // evidence: partition F's segment carries the LOSER's staging nonce
+      // published one generation AFTER the winner's O segment
+      val rbDir = s"$tmp/rebase"
+      graft.sources.CommittedTable.write(
+        Registry.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("version", lit(1L)),
+        rbDir, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      locally {
+        val src = graft.sources.CommittedTable.read(spark, rbDir)
+        val overwriteF = src.filter(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+          .withColumn("version", lit(2L))
+        val insertO = src.filter(col("o_orderkey") % 997 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            lit("O").as("o_orderstatus"), col("o_totalprice"),
+            lit(2L).as("version"))
+        var injected = false
+        graft.sources.CommittedTable.overwritePartitions(overwriteF, rbDir,
+          crashPoint = {
+            case "before-swap" if !injected =>
+              injected = true
+              graft.sources.CommittedTable.merge(spark, rbDir, insertO,
+                "o_orderkey", "version", "o_orderstatus")
+            case _ => ()
+          })
+      }
+      section("q167_concurrent_rebase (partition-disjoint writers both commit)",
+        """Wants: an ordinary pruned committed scan — the evidence is in
+          |the Location file list: partition F's segment is the
+          |OVERWRITE's staging (seg-g2-<loser nonce>) although the table
+          |is at generation 3, because the overwrite REBASED on top of
+          |the interleaved merge (which won generation 2 with O's new
+          |segment, a different nonce) instead of aborting. Rebase is
+          |granted only on proof: the publish carried Rebase credentials
+          |(readParts = ∅ — overwritePartitions reads nothing; touched =
+          |{F}), the winner's delta touched only disjoint partitions, and
+          |no table-level metadata moved; staged segments survive the
+          |winner's GC behind the _intent-<nonce> marker. merge/delete
+          |NEVER rebase — their scan-discovered read scope can't exclude
+          |the winner's rows (the write-skew Delta aborts as
+          |ConcurrentAppend) — so they keep the loud abort + re-run
+          |(ConcurrencySpec races every case). At 100 TB: backfills,
+          |streaming appends and maintenance to disjoint partitions
+          |commit concurrently, never serializing on the manifest.""".stripMargin,
+        spark.sql(
+          s"""SELECT o_orderstatus, COUNT(*) AS n
+              FROM graft.`$rbDir`
+              WHERE o_orderstatus IN ('F', 'O') AND o_orderkey >= 0
+              GROUP BY o_orderstatus"""))
+
+      // q168: bounded maintenance — compact ONLY the fragmented
+      // partitions, selected from manifest metadata alone
+      val cpDir = s"$tmp/cpart"
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try graft.sources.CommittedTable.write(
+        Registry.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("version", lit(1L)).repartition(8),
+        cpDir, "o_orderstatus", filesPerPartition = 4,
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      finally spark.conf
+        .set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      val frag = graft.sources.CommittedTable
+        .fragmentedPartitions(spark, cpDir, maxFiles = 1)
+      graft.sources.CommittedTable.compactPartitions(spark, cpDir, frag)
+      section("q168_compact_partitions (bounded maintenance, manifest-selected)",
+        """Wants: each partition's Location entry lists exactly ONE data
+          |file — fragmentedPartitions found the salted 4-file partitions
+          |from the manifest's f= lists (zero listStatus at any table
+          |size) and compactPartitions rewrote ONLY those, carrying every
+          |other partition's segments by reference; the publish ran under
+          |Rebase credentials (readParts = touched), so a concurrent
+          |merge to any other partition would NOT have blocked it
+          |(ConcurrencySpec races exactly that). Whole-table compact is a
+          |non-starter at 100 TB; this is the bounded form: cost =
+          |fragmented partitions only, selection = metadata only, and
+          |ingestion keeps committing meanwhile.""".stripMargin,
+        spark.sql(
+          s"""SELECT o_orderstatus, COUNT(*) AS n,
+                CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+              FROM graft.`$cpDir` GROUP BY o_orderstatus"""))
     }
 
     Files.write(Paths.get("EXPLAIN.md"), sb.toString.getBytes("UTF-8"))

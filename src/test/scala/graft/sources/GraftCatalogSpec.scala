@@ -1147,6 +1147,67 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("ANALYZE + CBO: manifest row counts and NDV drive join REORDERING " +
+      "— the small-intermediate join runs first; answers unchanged") {
+    withTable("graft-cat-cbo") { base =>
+      import spark.implicits._
+      val big = base + "-big"; val mid = base + "-mid"; val small = base + "-small"
+      CommittedTable.write(
+        spark.range(2000).select(col("id"), col("id").as("k"),
+          col("id").as("j"), (col("id") % 4).cast("string").as("p")).toDF(),
+        big, "p")
+      CommittedTable.write(
+        spark.range(400).select(col("id").as("k"),
+          (col("id") % 2).cast("string").as("p")).toDF(), mid, "p")
+      CommittedTable.write(
+        spark.range(20).select(col("id").as("j"),
+          lit("x").as("p")).toDF(), small, "p")
+      spark.sql(s"CALL graft.analyze(table => '$big', columns => 'k,j')")
+      spark.sql(s"CALL graft.analyze(table => '$mid', columns => 'k')")
+      spark.sql(s"CALL graft.analyze(table => '$small', columns => 'j')")
+      assert(CommittedTable.manifestAt(spark, big).ndv.keySet === Set("k", "j"))
+      val sql =
+        s"""SELECT CAST(SUM(b.id) AS BIGINT) FROM graft.`$big` b
+            JOIN graft.`$mid` m ON b.k = m.k
+            JOIN graft.`$small` s ON b.j = s.j"""
+      def innermostLeafPaths(df: org.apache.spark.sql.DataFrame): Set[String] = {
+        import org.apache.spark.sql.catalyst.plans.logical.Join
+        import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+        val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+        val innermost = joins.filter(j =>
+          !j.children.exists(_.exists(_.isInstanceOf[Join]))).head
+        innermost.collectLeaves().collect {
+          case LogicalRelation(r: HadoopFsRelation, _, _, _, _) =>
+            r.location.rootPaths.head.toUri.getPath
+        }.toSet
+      }
+      val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+      val prevRe = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+      try {
+        // without CBO the syntactic order stands: (big ⋈ mid) first
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        assert(innermostLeafPaths(spark.sql(sql))
+          .exists(_.endsWith("-mid")))
+        // with CBO: est(big⋈small) = 2000·20/2000 = 20 rows beats
+        // est(big⋈mid) = 2000·400/2000 = 400 — the optimizer flips the
+        // order from the stats this engine handed it
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        val df = spark.sql(sql)
+        val inner = innermostLeafPaths(df)
+        assert(inner.exists(_.endsWith("-big")) &&
+          inner.exists(_.endsWith("-small")),
+          s"CBO should join big⋈small first, got $inner")
+        // and the reordered plan computes the same answer:
+        // ids 0..19 → sum 190
+        assert(df.collect().head.getLong(0) === 190L)
+      } finally {
+        spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevRe)
+      }
+    }
+  }
+
   test("overwritePartitions: type drift fails loudly before any staging") {
     withTable("graft-cat-tdrift") { path =>
       seed(path)
