@@ -970,5 +970,47 @@ object SqlSurface {
       SELECT o_orderstatus, TRUE AS compacted, COUNT(*) AS n,
         CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-      FROM orders GROUP BY o_orderstatus""")))
+      FROM orders GROUP BY o_orderstatus""")),
+
+    // ---- Metadata-only GROUP BY the partition column ----------------------
+    // The q166 fold, grouped: GROUP BY exactly the partition column is
+    // the manifest's OWN shape (one rows=/stats line per partition), so
+    // COUNT(*)/MIN/MAX per partition collapse to a LocalRelation with
+    // one row per live partition — zero files opened — and a
+    // partition-only WHERE restricts which groups emit. At 100 TB this
+    // is the partition-health dashboard ("rows and freshness per day")
+    // answered entirely from metadata. MetadataAggSpec pins the no-scan
+    // plan, the deleted-partition-emits-no-group rule, and every
+    // bail-out (non-partition key, expression key, multi-key grouping
+    // all scan and match).
+    Q("q169_sql_metadata_groupby", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q169").toString + "/wh"
+      graft.sources.CommittedTable.write(o, wh, "o_orderstatus",
+        statsCols = Seq("o_orderkey", "o_totalprice"))
+      val out = s.sql(
+        s"""SELECT 'all' AS scope, o_orderstatus, COUNT(*) AS n,
+              MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+              MAX(o_totalprice) AS mx_price
+            FROM graft.`$wh` GROUP BY o_orderstatus
+            UNION ALL
+            SELECT 'filtered' AS scope, o_orderstatus, COUNT(*) AS n,
+              MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+              MAX(o_totalprice) AS mx_price
+            FROM graft.`$wh` WHERE o_orderstatus IN ('O', 'F')
+            GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT 'all' AS scope, o_orderstatus, COUNT(*) AS n,
+        MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+        MAX(o_totalprice) AS mx_price
+      FROM orders GROUP BY o_orderstatus
+      UNION ALL
+      SELECT 'filtered' AS scope, o_orderstatus, COUNT(*) AS n,
+        MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
+        MAX(o_totalprice) AS mx_price
+      FROM orders WHERE o_orderstatus IN ('O', 'F')
+      GROUP BY o_orderstatus""")))
 }

@@ -583,13 +583,18 @@ final case class GraftDmlCommand(description: String,
   * against the manifest's partition values (the stage contract stores
   * the partition column as its exact string value), restricting which
   * partitions' counts/bounds fold — `SELECT MAX(ts) FROM t WHERE day =
-  * '2026-08-14'` stays metadata-only. Bails to the ordinary scan (never
-  * a wrong answer) when: any aggregate is distinct/filtered or not
-  * COUNT(*)/MIN/MAX-of-a-bare-column, the column isn't zone-mapped, any
-  * surviving segment lacks recorded stats, a bound fails to parse
-  * (NaN/Infinity residue), or the filter references anything but the
-  * partition column. MIN/MAX ignore NULLs, so all-NULL segments (`n:`)
-  * skip the fold; no survivors ⇒ typed NULL, matching the aggregate. */
+  * '2026-08-14'` stays metadata-only. Also answers `GROUP BY` exactly
+  * the partition column (one output row per surviving partition — the
+  * manifest's per-partition rows=/stats lines ARE that grouping; a
+  * zero-row partition emits no group, matching GROUP BY-over-data).
+  * Bails to the ordinary scan (never a wrong answer) when: any
+  * aggregate is distinct/filtered or not
+  * COUNT(*)/MIN/MAX-of-a-bare-column, the grouping is anything but the
+  * bare partition column, the column isn't zone-mapped, any surviving
+  * segment lacks recorded stats, a bound fails to parse (NaN/Infinity
+  * residue), or the filter references anything but the partition
+  * column. MIN/MAX ignore NULLs, so all-NULL segments (`n:`) skip the
+  * fold; no survivors ⇒ typed NULL groupless, zero rows grouped. */
 final case class GraftMetadataAgg(spark: SparkSession)
     extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
@@ -691,17 +696,25 @@ final case class GraftMetadataAgg(spark: SparkSession)
     }
 
   private def answer(idx: GraftFileIndex, names: Map[ExprId, String],
-      parts: Seq[String], noFilter: Boolean)(e: NamedExpression)
+      parts: Seq[String], noFilter: Boolean,
+      groupValue: Option[String] = None)(e: NamedExpression)
       : Option[Any] = {
     def stripped(x: Expression): Expression = x match {
       case Alias(c, _) => stripped(c)
       case o => o
     }
     stripped(e) match {
+      // the grouping column itself (GROUP BY pc): this row's partition
+      // value, typed by the stage contract (exact STRING)
+      case ar: AttributeReference if groupValue.isDefined &&
+          idx.partitionColumn.exists(p => names.get(ar.exprId).contains(p)) =>
+        Some(org.apache.spark.unsafe.types.UTF8String
+          .fromString(groupValue.get))
       case AggregateExpression(Count(Seq(_: Literal)), _, false, None, _) =>
         // the unfiltered whole-table count answers from the root alone
         // (per-shard totals — zero shard hydration)
-        if (noFilter) idx.totalRowCount else idx.rowCountFor(parts)
+        if (noFilter && groupValue.isEmpty) idx.totalRowCount
+        else idx.rowCountFor(parts)
       case AggregateExpression(Min(ar: AttributeReference), _, false, None, _) =>
         names.get(ar.exprId)
           .flatMap(c => fold(idx, c, ar.dataType, parts, takeMin = true))
@@ -713,19 +726,49 @@ final case class GraftMetadataAgg(spark: SparkSession)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case agg @ Aggregate(Nil, aggs, child, _) if aggs.nonEmpty =>
+    case agg @ Aggregate(groups, aggs, child, _) if aggs.nonEmpty &&
+        groups.length <= 1 =>
       resolve(child) match {
         case Some((idx, names, conds)) =>
-          val parts =
-            try survivors(idx, conds)
-            catch { case _: Exception => null } // uninterpretable predicate
-          if (parts == null) agg
+          // groupless, or GROUP BY exactly the partition column — the
+          // manifest's per-partition rows=/stats lines ARE that grouping
+          val groupedByPc = groups match {
+            case Seq(ar: AttributeReference) =>
+              idx.partitionColumn.exists(p =>
+                names.get(ar.exprId).contains(p))
+            case _ => false
+          }
+          if (groups.nonEmpty && !groupedByPc) agg
           else {
-            val answers = aggs.map(answer(idx, names, parts, conds.isEmpty))
-            if (answers.forall(_.isDefined))
-              LocalRelation(agg.output,
-                Seq(InternalRow.fromSeq(answers.map(_.get))))
-            else agg
+            val parts =
+              try survivors(idx, conds)
+              catch { case _: Exception => null } // uninterpretable predicate
+            if (parts == null) agg
+            else if (groupedByPc) {
+              // one output row per surviving partition with rows (a
+              // zero-row segment is no group — GROUP BY emits only
+              // groups that exist in data); every partition must carry
+              // a recorded count to make that call exactly
+              val counts = parts.map(p => p -> idx.rowCountFor(Seq(p)))
+              if (counts.exists(_._2.isEmpty)) agg
+              else {
+                val rows = counts.collect {
+                  case (p, Some(n)) if n > 0 =>
+                    aggs.map(answer(idx, names, Seq(p), noFilter = false,
+                      groupValue = Some(p)))
+                }
+                if (rows.forall(_.forall(_.isDefined)))
+                  LocalRelation(agg.output,
+                    rows.map(r => InternalRow.fromSeq(r.map(_.get))))
+                else agg
+              }
+            } else {
+              val answers = aggs.map(answer(idx, names, parts, conds.isEmpty))
+              if (answers.forall(_.isDefined))
+                LocalRelation(agg.output,
+                  Seq(InternalRow.fromSeq(answers.map(_.get))))
+              else agg
+            }
           }
         case None => agg
       }

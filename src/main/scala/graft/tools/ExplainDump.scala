@@ -1311,6 +1311,26 @@ object ExplainDump {
                           FROM graft.`$maDir`
                           WHERE o_orderstatus = 'O') f"""))
 
+      // q169: the same fold, grouped by the partition column
+      section("q169_sql_metadata_groupby (GROUP BY partition column → per-partition manifest fold)",
+        """Wants: NO scan node — the whole grouped aggregate is a
+          |LocalRelation with one row per live partition. GROUP BY
+          |exactly the partition column is the manifest's own shape (one
+          |rows=/stats line per partition), so per-group COUNT(*) comes
+          |from the rows= lines and per-group MIN/MAX from that
+          |partition's zone maps; a partition-only WHERE restricts which
+          |groups emit, and a zero-row partition emits NO group (GROUP BY
+          |over data emits only groups that exist — MetadataAggSpec pins
+          |it through a full-partition delete). Any other grouping (a
+          |non-partition key, an expression over the partition column,
+          |multi-key) bails to the ordinary scan with the identical
+          |answer. The 100 TB consumer is the partition-health dashboard
+          |— rows and value ranges per day — as a metadata lookup.""".stripMargin,
+        spark.sql(
+          s"""SELECT o_orderstatus, COUNT(*) AS n,
+                MIN(o_orderkey) AS mn_key, MAX(o_totalprice) AS mx_price
+              FROM graft.`$maDir` GROUP BY o_orderstatus"""))
+
       // q167: the rebased table — the scan's file list is the protocol
       // evidence: partition F's segment carries the LOSER's staging nonce
       // published one generation AFTER the winner's O segment

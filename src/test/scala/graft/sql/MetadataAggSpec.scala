@@ -154,4 +154,52 @@ class MetadataAggSpec extends SparkSpec {
     assert(!hasScan(filtered))
     assert(filtered.as[Long].head() === 207L)
   }
+
+  test("GROUP BY the partition column folds per-partition: no scan, one " +
+      "row per partition, composes with a partition-only WHERE") {
+    val dir = fixture()
+    val q = spark.sql(
+      s"""SELECT status, COUNT(*) AS n, MIN(value) AS mn, MAX(id) AS mx
+          FROM graft.`$dir` GROUP BY status""")
+    assert(!hasScan(q), q.queryExecution.executedPlan.toString)
+    assert(q.as[(String, Long, Double, Long)].collect().sortBy(_._1)
+      .toSeq === Seq(("A", 2L, 10.5, 2L), ("B", 1L, -5.0, 3L),
+        ("C", 1L, 40.0, 4L)))
+    val w = spark.sql(
+      s"""SELECT status, MAX(value) AS mx FROM graft.`$dir`
+          WHERE status IN ('A', 'B') GROUP BY status""")
+    assert(!hasScan(w))
+    assert(w.as[(String, Double)].collect().sortBy(_._1).toSeq ===
+      Seq(("A", 20.0), ("B", -5.0)))
+  }
+
+  test("GROUP BY fold tracks DML — a fully-deleted partition emits no " +
+      "group, matching the scan") {
+    val dir = fixture()
+    CommittedTable.delete(spark, dir, col("status") === "B", "status")
+    val q = spark.sql(
+      s"""SELECT status, COUNT(*) AS n FROM graft.`$dir` GROUP BY status""")
+    assert(!hasScan(q))
+    assert(q.as[(String, Long)].collect().sortBy(_._1).toSeq ===
+      Seq(("A", 2L), ("C", 1L)))
+  }
+
+  test("GROUP BY bails — same answer — for a non-partition column, an " +
+      "expression over the partition column, and multi-key grouping") {
+    val dir = fixture()
+    val np = spark.sql(
+      s"SELECT id, COUNT(*) AS n FROM graft.`$dir` GROUP BY id")
+    assert(hasScan(np))
+    assert(np.count() === 4L)
+    val ex = spark.sql(
+      s"""SELECT substring(status, 1, 1) AS s, COUNT(*) AS n
+          FROM graft.`$dir` GROUP BY substring(status, 1, 1)""")
+    assert(hasScan(ex))
+    assert(ex.count() === 3L)
+    val mk = spark.sql(
+      s"""SELECT status, version, COUNT(*) AS n FROM graft.`$dir`
+          GROUP BY status, version""")
+    assert(hasScan(mk))
+    assert(mk.count() === 3L)
+  }
 }
