@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // manifest-fed COUNT(*) collapse
     e.injectResolutionRule(session => graft.sql.GraftAnalysis(session))
     e.injectOptimizerRule(session => graft.sql.GraftMetadataAgg(session))
+    // table-valued CDF surface: SELECT * FROM graft_changes('/wh/t', 2[, 5])
+    e.injectTableFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_changes"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft", "graft_changes"),
+        (args: Seq[Expression]) => graft.sql.GraftTableFunctions.changes(args)))
   }
 }
 
@@ -65,9 +71,14 @@ object GraftFunctions {
       WinnowFingerprintsExpr(args.head, intLit(args(1)), intLit(args(2)))))
 
   /** Register all engine functions on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     defs.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "scala_udf")
     }
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_changes",
+      (args: Seq[Expression]) => graft.sql.GraftTableFunctions.changes(args),
+      "scala_udf")
+  }
 }

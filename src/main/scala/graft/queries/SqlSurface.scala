@@ -1012,5 +1012,163 @@ object SqlSurface {
         MIN(o_orderkey) AS mn_key, MAX(o_orderkey) AS mx_key,
         MAX(o_totalprice) AS mx_price
       FROM orders WHERE o_orderstatus IN ('O', 'F')
+      GROUP BY o_orderstatus""")),
+
+    // ---- Deletion vectors (merge-on-read DELETE) --------------------------
+    // The Delta-DV / Iceberg-position-delete move: with
+    // 'deletemode'='mor', DELETE publishes the matched rows' (file,
+    // row_index) positions as a parquet vector — O(deleted rows)
+    // written, ZERO segments rewritten (the gate asserts the segment
+    // set is bit-identical across both deletes and feeds the witness
+    // through the oracle) — and every read anti-joins live vectors out.
+    // The second DELETE folds the first vector (exact disjoint union).
+    // COUNT(*) stays a scan-free metadata fold (logical counts =
+    // physical minus vector rows); zone-map MIN/MAX turns conservative
+    // and bails. At 100 TB this is a 1k-row compliance takedown costing
+    // 1k positions instead of a multi-TB partition rewrite.
+    // DeleteVectorSpec/DeleteVectorSqlSpec pin the protocol (time
+    // travel, CDF tombstones, rewrite materialization, clone, sharded
+    // roots); EXPLAIN §q170 shows the wrapped plan.
+    Q("q170_delete_vectors", (s, dir) => {
+      val src = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q170").toString + "/wh"
+      graft.sources.CommittedTable.write(src, wh, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"),
+        statsCols = Seq("o_totalprice"))
+      graft.sources.CommittedTable.setDeleteMode(s, wh, Some("mor"))
+      def segs(): Set[String] = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("seg-")).toSet
+        } finally st.close()
+      }
+      val before = segs()
+      s.sql(s"DELETE FROM graft.`$wh` WHERE o_orderkey % 7 = 3")
+      s.sql(s"DELETE FROM graft.`$wh` WHERE o_orderkey % 11 = 5")
+      val mor = segs() == before
+      val out = s.sql(
+        s"""SELECT o_orderstatus, $mor AS mor, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$wh`
+            GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT o_orderstatus, TRUE AS mor, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE NOT (o_orderkey % 7 = 3) AND NOT (o_orderkey % 11 = 5)
+      GROUP BY o_orderstatus""")),
+
+    // ---- Table-valued CDF: graft_changes() --------------------------------
+    // Delta's `table_changes` surface as a real TVF
+    // (injectTableFunction → GraftTableFunctions.changes): the
+    // change-data-feed of a generation RANGE — here gen 2..current with
+    // to_version defaulted — as one SQL relation, each row tagged
+    // _change_type / _commit_version / _commit_timestamp. Every
+    // generation's batch is manifest-pruned to the partitions that
+    // generation touched (O(rewritten data), never a full-table diff),
+    // and the version/timestamp columns are driver-side metadata. The
+    // oracle re-derives the exact change sets: gen 2's UPDATE emits
+    // pre+post images of the %97 keys; gen 3's DELETE emits tombstones
+    // of the %89 keys AT THEIR CURRENT (post-update) values.
+    Q("q171_sql_table_changes", (s, dir) => {
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+        .createOrReplaceTempView("q171_src")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q171").toString + "/wh"
+      s.sql(
+        s"""CREATE TABLE graft.`$wh`
+            PARTITIONED BY (o_orderstatus)
+            TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version',
+                          'retain'='4')
+            AS SELECT * FROM q171_src""") // gen 1
+      s.sql(
+        s"""UPDATE graft.`$wh`
+            SET o_totalprice = o_totalprice + 1000.0, version = 2
+            WHERE o_orderkey % 97 = 0""") // gen 2
+      s.sql(s"DELETE FROM graft.`$wh` WHERE o_orderkey % 89 = 0") // gen 3
+      val out = s.sql(
+        s"""SELECT _commit_version AS change_gen, _change_type AS change_type,
+              COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price,
+              CAST(SUM(version) AS BIGINT) AS sum_version,
+              CAST(COUNT(DISTINCT _commit_timestamp) AS BIGINT) AS n_ts
+            FROM graft_changes('$wh', 2)
+            GROUP BY _commit_version, _change_type""")
+      finish(s, out, wh)
+    }, Some("""
+      WITH cdf AS (
+        SELECT 2 AS change_gen, 'update_preimage' AS change_type,
+          o_orderkey, o_totalprice, 1 AS version
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT 2, 'update_postimage', o_orderkey, o_totalprice + 1000.0, 2
+        FROM orders WHERE o_orderkey % 97 = 0
+        UNION ALL
+        -- tombstones at CURRENT values: keys the update touched carry it
+        SELECT 3, 'delete', o_orderkey,
+          CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+               ELSE o_totalprice END,
+          CASE WHEN o_orderkey % 97 = 0 THEN 2 ELSE 1 END
+        FROM orders WHERE o_orderkey % 89 = 0
+      )
+      SELECT CAST(change_gen AS BIGINT) AS change_gen, change_type,
+        COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(version) AS BIGINT) AS sum_version,
+        CAST(1 AS BIGINT) AS n_ts
+      FROM cdf
+      GROUP BY change_gen, change_type""")),
+
+    // ---- RESTORE (rollback as a forward generation) -----------------------
+    // CALL graft.restore rolls the table back to a RETAINED generation by
+    // publishing a NEW generation whose content is the anchor's —
+    // metadata-only at any table size (segments carried by reference;
+    // history rolls FORWARD, so the undone generations stay readable and
+    // a second restore re-does). Two destructive DML generations are
+    // then fully undone: the SELECT must equal the pristine CTAS input,
+    // which the oracle reads straight from the source table.
+    Q("q172_sql_restore", (s, dir) => {
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+        .createOrReplaceTempView("q172_src")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q172").toString + "/wh"
+      s.sql(
+        s"""CREATE TABLE graft.`$wh`
+            PARTITIONED BY (o_orderstatus)
+            TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version',
+                          'retain'='4')
+            AS SELECT * FROM q172_src""") // gen 1
+      s.sql(s"DELETE FROM graft.`$wh` WHERE o_orderkey % 5 = 2") // gen 2
+      s.sql(
+        s"""UPDATE graft.`$wh`
+            SET o_totalprice = 0.0, version = 2
+            WHERE o_orderkey % 3 = 0""") // gen 3
+      s.sql(s"CALL graft.restore(table => '$wh', version => 1)") // gen 4
+      val out = s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price,
+              CAST(SUM(version) AS BIGINT) AS sum_version
+            FROM graft.`$wh`
+            GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(COUNT(*) AS BIGINT) AS sum_version
+      FROM orders
       GROUP BY o_orderstatus""")))
 }

@@ -62,8 +62,21 @@ object CommittedTable {
   // [[StagingSweepAgeMs]] (its segments collect right after); recover()
   // sweeps intents unconditionally ("no writer active" is its contract).
   private val IntentPrefix = "_intent-"
+  // DELETION-VECTOR dirs (`dv-g<gen>-<nonce>`, table level): parquet
+  // (file STRING, pos BIGINT) sets naming rows a merge-on-read DELETE
+  // removed — `file` is the row's `<segment-leaf>/<file-name>` and `pos`
+  // its `_metadata.row_index` within that immutable file. Written whole
+  // per MoR publish (prior entries of the touched partitions folded in),
+  // referenced from per-partition manifest `dv=` lines, applied by every
+  // read as a (file, pos) anti-join. GC protects dirs referenced by any
+  // protected manifest and age-gates the rest, like manifest shards.
+  private[graft] val DvPrefix = "dv-"
   private def segNonce(segName: String): String =
     segName.split('-').lift(2).getOrElse("")
+  /** A segment reference's own directory name (clone manifests reference
+    * segments by absolute path). */
+  private def segLeaf(d: String): String =
+    d.substring(d.lastIndexOf('/') + 1)
   // staging roots older than this are crash debris for collectGarbage (an
   // in-flight writer's root is indistinguishable by content; recover(),
   // which documents "no writer active", sweeps them regardless of age)
@@ -220,7 +233,28 @@ object CommittedTable {
       // NULL-valued expression passes, FALSE fails. Rewrite-only verbs
       // (delete/deleteKeys/compact/z-order) restage rows that already
       // passed and skip re-validation. Line: check=<esc name>\t<esc expr>.
-      checks: Seq[(String, String)] = Nil)
+      checks: Seq[(String, String)] = Nil,
+      // DELETION VECTORS ([[deleteMor]] / SQL DELETE on a
+      // 'deletemode'='mor' table): partition value → [[DvRef]]. A
+      // merge-on-read DELETE publishes positions instead of rewriting
+      // segments (O(deleted rows) written, not O(affected partitions) —
+      // the Delta deletion-vector move); every read anti-joins them out.
+      // An entry whose seg no longer matches the partition's current
+      // segment is DEAD (the partition was rewritten, which materialized
+      // the deletes) — ignored by reads, pruned at serialization,
+      // its dir GC'd once unreferenced. Per-partition line in the shard
+      // body: dv=<esc part>\t<esc segLeaf>\t<esc dir>\t<rows>\t<gen>.
+      dvs: Map[String, DvRef] = Map.empty,
+      // root-line summary (dvn=<live entries>): lets a PARTIAL (root-only)
+      // hydration know the table carries live dvs without reading shards
+      // — the SQL substitution's wrap decision. Recomputed at every
+      // serialization; 0 for pre-feature manifests.
+      rootDvParts: Int = 0,
+      // DELETE routing policy (TBLPROPERTIES 'deletemode'): Some("mor")
+      // routes SQL DELETE through [[deleteMor]] (deletion vectors);
+      // absent/"cow" keeps the copy-on-write rewrite. The Scala API is
+      // explicit either way. Line: delmode=<esc mode>.
+      deleteMode: Option[String] = None)
 
   /** One manifest shard's root-line record: file name (relative to the
     * table dir), the ESCAPED partition-value range its members span
@@ -230,6 +264,23 @@ object CommittedTable {
     * sizeInBytes / COUNT(*) from the ROOT alone. */
   private[graft] final case class ShardRef(file: String, minEsc: String,
       maxEsc: String, parts: Int, bytes: Long, rows: Option[Long])
+
+  /** One partition's DELETION VECTOR: `seg` is the leaf name of the
+    * segment the positions were computed against (a later rewrite of the
+    * partition changes its segment name, which SELF-INVALIDATES the
+    * entry — no verb ever has to clear one), `dir` the dv parquet dir
+    * (relative to the table, absolute for clone-inherited entries),
+    * `rows` the EXACT number of rows it removes from this partition (the
+    * logical-count adjustment), `gen` the generation that wrote it (the
+    * change-feed touch marker). */
+  private[graft] final case class DvRef(seg: String, dir: String,
+      rows: Long, gen: Long)
+
+  /** `part`'s dv entry IF it still applies to the partition's current
+    * segment — the one liveness rule of the dv protocol. */
+  private[graft] def liveDv(m: Manifest, part: String): Option[DvRef] =
+    m.dvs.get(part).filter(d =>
+      m.segments.get(part).exists(s => segLeaf(s) == d.seg))
 
   // ---- manifest sharding -------------------------------------------------
   // A single `_commit` file with one line per partition and per data file
@@ -323,6 +374,7 @@ object CommittedTable {
     var stats = root.stats
     var rowCounts = root.rowCounts
     var files = root.files
+    var dvs = root.dvs
     var bodies = Map.empty[String, String]
     survivors.foreach { s =>
       val body = readRaw(fs, new Path(table, s.file)).getOrElse(
@@ -336,10 +388,11 @@ object CommittedTable {
       stats ++= part.stats
       rowCounts ++= part.rowCounts
       files ++= part.files
+      dvs ++= part.dvs
       bodies += (s.file -> body)
     }
     root.copy(segments = segments, stats = stats, rowCounts = rowCounts,
-      files = files, shardBodies = bodies, partial = false)
+      files = files, dvs = dvs, shardBodies = bodies, partial = false)
   }
 
   private def readRaw(fs: FileSystem, p: Path): Option[String] = {
@@ -359,7 +412,8 @@ object CommittedTable {
       segments: Map[String, String],
       stats: Map[String, Seq[(Option[String], Option[String])]],
       rowCounts: Map[String, Long],
-      files: Map[String, Seq[(String, Long)]])
+      files: Map[String, Seq[(String, Long)]],
+      dvs: Map[String, DvRef])
 
   private def parsePartitionLines(lines: List[String], statsCols: Seq[String],
       src: String): PartitionLines = {
@@ -389,15 +443,24 @@ object CommittedTable {
         case _ => throw new java.io.IOException(s"corrupt manifest line in $src: $l")
       }
     }
+    val dvs = lines.filter(_.startsWith("dv="))
+      .map { l =>
+        l.stripPrefix("dv=").split('\t') match {
+          case Array(v, seg, dir, rows, gen) =>
+            unesc(v) -> DvRef(unesc(seg), unesc(dir), rows.toLong, gen.toLong)
+          case _ => throw new java.io.IOException(s"corrupt manifest line in $src: $l")
+        }
+      }.toMap
     PartitionLines(
       parsed.map(t => t._1 -> t._2).toMap,
       parsed.collect { case (v, _, st) if st.nonEmpty => v -> st }.toMap,
-      rowCounts, files)
+      rowCounts, files, dvs)
   }
 
   private val MetaPrefixes = Seq("retain=", "retainh=", "stats=", "rows=",
     "partcol=", "keycol=", "vercol=", "bloom=", "virtual=", "f=",
-    "dropped=", "check=", "bucketby=", "shard=", "probe=", "was=", "ndv=")
+    "dropped=", "check=", "bucketby=", "shard=", "probe=", "was=", "ndv=",
+    "dv=", "dvn=", "delmode=")
 
   private def readRoot(fs: FileSystem, p: Path): Option[Manifest] = {
     if (!fs.exists(p)) return None
@@ -494,6 +557,9 @@ object CommittedTable {
           case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
         }
       }.toMap
+    val rootDvParts = lines.drop(2).find(_.startsWith("dvn="))
+      .map(_.stripPrefix("dvn=").toInt).getOrElse(0)
+    val deleteMode = metaLine("delmode=")
     val part = parsePartitionLines(lines.drop(2), statsCols, p.toString)
     if (shards.nonEmpty && part.segments.nonEmpty)
       throw new java.io.IOException(
@@ -503,7 +569,8 @@ object CommittedTable {
       part.files, droppedCols, shards = shards, probeSeg = probeSeg,
       partial = shards.nonEmpty, bucketing = bucketing,
       ndv = ndv, renames = renames, retainHours = retainHours,
-      checks = checks))
+      checks = checks, dvs = part.dvs, rootDvParts = rootDvParts,
+      deleteMode = deleteMode))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
@@ -536,7 +603,13 @@ object CommittedTable {
       m.checks.map { case (n, e) => s"check=${esc(n)}\t${esc(e)}" } ++
       m.bucketing.map { case (n, cs) =>
         s"bucketby=$n\t${cs.map(esc).mkString("\t")}" }.toSeq ++
-      statsLine ++ bloomLine
+      statsLine ++ bloomLine ++
+      m.deleteMode.map(v => s"delmode=${esc(v)}").toSeq ++ {
+        // root-level live-dv summary: a partial hydration (sharded root)
+        // must know the table needs the dv anti-join without shard reads
+        val live = m.segments.keys.count(p => liveDv(m, p).isDefined)
+        if (live > 0) Seq(s"dvn=$live") else Nil
+      }
   }
 
   /** The per-partition lines for `members` (f= by segment, rows=, then
@@ -554,6 +627,10 @@ object CommittedTable {
     val rowLines = live.collect {
       case v if m.rowCounts.contains(v) => s"rows=${esc(v)}\t${m.rowCounts(v)}"
     }
+    // only LIVE dv entries serialize (a dead one's partition was
+    // rewritten — the deletes are materialized, the entry is garbage)
+    val dvLines = live.flatMap(v => liveDv(m, v).map(d =>
+      s"dv=${esc(v)}\t${esc(d.seg)}\t${esc(d.dir)}\t${d.rows}\t${d.gen}"))
     val segLines = live.map { v =>
       val st = m.stats.get(v).filter(_ => m.statsCols.nonEmpty)
         .map(_.flatMap(p => Seq(encStat(p._1), encStat(p._2)))
@@ -561,7 +638,7 @@ object CommittedTable {
         .getOrElse("")
       s"${esc(v)}\t${m.segments(v)}$st"
     }
-    (fLines ++ rowLines ++ segLines).mkString("", "\n", "\n")
+    (fLines ++ rowLines ++ dvLines ++ segLines).mkString("", "\n", "\n")
   }
 
   /** The single-file (inline) serialized form — what every manifest below
@@ -621,8 +698,11 @@ object CommittedTable {
       members.iterator.flatMap { case (v, _) => m.segments.get(v) }
         .flatMap(seg => m.files.getOrElse(seg, Nil)).map(_._2).sum
     def rowsOf(members: Seq[(String, String)]): Option[Long] =
+      // shard totals are LOGICAL rows (physical minus live dv removals)
+      // so root-only COUNT(*) stays exact on a MoR-deleted table
       if (members.forall { case (v, _) => m.rowCounts.contains(v) })
-        Some(members.iterator.map { case (v, _) => m.rowCounts(v) }.sum)
+        Some(members.iterator.map { case (v, _) =>
+          m.rowCounts(v) - liveDv(m, v).map(_.rows).getOrElse(0L) }.sum)
       else None
     val refs = Seq.newBuilder[ShardRef]
     val newFiles = Seq.newBuilder[(String, String)]
@@ -768,6 +848,12 @@ object CommittedTable {
     // still be about to reference them
     val protectedShards: Set[String] =
       (curM.toSeq ++ prevM.toSeq ++ retainedMs).flatMap(_.shards.map(_.file)).toSet
+    // deletion-vector dirs referenced by ANY protected manifest stay
+    // (time travel applies the anchor's own vectors); the rest age out
+    // like shards — an in-flight MoR publish writes its dir pre-swap
+    val protectedDvs: Set[String] =
+      (curM.toSeq ++ prevM.toSeq ++ retainedMs)
+        .flatMap(_.dvs.values.map(_.dir)).toSet
     val now0 = System.currentTimeMillis()
     // nonces with a LIVE staging intent: a concurrent writer staged these
     // segments and hasn't published or aborted yet — not garbage, however
@@ -791,6 +877,10 @@ object CommittedTable {
           !protectedShards(n) &&
           now0 - st.getModificationTime > StagingSweepAgeMs)
         fs.delete(st.getPath, false)
+      else if (st.isDirectory && n.startsWith(DvPrefix) &&
+          !protectedDvs(n) &&
+          now0 - st.getModificationTime > StagingSweepAgeMs)
+        fs.delete(st.getPath, true)
       // committed-generation claims age out with the retain window, NOT at
       // commit: deleting a just-committed claim would re-open its name for
       // a stalled writer that passed its base-gen check before the winner
@@ -864,7 +954,8 @@ object CommittedTable {
         readManifestFile(fs, anchor).map { m =>
           val rows =
             if (m.segments.nonEmpty && m.segments.keys.forall(m.rowCounts.contains))
-              Some(m.segments.keys.iterator.map(m.rowCounts).sum)
+              Some(m.segments.keys.iterator.map(v => m.rowCounts(v) -
+                liveDv(m, v).map(_.rows).getOrElse(0L)).sum)
             else if (m.segments.isEmpty) Some(0L)
             else None
           GenerationInfo(g, fs.getFileStatus(anchor).getModificationTime,
@@ -1224,6 +1315,10 @@ object CommittedTable {
     def rewrite(man: Manifest): Manifest = man.copy(
       segments = man.segments.view.mapValues(qualify).toMap,
       files = man.files.map { case (seg, fl) => qualify(seg) -> fl },
+      // deletion vectors reference SOURCE bytes like segments do — their
+      // (file, pos) entries key on segment LEAF names, which qualifying
+      // the dir reference leaves intact
+      dvs = man.dvs.view.mapValues(d => d.copy(dir = qualify(d.dir))).toMap,
       shards = Nil, shardBodies = Map.empty, probeSeg = None,
       partial = false)
     dstFs.mkdirs(dst)
@@ -1474,7 +1569,9 @@ object CommittedTable {
       case None => m.segments.keys.toSeq
     }
     if (wanted.forall(m.rowCounts.contains))
-      Some(wanted.map(v => v -> m.rowCounts(v)).toMap)
+      // LOGICAL counts: physical minus live deletion-vector removals
+      Some(wanted.map(v => v -> (m.rowCounts(v) -
+        liveDv(m, v).map(_.rows).getOrElse(0L))).toMap)
     else None
   }
 
@@ -1546,6 +1643,61 @@ object CommittedTable {
           if (clearRetainHours) None else retainHours.orElse(m.retainHours)),
       Map.empty)
     collectGarbage(fs, table)
+  }
+
+  /** RESTORE the table to a RETAINED generation (Delta `RESTORE TABLE`
+    * / Iceberg rollback): publish a NEW generation whose content —
+    * segments, stats, row counts, file lists, deletion vectors, schema,
+    * roles, checks, bucketing, tombstones — is the anchor's. History
+    * rolls FORWARD: the undone generations stay readable inside the
+    * retain window (nothing is deleted by the restore itself; they age
+    * out normally), and the restore is itself just a generation — a
+    * second restore undoes it. Metadata-only at any table size: the
+    * anchor's segments are still on disk (retention is what makes the
+    * target restorable — an aged-out generation is refused loudly with
+    * the readable range) and carried by reference; on a sharded
+    * manifest untouched shards carry by reference too, so the publish
+    * writes O(differing shards).
+    *
+    * The CURRENT retention knobs (`retain`, `retainHours`) are kept,
+    * not the anchor's: rolling back data must not also rewind the
+    * compliance clock. Fenced like every publish — a concurrent writer
+    * aborts the restore, not the reverse. */
+  def restore(spark: SparkSession, path: String, gen: Long): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val cur = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path to restore"))
+    if (gen == cur.gen) return // already there: no generation burned
+    val anchor = hydrateSnapshot(fs, table,
+      resolveAnchor(fs, table, path, gen, cur), None)
+    publishOrAbort(hconf, table, cur.gen,
+      anchor.copy(gen = cur.gen + 1,
+        retain = cur.retain, retainHours = cur.retainHours),
+      Map.empty)
+    collectGarbage(fs, table)
+  }
+
+  /** Declare the table's SQL DELETE routing (TBLPROPERTIES
+    * 'deletemode'): "mor" routes `DELETE FROM` through [[deleteMor]]
+    * (deletion vectors), "cow" / None the copy-on-write [[delete]].
+    * Metadata-only, one fenced generation; existing vectors (either
+    * direction) keep applying — the policy only picks the verb for
+    * FUTURE deletes. */
+  def setDeleteMode(spark: SparkSession, path: String,
+      mode: Option[String]): Unit = {
+    require(mode.forall(Set("cow", "mor")),
+      s"deletemode must be 'cow' or 'mor', got ${mode.get}")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    publishOrAbort(hconf, table, m.gen,
+      m.copy(gen = m.gen + 1,
+        deleteMode = mode.filter(_ == "mor")),
+      Map.empty)
   }
 
   /** Declare (or re-declare) the table's CHECK constraints: `(name, SQL
@@ -1859,7 +2011,11 @@ object CommittedTable {
     val cur = readManifest(fs, table).getOrElse(
       throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
     val m = resolveAnchor(fs, table, path, gen, cur)
-    val delta = m.segments.filter { case (_, seg) => genOf(seg) == gen }
+    // touched = segments WRITTEN at gen, or partitions whose deletion
+    // vector was written at gen (a MoR delete rewrites nothing but
+    // changes the partition's visible contents)
+    val delta = m.segments.filter { case (pv, seg) =>
+      genOf(seg) == gen || liveDv(m, pv).exists(_.gen == gen) }
     if (delta.isEmpty) {
       // structurally possible only for a generation that rewrote nothing;
       // emit zero rows with the generation's schema
@@ -1923,7 +2079,8 @@ object CommittedTable {
       throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
     val m = resolveAnchor(fs, table, path, gen, cur)
     val touched = m.segments.collect {
-      case (pv, seg) if genOf(seg) == gen => pv
+      case (pv, seg) if genOf(seg) == gen ||
+        liveDv(m, pv).exists(_.gen == gen) => pv
     }.toSeq
     if (touched.isEmpty) return full
     val prev =
@@ -1978,7 +2135,8 @@ object CommittedTable {
       throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
     val m = resolveAnchor(fs, table, path, gen, cur)
     val touched = m.segments.collect {
-      case (pv, seg) if genOf(seg) == gen => pv
+      case (pv, seg) if genOf(seg) == gen ||
+        liveDv(m, pv).exists(_.gen == gen) => pv
     }.toSeq
     // NOTE: touched may be EMPTY for a retirement-only generation (a
     // delete that emptied partitions stages nothing) — its tombstones
@@ -2573,7 +2731,8 @@ object CommittedTable {
   }
 
   private def readFrom(spark: SparkSession, table: Path, m: Manifest,
-      partitionValues: Option[Seq[String]]): DataFrame = {
+      partitionValues: Option[Seq[String]],
+      keepPos: Boolean = false): DataFrame = {
     val wanted = partitionValues match {
       case Some(vs) => val keep = vs.toSet; m.segments.view.filterKeys(keep).toMap
       case None => m.segments
@@ -2604,13 +2763,53 @@ object CommittedTable {
           case Some(olds) => coalesce((c +: olds).map(col): _*).as(c)
           case None => col(c)
         }
-      }: _*)
+      } ++ (if (keepPos) Seq(col(DvFileCol), col(DvPosCol)) else Nil): _*)
     if (wanted.isEmpty)
       // prune-to-nothing: schema preserved, statically no rows
       return project(spark.read.schema(readSchema)
         .parquet(new Path(table, newestDir).toString).filter(lit(false)))
     val dirs = wanted.values.toSeq.sorted.map(d => new Path(table, d).toString)
-    project(spark.read.schema(readSchema).parquet(dirs: _*))
+    project(applyDv(spark, table, m, wanted.keys.toSeq,
+      spark.read.schema(readSchema).parquet(dirs: _*), keepPos))
+  }
+
+  /** Deletion-vector position columns: `<segment-leaf>/<file-name>` and
+    * the row's `_metadata.row_index` — the exact identity a dv entry
+    * stores. Immutable segments make both stable for the file's life. */
+  private val DvFileCol = "__gdv_file"
+  private val DvPosCol = "__gdv_pos"
+
+  private def dvDirPath(table: Path, dir: String): Path =
+    if (dir.contains("/")) new Path(dir) else new Path(table, dir)
+
+  private def withDvPos(df: DataFrame): DataFrame = df
+    .withColumn(DvFileCol,
+      expr("substring_index(_metadata.file_path, '/', -2)"))
+    .withColumn(DvPosCol, col("_metadata.row_index"))
+
+  /** Anti-join `parts`' LIVE deletion vectors out of `df` (a raw scan of
+    * exactly those partitions' segments). The no-dv fast path returns
+    * `df` untouched — zero plan overhead for tables that never MoR
+    * delete. `keepPos` retains the (file, pos) provenance columns for
+    * [[deleteMor]]'s own position capture. */
+  private def applyDv(spark: SparkSession, table: Path, m: Manifest,
+      parts: Seq[String], df: DataFrame,
+      keepPos: Boolean = false): DataFrame = {
+    val live = parts.flatMap(p => liveDv(m, p))
+    if (live.isEmpty && !keepPos) return df
+    val withMeta = withDvPos(df)
+    val filtered =
+      if (live.isEmpty) withMeta
+      else {
+        val dv = spark.read.parquet(live.map(_.dir).distinct
+            .map(d => dvDirPath(table, d).toString): _*)
+          .select(col("file").as("__gdv_f2"), col("pos").as("__gdv_p2"))
+        withMeta.join(dv,
+          withMeta(DvFileCol) === dv("__gdv_f2") &&
+            withMeta(DvPosCol) === dv("__gdv_p2"),
+          "left_anti")
+      }
+    if (keepPos) filtered else filtered.drop(DvFileCol, DvPosCol)
   }
 
   private[graft] def genOf(segDir: String): Long = {
@@ -3197,6 +3396,99 @@ object CommittedTable {
     publishOrAbort(hconf, table, m.gen, next, staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
+  }
+
+  /** Merge-on-read DELETE (deletion vectors, the Delta DV / Iceberg
+    * position-delete model): instead of REWRITING every affected
+    * partition ([[delete]]'s copy-on-write — O(affected partitions'
+    * bytes) written to remove one row), publish the matched rows'
+    * (file, `_metadata.row_index`) positions as a parquet deletion
+    * vector and reference it from the manifest — O(deleted rows)
+    * written, segments untouched. Every read (Scala, SQL, time travel,
+    * CDF, incremental feeds) anti-joins live vectors out, so answers are
+    * identical to the copy-on-write delete's; at 100 TB this is the
+    * difference between a compliance takedown of 1k rows costing 1k
+    * positions and costing a multi-TB partition rewrite.
+    *
+    * Protocol: a dv entry records the SEGMENT it was computed against —
+    * any later rewrite of the partition (merge/update/compact/z-order,
+    * which all read through the vectors and so MATERIALIZE the deletes)
+    * changes the segment name and the entry self-invalidates; no verb
+    * clears anything. A second MoR delete on a partition folds the prior
+    * vector's entries into the new one (counts stay exact — the prior
+    * rows are invisible to the matching scan, so the sets are disjoint).
+    * Manifest row counts stay physical; every count surface
+    * (COUNT(*) metadata fold, root shard totals, CBO stats) subtracts
+    * the per-partition dv rows, so logical counts stay EXACT with zero
+    * scans. Zone maps / Bloom sidecars become conservative (they may
+    * describe deleted rows): pruning stays sound — a vector only removes
+    * rows — but the metadata MIN/MAX fold bails on dv-carrying
+    * partitions. Scan-scoped like [[delete]]: never rebases, loud abort
+    * under contention. Unreferenced vector dirs age out via GC exactly
+    * like manifest shards; a full [[compact]]/[[compactPartitions]] of
+    * the affected partitions sheds the vectors entirely. */
+  def deleteMor(spark: SparkSession, path: String, predicate:
+      org.apache.spark.sql.Column, partitionCol: String,
+      crashPoint: String => Unit = _ => ()): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path to delete from"))
+    collectGarbage(fs, table)
+    if (m.segments.isEmpty) return
+    require(m.cols.contains(partitionCol),
+      s"$partitionCol is not a column of the committed table (${m.cols.mkString(",")})")
+    val matched = predicate.isNotNull && predicate // NULL-safe: TRUE only
+    // visible rows (prior vectors already anti-joined) with (file, pos)
+    // provenance — the positions this publish will retire
+    val hits = readFrom(spark, table, m, None, keepPos = true)
+      .filter(matched)
+      .select(col(partitionCol).as("__part"),
+        col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+      .persist()
+    try {
+      val perPart: Map[String, Long] = hits.groupBy("__part").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perPart.isEmpty) return // nothing matches: no generation burned
+      val affected = perPart.keySet
+      crashPoint("before-dv-write")
+      // fold the affected partitions' PRIOR live vectors into the new
+      // one (their dirs may be shared with unaffected partitions — keep
+      // only entries under the affected segments)
+      val priors: Map[String, DvRef] =
+        affected.iterator.flatMap(p => liveDv(m, p).map(p -> _)).toMap
+      val affectedLeafs = affected.map(p => segLeaf(m.segments(p))).toSeq
+      val newEntries = hits.select(col("file"), col("pos"))
+      val allEntries = priors.values.map(_.dir).toSeq.distinct match {
+        case Nil => newEntries
+        case dirs =>
+          spark.read.parquet(dirs.map(d => dvDirPath(table, d).toString): _*)
+            .filter(expr("substring_index(file, '/', 1)")
+              .isin(affectedLeafs: _*))
+            .select(col("file"), col("pos"))
+            .unionByName(newEntries)
+      }
+      val gen = m.gen + 1
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val staging = new Path(path + StagingInfix + nonce)
+      allEntries.write.mode(SaveMode.Overwrite)
+        .parquet(new Path(staging, "dv").toString)
+      val dvName = s"${DvPrefix}g$gen-$nonce"
+      if (!fs.rename(new Path(staging, "dv"), new Path(table, dvName)))
+        throw new java.io.IOException(
+          s"staging deletion vector into $table/$dvName failed")
+      fs.delete(staging, true)
+      crashPoint("before-swap")
+      val next = m.copy(gen = gen, dvs = m.dvs ++ affected.map(p =>
+        p -> DvRef(segLeaf(m.segments(p)), dvName,
+          perPart(p) + priors.get(p).map(_.rows).getOrElse(0L), gen)))
+      try publishOrAbort(hconf, table, m.gen, next, Map.empty)
+      catch { case e: Throwable =>
+        fs.delete(new Path(table, dvName), true); throw e }
+      crashPoint("after-swap")
+      collectGarbage(fs, table)
+    } finally hits.unpersist()
   }
 
   /** Row-level UPDATE with the table's atomic publish: for every row

@@ -201,7 +201,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val unknown = props.keySet --
       Set("keycol", "vercol", "statscols", "bloomcols", "retain",
-        "buckets", "bucketcols") --
+        "buckets", "bucketcols", "deletemode") --
       props.keySet.filter(_.startsWith("option.")) --
       props.keySet.filter(_.startsWith("check:")) --
       // Spark itself injects reserved properties (owner, provider, …)
@@ -211,7 +211,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (unknown.nonEmpty) throw new IllegalArgumentException(
       s"CREATE TABLE $ident: unknown TBLPROPERTIES ${unknown.mkString(", ")}" +
         " (supported: keycol, vercol, statscols, bloomcols, retain, " +
-        "buckets + bucketcols, check:<name>)")
+        "buckets + bucketcols, deletemode, check:<name>)")
     val buckets: Option[(Int, Seq[String])] =
       (props.get("buckets"), propList("bucketcols")) match {
         case (Some(n), cs) if cs.nonEmpty => Some((n.toInt, cs))
@@ -232,6 +232,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       bloomCols = propList("bloomcols"),
       checks = checks,
       bucketBy = buckets)
+    props.get("deletemode").map(_.trim).filter(_.nonEmpty).foreach(v =>
+      CommittedTable.setDeleteMode(spark, path, Some(v)))
     loadTable(ident)
   }
 
@@ -291,7 +293,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       _._1.toLowerCase(java.util.Locale.ROOT).startsWith("check:"))
       .map { case (k, v) => (k.toLowerCase(java.util.Locale.ROOT), v) }
     val known = Set("keycol", "vercol", "statscols", "bloomcols", "retain",
-      "retainhours")
+      "retainhours", "deletemode")
     props.collectFirst { case (k, _) if !known.contains(k) => k }
       .foreach(k => bad(s"unknown table property '$k'"))
     changes.foreach {
@@ -327,6 +329,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         retainHours = hours.filter(_.nonEmpty).map(_.toLong),
         clearRetainHours = hours.contains(""))
     }
+    pm.get("deletemode").map(_.trim).foreach(v =>
+      // empty value clears back to copy-on-write
+      CommittedTable.setDeleteMode(spark, path,
+        if (v.isEmpty) None else Some(v)))
     if (checkProps.nonEmpty) {
       // 'check:<name>' = '<expr>' adds/replaces that named check; an
       // empty value drops it. The full resulting set revalidates against

@@ -150,15 +150,38 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
     * answers from its per-shard totals, zero shard reads. */
   def totalRowCount: Option[Long] =
     if (m.partial) {
+      // sharded-root shard totals are LOGICAL (dv removals already
+      // subtracted at serialization)
       if (m.shards.forall(_.rows.isDefined))
         Some(m.shards.flatMap(_.rows).sum)
       else None
     }
     else if (m.segments.nonEmpty && m.segments.keys.forall(m.rowCounts.contains))
-      // keys is set-like: map-then-sum would DEDUPLICATE equal counts
-      Some(m.segments.keys.iterator.map(m.rowCounts).sum)
+      // keys is set-like: map-then-sum would DEDUPLICATE equal counts;
+      // LOGICAL counts: live deletion vectors subtract
+      Some(m.segments.keys.iterator.map(v => m.rowCounts(v) -
+        CommittedTable.liveDv(m, v).map(_.rows).getOrElse(0L)).sum)
     else if (m.segments.isEmpty) Some(0L)
     else None
+
+  /** Whether ANY live deletion vector applies to this snapshot — the
+    * SQL substitution's wrap decision, answerable from a root-only
+    * hydration (the root's `dvn=` summary). */
+  def hasLiveDvs: Boolean =
+    if (m.partial) m.rootDvParts > 0
+    else m.segments.keys.exists(v => CommittedTable.liveDv(m, v).isDefined)
+
+  /** Every live vector dir of the snapshot, resolved against the table
+    * path (clone entries are absolute) — the dv anti-join's right side.
+    * Hydrates a sharded manifest fully: a dv'd table pays the one
+    * hydration its scan needs anyway. */
+  def liveDvPaths: Seq[String] = {
+    val h = fullM
+    h.segments.keys.flatMap(v => CommittedTable.liveDv(h, v)).map(_.dir)
+      .toSeq.distinct.sorted
+      .map(d => (if (d.contains("/")) new Path(d)
+                 else new Path(tablePath, d)).toString)
+  }
 
   /** The manifest's partition column, if the table records one — the
     * [[GraftMetadataAgg]] filter-composition guard. */
@@ -171,7 +194,9 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
     * lacks a recorded count (pre-feature segment). */
   def rowCountFor(parts: Seq[String]): Option[Long] = {
     val h = fullM
-    if (parts.forall(h.rowCounts.contains)) Some(parts.map(h.rowCounts).sum)
+    if (parts.forall(h.rowCounts.contains))
+      Some(parts.map(v => h.rowCounts(v) -
+        CommittedTable.liveDv(h, v).map(_.rows).getOrElse(0L)).sum)
     else None
   }
 
@@ -185,6 +210,10 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
     val h = fullM
     val idx = h.statsCols.indexOf(colName)
     if (idx < 0) None
+    // a live deletion vector makes the zone maps CONSERVATIVE (they may
+    // describe deleted rows): still sound for pruning, NOT exact for a
+    // MIN/MAX answer — bail to the scan
+    else if (parts.exists(p => CommittedTable.liveDv(h, p).isDefined)) None
     else {
       val per = parts.map(p => h.stats.get(p).flatMap(_.lift(idx)))
       if (per.forall(_.isDefined)) Some(per.map(_.get)) else None

@@ -122,6 +122,23 @@ private[sql] object GraftProcedures {
     }
   }
 
+  /** `CALL graft.restore(table => …, version => N)`: roll the table
+    * back to retained generation N as a NEW generation
+    * ([[CommittedTable.restore]] — history rolls forward, the undone
+    * generations stay readable inside the retain window, retention
+    * knobs keep their current values). */
+  def restoreProc(resolve: String => String): UnboundProcedure = new Proc("restore", Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("version", LongType).build())) {
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val path = resolve(str(input, 0).getOrElse(
+        throw new IllegalArgumentException("table must not be NULL")))
+      CommittedTable.restore(spark, path, input.getLong(1))
+      result(path, currentGen(spark, path))
+    }
+  }
+
   def recover(resolve: String => String): UnboundProcedure = new Proc("recover", Array(
     ProcedureParameter.in("table", StringType).build())) {
     override def call(input: InternalRow): JIterator[Scan] = {
@@ -461,6 +478,7 @@ private[sql] object GraftProcedures {
   def all(resolve: String => String): Map[String, UnboundProcedure] = Map(
     "compact" -> compact(resolve),
     "set_retention" -> setRetention(resolve),
+    "restore" -> restoreProc(resolve),
     "recover" -> recover(resolve),
     "history" -> history(resolve),
     "init_agg_view" -> initAggView(resolve),

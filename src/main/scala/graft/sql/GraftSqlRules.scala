@@ -62,8 +62,14 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
     case d @ DeleteFromTable(GraftRel(_, t), cond)
         if d.childrenResolved && cond.resolved =>
       val pc = partitionColOf(t, "DELETE FROM")
+      // TBLPROPERTIES 'deletemode'='mor' routes through deletion vectors
+      // (O(deleted rows) written, zero segments rewritten)
+      val mor = t.manifest.deleteMode.contains("mor")
       GraftDmlCommand(s"DELETE FROM ${t.name()}", { s =>
-        CommittedTable.delete(s, t.path, bridge.column(unresolve(cond)), pc)
+        if (mor)
+          CommittedTable.deleteMor(s, t.path, bridge.column(unresolve(cond)), pc)
+        else
+          CommittedTable.delete(s, t.path, bridge.column(unresolve(cond)), pc)
       })
     // an in-progress DML statement keeps its v2 target until the routing
     // case above can fire — the generic substitution below must never
@@ -140,13 +146,13 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       val unknown = props.keySet --
         Set("keycol", "vercol", "statscols", "bloomcols", "retain",
-          "buckets", "bucketcols") --
+          "buckets", "bucketcols", "deletemode") --
         props.keySet.filter(_.startsWith("option.")) --
         props.keySet.filter(_.startsWith("check:"))
       if (unknown.nonEmpty) fail(
         s"CREATE TABLE ${ident}: unknown TBLPROPERTIES ${unknown.mkString(", ")}" +
           " (supported: keycol, vercol, statscols, bloomcols, retain, " +
-          "buckets + bucketcols, check:<name>)")
+          "buckets + bucketcols, deletemode, check:<name>)")
       val ctasBuckets: Option[(Int, Seq[String])] =
         (props.get("buckets"), propList("bucketcols")) match {
           case (Some(n), cs) if cs.nonEmpty => Some((n.toInt, cs))
@@ -157,9 +163,14 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
       val ctasChecks: Seq[(String, String)] = props.toSeq.collect {
         case (k, v) if k.startsWith("check:") && v.trim.nonEmpty =>
           (k.substring("check:".length), v) }
+      val ctasDelMode = props.get("deletemode").map(_.trim).filter(_.nonEmpty)
+      ctasDelMode.foreach(v => if (!Set("cow", "mor")(v)) fail(
+        s"CREATE TABLE ${ident}: deletemode must be 'cow' or 'mor', got $v"))
       GraftDmlCommand(s"CREATE TABLE $path AS SELECT", { s =>
         val t = new Path(path)
         val fs = t.getFileSystem(s.sparkContext.hadoopConfiguration)
+        def applyDelMode(): Unit =
+          ctasDelMode.foreach(v => CommittedTable.setDeleteMode(s, path, Some(v)))
         if (CommittedTable.readManifestRoot(fs, t).isDefined) {
           if (!ignoreIfExists) fail(
             s"$path already holds a committed table — CREATE TABLE IF NOT " +
@@ -173,6 +184,7 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
             bloomCols = propList("bloomcols"),
             checks = ctasChecks,
             bucketBy = ctasBuckets)
+          applyDelMode()
         } else {
           CommittedTable.writeComposite(bridge.ofRows(s, query), path, pcs,
             retainGenerations = props.get("retain").map(_.toInt).getOrElse(2),
@@ -181,6 +193,7 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
             versionCol = props.get("vercol"),
             bloomCols = propList("bloomcols"),
             checks = ctasChecks)
+          applyDelMode()
         }
       })
     // an in-progress CTAS keeps its unresolved name until the case above
@@ -545,7 +558,32 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
       case Some(ct) => LogicalRelation(fsRelation, ct)
       case None => LogicalRelation(fsRelation)
     }
-    val byName = lr.output.map(a => a.name -> a).toMap
+    // a table carrying LIVE deletion vectors ([[CommittedTable.deleteMor]])
+    // reads through a (file, row_index) anti-join — built with the
+    // DataFrame API over the SAME pruned relation so `_metadata` resolves
+    // through the standard machinery; partition pruning, pushdown and
+    // DPP still reach the underlying scan (predicates push through the
+    // left side of a left-anti join), and the vector side broadcasts at
+    // its usual size. Tables without vectors skip this entirely.
+    val child: LogicalPlan =
+      if (!index.hasLiveDvs) lr
+      else {
+        import org.apache.spark.sql.functions.{col => fcol, expr => fexpr}
+        val inner = org.apache.spark.sql.GraftSqlBridge
+          .ofRows(spark, lr)
+          .withColumn("__gdv_file",
+            fexpr("substring_index(_metadata.file_path, '/', -2)"))
+          .withColumn("__gdv_pos", fcol("_metadata.row_index"))
+        val dv = spark.read.parquet(index.liveDvPaths: _*)
+          .select(fcol("file").as("__gdv_f2"), fcol("pos").as("__gdv_p2"))
+        inner.join(dv,
+            inner("__gdv_file") === dv("__gdv_f2") &&
+              inner("__gdv_pos") === dv("__gdv_p2"),
+            "left_anti")
+          .drop("__gdv_file", "__gdv_pos")
+          .queryExecution.analyzed
+      }
+    val byName = child.output.map(a => a.name -> a).toMap
     Project(r.output.map { o =>
       val e: Expression = renames.get(o.name) match {
         case Some(olds) =>
@@ -554,7 +592,7 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => byName(o.name)
       }
       Alias(e, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-    }, lr)
+    }, child)
   }
 }
 
@@ -632,6 +670,16 @@ final case class GraftMetadataAgg(spark: SparkSession)
               cond.references.forall(r => names.get(r.exprId).contains(p)))
           if (partOnly) Some((idx, names, fs :+ cond)) else None
         }
+      // the deletion-vector anti-join the substitution wraps a MoR'd
+      // table in: its removals are ALREADY subtracted from the index's
+      // logical row counts (rowCountFor/totalRowCount), so COUNT stays
+      // answerable through it; MIN/MAX bail via the index's dv-aware
+      // columnBounds. Recognized by its private __gdv_* join keys.
+      case Join(left, _, org.apache.spark.sql.catalyst.plans.LeftAnti,
+          Some(cond), _)
+          if cond.references.nonEmpty &&
+            cond.references.forall(_.name.startsWith("__gdv")) =>
+        resolve(left)
       case _ => None
     }
 

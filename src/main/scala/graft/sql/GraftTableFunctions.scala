@@ -1,0 +1,86 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{EmptyRow, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions.{lit, timestamp_millis}
+import org.apache.hadoop.fs.Path
+
+import graft.sources.CommittedTable
+
+/** Table-valued SQL functions over committed tables, registered by
+  * `GraftExtensions` (`injectTableFunction`).
+  *
+  * `graft_changes` is the Delta `table_changes` surface: the
+  * change-data-feed of a generation RANGE as one relation —
+  *
+  * {{{
+  *   SELECT * FROM graft_changes('/wh/t', 2)        -- gen 2 .. current
+  *   SELECT * FROM graft_changes('/wh/t', 2, 4)     -- gen 2 .. 4
+  * }}}
+  *
+  * Each row is a [[CommittedTable.changesCdf]] change record
+  * (`_change_type` ∈ insert / update_preimage / update_postimage /
+  * delete) plus `_commit_version` (the generation that published it)
+  * and `_commit_timestamp` (the generation's anchor publish time).
+  * Requires the table's `keycol`/`vercol` roles (the CDF identity).
+  *
+  * Scale contract: each generation's batch is manifest-pruned to the
+  * partitions that generation touched (segments written at the
+  * generation, or partitions whose deletion vector it wrote), so the
+  * whole range costs O(rewritten data) — never a full-table diff; the
+  * version/timestamp columns are driver-side metadata (one anchor
+  * mtime per generation). Retention is the same loud contract as every
+  * time-travel read: a range reaching below the retained floor is
+  * refused with the readable window, never silently truncated. */
+object GraftTableFunctions {
+
+  def changes(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      "graft_changes expects (table, from_version[, to_version]), got " +
+        s"${args.length} argument(s)")
+    def evalLit(i: Int, what: String): Any = {
+      require(args(i).foldable, s"graft_changes: $what must be a literal")
+      val v = args(i).eval(EmptyRow)
+      require(v != null, s"graft_changes: $what must not be NULL")
+      v
+    }
+    val path = evalLit(0, "table").toString
+    val from = evalLit(1, "from_version").asInstanceOf[Number].longValue()
+
+    val spark = SparkSession.active
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // root-only read: roles and the current generation are root metadata
+    val root = CommittedTable.readManifestRoot(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path"))
+    val to = if (args.length == 3)
+      evalLit(2, "to_version").asInstanceOf[Number].longValue()
+    else root.gen
+    require(from >= 1L && from <= to,
+      s"graft_changes: empty version range $from..$to (current ${root.gen})")
+    require(to <= root.gen,
+      s"graft_changes: to_version $to has not been published yet " +
+        s"(current ${root.gen})")
+    val key = root.keyCol.getOrElse(throw new IllegalArgumentException(
+      s"graft_changes: the table at $path records no keycol — the CDF " +
+        "needs a row identity (write with keyCol=/TBLPROPERTIES 'keycol')"))
+    val ver = root.verCol.getOrElse(throw new IllegalArgumentException(
+      s"graft_changes: the table at $path records no vercol — the CDF " +
+        "needs a version column (write with versionCol=/TBLPROPERTIES " +
+        "'vercol')"))
+    // one directory listing for every anchor's publish time
+    val publishedAt: Map[Long, Long] = CommittedTable.history(spark, path)
+      .map(g => g.gen -> g.publishedAtMillis).toMap
+    (from to to).map { g =>
+      CommittedTable.changesCdf(spark, path, g, key, ver)
+        .withColumn("_commit_version", lit(g))
+        .withColumn("_commit_timestamp", publishedAt.get(g)
+          .map(ms => timestamp_millis(lit(ms)))
+          .getOrElse(timestamp_millis(lit(null).cast("long"))))
+    // later generations may carry widened schemas: align by name, the
+    // same NULL-fill contract changesCdf applies to preimage rows
+    }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .queryExecution.analyzed
+  }
+}

@@ -1331,6 +1331,81 @@ object ExplainDump {
                 MIN(o_orderkey) AS mn_key, MAX(o_totalprice) AS mx_price
               FROM graft.`$maDir` GROUP BY o_orderstatus"""))
 
+      // q170: the deletion-vector read — the scan is the SAME pruned
+      // native parquet scan, wrapped in one (file, row_index) anti-join
+      val dvDir = s"$tmp/dv"
+      graft.sources.CommittedTable.write(
+        Registry.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("version", lit(1L)),
+        dvDir, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"),
+        retainGenerations = 6)
+      graft.sources.CommittedTable.setDeleteMode(spark, dvDir, Some("mor"))
+      spark.sql(s"DELETE FROM graft.`$dvDir` WHERE o_orderkey % 7 = 3")
+      section("q170_delete_vectors (merge-on-read DELETE: the wrapped scan)",
+        """Wants: the committed scan UNCHANGED underneath (pruned native
+          |parquet, PushedFilters, partition schema) with ONE
+          |BroadcastHashJoin LeftAnti above it keyed on the private
+          |(__gdv_file, __gdv_pos) pair — the file name + _metadata
+          |.row_index identity a vector entry stores. The right side is
+          |the dv parquet (positions only, O(deleted rows)); at this
+          |size it broadcasts, at scale it shuffle-joins. No segment was
+          |rewritten by the DELETE: the Location file list still names
+          |the ORIGINAL gen-1 segments. A groupless COUNT(*) over this
+          |same table collapses to a LocalRelation (GraftMetadataAgg
+          |resolves THROUGH the anti-join — logical counts already
+          |subtract the vector), so the wrap never costs the
+          |scheduler-class queries anything.""".stripMargin,
+        spark.sql(
+          s"""SELECT o_orderstatus, COUNT(*) AS n
+              FROM graft.`$dvDir` WHERE o_totalprice > 1000.0
+              GROUP BY o_orderstatus"""))
+
+      // q171: the table-valued CDF — per-generation batches pruned to
+      // the partitions each generation touched, unioned by name
+      spark.sql(
+        s"""UPDATE graft.`$dvDir`
+            SET o_totalprice = o_totalprice + 1.0, version = 2
+            WHERE o_orderkey % 97 = 0""")
+      section("q171_sql_table_changes (graft_changes TVF: range CDF)",
+        """Wants: one Union of per-generation CDF batches. Each batch is
+          |the changesCdf shape — scans manifest-PRUNED to the
+          |partitions that generation touched (segments written at the
+          |generation, or partitions whose deletion vector it wrote; the
+          |Location lists only those), joined full-outer on the key to
+          |the previous generation's SAME partitions to classify
+          |insert/update/delete — never a full-table diff. The
+          |_commit_version/_commit_timestamp columns are literal-backed
+          |(driver-side anchor metadata): zero extra I/O. At 100 TB a
+          |day of CDC costs O(that day's rewrites).""".stripMargin,
+        spark.sql(
+          s"""SELECT _commit_version, _change_type, COUNT(*) AS n
+              FROM graft_changes('$dvDir', 2)
+              GROUP BY _commit_version, _change_type"""))
+
+      // q172: RESTORE — rollback is a forward generation carrying the
+      // anchor's segments BY REFERENCE; the restored scan's file list
+      // is the evidence (original segments, no rewrite)
+      val restDir = s"$tmp/restore"
+      graft.sources.CommittedTable.write(
+        Registry.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+        restDir, "o_orderstatus", retainGenerations = 4)
+      spark.sql(s"DELETE FROM graft.`$restDir` WHERE o_orderkey % 5 = 2")
+      spark.sql(s"CALL graft.restore(table => '$restDir', version => 1)")
+      section("q172_sql_restore (rollback as a forward generation)",
+        """Wants: the post-restore SELECT is an ORDINARY pruned committed
+          |scan whose Location names the ORIGINAL gen-1 segment dirs —
+          |the restore published only a manifest (segments carried by
+          |reference, metadata-only at any table size); the deleting
+          |generation's rewritten segments are nowhere in the file list.
+          |History rolled FORWARD: the undone generations stay readable
+          |inside the retain window.""".stripMargin,
+        spark.sql(
+          s"""SELECT o_orderstatus, COUNT(*) AS n FROM graft.`$restDir`
+              WHERE o_totalprice > 1000.0 GROUP BY o_orderstatus"""))
+
       // q167: the rebased table — the scan's file list is the protocol
       // evidence: partition F's segment carries the LOSER's staging nonce
       // published one generation AFTER the winner's O segment
