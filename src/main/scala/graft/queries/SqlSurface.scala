@@ -1129,6 +1129,80 @@ object SqlSurface {
       FROM cdf
       GROUP BY change_gen, change_type""")),
 
+    // ---- Per-file zone maps (intra-partition data skipping) ---------------
+    // The Delta/Iceberg file-skipping model: every publish records each
+    // staged file's (min, max) per stats column as manifest fs= lines
+    // (same aggregate, one level finer — the partition zone map is the
+    // fold of its files'), and the SQL scan drops FILES a range
+    // predicate cannot touch inside surviving partitions. The table is
+    // range-clustered (repartitionByRange upstream makes the write's
+    // deterministic salt a range bucket; AQE off so the tiny test-scale
+    // staging shuffle doesn't coalesce), so the top-range query must
+    // plan strictly fewer files than the table holds — that witness
+    // feeds the oracle as a column. At 100 TB a partition is hundreds
+    // of files; reading the two that overlap beats reading the segment.
+    Q("q173_file_skipping", (s, dir) => {
+      val src = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(4, col("o_orderkey"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q173").toString + "/wh"
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try graft.sources.CommittedTable.write(src, wh, "o_orderstatus",
+        statsCols = Seq("o_orderkey"), sortCols = Seq("o_orderkey"),
+        filesPerPartition = 4)
+      finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      // scale-relative cutoff (75% of the key range) so the gate prunes
+      // at every SF; the MAX itself is a metadata fold — no scan
+      val maxKey = s.sql(s"SELECT MAX(o_orderkey) FROM graft.`$wh`")
+        .head().getLong(0)
+      val cut = 3L * maxKey / 4L
+      val q = s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$wh`
+            WHERE o_orderkey >= $cut
+            GROUP BY o_orderstatus""")
+      // witness: the committed scan planned strictly fewer files than
+      // the table holds — the pruning is real, not just a fast answer
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val planned = plan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+            if sc.relation.location.isInstanceOf[graft.sql.GraftFileIndex] =>
+          sc.selectedPartitions.totalNumberOfFiles
+      }.sum
+      val total = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.filter(_.getFileName.toString.startsWith("seg-"))
+            .map { seg =>
+              val f = java.nio.file.Files.list(seg)
+              try f.iterator().asScala.count(p =>
+                !p.getFileName.toString.startsWith("_") &&
+                !p.getFileName.toString.startsWith("."))
+              finally f.close()
+            }.sum
+        } finally st.close()
+      }
+      val out = q.withColumn("skipped", lit(planned > 0 && planned < total))
+      finish(s, out, wh)
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        TRUE AS skipped
+      FROM orders
+      WHERE o_orderkey >= (SELECT CAST(FLOOR(3 * MAX(o_orderkey) / 4.0)
+                                       AS BIGINT) FROM orders)
+      GROUP BY o_orderstatus""")),
+
     // ---- RESTORE (rollback as a forward generation) -----------------------
     // CALL graft.restore rolls the table back to a RETAINED generation by
     // publishing a NEW generation whose content is the anchor's —

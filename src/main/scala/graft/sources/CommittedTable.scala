@@ -75,7 +75,7 @@ object CommittedTable {
     segName.split('-').lift(2).getOrElse("")
   /** A segment reference's own directory name (clone manifests reference
     * segments by absolute path). */
-  private def segLeaf(d: String): String =
+  private[graft] def segLeaf(d: String): String =
     d.substring(d.lastIndexOf('/') + 1)
   // staging roots older than this are crash debris for collectGarbage (an
   // in-flight writer's root is indistinguishable by content; recover(),
@@ -158,6 +158,23 @@ object CommittedTable {
       // falls back to listing and is backfilled at the next publish.
       // One line per file: f=<segName>\t<esc fileName>\t<len>.
       files: Map[String, Seq[(String, Long)]] = Map.empty,
+      // per-FILE zone maps (the Delta/Iceberg data-skipping model): key
+      // `<segment-LEAF>/<file name>` → (min, max) per stats column,
+      // aligned to `statsCols` exactly like the per-partition `stats`.
+      // Captured in the SAME staged read-back aggregate that records the
+      // partition zone maps (grouped one level finer; the partition
+      // entry is the in-Spark fold of its files, so both encodings are
+      // bit-identical), and consulted by [[graft.sql.GraftFileIndex]] to
+      // drop FILES inside surviving partitions at plan time — at 100 TB
+      // a partition is hundreds of files, and a range predicate over a
+      // sorted/range-clustered partition should read the two files that
+      // overlap it, not all of them. Keys are leaf-based, so clone
+      // inheritance (absolute segment refs) needs no rewrite; entries of
+      // dead segments drop at serialization (only live segments' files
+      // serialize). A file absent from the map is KEPT — pruning only
+      // ever shrinks I/O. Line: fs=<esc key>\t<stat pairs>.
+      fileStats: Map[String, Seq[(Option[String], Option[String])]] =
+        Map.empty,
       // TOMBSTONES for metadata-only [[dropColumns]]: unrewritten segment
       // files still physically CARRY a dropped column's bytes, and the
       // by-name parquet read would silently RESURRECT them if the name
@@ -375,6 +392,7 @@ object CommittedTable {
     var rowCounts = root.rowCounts
     var files = root.files
     var dvs = root.dvs
+    var fileStats = root.fileStats
     var bodies = Map.empty[String, String]
     survivors.foreach { s =>
       val body = readRaw(fs, new Path(table, s.file)).getOrElse(
@@ -389,10 +407,12 @@ object CommittedTable {
       rowCounts ++= part.rowCounts
       files ++= part.files
       dvs ++= part.dvs
+      fileStats ++= part.fileStats
       bodies += (s.file -> body)
     }
     root.copy(segments = segments, stats = stats, rowCounts = rowCounts,
-      files = files, dvs = dvs, shardBodies = bodies, partial = false)
+      files = files, dvs = dvs, fileStats = fileStats,
+      shardBodies = bodies, partial = false)
   }
 
   private def readRaw(fs: FileSystem, p: Path): Option[String] = {
@@ -413,7 +433,8 @@ object CommittedTable {
       stats: Map[String, Seq[(Option[String], Option[String])]],
       rowCounts: Map[String, Long],
       files: Map[String, Seq[(String, Long)]],
-      dvs: Map[String, DvRef])
+      dvs: Map[String, DvRef],
+      fileStats: Map[String, Seq[(Option[String], Option[String])]])
 
   private def parsePartitionLines(lines: List[String], statsCols: Seq[String],
       src: String): PartitionLines = {
@@ -451,16 +472,24 @@ object CommittedTable {
           case _ => throw new java.io.IOException(s"corrupt manifest line in $src: $l")
         }
       }.toMap
+    val fileStats = lines.filter(_.startsWith("fs="))
+      .map { l =>
+        val arr = l.stripPrefix("fs=").split('\t')
+        if (arr.length != 1 + 2 * statsCols.size)
+          throw new java.io.IOException(s"corrupt manifest line in $src: $l")
+        unesc(arr(0)) -> arr.drop(1).grouped(2)
+          .map(g => (decStat(g(0)), decStat(g(1)))).toSeq
+      }.toMap
     PartitionLines(
       parsed.map(t => t._1 -> t._2).toMap,
       parsed.collect { case (v, _, st) if st.nonEmpty => v -> st }.toMap,
-      rowCounts, files, dvs)
+      rowCounts, files, dvs, fileStats)
   }
 
   private val MetaPrefixes = Seq("retain=", "retainh=", "stats=", "rows=",
     "partcol=", "keycol=", "vercol=", "bloom=", "virtual=", "f=",
     "dropped=", "check=", "bucketby=", "shard=", "probe=", "was=", "ndv=",
-    "dv=", "dvn=", "delmode=")
+    "dv=", "dvn=", "delmode=", "fs=")
 
   private def readRoot(fs: FileSystem, p: Path): Option[Manifest] = {
     if (!fs.exists(p)) return None
@@ -566,7 +595,8 @@ object CommittedTable {
         s"corrupt manifest $p: sharded root carries inline partition lines")
     Some(Manifest(gen, cols, part.segments, retain, statsCols, part.stats,
       part.rowCounts, partCol, keyCol, verCol, bloomCols, virtualCols,
-      part.files, droppedCols, shards = shards, probeSeg = probeSeg,
+      part.files, fileStats = part.fileStats, droppedCols = droppedCols,
+      shards = shards, probeSeg = probeSeg,
       partial = shards.nonEmpty, bucketing = bucketing,
       ndv = ndv, renames = renames, retainHours = retainHours,
       checks = checks, dvs = part.dvs, rootDvParts = rootDvParts,
@@ -624,6 +654,19 @@ object CommittedTable {
     val fLines = live.map(m.segments).distinct.sorted.flatMap(seg =>
       m.files.getOrElse(seg, Nil)
         .map { case (n, len) => s"f=$seg\t${esc(n)}\t$len" })
+    // per-file zone maps, LIVE segments' files only (a dead segment's
+    // entries are garbage and vanish here)
+    val fsLines =
+      if (m.statsCols.isEmpty || m.fileStats.isEmpty) Nil
+      else live.map(m.segments).distinct.sorted.flatMap { seg =>
+        val leaf = segLeaf(seg)
+        m.files.getOrElse(seg, Nil).flatMap { case (n, _) =>
+          m.fileStats.get(s"$leaf/$n").map(st =>
+            s"fs=${esc(s"$leaf/$n")}" +
+              st.flatMap(p => Seq(encStat(p._1), encStat(p._2)))
+                .mkString("\t", "\t", ""))
+        }
+      }
     val rowLines = live.collect {
       case v if m.rowCounts.contains(v) => s"rows=${esc(v)}\t${m.rowCounts(v)}"
     }
@@ -638,7 +681,8 @@ object CommittedTable {
         .getOrElse("")
       s"${esc(v)}\t${m.segments(v)}$st"
     }
-    (fLines ++ rowLines ++ dvLines ++ segLines).mkString("", "\n", "\n")
+    (fLines ++ fsLines ++ rowLines ++ dvLines ++ segLines)
+      .mkString("", "\n", "\n")
   }
 
   /** The single-file (inline) serialized form — what every manifest below
@@ -1058,6 +1102,11 @@ object CommittedTable {
       .filterKeys(r.touched).toMap).getOrElse(Map.empty)
     val ourCounts = rebase.map(r => next.rowCounts.view
       .filterKeys(r.touched).toMap).getOrElse(Map.empty)
+    // per-file zone maps this publish added (leaf keys are nonce-unique,
+    // so key novelty identifies exactly the staged files' entries)
+    val ourFileStats = rebase.map(r => next.fileStats.view
+      .filterKeys(k => !r.base.fileStats.contains(k)).toMap)
+      .getOrElse(Map.empty)
     var attempt = next
     var base = baseGen
     var rebases = 0
@@ -1108,7 +1157,8 @@ object CommittedTable {
       attempt = cur.copy(gen = cur.gen + 1,
         segments = (cur.segments -- r.touched) ++ ourSegs,
         stats = (cur.stats -- r.touched) ++ ourStats,
-        rowCounts = (cur.rowCounts -- r.touched) ++ ourCounts)
+        rowCounts = (cur.rowCounts -- r.touched) ++ ourCounts,
+        fileStats = cur.fileStats ++ ourFileStats)
       base = cur.gen
     }
     while (true) {
@@ -1197,12 +1247,13 @@ object CommittedTable {
     }
     val staged = stageSegments(df, path, partitionCol, gen = 1L, sortCols,
       filesPerPartition = filesPerPartition, bucketing = bucketBy)
-    val (stats, counts) = statsFromStaged(spark, table, staged, partitionCol,
-      statsCols, bloomCols, checks)
+    val (stats, counts, fStats) = statsFromStaged(spark, table, staged,
+      partitionCol, statsCols, bloomCols, checks)
     publishOrAbort(hconf, table, baseGen = 0L,
       Manifest(1L, df.columns.toSeq, staged, retainGenerations,
         statsCols, stats, counts, Some(partitionCol), keyCol, versionCol,
-        bloomCols, checks = checks, bucketing = bucketBy),
+        bloomCols, checks = checks, bucketing = bucketBy,
+        fileStats = fStats),
       staged)
   }
 
@@ -1989,7 +2040,11 @@ object CommittedTable {
         keyCol = keyCol.orElse(m.keyCol),
         verCol = versionCol.orElse(m.verCol),
         statsCols = statsCols.getOrElse(m.statsCols),
+        // a changed stats-column list misaligns every recorded pair —
+        // partition AND file entries clear together (rebuilt by the next
+        // row-writing publish; missing entries conservatively keep)
         stats = if (statsChanged) Map.empty else m.stats,
+        fileStats = if (statsChanged) Map.empty else m.fileStats,
         bloomCols = bloomCols.getOrElse(m.bloomCols)), Map.empty)
     collectGarbage(fs, table)
   }
@@ -2220,10 +2275,11 @@ object CommittedTable {
     val staged = stageSegments(keep, path, partitionCol, gen,
       bucketing = m.bucketing)
     crashPoint("after-staging")
-    val (segStats, segCounts) =
+    val (segStats, segCounts, segFileStats) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
         m.bloomCols)
     val next = m.copy(gen = gen,
+      fileStats = m.fileStats ++ segFileStats,
       segments = (m.segments -- affected) ++
         staged.view.filterKeys(affected.contains),
       stats = (m.stats -- affected) ++
@@ -2243,8 +2299,9 @@ object CommittedTable {
     * affected-set). Counts ride every manifest (the O(1) COUNT path);
     * stats only when `statsCols` is set. */
   private def computeStats(df: DataFrame, partitionCol: String,
-      statsCols: Seq[String])
-      : (Map[String, Seq[(Option[String], Option[String])]], Map[String, Long]) = {
+      statsCols: Seq[String], perFile: Boolean = false)
+      : (Map[String, Seq[(Option[String], Option[String])]], Map[String, Long],
+         Map[String, Seq[(Option[String], Option[String])]]) = {
     import org.apache.spark.sql.types._
     statsCols.foreach(c => require(df.columns.contains(c),
       s"stats column $c absent from the batch (${df.columns.mkString(",")})"))
@@ -2253,19 +2310,59 @@ object CommittedTable {
       case TimestampType => unix_micros(agg).cast("string")
       case _ => agg.cast("string")
     }
-    val aggs = org.apache.spark.sql.functions.count(lit(1)).as("__cnt") +:
+    if (!perFile || statsCols.isEmpty) {
+      val aggs = org.apache.spark.sql.functions.count(lit(1)).as("__cnt") +:
+        statsCols.flatMap(c => Seq(
+        canon(c, min(col(c))).as(s"__mn_$c"), canon(c, max(col(c))).as(s"__mx_$c")))
+      val rows = df.groupBy(col(partitionCol).cast("string").as("__pv"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val stats =
+        if (statsCols.isEmpty) Map.empty[String, Seq[(Option[String], Option[String])]]
+        else rows.map { r =>
+          r.getString(0) -> statsCols.indices.map(i =>
+            (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i)))).toSeq
+        }.toMap
+      return (stats, rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+        Map.empty)
+    }
+    // per-FILE zone maps in the SAME pass: group one level finer (the
+    // `<segLeaf>/<file>` key a dv entry uses too), then fold the file
+    // extremes back to partition level IN SPARK — both levels run the
+    // identical canonical encoding, so a partition's entry is exactly
+    // the fold of its files'. The intermediate is one row per staged
+    // FILE (metadata-bounded: files per partition × touched partitions).
+    val typedAggs = org.apache.spark.sql.functions.count(lit(1)).as("__cnt") +:
       statsCols.flatMap(c => Seq(
-      canon(c, min(col(c))).as(s"__mn_$c"), canon(c, max(col(c))).as(s"__mx_$c")))
-    val rows = df.groupBy(col(partitionCol).cast("string").as("__pv"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val stats =
-      if (statsCols.isEmpty) Map.empty[String, Seq[(Option[String], Option[String])]]
-      else rows.map { r =>
+        min(col(c)).as(s"__tmn_$c"), max(col(c)).as(s"__tmx_$c")))
+    val perFileDf = df
+      .withColumn("__pv", col(partitionCol).cast("string"))
+      .withColumn("__fk",
+        expr("substring_index(_metadata.file_path, '/', -2)"))
+      .groupBy(col("__pv"), col("__fk"))
+      .agg(typedAggs.head, typedAggs.tail: _*)
+      .persist()
+    try {
+      val fileRows = perFileDf.select(col("__fk") +: statsCols.flatMap(c =>
+        Seq(canon(c, col(s"__tmn_$c")), canon(c, col(s"__tmx_$c")))): _*)
+        .collect()
+      val fileStats = fileRows.map { r =>
+        r.getString(0) -> statsCols.indices.map(i =>
+          (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i)))).toSeq
+      }.toMap
+      val partRows = perFileDf.groupBy(col("__pv"))
+        .agg(sum(col("__cnt")).as("__cnt"),
+          statsCols.flatMap(c => Seq(
+            canon(c, min(col(s"__tmn_$c"))).as(s"__mn_$c"),
+            canon(c, max(col(s"__tmx_$c"))).as(s"__mx_$c"))): _*)
+        .collect()
+      val stats = partRows.map { r =>
         r.getString(0) -> statsCols.indices.map(i =>
           (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i)))).toSeq
       }.toMap
-    (stats, rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+      (stats, partRows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+        fileStats)
+    } finally perFileDf.unpersist()
   }
 
   /** CHECK enforcement over freshly staged rows: ONE aggregate counting
@@ -2296,13 +2393,14 @@ object CommittedTable {
       staged: Map[String, String], partitionCol: String,
       statsCols: Seq[String], bloomCols: Seq[String] = Nil,
       checks: Seq[(String, String)] = Nil)
-      : (Map[String, Seq[(Option[String], Option[String])]], Map[String, Long]) =
-    if (staged.isEmpty) (Map.empty, Map.empty)
+      : (Map[String, Seq[(Option[String], Option[String])]], Map[String, Long],
+         Map[String, Seq[(Option[String], Option[String])]]) =
+    if (staged.isEmpty) (Map.empty, Map.empty, Map.empty)
     else try {
       val fresh = spark.read.parquet(
         staged.values.toSeq.sorted.map(d => new Path(table, d).toString): _*)
       validateChecks(fresh, checks, table)
-      val res = computeStats(fresh, partitionCol, statsCols)
+      val res = computeStats(fresh, partitionCol, statsCols, perFile = true)
       writeBloomSidecars(spark, table, staged, partitionCol, bloomCols,
         res._2, fresh)
       res
@@ -2700,34 +2798,48 @@ object CommittedTable {
     * column's [lower, upper]. Purely a metadata filter — conservative on
     * missing stats / unparsable bounds (KEEP), all-NULL segments dropped
     * only under a bound (a range predicate never selects NULLs). */
-  private[graft] def zoneSurvivors(m: Manifest,
+  /** Compiled range plans against `m.statsCols` — shared by the
+    * partition-level [[zoneSurvivors]] and the per-FILE skipping in
+    * [[graft.sql.GraftFileIndex]]. */
+  private[graft] def zonePlans(m: Manifest,
       probed: Option[org.apache.spark.sql.types.StructType],
-      ranges: Seq[(String, Option[Any], Option[Any])],
-      base: Seq[String]): Seq[String] = {
-    val colPlans = ranges.map { case (statsCol, lower, upper) =>
+      ranges: Seq[(String, Option[Any], Option[Any])])
+      : Seq[(Int, (String, String) => Int, Option[String], Option[String])] =
+    ranges.map { case (statsCol, lower, upper) =>
       val dt = typeOf(probed, statsCol)
       (m.statsCols.indexOf(statsCol), statCompare(dt),
         lower.map(canonBound(dt, _)), upper.map(canonBound(dt, _)))
     }
-    base.filter { v =>
-      colPlans.forall { case (idx, cmp, lo, hi) =>
-        if (idx < 0) true
-        else m.stats.get(v).map(_(idx)) match {
-          case None => true // no stats recorded for this segment: keep
-          case Some((None, None)) => lo.isEmpty && hi.isEmpty // all-NULL segment
-          case Some((mn, mx)) =>
-            // an unparsable bound (a float segment whose min/max propagated
-            // NaN/Infinity into the manifest, or a NaN query bound) must
-            // degrade to KEEP — the exact filter on top owns correctness;
-            // zone maps only ever change the I/O
-            try {
-              val aboveLo = lo.forall(l => mx.exists(x => cmp(x, l) >= 0))
-              val belowHi = hi.forall(h => mn.exists(n => cmp(n, h) <= 0))
-              aboveLo && belowHi
-            } catch { case _: NumberFormatException => true }
-        }
+
+  /** One zone-map keep decision given a stats lookup (per-partition or
+    * per-file): can the described extent contain a matching row? */
+  private[graft] def zoneKeep(
+      plans: Seq[(Int, (String, String) => Int, Option[String], Option[String])],
+      statsAt: Int => Option[(Option[String], Option[String])]): Boolean =
+    plans.forall { case (idx, cmp, lo, hi) =>
+      if (idx < 0) true
+      else statsAt(idx) match {
+        case None => true // no stats recorded for this extent: keep
+        case Some((None, None)) => lo.isEmpty && hi.isEmpty // all-NULL extent
+        case Some((mn, mx)) =>
+          // an unparsable bound (a float segment whose min/max propagated
+          // NaN/Infinity into the manifest, or a NaN query bound) must
+          // degrade to KEEP — the exact filter on top owns correctness;
+          // zone maps only ever change the I/O
+          try {
+            val aboveLo = lo.forall(l => mx.exists(x => cmp(x, l) >= 0))
+            val belowHi = hi.forall(h => mn.exists(n => cmp(n, h) <= 0))
+            aboveLo && belowHi
+          } catch { case _: NumberFormatException => true }
       }
     }
+
+  private[graft] def zoneSurvivors(m: Manifest,
+      probed: Option[org.apache.spark.sql.types.StructType],
+      ranges: Seq[(String, Option[Any], Option[Any])],
+      base: Seq[String]): Seq[String] = {
+    val colPlans = zonePlans(m, probed, ranges)
+    base.filter(v => zoneKeep(colPlans, idx => m.stats.get(v).map(_(idx))))
   }
 
   private def readFrom(spark: SparkSession, table: Path, m: Manifest,
@@ -2955,13 +3067,14 @@ object CommittedTable {
     // new manifest: affected entries replaced by their staged segments; an
     // affected partition with NO staged segment lost its last row to a key
     // move — dropping its entry IS its retirement
-    val (segStats, segCounts) =
+    val (segStats, segCounts, segFileStats) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
         m.bloomCols, m.checks)
     // keycol/vercol metadata backfills from the first merge of a
     // pre-feature table (the merge call IS the declaration of the key
     // protocol); partcol likewise
     val next = m.copy(gen = gen, cols = cols.toSeq,
+      fileStats = m.fileStats ++ segFileStats,
       segments = (m.segments -- affected) ++
         staged.view.filterKeys(affected.contains),
       stats = (m.stats -- affected) ++
@@ -3224,10 +3337,11 @@ object CommittedTable {
       val staged = stageSegments(finalDf, path, pc, gen,
         bucketing = m.bucketing)
       crashPoint("after-staging")
-      val (segStats, segCounts) =
+      val (segStats, segCounts, segFileStats) =
         statsFromStaged(spark, table, staged, pc, m.statsCols,
           m.bloomCols, m.checks)
       val next = m.copy(gen = gen,
+        fileStats = m.fileStats ++ segFileStats,
         segments = (m.segments -- affected) ++
           staged.view.filterKeys(affected.contains),
         stats = (m.stats -- affected) ++
@@ -3319,13 +3433,13 @@ object CommittedTable {
     if (missing.nonEmpty)
       throw new java.io.IOException(
         s"compactZOrder staged no segment for partitions ${missing.mkString(",")}")
-    val (segStats, segCounts) =
+    val (segStats, segCounts, segFileStats) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
         m.bloomCols)
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen, segments = staged, stats = segStats,
-        rowCounts = segCounts,
+        rowCounts = segCounts, fileStats = segFileStats,
         // a full rewrite physically sheds dropped-column (and renamed
         // former-name) residue
         droppedCols = Nil, renames = Map.empty), staged)
@@ -3382,10 +3496,11 @@ object CommittedTable {
     val staged = stageSegments(keep, path, partitionCol, gen,
       bucketing = m.bucketing)
     crashPoint("after-staging")
-    val (segStats, segCounts) =
+    val (segStats, segCounts, segFileStats) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
         m.bloomCols)
     val next = m.copy(gen = gen,
+      fileStats = m.fileStats ++ segFileStats,
       segments = (m.segments -- affected) ++
         staged.view.filterKeys(affected.contains),
       stats = (m.stats -- affected) ++
@@ -3567,10 +3682,11 @@ object CommittedTable {
     val staged = stageSegments(upd, path, partitionCol, gen,
       bucketing = m.bucketing)
     crashPoint("after-staging")
-    val (segStats, segCounts) =
+    val (segStats, segCounts, segFileStats) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
         m.bloomCols, m.checks)
     val next = m.copy(gen = gen,
+      fileStats = m.fileStats ++ segFileStats,
       segments = (m.segments -- affected) ++
         staged.view.filterKeys(affected.contains),
       stats = (m.stats -- affected) ++
@@ -3643,11 +3759,12 @@ object CommittedTable {
     val keptBucketing = m.bucketing.filter(_._2.forall(df.columns.contains))
     val staged = stageSegments(df, path, pc, gen, sortCols,
       filesPerPartition = filesPerPartition, bucketing = keptBucketing)
-    val (stats, counts) = statsFromStaged(spark, table, staged, pc,
+    val (stats, counts, fStats) = statsFromStaged(spark, table, staged, pc,
       newStats, newBlooms, m.checks)
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen, cols = df.columns.toSeq, segments = staged,
         statsCols = newStats, stats = stats, rowCounts = counts,
+        fileStats = fStats,
         partitionCol = Some(pc), keyCol = newKey, verCol = newVer,
         bloomCols = newBlooms, bucketing = keptBucketing,
         // the replacement materializes every column it declares and
@@ -3718,8 +3835,8 @@ object CommittedTable {
       filesPerPartition = filesPerPartition, bucketing = m.bucketing)
     if (staged.isEmpty) return // an empty batch overwrites nothing
     crashPoint("after-staging")
-    val (segStats, segCounts) = statsFromStaged(spark, table, staged, pc,
-      m.statsCols, m.bloomCols, m.checks)
+    val (segStats, segCounts, segFileStats) = statsFromStaged(spark, table,
+      staged, pc, m.statsCols, m.bloomCols, m.checks)
     val affected = staged.keySet
     crashPoint("before-swap")
     // the staged bytes are a pure function of the BATCH (the table is
@@ -3727,6 +3844,7 @@ object CommittedTable {
     // readParts = ∅ is the strongest possible credential
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen,
+        fileStats = m.fileStats ++ segFileStats,
         segments = (m.segments -- affected) ++ staged,
         stats = (m.stats -- affected) ++ segStats,
         rowCounts = (m.rowCounts -- affected) ++ segCounts), staged,
@@ -3761,12 +3879,12 @@ object CommittedTable {
       throw new java.io.IOException(
         s"compact staged no segment for partitions ${missing.mkString(",")}")
     crashPoint("before-swap")
-    val (compactStats, compactCounts) =
+    val (compactStats, compactCounts, compactFileStats) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
         m.bloomCols)
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen, segments = staged, stats = compactStats,
-        rowCounts = compactCounts,
+        rowCounts = compactCounts, fileStats = compactFileStats,
         // a full rewrite physically sheds dropped-column (and renamed
         // former-name) residue
         droppedCols = Nil, renames = Map.empty), staged)
@@ -3823,11 +3941,12 @@ object CommittedTable {
     if (lost.nonEmpty)
       throw new java.io.IOException(
         s"compactPartitions staged no segment for ${lost.mkString(",")}")
-    val (segStats, segCounts) =
+    val (segStats, segCounts, segFileStats) =
       statsFromStaged(spark, table, staged, pc, m.statsCols, m.bloomCols)
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen,
+        fileStats = m.fileStats ++ segFileStats,
         segments = m.segments ++ staged,
         stats = m.stats ++ segStats,
         rowCounts = m.rowCounts ++ segCounts), staged,

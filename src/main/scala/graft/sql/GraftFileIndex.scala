@@ -63,18 +63,35 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
   // planning costs zero listStatus RPCs however many partitions the
   // table has; a pre-feature segment falls back to one listing and is
   // backfilled by the table's next publish
-  private def filesOf(h: Manifest, v: String): Seq[FileStatus] = {
+  private def filesOf(h: Manifest, v: String): Seq[FileStatus] =
+    filesOf(h, v, Nil)
+
+  /** `plans` (compiled by [[CommittedTable.zonePlans]] from the scan's
+    * data filters) drops FILES whose recorded per-file zone map cannot
+    * contain a matching row — the intra-partition data-skipping step: a
+    * range predicate over a sorted/range-clustered partition reads the
+    * overlapping files, not the whole segment. A file with no recorded
+    * entry (pre-feature manifest) is kept; correctness is owned by the
+    * exact pushed filter, skipping only ever shrinks I/O. */
+  private def filesOf(h: Manifest, v: String,
+      plans: Seq[(Int, (String, String) => Int, Option[String], Option[String])])
+      : Seq[FileStatus] = {
     val seg = h.segments(v)
+    val leaf = CommittedTable.segLeaf(seg)
+    def keep(name: String): Boolean =
+      plans.isEmpty || CommittedTable.zoneKeep(plans,
+        idx => h.fileStats.get(s"$leaf/$name").map(_(idx)))
     h.files.get(seg) match {
-      case Some(recorded) => recorded.map { case (name, len) =>
-        new FileStatus(len, false, 1, 134217728L, 0L,
-          fs.makeQualified(new Path(new Path(tablePath, seg), name)))
-      }
+      case Some(recorded) => recorded.withFilter(f => keep(f._1))
+        .map { case (name, len) =>
+          new FileStatus(len, false, 1, 134217728L, 0L,
+            fs.makeQualified(new Path(new Path(tablePath, seg), name)))
+        }
       case None =>
         fs.listStatus(new Path(tablePath, seg)).toSeq
           .filter(st => st.isFile && {
             val n = st.getPath.getName
-            !n.startsWith("_") && !n.startsWith(".")
+            !n.startsWith("_") && !n.startsWith(".") && keep(n)
           })
     }
   }
@@ -105,10 +122,21 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
     // the shard-pruned hydration
     val h = hydratedFor(partitionFilters ++ dataFilters)
     val survivors = prune(h, dataFilters)
+    // per-FILE zone-map plans for the same ranges the partition prune
+    // used: surviving partitions drop the files a range predicate cannot
+    // touch (no-op when the manifest records no file stats)
+    val filePlans =
+      if (h.fileStats.isEmpty) Nil
+      else {
+        val ranges = dataFilters.flatMap(rangeOf)
+          .filter { case (c, _, _) => h.statsCols.contains(c) }
+        if (ranges.isEmpty) Nil
+        else CommittedTable.zonePlans(h, Some(schema), ranges)
+      }
     pcField match {
       case None =>
         Seq(PartitionDirectory(InternalRow.empty,
-          segFiles(h, survivors).toArray))
+          survivors.sorted.flatMap(filesOf(h, _, filePlans)).toArray))
       case Some(f) =>
         // static partition filters evaluate here against the manifest's
         // value list (the PartitioningAwareFileIndex contract); DYNAMIC
@@ -130,7 +158,7 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
         kept.sorted.map(v => PartitionDirectory(
           InternalRow(
             org.apache.spark.unsafe.types.UTF8String.fromString(v)),
-          filesOf(h, v).toArray))
+          filesOf(h, v, filePlans).toArray))
     }
   }
 

@@ -1406,6 +1406,37 @@ object ExplainDump {
           s"""SELECT o_orderstatus, COUNT(*) AS n FROM graft.`$restDir`
               WHERE o_totalprice > 1000.0 GROUP BY o_orderstatus"""))
 
+      // q173: per-file zone maps — the scan's file list inside a
+      // surviving partition shrinks to the range-overlapping files
+      val fsDir = s"$tmp/fskip"
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try graft.sources.CommittedTable.write(
+        Registry.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .repartitionByRange(4, col("o_orderkey")),
+        fsDir, "o_orderstatus",
+        statsCols = Seq("o_orderkey"), sortCols = Seq("o_orderkey"),
+        filesPerPartition = 4)
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      section("q173_file_skipping (per-file zone maps: intra-partition skip)",
+        """Wants: the SAME pruned committed scan, but the Location's file
+          |count is smaller than the table's file total — the fs=
+          |manifest entries dropped every range-clustered file whose
+          |recorded (min, max) cannot meet o_orderkey >= cut, INSIDE the
+          |surviving partitions (partition pruning alone cannot shrink
+          |this: every o_orderstatus value holds matching keys). The
+          |predicate is still pushed to parquet (PushedFilters), so
+          |skipping only ever changes I/O, never the answer; a file
+          |without a recorded entry is kept. At 100 TB this is the
+          |difference between reading a partition's two overlapping
+          |files and all several hundred.""".stripMargin,
+        spark.sql(
+          s"""SELECT o_orderstatus, COUNT(*) AS n
+              FROM graft.`$fsDir` WHERE o_orderkey >= 4500
+              GROUP BY o_orderstatus"""))
+
       // q167: the rebased table — the scan's file list is the protocol
       // evidence: partition F's segment carries the LOSER's staging nonce
       // published one generation AFTER the winner's O segment
