@@ -1399,20 +1399,22 @@ object CommittedTable {
       gen: Long, sortCols: Seq[String] = Nil,
       sortExprs: Seq[org.apache.spark.sql.Column] = Nil,
       filesPerPartition: Int = 1,
-      bucketing: Option[(Int, Seq[String])] = None): Map[String, String] =
+      bucketing: Option[(Int, Seq[String])] = None,
+      rangeClusterParts: Option[Int] = None): Map[String, String] =
     bucketing match {
       case Some((n, cs)) =>
         require(n >= 1 && cs.nonEmpty, "bucketing needs n >= 1 and columns")
         stageBucketed(df, path, partitionCol, gen, n, cs, sortCols)
       case None =>
         stageFlat(df, path, partitionCol, gen, sortCols, sortExprs,
-          filesPerPartition)
+          filesPerPartition, rangeClusterParts)
     }
 
   private def stageFlat(df: DataFrame, path: String, partitionCol: String,
       gen: Long, sortCols: Seq[String],
       sortExprs: Seq[org.apache.spark.sql.Column],
-      filesPerPartition: Int): Map[String, String] = {
+      filesPerPartition: Int,
+      rangeClusterParts: Option[Int] = None): Map[String, String] = {
     require(filesPerPartition >= 1,
       s"filesPerPartition must be >= 1, got $filesPerPartition")
     val spark = df.sparkSession
@@ -1440,13 +1442,33 @@ object CommittedTable {
       // partition's write across n tasks and n sorted files per segment
       val keyed = df.withColumn(partitionCol, col(partitionCol).cast("string"))
         .withColumn("__part", col(partitionCol))
+      // RANGE-CLUSTERED multi-file layout (maintenance verbs pass the
+      // manifest-known partition count): repartitionByRange on
+      // (__part, sort keys) gives each task a contiguous key range, so
+      // every staged file covers a near-disjoint slice of its
+      // partition's sort/z-key space — exactly what the per-file zone
+      // maps (fs= lines) need to skip files inside a partition. The
+      // EXPLICIT partition count keeps AQE from coalescing the layout;
+      // range boundaries are sampled ONCE on the driver, so retried
+      // tasks re-route rows identically (the same determinism argument
+      // as the salt). Callers without a count keep the deterministic
+      // salt (hot-partition spreading, ordering-agnostic).
+      val rangeKeys: Seq[org.apache.spark.sql.Column] =
+        if (sortExprs.nonEmpty) sortExprs
+        else sortCols.map(col)
       val arranged =
         if (filesPerPartition <= 1) keyed.repartition(col(partitionCol))
-        else keyed
-          .withColumn("__salt",
-            pmod(spark_partition_id(), lit(filesPerPartition)))
-          .repartition(col(partitionCol), col("__salt"))
-          .drop("__salt")
+        else rangeClusterParts match {
+          case Some(p) if rangeKeys.nonEmpty =>
+            keyed.repartitionByRange(
+              filesPerPartition * math.max(1, p),
+              (col("__part") +: rangeKeys): _*)
+          case _ => keyed
+            .withColumn("__salt",
+              pmod(spark_partition_id(), lit(filesPerPartition)))
+            .repartition(col(partitionCol), col("__salt"))
+            .drop("__salt")
+        }
       // the sort must LEAD with __part: FileFormatWriter requires an
       // ordering by the partition column and inserts its own (unstable)
       // sort when the incoming order doesn't satisfy it — which would
@@ -3398,7 +3420,8 @@ object CommittedTable {
     * pre-transform (log, clamp) in the caller's column expression. */
   def compactZOrder(spark: SparkSession, path: String, partitionCol: String,
       zCols: Seq[String], bits: Int = 12,
-      crashPoint: String => Unit = _ => ()): Unit = {
+      crashPoint: String => Unit = _ => (),
+      filesPerPartition: Int = 1): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     val table = new Path(path)
     val fs = table.getFileSystem(hconf)
@@ -3426,8 +3449,16 @@ object CommittedTable {
         "competing physical layouts — this table's files must stay " +
         "bucket-grouped (use compact(), which preserves the buckets and " +
         "sorts within them via sortCols)")
+    // filesPerPartition > 1 range-clusters the output on the MORTON key:
+    // each staged file covers a contiguous z-range, so its per-file zone
+    // map is tight on EVERY z dimension and a range predicate on any of
+    // them skips files inside the partition — one z-ordered file per
+    // partition only helps parquet row-group stats; the multi-file
+    // layout is what makes the manifest skip files without opening them
     val staged = stageSegments(cur, path, partitionCol, gen,
-      sortExprs = Seq(mortonKey(dims, bits)))
+      sortExprs = Seq(mortonKey(dims, bits)),
+      filesPerPartition = filesPerPartition,
+      rangeClusterParts = Some(m.segments.size))
     crashPoint("after-staging")
     val missing = m.segments.keySet -- staged.keySet
     if (missing.nonEmpty)
@@ -3870,7 +3901,10 @@ object CommittedTable {
     require(m.cols.contains(partitionCol),
       s"$partitionCol is not a column of the committed table (${m.cols.mkString(",")})")
     val staged = stageSegments(cur, path, partitionCol, gen, sortCols,
-      filesPerPartition = filesPerPartition, bucketing = m.bucketing)
+      filesPerPartition = filesPerPartition, bucketing = m.bucketing,
+      // manifest-known partition count -> multi-file output is RANGE
+      // clustered by the sort key (near-disjoint per-file zone maps)
+      rangeClusterParts = Some(m.segments.size))
     crashPoint("after-staging")
     // every live partition restaged; a value absent from staged would mean
     // data loss, so check the cover before publishing
@@ -3933,7 +3967,8 @@ object CommittedTable {
     crashPoint("before-staging")
     val gen = m.gen + 1
     val staged = stageSegments(cur, path, pc, gen, sortCols,
-      filesPerPartition = filesPerPartition, bucketing = m.bucketing)
+      filesPerPartition = filesPerPartition, bucketing = m.bucketing,
+      rangeClusterParts = Some(partitions.size))
     crashPoint("after-staging")
     // content-preserving cover check: every named partition must restage
     // (its rows came straight from the live segment)

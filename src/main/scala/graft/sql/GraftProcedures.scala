@@ -88,17 +88,32 @@ private[sql] object GraftProcedures {
       .comment("comma-separated z-order columns; plain compact when absent")
       .build(),
     ProcedureParameter.in("zorder_bits", IntegerType).defaultValue("12")
+      .build(),
+    ProcedureParameter.in("sort_by", StringType).defaultValue("NULL")
+      .comment("comma-separated sort columns for a plain compact")
+      .build(),
+    ProcedureParameter.in("files_per_partition", IntegerType)
+      .defaultValue("1")
+      .comment("with sort_by/zorder_by, > 1 RANGE-CLUSTERS the rewrite: " +
+        "disjoint per-file key ranges feed the manifest's per-file zone " +
+        "maps (fs= lines) so range SQL skips files inside partitions")
       .build())) {
     override def call(input: InternalRow): JIterator[Scan] = {
       val spark = SparkSession.active
       val path = resolve(str(input, 0).getOrElse(
         throw new IllegalArgumentException("table must not be NULL")))
       val pc = partitionColOf(spark, path, "compact")
-      str(input, 1).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq) match {
-        case Some(z) if z.nonEmpty =>
-          CommittedTable.compactZOrder(spark, path, pc, z, input.getInt(2))
+      def csv(i: Int): Seq[String] = str(input, i)
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      val fpp = input.getInt(4)
+      csv(1) match {
+        case z if z.nonEmpty =>
+          CommittedTable.compactZOrder(spark, path, pc, z, input.getInt(2),
+            filesPerPartition = fpp)
         case _ =>
-          CommittedTable.compact(spark, path, pc)
+          CommittedTable.compact(spark, path, pc, sortCols = csv(3),
+            filesPerPartition = fpp)
       }
       result(path, currentGen(spark, path))
     }

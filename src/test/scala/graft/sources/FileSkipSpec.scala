@@ -210,6 +210,74 @@ class FileSkipSpec extends SparkSpec {
     assert(q.as[Long].head() === 500L)
   }
 
+  test("compact(filesPerPartition, sortCols) RANGE-CLUSTERS the output: " +
+      "per-file ranges are disjoint within a partition and skipping needs " +
+      "no upstream recipe (explicit range partition count — AQE-proof)") {
+    val dir = freshDir("compact")
+    val src = spark.range(0, 4000)
+      .select(when(col("id") % 2 === 0, "A").otherwise("B").as("part"),
+        col("id").as("value"))
+    CommittedTable.write(src, dir, "part", statsCols = Seq("value"))
+    CommittedTable.compact(spark, dir, "part", sortCols = Seq("value"),
+      filesPerPartition = 4)
+    val bounds = fileBounds(dir)
+    assert(bounds.size >= 6, s"~4 clustered files per partition: $bounds")
+    // the range-clustered guarantee: within a partition, file ranges are
+    // DISJOINT (each file a contiguous slice of the sort-key space)
+    bounds.groupBy(_._1.split('/')(0)).foreach { case (leaf, fs) =>
+      val sorted = fs.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, mxA), (_, mnB, _)) =>
+          assert(mxA < mnB, s"overlapping file ranges in $leaf: $sorted")
+        case _ =>
+      }
+    }
+    val expTop = bounds.count(_._3 >= 3500L)
+    val top = spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$dir` " +
+      "WHERE value >= 3500")
+    assert(scanned(top) === expTop && expTop < bounds.size)
+    assert(top.as[Long].head() === 500L)
+  }
+
+  test("SQL: CALL graft.compact(sort_by, files_per_partition) produces " +
+      "the range-clustered layout through pure SQL") {
+    val dir = freshDir("call")
+    val src = spark.range(0, 4000)
+      .select(when(col("id") % 2 === 0, "A").otherwise("B").as("part"),
+        col("id").as("value"))
+    CommittedTable.write(src, dir, "part", statsCols = Seq("value"))
+    spark.sql(s"CALL graft.compact(table => '$dir', sort_by => 'value', " +
+      "files_per_partition => 4)")
+    val bounds = fileBounds(dir)
+    assert(bounds.size >= 6, s"~4 clustered files per partition: $bounds")
+    val expTop = bounds.count(_._3 >= 3500L)
+    val top = spark.sql(s"SELECT COUNT(*) AS n FROM graft.`$dir` " +
+      "WHERE value >= 3500")
+    assert(scanned(top) === expTop && expTop < bounds.size)
+    assert(top.as[Long].head() === 500L)
+  }
+
+  test("compactZOrder(filesPerPartition) range-clusters on the MORTON key: " +
+      "file skipping works on BOTH z dimensions") {
+    val dir = freshDir("zorder")
+    val src = spark.range(0, 4000)
+      .select(lit("A").as("part"), (col("id") % 64).as("x"),
+        (col("id") / 64).cast("long").as("y"))
+    CommittedTable.write(src, dir, "part", statsCols = Seq("x", "y"))
+    CommittedTable.compactZOrder(spark, dir, "part", Seq("x", "y"),
+      bits = 6, filesPerPartition = 8)
+    val total = fileBounds(dir).size
+    assert(total >= 6, s"expected ~8 z-clustered files, got $total")
+    val qx = spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft.`$dir` WHERE x >= 0 AND x <= 7")
+    assert(scanned(qx) < total, "x-range must skip z-tiles")
+    assert(qx.as[Long].head() === (0L until 4000L).count(_ % 64 <= 7))
+    val qy = spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft.`$dir` WHERE y >= 56")
+    assert(scanned(qy) < total, "y-range must skip z-tiles")
+    assert(qy.as[Long].head() === (0L until 4000L).count(_ / 64 >= 56))
+  }
+
   test("deletion vectors compose with file skipping: the anti-join reads " +
       "the skipped scan, answers stay exact") {
     val dir = freshDir("dv")
