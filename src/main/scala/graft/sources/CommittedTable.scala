@@ -2767,7 +2767,8 @@ object CommittedTable {
       }
     val base = partitionValues.map(_.filter(m.segments.contains))
       .getOrElse(m.segments.keys.toSeq)
-    val kept = zoneSurvivors(m, probed, ranges, base)
+    val kept = zoneSurvivors(m, probed,
+      ranges.map { case (c, lo, hi) => (c, Seq((lo, hi))) }, base)
     // a POINT range (lower == upper) on a bloomed column additionally
     // consults the `_bloom-<col>` sidecars — zone maps answer "could the
     // range intersect", the sidecar answers "is this exact value
@@ -2820,45 +2821,56 @@ object CommittedTable {
     * column's [lower, upper]. Purely a metadata filter — conservative on
     * missing stats / unparsable bounds (KEEP), all-NULL segments dropped
     * only under a bound (a range predicate never selects NULLs). */
-  /** Compiled range plans against `m.statsCols` — shared by the
+  /** Compiled zone plans against `m.statsCols` — shared by the
     * partition-level [[zoneSurvivors]] and the per-FILE skipping in
-    * [[graft.sql.GraftFileIndex]]. */
+    * [[graft.sql.GraftFileIndex]]. Each conjunct is a DISJUNCTION of
+    * intervals on one column: a plain comparison is one interval, `IN`
+    * is a point interval per literal, a same-column `OR` of ranges is
+    * the union of its sides' — the extent survives a conjunct if ANY of
+    * its intervals can overlap the recorded (min, max). */
   private[graft] def zonePlans(m: Manifest,
       probed: Option[org.apache.spark.sql.types.StructType],
-      ranges: Seq[(String, Option[Any], Option[Any])])
-      : Seq[(Int, (String, String) => Int, Option[String], Option[String])] =
-    ranges.map { case (statsCol, lower, upper) =>
+      ranges: Seq[(String, Seq[(Option[Any], Option[Any])])])
+      : Seq[(Int, (String, String) => Int,
+             Seq[(Option[String], Option[String])])] =
+    ranges.map { case (statsCol, intervals) =>
       val dt = typeOf(probed, statsCol)
       (m.statsCols.indexOf(statsCol), statCompare(dt),
-        lower.map(canonBound(dt, _)), upper.map(canonBound(dt, _)))
+        intervals.map { case (lower, upper) =>
+          (lower.map(canonBound(dt, _)), upper.map(canonBound(dt, _))) })
     }
 
   /** One zone-map keep decision given a stats lookup (per-partition or
     * per-file): can the described extent contain a matching row? */
   private[graft] def zoneKeep(
-      plans: Seq[(Int, (String, String) => Int, Option[String], Option[String])],
+      plans: Seq[(Int, (String, String) => Int,
+                  Seq[(Option[String], Option[String])])],
       statsAt: Int => Option[(Option[String], Option[String])]): Boolean =
-    plans.forall { case (idx, cmp, lo, hi) =>
+    plans.forall { case (idx, cmp, intervals) =>
       if (idx < 0) true
       else statsAt(idx) match {
         case None => true // no stats recorded for this extent: keep
-        case Some((None, None)) => lo.isEmpty && hi.isEmpty // all-NULL extent
+        case Some((None, None)) => // all-NULL extent: only an unbounded
+          // interval (no comparison at all) can admit it
+          intervals.exists { case (lo, hi) => lo.isEmpty && hi.isEmpty }
         case Some((mn, mx)) =>
-          // an unparsable bound (a float segment whose min/max propagated
-          // NaN/Infinity into the manifest, or a NaN query bound) must
-          // degrade to KEEP — the exact filter on top owns correctness;
-          // zone maps only ever change the I/O
-          try {
-            val aboveLo = lo.forall(l => mx.exists(x => cmp(x, l) >= 0))
-            val belowHi = hi.forall(h => mn.exists(n => cmp(n, h) <= 0))
-            aboveLo && belowHi
-          } catch { case _: NumberFormatException => true }
+          intervals.exists { case (lo, hi) =>
+            // an unparsable bound (a float segment whose min/max
+            // propagated NaN/Infinity into the manifest, or a NaN query
+            // bound) must degrade to KEEP — the exact filter on top owns
+            // correctness; zone maps only ever change the I/O
+            try {
+              val aboveLo = lo.forall(l => mx.exists(x => cmp(x, l) >= 0))
+              val belowHi = hi.forall(h => mn.exists(n => cmp(n, h) <= 0))
+              aboveLo && belowHi
+            } catch { case _: NumberFormatException => true }
+          }
       }
     }
 
   private[graft] def zoneSurvivors(m: Manifest,
       probed: Option[org.apache.spark.sql.types.StructType],
-      ranges: Seq[(String, Option[Any], Option[Any])],
+      ranges: Seq[(String, Seq[(Option[Any], Option[Any])])],
       base: Seq[String]): Seq[String] = {
     val colPlans = zonePlans(m, probed, ranges)
     base.filter(v => zoneKeep(colPlans, idx => m.stats.get(v).map(_(idx))))

@@ -74,7 +74,8 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
     * entry (pre-feature manifest) is kept; correctness is owned by the
     * exact pushed filter, skipping only ever shrinks I/O. */
   private def filesOf(h: Manifest, v: String,
-      plans: Seq[(Int, (String, String) => Int, Option[String], Option[String])])
+      plans: Seq[(Int, (String, String) => Int,
+                  Seq[(Option[String], Option[String])])])
       : Seq[FileStatus] = {
     val seg = h.segments(v)
     val leaf = CommittedTable.segLeaf(seg)
@@ -128,8 +129,8 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
     val filePlans =
       if (h.fileStats.isEmpty) Nil
       else {
-        val ranges = dataFilters.flatMap(rangeOf)
-          .filter { case (c, _, _) => h.statsCols.contains(c) }
+        val ranges = dataFilters.flatMap(intervalsOf)
+          .filter { case (c, _) => h.statsCols.contains(c) }
         if (ranges.isEmpty) Nil
         else CommittedTable.zonePlans(h, Some(schema), ranges)
       }
@@ -277,8 +278,8 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
           case None => acc
         }
       }
-    val ranges = dataFilters.flatMap(rangeOf)
-      .filter { case (c, _, _) => h.statsCols.contains(c) }
+    val ranges = dataFilters.flatMap(intervalsOf)
+      .filter { case (c, _) => h.statsCols.contains(c) }
     if (ranges.isEmpty) bloomPruned
     else CommittedTable.zoneSurvivors(h, Some(schema), ranges, bloomPruned)
   }
@@ -308,6 +309,49 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
 
   private def external(l: Literal): Any =
     CatalystTypeConverters.convertToScala(l.value, l.dataType)
+
+  /** One conjunct → a DISJUNCTION of [lo, hi] intervals on one column
+    * (the [[CommittedTable.zonePlans]] shape): a plain comparison is
+    * one interval, `IN` / `InSet` a point interval per non-NULL literal
+    * (dropping NULLs is sound — they admit no extra rows), a same-column
+    * `OR` of prunable sides the union of both sides' intervals. None =
+    * this conjunct cannot prune (kept sound by keeping everything). */
+  private def intervalsOf(e: Expression)
+      : Option[(String, Seq[(Option[Any], Option[Any])])] = e match {
+    case In(a: AttributeReference, vs)
+        if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+      Some((a.name, vs.collect { case l: Literal if l.value != null =>
+        (Some(external(l)), Some(external(l))) }))
+    case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
+      Some((a.name, vs.toSeq.filter(_ != null).map { v =>
+        val x = CatalystTypeConverters.convertToScala(v, a.dataType)
+        (Some(x), Some(x))
+      }))
+    case Or(x, y) =>
+      for {
+        (cx, ix) <- intervalsOf(x)
+        (cy, iy) <- intervalsOf(y)
+        if cx == cy
+      } yield (cx, ix ++ iy)
+    // prefix LIKE on a string column → the lexicographic range
+    // [prefix, next(prefix)): every string with the prefix sorts inside
+    // it, so min/max pruning applies (next() increments the last
+    // non-max char; an all-max prefix degrades to lower-bound-only)
+    case StartsWith(a: AttributeReference, Literal(p, _)) if p != null =>
+      val prefix = p.toString
+      Some((a.name, Seq((Some(prefix), nextPrefix(prefix)))))
+    case other => rangeOf(other).map { case (c, lo, hi) => (c, Seq((lo, hi))) }
+  }
+
+  /** Smallest string greater than every string starting with `prefix`:
+    * drop trailing Char.MaxValue chars, increment the last remaining
+    * one; None when the whole prefix is Char.MaxValue (no upper bound —
+    * lower-bound pruning still applies). */
+  private def nextPrefix(prefix: String): Option[Any] = {
+    val trimmed = prefix.reverse.dropWhile(_ == Char.MaxValue).reverse
+    if (trimmed.isEmpty) None
+    else Some(trimmed.init + (trimmed.last + 1).toChar)
+  }
 
   /** `pc = 'v'` / `pc IN (…)` / `pc <=> 'v'` → the allowed value set;
     * None when this conjunct does not constrain the partition column.

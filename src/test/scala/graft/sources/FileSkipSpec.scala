@@ -117,12 +117,28 @@ class FileSkipSpec extends SparkSpec {
         "WHERE part = 'A' AND value >= 3500")
     assert(scanned(both) === expBoth && expBoth < expTop)
     assert(both.as[Long].head() === 250L)
-    // an unprunable predicate shape keeps every file and stays correct
+    // a same-column OR prunes as the UNION of its sides' intervals
+    val expOr = bounds.count(b => b._2 < 100L || b._3 >= 3900L)
     val or = spark.sql(
       s"SELECT COUNT(*) AS n FROM graft.`$dir` " +
         "WHERE value < 100 OR value >= 3900")
-    assert(scanned(or) === total)
+    assert(scanned(or) === expOr && expOr < total,
+      s"OR-union skip: $expOr of $total")
     assert(or.as[Long].head() === 200L)
+    // IN probes as point intervals: only the files containing a probe
+    val expIn = bounds.count(b =>
+      (b._2 <= 50L && b._3 >= 50L) || (b._2 <= 3950L && b._3 >= 3950L))
+    val in = spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft.`$dir` WHERE value IN (50, 3950)")
+    assert(scanned(in) === expIn && expIn < total,
+      s"IN-probe skip: $expIn of $total")
+    assert(in.as[Long].head() === 2L)
+    // a CROSS-column OR is genuinely unprunable: every file kept
+    val orX = spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft.`$dir` " +
+        "WHERE part = 'A' OR value >= 3900")
+    assert(scanned(orX) === total)
+    assert(orX.as[Long].head() === 2000L + 50L)
   }
 
   /** partition value → its current segment LEAF, from the manifest. */
@@ -276,6 +292,30 @@ class FileSkipSpec extends SparkSpec {
       s"SELECT COUNT(*) AS n FROM graft.`$dir` WHERE y >= 56")
     assert(scanned(qy) < total, "y-range must skip z-tiles")
     assert(qy.as[Long].head() === (0L until 4000L).count(_ / 64 >= 56))
+  }
+
+  test("prefix LIKE on a string stats column prunes files by the " +
+      "lexicographic range [prefix, next(prefix))") {
+    val dir = freshDir("like")
+    val src = spark.range(0, 4000)
+      .select(lit("A").as("part"), format_string("k%04d", col("id")).as("key"))
+    CommittedTable.write(src, dir, "part", statsCols = Seq("key"))
+    CommittedTable.compact(spark, dir, "part", sortCols = Seq("key"),
+      filesPerPartition = 4)
+    val bounds = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_commit")), "UTF-8")
+      .linesIterator.filter(_.startsWith("fs=")).map { l =>
+        val a = l.stripPrefix("fs=").split('\t')
+        (a(1).stripPrefix("v:"), a(2).stripPrefix("v:"))
+      }.toSeq
+    assert(bounds.size >= 3, s"clustered multi-file layout: $bounds")
+    // LIKE 'k39%' → [k39, k3:) — LikeSimplification rewrites to StartsWith
+    val exp = bounds.count { case (mn, mx) => mx >= "k39" && mn <= "k3:" }
+    val q = spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft.`$dir` WHERE key LIKE 'k39%'")
+    assert(scanned(q) === exp && exp < bounds.size,
+      s"prefix skip: $exp of ${bounds.size}")
+    assert(q.as[Long].head() === 100L)
   }
 
   test("deletion vectors compose with file skipping: the anti-join reads " +
