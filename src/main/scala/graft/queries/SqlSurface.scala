@@ -1203,6 +1203,73 @@ object SqlSurface {
                                        AS BIGINT) FROM orders)
       GROUP BY o_orderstatus""")),
 
+    // ---- Declared clustering (layout maintains itself) --------------------
+    // TBLPROPERTIES 'clusterby' + 'clusterfiles' (the liquid-clustering
+    // UX): after the declaration, EVERY row-writing publish range-
+    // clusters its staged partitions — here a routed SQL UPDATE rewrites
+    // all three partitions and the rewritten files come out with
+    // near-disjoint per-file key ranges, so the top-quartile range query
+    // plans strictly fewer files than the table holds WITHOUT any
+    // compact/OPTIMIZE call. The witness column proves the skip; the
+    // oracle re-derives the UPDATE's arithmetic.
+    Q("q174_declared_clustering", (s, dir) => {
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+        .createOrReplaceTempView("q174_src")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q174").toString + "/wh"
+      s.sql(
+        s"""CREATE TABLE graft.`$wh`
+            PARTITIONED BY (o_orderstatus)
+            TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version',
+                          'statscols'='o_orderkey',
+                          'clusterby'='o_orderkey', 'clusterfiles'='4')
+            AS SELECT * FROM q174_src""") // gen 1 + the declaration
+      s.sql(
+        s"""UPDATE graft.`$wh`
+            SET o_totalprice = o_totalprice + 1000.0, version = 2
+            WHERE o_orderkey % 9 = 1""") // rewrites every partition CLUSTERED
+      val maxKey = s.sql(s"SELECT MAX(o_orderkey) FROM graft.`$wh`")
+        .head().getLong(0)
+      val cut = 3L * maxKey / 4L
+      val q = s.sql(
+        s"""SELECT o_orderstatus, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$wh`
+            WHERE o_orderkey >= $cut
+            GROUP BY o_orderstatus""")
+      val plan = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val planned = plan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec
+            if sc.relation.location.isInstanceOf[graft.sql.GraftFileIndex] =>
+          sc.selectedPartitions.totalNumberOfFiles
+      }.sum
+      // LIVE file total from the manifest's own f= lines (retired
+      // generations' segments still sit on disk inside retention)
+      val total = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(wh, "_commit")), "UTF-8")
+        .linesIterator.count(_.startsWith("f="))
+      val out = q.withColumn("skipped", lit(planned > 0 && planned < total))
+      finish(s, out, wh)
+    }, Some("""
+      SELECT o_orderstatus, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(CASE WHEN o_orderkey % 9 = 1
+                           THEN o_totalprice + 1000.0
+                           ELSE o_totalprice END AS DECIMAL(18,2)))
+             AS DOUBLE) AS sum_price,
+        TRUE AS skipped
+      FROM orders
+      WHERE o_orderkey >= (SELECT CAST(FLOOR(3 * MAX(o_orderkey) / 4.0)
+                                       AS BIGINT) FROM orders)
+      GROUP BY o_orderstatus""")),
+
     // ---- RESTORE (rollback as a forward generation) -----------------------
     // CALL graft.restore rolls the table back to a RETAINED generation by
     // publishing a NEW generation whose content is the anchor's —

@@ -207,6 +207,21 @@ object CommittedTable {
       // it through staging, so all live files are always bucket-parseable.
       // Line: bucketby=<n>\t<cols...>.
       bucketing: Option[(Int, Seq[String])] = None,
+      // DECLARED CLUSTERING ([[setClustering]] / TBLPROPERTIES
+      // 'clusterby' + 'clusterfiles'): (cluster columns, files per
+      // partition). Once declared, EVERY row-writing publish
+      // (merge/update/delete/overwrite/compact) stages its affected
+      // partitions through a range exchange on (partition, cluster
+      // cols) — each staged file covers a near-disjoint slice of the
+      // cluster-key space, so the per-file zone maps (fs= lines) skip
+      // files inside partitions with no maintenance job (the
+      // liquid-clustering UX: declare once, layout maintains itself;
+      // pre-existing segments cluster at their next rewrite). LAYOUT
+      // advisory, never content-affecting: concurrent rebases ignore it
+      // (a stale-layout publish is still correct), and it is mutually
+      // exclusive with bucketing (competing physical layouts). Line:
+      // cluster=<n>\t<cols...>.
+      clusterBy: Option[(Seq[String], Int)] = None,
       // TABLE-LEVEL approximate distinct counts ([[analyzeTable]] / CALL
       // graft.analyze): column → approx NDV, the ANALYZE-TABLE statistic
       // that lets the SQL layer hand Spark's cost-based optimizer real
@@ -489,7 +504,7 @@ object CommittedTable {
   private val MetaPrefixes = Seq("retain=", "retainh=", "stats=", "rows=",
     "partcol=", "keycol=", "vercol=", "bloom=", "virtual=", "f=",
     "dropped=", "check=", "bucketby=", "shard=", "probe=", "was=", "ndv=",
-    "dv=", "dvn=", "delmode=", "fs=")
+    "dv=", "dvn=", "delmode=", "fs=", "cluster=")
 
   private def readRoot(fs: FileSystem, p: Path): Option[Manifest] = {
     if (!fs.exists(p)) return None
@@ -561,6 +576,13 @@ object CommittedTable {
           case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
         }
       }
+    val clusterBy = lines.drop(2).find(_.startsWith("cluster="))
+      .map { l =>
+        l.stripPrefix("cluster=").split('\t').toSeq match {
+          case n +: cs if cs.nonEmpty => (cs.map(unesc), n.toInt)
+          case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
+        }
+      }
     val shards = lines.drop(2).filter(_.startsWith("shard="))
       .map { l =>
         l.stripPrefix("shard=").split('\t') match {
@@ -598,6 +620,7 @@ object CommittedTable {
       part.files, fileStats = part.fileStats, droppedCols = droppedCols,
       shards = shards, probeSeg = probeSeg,
       partial = shards.nonEmpty, bucketing = bucketing,
+      clusterBy = clusterBy,
       ndv = ndv, renames = renames, retainHours = retainHours,
       checks = checks, dvs = part.dvs, rootDvParts = rootDvParts,
       deleteMode = deleteMode))
@@ -633,6 +656,8 @@ object CommittedTable {
       m.checks.map { case (n, e) => s"check=${esc(n)}\t${esc(e)}" } ++
       m.bucketing.map { case (n, cs) =>
         s"bucketby=$n\t${cs.map(esc).mkString("\t")}" }.toSeq ++
+      m.clusterBy.map { case (cs, n) =>
+        s"cluster=$n\t${cs.map(esc).mkString("\t")}" }.toSeq ++
       statsLine ++ bloomLine ++
       m.deleteMode.map(v => s"delmode=${esc(v)}").toSeq ++ {
         // root-level live-dv summary: a partial hydration (sharded root)
@@ -1752,6 +1777,45 @@ object CommittedTable {
     collectGarbage(fs, table)
   }
 
+  /** Declare (or clear, with None) the table's CLUSTERING (TBLPROPERTIES
+    * 'clusterby' + 'clusterfiles'): once set, every row-writing publish
+    * range-clusters its staged partitions on the given columns into
+    * `filesPerPartition` files each, so per-file zone maps skip inside
+    * partitions with no maintenance job. Metadata-only, one fenced
+    * generation; existing segments keep their layout until their next
+    * rewrite (run [[compact]] once to cluster history). Mutually
+    * exclusive with bucketing. */
+  def setClustering(spark: SparkSession, path: String,
+      clusterBy: Option[(Seq[String], Int)]): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    clusterBy.foreach { case (cols, n) =>
+      require(cols.nonEmpty, "clusterby needs at least one column")
+      require(n >= 2, s"clusterfiles must be >= 2 to cluster, got $n")
+      cols.foreach(c => require(m.cols.contains(c),
+        s"clusterby column $c does not exist (${m.cols.mkString(",")})"))
+      require(m.bucketing.isEmpty,
+        "clusterby on a bucketed table: bucketing and clustering are " +
+          "competing physical layouts — drop one")
+    }
+    publishOrAbort(hconf, table, m.gen,
+      m.copy(gen = m.gen + 1, clusterBy = clusterBy), Map.empty)
+  }
+
+  /** The staging layout a DECLARED clustering imposes on a verb staging
+    * `parts` partitions: (sortCols, filesPerPartition, range partition
+    * count). No declaration (or bucketing, which wins) → the verb's
+    * default flat layout. */
+  private def clusterArgs(m: Manifest, parts: Int)
+      : (Seq[String], Int, Option[Int]) = m.clusterBy match {
+    case Some((cols, n)) if m.bucketing.isEmpty =>
+      (cols, n, Some(math.max(1, parts)))
+    case _ => (Nil, 1, None)
+  }
+
   /** Declare the table's SQL DELETE routing (TBLPROPERTIES
     * 'deletemode'): "mor" routes `DELETE FROM` through [[deleteMor]]
     * (deletion vectors), "cow" / None the copy-on-write [[delete]].
@@ -2294,8 +2358,10 @@ object CommittedTable {
       .join(keySet, Seq(key), "left_anti")
     crashPoint("before-staging")
     val gen = m.gen + 1
+    val (clSort, clFpp, clParts) = clusterArgs(m, affected.length)
     val staged = stageSegments(keep, path, partitionCol, gen,
-      bucketing = m.bucketing)
+      sortCols = clSort, filesPerPartition = clFpp,
+      bucketing = m.bucketing, rangeClusterParts = clParts)
     crashPoint("after-staging")
     val (segStats, segCounts, segFileStats) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
@@ -3094,8 +3160,10 @@ object CommittedTable {
 
     crashPoint("before-staging")
     val gen = m.gen + 1
+    val (clSort, clFpp, clParts) = clusterArgs(m, affected.length)
     val staged = stageSegments(merged, path, partitionCol, gen,
-      bucketing = m.bucketing)
+      sortCols = clSort, filesPerPartition = clFpp,
+      bucketing = m.bucketing, rangeClusterParts = clParts)
     crashPoint("after-staging")
 
     // new manifest: affected entries replaced by their staged segments; an
@@ -3368,8 +3436,10 @@ object CommittedTable {
 
       crashPoint("before-staging")
       val gen = m.gen + 1
+      val (clSort, clFpp, clParts) = clusterArgs(m, affected.length)
       val staged = stageSegments(finalDf, path, pc, gen,
-        bucketing = m.bucketing)
+        sortCols = clSort, filesPerPartition = clFpp,
+        bucketing = m.bucketing, rangeClusterParts = clParts)
       crashPoint("after-staging")
       val (segStats, segCounts, segFileStats) =
         statsFromStaged(spark, table, staged, pc, m.statsCols,
@@ -3536,8 +3606,10 @@ object CommittedTable {
     val keep = read(spark, path, Some(affected.toIndexedSeq)).filter(!matched)
     crashPoint("before-staging")
     val gen = m.gen + 1
+    val (clSort, clFpp, clParts) = clusterArgs(m, affected.length)
     val staged = stageSegments(keep, path, partitionCol, gen,
-      bucketing = m.bucketing)
+      sortCols = clSort, filesPerPartition = clFpp,
+      bucketing = m.bucketing, rangeClusterParts = clParts)
     crashPoint("after-staging")
     val (segStats, segCounts, segFileStats) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
@@ -3722,8 +3794,10 @@ object CommittedTable {
       .select(rewritten.toIndexedSeq: _*)
     crashPoint("before-staging")
     val gen = m.gen + 1
+    val (clSort, clFpp, clParts) = clusterArgs(m, affected.length)
     val staged = stageSegments(upd, path, partitionCol, gen,
-      bucketing = m.bucketing)
+      sortCols = clSort, filesPerPartition = clFpp,
+      bucketing = m.bucketing, rangeClusterParts = clParts)
     crashPoint("after-staging")
     val (segStats, segCounts, segFileStats) =
       statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
@@ -3874,8 +3948,20 @@ object CommittedTable {
     }
     crashPoint("before-staging")
     val gen = m.gen + 1
-    val staged = stageSegments(data, path, pc, gen, sortCols,
-      filesPerPartition = filesPerPartition, bucketing = m.bucketing)
+    // caller layout wins; otherwise a DECLARED clustering shapes the
+    // batch (one distinct-count job sizes the range exchange)
+    val (ovSort, ovFpp, ovParts) =
+      if (sortCols.nonEmpty || filesPerPartition > 1)
+        (sortCols, filesPerPartition, None)
+      else m.clusterBy match {
+        case Some((cs, n)) if m.bucketing.isEmpty =>
+          (cs, n, Some(math.max(1L,
+            data.select(col(pc)).distinct().count()).toInt))
+        case _ => (sortCols, filesPerPartition, None)
+      }
+    val staged = stageSegments(data, path, pc, gen, ovSort,
+      filesPerPartition = ovFpp, bucketing = m.bucketing,
+      rangeClusterParts = ovParts)
     if (staged.isEmpty) return // an empty batch overwrites nothing
     crashPoint("after-staging")
     val (segStats, segCounts, segFileStats) = statsFromStaged(spark, table,
@@ -3912,8 +3998,15 @@ object CommittedTable {
     val gen = m.gen + 1
     require(m.cols.contains(partitionCol),
       s"$partitionCol is not a column of the committed table (${m.cols.mkString(",")})")
-    val staged = stageSegments(cur, path, partitionCol, gen, sortCols,
-      filesPerPartition = filesPerPartition, bucketing = m.bucketing,
+    // caller layout wins; a DECLARED clustering is the default — so a
+    // bare compact() re-establishes the declared layout over history
+    val (cSort, cFpp) =
+      if (sortCols.nonEmpty || filesPerPartition > 1)
+        (sortCols, filesPerPartition)
+      else m.clusterBy.filter(_ => m.bucketing.isEmpty)
+        .getOrElse((sortCols, filesPerPartition))
+    val staged = stageSegments(cur, path, partitionCol, gen, cSort,
+      filesPerPartition = cFpp, bucketing = m.bucketing,
       // manifest-known partition count -> multi-file output is RANGE
       // clustered by the sort key (near-disjoint per-file zone maps)
       rangeClusterParts = Some(m.segments.size))
@@ -3978,8 +4071,13 @@ object CommittedTable {
       .select(m.cols.map(col).toIndexedSeq: _*)
     crashPoint("before-staging")
     val gen = m.gen + 1
-    val staged = stageSegments(cur, path, pc, gen, sortCols,
-      filesPerPartition = filesPerPartition, bucketing = m.bucketing,
+    val (cpSort, cpFpp) =
+      if (sortCols.nonEmpty || filesPerPartition > 1)
+        (sortCols, filesPerPartition)
+      else m.clusterBy.filter(_ => m.bucketing.isEmpty)
+        .getOrElse((sortCols, filesPerPartition))
+    val staged = stageSegments(cur, path, pc, gen, cpSort,
+      filesPerPartition = cpFpp, bucketing = m.bucketing,
       rangeClusterParts = Some(partitions.size))
     crashPoint("after-staging")
     // content-preserving cover check: every named partition must restage

@@ -201,7 +201,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val unknown = props.keySet --
       Set("keycol", "vercol", "statscols", "bloomcols", "retain",
-        "buckets", "bucketcols", "deletemode") --
+        "buckets", "bucketcols", "deletemode", "clusterby",
+        "clusterfiles") --
       props.keySet.filter(_.startsWith("option.")) --
       props.keySet.filter(_.startsWith("check:")) --
       // Spark itself injects reserved properties (owner, provider, …)
@@ -211,7 +212,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (unknown.nonEmpty) throw new IllegalArgumentException(
       s"CREATE TABLE $ident: unknown TBLPROPERTIES ${unknown.mkString(", ")}" +
         " (supported: keycol, vercol, statscols, bloomcols, retain, " +
-        "buckets + bucketcols, deletemode, check:<name>)")
+        "buckets + bucketcols, deletemode, clusterby + clusterfiles, " +
+        "check:<name>)")
     val buckets: Option[(Int, Seq[String])] =
       (props.get("buckets"), propList("bucketcols")) match {
         case (Some(n), cs) if cs.nonEmpty => Some((n.toInt, cs))
@@ -234,6 +236,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       bucketBy = buckets)
     props.get("deletemode").map(_.trim).filter(_.nonEmpty).foreach(v =>
       CommittedTable.setDeleteMode(spark, path, Some(v)))
+    propList("clusterby") match {
+      case cs if cs.nonEmpty => CommittedTable.setClustering(spark, path,
+        Some((cs, props.get("clusterfiles").map(_.trim.toInt).getOrElse(4))))
+      case _ =>
+    }
     loadTable(ident)
   }
 
@@ -293,7 +300,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       _._1.toLowerCase(java.util.Locale.ROOT).startsWith("check:"))
       .map { case (k, v) => (k.toLowerCase(java.util.Locale.ROOT), v) }
     val known = Set("keycol", "vercol", "statscols", "bloomcols", "retain",
-      "retainhours", "deletemode")
+      "retainhours", "deletemode", "clusterby", "clusterfiles")
     props.collectFirst { case (k, _) if !known.contains(k) => k }
       .foreach(k => bad(s"unknown table property '$k'"))
     changes.foreach {
@@ -333,6 +340,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // empty value clears back to copy-on-write
       CommittedTable.setDeleteMode(spark, path,
         if (v.isEmpty) None else Some(v)))
+    pm.get("clusterby").map(_.trim).foreach { v =>
+      // empty value clears the declared clustering
+      if (v.isEmpty) CommittedTable.setClustering(spark, path, None)
+      else CommittedTable.setClustering(spark, path,
+        Some((v.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          pm.get("clusterfiles").map(_.trim.toInt).getOrElse(4))))
+    }
     if (checkProps.nonEmpty) {
       // 'check:<name>' = '<expr>' adds/replaces that named check; an
       // empty value drops it. The full resulting set revalidates against

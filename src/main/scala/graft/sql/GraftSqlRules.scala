@@ -146,13 +146,15 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       val unknown = props.keySet --
         Set("keycol", "vercol", "statscols", "bloomcols", "retain",
-          "buckets", "bucketcols", "deletemode") --
+          "buckets", "bucketcols", "deletemode", "clusterby",
+          "clusterfiles") --
         props.keySet.filter(_.startsWith("option.")) --
         props.keySet.filter(_.startsWith("check:"))
       if (unknown.nonEmpty) fail(
         s"CREATE TABLE ${ident}: unknown TBLPROPERTIES ${unknown.mkString(", ")}" +
           " (supported: keycol, vercol, statscols, bloomcols, retain, " +
-          "buckets + bucketcols, deletemode, check:<name>)")
+          "buckets + bucketcols, deletemode, clusterby + clusterfiles, " +
+          "check:<name>)")
       val ctasBuckets: Option[(Int, Seq[String])] =
         (props.get("buckets"), propList("bucketcols")) match {
           case (Some(n), cs) if cs.nonEmpty => Some((n.toInt, cs))
@@ -164,13 +166,21 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
         case (k, v) if k.startsWith("check:") && v.trim.nonEmpty =>
           (k.substring("check:".length), v) }
       val ctasDelMode = props.get("deletemode").map(_.trim).filter(_.nonEmpty)
+      val ctasCluster: Option[(Seq[String], Int)] =
+        propList("clusterby") match {
+          case cs if cs.nonEmpty => Some((cs,
+            props.get("clusterfiles").map(_.trim.toInt).getOrElse(4)))
+          case _ => None
+        }
       ctasDelMode.foreach(v => if (!Set("cow", "mor")(v)) fail(
         s"CREATE TABLE ${ident}: deletemode must be 'cow' or 'mor', got $v"))
       GraftDmlCommand(s"CREATE TABLE $path AS SELECT", { s =>
         val t = new Path(path)
         val fs = t.getFileSystem(s.sparkContext.hadoopConfiguration)
-        def applyDelMode(): Unit =
+        def applyDelMode(): Unit = {
           ctasDelMode.foreach(v => CommittedTable.setDeleteMode(s, path, Some(v)))
+          ctasCluster.foreach(c => CommittedTable.setClustering(s, path, Some(c)))
+        }
         if (CommittedTable.readManifestRoot(fs, t).isDefined) {
           if (!ignoreIfExists) fail(
             s"$path already holds a committed table — CREATE TABLE IF NOT " +

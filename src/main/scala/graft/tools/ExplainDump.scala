@@ -1437,6 +1437,43 @@ object ExplainDump {
               FROM graft.`$fsDir` WHERE o_orderkey >= 4500
               GROUP BY o_orderstatus"""))
 
+      // q174: declared clustering — the UPDATE's rewrite produced the
+      // clustered layout with no maintenance call; the scan's file list
+      // shrinks inside the surviving partitions
+      val dcDir = s"$tmp/dclust"
+      val dcSrc = Registry.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+      dcSrc.createOrReplaceTempView("exp_dclust_src")
+      // Registry DataFrames bind to the contract CHILD session — the
+      // view lives there (the q154 pattern)
+      val dcs = dcSrc.sparkSession
+      dcs.sql(
+        s"""CREATE TABLE graft.`$dcDir`
+            PARTITIONED BY (o_orderstatus)
+            TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version',
+                          'statscols'='o_orderkey',
+                          'clusterby'='o_orderkey', 'clusterfiles'='4')
+            AS SELECT * FROM exp_dclust_src""")
+      dcs.sql(
+        s"""UPDATE graft.`$dcDir`
+            SET o_totalprice = o_totalprice + 1.0, version = 2
+            WHERE o_orderkey % 9 = 1""")
+      section("q174_declared_clustering (layout maintains itself)",
+        """Wants: the same pruned committed scan as §q173, but the
+          |clustered multi-file layout came from an ORDINARY routed
+          |UPDATE — TBLPROPERTIES 'clusterby' made the rewrite stage
+          |through a range exchange on (partition, o_orderkey), so each
+          |rewritten file covers a disjoint key slice and this range
+          |query's Location lists a strict subset of each surviving
+          |partition's files. No compact/OPTIMIZE ran. At 100 TB this is
+          |the difference between a layout that decays with every DML
+          |and one that stays skip-tight for free.""".stripMargin,
+        spark.sql(
+          s"""SELECT o_orderstatus, COUNT(*) AS n
+              FROM graft.`$dcDir` WHERE o_orderkey >= 4500
+              GROUP BY o_orderstatus"""))
+
       // q167: the rebased table — the scan's file list is the protocol
       // evidence: partition F's segment carries the LOSER's staging nonce
       // published one generation AFTER the winner's O segment
