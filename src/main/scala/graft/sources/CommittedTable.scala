@@ -2859,7 +2859,8 @@ object CommittedTable {
         }
       case (acc, _) => acc
     }
-    val pruned = readFrom(spark, table, m, Some(keptB))
+    val pruned = readFrom(spark, table, m, Some(keptB),
+      fileRanges = ranges.map { case (c, lo, hi) => (c, Seq((lo, hi))) })
     val preds = ranges.map { case (statsCol, lower, upper) =>
       (statsCol, typeOf(probed, statsCol),
         lower.map(canonBound(typeOf(probed, statsCol), _)),
@@ -2944,7 +2945,15 @@ object CommittedTable {
 
   private def readFrom(spark: SparkSession, table: Path, m: Manifest,
       partitionValues: Option[Seq[String]],
-      keepPos: Boolean = false): DataFrame = {
+      keepPos: Boolean = false,
+      // per-FILE skipping for the Scala ranged read ([[readRangeMulti]]):
+      // the caller's interval conjuncts, applied against the manifest's
+      // fs= zone maps — surviving partitions list only the files whose
+      // recorded range can overlap. Requires EVERY wanted segment to
+      // carry a recorded file list (else the dir read stands — a listing
+      // could race a concurrent GC); a file without a stats entry keeps.
+      fileRanges: Seq[(String, Seq[(Option[Any], Option[Any])])] = Nil)
+      : DataFrame = {
     val wanted = partitionValues match {
       case Some(vs) => val keep = vs.toSet; m.segments.view.filterKeys(keep).toMap
       case None => m.segments
@@ -2980,9 +2989,30 @@ object CommittedTable {
       // prune-to-nothing: schema preserved, statically no rows
       return project(spark.read.schema(readSchema)
         .parquet(new Path(table, newestDir).toString).filter(lit(false)))
-    val dirs = wanted.values.toSeq.sorted.map(d => new Path(table, d).toString)
+    val segs = wanted.values.toSeq.sorted
+    val paths: Seq[String] =
+      if (fileRanges.isEmpty || m.fileStats.isEmpty ||
+          !segs.forall(m.files.contains))
+        segs.map(d => new Path(table, d).toString)
+      else {
+        val plans = zonePlans(m, Some(schema), fileRanges)
+        segs.flatMap { seg =>
+          val leaf = segLeaf(seg)
+          m.files(seg).collect {
+            case (name, _) if zoneKeep(plans,
+                idx => m.fileStats.get(s"$leaf/$name").map(_(idx))) =>
+              new Path(new Path(table, seg), name).toString
+          }
+        } match {
+          // every file of every partition pruned: fall back to the
+          // empty-but-typed shape below via an impossible filter
+          case Nil => return project(spark.read.schema(readSchema)
+            .parquet(new Path(table, newestDir).toString).filter(lit(false)))
+          case fs => fs
+        }
+      }
     project(applyDv(spark, table, m, wanted.keys.toSeq,
-      spark.read.schema(readSchema).parquet(dirs: _*), keepPos))
+      spark.read.schema(readSchema).parquet(paths: _*), keepPos))
   }
 
   /** Deletion-vector position columns: `<segment-leaf>/<file-name>` and

@@ -294,6 +294,24 @@ class FileSkipSpec extends SparkSpec {
     assert(qy.as[Long].head() === (0L until 4000L).count(_ / 64 >= 56))
   }
 
+  test("readRangeMulti (the Scala ranged read) skips files with the same " +
+      "fs= zone maps as the SQL path") {
+    val dir = freshDir("scala")
+    seedClustered(dir)
+    val bs = fileBounds(dir)
+    val exp = bs.count(_._3 >= 3500L)
+    val df = CommittedTable.readRangeMulti(spark, dir,
+      Seq(("value", Some(3500L), None)))
+    assert(df.inputFiles.length === exp && exp < bs.size,
+      s"Scala-path skip: ${df.inputFiles.length} vs $exp of ${bs.size}")
+    assert(df.count() === 500L)
+    // a range pruning EVERY file still answers empty with the schema
+    val none = CommittedTable.readRangeMulti(spark, dir,
+      Seq(("value", Some(999999L), None)))
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq === Seq("part", "value"))
+  }
+
   test("prefix LIKE on a string stats column prunes files by the " +
       "lexicographic range [prefix, next(prefix))") {
     val dir = freshDir("like")
