@@ -467,6 +467,84 @@ private[sql] object GraftProcedures {
     override def readSchema(): StructType = historySchema
   }
 
+  private val detailSchema = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("generation", LongType, nullable = false),
+    StructField("partition_col", StringType, nullable = true),
+    StructField("partitions", IntegerType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("files", IntegerType, nullable = true),
+    StructField("bytes", LongType, nullable = true),
+    StructField("key_col", StringType, nullable = true),
+    StructField("version_col", StringType, nullable = true),
+    StructField("stats_cols", StringType, nullable = true),
+    StructField("bloom_cols", StringType, nullable = true),
+    StructField("cluster_by", StringType, nullable = true),
+    StructField("bucket_by", StringType, nullable = true),
+    StructField("delete_mode", StringType, nullable = true),
+    StructField("live_delete_vectors", IntegerType, nullable = false),
+    StructField("checks", IntegerType, nullable = false),
+    StructField("retain_generations", IntegerType, nullable = false),
+    StructField("retain_hours", LongType, nullable = true)))
+
+  private final case class DetailScan(out: Array[InternalRow]) extends LocalScan {
+    override def rows(): Array[InternalRow] = out
+    override def readSchema(): StructType = detailSchema
+  }
+
+  /** `CALL graft.detail(table => …)` — the DESCRIBE DETAIL surface: one
+    * row of operational metadata (generation, logical row count, file
+    * count/bytes, roles, declared layouts, delete routing, live
+    * deletion vectors, constraints, retention), all from the manifest —
+    * zero data files opened at any table size. */
+  def detailProc(resolve: String => String): UnboundProcedure =
+    new Proc("detail", Array(
+      ProcedureParameter.in("table", StringType).build())) {
+      override def isDeterministic: Boolean = false // reads table state
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val spark = SparkSession.active
+        val path = resolve(str(input, 0).getOrElse(
+          throw new IllegalArgumentException("table must not be NULL")))
+        val t = new Path(path)
+        val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val root = CommittedTable.readManifest(fs, t).getOrElse(
+          throw new IllegalArgumentException(s"no committed table at $path"))
+        val m = if (!root.partial) root
+          else CommittedTable.hydrateSnapshot(fs, t, root, None)
+        val live = m.segments.keys.toSeq
+        val rows: Any =
+          if (live.forall(m.rowCounts.contains))
+            Long.box(live.map(v => m.rowCounts(v) -
+              CommittedTable.liveDv(m, v).map(_.rows).getOrElse(0L)).sum)
+          else null
+        val segs = live.map(m.segments)
+        val (files: Any, bytes: Any) =
+          if (segs.forall(m.files.contains)) {
+            val fl = segs.flatMap(m.files)
+            (Int.box(fl.size), Long.box(fl.map(_._2).sum))
+          } else (null, null)
+        def str0(v: Option[String]): Any =
+          v.map(UTF8String.fromString).orNull
+        def csv(vs: Seq[String]): Any =
+          if (vs.isEmpty) null else UTF8String.fromString(vs.mkString(","))
+        val row = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(path), m.gen,
+          str0(m.partitionCol), m.segments.size, rows, files, bytes,
+          str0(m.keyCol), str0(m.verCol),
+          csv(m.statsCols), csv(m.bloomCols),
+          m.clusterBy.map { case (cs, n) =>
+            UTF8String.fromString(s"${cs.mkString(",")} files=$n") }.orNull,
+          m.bucketing.map { case (n, cs) =>
+            UTF8String.fromString(s"${cs.mkString(",")} buckets=$n") }.orNull,
+          str0(m.deleteMode),
+          live.count(v => CommittedTable.liveDv(m, v).isDefined),
+          m.checks.size, m.retain,
+          m.retainHours.map(Long.box).orNull))
+        java.util.Collections.singletonList[Scan](DetailScan(Array(row)))
+          .iterator()
+      }
+    }
+
   /** `CALL graft.history(table => …)`: one row per RETAINED generation
     * (the `VERSION AS OF` window), oldest first — generation, publish
     * time, live partition count, total rows when recorded, current flag.
@@ -496,6 +574,7 @@ private[sql] object GraftProcedures {
     "restore" -> restoreProc(resolve),
     "recover" -> recover(resolve),
     "history" -> history(resolve),
+    "detail" -> detailProc(resolve),
     "init_agg_view" -> initAggView(resolve),
     "sync_agg_view" -> syncAggView(resolve),
     "clone" -> cloneProc(resolve),

@@ -1,0 +1,69 @@
+package graft.sql
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.CommittedTable
+
+/** `CALL graft.detail` — one row of operational metadata straight from
+  * the manifest (DESCRIBE DETAIL parity): generation, logical rows,
+  * files/bytes, roles, declared layouts, delete routing, live vectors,
+  * constraints, retention. Zero data files opened. */
+class DetailProcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("detail reports the manifest truth, including logical rows under " +
+      "a live deletion vector and the declared clustering") {
+    val dir = Files.createTempDirectory("graft-detail").toString + "/t"
+    val src = spark.range(0, 1000)
+      .select(when(col("id") % 2 === 0, "A").otherwise("B").as("part"),
+        col("id").as("value"), lit(1L).as("version"))
+    CommittedTable.write(src, dir, "part", statsCols = Seq("value"),
+      keyCol = Some("value"), versionCol = Some("version"),
+      retainGenerations = 4)
+    CommittedTable.setClustering(spark, dir, Some((Seq("value"), 4)))
+    CommittedTable.setDeleteMode(spark, dir, Some("mor"))
+    CommittedTable.deleteMor(spark, dir, col("value") % 10 === 3, "part")
+    CommittedTable.setChecks(spark, dir,
+      Seq(("value_nonneg", "value >= 0")))
+
+    val r = spark.sql(s"CALL graft.detail(table => '$dir')").head()
+    val byName = r.schema.fieldNames.zipWithIndex.toMap
+    def f(n: String): Any = r.get(byName(n))
+    assert(f("path") === dir)
+    assert(f("generation") === 5L) // write + 3 metadata gens + MoR delete
+    assert(f("partition_col") === "part")
+    assert(f("partitions") === 2)
+    assert(f("rows") === 900L, "logical: vector rows subtracted")
+    assert(f("files") === 2)
+    assert(f("bytes").asInstanceOf[Long] > 0L)
+    assert(f("key_col") === "value" && f("version_col") === "version")
+    assert(f("stats_cols") === "value")
+    assert(f("cluster_by") === "value files=4")
+    assert(f("bucket_by") === null)
+    assert(f("delete_mode") === "mor")
+    assert(f("live_delete_vectors") === 1) // %10==3 values are all odd: B only
+    assert(f("checks") === 1)
+    assert(f("retain_generations") === 4)
+    assert(f("retain_hours") === null)
+  }
+
+  test("detail on a SHARDED table answers from one hydration; a missing " +
+      "table is refused loudly") {
+    val dir = Files.createTempDirectory("graft-detail-sh").toString + "/t"
+    val src = spark.range(0, 700)
+      .select(concat(lit("p"), (col("id") % 70).cast("string")).as("part"),
+        col("id").as("value"))
+    CommittedTable.write(src, dir, "part", statsCols = Seq("value"))
+    val r = spark.sql(s"CALL graft.detail(table => '$dir')").head()
+    val byName = r.schema.fieldNames.zipWithIndex.toMap
+    assert(r.get(byName("partitions")) === 70)
+    assert(r.get(byName("rows")) === 700L)
+    assert(r.get(byName("files")) === 70)
+    val e = intercept[Exception](
+      spark.sql(s"CALL graft.detail(table => '$dir-nope')").collect())
+    assert(e.getMessage.contains("no committed table"))
+  }
+}
