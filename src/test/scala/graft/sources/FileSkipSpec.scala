@@ -294,6 +294,33 @@ class FileSkipSpec extends SparkSpec {
     assert(qy.as[Long].head() === (0L until 4000L).count(_ / 64 >= 56))
   }
 
+  test("bloom sidecars and file skipping COMPOSE on a point lookup: the " +
+      "segment prune and the file prune stack") {
+    val dir = freshDir("bloom")
+    val src = spark.range(0, 4000)
+      .select(when(col("id") % 2 === 0, "A").otherwise("B").as("part"),
+        col("id").as("value"))
+    CommittedTable.write(src, dir, "part", statsCols = Seq("value"),
+      bloomCols = Seq("value"))
+    CommittedTable.compact(spark, dir, "part", sortCols = Seq("value"),
+      filesPerPartition = 4)
+    val bounds = fileBounds(dir)
+    // value = 42 is even → partition A only (bloom/zone agree); within
+    // A, only the file whose range holds 42
+    val exp = bounds.count { case (k, mn, mx) =>
+      k.startsWith(partLeafs(dir)("A") + "/") && mn <= 42L && mx >= 42L }
+    val q = spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft.`$dir` WHERE value = 42")
+    assert(scanned(q) === exp && exp < bounds.size,
+      s"point-lookup skip: $exp of ${bounds.size}")
+    assert(q.as[Long].head() === 1L)
+    // a value no file can hold plans ZERO files, answers zero rows
+    val miss = spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft.`$dir` WHERE value = 999999")
+    assert(scanned(miss) === 0)
+    assert(miss.as[Long].head() === 0L)
+  }
+
   test("readRangeMulti (the Scala ranged read) skips files with the same " +
       "fs= zone maps as the SQL path") {
     val dir = freshDir("scala")
