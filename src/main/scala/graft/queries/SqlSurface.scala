@@ -1270,6 +1270,129 @@ object SqlSurface {
                                        AS BIGINT) FROM orders)
       GROUP BY o_orderstatus""")),
 
+    // ---- Merge-on-read MERGE (deletion vector + delta segment) ------------
+    // CommittedTable.mergeMor: the write-amplification complement of
+    // q170's MoR DELETE — a keyed upsert publishes the superseded rows'
+    // (file, row_index) positions as a deletion vector and the winning
+    // rows as per-partition DELTA dirs the manifest unions with the base
+    // segment at read time. O(changed + new rows) written; the gate's
+    // witness asserts every base segment survived both merges untouched
+    // (`mor`) while the answer equals the oracle's latest-version-wins
+    // replay over the raw source. The existing-side probe is
+    // bloom-sidecar-pruned (bloomcols o_orderkey); COUNT/aggregates read
+    // base∪delta minus vector. At 100 TB a 1k-row upsert scattered over
+    // hot multi-GB partitions costs 1k rows of parquet, not the
+    // partitions' rewrite. DeltaSegmentSpec pins the protocol (ties,
+    // moves, time travel, CDF, clone, GC, compaction materialization,
+    // the rebase race); EXPLAIN §q175 shows the wrapped plan.
+    Q("q175_merge_mor", (s, dir) => {
+      val src = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q175").toString + "/wh"
+      graft.sources.CommittedTable.write(src, wh, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"),
+        statsCols = Seq("o_totalprice"), bloomCols = Seq("o_orderkey"))
+      def segs(): Set[String] = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("seg-")).toSet
+        } finally st.close()
+      }
+      val before = segs()
+      // merge 1: in-place upserts (strictly newer versions)
+      graft.sources.CommittedTable.mergeMor(s, wh,
+        src.filter(col("o_orderkey") % 13 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 5000.0)
+          .withColumn("version", lit(2L)),
+        "o_orderkey", "version", "o_orderstatus")
+      // merge 2: brand-new keys (insert-only — no vector needed)
+      graft.sources.CommittedTable.mergeMor(s, wh,
+        src.filter(col("o_orderkey") % 17 === 3)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderstatus"), lit(999.99).as("o_totalprice"),
+            lit(1L).as("version")),
+        "o_orderkey", "version", "o_orderstatus")
+      val mor = before.subsetOf(segs()) && segs().size > before.size
+      val out = s.sql(
+        s"""SELECT o_orderstatus, $mor AS mor, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              CAST(SUM(version) AS BIGINT) AS sum_version,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$wh`
+            GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      WITH merged AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 13 = 1 THEN o_totalprice + 5000.0
+               ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderkey % 13 = 1 THEN 2 ELSE 1 END AS version
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_orderstatus, 999.99, 1
+        FROM orders WHERE o_orderkey % 17 = 3
+      )
+      SELECT o_orderstatus, TRUE AS mor, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(version) AS BIGINT) AS sum_version,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM merged GROUP BY o_orderstatus""")),
+
+    // ---- Merge-on-read UPDATE through pure SQL ----------------------------
+    // TBLPROPERTIES 'updatemode'='mor' routes `UPDATE` through
+    // CommittedTable.updateMor: the matched rows' positions publish as a
+    // deletion vector and their updated images as delta segments —
+    // O(matched rows) written, zero partitions rewritten (the witness
+    // asserts the CTAS segments survived). The whole statement is SQL
+    // text end-to-end: CTAS declares the policy, UPDATE inherits it, the
+    // SELECT reads base∪delta minus vector through the substituted scan.
+    Q("q176_sql_update_mor", (s, dir) => {
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+        .createOrReplaceTempView("q176_src")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q176").toString + "/wh"
+      s.sql(
+        s"""CREATE TABLE graft.`$wh`
+            PARTITIONED BY (o_orderstatus)
+            TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version',
+                          'updatemode'='mor')
+            AS SELECT * FROM q176_src""") // gen 1
+      def segs(): Set[String] = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("seg-")).toSet
+        } finally st.close()
+      }
+      val before = segs()
+      s.sql(
+        s"""UPDATE graft.`$wh`
+            SET o_totalprice = o_totalprice * 2.0, version = 2
+            WHERE o_orderkey % 7 = 2""") // gen 2, MoR-routed
+      val mor = before.subsetOf(segs())
+      val out = s.sql(
+        s"""SELECT o_orderstatus, $mor AS mor, COUNT(*) AS n,
+              CAST(SUM(version) AS BIGINT) AS sum_version,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$wh`
+            GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT o_orderstatus, TRUE AS mor, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN o_orderkey % 7 = 2 THEN 2 ELSE 1 END)
+             AS BIGINT) AS sum_version,
+        CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 2 THEN o_totalprice * 2.0
+                           ELSE o_totalprice END AS DECIMAL(18,2)))
+             AS DOUBLE) AS sum_price
+      FROM orders GROUP BY o_orderstatus""")),
+
     // ---- RESTORE (rollback as a forward generation) -----------------------
     // CALL graft.restore rolls the table back to a RETAINED generation by
     // publishing a NEW generation whose content is the anchor's —

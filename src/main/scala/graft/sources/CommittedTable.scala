@@ -286,7 +286,25 @@ object CommittedTable {
       // routes SQL DELETE through [[deleteMor]] (deletion vectors);
       // absent/"cow" keeps the copy-on-write rewrite. The Scala API is
       // explicit either way. Line: delmode=<esc mode>.
-      deleteMode: Option[String] = None)
+      deleteMode: Option[String] = None,
+      // DELTA SEGMENTS ([[mergeMor]] / [[updateMor]]): partition value →
+      // ordered [[DeltaRef]]s, each an extra per-partition data dir whose
+      // rows are read UNION the base segment's. The write-amplification
+      // complement to deletion vectors: a MoR merge publishes the
+      // superseded rows' positions as a vector and the winning rows as a
+      // delta — O(changed rows) written, the base segment untouched.
+      // Same self-invalidation rule as dvs: an entry records the base
+      // segment LEAF it extends; a partition rewrite (merge/update/
+      // compact/z-order/overwrite — all read through base∪deltas and so
+      // MATERIALIZE the delta rows) changes that name and every delta
+      // dies with it, no verb clears anything. Per-partition line in the
+      // shard body: delta=<esc part>\t<esc baseLeaf>\t<esc dir>\t<rows>\t<gen>.
+      deltas: Map[String, Seq[DeltaRef]] = Map.empty,
+      // UPDATE routing policy (TBLPROPERTIES 'updatemode'): Some("mor")
+      // routes SQL UPDATE through [[updateMor]] (deletion vector + delta
+      // segment); absent/"cow" keeps the copy-on-write rewrite. Line:
+      // updmode=<esc mode>.
+      updateMode: Option[String] = None)
 
   /** One manifest shard's root-line record: file name (relative to the
     * table dir), the ESCAPED partition-value range its members span
@@ -313,6 +331,29 @@ object CommittedTable {
   private[graft] def liveDv(m: Manifest, part: String): Option[DvRef] =
     m.dvs.get(part).filter(d =>
       m.segments.get(part).exists(s => segLeaf(s) == d.seg))
+
+  /** One partition's DELTA SEGMENT: `seg` is the leaf name of the BASE
+    * segment this delta extends (a later rewrite of the partition
+    * changes that name, which SELF-INVALIDATES the entry — same rule as
+    * [[DvRef]]), `dir` the delta data dir (relative to the table,
+    * absolute for clone-inherited entries), `rows` its exact row count
+    * (the logical-count addition), `gen` the generation that wrote it
+    * (the change-feed touch marker). */
+  private[graft] final case class DeltaRef(seg: String, dir: String,
+      rows: Long, gen: Long)
+
+  /** `part`'s delta entries that still apply to the partition's current
+    * base segment, in publish order — the dv liveness rule, verbatim. */
+  private[graft] def liveDeltas(m: Manifest, part: String): Seq[DeltaRef] =
+    m.deltas.getOrElse(part, Nil).filter(d =>
+      m.segments.get(part).exists(s => segLeaf(s) == d.seg))
+
+  /** Net row adjustment the partition's MoR state applies to its base
+    * segment's physical count: live delta rows added, live dv rows
+    * subtracted — every logical count surface folds exactly this. */
+  private[graft] def morRowAdj(m: Manifest, part: String): Long =
+    liveDeltas(m, part).map(_.rows).sum -
+      liveDv(m, part).map(_.rows).getOrElse(0L)
 
   // ---- manifest sharding -------------------------------------------------
   // A single `_commit` file with one line per partition and per data file
@@ -408,6 +449,7 @@ object CommittedTable {
     var files = root.files
     var dvs = root.dvs
     var fileStats = root.fileStats
+    var deltas = root.deltas
     var bodies = Map.empty[String, String]
     survivors.foreach { s =>
       val body = readRaw(fs, new Path(table, s.file)).getOrElse(
@@ -423,10 +465,11 @@ object CommittedTable {
       files ++= part.files
       dvs ++= part.dvs
       fileStats ++= part.fileStats
+      deltas ++= part.deltas
       bodies += (s.file -> body)
     }
     root.copy(segments = segments, stats = stats, rowCounts = rowCounts,
-      files = files, dvs = dvs, fileStats = fileStats,
+      files = files, dvs = dvs, fileStats = fileStats, deltas = deltas,
       shardBodies = bodies, partial = false)
   }
 
@@ -449,7 +492,8 @@ object CommittedTable {
       rowCounts: Map[String, Long],
       files: Map[String, Seq[(String, Long)]],
       dvs: Map[String, DvRef],
-      fileStats: Map[String, Seq[(Option[String], Option[String])]])
+      fileStats: Map[String, Seq[(Option[String], Option[String])]],
+      deltas: Map[String, Seq[DeltaRef]])
 
   private def parsePartitionLines(lines: List[String], statsCols: Seq[String],
       src: String): PartitionLines = {
@@ -495,16 +539,24 @@ object CommittedTable {
         unesc(arr(0)) -> arr.drop(1).grouped(2)
           .map(g => (decStat(g(0)), decStat(g(1)))).toSeq
       }.toMap
+    val deltas = lines.filter(_.startsWith("delta="))
+      .map { l =>
+        l.stripPrefix("delta=").split('\t') match {
+          case Array(v, seg, dir, rows, gen) =>
+            unesc(v) -> DeltaRef(unesc(seg), unesc(dir), rows.toLong, gen.toLong)
+          case _ => throw new java.io.IOException(s"corrupt manifest line in $src: $l")
+        }
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     PartitionLines(
       parsed.map(t => t._1 -> t._2).toMap,
       parsed.collect { case (v, _, st) if st.nonEmpty => v -> st }.toMap,
-      rowCounts, files, dvs, fileStats)
+      rowCounts, files, dvs, fileStats, deltas)
   }
 
   private val MetaPrefixes = Seq("retain=", "retainh=", "stats=", "rows=",
     "partcol=", "keycol=", "vercol=", "bloom=", "virtual=", "f=",
     "dropped=", "check=", "bucketby=", "shard=", "probe=", "was=", "ndv=",
-    "dv=", "dvn=", "delmode=", "fs=", "cluster=")
+    "dv=", "dvn=", "delmode=", "fs=", "cluster=", "delta=", "updmode=")
 
   private def readRoot(fs: FileSystem, p: Path): Option[Manifest] = {
     if (!fs.exists(p)) return None
@@ -611,6 +663,7 @@ object CommittedTable {
     val rootDvParts = lines.drop(2).find(_.startsWith("dvn="))
       .map(_.stripPrefix("dvn=").toInt).getOrElse(0)
     val deleteMode = metaLine("delmode=")
+    val updateMode = metaLine("updmode=")
     val part = parsePartitionLines(lines.drop(2), statsCols, p.toString)
     if (shards.nonEmpty && part.segments.nonEmpty)
       throw new java.io.IOException(
@@ -623,7 +676,8 @@ object CommittedTable {
       clusterBy = clusterBy,
       ndv = ndv, renames = renames, retainHours = retainHours,
       checks = checks, dvs = part.dvs, rootDvParts = rootDvParts,
-      deleteMode = deleteMode))
+      deleteMode = deleteMode, deltas = part.deltas,
+      updateMode = updateMode))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
@@ -659,7 +713,8 @@ object CommittedTable {
       m.clusterBy.map { case (cs, n) =>
         s"cluster=$n\t${cs.map(esc).mkString("\t")}" }.toSeq ++
       statsLine ++ bloomLine ++
-      m.deleteMode.map(v => s"delmode=${esc(v)}").toSeq ++ {
+      m.deleteMode.map(v => s"delmode=${esc(v)}").toSeq ++
+      m.updateMode.map(v => s"updmode=${esc(v)}").toSeq ++ {
         // root-level live-dv summary: a partial hydration (sharded root)
         // must know the table needs the dv anti-join without shard reads
         val live = m.segments.keys.count(p => liveDv(m, p).isDefined)
@@ -676,14 +731,19 @@ object CommittedTable {
     // every group against the SAME full maps, so touching the whole map
     // per shard would make the publish O(shards × table)
     val live = members.filter(m.segments.contains).sorted
-    val fLines = live.map(m.segments).distinct.sorted.flatMap(seg =>
+    // live data dirs = base segments plus LIVE delta dirs (a dead
+    // delta's file list and zone maps are garbage and vanish here,
+    // exactly like a dead segment's)
+    val liveDirs = (live.map(m.segments) ++
+      live.flatMap(v => liveDeltas(m, v).map(_.dir))).distinct.sorted
+    val fLines = liveDirs.flatMap(seg =>
       m.files.getOrElse(seg, Nil)
         .map { case (n, len) => s"f=$seg\t${esc(n)}\t$len" })
     // per-file zone maps, LIVE segments' files only (a dead segment's
     // entries are garbage and vanish here)
     val fsLines =
       if (m.statsCols.isEmpty || m.fileStats.isEmpty) Nil
-      else live.map(m.segments).distinct.sorted.flatMap { seg =>
+      else liveDirs.flatMap { seg =>
         val leaf = segLeaf(seg)
         m.files.getOrElse(seg, Nil).flatMap { case (n, _) =>
           m.fileStats.get(s"$leaf/$n").map(st =>
@@ -699,6 +759,10 @@ object CommittedTable {
     // rewritten — the deletes are materialized, the entry is garbage)
     val dvLines = live.flatMap(v => liveDv(m, v).map(d =>
       s"dv=${esc(v)}\t${esc(d.seg)}\t${esc(d.dir)}\t${d.rows}\t${d.gen}"))
+    // only LIVE delta entries serialize, in publish order (the list
+    // order is bookkeeping only — reads union the dirs)
+    val deltaLines = live.flatMap(v => liveDeltas(m, v).map(d =>
+      s"delta=${esc(v)}\t${esc(d.seg)}\t${esc(d.dir)}\t${d.rows}\t${d.gen}"))
     val segLines = live.map { v =>
       val st = m.stats.get(v).filter(_ => m.statsCols.nonEmpty)
         .map(_.flatMap(p => Seq(encStat(p._1), encStat(p._2)))
@@ -706,7 +770,7 @@ object CommittedTable {
         .getOrElse("")
       s"${esc(v)}\t${m.segments(v)}$st"
     }
-    (fLines ++ fsLines ++ rowLines ++ dvLines ++ segLines)
+    (fLines ++ fsLines ++ rowLines ++ dvLines ++ deltaLines ++ segLines)
       .mkString("", "\n", "\n")
   }
 
@@ -764,14 +828,16 @@ object CommittedTable {
           .map { case (i, members) => (Some(base(i)), members) }
       }
     def bytesOf(members: Seq[(String, String)]): Long =
-      members.iterator.flatMap { case (v, _) => m.segments.get(v) }
+      members.iterator.flatMap { case (v, _) =>
+        m.segments.get(v).toSeq ++ liveDeltas(m, v).map(_.dir) }
         .flatMap(seg => m.files.getOrElse(seg, Nil)).map(_._2).sum
     def rowsOf(members: Seq[(String, String)]): Option[Long] =
-      // shard totals are LOGICAL rows (physical minus live dv removals)
-      // so root-only COUNT(*) stays exact on a MoR-deleted table
+      // shard totals are LOGICAL rows (base physical, minus live dv
+      // removals, plus live delta additions) so root-only COUNT(*)
+      // stays exact on a MoR-deleted/merged table
       if (members.forall { case (v, _) => m.rowCounts.contains(v) })
         Some(members.iterator.map { case (v, _) =>
-          m.rowCounts(v) - liveDv(m, v).map(_.rows).getOrElse(0L) }.sum)
+          m.rowCounts(v) + morRowAdj(m, v) }.sum)
       else None
     val refs = Seq.newBuilder[ShardRef]
     val newFiles = Seq.newBuilder[(String, String)]
@@ -885,15 +951,23 @@ object CommittedTable {
     math.min(m.gen, floor)
   }
 
+  /** Every delta dir a manifest's LIVE entries reference — the GC
+    * protection set (a delta dead in every protected manifest is
+    * unreferenced debris, collectable like a superseded segment). */
+  private def liveDeltaDirs(m: Manifest): Set[String] =
+    m.deltas.keysIterator.flatMap(p => liveDeltas(m, p)).map(_.dir).toSet
+
   private def collectGarbage(fs: FileSystem, table: Path): Unit = {
     if (!fs.exists(table)) return
     val curM = readManifest(fs, table)
-    val cur = curM.map(_.segments.values.toSet).getOrElse(Set.empty)
+    val cur = curM.map(m => m.segments.values.toSet ++ liveDeltaDirs(m))
+      .getOrElse(Set.empty)
     val curGen = curM.map(_.gen).getOrElse(0L)
     val floor = curM.map(retainedFloor(fs, table, _)).getOrElse(0L)
     val prevM = readManifestFile(fs, new Path(table, CommitPrev))
     val prev: Set[String] = prevM
-      .map(_.segments.values.toSet).getOrElse(Set.empty)
+      .map(m => m.segments.values.toSet ++ liveDeltaDirs(m))
+      .getOrElse(Set.empty)
     def genSuffix(name: String, prefix: String): Option[Long] = {
       val s = name.stripPrefix(prefix)
       if (name.startsWith(prefix) && s.nonEmpty && s.forall(_.isDigit))
@@ -908,7 +982,7 @@ object CommittedTable {
       }
     }
     val retained: Set[String] =
-      retainedMs.flatMap(_.segments.values).toSet
+      retainedMs.flatMap(m => m.segments.values ++ liveDeltaDirs(m)).toSet
     val protectedSegs = cur ++ prev ++ retained
     // manifest shard files referenced by ANY protected manifest (live,
     // prev, retained anchors) stay; the rest are aged-out or
@@ -1023,8 +1097,8 @@ object CommittedTable {
         readManifestFile(fs, anchor).map { m =>
           val rows =
             if (m.segments.nonEmpty && m.segments.keys.forall(m.rowCounts.contains))
-              Some(m.segments.keys.iterator.map(v => m.rowCounts(v) -
-                liveDv(m, v).map(_.rows).getOrElse(0L)).sum)
+              Some(m.segments.keys.iterator.map(v =>
+                m.rowCounts(v) + morRowAdj(m, v)).sum)
             else if (m.segments.isEmpty) Some(0L)
             else None
           GenerationInfo(g, fs.getFileStatus(anchor).getModificationTime,
@@ -1179,6 +1253,23 @@ object CommittedTable {
       if (overlap.nonEmpty) abort(
         s"another writer rewrote partition(s) ${overlap.mkString(",")} this " +
           s"publish also read or wrote ($base -> ${cur.gen}) $at")
+      // a merge-on-read winner changes a partition's VISIBLE CONTENT
+      // without touching its segment entry (a new deletion vector, a new
+      // delta segment) — invisible to the segment diff above, but fatal
+      // to a rebase whose staged bytes DEPEND on that partition's
+      // content: replaying our stale restage would resurrect the
+      // winner's MoR deletes and drop its delta rows. Compare the
+      // LIVE dv/delta state per read partition; a touched-only partition
+      // (overwrite: readParts = ∅) is safe — its content is replaced
+      // wholesale, and the winner's now-dead entries drop at
+      // serialization.
+      val morMoved = r.readParts.filter(p =>
+        liveDv(r.base, p) != liveDv(cur, p) ||
+          liveDeltas(r.base, p) != liveDeltas(cur, p))
+      if (morMoved.nonEmpty) abort(
+        s"another writer published deletion vectors or delta segments for " +
+          s"partition(s) ${morMoved.mkString(",")} this publish read " +
+          s"($base -> ${cur.gen}) $at")
       attempt = cur.copy(gen = cur.gen + 1,
         segments = (cur.segments -- r.touched) ++ ourSegs,
         stats = (cur.stats -- r.touched) ++ ourStats,
@@ -1215,7 +1306,12 @@ object CommittedTable {
           // segment is listed exactly once and recorded — query planning
           // then never lists a directory again
           val carried = cur2M.map(_.files).getOrElse(Map.empty) ++ attempt.files
-          val filled = attempt.segments.values.toSeq.distinct.map { seg =>
+          // live delta dirs are data dirs like segments: their lists fill
+          // here too (dead deltas are skipped — their dirs may be GC'd)
+          val filled = (attempt.segments.values ++
+            attempt.deltas.keysIterator
+              .flatMap(p => liveDeltas(attempt, p)).map(_.dir))
+            .toSeq.distinct.map { seg =>
             seg -> carried.getOrElse(seg,
               fs.listStatus(new Path(table, seg)).toSeq
                 .filter(st => st.isFile && {
@@ -1395,6 +1491,10 @@ object CommittedTable {
       // (file, pos) entries key on segment LEAF names, which qualifying
       // the dir reference leaves intact
       dvs = man.dvs.view.mapValues(d => d.copy(dir = qualify(d.dir))).toMap,
+      // delta segments reference SOURCE bytes the same way; liveness
+      // keys on the base segment LEAF, which qualifying leaves intact
+      deltas = man.deltas.view.mapValues(_.map(d =>
+        d.copy(dir = qualify(d.dir)))).toMap,
       shards = Nil, shardBodies = Map.empty, probeSeg = None,
       partial = false)
     dstFs.mkdirs(dst)
@@ -1667,9 +1767,9 @@ object CommittedTable {
       case None => m.segments.keys.toSeq
     }
     if (wanted.forall(m.rowCounts.contains))
-      // LOGICAL counts: physical minus live deletion-vector removals
-      Some(wanted.map(v => v -> (m.rowCounts(v) -
-        liveDv(m, v).map(_.rows).getOrElse(0L))).toMap)
+      // LOGICAL counts: base physical, minus live dv removals, plus
+      // live delta-segment additions
+      Some(wanted.map(v => v -> (m.rowCounts(v) + morRowAdj(m, v))).toMap)
     else None
   }
 
@@ -1834,6 +1934,26 @@ object CommittedTable {
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = m.gen + 1,
         deleteMode = mode.filter(_ == "mor")),
+      Map.empty)
+  }
+
+  /** Declare the table's UPDATE routing policy (TBLPROPERTIES
+    * 'updatemode'): Some("mor") routes SQL UPDATE through [[updateMor]]
+    * (deletion vector + delta segment, O(matched rows) written);
+    * None/"cow" keeps [[update]]'s copy-on-write rewrite. One manifest
+    * swap, fenced like every publish. */
+  def setUpdateMode(spark: SparkSession, path: String,
+      mode: Option[String]): Unit = {
+    require(mode.forall(Set("cow", "mor")),
+      s"updatemode must be 'cow' or 'mor', got ${mode.get}")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
+    publishOrAbort(hconf, table, m.gen,
+      m.copy(gen = m.gen + 1,
+        updateMode = mode.filter(_ == "mor")),
       Map.empty)
   }
 
@@ -2146,6 +2266,15 @@ object CommittedTable {
     * rewrite history. Metadata-only resolution (one manifest read); the
     * feed's retention contract is [[readAt]]'s: a consumer must not lag
     * more than `retainGenerations - 1` generations behind the writer. */
+  /** Whether generation `gen` changed partition `pv`'s visible contents
+    * in manifest `m`: its segment was written at `gen`, or a live
+    * deletion vector or delta segment carries `gen` as its touch marker
+    * — the one change-detection rule every feed variant shares. */
+  private def touchedAt(m: Manifest, pv: String, gen: Long): Boolean =
+    m.segments.get(pv).exists(s => genOf(s) == gen) ||
+      liveDv(m, pv).exists(_.gen == gen) ||
+      liveDeltas(m, pv).exists(_.gen == gen)
+
   def changesFor(spark: SparkSession, path: String, gen: Long): DataFrame = {
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2153,10 +2282,9 @@ object CommittedTable {
       throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
     val m = resolveAnchor(fs, table, path, gen, cur)
     // touched = segments WRITTEN at gen, or partitions whose deletion
-    // vector was written at gen (a MoR delete rewrites nothing but
-    // changes the partition's visible contents)
-    val delta = m.segments.filter { case (pv, seg) =>
-      genOf(seg) == gen || liveDv(m, pv).exists(_.gen == gen) }
+    // vector or delta segment was written at gen (a MoR delete/merge
+    // rewrites nothing but changes the partition's visible contents)
+    val delta = m.segments.filter { case (pv, _) => touchedAt(m, pv, gen) }
     if (delta.isEmpty) {
       // structurally possible only for a generation that rewrote nothing;
       // emit zero rows with the generation's schema
@@ -2219,10 +2347,7 @@ object CommittedTable {
     val cur = readManifest(fs, table).getOrElse(
       throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
     val m = resolveAnchor(fs, table, path, gen, cur)
-    val touched = m.segments.collect {
-      case (pv, seg) if genOf(seg) == gen ||
-        liveDv(m, pv).exists(_.gen == gen) => pv
-    }.toSeq
+    val touched = m.segments.keys.filter(touchedAt(m, _, gen)).toSeq
     if (touched.isEmpty) return full
     val prev =
       try resolveAnchor(fs, table, path, gen - 1, cur)
@@ -2275,10 +2400,7 @@ object CommittedTable {
     val cur = readManifest(fs, table).getOrElse(
       throw new java.io.IOException(s"no committed table at $path (missing $Commit)"))
     val m = resolveAnchor(fs, table, path, gen, cur)
-    val touched = m.segments.collect {
-      case (pv, seg) if genOf(seg) == gen ||
-        liveDv(m, pv).exists(_.gen == gen) => pv
-    }.toSeq
+    val touched = m.segments.keys.filter(touchedAt(m, _, gen)).toSeq
     // NOTE: touched may be EMPTY for a retirement-only generation (a
     // delete that emptied partitions stages nothing) — its tombstones
     // come from the prev-side diff below, so no early return here
@@ -2590,8 +2712,11 @@ object CommittedTable {
       m: Manifest, colName: String, hashes: Array[Long]): Option[Seq[String]] = {
     if (!m.bloomCols.contains(colName)) return None
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Some(m.segments.toSeq.sortBy(_._1).collect { case (pv, seg) if {
-      val p = new Path(new Path(table, seg), bloomSidecarName(colName))
+    // a partition survives if ANY of its data dirs (base segment + live
+    // delta dirs) might contain a probed hash — a key upserted by a MoR
+    // merge lives only in a delta, whose own sidecar must answer
+    def mightContain(dir: String): Boolean = {
+      val p = new Path(new Path(table, dir), bloomSidecarName(colName))
       if (!fs.exists(p)) true
       else {
         val in = fs.open(p)
@@ -2600,7 +2725,9 @@ object CommittedTable {
           finally in.close()
         hashes.exists(bf.mightContainLong)
       }
-    } => pv })
+    }
+    Some(m.segments.toSeq.sortBy(_._1).collect { case (pv, seg)
+      if (seg +: liveDeltas(m, pv).map(_.dir)).exists(mightContain) => pv })
   }
 
   /** xxhash64 probe hashes for a small key set, or None above
@@ -2958,12 +3085,19 @@ object CommittedTable {
       case Some(vs) => val keep = vs.toSet; m.segments.view.filterKeys(keep).toMap
       case None => m.segments
     }
+    // empty results must still honor keepPos — a caller probing with
+    // provenance (mergeMor's bloom-pruned existing-side read can prune
+    // to NOTHING when every updated key is new) selects the pos columns
+    def withNullPos(df: DataFrame): DataFrame =
+      if (!keepPos) df
+      else df.withColumn(DvFileCol, lit(null).cast("string"))
+        .withColumn(DvPosCol, lit(null).cast("long"))
     if (m.segments.isEmpty) {
       // schema-only-created (or fully retired) table: typed empty result
       // from the manifest declarations — schemaOf throws if untyped
       val schema = schemaOf(spark, table, m)
-      return spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      return withNullPos(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
     }
     val newestDir = m.segments.values.maxBy(genOf)
     val schema = schemaOf(spark, table, m)
@@ -2987,9 +3121,13 @@ object CommittedTable {
       } ++ (if (keepPos) Seq(col(DvFileCol), col(DvPosCol)) else Nil): _*)
     if (wanted.isEmpty)
       // prune-to-nothing: schema preserved, statically no rows
-      return project(spark.read.schema(readSchema)
-        .parquet(new Path(table, newestDir).toString).filter(lit(false)))
-    val segs = wanted.values.toSeq.sorted
+      return project(withNullPos(spark.read.schema(readSchema)
+        .parquet(new Path(table, newestDir).toString).filter(lit(false))))
+    // a partition's data = its base segment UNION its live delta dirs
+    // (MoR merge/update appendages — same read, the dv anti-join below
+    // removes the superseded base rows)
+    val segs = wanted.toSeq.flatMap { case (pv, seg) =>
+      seg +: liveDeltas(m, pv).map(_.dir) }.distinct.sorted
     val paths: Seq[String] =
       if (fileRanges.isEmpty || m.fileStats.isEmpty ||
           !segs.forall(m.files.contains))
@@ -3006,8 +3144,8 @@ object CommittedTable {
         } match {
           // every file of every partition pruned: fall back to the
           // empty-but-typed shape below via an impossible filter
-          case Nil => return project(spark.read.schema(readSchema)
-            .parquet(new Path(table, newestDir).toString).filter(lit(false)))
+          case Nil => return project(withNullPos(spark.read.schema(readSchema)
+            .parquet(new Path(table, newestDir).toString).filter(lit(false))))
           case fs => fs
         }
       }
@@ -3658,6 +3796,43 @@ object CommittedTable {
     collectGarbage(fs, table)
   }
 
+  /** Stage ONE deletion-vector parquet dir holding `newEntries` (file,
+    * pos) FOLDED with the `affected` partitions' prior live vectors'
+    * entries (their dirs may be shared with unaffected partitions — only
+    * entries under the affected partitions' data-dir leafs carry over:
+    * base segments AND live delta dirs, since a prior MoR delete may
+    * have retired rows a MoR merge appended). Renamed into the table dir
+    * under its generation-stamped name and returned; the caller
+    * references it from the manifest it publishes — or deletes it on
+    * publish abort (the dir is invisible until the swap). */
+  private def stageDvDir(spark: SparkSession, table: Path, m: Manifest,
+      newEntries: DataFrame, affected: Set[String], gen: Long): String = {
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val priors: Map[String, DvRef] =
+      affected.iterator.flatMap(p => liveDv(m, p).map(p -> _)).toMap
+    val affectedLeafs = affected.toSeq.flatMap(p =>
+      segLeaf(m.segments(p)) +: liveDeltas(m, p).map(d => segLeaf(d.dir)))
+    val allEntries = priors.values.map(_.dir).toSeq.distinct match {
+      case Nil => newEntries
+      case dirs =>
+        spark.read.parquet(dirs.map(d => dvDirPath(table, d).toString): _*)
+          .filter(expr("substring_index(file, '/', 1)")
+            .isin(affectedLeafs: _*))
+          .select(col("file"), col("pos"))
+          .unionByName(newEntries)
+    }
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(table.toString + StagingInfix + nonce)
+    allEntries.write.mode(SaveMode.Overwrite)
+      .parquet(new Path(staging, "dv").toString)
+    val dvName = s"${DvPrefix}g$gen-$nonce"
+    if (!fs.rename(new Path(staging, "dv"), new Path(table, dvName)))
+      throw new java.io.IOException(
+        s"staging deletion vector into $table/$dvName failed")
+    fs.delete(staging, true)
+    dvName
+  }
+
   /** Merge-on-read DELETE (deletion vectors, the Delta DV / Iceberg
     * position-delete model): instead of REWRITING every affected
     * partition ([[delete]]'s copy-on-write — O(affected partitions'
@@ -3713,32 +3888,11 @@ object CommittedTable {
       if (perPart.isEmpty) return // nothing matches: no generation burned
       val affected = perPart.keySet
       crashPoint("before-dv-write")
-      // fold the affected partitions' PRIOR live vectors into the new
-      // one (their dirs may be shared with unaffected partitions — keep
-      // only entries under the affected segments)
+      val gen = m.gen + 1
       val priors: Map[String, DvRef] =
         affected.iterator.flatMap(p => liveDv(m, p).map(p -> _)).toMap
-      val affectedLeafs = affected.map(p => segLeaf(m.segments(p))).toSeq
-      val newEntries = hits.select(col("file"), col("pos"))
-      val allEntries = priors.values.map(_.dir).toSeq.distinct match {
-        case Nil => newEntries
-        case dirs =>
-          spark.read.parquet(dirs.map(d => dvDirPath(table, d).toString): _*)
-            .filter(expr("substring_index(file, '/', 1)")
-              .isin(affectedLeafs: _*))
-            .select(col("file"), col("pos"))
-            .unionByName(newEntries)
-      }
-      val gen = m.gen + 1
-      val nonce = java.util.UUID.randomUUID().toString.take(8)
-      val staging = new Path(path + StagingInfix + nonce)
-      allEntries.write.mode(SaveMode.Overwrite)
-        .parquet(new Path(staging, "dv").toString)
-      val dvName = s"${DvPrefix}g$gen-$nonce"
-      if (!fs.rename(new Path(staging, "dv"), new Path(table, dvName)))
-        throw new java.io.IOException(
-          s"staging deletion vector into $table/$dvName failed")
-      fs.delete(staging, true)
+      val dvName = stageDvDir(spark, table, m,
+        hits.select(col("file"), col("pos")), affected, gen)
       crashPoint("before-swap")
       val next = m.copy(gen = gen, dvs = m.dvs ++ affected.map(p =>
         p -> DvRef(segLeaf(m.segments(p)), dvName,
@@ -3844,6 +3998,302 @@ object CommittedTable {
     publishOrAbort(hconf, table, m.gen, next, staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
+  }
+
+  /** Pair-wise min/max widening of a partition's zone-map entry by a
+    * freshly staged delta segment's: the union bound over base ∪ delta
+    * rows, type-aware via the same comparator pruning uses. Exact when
+    * both inputs are exact (min/max of a union is the merge of the
+    * parts' min/max). None — drop the partition's stats entry, "unknown"
+    * (pruning keeps, metadata MIN/MAX bails) — when either side is
+    * missing or a bound is unmergeable (NaN/Infinity residue). */
+  private def widenStats(
+      base: Option[Seq[(Option[String], Option[String])]],
+      add: Option[Seq[(Option[String], Option[String])]],
+      schema: org.apache.spark.sql.types.StructType,
+      statsCols: Seq[String])
+      : Option[Seq[(Option[String], Option[String])]] =
+    (base, add) match {
+      case (Some(b), Some(a))
+          if b.size == statsCols.size && a.size == statsCols.size =>
+        try Some(statsCols.zipWithIndex.map { case (c, i) =>
+          val cmp = statCompare(typeOf(Some(schema), c))
+          (b(i), a(i)) match {
+            // an all-NULL extent contributes nothing to min/max
+            case ((None, None), p) => p
+            case (p, (None, None)) => p
+            case ((Some(bn), Some(bx)), (Some(an), Some(ax))) =>
+              (Some(if (cmp(an, bn) < 0) an else bn),
+               Some(if (cmp(ax, bx) > 0) ax else bx))
+            // a half-bounded pair never serializes; treat as unmergeable
+            case _ => throw new NumberFormatException("half-bounded stat")
+          }
+        })
+        catch { case _: NumberFormatException => None }
+      case _ => None
+    }
+
+  /** Merge-on-read keyed merge — deletion vector + DELTA SEGMENT, the
+    * write-amplification complement of [[deleteMor]]: identical
+    * latest-version-wins answers to [[merge]], but instead of REWRITING
+    * every affected partition it publishes (a) the superseded existing
+    * rows' (file, row_index) positions as a deletion vector and (b) the
+    * winning update rows as per-partition delta dirs the manifest unions
+    * with the base segment at read time — O(changed + new rows) written,
+    * base segments untouched. At 100 TB, a 1k-row upsert scattered over
+    * hot multi-GB partitions costs 1k rows of parquet, not the
+    * partitions' rewrite. Every read surface (Scala, SQL, time travel,
+    * change feeds, metadata counts, zone maps, bloom probes) folds the
+    * delta state; any rewriting verb (merge/update/delete/compact/
+    * z-order/overwrite of the partition) materializes it, upon which the
+    * entries self-invalidate — the [[DvRef]] protocol, shared.
+    *
+    * The arbitration matches [[merge]] with one determinization: a
+    * version TIE keeps the EXISTING row (strict advance supersedes) —
+    * merge's union-window tie is arbitrary, and (key, version) unchanged
+    * ⇒ row unchanged is the CDC identity every feed consumer already
+    * assumes. A NULL update version never supersedes; a row whose
+    * existing versions are all NULL is never superseded (version
+    * protocols don't have NULL versions — [[merge]] the table if yours
+    * somehow does). Pre-existing duplicate key copies are collapsed only
+    * as far as they are superseded (merge rewrites whole partitions and
+    * collapses everything; a MoR publish touches only changed rows) — a
+    * table whose writes all go through the keyed verbs never has
+    * duplicates. Schema widening and bucketed layouts stay on [[merge]]
+    * (a delta file cannot honor the bucket-name contract the
+    * exchange-free join plans from); both are refused loudly. New
+    * partition values stage as ordinary first segments (nothing to
+    * extend). Scan-scoped like [[deleteMor]]: never rebases, loud abort
+    * under contention.
+    *
+    * Candidate partitions come from the bloom-sidecar key probe
+    * ([[readKeys]]' prune) when the key is bloomed — the existing-side
+    * read opens the handful of segments that can hold an updated key,
+    * from metadata alone. */
+  def mergeMor(spark: SparkSession, path: String, updates: DataFrame,
+      key: String, versionCol: String, partitionCol: String,
+      crashPoint: String => Unit = _ => ()): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path to merge into"))
+    collectGarbage(fs, table)
+    require(updates.columns.contains(partitionCol) && updates.columns.contains(key)
+        && updates.columns.contains(versionCol),
+      s"updates must carry $key, $versionCol, $partitionCol")
+    require(m.bucketing.isEmpty,
+      "mergeMor on a bucketed table is not supported: a delta file cannot " +
+        "honor the bucket-name contract the exchange-free join plans from — " +
+        "use merge() (copy-on-write)")
+    val missingCols = m.cols.toSet -- updates.columns.toSet
+    require(missingCols.isEmpty,
+      s"updates are missing table columns ${missingCols.mkString(",")}: " +
+        "dropping or renaming a column is not supported by mergeMor")
+    val added = updates.columns.toSeq.filterNot(m.cols.contains)
+    require(added.isEmpty,
+      s"updates carry columns ${added.mkString(",")} the table lacks; " +
+        "schema widening is merge(allowAddColumns = true) — a copy-on-write " +
+        "verb, so every file of a partition agrees on its column set")
+    if (m.segments.isEmpty) {
+      // empty / schema-only / fully-retired table: the batch IS the
+      // initial load — the canonical merge stages it as first segments
+      merge(spark, path, updates, key, versionCol, partitionCol,
+        crashPoint = crashPoint)
+      return
+    }
+
+    import org.apache.spark.sql.expressions.Window
+    // arbitrate the batch itself first: one row per key, latest version
+    // (the same window merge uses)
+    val w = Window.partitionBy(col(key)).orderBy(col(versionCol).desc)
+    val upd = updates.withColumn(partitionCol, col(partitionCol).cast("string"))
+      .select(m.cols.map(col).toIndexedSeq: _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .persist()
+    try {
+      val updKeys = upd.select(col(key)).distinct()
+      // matched existing rows WITH (file, pos) provenance, partition set
+      // bloom-pruned when the key carries sidecars
+      val pruned = probeHashes(updKeys, key)
+        .flatMap(hs => bloomSurvivors(spark, table, m, key, hs))
+      val existing = readFrom(spark, table, m, pruned, keepPos = true)
+        .join(updKeys, Seq(key), "left_semi").persist()
+      try {
+        val exVer = existing.select(col(key).as("__exk"),
+            col(versionCol).as("__exv"))
+          .groupBy("__exk").agg(max(col("__exv")).as("__exv"))
+        // winners: strictly newer than EVERY existing copy of the key
+        val winners = upd.join(exVer, upd(key) === exVer("__exk"), "left")
+          .filter(col("__exk").isNull || col(versionCol) > col("__exv"))
+          .select(m.cols.map(c => upd(c)).toIndexedSeq: _*)
+        // superseded: existing rows a strictly newer update replaces
+        val updVer = upd.select(col(key).as("__upk"),
+          col(versionCol).as("__upv"))
+        val superseded = existing.join(updVer,
+            existing(key) === updVer("__upk"))
+          .filter(col("__upv") > existing(versionCol))
+          .select(existing(partitionCol).cast("string").as("__part"),
+            existing(DvFileCol).as("file"), existing(DvPosCol).as("pos"))
+          .persist()
+        try {
+          val dvPerPart: Map[String, Long] = superseded.groupBy("__part")
+            .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          crashPoint("before-staging")
+          val gen = m.gen + 1
+          // delta files inherit the declared clustering's SORT (zone-map
+          // tightness), never its file fan-out — a delta batch is small
+          val staged = stageSegments(winners, path, partitionCol, gen,
+            sortCols = m.clusterBy.map(_._1).getOrElse(Nil))
+          if (staged.isEmpty && dvPerPart.isEmpty) return // no-op batch
+          crashPoint("after-staging")
+          val (dStats, dCounts, dFileStats) =
+            statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
+              m.bloomCols, m.checks)
+          val newParts = staged.keySet -- m.segments.keySet
+          val deltaParts = staged.keySet & m.segments.keySet
+          crashPoint("before-dv-write")
+          val priors: Map[String, DvRef] = dvPerPart.keysIterator
+            .flatMap(p => liveDv(m, p).map(p -> _)).toMap
+          val dvName =
+            if (dvPerPart.isEmpty) None
+            else Some(stageDvDir(spark, table, m,
+              superseded.select(col("file"), col("pos")),
+              dvPerPart.keySet, gen))
+          // widened partition zone maps: union bound over base ∪ delta
+          val schema = schemaOf(spark, table, m)
+          val stats2 = deltaParts.foldLeft(m.stats) { (acc, p) =>
+            widenStats(acc.get(p), dStats.get(p), schema, m.statsCols) match {
+              case Some(s) => acc + (p -> s)
+              case None => acc - p
+            }
+          }
+          val next = m.copy(gen = gen,
+            segments = m.segments ++
+              staged.view.filterKeys(newParts).toMap,
+            stats = stats2 ++ dStats.view.filterKeys(newParts).toMap,
+            rowCounts = m.rowCounts ++
+              dCounts.view.filterKeys(newParts).toMap,
+            fileStats = m.fileStats ++ dFileStats,
+            deltas = m.deltas ++ deltaParts.map(p =>
+              p -> (liveDeltas(m, p) :+ DeltaRef(segLeaf(m.segments(p)),
+                staged(p), dCounts(p), gen))).toMap,
+            dvs = dvName.map(n => m.dvs ++ dvPerPart.keysIterator.map(p =>
+              p -> DvRef(segLeaf(m.segments(p)), n,
+                dvPerPart(p) + priors.get(p).map(_.rows).getOrElse(0L),
+                gen)).toMap).getOrElse(m.dvs),
+            partitionCol = m.partitionCol.orElse(Some(partitionCol)),
+            keyCol = m.keyCol.orElse(Some(key)),
+            verCol = m.verCol.orElse(Some(versionCol)))
+          crashPoint("before-swap")
+          try publishOrAbort(hconf, table, m.gen, next, staged)
+          catch { case e: Throwable =>
+            dvName.foreach(n => fs.delete(new Path(table, n), true)); throw e }
+          crashPoint("after-swap")
+          collectGarbage(fs, table)
+        } finally superseded.unpersist()
+      } finally existing.unpersist()
+    } finally upd.unpersist()
+  }
+
+  /** Merge-on-read row-level UPDATE: [[update]]'s exact semantics
+    * (simultaneous assignments against pre-update values, NULL predicate
+    * = untouched, partition column unassignable, the versionCol CDC
+    * guard) with [[mergeMor]]'s cost shape — the matched rows' positions
+    * publish as a deletion vector and their updated images as delta
+    * segments, O(matched rows) written instead of O(affected partitions'
+    * bytes) rewritten. Updated images re-validate the table's CHECK
+    * constraints (an assignment can violate one; carried rows already
+    * passed). Bucketed layouts refuse (delta files cannot honor the
+    * bucket-name contract); scan-scoped, loud abort under contention. */
+  def updateMor(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      partitionCol: String,
+      crashPoint: String => Unit = _ => (),
+      versionCol: Option[String] = None): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path to update"))
+    collectGarbage(fs, table)
+    if (m.segments.isEmpty || assignments.isEmpty) return
+    require(m.cols.contains(partitionCol),
+      s"$partitionCol is not a column of the committed table (${m.cols.mkString(",")})")
+    require(m.bucketing.isEmpty,
+      "updateMor on a bucketed table is not supported: a delta file cannot " +
+        "honor the bucket-name contract the exchange-free join plans from — " +
+        "use update() (copy-on-write)")
+    val unknown = assignments.keySet -- m.cols.toSet
+    require(unknown.isEmpty,
+      s"cannot assign columns the table lacks: ${unknown.mkString(",")} " +
+        "(schema widening is merge's allowAddColumns)")
+    require(!assignments.contains(partitionCol),
+      s"cannot assign the partition column $partitionCol: a row changing " +
+        "partition is a key move — use merge (latest-version-wins) instead")
+    versionCol.foreach { v =>
+      require(m.cols.contains(v),
+        s"versionCol $v is not a column of the committed table (${m.cols.mkString(",")})")
+      require(assignments.contains(v),
+        s"this table is consumed via keys/cdf change feeds keyed on version " +
+          s"column $v: an update that does not assign $v leaves (key, version) " +
+          "unchanged and the change invisible to CDC consumers — assign a " +
+          "bumped version in the same update")
+    }
+    val matched = predicate.isNotNull && predicate
+    val hits = readFrom(spark, table, m, None, keepPos = true)
+      .filter(matched).persist()
+    try {
+      val dvPerPart: Map[String, Long] = hits
+        .groupBy(col(partitionCol).cast("string").as("__part")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (dvPerPart.isEmpty) return // nothing matches: no generation burned
+      // updated images: simultaneous assignments over the matched rows
+      val images = hits.select(m.cols.map { c =>
+        assignments.get(c).map(_.as(c)).getOrElse(col(c))
+      }.toIndexedSeq: _*)
+      crashPoint("before-staging")
+      val gen = m.gen + 1
+      val staged = stageSegments(images, path, partitionCol, gen,
+        sortCols = m.clusterBy.map(_._1).getOrElse(Nil))
+      crashPoint("after-staging")
+      val (dStats, dCounts, dFileStats) =
+        statsFromStaged(spark, table, staged, partitionCol, m.statsCols,
+          m.bloomCols, m.checks)
+      crashPoint("before-dv-write")
+      val priors: Map[String, DvRef] = dvPerPart.keysIterator
+        .flatMap(p => liveDv(m, p).map(p -> _)).toMap
+      val dvName = stageDvDir(spark, table, m,
+        hits.select(col(DvFileCol).as("file"), col(DvPosCol).as("pos")),
+        dvPerPart.keySet, gen)
+      // the partition column is unassignable, so every staged value is an
+      // existing partition — all deltas, no new segments
+      val schema = schemaOf(spark, table, m)
+      val stats2 = staged.keySet.foldLeft(m.stats) { (acc, p) =>
+        widenStats(acc.get(p), dStats.get(p), schema, m.statsCols) match {
+          case Some(s) => acc + (p -> s)
+          case None => acc - p
+        }
+      }
+      val next = m.copy(gen = gen,
+        stats = stats2,
+        fileStats = m.fileStats ++ dFileStats,
+        deltas = m.deltas ++ staged.keysIterator.map(p =>
+          p -> (liveDeltas(m, p) :+ DeltaRef(segLeaf(m.segments(p)),
+            staged(p), dCounts(p), gen))).toMap,
+        dvs = m.dvs ++ dvPerPart.keysIterator.map(p =>
+          p -> DvRef(segLeaf(m.segments(p)), dvName,
+            dvPerPart(p) + priors.get(p).map(_.rows).getOrElse(0L),
+            gen)).toMap)
+      crashPoint("before-swap")
+      try publishOrAbort(hconf, table, m.gen, next, staged)
+      catch { case e: Throwable =>
+        fs.delete(new Path(table, dvName), true); throw e }
+      crashPoint("after-swap")
+      collectGarbage(fs, table)
+    } finally hits.unpersist()
   }
 
   /** Rewrite every live partition as ONE fresh-generation segment, one
@@ -4144,9 +4594,14 @@ object CommittedTable {
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m = readManifest(fs, table).getOrElse(
       throw new java.io.IOException(s"no committed table at $path"))
+    // a partition's file count spans its base segment AND its live delta
+    // dirs — MoR merges fragment exactly like streaming appends do, and
+    // the compaction that fixes it also materializes the dv/delta state
     m.segments.toSeq.collect {
       case (p, seg)
-          if m.files.get(seg).map(_.size).getOrElse(Int.MaxValue) > maxFiles =>
+          if (seg +: liveDeltas(m, p).map(_.dir))
+            .map(d => m.files.get(d).map(_.size).getOrElse(Int.MaxValue))
+            .foldLeft(0L)((a, b) => a + b) > maxFiles =>
         p
     }.sorted
   }

@@ -201,7 +201,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val unknown = props.keySet --
       Set("keycol", "vercol", "statscols", "bloomcols", "retain",
-        "buckets", "bucketcols", "deletemode", "clusterby",
+        "buckets", "bucketcols", "deletemode", "updatemode", "clusterby",
         "clusterfiles") --
       props.keySet.filter(_.startsWith("option.")) --
       props.keySet.filter(_.startsWith("check:")) --
@@ -212,8 +212,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (unknown.nonEmpty) throw new IllegalArgumentException(
       s"CREATE TABLE $ident: unknown TBLPROPERTIES ${unknown.mkString(", ")}" +
         " (supported: keycol, vercol, statscols, bloomcols, retain, " +
-        "buckets + bucketcols, deletemode, clusterby + clusterfiles, " +
-        "check:<name>)")
+        "buckets + bucketcols, deletemode, updatemode, clusterby + " +
+        "clusterfiles, check:<name>)")
     val buckets: Option[(Int, Seq[String])] =
       (props.get("buckets"), propList("bucketcols")) match {
         case (Some(n), cs) if cs.nonEmpty => Some((n.toInt, cs))
@@ -236,6 +236,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       bucketBy = buckets)
     props.get("deletemode").map(_.trim).filter(_.nonEmpty).foreach(v =>
       CommittedTable.setDeleteMode(spark, path, Some(v)))
+    props.get("updatemode").map(_.trim).filter(_.nonEmpty).foreach(v =>
+      CommittedTable.setUpdateMode(spark, path, Some(v)))
     propList("clusterby") match {
       case cs if cs.nonEmpty => CommittedTable.setClustering(spark, path,
         Some((cs, props.get("clusterfiles").map(_.trim.toInt).getOrElse(4))))
@@ -300,7 +302,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       _._1.toLowerCase(java.util.Locale.ROOT).startsWith("check:"))
       .map { case (k, v) => (k.toLowerCase(java.util.Locale.ROOT), v) }
     val known = Set("keycol", "vercol", "statscols", "bloomcols", "retain",
-      "retainhours", "deletemode", "clusterby", "clusterfiles")
+      "retainhours", "deletemode", "updatemode", "clusterby", "clusterfiles")
     props.collectFirst { case (k, _) if !known.contains(k) => k }
       .foreach(k => bad(s"unknown table property '$k'"))
     changes.foreach {
@@ -339,6 +341,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     pm.get("deletemode").map(_.trim).foreach(v =>
       // empty value clears back to copy-on-write
       CommittedTable.setDeleteMode(spark, path,
+        if (v.isEmpty) None else Some(v)))
+    pm.get("updatemode").map(_.trim).foreach(v =>
+      CommittedTable.setUpdateMode(spark, path,
         if (v.isEmpty) None else Some(v)))
     pm.get("clusterby").map(_.trim).foreach { v =>
       // empty value clears the declared clustering
@@ -476,7 +481,9 @@ final case class GraftTableV2(ident: String, path: String,
       (if (manifest.statsCols.nonEmpty)
         Map("stats_cols" -> manifest.statsCols.mkString(",")) else Map.empty) ++
       (if (manifest.bloomCols.nonEmpty)
-        Map("bloom_cols" -> manifest.bloomCols.mkString(",")) else Map.empty))
+        Map("bloom_cols" -> manifest.bloomCols.mkString(",")) else Map.empty) ++
+      manifest.deleteMode.map("deletemode" -> _) ++
+      manifest.updateMode.map("updatemode" -> _))
       .asJava
 
   override def capabilities(): util.Set[TableCapability] =

@@ -77,23 +77,29 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
       plans: Seq[(Int, (String, String) => Int,
                   Seq[(Option[String], Option[String])])])
       : Seq[FileStatus] = {
-    val seg = h.segments(v)
-    val leaf = CommittedTable.segLeaf(seg)
-    def keep(name: String): Boolean =
-      plans.isEmpty || CommittedTable.zoneKeep(plans,
-        idx => h.fileStats.get(s"$leaf/$name").map(_(idx)))
-    h.files.get(seg) match {
-      case Some(recorded) => recorded.withFilter(f => keep(f._1))
-        .map { case (name, len) =>
-          new FileStatus(len, false, 1, 134217728L, 0L,
-            fs.makeQualified(new Path(new Path(tablePath, seg), name)))
-        }
-      case None =>
-        fs.listStatus(new Path(tablePath, seg)).toSeq
-          .filter(st => st.isFile && {
-            val n = st.getPath.getName
-            !n.startsWith("_") && !n.startsWith(".") && keep(n)
-          })
+    // a partition's data = its base segment UNION its live delta dirs
+    // (MoR merge/update appendages); the dv anti-join wrap removes the
+    // superseded base rows
+    val dirs = h.segments(v) +:
+      CommittedTable.liveDeltas(h, v).map(_.dir)
+    dirs.flatMap { seg =>
+      val leaf = CommittedTable.segLeaf(seg)
+      def keep(name: String): Boolean =
+        plans.isEmpty || CommittedTable.zoneKeep(plans,
+          idx => h.fileStats.get(s"$leaf/$name").map(_(idx)))
+      h.files.get(seg) match {
+        case Some(recorded) => recorded.withFilter(f => keep(f._1))
+          .map { case (name, len) =>
+            new FileStatus(len, false, 1, 134217728L, 0L,
+              fs.makeQualified(new Path(new Path(tablePath, seg), name)))
+          }
+        case None =>
+          fs.listStatus(new Path(tablePath, seg)).toSeq
+            .filter(st => st.isFile && {
+              val n = st.getPath.getName
+              !n.startsWith("_") && !n.startsWith(".") && keep(n)
+            })
+      }
     }
   }
 
@@ -187,9 +193,9 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
     }
     else if (m.segments.nonEmpty && m.segments.keys.forall(m.rowCounts.contains))
       // keys is set-like: map-then-sum would DEDUPLICATE equal counts;
-      // LOGICAL counts: live deletion vectors subtract
-      Some(m.segments.keys.iterator.map(v => m.rowCounts(v) -
-        CommittedTable.liveDv(m, v).map(_.rows).getOrElse(0L)).sum)
+      // LOGICAL counts: live dvs subtract, live delta segments add
+      Some(m.segments.keys.iterator.map(v =>
+        m.rowCounts(v) + CommittedTable.morRowAdj(m, v)).sum)
     else if (m.segments.isEmpty) Some(0L)
     else None
 
@@ -224,8 +230,7 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
   def rowCountFor(parts: Seq[String]): Option[Long] = {
     val h = fullM
     if (parts.forall(h.rowCounts.contains))
-      Some(parts.map(v => h.rowCounts(v) -
-        CommittedTable.liveDv(h, v).map(_.rows).getOrElse(0L)).sum)
+      Some(parts.map(v => h.rowCounts(v) + CommittedTable.morRowAdj(h, v)).sum)
     else None
   }
 

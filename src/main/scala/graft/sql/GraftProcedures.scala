@@ -514,10 +514,12 @@ private[sql] object GraftProcedures {
         val live = m.segments.keys.toSeq
         val rows: Any =
           if (live.forall(m.rowCounts.contains))
-            Long.box(live.map(v => m.rowCounts(v) -
-              CommittedTable.liveDv(m, v).map(_.rows).getOrElse(0L)).sum)
+            Long.box(live.map(v => m.rowCounts(v) +
+              CommittedTable.morRowAdj(m, v)).sum)
           else null
-        val segs = live.map(m.segments)
+        // data dirs = base segments plus live delta dirs (MoR merges)
+        val segs = live.flatMap(v =>
+          m.segments(v) +: CommittedTable.liveDeltas(m, v).map(_.dir))
         val (files: Any, bytes: Any) =
           if (segs.forall(m.files.contains)) {
             val fl = segs.flatMap(m.files)

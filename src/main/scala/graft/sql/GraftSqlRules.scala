@@ -89,12 +89,20 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
         name -> unresolve(a.value)
       }
       val condExpr = cond.map(unresolve)
+      // TBLPROPERTIES 'updatemode'='mor' routes through a deletion
+      // vector + delta segment (O(matched rows) written, zero partitions
+      // rewritten)
+      val updMor = t.manifest.updateMode.contains("mor")
       GraftDmlCommand(s"UPDATE ${t.name()}", { s =>
-        CommittedTable.update(s, t.path,
-          condExpr.map(bridge.column)
-            .getOrElse(org.apache.spark.sql.functions.lit(true)),
-          assigns.map { case (n, e) => n -> bridge.column(e) }.toMap,
-          pc, versionCol = t.manifest.verCol)
+        val c = condExpr.map(bridge.column)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        val a = assigns.map { case (n, e) => n -> bridge.column(e) }.toMap
+        if (updMor)
+          CommittedTable.updateMor(s, t.path, c, a, pc,
+            versionCol = t.manifest.verCol)
+        else
+          CommittedTable.update(s, t.path, c, a, pc,
+            versionCol = t.manifest.verCol)
       })
     case u: UpdateTable => u
 
@@ -146,15 +154,15 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
       }
       val unknown = props.keySet --
         Set("keycol", "vercol", "statscols", "bloomcols", "retain",
-          "buckets", "bucketcols", "deletemode", "clusterby",
+          "buckets", "bucketcols", "deletemode", "updatemode", "clusterby",
           "clusterfiles") --
         props.keySet.filter(_.startsWith("option.")) --
         props.keySet.filter(_.startsWith("check:"))
       if (unknown.nonEmpty) fail(
         s"CREATE TABLE ${ident}: unknown TBLPROPERTIES ${unknown.mkString(", ")}" +
           " (supported: keycol, vercol, statscols, bloomcols, retain, " +
-          "buckets + bucketcols, deletemode, clusterby + clusterfiles, " +
-          "check:<name>)")
+          "buckets + bucketcols, deletemode, updatemode, clusterby + " +
+          "clusterfiles, check:<name>)")
       val ctasBuckets: Option[(Int, Seq[String])] =
         (props.get("buckets"), propList("bucketcols")) match {
           case (Some(n), cs) if cs.nonEmpty => Some((n.toInt, cs))
@@ -166,6 +174,7 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
         case (k, v) if k.startsWith("check:") && v.trim.nonEmpty =>
           (k.substring("check:".length), v) }
       val ctasDelMode = props.get("deletemode").map(_.trim).filter(_.nonEmpty)
+      val ctasUpdMode = props.get("updatemode").map(_.trim).filter(_.nonEmpty)
       val ctasCluster: Option[(Seq[String], Int)] =
         propList("clusterby") match {
           case cs if cs.nonEmpty => Some((cs,
@@ -174,11 +183,14 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       ctasDelMode.foreach(v => if (!Set("cow", "mor")(v)) fail(
         s"CREATE TABLE ${ident}: deletemode must be 'cow' or 'mor', got $v"))
+      ctasUpdMode.foreach(v => if (!Set("cow", "mor")(v)) fail(
+        s"CREATE TABLE ${ident}: updatemode must be 'cow' or 'mor', got $v"))
       GraftDmlCommand(s"CREATE TABLE $path AS SELECT", { s =>
         val t = new Path(path)
         val fs = t.getFileSystem(s.sparkContext.hadoopConfiguration)
         def applyDelMode(): Unit = {
           ctasDelMode.foreach(v => CommittedTable.setDeleteMode(s, path, Some(v)))
+          ctasUpdMode.foreach(v => CommittedTable.setUpdateMode(s, path, Some(v)))
           ctasCluster.foreach(c => CommittedTable.setClustering(s, path, Some(c)))
         }
         if (CommittedTable.readManifestRoot(fs, t).isDefined) {

@@ -62,6 +62,19 @@ private[streaming] class CommittedSink(path: String,
   private val maxMergeRetries =
     parameters.get("maxMergeRetries").map(_.toInt).getOrElse(3)
 
+  // 'mergeMode'='mor' routes each micro-batch through
+  // CommittedTable.mergeMor (deletion vector + delta segments —
+  // O(batch rows) written per trigger instead of rewriting every touched
+  // partition; compactPartitions absorbs the accrued fragmentation
+  // out-of-band). Default stays copy-on-write.
+  private val morMerge = parameters.get("mergeMode").map(_.trim) match {
+    case None | Some("cow") => false
+    case Some("mor") => true
+    case Some(other) => throw new IllegalArgumentException(
+      s"graft-table sink at $path: mergeMode must be 'cow' or 'mor', " +
+        s"got '$other'")
+  }
+
   private def role(name: String, fromManifest: Option[String]): String =
     parameters.get(name).orElse(fromManifest).getOrElse(
       throw new IllegalArgumentException(
@@ -84,7 +97,8 @@ private[streaming] class CommittedSink(path: String,
           case Some(m) =>
             StreamingMerge.mergeWithRetry(batch, path,
               role("key", m.keyCol), role("versionCol", m.verCol),
-              role("partitionCol", m.partitionCol), maxMergeRetries)
+              role("partitionCol", m.partitionCol), maxMergeRetries,
+              mor = morMerge)
           case None =>
             // birth: one atomic first publish declaring the roles, so
             // every later batch (and every other front end) reads them

@@ -88,7 +88,8 @@ object StreamingMerge {
       checkpoint: String,
       availableNow: Boolean = true,
       interval: String = "30 seconds",
-      maxMergeRetries: Int = 3): DataStreamWriter[Row] = {
+      maxMergeRetries: Int = 3,
+      mor: Boolean = false): DataStreamWriter[Row] = {
     val trigger =
       if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(interval)
     updates.writeStream
@@ -99,7 +100,7 @@ object StreamingMerge {
         try {
           if (!batch.isEmpty)
             mergeWithRetry(batch, path, key, versionCol, partitionCol,
-              maxMergeRetries)
+              maxMergeRetries, mor = mor)
         } finally batch.unpersist()
       }
   }
@@ -107,17 +108,35 @@ object StreamingMerge {
   /** One micro-batch's merge with rebase-and-retry on a lost fence race
     * (see [[toCommitted]]). `crashPoint` is the same test seam
     * [[graft.sources.CommittedTable.merge]] exposes, threaded through so
-    * specs can interleave a competing publish deterministically. */
+    * specs can interleave a competing publish deterministically.
+    *
+    * `mor = true` routes through [[graft.sources.CommittedTable
+    * .mergeMor]] — the steady-state streaming-upsert shape at 100 TB:
+    * every micro-batch costs O(its own rows) (a deletion vector + delta
+    * segments) instead of rewriting each touched partition whole, and
+    * the fragmentation it accrues is exactly what
+    * [[graft.sources.CommittedTable.fragmentedPartitions]] +
+    * `compactPartitions` absorb out-of-band (maintenance rebases over
+    * disjoint micro-batches, so it never blocks ingestion). Replay
+    * idempotence is STRONGER than the CoW merge's: a replayed batch's
+    * rows all TIE on (key, version), tie keeps the existing row, and the
+    * no-op publish is skipped entirely — the table doesn't even burn a
+    * generation. */
   private[streaming] def mergeWithRetry(batch: DataFrame, path: String,
       key: String, versionCol: String, partitionCol: String,
       maxMergeRetries: Int,
-      crashPoint: String => Unit = _ => ()): Unit = {
+      crashPoint: String => Unit = _ => (),
+      mor: Boolean = false): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
       try {
-        graft.sources.CommittedTable.merge(batch.sparkSession, path,
-          batch, key, versionCol, partitionCol, crashPoint = crashPoint)
+        if (mor)
+          graft.sources.CommittedTable.mergeMor(batch.sparkSession, path,
+            batch, key, versionCol, partitionCol, crashPoint = crashPoint)
+        else
+          graft.sources.CommittedTable.merge(batch.sparkSession, path,
+            batch, key, versionCol, partitionCol, crashPoint = crashPoint)
         done = true
       } catch {
         case _: java.util.ConcurrentModificationException

@@ -1474,6 +1474,66 @@ object ExplainDump {
               FROM graft.`$dcDir` WHERE o_orderkey >= 4500
               GROUP BY o_orderstatus"""))
 
+      // q175: merge-on-read MERGE — the post-merge scan unions base
+      // segments WITH the published delta dirs and anti-joins the
+      // vector; the Location is the protocol evidence
+      val mmDir = s"$tmp/mergemor"
+      val mmSrc = Registry.table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+      graft.sources.CommittedTable.write(mmSrc, mmDir, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"),
+        statsCols = Seq("o_totalprice"), bloomCols = Seq("o_orderkey"))
+      graft.sources.CommittedTable.mergeMor(mmSrc.sparkSession, mmDir,
+        mmSrc.filter(col("o_orderkey") % 13 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 5000.0)
+          .withColumn("version", lit(2L)),
+        "o_orderkey", "version", "o_orderstatus")
+      section("q175_merge_mor (deletion vector + delta segment)",
+        """Wants: the post-merge SELECT's Location lists every ORIGINAL
+          |gen-1 base segment (untouched — the merge rewrote nothing)
+          |PLUS one gen-2 delta dir per affected partition, and the scan
+          |is wrapped in the dv anti-join (BroadcastHashJoin LeftAnti on
+          |(file, row_index) against the vector parquet — the q170
+          |shape). Write cost was O(changed rows): the superseded base
+          |rows' positions and the winning rows' delta files. COUNT(*)
+          |on this table still folds from the manifest (base counts +
+          |delta rows − vector rows). At 100 TB a scattered upsert costs
+          |its own rows, not the affected partitions' rewrite.""".stripMargin,
+        spark.sql(
+          s"""SELECT o_orderstatus, COUNT(*) AS n,
+                MAX(o_totalprice) AS mx
+              FROM graft.`$mmDir` WHERE o_totalprice > 1000.0
+              GROUP BY o_orderstatus"""))
+
+      // q176: the same shape reached through pure SQL — TBLPROPERTIES
+      // 'updatemode'='mor' routes UPDATE into updateMor
+      val umDir = s"$tmp/updmor"
+      mmSrc.createOrReplaceTempView("exp_updmor_src")
+      val ums = mmSrc.sparkSession
+      ums.sql(
+        s"""CREATE TABLE graft.`$umDir`
+            PARTITIONED BY (o_orderstatus)
+            TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version',
+                          'updatemode'='mor')
+            AS SELECT * FROM exp_updmor_src""")
+      ums.sql(
+        s"""UPDATE graft.`$umDir`
+            SET o_totalprice = o_totalprice * 2.0, version = 2
+            WHERE o_orderkey % 7 = 2""")
+      section("q176_sql_update_mor (SQL UPDATE routed merge-on-read)",
+        """Wants: identical plan shape to §q175 — original CTAS segments
+          |plus gen-2 delta dirs in the Location, dv anti-join wrap —
+          |but every statement was SQL text: the CTAS declared
+          |'updatemode'='mor' and the routed UPDATE inherited it. One
+          |write path; the SQL front end buys the O(matched rows) cost
+          |shape with a table property.""".stripMargin,
+        spark.sql(
+          s"""SELECT o_orderstatus, COUNT(*) AS n,
+                CAST(SUM(version) AS BIGINT) AS sv
+              FROM graft.`$umDir`
+              GROUP BY o_orderstatus"""))
+
       // q167: the rebased table — the scan's file list is the protocol
       // evidence: partition F's segment carries the LOSER's staging nonce
       // published one generation AFTER the winner's O segment

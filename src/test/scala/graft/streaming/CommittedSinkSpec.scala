@@ -133,4 +133,45 @@ class CommittedSinkSpec extends SparkSpec {
     assert(content(dstDir) === Set(
       (1L, "A", 11.0, 2L), (2L, "B", 20.0, 1L), (3L, "C", 30.0, 1L)))
   }
+
+  test("mergeMode='mor': micro-batches publish vectors + deltas, base " +
+      "segments untouched; replayed rows tie and no-op") {
+    val dir = freshDir("mor")
+    val ckpt = Files.createTempDirectory("graft-sink-ckpt-mor").toString
+    def segs(): Set[String] = {
+      val st = Files.list(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("seg-")).toSet
+      } finally st.close()
+    }
+    val input = MemoryStream[(Long, String, Double, Long)]
+    input.addData((1L, "A", 10.0, 1L), (2L, "B", 20.0, 1L))
+    val opts = Map("key" -> "id", "versionCol" -> "version",
+      "partitionCol" -> "status", "mergeMode" -> "mor")
+    drain(input, dir, ckpt, opts) // birth: ordinary first publish
+    val baseSegs = segs()
+    // upsert + insert: MoR — the birth segments must survive untouched
+    input.addData((1L, "A", 11.0, 2L), (3L, "A", 30.0, 1L))
+    drain(input, dir, ckpt, opts)
+    assert(baseSegs.subsetOf(segs()))
+    assert(content(dir) === Set(
+      (1L, "A", 11.0, 2L), (2L, "B", 20.0, 1L), (3L, "A", 30.0, 1L)))
+    // replay the SAME rows (a crash between merge and checkpoint commit):
+    // every row ties on (key, version) — the no-op publish is skipped,
+    // not even a generation burns
+    val genBefore = CommittedTable.history(spark, dir).last.gen
+    input.addData((1L, "A", 11.0, 2L), (3L, "A", 30.0, 1L))
+    drain(input, dir, ckpt, opts)
+    assert(CommittedTable.history(spark, dir).last.gen === genBefore)
+    assert(content(dir) === Set(
+      (1L, "A", 11.0, 2L), (2L, "B", 20.0, 1L), (3L, "A", 30.0, 1L)))
+    // a bad mode fails loudly at sink creation
+    val e = intercept[Exception] {
+      drain(input, dir, ckpt, opts + ("mergeMode" -> "sideways"))
+    }
+    assert(e.getMessage.contains("mergeMode") ||
+      Option(e.getCause).exists(_.getMessage.contains("mergeMode")))
+  }
 }
