@@ -1393,6 +1393,106 @@ object SqlSurface {
              AS DOUBLE) AS sum_price
       FROM orders GROUP BY o_orderstatus""")),
 
+    // ---- Merge-on-read MERGE INTO: the full clause surface ----------------
+    // q159's exact statement (conditional matched UPDATE/DELETE chain,
+    // conditional NOT MATCHED INSERT, both BY SOURCE kinds) against the
+    // SAME oracle, but the table declares 'updatemode'='mor' — the
+    // routed MERGE runs CommittedTable.mergeClausesMor: claimed target
+    // rows retire into a deletion vector, written rows (update images +
+    // inserts) land as delta segments, UNCLAIMED rows are never restaged
+    // (copy-on-write must rewrite every affected partition whole). The
+    // witness pins that every pre-merge base segment survived. Same
+    // answers, O(claimed + written rows) published.
+    Q("q177_sql_merge_mor_clauses", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q177").toString + "/wh"
+      graft.sources.CommittedTable.write(
+        o.withColumn("version", lit(1L)), wh, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      graft.sources.CommittedTable.setUpdateMode(s, wh, Some("mor"))
+      def segs(): Set[String] = {
+        val st = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
+        try {
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("seg-")).toSet
+        } finally st.close()
+      }
+      val before = segs()
+      val k = col("o_orderkey")
+      val matchedSrc = o.filter(k % 13 === 0)
+        .select(k.as("o_orderkey"),
+          (col("o_totalprice") +
+            when(k % 2 === 0, lit(5000.0)).otherwise(lit(-5000.0))).as("sval"))
+      val insertSrc = o.filter(k % 53 === 0)
+        .select((k + 300000000L).as("o_orderkey"),
+          col("o_totalprice").cast("double").as("sval"))
+      matchedSrc.unionByName(insertSrc).createOrReplaceTempView("q177_src")
+      s.sql(
+        s"""MERGE INTO graft.`$wh` t USING q177_src s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND s.sval > t.o_totalprice THEN
+              UPDATE SET o_totalprice = s.sval, version = t.version + 1
+            WHEN MATCHED AND t.o_orderstatus = 'F' THEN DELETE
+            WHEN NOT MATCHED AND s.sval >= 100000.0 THEN
+              INSERT (o_orderkey, o_orderstatus, o_totalprice, version)
+              VALUES (s.o_orderkey, 'N', s.sval, 1)
+            WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 97 = 0 THEN
+              UPDATE SET o_totalprice = 0.0, version = t.version + 1
+            WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 101 = 0 THEN
+              DELETE""")
+      val mor = before.subsetOf(segs())
+      val out = s.sql(
+        s"""SELECT o_orderstatus, $mor AS mor, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price,
+              CAST(SUM(version) AS BIGINT) AS sum_version
+            FROM graft.`$wh` GROUP BY o_orderstatus""")
+      finish(s, out, wh)
+    }, Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS price, 1 AS version
+        FROM orders),
+      src AS (
+        SELECT o_orderkey,
+               CAST(o_totalprice AS DOUBLE) +
+                 CASE WHEN o_orderkey % 2 = 0 THEN 5000.0
+                      ELSE -5000.0 END AS sval
+        FROM orders WHERE o_orderkey % 13 = 0
+        UNION ALL
+        SELECT o_orderkey + 300000000, CAST(o_totalprice AS DOUBLE)
+        FROM orders WHERE o_orderkey % 53 = 0),
+      kept AS (
+        SELECT b.o_orderkey, b.o_orderstatus,
+          CASE WHEN s.o_orderkey IS NOT NULL AND s.sval > b.price THEN s.sval
+               WHEN s.o_orderkey IS NULL AND b.o_orderkey % 97 = 0 THEN 0.0
+               ELSE b.price END AS price,
+          CASE WHEN s.o_orderkey IS NOT NULL AND s.sval > b.price
+                 THEN b.version + 1
+               WHEN s.o_orderkey IS NULL AND b.o_orderkey % 97 = 0
+                 THEN b.version + 1
+               ELSE b.version END AS version
+        FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+        WHERE NOT (s.o_orderkey IS NOT NULL
+                   AND NOT coalesce(s.sval > b.price, FALSE)
+                   AND b.o_orderstatus = 'F')
+          AND NOT (s.o_orderkey IS NULL AND b.o_orderkey % 97 <> 0
+                   AND b.o_orderkey % 101 = 0)),
+      ins AS (
+        SELECT s.o_orderkey, 'N' AS o_orderstatus, s.sval AS price,
+               1 AS version
+        FROM src s LEFT JOIN base b ON s.o_orderkey = b.o_orderkey
+        WHERE b.o_orderkey IS NULL AND s.sval >= 100000.0),
+      merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      SELECT o_orderstatus, TRUE AS mor, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(version) AS BIGINT) AS sum_version
+      FROM merged GROUP BY o_orderstatus""")),
+
     // ---- RESTORE (rollback as a forward generation) -----------------------
     // CALL graft.restore rolls the table back to a RETAINED generation by
     // publishing a NEW generation whose content is the anchor's —

@@ -3430,18 +3430,17 @@ object CommittedTable {
     * (WRITE_APPEND per-file loads — the reference's only "merge"; this
     * generalizes the downstream table maintenance its BigQuery users
     * would hand-write as MERGE statements). */
-  def mergeClauses(spark: SparkSession, path: String, source: DataFrame,
-      matched: Seq[MatchedClause] = Nil,
-      notMatched: Seq[NotMatchedInsert] = Nil,
-      bySource: Seq[BySourceClause] = Nil,
-      crashPoint: String => Unit = _ => ()): Unit = {
+  /** The clause-merge contract checks shared by [[mergeClauses]] and
+    * [[mergeClausesMor]]: role resolution (key + partition column from
+    * the manifest), assignment validity (no unknown/key/partition-
+    * contract violations), the verCol CDC guard on every writing
+    * clause, and the at-most-one-source-row-per-key determinism check.
+    * Returns (key, partitionCol). */
+  private def validateMergeClauses(m: Manifest, path: String,
+      source: DataFrame, matched: Seq[MatchedClause],
+      notMatched: Seq[NotMatchedInsert], bySource: Seq[BySourceClause])
+      : (String, String) = {
     import org.apache.spark.sql.Column
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val table = new Path(path)
-    val fs = table.getFileSystem(hconf)
-    val m = readManifest(fs, table).getOrElse(
-      throw new java.io.IOException(s"no committed table at $path to merge into"))
-    collectGarbage(fs, table)
     require(matched.nonEmpty || notMatched.nonEmpty || bySource.nonEmpty,
       "mergeClauses needs at least one WHEN clause")
     val key = m.keyCol.getOrElse(throw new IllegalArgumentException(
@@ -3517,6 +3516,24 @@ object CommittedTable {
       s"mergeClauses source has multiple rows for $key=${dup.head.get(0)}: " +
         "collapse to one row per key first (e.g. a latest-version " +
         "row_number) — several matches per target row are nondeterministic")
+    (key, pc)
+  }
+
+  def mergeClauses(spark: SparkSession, path: String, source: DataFrame,
+      matched: Seq[MatchedClause] = Nil,
+      notMatched: Seq[NotMatchedInsert] = Nil,
+      bySource: Seq[BySourceClause] = Nil,
+      crashPoint: String => Unit = _ => ()): Unit = {
+    import org.apache.spark.sql.Column
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path to merge into"))
+    collectGarbage(fs, table)
+    val (key, pc) =
+      validateMergeClauses(m, path, source, matched, notMatched, bySource)
+    val cols = m.cols
 
     // scope: partitions whose rows can participate. Matched keys are
     // found through the bloom-pruned point probe (readKeys) — segments
@@ -3625,6 +3642,158 @@ object CommittedTable {
       crashPoint("after-swap")
       collectGarbage(fs, table)
     } finally assembled.unpersist()
+  }
+
+  /** Merge-on-read [[mergeClauses]] — the full SQL `MERGE INTO` clause
+    * surface with [[mergeMor]]'s cost shape: target rows an UPDATE or
+    * DELETE clause claims publish their (file, row_index) positions as a
+    * deletion vector; rows the clauses WRITE (matched updates' images,
+    * NOT MATCHED inserts, by-source updates' images) publish as
+    * per-partition delta segments. Unclaimed target rows are NEVER
+    * read into the output or restaged — the decisive difference from
+    * the copy-on-write clause merge, which rewrites every affected
+    * partition whole (and must carry moved-into partitions forward).
+    * O(claimed + written rows) published; clause semantics, arbitration
+    * order, contracts and loud errors are [[mergeClauses]]' exactly
+    * (shared validation). BY SOURCE clauses still SCAN every live
+    * partition (their definition: every unmatched target row must be
+    * tested) but write only the claimed rows. Routed from SQL
+    * `MERGE INTO` when the table declares TBLPROPERTIES
+    * 'updatemode'='mor'. Bucketed layouts refuse (delta files cannot
+    * honor the bucket-name contract); scan-scoped, loud abort under
+    * contention. */
+  def mergeClausesMor(spark: SparkSession, path: String, source: DataFrame,
+      matched: Seq[MatchedClause] = Nil,
+      notMatched: Seq[NotMatchedInsert] = Nil,
+      bySource: Seq[BySourceClause] = Nil,
+      crashPoint: String => Unit = _ => ()): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path to merge into"))
+    collectGarbage(fs, table)
+    val (key, pc) =
+      validateMergeClauses(m, path, source, matched, notMatched, bySource)
+    require(m.bucketing.isEmpty,
+      "mergeClausesMor on a bucketed table is not supported: a delta file " +
+        "cannot honor the bucket-name contract the exchange-free join " +
+        "plans from — use mergeClauses() (copy-on-write)")
+
+    // scope: same rule as the copy-on-write clause merge — bloom-pruned
+    // key probe unless BY SOURCE widens to every live partition
+    val scope0: Seq[String] =
+      if (bySource.nonEmpty) m.segments.keys.toSeq
+      else readKeys(spark, path, source.select(col(key)).distinct(), key)
+        .select(col(pc)).distinct().collect().map(_.getString(0)).toSeq
+    val tSchema = schemaOf(spark, table, m)
+    // target side WITH (file, pos) provenance — the positions a claiming
+    // clause will retire
+    val tgt0 = readFrom(spark, table, m,
+      Some(scope0.toIndexedSeq), keepPos = true)
+
+    val joined = tgt0.withColumn("__graft_t", lit(true)).alias("t")
+      .join(source.withColumn("__graft_s", lit(true)).alias("s"),
+        col(s"t.$key") === col(s"s.$key"), "full_outer")
+    val isM = col("__graft_t").isNotNull && col("__graft_s").isNotNull
+    val sOnly = col("__graft_s").isNotNull && col("__graft_t").isNull
+    val tOnly = col("__graft_t").isNotNull && col("__graft_s").isNull
+
+    // identical arbitration to mergeClauses: first true clause acts
+    val KEEP = -1; val DROP = -2
+    val cases: Seq[(org.apache.spark.sql.Column, Int)] =
+      matched.zipWithIndex.map { case (cl, i) =>
+        (isM && cl.condition.getOrElse(lit(true)), i) } ++
+      notMatched.zipWithIndex.map { case (cl, i) =>
+        (sOnly && cl.condition.getOrElse(lit(true)), 1000 + i) } ++
+      bySource.zipWithIndex.map { case (cl, i) =>
+        (tOnly && cl.condition.getOrElse(lit(true)), 2000 + i) }
+    val defaultAct: org.apache.spark.sql.Column =
+      when(sOnly, lit(DROP)).otherwise(lit(KEEP))
+    val act = cases.foldRight(defaultAct) { case ((c, v), acc) =>
+      when(c, lit(v)).otherwise(acc) }
+
+    // actions that RETIRE the target row (update: superseded by its new
+    // image; delete: gone) and actions that WRITE a row
+    val retireActs: Seq[Int] =
+      matched.indices ++ bySource.indices.map(2000 + _)
+    val writeActs: Seq[Int] =
+      matched.zipWithIndex.collect { case (MatchedUpdate(_, _), i) => i } ++
+      notMatched.indices.map(1000 + _) ++
+      bySource.zipWithIndex.collect {
+        case (BySourceUpdate(_, _), i) => 2000 + i }
+
+    val outCols = tSchema.fields.map { f =>
+      val c = f.name
+      val byAct: Seq[(Int, org.apache.spark.sql.Column)] =
+        matched.zipWithIndex.collect {
+          case (MatchedUpdate(_, set), i) if set.contains(c) => i -> set(c) } ++
+        notMatched.zipWithIndex.map { case (cl, i) =>
+          (1000 + i) -> cl.values.getOrElse(c, lit(null)) } ++
+        bySource.zipWithIndex.collect {
+          case (BySourceUpdate(_, set), i) if set.contains(c) =>
+            (2000 + i) -> set(c) }
+      byAct.foldRight(col(s"t.$c")) { case ((v, e), acc) =>
+        when(col("__graft_act") === v, e).otherwise(acc) }
+        .cast(f.dataType).as(c)
+    }
+    val withAct = joined.withColumn("__graft_act", act)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val superseded = withAct.filter(col("__graft_t").isNotNull &&
+          col("__graft_act").isin(retireActs.map(Int.box): _*))
+        .select(col(s"t.$pc").cast("string").as("__part"),
+          col(s"t.$DvFileCol").as("file"), col(s"t.$DvPosCol").as("pos"))
+      val dvPerPart: Map[String, Long] = superseded.groupBy("__part")
+        .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val written = withAct
+        .filter(col("__graft_act").isin(writeActs.map(Int.box): _*))
+        .select(outCols.toIndexedSeq: _*)
+
+      crashPoint("before-staging")
+      val gen = m.gen + 1
+      val staged = stageSegments(written, path, pc, gen,
+        sortCols = m.clusterBy.map(_._1).getOrElse(Nil))
+      if (staged.isEmpty && dvPerPart.isEmpty) return // no clause fired
+      crashPoint("after-staging")
+      val (dStats, dCounts, dFileStats) =
+        statsFromStaged(spark, table, staged, pc, m.statsCols,
+          m.bloomCols, m.checks)
+      val newParts = staged.keySet -- m.segments.keySet
+      val deltaParts = staged.keySet & m.segments.keySet
+      crashPoint("before-dv-write")
+      val priors: Map[String, DvRef] = dvPerPart.keysIterator
+        .flatMap(p => liveDv(m, p).map(p -> _)).toMap
+      val dvName =
+        if (dvPerPart.isEmpty) None
+        else Some(stageDvDir(spark, table, m,
+          superseded.select(col("file"), col("pos")),
+          dvPerPart.keySet, gen))
+      val stats2 = deltaParts.foldLeft(m.stats) { (acc, p) =>
+        widenStats(acc.get(p), dStats.get(p), tSchema, m.statsCols) match {
+          case Some(s) => acc + (p -> s)
+          case None => acc - p
+        }
+      }
+      val next = m.copy(gen = gen,
+        segments = m.segments ++ staged.view.filterKeys(newParts).toMap,
+        stats = stats2 ++ dStats.view.filterKeys(newParts).toMap,
+        rowCounts = m.rowCounts ++ dCounts.view.filterKeys(newParts).toMap,
+        fileStats = m.fileStats ++ dFileStats,
+        deltas = m.deltas ++ deltaParts.map(p =>
+          p -> (liveDeltas(m, p) :+ DeltaRef(segLeaf(m.segments(p)),
+            staged(p), dCounts(p), gen))).toMap,
+        dvs = dvName.map(n => m.dvs ++ dvPerPart.keysIterator.map(p =>
+          p -> DvRef(segLeaf(m.segments(p)), n,
+            dvPerPart(p) + priors.get(p).map(_.rows).getOrElse(0L),
+            gen)).toMap).getOrElse(m.dvs))
+      crashPoint("before-swap")
+      try publishOrAbort(hconf, table, m.gen, next, staged)
+      catch { case e: Throwable =>
+        dvName.foreach(n => fs.delete(new Path(table, n), true)); throw e }
+      crashPoint("after-swap")
+      collectGarbage(fs, table)
+    } finally withAct.unpersist()
   }
 
   /** Morton (Z-order) key over equal-width bucketizations of `cols`,

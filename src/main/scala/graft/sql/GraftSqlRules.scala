@@ -512,9 +512,17 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
           case other => fail(s"MERGE INTO ${t.name()}: unsupported WHEN " +
             s"NOT MATCHED BY SOURCE action ${other.getClass.getSimpleName}")
         }
+      // TBLPROPERTIES 'updatemode'='mor' buys the whole clause surface
+      // the merge-on-read cost shape (vector + delta segments,
+      // O(claimed + written rows) published)
+      val clausesMor = t.manifest.updateMode.contains("mor")
       GraftDmlCommand(s"MERGE INTO ${t.name()} (clauses)", { s =>
-        CommittedTable.mergeClauses(s, t.path, bridge.ofRows(s, source),
-          matchedClauses, insertClauses, bySourceClauses)
+        if (clausesMor)
+          CommittedTable.mergeClausesMor(s, t.path, bridge.ofRows(s, source),
+            matchedClauses, insertClauses, bySourceClauses)
+        else
+          CommittedTable.mergeClauses(s, t.path, bridge.ofRows(s, source),
+            matchedClauses, insertClauses, bySourceClauses)
       })
     }
   }

@@ -1534,6 +1534,38 @@ object ExplainDump {
               FROM graft.`$umDir`
               GROUP BY o_orderstatus"""))
 
+      // q177: the full MERGE INTO clause surface merge-on-read — same
+      // post-merge scan shape as q175, reached through a routed SQL
+      // MERGE with matched/not-matched/by-source clauses
+      val cmDir = s"$tmp/clausemor"
+      ums.sql(
+        s"""CREATE TABLE graft.`$cmDir`
+            PARTITIONED BY (o_orderstatus)
+            TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version',
+                          'updatemode'='mor')
+            AS SELECT * FROM exp_updmor_src""")
+      ums.sql(
+        s"""MERGE INTO graft.`$cmDir` t USING exp_updmor_src s
+            ON t.o_orderkey = s.o_orderkey
+            WHEN MATCHED AND t.o_orderkey % 13 = 0 THEN
+              UPDATE SET o_totalprice = t.o_totalprice + 1.0,
+                version = t.version + 1
+            WHEN MATCHED AND t.o_orderkey % 101 = 0 THEN DELETE""")
+      section("q177_sql_merge_mor_clauses (clause MERGE, merge-on-read)",
+        """Wants: §q175's shape from the FULL SQL MERGE surface — the
+          |clause engine classified every row, but only CLAIMED rows
+          |published: retired positions into the vector, update images
+          |into delta dirs. The Location lists the original CTAS
+          |segments plus the merge generation's deltas; unclaimed rows
+          |(the overwhelming majority at 100 TB) were never restaged —
+          |the copy-on-write clause merge would have rewritten every
+          |affected partition whole.""".stripMargin,
+        spark.sql(
+          s"""SELECT o_orderstatus, COUNT(*) AS n,
+                CAST(SUM(version) AS BIGINT) AS sv
+              FROM graft.`$cmDir`
+              GROUP BY o_orderstatus"""))
+
       // q167: the rebased table — the scan's file list is the protocol
       // evidence: partition F's segment carries the LOSER's staging nonce
       // published one generation AFTER the winner's O segment

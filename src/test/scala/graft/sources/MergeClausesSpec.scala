@@ -240,4 +240,118 @@ class MergeClausesSpec extends SparkSpec {
       WHEN NOT MATCHED THEN INSERT *""")
     assert(content(dir).contains((1L, "A", 10.0, 1L)))
   }
+
+  private def segDirs(dir: String): Set[String] = {
+    val s = Files.list(java.nio.file.Paths.get(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("seg-")).toSet
+    } finally s.close()
+  }
+
+  test("mergeClausesMor: all four clause kinds == copy-on-write answers, " +
+      "base segments untouched, metadata count exact") {
+    val mor = freshDir("mor"); val cow = freshDir("mor-cow")
+    for (d <- Seq(mor, cow))
+      CommittedTable.write(base(), d, "status",
+        keyCol = Some("id"), versionCol = Some("version"),
+        statsCols = Seq("value"))
+    val src = Seq((1L, 100.0), (3L, 5.0), (7L, 70.0), (8L, 3.0))
+      .toDF("id", "sval")
+    def clauses(run: (String) => Unit): Unit = { run(mor); run(cow) }
+    val matched = Seq(
+      MatchedUpdate(Some(expr("s.sval > t.value")),
+        Map("value" -> expr("s.sval"), "version" -> expr("t.version + 1"))),
+      MatchedDelete(Some(expr("t.status = 'B'"))))
+    val inserts = Seq(
+      NotMatchedInsert(Some(expr("s.sval >= 50.0")),
+        Map("id" -> expr("s.id"), "status" -> lit("N"),
+          "value" -> expr("s.sval"), "version" -> lit(1L))))
+    val bySrc = Seq(
+      BySourceUpdate(Some(expr("t.status = 'C'")),
+        Map("value" -> expr("t.value + 0.5"),
+          "version" -> expr("t.version + 1"))),
+      BySourceDelete(Some(expr("t.id = 2"))))
+    val segsBefore = segDirs(mor)
+    CommittedTable.mergeClausesMor(spark, mor, src, matched, inserts, bySrc)
+    CommittedTable.mergeClauses(spark, cow, src, matched, inserts, bySrc)
+    assert(content(mor) === content(cow))
+    assert(content(mor) === Set(
+      (1L, "A", 100.0, 2L), (4L, "C", 40.5, 2L), (7L, "N", 70.0, 1L)))
+    // every pre-merge base segment survived — only deltas + a vector
+    assert(segsBefore.subsetOf(segDirs(mor)))
+    // logical metadata count folds vector removals + delta additions:
+    // started 4, deleted 2 (id=2, id=3), updated 2 in place, inserted 1
+    assert(CommittedTable.count(spark, mor) === 3L)
+    // partition B is all-deleted MoR-style: its base segment still
+    // carries its entry, the vector empties it
+    assert(CommittedTable.count(spark, mor, Some(Seq("B"))) === 0L)
+  }
+
+  test("mergeClausesMor: unclaimed rows are never restaged (source-bounded " +
+      "cost without by-source clauses)") {
+    val dir = freshDir("bounded")
+    CommittedTable.write(base(), dir, "status",
+      keyCol = Some("id"), versionCol = Some("version"))
+    val segsBefore = segDirs(dir)
+    // one matched update: only id=1's position + its new image publish
+    CommittedTable.mergeClausesMor(spark, dir, Seq((1L, 11.0)).toDF("id", "sval"),
+      matched = Seq(MatchedUpdate(None,
+        Map("value" -> expr("s.sval"), "version" -> expr("t.version + 1")))))
+    assert(content(dir) === Set(
+      (1L, "A", 11.0, 2L), (2L, "A", 20.0, 1L), (3L, "B", 30.0, 1L),
+      (4L, "C", 40.0, 1L)))
+    assert(segsBefore.subsetOf(segDirs(dir)))
+    // exactly ONE new data dir: the A-partition delta (B/C untouched —
+    // with copy-on-write, A would have been rewritten whole too)
+    assert((segDirs(dir) -- segsBefore).size === 1)
+  }
+
+  test("SQL MERGE INTO routes merge-on-read under updatemode='mor'") {
+    val dir = freshDir("sqlmor")
+    CommittedTable.write(base(), dir, "status",
+      keyCol = Some("id"), versionCol = Some("version"))
+    CommittedTable.setUpdateMode(spark, dir, Some("mor"))
+    val segsBefore = segDirs(dir)
+    Seq((1L, "A", 99.0, 2L), (9L, "D", 90.0, 1L))
+      .toDF("id", "status", "value", "version")
+      .createOrReplaceTempView("mc_sql_mor_src")
+    spark.sql(s"""MERGE INTO graft.`$dir` t USING mc_sql_mor_src s
+      ON t.id = s.id
+      WHEN MATCHED AND s.version > t.version THEN UPDATE SET
+        value = s.value, version = s.version
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(content(dir) === Set(
+      (1L, "A", 99.0, 2L), (2L, "A", 20.0, 1L), (3L, "B", 30.0, 1L),
+      (4L, "C", 40.0, 1L), (9L, "D", 90.0, 1L)))
+    assert(segsBefore.subsetOf(segDirs(dir)))
+    // the brand-new partition D staged as an ordinary first segment
+    assert(manifest(dir).segments.keySet === Set("A", "B", "C", "D"))
+  }
+
+  test("mergeClausesMor refuses bucketed layouts; contracts stay loud") {
+    val dir = freshDir("mor-refuse")
+    CommittedTable.write(base(), dir, "status",
+      keyCol = Some("id"), versionCol = Some("version"),
+      bucketBy = Some((4, Seq("id"))))
+    val e = intercept[IllegalArgumentException] {
+      CommittedTable.mergeClausesMor(spark, dir,
+        Seq((1L, 11.0)).toDF("id", "sval"),
+        matched = Seq(MatchedUpdate(None,
+          Map("value" -> expr("s.sval"), "version" -> expr("t.version + 1")))))
+    }
+    assert(e.getMessage.contains("bucket"))
+    // the CDC version guard is shared validation: an update that skips
+    // the version column is refused before any work
+    val dir2 = freshDir("mor-ver")
+    CommittedTable.write(base(), dir2, "status",
+      keyCol = Some("id"), versionCol = Some("version"))
+    val e2 = intercept[IllegalArgumentException] {
+      CommittedTable.mergeClausesMor(spark, dir2,
+        Seq((1L, 11.0)).toDF("id", "sval"),
+        matched = Seq(MatchedUpdate(None, Map("value" -> expr("s.sval")))))
+    }
+    assert(e2.getMessage.contains("version"))
+  }
 }
