@@ -2502,6 +2502,63 @@ object CommittedTable {
     collectGarbage(fs, table)
   }
 
+  /** Merge-on-read [[deleteKeys]] — the bulk key-set takedown (CDF
+    * replay, compliance retraction) with [[deleteMor]]'s cost shape: the
+    * matched rows' (file, row_index) positions publish as a deletion
+    * vector, O(deleted rows) written, zero segments rewritten. The
+    * discovery scan is bloom-sidecar-pruned exactly like [[deleteKeys]]'
+    * (segments that cannot hold a probed key are never opened), so a
+    * 1k-key takedown against a thousand-partition table is: probe the
+    * sidecars, open the surviving segments once, write 1k positions,
+    * swap one manifest. Same self-invalidation/GC/count protocol as
+    * every vector; a later rewrite or [[compactPartitions]] of the
+    * affected partitions materializes it. */
+  def deleteKeysMor(spark: SparkSession, path: String, keys: DataFrame,
+      key: String, partitionCol: String,
+      crashPoint: String => Unit = _ => ()): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path to delete from"))
+    collectGarbage(fs, table)
+    if (m.segments.isEmpty) return
+    require(m.cols.contains(partitionCol),
+      s"$partitionCol is not a column of the committed table (${m.cols.mkString(",")})")
+    val keySet = keys.select(col(key)).distinct()
+    val candidates: Option[Seq[String]] =
+      if (m.bloomCols.contains(key))
+        probeHashes(keySet, key).flatMap(hs =>
+          bloomSurvivors(spark, table, m, key, hs))
+      else None
+    if (candidates.exists(_.isEmpty)) return // no segment can hold any key
+    val hits = readFrom(spark, table, m, candidates, keepPos = true)
+      .join(keySet, Seq(key), "left_semi")
+      .select(col(partitionCol).cast("string").as("__part"),
+        col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+      .persist()
+    try {
+      val perPart: Map[String, Long] = hits.groupBy("__part").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perPart.isEmpty) return // nothing matches: no generation burned
+      crashPoint("before-dv-write")
+      val gen = m.gen + 1
+      val priors: Map[String, DvRef] = perPart.keysIterator
+        .flatMap(p => liveDv(m, p).map(p -> _)).toMap
+      val dvName = stageDvDir(spark, table, m,
+        hits.select(col("file"), col("pos")), perPart.keySet, gen)
+      crashPoint("before-swap")
+      val next = m.copy(gen = gen, dvs = m.dvs ++ perPart.keysIterator.map(p =>
+        p -> DvRef(segLeaf(m.segments(p)), dvName,
+          perPart(p) + priors.get(p).map(_.rows).getOrElse(0L), gen)).toMap)
+      try publishOrAbort(hconf, table, m.gen, next, Map.empty)
+      catch { case e: Throwable =>
+        fs.delete(new Path(table, dvName), true); throw e }
+      crashPoint("after-swap")
+      collectGarbage(fs, table)
+    } finally hits.unpersist()
+  }
+
   /** Per-partition zone-map stats (min/max of each stats column, in the
     * manifest's canonical string encoding) AND row counts for the rows of
     * `df`. One aggregate job whose output is PARTITION-bounded (one row

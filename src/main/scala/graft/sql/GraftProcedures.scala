@@ -119,6 +119,45 @@ private[sql] object GraftProcedures {
     }
   }
 
+  /** `CALL graft.optimize(table[, max_files[, sort_by[,
+    * files_per_partition]]])`: one-call BOUNDED maintenance — select the
+    * partitions whose live data-file count (base segment + MoR delta
+    * dirs) exceeds `max_files` from manifest metadata alone
+    * ([[CommittedTable.fragmentedPartitions]], zero listings), then
+    * [[CommittedTable.compactPartitions]] exactly those: coalesces the
+    * files, materializes deletion vectors + delta segments back into one
+    * (or range-clustered) segment per partition, and REBASES over
+    * concurrent commits to disjoint partitions — the maintenance loop a
+    * MoR-upserting ingest needs, as one verb that never blocks it. A
+    * table with nothing fragmented is a no-op (no generation burned). */
+  def optimizeProc(resolve: String => String): UnboundProcedure = new Proc("optimize", Array(
+    ProcedureParameter.in("table", StringType).build(),
+    ProcedureParameter.in("max_files", IntegerType).defaultValue("8")
+      .comment("compact partitions holding more live files than this")
+      .build(),
+    ProcedureParameter.in("sort_by", StringType).defaultValue("NULL")
+      .comment("comma-separated sort columns for the rewrite; the " +
+        "table's declared clustering applies when absent")
+      .build(),
+    ProcedureParameter.in("files_per_partition", IntegerType)
+      .defaultValue("1").build())) {
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val spark = SparkSession.active
+      val path = resolve(str(input, 0).getOrElse(
+        throw new IllegalArgumentException("table must not be NULL")))
+      val frag = CommittedTable.fragmentedPartitions(spark, path,
+        maxFiles = input.getInt(1))
+      if (frag.nonEmpty) {
+        val sortBy = str(input, 2)
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+        CommittedTable.compactPartitions(spark, path, frag,
+          sortCols = sortBy, filesPerPartition = input.getInt(3))
+      }
+      result(path, currentGen(spark, path))
+    }
+  }
+
   def setRetention(resolve: String => String): UnboundProcedure = new Proc("set_retention", Array(
     ProcedureParameter.in("table", StringType).build(),
     ProcedureParameter.in("retain", IntegerType).build(),
@@ -572,6 +611,7 @@ private[sql] object GraftProcedures {
 
   def all(resolve: String => String): Map[String, UnboundProcedure] = Map(
     "compact" -> compact(resolve),
+    "optimize" -> optimizeProc(resolve),
     "set_retention" -> setRetention(resolve),
     "restore" -> restoreProc(resolve),
     "recover" -> recover(resolve),

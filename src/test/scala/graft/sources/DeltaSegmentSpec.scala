@@ -361,6 +361,61 @@ class DeltaSegmentSpec extends SparkSpec {
     assert(e2.getMessage.contains("extra"))
   }
 
+  test("deleteKeysMor: bulk key takedown publishes positions only — " +
+      "answers == deleteKeys, zero segments rewritten, counts exact") {
+    val mor = freshDir("dk-mor"); val cow = freshDir("dk-cow")
+    for (d <- Seq(mor, cow))
+      CommittedTable.write(base(), d, "status",
+        keyCol = Some("id"), versionCol = Some("version"),
+        bloomCols = Seq("id"))
+    val keys = Seq(2L, 5L, 99L).toDF("id") // 99 matches nothing
+    val segsBefore = segDirs(mor)
+    CommittedTable.deleteKeysMor(spark, mor, keys, "id", "status")
+    CommittedTable.deleteKeys(spark, cow, keys, "id", "status")
+    assert(rows(mor) === rows(cow))
+    assert(segDirs(mor) === segsBefore)
+    assert(dvDirs(mor).size === 1)
+    assert(CommittedTable.count(spark, mor) === 4L)
+    // it composes with deltas: MoR-merge then take down the merged key
+    CommittedTable.mergeMor(spark, mor,
+      Seq((1L, "A", 11.0, 2L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    CommittedTable.deleteKeysMor(spark, mor, Seq(1L).toDF("id"),
+      "id", "status")
+    assert(rows(mor).map(_._1) === Set(3L, 4L, 6L))
+    assert(CommittedTable.count(spark, mor) === 3L)
+    // an all-miss key set burns no generation
+    val g = CommittedTable.history(spark, mor).last.gen
+    CommittedTable.deleteKeysMor(spark, mor, Seq(777L).toDF("id"),
+      "id", "status")
+    assert(CommittedTable.history(spark, mor).last.gen === g)
+  }
+
+  test("CALL graft.optimize: one-call bounded maintenance selects the " +
+      "fragmented partitions and materializes their MoR state") {
+    val dir = freshDir("optimize")
+    CommittedTable.write(base(), dir, "status",
+      keyCol = Some("id"), versionCol = Some("version"))
+    // two MoR merges fragment partition A (base + two deltas)
+    CommittedTable.mergeMor(spark, dir,
+      Seq((2L, "A", 21.0, 2L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    CommittedTable.mergeMor(spark, dir,
+      Seq((3L, "A", 31.0, 2L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    assert(CommittedTable.fragmentedPartitions(spark, dir, maxFiles = 2)
+      === Seq("A"))
+    val before = rows(dir)
+    spark.sql(s"CALL graft.optimize(table => '$dir', max_files => 2)")
+    assert(rows(dir) === before)
+    assert(CommittedTable.fragmentedPartitions(spark, dir, maxFiles = 2)
+      === Nil)
+    // nothing fragmented: the call is a no-op, no generation burned
+    val g = CommittedTable.history(spark, dir).last.gen
+    spark.sql(s"CALL graft.optimize(table => '$dir', max_files => 2)")
+    assert(CommittedTable.history(spark, dir).last.gen === g)
+  }
+
   test("delta dirs of aged-out generations are garbage-collected once " +
       "materialized and out of retention") {
     val dir = freshDir("gc")
