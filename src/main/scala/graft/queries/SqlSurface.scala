@@ -1493,6 +1493,49 @@ object SqlSurface {
         CAST(SUM(version) AS BIGINT) AS sum_version
       FROM merged GROUP BY o_orderstatus""")),
 
+    // ---- Partition evolution (CALL graft.repartition_by) -------------------
+    // Re-key the physical layout to a different partition column as ONE
+    // content-preserving generation: the table starts o_orderstatus-
+    // keyed, evolves to o_orderpriority, and the post-evolution SELECT
+    // (whose WHERE now prunes on the NEW key — the witness pins both the
+    // manifest's partcol and a metadata-pruned partition count) must
+    // equal the oracle over the raw source. History keeps serving the
+    // old generations under the old layout and the change feed sees a
+    // layout-only generation (PartitionEvolutionSpec pins both); at
+    // 100 TB this is the honest O(table) rewrite partitioning mistakes
+    // cost — but atomic, travelable, and done while readers stay up.
+    Q("q178_sql_repartition", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q178").toString + "/wh"
+      graft.sources.CommittedTable.write(
+        o.withColumn("version", lit(1L)), wh, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"),
+        statsCols = Seq("o_totalprice"))
+      s.sql(s"CALL graft.repartition_by(table => '$wh', " +
+        "column => 'o_orderpriority')")
+      // witness: the layout is REALLY the new key — a partition-value
+      // count answers from the manifest under the new column
+      val urgent = graft.sources.CommittedTable.count(s, wh,
+        Some(Seq("1-URGENT")))
+      val out = s.sql(
+        s"""SELECT o_orderpriority, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              ${DSUM("o_totalprice")} AS sum_price,
+              (COUNT(*) = $urgent OR o_orderpriority <> '1-URGENT')
+                AS pruned_count_ok
+            FROM graft.`$wh`
+            GROUP BY o_orderpriority""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        TRUE AS pruned_count_ok
+      FROM orders GROUP BY o_orderpriority""")),
+
     // ---- RESTORE (rollback as a forward generation) -----------------------
     // CALL graft.restore rolls the table back to a RETAINED generation by
     // publishing a NEW generation whose content is the anchor's —

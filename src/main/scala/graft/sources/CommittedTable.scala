@@ -2357,7 +2357,15 @@ object CommittedTable {
             s"${gen - 1} retained as its baseline (${e.getMessage}); keep a " +
             "key-level consumer within retainGenerations - 2 of the writer", e)
       }
-    val prevTouched = touched.filter(prev.segments.contains)
+    // baseline = the previous generation's rows that could have become
+    // this batch's rows: the SAME touched partitions, plus partitions
+    // that DISAPPEARED at gen — a key carried out of a retired partition
+    // (a move that emptied it) or re-keyed by a partition EVOLUTION
+    // ([[repartitionTable]], where every old name vanishes) is UNCHANGED
+    // unless its version advanced, and missing those sources would
+    // re-emit whole partitions as phantom upserts
+    val prevTouched = (touched.filter(prev.segments.contains) ++
+      prev.segments.keys.filterNot(m.segments.contains)).distinct
     if (prevTouched.isEmpty) return full
     val baseline = readFrom(spark, table, prev, Some(prevTouched))
       .select(col(key), col(versionCol))
@@ -2498,6 +2506,87 @@ object CommittedTable {
         segCounts.view.filterKeys(affected.contains))
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen, next, staged)
+    crashPoint("after-swap")
+    collectGarbage(fs, table)
+  }
+
+  /** PARTITION EVOLUTION: re-key the table's physical layout to
+    * `newPartitionCol` — one content-preserving full rewrite published
+    * as an ordinary forward generation, so time travel keeps serving
+    * every retained generation under ITS OWN layout (each anchor
+    * manifest records its own partcol and segments; nothing about old
+    * anchors changes) and the change feed sees a layout-only generation
+    * (empty CDF, like compact — (key, version) pairs are untouched).
+    * The old partition column stays an ordinary data column; roles,
+    * CHECKs, declared clustering, bucketing, zone-map/bloom columns all
+    * carry over; the rewrite sheds dropped-column and rename residue
+    * like any full compact, and materializes MoR vectors/deltas.
+    *
+    * The 100 TB story: partitioning choices age — a table keyed by
+    * ingest source needs to become date-keyed once downstream queries
+    * filter by day. This is an honest O(table) rewrite (there is no
+    * metadata trick that re-keys data files), but it is ONE atomic
+    * generation: readers resolve the old layout or the new, never a
+    * mix, and a crash leaves the old table untouched.
+    *
+    * Contract: the new column must be STRING-typed (the stage layer
+    * keys directories by string; derive one — e.g. [[compositeKey]] or
+    * a date_format — rather than letting this verb silently cast your
+    * column's type) and non-NULL for every row (staging refuses loudly
+    * otherwise). Re-declaring the CURRENT partition column is refused —
+    * a layout rewrite under the same key is [[compact]]'s job. */
+  def repartitionTable(spark: SparkSession, path: String,
+      newPartitionCol: String,
+      crashPoint: String => Unit = _ => ()): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val table = new Path(path)
+    val fs = table.getFileSystem(hconf)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path"))
+    collectGarbage(fs, table)
+    require(m.cols.contains(newPartitionCol),
+      s"$newPartitionCol is not a column of the committed table " +
+        s"(${m.cols.mkString(",")})")
+    require(!m.partitionCol.contains(newPartitionCol),
+      s"the table is already partitioned by $newPartitionCol — a layout " +
+        "rewrite under the same key is compact()'s job")
+    if (m.segments.isEmpty) {
+      // schema-only table: the re-key is one metadata line
+      publishOrAbort(hconf, table, m.gen,
+        m.copy(gen = m.gen + 1, partitionCol = Some(newPartitionCol)),
+        Map.empty)
+      return
+    }
+    val schema = schemaOf(spark, table, m)
+    schema.fields.find(_.name == newPartitionCol).foreach { f =>
+      require(f.dataType == org.apache.spark.sql.types.StringType,
+        s"partition columns are STRING by the stage contract; " +
+          s"$newPartitionCol is ${f.dataType.simpleString} — derive a " +
+          "string column (date_format, compositeKey, cast) and " +
+          "repartition by that")
+    }
+    val cur = read(spark, path).select(m.cols.map(col).toIndexedSeq: _*)
+    crashPoint("before-staging")
+    val gen = m.gen + 1
+    val (clSort, clFpp) = m.clusterBy.filter(_ => m.bucketing.isEmpty)
+      .getOrElse((Nil, 1))
+    val staged = stageSegments(cur, path, newPartitionCol, gen,
+      sortCols = clSort, filesPerPartition = clFpp,
+      bucketing = m.bucketing,
+      rangeClusterParts = if (clFpp > 1) Some(m.segments.size) else None)
+    crashPoint("after-staging")
+    // content-preserving: rows already passed the table's CHECKs
+    val (segStats, segCounts, segFileStats) =
+      statsFromStaged(spark, table, staged, newPartitionCol, m.statsCols,
+        m.bloomCols)
+    crashPoint("before-swap")
+    publishOrAbort(hconf, table, m.gen,
+      m.copy(gen = gen, segments = staged, stats = segStats,
+        rowCounts = segCounts,
+        fileStats = m.fileStats ++ segFileStats,
+        partitionCol = Some(newPartitionCol),
+        // the full rewrite sheds tombstone residue, like compact
+        droppedCols = Nil, renames = Map.empty), staged)
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }
@@ -4830,5 +4919,28 @@ object CommittedTable {
             .foldLeft(0L)((a, b) => a + b) > maxFiles =>
         p
     }.sorted
+  }
+
+  /** Partitions whose reads pay for DEAD rows: the live deletion
+    * vector's row count exceeds `maxDeadRatio` of the partition's base
+    * physical rows — the complement of [[fragmentedPartitions]]' signal
+    * (a partition can be one tidy file and still anti-join half its
+    * rows away on every scan after enough MoR deletes/updates).
+    * Manifest metadata alone, zero listings; a partition without a
+    * recorded count is skipped (unknown, not amplifiable evidence).
+    * The second [[compactPartitions]] target selector — `CALL
+    * graft.optimize` unions both. */
+  def readAmplifiedPartitions(spark: SparkSession, path: String,
+      maxDeadRatio: Double = 0.5): Seq[String] = {
+    require(maxDeadRatio > 0.0,
+      s"maxDeadRatio must be positive, got $maxDeadRatio")
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = readManifest(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path"))
+    m.segments.keys.filter { p =>
+      liveDv(m, p).exists(d => m.rowCounts.get(p).exists(n =>
+        n > 0 && d.rows.toDouble / n > maxDeadRatio))
+    }.toSeq.sorted
   }
 }

@@ -140,23 +140,51 @@ private[sql] object GraftProcedures {
         "table's declared clustering applies when absent")
       .build(),
     ProcedureParameter.in("files_per_partition", IntegerType)
-      .defaultValue("1").build())) {
+      .defaultValue("1").build(),
+    ProcedureParameter.in("max_dead_ratio", DoubleType).defaultValue("0.5")
+      .comment("also compact partitions whose live deletion vector " +
+        "retires more than this fraction of their base rows " +
+        "(read-amplification signal)")
+      .build())) {
     override def call(input: InternalRow): JIterator[Scan] = {
       val spark = SparkSession.active
       val path = resolve(str(input, 0).getOrElse(
         throw new IllegalArgumentException("table must not be NULL")))
-      val frag = CommittedTable.fragmentedPartitions(spark, path,
-        maxFiles = input.getInt(1))
-      if (frag.nonEmpty) {
+      val targets = (CommittedTable.fragmentedPartitions(spark, path,
+        maxFiles = input.getInt(1)) ++
+        CommittedTable.readAmplifiedPartitions(spark, path,
+          maxDeadRatio = input.getDouble(4))).distinct.sorted
+      if (targets.nonEmpty) {
         val sortBy = str(input, 2)
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil)
-        CommittedTable.compactPartitions(spark, path, frag,
+        CommittedTable.compactPartitions(spark, path, targets,
           sortCols = sortBy, filesPerPartition = input.getInt(3))
       }
       result(path, currentGen(spark, path))
     }
   }
+
+  /** `CALL graft.repartition_by(table => …, column => …)`: partition
+    * evolution — one content-preserving rewrite re-keys the layout to a
+    * new STRING partition column ([[CommittedTable.repartitionTable]]);
+    * retained history keeps serving each generation under its own
+    * layout, the change feed sees a layout-only (empty-CDF) generation,
+    * roles/CHECKs/clustering/bucketing carry over. */
+  def repartitionProc(resolve: String => String): UnboundProcedure =
+    new Proc("repartition_by", Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("column", StringType).build())) {
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val spark = SparkSession.active
+        val path = resolve(str(input, 0).getOrElse(
+          throw new IllegalArgumentException("table must not be NULL")))
+        val c = str(input, 1).getOrElse(
+          throw new IllegalArgumentException("column must not be NULL"))
+        CommittedTable.repartitionTable(spark, path, c)
+        result(path, currentGen(spark, path))
+      }
+    }
 
   def setRetention(resolve: String => String): UnboundProcedure = new Proc("set_retention", Array(
     ProcedureParameter.in("table", StringType).build(),
@@ -612,6 +640,7 @@ private[sql] object GraftProcedures {
   def all(resolve: String => String): Map[String, UnboundProcedure] = Map(
     "compact" -> compact(resolve),
     "optimize" -> optimizeProc(resolve),
+    "repartition_by" -> repartitionProc(resolve),
     "set_retention" -> setRetention(resolve),
     "restore" -> restoreProc(resolve),
     "recover" -> recover(resolve),

@@ -1566,6 +1566,31 @@ object ExplainDump {
               FROM graft.`$cmDir`
               GROUP BY o_orderstatus"""))
 
+      // q178: partition evolution — the post-evolution scan prunes on
+      // the NEW key and its PartitionFilters/Location are the evidence
+      val peDir = s"$tmp/partevo"
+      graft.sources.CommittedTable.write(
+        Registry.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_orderpriority"), col("o_totalprice")),
+        peDir, "o_orderstatus", statsCols = Seq("o_totalprice"))
+      graft.sources.CommittedTable.repartitionTable(
+        Registry.table(spark, dir, "orders").sparkSession, peDir,
+        "o_orderpriority")
+      section("q178_sql_repartition (partition evolution)",
+        """Wants: after CALL graft.repartition_by, a WHERE on the NEW
+          |key (o_orderpriority) arrives as a PartitionFilter on the
+          |substituted scan and the Location lists ONLY the matching
+          |priority's segment dirs — the evolution generation's layout,
+          |planned exactly like a born-this-way table. The old
+          |generations' anchors still carry the o_orderstatus layout
+          |for time travel. One atomic rewrite bought the new pruning
+          |axis for every query after it.""".stripMargin,
+        spark.sql(
+          s"""SELECT COUNT(*) AS n, MAX(o_totalprice) AS mx
+              FROM graft.`$peDir`
+              WHERE o_orderpriority = '1-URGENT'"""))
+
       // q167: the rebased table — the scan's file list is the protocol
       // evidence: partition F's segment carries the LOSER's staging nonce
       // published one generation AFTER the winner's O segment

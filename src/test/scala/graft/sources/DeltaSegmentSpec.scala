@@ -416,6 +416,28 @@ class DeltaSegmentSpec extends SparkSpec {
     assert(CommittedTable.history(spark, dir).last.gen === g)
   }
 
+  test("readAmplifiedPartitions flags dead-row buildup; optimize's " +
+      "dead-ratio knob compacts it away") {
+    val dir = freshDir("deadratio")
+    CommittedTable.write(base(), dir, "status",
+      keyCol = Some("id"), versionCol = Some("version"))
+    // MoR-delete 2 of A's 3 rows: dead ratio 2/3 > 0.5; B loses 1 of 2
+    // (0.5, NOT > 0.5); C untouched
+    CommittedTable.deleteMor(spark, dir, $"id".isin(1L, 2L, 4L), "status")
+    assert(CommittedTable.readAmplifiedPartitions(spark, dir) === Seq("A"))
+    assert(CommittedTable.readAmplifiedPartitions(spark, dir,
+      maxDeadRatio = 0.4) === Seq("A", "B"))
+    // file counts alone would never select these (one tidy file each)
+    assert(CommittedTable.fragmentedPartitions(spark, dir, maxFiles = 2)
+      === Nil)
+    val before = rows(dir)
+    spark.sql(s"CALL graft.optimize(table => '$dir', max_files => 2, " +
+      "max_dead_ratio => 0.4D)")
+    assert(rows(dir) === before)
+    assert(CommittedTable.readAmplifiedPartitions(spark, dir,
+      maxDeadRatio = 0.4) === Nil)
+  }
+
   test("delta dirs of aged-out generations are garbage-collected once " +
       "materialized and out of retention") {
     val dir = freshDir("gc")
