@@ -189,6 +189,46 @@ class IncrementalAggSpec extends SparkSpec {
     assert(minMaxRows(dst) === before)
   }
 
+  test("view == full recompute through MERGE-ON-READ generations " +
+      "(mergeMor, updateMor, deleteKeysMor, clause MoR)") {
+    val src = freshDir("mor-src")
+    val dst = freshDir("mor-dst")
+    val ckpt = Files.createTempDirectory("graft-iagg-mor-ckpt").toString
+    CommittedTable.write(base(), src, "status",
+      keyCol = Some("id"), versionCol = Some("version"),
+      retainGenerations = 8)
+    IncrementalAgg.init(spark, src, dst, "status", "value")
+    def sync(): Unit = {
+      val q = IncrementalAgg.sync(spark, src, dst, "id", "version",
+        "status", "value", ckpt).start()
+      q.awaitTermination(120000)
+    }
+    // gen 2 (mergeMor): in-group update + cross-group move + insert —
+    // all published as vector + deltas, zero partition rewrites
+    CommittedTable.mergeMor(spark, src,
+      Seq((2L, "A", 25.5, 2L), (3L, "A", 31.0, 2L), (9L, "C", 90.0, 2L))
+        .toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    // gen 3 (updateMor), gen 4 (deleteKeysMor)
+    CommittedTable.updateMor(spark, src, $"id" === 1L,
+      Map("value" -> lit(12.0), "version" -> lit(2L)), "status",
+      versionCol = Some("version"))
+    CommittedTable.deleteKeysMor(spark, src, Seq(4L).toDF("id"),
+      "id", "status")
+    sync()
+    assert(liveViewRows(dst) === recompute(src))
+    // gen 5: the MoR clause surface feeds the same fold
+    CommittedTable.mergeClausesMor(spark, src,
+      Seq((2L, 99.0), (11L, 7.0)).toDF("id", "sval"),
+      matched = Seq(CommittedTable.MatchedUpdate(None,
+        Map("value" -> expr("s.sval"), "version" -> expr("t.version + 1")))),
+      notMatched = Seq(CommittedTable.NotMatchedInsert(None,
+        Map("id" -> expr("s.id"), "status" -> lit("B"),
+          "value" -> expr("s.sval"), "version" -> lit(1L)))))
+    sync()
+    assert(liveViewRows(dst) === recompute(src))
+  }
+
   test("integral valueCol: bootstrap and fold agree on a DOUBLE sum_value") {
     // init over a LONG value column must not write int64 sum_value: the
     // first fold rewrites only the touched groups' partitions as double,
