@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           "graft", "graft_changes"),
         (args: Seq[Expression]) => graft.sql.GraftTableFunctions.changes(args)))
+    // per-partition manifest introspection: files/bytes/rows/MoR state
+    e.injectTableFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_partitions"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft", "graft_partitions"),
+        (args: Seq[Expression]) =>
+          graft.sql.GraftTableFunctions.partitions(args)))
   }
 }
 
@@ -79,6 +86,10 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_changes",
       (args: Seq[Expression]) => graft.sql.GraftTableFunctions.changes(args),
+      "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_partitions",
+      (args: Seq[Expression]) => graft.sql.GraftTableFunctions.partitions(args),
       "scala_udf")
   }
 }

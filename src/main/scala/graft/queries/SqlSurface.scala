@@ -1536,6 +1536,53 @@ object SqlSurface {
         TRUE AS pruned_count_ok
       FROM orders GROUP BY o_orderpriority""")),
 
+    // ---- Per-partition manifest introspection: graft_partitions() ---------
+    // The ops surface behind fragmentedPartitions/readAmplifiedPartitions
+    // as one SQL relation — and a STRONG bookkeeping gate: after a MoR
+    // merge (superseded base rows → vector, winners → delta) and a MoR
+    // delete (positions across base AND delta files, prior vector
+    // folded), the manifest's per-partition accounting must equal the
+    // DATA-level truth the oracle re-derives from the raw table:
+    // base_rows = the original physical counts, dv_rows = one position
+    // per superseded base row (%13 keys) PLUS one per deleted visible
+    // row (%7 keys — a key hit by both contributes two positions, its
+    // base original and its delta image), delta_rows = the staged
+    // winners, logical_rows = base − dv + delta = what every read
+    // serves. Zero data files are opened to answer — manifest lines
+    // only.
+    Q("q179_sql_partitions", (s, dir) => {
+      val src = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q179").toString + "/wh"
+      graft.sources.CommittedTable.write(src, wh, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      graft.sources.CommittedTable.mergeMor(s, wh,
+        src.filter(col("o_orderkey") % 13 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("version", lit(2L)),
+        "o_orderkey", "version", "o_orderstatus")
+      graft.sources.CommittedTable.deleteMor(s, wh,
+        col("o_orderkey") % 7 === 3, "o_orderstatus")
+      val out = s.sql(
+        s"""SELECT partition AS o_orderstatus, base_rows, dv_rows,
+              delta_rows, logical_rows
+            FROM graft_partitions('$wh')""")
+      finish(s, out, wh)
+    }, Some("""
+      SELECT o_orderstatus,
+        COUNT(*) AS base_rows,
+        CAST(SUM(CASE WHEN o_orderkey % 13 = 1 THEN 1 ELSE 0 END) +
+             SUM(CASE WHEN o_orderkey % 7 = 3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS dv_rows,
+        CAST(SUM(CASE WHEN o_orderkey % 13 = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS delta_rows,
+        CAST(COUNT(*) -
+             SUM(CASE WHEN o_orderkey % 7 = 3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS logical_rows
+      FROM orders GROUP BY o_orderstatus""")),
+
     // ---- RESTORE (rollback as a forward generation) -----------------------
     // CALL graft.restore rolls the table back to a RETAINED generation by
     // publishing a NEW generation whose content is the anchor's —

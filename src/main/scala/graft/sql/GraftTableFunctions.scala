@@ -83,4 +83,51 @@ object GraftTableFunctions {
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
       .queryExecution.analyzed
   }
+
+  /** `SELECT * FROM graft_partitions('/wh/t')` — per-partition
+    * operational introspection straight from the manifest (zero file
+    * I/O beyond the manifest/shard reads, zero listings): one row per
+    * live partition with its base segment, live data-file count/bytes
+    * (base + MoR delta dirs, from the recorded `f=` lists), base
+    * physical rows, live deletion-vector rows, delta dir/row counts,
+    * and the LOGICAL row count every read surface serves (base − dv +
+    * deltas). The partition-level companion of `CALL graft.detail`:
+    * what `fragmentedPartitions` / `readAmplifiedPartitions` decide
+    * from, exposed as a SQL relation — `WHERE dv_rows > 0.5 *
+    * base_rows` IS the maintenance backlog query. NULL file/byte
+    * counts mark a pre-feature segment with no recorded list. */
+  def partitions(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1,
+      s"graft_partitions expects (table), got ${args.length} argument(s)")
+    require(args.head.foldable, "graft_partitions: table must be a literal")
+    val pathV = args.head.eval(EmptyRow)
+    require(pathV != null, "graft_partitions: table must not be NULL")
+    val path = pathV.toString
+    val spark = SparkSession.active
+    val table = new Path(path)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = CommittedTable.readManifestRoot(fs, table).getOrElse(
+      throw new java.io.IOException(s"no committed table at $path"))
+    val m = CommittedTable.hydrateSnapshot(fs, table, root, None)
+    val out = m.segments.toSeq.sortBy(_._1).map { case (pv, seg) =>
+      val deltas = CommittedTable.liveDeltas(m, pv)
+      val dirs = seg +: deltas.map(_.dir)
+      val lists = dirs.map(m.files.get)
+      val (files, bytes) =
+        if (lists.forall(_.isDefined))
+          (Some(lists.flatMap(_.get).size), Some(lists.flatMap(_.get).map(_._2).sum))
+        else (None, None)
+      val baseRows = m.rowCounts.get(pv)
+      val dvRows = CommittedTable.liveDv(m, pv).map(_.rows).getOrElse(0L)
+      val deltaRows = deltas.map(_.rows).sum
+      (pv, CommittedTable.segLeaf(seg), files, bytes, baseRows,
+        dvRows, deltas.size, deltaRows,
+        baseRows.map(_ - dvRows + deltaRows))
+    }
+    val session = spark
+    import session.implicits._
+    out.toDF("partition", "segment", "files", "bytes", "base_rows",
+      "dv_rows", "delta_dirs", "delta_rows", "logical_rows")
+      .queryExecution.analyzed
+  }
 }

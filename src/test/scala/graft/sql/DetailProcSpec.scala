@@ -66,4 +66,39 @@ class DetailProcSpec extends SparkSpec {
       spark.sql(s"CALL graft.detail(table => '$dir-nope')").collect())
     assert(e.getMessage.contains("no committed table"))
   }
+
+  test("graft_partitions: one manifest-only row per partition with " +
+      "base/dv/delta/logical accounting and file lists") {
+    val dir = Files.createTempDirectory("graft-parts-tvf").toString + "/t"
+    val src = spark.range(0, 100)
+      .select(when(col("id") % 2 === 0, "A").otherwise("B").as("part"),
+        col("id").as("value"), lit(1L).as("version"))
+    CommittedTable.write(src, dir, "part",
+      keyCol = Some("value"), versionCol = Some("version"))
+    // MoR merge touches A only: evens %10==0 get superseded + re-written
+    CommittedTable.mergeMor(spark,
+      dir, src.filter(col("value") % 10 === 0)
+        .withColumn("version", lit(2L)),
+      "value", "version", "part")
+    val rows = spark.sql(s"SELECT * FROM graft_partitions('$dir')")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = rows("A"); val b = rows("B")
+    assert(a.getAs[String]("segment").startsWith("seg-g1-"))
+    assert(a.getAs[Long]("base_rows") === 50L)
+    assert(a.getAs[Long]("dv_rows") === 10L)
+    assert(a.getAs[Int]("delta_dirs") === 1)
+    assert(a.getAs[Long]("delta_rows") === 10L)
+    assert(a.getAs[Long]("logical_rows") === 50L)
+    assert(a.getAs[Int]("files") === 2) // base file + delta file
+    assert(a.getAs[Long]("bytes") > 0L)
+    assert(b.getAs[Long]("dv_rows") === 0L &&
+      b.getAs[Int]("delta_dirs") === 0 &&
+      b.getAs[Long]("logical_rows") === 50L)
+    // the maintenance backlog query IS a WHERE over this relation
+    assert(spark.sql(s"SELECT partition FROM graft_partitions('$dir') " +
+      "WHERE delta_dirs > 0").as[String].collect().toSeq === Seq("A"))
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_partitions('$dir-nope')").collect())
+    assert(e.getMessage.contains("no committed table"))
+  }
 }
