@@ -549,7 +549,9 @@ private[sql] object GraftProcedures {
     StructField("cluster_by", StringType, nullable = true),
     StructField("bucket_by", StringType, nullable = true),
     StructField("delete_mode", StringType, nullable = true),
+    StructField("update_mode", StringType, nullable = true),
     StructField("live_delete_vectors", IntegerType, nullable = false),
+    StructField("live_delta_dirs", IntegerType, nullable = false),
     StructField("checks", IntegerType, nullable = false),
     StructField("retain_generations", IntegerType, nullable = false),
     StructField("retain_hours", LongType, nullable = true)))
@@ -605,8 +607,9 @@ private[sql] object GraftProcedures {
             UTF8String.fromString(s"${cs.mkString(",")} files=$n") }.orNull,
           m.bucketing.map { case (n, cs) =>
             UTF8String.fromString(s"${cs.mkString(",")} buckets=$n") }.orNull,
-          str0(m.deleteMode),
+          str0(m.deleteMode), str0(m.updateMode),
           live.count(v => CommittedTable.liveDv(m, v).isDefined),
+          live.map(v => CommittedTable.liveDeltas(m, v).size).sum,
           m.checks.size, m.retain,
           m.retainHours.map(Long.box).orNull))
         java.util.Collections.singletonList[Scan](DetailScan(Array(row)))

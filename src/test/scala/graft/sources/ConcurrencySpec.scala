@@ -266,4 +266,53 @@ class ConcurrencySpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet
     assert(p190 === Set(190L, 390L, 5000L))
   }
+
+  test("mergeMor aborts loudly under contention with NO debris: staged " +
+      "delta dirs and the vector dir are cleaned up, the re-run lands") {
+    val dir = freshDir("mor-abort")
+    CommittedTable.write(base(), dir, "status",
+      keyCol = Some("id"), versionCol = Some("version"))
+    def orphanDirs(): Set[String] = {
+      val fs = fsOf(dir)
+      val live = manifest(dir)
+      val referenced = live.segments.values.toSet ++
+        live.segments.keys.flatMap(p =>
+          CommittedTable.liveDeltas(live, p)).map(_.dir) ++
+        live.dvs.values.map(_.dir)
+      fs.listStatus(new Path(dir)).toSeq
+        .filter(st => st.isDirectory && {
+          val n = st.getPath.getName
+          (n.startsWith("seg-") || n.startsWith("dv-")) && !referenced(n)
+        }).map(_.getPath.getName).toSet
+    }
+    var injected = false
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      CommittedTable.mergeMor(spark, dir,
+        Seq((1L, "A", 11.0, 2L)).toDF("id", "status", "value", "version"),
+        "id", "version", "status", crashPoint = {
+          case "before-swap" if !injected =>
+            injected = true
+            CommittedTable.overwritePartitions(
+              Seq((5L, "D", 50.0, 1L)).toDF("id", "status", "value", "version"),
+              dir)
+          case _ => ()
+        })
+    }
+    assert(boom.getMessage.contains("advanced the table"))
+    // the loser's staged delta dirs were deleted by the abort and its
+    // vector dir by the catch — nothing unreferenced remains (the
+    // winner's own publish may legitimately have superseded gen-1
+    // segments, which stay for the retention window — exclude by
+    // checking only dirs of the ABORTED generation's stamp)
+    val g = manifest(dir).gen
+    assert(orphanDirs().forall(n => !n.contains(s"-g${g + 1}-")),
+      s"aborted-generation debris left behind: ${orphanDirs()}")
+    // the documented remedy: re-run on top of the winner
+    CommittedTable.mergeMor(spark, dir,
+      Seq((1L, "A", 11.0, 2L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    assert(content(dir) === Set(
+      (1L, "A", 11.0, 2L), (2L, "A", 20.0, 1L), (3L, "B", 30.0, 1L),
+      (4L, "C", 40.0, 1L), (5L, "D", 50.0, 1L)))
+  }
 }
