@@ -2997,6 +2997,23 @@ object CommittedTable {
       key, versionCol, keyName, allowAddColumns)
   }
 
+  /** [[mergeComposite]] with [[mergeMor]]'s cost shape: derives the
+    * composite partition key for the batch and publishes superseded
+    * rows as a deletion vector + winners as delta segments — composite
+    * layouts are the ones with the MOST partitions, so per-partition
+    * rewrite amplification hurts them worst and MoR pays off first.
+    * Same arbitration/refusal contracts as [[mergeMor]]. */
+  def mergeCompositeMor(spark: SparkSession, path: String,
+      updates: DataFrame, key: String, versionCol: String,
+      partitionCols: Seq[String], keyName: String = "part_key"): Unit = {
+    partitionCols.foreach(c => require(updates.columns.contains(c),
+      s"partition column $c absent from the update batch " +
+        s"(${updates.columns.mkString(",")})"))
+    mergeMor(spark, path,
+      updates.withColumn(keyName, compositeKey(partitionCols.map(col): _*)),
+      key, versionCol, keyName)
+  }
+
   private def statCompare(dt: org.apache.spark.sql.types.DataType)
       : (String, String) => Int = {
     import org.apache.spark.sql.types._

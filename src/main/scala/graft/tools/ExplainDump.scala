@@ -1591,6 +1591,21 @@ object ExplainDump {
               FROM graft.`$peDir`
               WHERE o_orderpriority = '1-URGENT'"""))
 
+      // q179: the partitions TVF — the "plan" evidence is that there is
+      // no plan to speak of: a LocalRelation materialized from manifest
+      // lines, zero file scans
+      section("q179_sql_partitions (manifest introspection TVF)",
+        """Wants: a LocalRelation/LocalTableScan — the per-partition
+          |accounting (base/dv/delta/logical rows, file counts spanning
+          |delta dirs) is materialized from the manifest on the driver;
+          |no data file is opened at ANY table size. The backlog query
+          |(WHERE dv_rows > 0.5 * base_rows) is ordinary SQL over it.""".stripMargin,
+        spark.sql(
+          s"""SELECT partition, base_rows, dv_rows, delta_rows,
+                logical_rows
+              FROM graft_partitions('$mmDir')
+              WHERE delta_dirs > 0"""))
+
       // q167: the rebased table — the scan's file list is the protocol
       // evidence: partition F's segment carries the LOSER's staging nonce
       // published one generation AFTER the winner's O segment

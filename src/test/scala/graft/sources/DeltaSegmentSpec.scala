@@ -416,6 +416,39 @@ class DeltaSegmentSpec extends SparkSpec {
     assert(CommittedTable.history(spark, dir).last.gen === g)
   }
 
+  test("mergeCompositeMor: the composite layout (most partitions, worst " +
+      "rewrite amplification) gets the vector+delta shape") {
+    val mor = freshDir("comp-mor"); val cow = freshDir("comp-cow")
+    val src = Seq(
+      (1L, "2024-01-01", "web", 10.0, 1L), (2L, "2024-01-01", "app", 20.0, 1L),
+      (3L, "2024-01-02", "web", 30.0, 1L), (4L, "2024-01-02", "app", 40.0, 1L))
+      .toDF("id", "day", "source", "value", "version")
+    for (d <- Seq(mor, cow))
+      CommittedTable.writeComposite(src, d, Seq("day", "source"),
+        keyCol = Some("id"), versionCol = Some("version"),
+        statsCols = Seq("day", "source"))
+    val upd = Seq(
+      (2L, "2024-01-01", "app", 21.0, 2L),  // in-place upsert
+      (9L, "2024-01-03", "web", 90.0, 1L))  // brand-new composite value
+      .toDF("id", "day", "source", "value", "version")
+    val segsBefore = segDirs(mor)
+    CommittedTable.mergeCompositeMor(spark, mor, upd, "id", "version",
+      Seq("day", "source"))
+    CommittedTable.mergeComposite(spark, cow, upd, "id", "version",
+      Seq("day", "source"))
+    def all(d: String): Set[(Long, String, String, Double, Long)] =
+      CommittedTable.read(spark, d)
+        .select($"id", $"day", $"source", $"value", $"version")
+        .as[(Long, String, String, Double, Long)].collect().toSet
+    assert(all(mor) === all(cow))
+    assert(segsBefore.subsetOf(segDirs(mor)))
+    // component zone maps still prune exactly through the delta state
+    val ranged = CommittedTable.readRangeMulti(spark, mor,
+      Seq(("day", Some("2024-01-03"), Some("2024-01-03"))))
+    assert(ranged.select($"id").as[Long].collect().toSet === Set(9L))
+    assert(CommittedTable.count(spark, mor) === 5L)
+  }
+
   test("readAmplifiedPartitions flags dead-row buildup; optimize's " +
       "dead-ratio knob compacts it away") {
     val dir = freshDir("deadratio")
