@@ -471,6 +471,39 @@ class DeltaSegmentSpec extends SparkSpec {
       maxDeadRatio = 0.4) === Nil)
   }
 
+  test("accumulation: 20 MoR merges stack deltas + a folded vector; " +
+      "reads, counts, SQL time travel and optimize stay exact") {
+    val dir = freshDir("stack")
+    CommittedTable.write(base(), dir, "status",
+      keyCol = Some("id"), versionCol = Some("version"),
+      statsCols = Seq("value"), retainGenerations = 25)
+    // 20 micro-upserts of the same key: each supersedes the previous
+    // delta image (positions in DELTA files fold into the vector)
+    for (v <- 2L to 21L)
+      CommittedTable.mergeMor(spark, dir,
+        Seq((2L, "A", 20.0 + v, v)).toDF("id", "status", "value", "version"),
+        "id", "version", "status")
+    assert(rows(dir).contains((2L, "A", 41.0, 21L)))
+    assert(CommittedTable.count(spark, dir) === 6L)
+    assert(CommittedTable.count(spark, dir, Some(Seq("A"))) === 3L)
+    // SQL reads the stacked state and time-travels into the middle of it
+    assert(spark.sql(s"SELECT value FROM graft.`$dir` WHERE id = 2")
+      .as[Double].head === 41.0)
+    // generation g published the version-g upsert: value = 20 + g
+    assert(spark.sql(
+      s"SELECT value FROM graft.`$dir` VERSION AS OF 11 WHERE id = 2")
+      .as[Double].head === 31.0)
+    // the backlog is visible and one optimize collapses 20 generations
+    // of state back to one segment per partition
+    assert(CommittedTable.fragmentedPartitions(spark, dir, maxFiles = 4)
+      === Seq("A"))
+    spark.sql(s"CALL graft.optimize(table => '$dir', max_files => 4)")
+    assert(CommittedTable.fragmentedPartitions(spark, dir, maxFiles = 1)
+      === Nil)
+    assert(rows(dir).contains((2L, "A", 41.0, 21L)))
+    assert(CommittedTable.count(spark, dir) === 6L)
+  }
+
   test("delta dirs of aged-out generations are garbage-collected once " +
       "materialized and out of retention") {
     val dir = freshDir("gc")
