@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft", "graft_partitions"),
         (args: Seq[Expression]) =>
           graft.sql.GraftTableFunctions.partitions(args)))
+    // retained-generation history as a composable relation
+    e.injectTableFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_history"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft", "graft_history"),
+        (args: Seq[Expression]) =>
+          graft.sql.GraftTableFunctions.history(args)))
   }
 }
 
@@ -90,6 +97,10 @@ object GraftFunctions {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       "graft_partitions",
       (args: Seq[Expression]) => graft.sql.GraftTableFunctions.partitions(args),
+      "scala_udf")
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      "graft_history",
+      (args: Seq[Expression]) => graft.sql.GraftTableFunctions.history(args),
       "scala_udf")
   }
 }

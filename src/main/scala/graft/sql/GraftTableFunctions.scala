@@ -130,4 +130,34 @@ object GraftTableFunctions {
       "dv_rows", "delta_dirs", "delta_rows", "logical_rows")
       .queryExecution.analyzed
   }
+
+  /** `SELECT * FROM graft_history('/wh/t')` — the retained-generation
+    * history as a composable relation (the `CALL graft.history` facts,
+    * but usable in FROM/JOIN/WHERE): one row per retained generation
+    * with its publish timestamp, live partition count, logical row
+    * count (NULL when any partition predates recorded counts) and an
+    * is_current marker. Driver-side metadata only — one listing plus
+    * one small anchor read per retained generation. `WHERE rows <
+    * lag(rows)` over it IS the shrink-audit query. */
+  def history(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1,
+      s"graft_history expects (table), got ${args.length} argument(s)")
+    require(args.head.foldable, "graft_history: table must be a literal")
+    val pathV = args.head.eval(EmptyRow)
+    require(pathV != null, "graft_history: table must not be NULL")
+    val path = pathV.toString
+    val spark = SparkSession.active
+    val out = CommittedTable.history(spark, path)
+      .map(g => (g.gen, g.publishedAtMillis, g.partitions, g.rows,
+        g.current))
+    val session = spark
+    import session.implicits._
+    out.toDF("generation", "published_at_ms", "partitions", "rows",
+        "is_current")
+      .withColumn("published_at",
+        timestamp_millis(org.apache.spark.sql.functions.col(
+          "published_at_ms")))
+      .drop("published_at_ms")
+      .queryExecution.analyzed
+  }
 }

@@ -101,4 +101,33 @@ class DetailProcSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft_partitions('$dir-nope')").collect())
     assert(e.getMessage.contains("no committed table"))
   }
+
+  test("graft_history: retained generations as a composable relation") {
+    val dir = Files.createTempDirectory("graft-hist-tvf").toString + "/t"
+    val src = spark.range(0, 10)
+      .select(when(col("id") % 2 === 0, "A").otherwise("B").as("part"),
+        col("id").as("value"), lit(1L).as("version"))
+    CommittedTable.write(src, dir, "part",
+      keyCol = Some("value"), versionCol = Some("version"),
+      retainGenerations = 4)
+    CommittedTable.deleteMor(spark, dir, col("value") === 3L, "part") // gen 2
+    CommittedTable.merge(spark, dir,
+      spark.range(100, 103)
+        .select(lit("A").as("part"), col("id").as("value"),
+          lit(2L).as("version")),
+      "value", "version", "part") // gen 3
+    val h = spark.sql(s"SELECT generation, partitions, rows, is_current " +
+        s"FROM graft_history('$dir') ORDER BY generation")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3)))
+    assert(h.toSeq === Seq(
+      (1L, 2, Some(10L), false),
+      (2L, 2, Some(9L), false),   // logical: the vector row subtracted
+      (3L, 2, Some(12L), true)))
+    // composable: the shrink-audit query is plain SQL over the relation
+    assert(spark.sql(
+      s"""SELECT COUNT(*) FROM (
+            SELECT rows - lag(rows) OVER (ORDER BY generation) AS d
+            FROM graft_history('$dir')) WHERE d < 0""").as[Long].head === 1L)
+  }
 }
