@@ -304,7 +304,13 @@ object CommittedTable {
       // routes SQL UPDATE through [[updateMor]] (deletion vector + delta
       // segment); absent/"cow" keeps the copy-on-write rewrite. Line:
       // updmode=<esc mode>.
-      updateMode: Option[String] = None)
+      updateMode: Option[String] = None,
+      // the VERB that published this generation ("merge", "delete-mor",
+      // "compact", "restore", …) — the Delta DESCRIBE HISTORY operation
+      // column, set by [[publishOrAbort]] per publish (never carried
+      // from the previous generation) and surfaced through
+      // history/graft_history/detail. Line: op=<esc verb>.
+      op: Option[String] = None)
 
   /** One manifest shard's root-line record: file name (relative to the
     * table dir), the ESCAPED partition-value range its members span
@@ -556,7 +562,8 @@ object CommittedTable {
   private val MetaPrefixes = Seq("retain=", "retainh=", "stats=", "rows=",
     "partcol=", "keycol=", "vercol=", "bloom=", "virtual=", "f=",
     "dropped=", "check=", "bucketby=", "shard=", "probe=", "was=", "ndv=",
-    "dv=", "dvn=", "delmode=", "fs=", "cluster=", "delta=", "updmode=")
+    "dv=", "dvn=", "delmode=", "fs=", "cluster=", "delta=", "updmode=",
+    "op=")
 
   private def readRoot(fs: FileSystem, p: Path): Option[Manifest] = {
     if (!fs.exists(p)) return None
@@ -664,6 +671,7 @@ object CommittedTable {
       .map(_.stripPrefix("dvn=").toInt).getOrElse(0)
     val deleteMode = metaLine("delmode=")
     val updateMode = metaLine("updmode=")
+    val opLine = metaLine("op=")
     val part = parsePartitionLines(lines.drop(2), statsCols, p.toString)
     if (shards.nonEmpty && part.segments.nonEmpty)
       throw new java.io.IOException(
@@ -677,7 +685,7 @@ object CommittedTable {
       ndv = ndv, renames = renames, retainHours = retainHours,
       checks = checks, dvs = part.dvs, rootDvParts = rootDvParts,
       deleteMode = deleteMode, deltas = part.deltas,
-      updateMode = updateMode))
+      updateMode = updateMode, op = opLine))
   }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
@@ -714,7 +722,8 @@ object CommittedTable {
         s"cluster=$n\t${cs.map(esc).mkString("\t")}" }.toSeq ++
       statsLine ++ bloomLine ++
       m.deleteMode.map(v => s"delmode=${esc(v)}").toSeq ++
-      m.updateMode.map(v => s"updmode=${esc(v)}").toSeq ++ {
+      m.updateMode.map(v => s"updmode=${esc(v)}").toSeq ++
+      m.op.map(v => s"op=${esc(v)}").toSeq ++ {
         // root-level live-dv summary: a partial hydration (sharded root)
         // must know the table needs the dv anti-join without shard reads
         val live = m.segments.keys.count(p => liveDv(m, p).isDefined)
@@ -1075,7 +1084,8 @@ object CommittedTable {
     * when any live partition of that snapshot predates manifest row
     * counts. */
   final case class GenerationInfo(gen: Long, publishedAtMillis: Long,
-      partitions: Int, rows: Option[Long], current: Boolean)
+      partitions: Int, rows: Option[Long], current: Boolean,
+      op: Option[String] = None)
 
   /** The table's operational history — one entry per RETAINED generation
     * (the [[readAt]]/`VERSION AS OF` window), oldest first: publish time
@@ -1102,7 +1112,7 @@ object CommittedTable {
             else if (m.segments.isEmpty) Some(0L)
             else None
           GenerationInfo(g, fs.getFileStatus(anchor).getModificationTime,
-            m.segments.size, rows, current = g == cur.gen)
+            m.segments.size, rows, current = g == cur.gen, op = m.op)
         }
       }.toOption.flatten
     }
@@ -1190,7 +1200,12 @@ object CommittedTable {
   private def publishOrAbort(hconf: org.apache.hadoop.conf.Configuration,
       table: Path, baseGen: Long, next: Manifest,
       staged: Map[String, String],
-      rebase: Option[Rebase] = None): Unit = {
+      rebase: Option[Rebase] = None,
+      // the publishing verb's label for DESCRIBE-HISTORY-style audit;
+      // applied here (never carried from `next`, which is a copy of the
+      // PREVIOUS manifest — a stale label would mis-attribute the
+      // generation)
+      op: Option[String] = None): Unit = {
     val fs = table.getFileSystem(hconf)
     // the manifest delta this publish applies, extracted ONCE from the
     // caller's `next` so a rebase can replay it onto any winner: entries
@@ -1206,7 +1221,7 @@ object CommittedTable {
     val ourFileStats = rebase.map(r => next.fileStats.view
       .filterKeys(k => !r.base.fileStats.contains(k)).toMap)
       .getOrElse(Map.empty)
-    var attempt = next
+    var attempt = next.copy(op = op)
     var base = baseGen
     var rebases = 0
     // staging intents riding this publish: cleared at commit or abort —
@@ -1274,7 +1289,8 @@ object CommittedTable {
         segments = (cur.segments -- r.touched) ++ ourSegs,
         stats = (cur.stats -- r.touched) ++ ourStats,
         rowCounts = (cur.rowCounts -- r.touched) ++ ourCounts,
-        fileStats = cur.fileStats ++ ourFileStats)
+        fileStats = cur.fileStats ++ ourFileStats,
+        op = op)
       base = cur.gen
     }
     while (true) {
@@ -1375,7 +1391,7 @@ object CommittedTable {
         statsCols, stats, counts, Some(partitionCol), keyCol, versionCol,
         bloomCols, checks = checks, bucketing = bucketBy,
         fileStats = fStats),
-      staged)
+      staged, op = Some("write"))
   }
 
   /** Schema-only table birth (SQL `CREATE TABLE (…) PARTITIONED BY (pc)`
@@ -1431,7 +1447,7 @@ object CommittedTable {
         Map.empty, Map.empty, Some(partitionCol), keyCol, versionCol,
         bloomCols, virtualCols = columns, checks = checks,
         bucketing = bucketBy),
-      staged = Map.empty)
+      staged = Map.empty, op = Some("create-table"))
   }
 
   /** SHALLOW CLONE: a new committed table at `dstPath` whose manifest
@@ -1505,7 +1521,7 @@ object CommittedTable {
       readManifestFile(fs, new Path(src, s"$CommitGen$g")).foreach(am =>
         writeManifestTo(dstFs, new Path(dst, s"$CommitGen$g"), rewrite(am)))
     }
-    publishOrAbort(hconf, dst, baseGen = 0L, rewrite(m), staged = Map.empty)
+    publishOrAbort(hconf, dst, baseGen = 0L, rewrite(m), staged = Map.empty, op = Some("clone"))
   }
 
   /** Write one segment dir per partition value of `df` under a staging
@@ -1839,7 +1855,7 @@ object CommittedTable {
       m.copy(gen = m.gen + 1, retain = retainGenerations,
         retainHours =
           if (clearRetainHours) None else retainHours.orElse(m.retainHours)),
-      Map.empty)
+      Map.empty, op = Some("set-retention"))
     collectGarbage(fs, table)
   }
 
@@ -1873,7 +1889,7 @@ object CommittedTable {
     publishOrAbort(hconf, table, cur.gen,
       anchor.copy(gen = cur.gen + 1,
         retain = cur.retain, retainHours = cur.retainHours),
-      Map.empty)
+      Map.empty, op = Some("restore"))
     collectGarbage(fs, table)
   }
 
@@ -1902,7 +1918,7 @@ object CommittedTable {
           "competing physical layouts — drop one")
     }
     publishOrAbort(hconf, table, m.gen,
-      m.copy(gen = m.gen + 1, clusterBy = clusterBy), Map.empty)
+      m.copy(gen = m.gen + 1, clusterBy = clusterBy), Map.empty, op = Some("set-clustering"))
   }
 
   /** The staging layout a DECLARED clustering imposes on a verb staging
@@ -1934,7 +1950,7 @@ object CommittedTable {
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = m.gen + 1,
         deleteMode = mode.filter(_ == "mor")),
-      Map.empty)
+      Map.empty, op = Some("set-deletemode"))
   }
 
   /** Declare the table's UPDATE routing policy (TBLPROPERTIES
@@ -1954,7 +1970,7 @@ object CommittedTable {
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = m.gen + 1,
         updateMode = mode.filter(_ == "mor")),
-      Map.empty)
+      Map.empty, op = Some("set-updatemode"))
   }
 
   /** Declare (or re-declare) the table's CHECK constraints: `(name, SQL
@@ -2002,7 +2018,7 @@ object CommittedTable {
     }
     collectGarbage(fs, table)
     publishOrAbort(hconf, table, m.gen,
-      m.copy(gen = m.gen + 1, checks = checks), Map.empty)
+      m.copy(gen = m.gen + 1, checks = checks), Map.empty, op = Some("set-checks"))
     collectGarbage(fs, table)
   }
 
@@ -2047,7 +2063,7 @@ object CommittedTable {
     collectGarbage(fs, table)
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = m.gen + 1, cols = m.cols ++ columns.map(_._1),
-        virtualCols = m.virtualCols ++ columns), Map.empty)
+        virtualCols = m.virtualCols ++ columns), Map.empty, op = Some("add-columns"))
     collectGarbage(fs, table)
   }
 
@@ -2104,7 +2120,7 @@ object CommittedTable {
           columns.flatMap(c => m.renames.getOrElse(c, Nil))).distinct,
         renames = m.renames -- columns,
         ndv = m.ndv -- columns),
-      Map.empty)
+      Map.empty, op = Some("drop-columns"))
     collectGarbage(fs, table)
   }
 
@@ -2142,7 +2158,7 @@ object CommittedTable {
       }
     collectGarbage(fs, table)
     publishOrAbort(hconf, table, m.gen,
-      m.copy(gen = m.gen + 1, ndv = m.ndv ++ counts), Map.empty)
+      m.copy(gen = m.gen + 1, ndv = m.ndv ++ counts), Map.empty, op = Some("analyze"))
     collectGarbage(fs, table)
   }
 
@@ -2211,7 +2227,7 @@ object CommittedTable {
         renames = (m.renames - oldName) + (newName -> chained),
         ndv = (m.ndv - oldName) ++
           m.ndv.get(oldName).map(newName -> _).toMap,
-        checks = m.checks), Map.empty)
+        checks = m.checks), Map.empty, op = Some("rename-column"))
     collectGarbage(fs, table)
   }
 
@@ -2251,7 +2267,7 @@ object CommittedTable {
         // row-writing publish; missing entries conservatively keep)
         stats = if (statsChanged) Map.empty else m.stats,
         fileStats = if (statsChanged) Map.empty else m.fileStats,
-        bloomCols = bloomCols.getOrElse(m.bloomCols)), Map.empty)
+        bloomCols = bloomCols.getOrElse(m.bloomCols)), Map.empty, op = Some("set-roles"))
     collectGarbage(fs, table)
   }
 
@@ -2505,7 +2521,7 @@ object CommittedTable {
       rowCounts = (m.rowCounts -- affected) ++
         segCounts.view.filterKeys(affected.contains))
     crashPoint("before-swap")
-    publishOrAbort(hconf, table, m.gen, next, staged)
+    publishOrAbort(hconf, table, m.gen, next, staged, op = Some("delete-keys"))
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }
@@ -2554,7 +2570,7 @@ object CommittedTable {
       // schema-only table: the re-key is one metadata line
       publishOrAbort(hconf, table, m.gen,
         m.copy(gen = m.gen + 1, partitionCol = Some(newPartitionCol)),
-        Map.empty)
+        Map.empty, op = Some("repartition"))
       return
     }
     val schema = schemaOf(spark, table, m)
@@ -2586,7 +2602,7 @@ object CommittedTable {
         fileStats = m.fileStats ++ segFileStats,
         partitionCol = Some(newPartitionCol),
         // the full rewrite sheds tombstone residue, like compact
-        droppedCols = Nil, renames = Map.empty), staged)
+        droppedCols = Nil, renames = Map.empty), staged, op = Some("repartition"))
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }
@@ -2640,7 +2656,7 @@ object CommittedTable {
       val next = m.copy(gen = gen, dvs = m.dvs ++ perPart.keysIterator.map(p =>
         p -> DvRef(segLeaf(m.segments(p)), dvName,
           perPart(p) + priors.get(p).map(_.rows).getOrElse(0L), gen)).toMap)
-      try publishOrAbort(hconf, table, m.gen, next, Map.empty)
+      try publishOrAbort(hconf, table, m.gen, next, Map.empty, op = Some("delete-keys-mor"))
       catch { case e: Throwable =>
         fs.delete(new Path(table, dvName), true); throw e }
       crashPoint("after-swap")
@@ -3518,7 +3534,7 @@ object CommittedTable {
       keyCol = m.keyCol.orElse(Some(key)),
       verCol = m.verCol.orElse(Some(versionCol)))
     crashPoint("before-swap")
-    publishOrAbort(hconf, table, m.gen, next, staged)
+    publishOrAbort(hconf, table, m.gen, next, staged, op = Some("merge"))
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }
@@ -3801,7 +3817,7 @@ object CommittedTable {
         rowCounts = (m.rowCounts -- affected) ++
           segCounts.view.filterKeys(affected.contains))
       crashPoint("before-swap")
-      publishOrAbort(hconf, table, m.gen, next, staged)
+      publishOrAbort(hconf, table, m.gen, next, staged, op = Some("merge-clauses"))
       crashPoint("after-swap")
       collectGarbage(fs, table)
     } finally assembled.unpersist()
@@ -3951,7 +3967,7 @@ object CommittedTable {
             dvPerPart(p) + priors.get(p).map(_.rows).getOrElse(0L),
             gen)).toMap).getOrElse(m.dvs))
       crashPoint("before-swap")
-      try publishOrAbort(hconf, table, m.gen, next, staged)
+      try publishOrAbort(hconf, table, m.gen, next, staged, op = Some("merge-clauses-mor"))
       catch { case e: Throwable =>
         dvName.foreach(n => fs.delete(new Path(table, n), true)); throw e }
       crashPoint("after-swap")
@@ -4055,7 +4071,7 @@ object CommittedTable {
         rowCounts = segCounts, fileStats = segFileStats,
         // a full rewrite physically sheds dropped-column (and renamed
         // former-name) residue
-        droppedCols = Nil, renames = Map.empty), staged)
+        droppedCols = Nil, renames = Map.empty), staged, op = Some("zorder"))
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }
@@ -4123,7 +4139,7 @@ object CommittedTable {
       rowCounts = (m.rowCounts -- affected) ++
         segCounts.view.filterKeys(affected.contains))
     crashPoint("before-swap")
-    publishOrAbort(hconf, table, m.gen, next, staged)
+    publishOrAbort(hconf, table, m.gen, next, staged, op = Some("delete"))
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }
@@ -4229,7 +4245,7 @@ object CommittedTable {
       val next = m.copy(gen = gen, dvs = m.dvs ++ affected.map(p =>
         p -> DvRef(segLeaf(m.segments(p)), dvName,
           perPart(p) + priors.get(p).map(_.rows).getOrElse(0L), gen)))
-      try publishOrAbort(hconf, table, m.gen, next, Map.empty)
+      try publishOrAbort(hconf, table, m.gen, next, Map.empty, op = Some("delete-mor"))
       catch { case e: Throwable =>
         fs.delete(new Path(table, dvName), true); throw e }
       crashPoint("after-swap")
@@ -4327,7 +4343,7 @@ object CommittedTable {
       rowCounts = (m.rowCounts -- affected) ++
         segCounts.view.filterKeys(affected.contains))
     crashPoint("before-swap")
-    publishOrAbort(hconf, table, m.gen, next, staged)
+    publishOrAbort(hconf, table, m.gen, next, staged, op = Some("update"))
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }
@@ -4519,7 +4535,7 @@ object CommittedTable {
             keyCol = m.keyCol.orElse(Some(key)),
             verCol = m.verCol.orElse(Some(versionCol)))
           crashPoint("before-swap")
-          try publishOrAbort(hconf, table, m.gen, next, staged)
+          try publishOrAbort(hconf, table, m.gen, next, staged, op = Some("merge-mor"))
           catch { case e: Throwable =>
             dvName.foreach(n => fs.delete(new Path(table, n), true)); throw e }
           crashPoint("after-swap")
@@ -4620,7 +4636,7 @@ object CommittedTable {
             dvPerPart(p) + priors.get(p).map(_.rows).getOrElse(0L),
             gen)).toMap)
       crashPoint("before-swap")
-      try publishOrAbort(hconf, table, m.gen, next, staged)
+      try publishOrAbort(hconf, table, m.gen, next, staged, op = Some("update-mor"))
       catch { case e: Throwable =>
         fs.delete(new Path(table, dvName), true); throw e }
       crashPoint("after-swap")
@@ -4698,7 +4714,7 @@ object CommittedTable {
         bloomCols = newBlooms, bucketing = keptBucketing,
         // the replacement materializes every column it declares and
         // physically sheds any dropped-column / renamed-residue bytes
-        virtualCols = Nil, droppedCols = Nil, renames = Map.empty), staged)
+        virtualCols = Nil, droppedCols = Nil, renames = Map.empty), staged, op = Some("overwrite"))
     collectGarbage(fs, table)
   }
 
@@ -4789,7 +4805,7 @@ object CommittedTable {
         segments = (m.segments -- affected) ++ staged,
         stats = (m.stats -- affected) ++ segStats,
         rowCounts = (m.rowCounts -- affected) ++ segCounts), staged,
-      rebase = Some(Rebase(m, affected, Set.empty)))
+      rebase = Some(Rebase(m, affected, Set.empty)), op = Some("overwrite-partitions"))
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }
@@ -4838,7 +4854,7 @@ object CommittedTable {
         rowCounts = compactCounts, fileStats = compactFileStats,
         // a full rewrite physically sheds dropped-column (and renamed
         // former-name) residue
-        droppedCols = Nil, renames = Map.empty), staged)
+        droppedCols = Nil, renames = Map.empty), staged, op = Some("compact"))
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }
@@ -4907,7 +4923,7 @@ object CommittedTable {
         segments = m.segments ++ staged,
         stats = m.stats ++ segStats,
         rowCounts = m.rowCounts ++ segCounts), staged,
-      rebase = Some(Rebase(m, partitions.toSet, partitions.toSet)))
+      rebase = Some(Rebase(m, partitions.toSet, partitions.toSet)), op = Some("compact-partitions"))
     crashPoint("after-swap")
     collectGarbage(fs, table)
   }

@@ -525,6 +525,7 @@ private[sql] object GraftProcedures {
   private val historySchema = StructType(Seq(
     StructField("generation", LongType, nullable = false),
     StructField("published_at", TimestampType, nullable = false),
+    StructField("operation", StringType, nullable = true),
     StructField("partitions", IntegerType, nullable = false),
     StructField("rows", LongType, nullable = true),
     StructField("is_current", BooleanType, nullable = false)))
@@ -633,7 +634,8 @@ private[sql] object GraftProcedures {
           throw new IllegalArgumentException("table must not be NULL")))
         val rows = CommittedTable.history(spark, path).map { g =>
           new GenericInternalRow(Array[Any](
-            g.gen, g.publishedAtMillis * 1000L, g.partitions,
+            g.gen, g.publishedAtMillis * 1000L,
+            g.op.map(UTF8String.fromString).orNull, g.partitions,
             g.rows.map(Long.box).orNull, g.current))
         }.toArray[InternalRow]
         java.util.Collections.singletonList[Scan](HistoryScan(rows)).iterator()

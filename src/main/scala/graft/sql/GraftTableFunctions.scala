@@ -148,12 +148,12 @@ object GraftTableFunctions {
     val path = pathV.toString
     val spark = SparkSession.active
     val out = CommittedTable.history(spark, path)
-      .map(g => (g.gen, g.publishedAtMillis, g.partitions, g.rows,
+      .map(g => (g.gen, g.publishedAtMillis, g.op, g.partitions, g.rows,
         g.current))
     val session = spark
     import session.implicits._
-    out.toDF("generation", "published_at_ms", "partitions", "rows",
-        "is_current")
+    out.toDF("generation", "published_at_ms", "operation", "partitions",
+        "rows", "is_current")
       .withColumn("published_at",
         timestamp_millis(org.apache.spark.sql.functions.col(
           "published_at_ms")))

@@ -836,14 +836,17 @@ class GraftCatalogSpec extends SparkSpec {
       val h = spark.sql(s"CALL graft.history(table => '$path')")
         .collect()
       assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
-      assert(h.map(_.getBoolean(4)).toSeq === Seq(false, false, true))
+      assert(h.map(_.getBoolean(5)).toSeq === Seq(false, false, true))
       // row totals track the snapshots: 8 seeded, 8 unchanged, 4 deleted
-      assert(h.map(_.getLong(3)).toSeq === Seq(8L, 8L, 4L))
+      assert(h.map(_.getLong(4)).toSeq === Seq(8L, 8L, 4L))
       // publish times are nondecreasing and real
       val ts = h.map(_.getTimestamp(1).getTime).toSeq
       assert(ts === ts.sorted && ts.head > 0L)
+      // every generation is attributed to the verb that published it
+      assert(h.map(_.getString(2)).toSeq ===
+        Seq("write", "set-retention", "delete"))
       // partitions: 3 (a,b,c) throughout — the delete rewrites, not drops
-      assert(h.map(_.getInt(2)).toSeq === Seq(3, 3, 3))
+      assert(h.map(_.getInt(3)).toSeq === Seq(3, 3, 3))
       // missing table fails loudly
       val e = intercept[Exception] {
         spark.sql(s"CALL graft.history(table => '${path}-none')").collect()

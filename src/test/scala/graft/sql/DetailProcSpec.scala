@@ -124,6 +124,14 @@ class DetailProcSpec extends SparkSpec {
       (1L, 2, Some(10L), false),
       (2L, 2, Some(9L), false),   // logical: the vector row subtracted
       (3L, 2, Some(12L), true)))
+    // every generation is attributed to the verb that published it —
+    // DESCRIBE HISTORY's operation column, through TVF and CALL alike
+    assert(spark.sql(s"SELECT operation FROM graft_history('$dir') " +
+      "ORDER BY generation").as[String].collect().toSeq ===
+      Seq("write", "delete-mor", "merge"))
+    assert(spark.sql(s"CALL graft.history(table => '$dir')")
+      .select("operation").as[String].collect().toSeq ===
+      Seq("write", "delete-mor", "merge"))
     // composable: the shrink-audit query is plain SQL over the relation
     assert(spark.sql(
       s"""SELECT COUNT(*) FROM (
