@@ -69,15 +69,19 @@ object GraftTableFunctions {
       s"graft_changes: the table at $path records no vercol — the CDF " +
         "needs a version column (write with versionCol=/TBLPROPERTIES " +
         "'vercol')"))
-    // one directory listing for every anchor's publish time
-    val publishedAt: Map[Long, Long] = CommittedTable.history(spark, path)
-      .map(g => g.gen -> g.publishedAtMillis).toMap
+    // one directory listing for every anchor's publish time + operation
+    val gens: Map[Long, CommittedTable.GenerationInfo] =
+      CommittedTable.history(spark, path).map(g => g.gen -> g).toMap
     (from to to).map { g =>
       CommittedTable.changesCdf(spark, path, g, key, ver)
         .withColumn("_commit_version", lit(g))
-        .withColumn("_commit_timestamp", publishedAt.get(g)
-          .map(ms => timestamp_millis(lit(ms)))
+        .withColumn("_commit_timestamp", gens.get(g)
+          .map(gi => timestamp_millis(lit(gi.publishedAtMillis)))
           .getOrElse(timestamp_millis(lit(null).cast("long"))))
+        // the publishing verb (manifest op= line) — audit attribution
+        // for every change row
+        .withColumn("_commit_operation",
+          lit(gens.get(g).flatMap(_.op).orNull).cast("string"))
     // later generations may carry widened schemas: align by name, the
     // same NULL-fill contract changesCdf applies to preimage rows
     }.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))

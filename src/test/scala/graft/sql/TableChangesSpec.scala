@@ -46,6 +46,12 @@ class TableChangesSpec extends SparkSpec {
       (2L, "update_preimage", 3L, 30.0, 1L),
       (2L, "update_postimage", 3L, 130.0, 2L),
       (3L, "delete", 4L, 40.0, 1L)))
+    // every change row is attributed to the verb that published it
+    assert(spark.sql(
+      s"""SELECT DISTINCT _commit_version, _commit_operation
+          FROM graft_changes('$dir', 2)""")
+      .as[(Long, String)].collect().toSet ===
+      Set((2L, "update"), (3L, "delete")))
     // defaulted to_version == explicit current; an explicit sub-range
     // restricts; gen 1 is all inserts
     val all = spark.sql(s"SELECT * FROM graft_changes('$dir', 1, 3)")
