@@ -4058,7 +4058,10 @@ object CommittedTable {
       filesPerPartition = filesPerPartition,
       rangeClusterParts = Some(m.segments.size))
     crashPoint("after-staging")
-    val missing = m.segments.keySet -- staged.keySet
+    // a manifest-provably-empty partition (vector retired every row)
+    // legitimately stages nothing: the rewrite retires it (compact's rule)
+    val missing = (m.segments.keySet -- staged.keySet).filterNot(p =>
+      m.rowCounts.get(p).exists(n => n + morRowAdj(m, p) == 0L))
     if (missing.nonEmpty)
       throw new java.io.IOException(
         s"compactZOrder staged no segment for partitions ${missing.mkString(",")}")
@@ -4840,8 +4843,11 @@ object CommittedTable {
       rangeClusterParts = Some(m.segments.size))
     crashPoint("after-staging")
     // every live partition restaged; a value absent from staged would mean
-    // data loss, so check the cover before publishing
-    val missing = m.segments.keySet -- staged.keySet
+    // data loss — unless the manifest PROVES it logically empty (its
+    // deletion vector retired every row): the full rewrite retires the
+    // entry, publishing nothing for it (the compactPartitions rule)
+    val missing = (m.segments.keySet -- staged.keySet).filterNot(p =>
+      m.rowCounts.get(p).exists(n => n + morRowAdj(m, p) == 0L))
     if (missing.nonEmpty)
       throw new java.io.IOException(
         s"compact staged no segment for partitions ${missing.mkString(",")}")
@@ -4909,20 +4915,29 @@ object CommittedTable {
       rangeClusterParts = Some(partitions.size))
     crashPoint("after-staging")
     // content-preserving cover check: every named partition must restage
-    // (its rows came straight from the live segment)
+    // (its rows came straight from the live segment) — EXCEPT a
+    // partition whose deletion vector retired every row: it is
+    // legitimately empty (the manifest proves it: base count + MoR
+    // adjustment = 0), and materializing the emptiness IS retiring its
+    // entry, exactly as delete() retires partitions it drains. Without
+    // this, CALL graft.optimize would throw forever on any partition a
+    // MoR takedown fully emptied. A lost partition the manifest CANNOT
+    // prove empty keeps the loud data-loss throw.
     val lost = partitions.toSet -- staged.keySet
-    if (lost.nonEmpty)
+    val (drained, unexplained) = lost.partition(p =>
+      m.rowCounts.get(p).exists(n => n + morRowAdj(m, p) == 0L))
+    if (unexplained.nonEmpty)
       throw new java.io.IOException(
-        s"compactPartitions staged no segment for ${lost.mkString(",")}")
+        s"compactPartitions staged no segment for ${unexplained.mkString(",")}")
     val (segStats, segCounts, segFileStats) =
       statsFromStaged(spark, table, staged, pc, m.statsCols, m.bloomCols)
     crashPoint("before-swap")
     publishOrAbort(hconf, table, m.gen,
       m.copy(gen = gen,
         fileStats = m.fileStats ++ segFileStats,
-        segments = m.segments ++ staged,
-        stats = m.stats ++ segStats,
-        rowCounts = m.rowCounts ++ segCounts), staged,
+        segments = (m.segments -- drained) ++ staged,
+        stats = (m.stats -- drained) ++ segStats,
+        rowCounts = (m.rowCounts -- drained) ++ segCounts), staged,
       rebase = Some(Rebase(m, partitions.toSet, partitions.toSet)), op = Some("compact-partitions"))
     crashPoint("after-swap")
     collectGarbage(fs, table)

@@ -504,6 +504,42 @@ class DeltaSegmentSpec extends SparkSpec {
     assert(CommittedTable.count(spark, dir) === 6L)
   }
 
+  test("a partition fully drained by its vector RETIRES under " +
+      "compaction instead of throwing (the optimize loop-breaker)") {
+    val dir = freshDir("drained")
+    CommittedTable.write(base(), dir, "status",
+      keyCol = Some("id"), versionCol = Some("version"))
+    // C has one row: the takedown empties it MoR-style
+    CommittedTable.deleteMor(spark, dir, $"status" === "C", "status")
+    assert(CommittedTable.count(spark, dir, Some(Seq("C"))) === 0L)
+    assert(CommittedTable.readAmplifiedPartitions(spark, dir) === Seq("C"))
+    // optimize (dead-ratio selector) must retire C, not throw forever
+    spark.sql(s"CALL graft.optimize(table => '$dir', max_files => 99)")
+    val m1 = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      CommittedTable.readManifest(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p).get
+    }
+    assert(!m1.segments.contains("C"))
+    assert(rows(dir).map(_._1) === Set(1L, 2L, 3L, 4L, 5L))
+    // it no longer selects: the second call is a no-op
+    val g = CommittedTable.history(spark, dir).last.gen
+    spark.sql(s"CALL graft.optimize(table => '$dir', max_files => 99)")
+    assert(CommittedTable.history(spark, dir).last.gen === g)
+    // whole-table compact and z-order tolerate a drained partition too
+    val dir2 = freshDir("drained2")
+    CommittedTable.write(base(), dir2, "status",
+      keyCol = Some("id"), versionCol = Some("version"),
+      statsCols = Seq("id", "value"))
+    CommittedTable.deleteMor(spark, dir2, $"status" === "C", "status")
+    CommittedTable.compact(spark, dir2, "status")
+    assert(rows(dir2).map(_._1) === Set(1L, 2L, 3L, 4L, 5L))
+    CommittedTable.deleteMor(spark, dir2, $"status" === "B", "status")
+    CommittedTable.compactZOrder(spark, dir2, "status",
+      Seq("id", "value"), 8)
+    assert(rows(dir2).map(_._1) === Set(1L, 2L, 3L))
+  }
+
   test("delta dirs of aged-out generations are garbage-collected once " +
       "materialized and out of retention") {
     val dir = freshDir("gc")
