@@ -36,6 +36,24 @@ object SqlSurface {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** The MoR gates' routing witness, asserted on the MANIFEST rather
+    * than on segment-directory survival: a copy-on-write rewrite ALSO
+    * leaves old segment dirs on disk (retained anchors protect them
+    * from GC), so `before.subsetOf(dirs)` could stay true under a
+    * silent CoW regression. What CoW cannot fake is the manifest
+    * itself — it would repoint every touched partition's `segment`
+    * entry at a fresh dir and publish no delta entries. The witness
+    * therefore pins (a) every pre-DML partition still maps to its
+    * EXACT pre-DML base segment and (b) at least one partition carries
+    * a live delta segment (the DML's written rows). */
+  private def morWitness(s: org.apache.spark.sql.SparkSession, wh: String,
+      before: Map[String, String]): Boolean = {
+    val m = graft.sources.CommittedTable.manifestAt(s, wh)
+    before.forall { case (p, seg) => m.segments.get(p).contains(seg) } &&
+      m.segments.keys.exists(p =>
+        graft.sources.CommittedTable.liveDeltas(m, p).nonEmpty)
+  }
+
   val queries: Seq[Q] = Seq(
 
     // ---- SQL SELECT over a committed table --------------------------------
@@ -1294,15 +1312,7 @@ object SqlSurface {
       graft.sources.CommittedTable.write(src, wh, "o_orderstatus",
         keyCol = Some("o_orderkey"), versionCol = Some("version"),
         statsCols = Seq("o_totalprice"), bloomCols = Seq("o_orderkey"))
-      def segs(): Set[String] = {
-        val st = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
-        try {
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.startsWith("seg-")).toSet
-        } finally st.close()
-      }
-      val before = segs()
+      val before = graft.sources.CommittedTable.manifestAt(s, wh).segments
       // merge 1: in-place upserts (strictly newer versions)
       graft.sources.CommittedTable.mergeMor(s, wh,
         src.filter(col("o_orderkey") % 13 === 1)
@@ -1316,7 +1326,7 @@ object SqlSurface {
             col("o_orderstatus"), lit(999.99).as("o_totalprice"),
             lit(1L).as("version")),
         "o_orderkey", "version", "o_orderstatus")
-      val mor = before.subsetOf(segs()) && segs().size > before.size
+      val mor = morWitness(s, wh, before)
       val out = s.sql(
         s"""SELECT o_orderstatus, $mor AS mor, COUNT(*) AS n,
               CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
@@ -1363,20 +1373,12 @@ object SqlSurface {
             TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version',
                           'updatemode'='mor')
             AS SELECT * FROM q176_src""") // gen 1
-      def segs(): Set[String] = {
-        val st = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
-        try {
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.startsWith("seg-")).toSet
-        } finally st.close()
-      }
-      val before = segs()
+      val before = graft.sources.CommittedTable.manifestAt(s, wh).segments
       s.sql(
         s"""UPDATE graft.`$wh`
             SET o_totalprice = o_totalprice * 2.0, version = 2
             WHERE o_orderkey % 7 = 2""") // gen 2, MoR-routed
-      val mor = before.subsetOf(segs())
+      val mor = morWitness(s, wh, before)
       val out = s.sql(
         s"""SELECT o_orderstatus, $mor AS mor, COUNT(*) AS n,
               CAST(SUM(version) AS BIGINT) AS sum_version,
@@ -1412,15 +1414,7 @@ object SqlSurface {
         o.withColumn("version", lit(1L)), wh, "o_orderstatus",
         keyCol = Some("o_orderkey"), versionCol = Some("version"))
       graft.sources.CommittedTable.setUpdateMode(s, wh, Some("mor"))
-      def segs(): Set[String] = {
-        val st = java.nio.file.Files.list(java.nio.file.Paths.get(wh))
-        try {
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala.map(_.getFileName.toString)
-            .filter(_.startsWith("seg-")).toSet
-        } finally st.close()
-      }
-      val before = segs()
+      val before = graft.sources.CommittedTable.manifestAt(s, wh).segments
       val k = col("o_orderkey")
       val matchedSrc = o.filter(k % 13 === 0)
         .select(k.as("o_orderkey"),
@@ -1443,7 +1437,7 @@ object SqlSurface {
               UPDATE SET o_totalprice = 0.0, version = t.version + 1
             WHEN NOT MATCHED BY SOURCE AND t.o_orderkey % 101 = 0 THEN
               DELETE""")
-      val mor = before.subsetOf(segs())
+      val mor = morWitness(s, wh, before)
       val out = s.sql(
         s"""SELECT o_orderstatus, $mor AS mor, COUNT(*) AS n,
               CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,

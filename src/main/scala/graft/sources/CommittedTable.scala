@@ -2271,6 +2271,15 @@ object CommittedTable {
     collectGarbage(fs, table)
   }
 
+  /** Whether generation `gen` changed partition `pv`'s visible contents
+    * in manifest `m`: its segment was written at `gen`, or a live
+    * deletion vector or delta segment carries `gen` as its touch marker
+    * — the one change-detection rule every feed variant shares. */
+  private def touchedAt(m: Manifest, pv: String, gen: Long): Boolean =
+    m.segments.get(pv).exists(s => genOf(s) == gen) ||
+      liveDv(m, pv).exists(_.gen == gen) ||
+      liveDeltas(m, pv).exists(_.gen == gen)
+
   /** The CHANGE BATCH of generation `gen`: exactly the rows written AT
     * that generation — gen 1 is the initial load, a merge's generation is
     * its upserted partitions' full rewritten contents (latest-version-
@@ -2282,15 +2291,6 @@ object CommittedTable {
     * rewrite history. Metadata-only resolution (one manifest read); the
     * feed's retention contract is [[readAt]]'s: a consumer must not lag
     * more than `retainGenerations - 1` generations behind the writer. */
-  /** Whether generation `gen` changed partition `pv`'s visible contents
-    * in manifest `m`: its segment was written at `gen`, or a live
-    * deletion vector or delta segment carries `gen` as its touch marker
-    * — the one change-detection rule every feed variant shares. */
-  private def touchedAt(m: Manifest, pv: String, gen: Long): Boolean =
-    m.segments.get(pv).exists(s => genOf(s) == gen) ||
-      liveDv(m, pv).exists(_.gen == gen) ||
-      liveDeltas(m, pv).exists(_.gen == gen)
-
   def changesFor(spark: SparkSession, path: String, gen: Long): DataFrame = {
     val table = new Path(path)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -4970,14 +4970,17 @@ object CommittedTable {
   }
 
   /** Partitions whose reads pay for DEAD rows: the live deletion
-    * vector's row count exceeds `maxDeadRatio` of the partition's base
-    * physical rows — the complement of [[fragmentedPartitions]]' signal
-    * (a partition can be one tidy file and still anti-join half its
-    * rows away on every scan after enough MoR deletes/updates).
-    * Manifest metadata alone, zero listings; a partition without a
-    * recorded count is skipped (unknown, not amplifiable evidence).
-    * The second [[compactPartitions]] target selector — `CALL
-    * graft.optimize` unions both. */
+    * vector's row count exceeds `maxDeadRatio` of the partition's LIVE
+    * PHYSICAL rows (base segment + live delta segments — the rows a
+    * scan actually opens; the dv may retire positions in either, so a
+    * base-only denominator would overstate the ratio after delta-heavy
+    * workloads and could exceed 1.0) — the complement of
+    * [[fragmentedPartitions]]' signal (a partition can be one tidy file
+    * and still anti-join half its rows away on every scan after enough
+    * MoR deletes/updates). Manifest metadata alone, zero listings; a
+    * partition without a recorded count is skipped (unknown, not
+    * amplifiable evidence). The second [[compactPartitions]] target
+    * selector — `CALL graft.optimize` unions both. */
   def readAmplifiedPartitions(spark: SparkSession, path: String,
       maxDeadRatio: Double = 0.5): Seq[String] = {
     require(maxDeadRatio > 0.0,
@@ -4987,8 +4990,10 @@ object CommittedTable {
     val m = readManifest(fs, table).getOrElse(
       throw new java.io.IOException(s"no committed table at $path"))
     m.segments.keys.filter { p =>
-      liveDv(m, p).exists(d => m.rowCounts.get(p).exists(n =>
-        n > 0 && d.rows.toDouble / n > maxDeadRatio))
+      liveDv(m, p).exists(d => m.rowCounts.get(p).exists { n =>
+        val physical = n + liveDeltas(m, p).map(_.rows).sum
+        physical > 0 && d.rows.toDouble / physical > maxDeadRatio
+      })
     }.toSeq.sorted
   }
 }

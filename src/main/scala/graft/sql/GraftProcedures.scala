@@ -120,10 +120,13 @@ private[sql] object GraftProcedures {
   }
 
   /** `CALL graft.optimize(table[, max_files[, sort_by[,
-    * files_per_partition]]])`: one-call BOUNDED maintenance — select the
-    * partitions whose live data-file count (base segment + MoR delta
-    * dirs) exceeds `max_files` from manifest metadata alone
-    * ([[CommittedTable.fragmentedPartitions]], zero listings), then
+    * files_per_partition[, max_dead_ratio]]]])`: one-call BOUNDED
+    * maintenance — select the partitions whose live data-file count
+    * (base segment + MoR delta dirs) exceeds `max_files` UNION those
+    * whose live deletion vector retires more than `max_dead_ratio` of
+    * their live physical rows, both from manifest metadata alone
+    * ([[CommittedTable.fragmentedPartitions]] +
+    * [[CommittedTable.readAmplifiedPartitions]], zero listings), then
     * [[CommittedTable.compactPartitions]] exactly those: coalesces the
     * files, materializes deletion vectors + delta segments back into one
     * (or range-clustered) segment per partition, and REBASES over

@@ -471,6 +471,29 @@ class DeltaSegmentSpec extends SparkSpec {
       maxDeadRatio = 0.4) === Nil)
   }
 
+  test("dead ratio is measured against LIVE PHYSICAL rows (base + " +
+      "delta), not base alone — delta-heavy partitions are not " +
+      "over-selected") {
+    val dir = freshDir("deadratio-delta")
+    CommittedTable.write(base(), dir, "status",
+      keyCol = Some("id"), versionCol = Some("version"))
+    // grow A by 3 NEW keys (insert-only MoR merge: pure delta, no dv) —
+    // A now holds 3 base + 3 delta physical rows
+    CommittedTable.mergeMor(spark, dir,
+      Seq((10L, "A", 100.0, 1L), (11L, "A", 110.0, 1L),
+        (12L, "A", 120.0, 1L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    // MoR-delete 3 of A's 6 rows: dead ratio vs base alone would be
+    // 3/3 = 1.0 (> any threshold); vs live physical it is 3/6 = 0.5
+    CommittedTable.deleteMor(spark, dir, $"id".isin(1L, 2L, 3L), "status")
+    assert(CommittedTable.count(spark, dir, Some(Seq("A"))) === 3L)
+    // 0.5 is NOT > 0.5: base-only accounting would wrongly flag A
+    assert(CommittedTable.readAmplifiedPartitions(spark, dir) === Nil)
+    // and the ratio still fires once it truly crosses the knob
+    assert(CommittedTable.readAmplifiedPartitions(spark, dir,
+      maxDeadRatio = 0.4) === Seq("A"))
+  }
+
   test("accumulation: 20 MoR merges stack deltas + a folded vector; " +
       "reads, counts, SQL time travel and optimize stay exact") {
     val dir = freshDir("stack")
