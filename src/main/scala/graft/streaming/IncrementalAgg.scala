@@ -42,8 +42,35 @@ import graft.sources.CommittedTable
   * what the writer rewrote); the read-modify-write touches only the
   * affected groups' partitions via the manifest-pruned read; rescans
   * touch only retraction-hit groups. Nothing is proportional to the
-  * source-table or view size. */
+  * source-table or view size — including on the DRIVER: the
+  * touched-group and rescan-group value lists (which feed manifest
+  * pruning) are collected only up to [[MaxGroupValueList]] values
+  * ([[boundedValues]] — a LIMIT-bounded probe, never the full set);
+  * above that the fold switches to a distributed LEFT SEMI join of the
+  * view / source against the batch's group keys, so a per-user view
+  * over a 100 TB corpus cannot OOM the driver. (The publish itself
+  * still holds the touched PARTITION NAMES as manifest entries —
+  * that is metadata, the same O(touched-partitions) every
+  * Delta/Iceberg-shaped commit carries.) */
 object IncrementalAgg {
+
+  /** Cardinality ceiling for driver-side group-value lists: at or below
+    * it the fold prunes the view/source read by explicit partition
+    * values (manifest-metadata pruning, zero listings of untouched
+    * groups); above it the value list is never materialized and a
+    * semi-join does the filtering instead. 10k strings is comfortably
+    * driver-safe; a view with more touched groups per batch is reading
+    * most of its partitions anyway, so the lost prune is cheap. */
+  val MaxGroupValueList = 10000
+
+  /** Collect at most `max` values of `df`'s single string column —
+    * `None` when the cardinality exceeds `max`. The probe is
+    * `LIMIT max+1`, so the driver materializes max+1 rows in the
+    * worst case regardless of the true cardinality. */
+  private[streaming] def boundedValues(df: DataFrame, max: Int): Option[Seq[String]] = {
+    val sample = df.limit(max + 1).collect().map(_.getString(0))
+    if (sample.length <= max) Some(sample.toIndexedSeq) else None
+  }
 
   /** Bootstrap the view at `dst` from the CURRENT contents of the source
     * committed table: one full aggregation, stamped with the source's
@@ -92,9 +119,12 @@ object IncrementalAgg {
     * replay idempotence. `src` (the source table path) is required only
     * when a retraction touches a group's extreme and the view maintains
     * MIN/MAX — the rescan path; views bootstrapped before the min/max
-    * columns existed fold COUNT/SUM exactly as before. */
+    * columns existed fold COUNT/SUM exactly as before.
+    * `maxGroupValueList` is the driver-safety valve (see
+    * [[MaxGroupValueList]]); it changes plans, never answers. */
   def apply(batch: DataFrame, dst: String, groupCol: String,
-      valueCol: String, src: Option[String] = None): Unit = {
+      valueCol: String, src: Option[String] = None,
+      maxGroupValueList: Int = MaxGroupValueList): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
     val signed = batch
@@ -102,12 +132,16 @@ object IncrementalAgg {
       .withColumn("__sign",
         when(col(CommittedTable.ChangeTypeColumn)
           .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L)))
-    // current state of ONLY the groups the batch touches (manifest-pruned)
-    val touchedGroups: Array[String] = signed
-      .select(col(groupCol).cast("string")).distinct()
-      .collect().map(_.getString(0))
-    val curAll = CommittedTable.read(spark, dst,
-      Some(touchedGroups.toIndexedSeq))
+    // current state of ONLY the groups the batch touches: value-list
+    // manifest prune while the touched set is driver-small, a
+    // distributed semi-join above the valve (no group-value collect)
+    val touched = signed.select(col(groupCol).cast("string").as(groupCol))
+      .distinct()
+    val curAll = boundedValues(touched, maxGroupValueList) match {
+      case Some(vs) => CommittedTable.read(spark, dst, Some(vs))
+      case None => CommittedTable.read(spark, dst)
+        .join(touched, Seq(groupCol), "left_semi")
+    }
     val hasMinMax = curAll.columns.contains("min_value")
     val cur = curAll.select(
       (Seq(col(groupCol), col("n"), col("sum_value"), col("applied_gen")) ++
@@ -159,11 +193,11 @@ object IncrementalAgg {
       col("__gen").as("applied_gen"))
     staged.persist()
     try {
-      val rescanGroups: Array[String] = staged
-        .filter(col("__rescan") && col("n") > 0)
-        .select(col(groupCol)).collect().map(_.getString(0))
+      val rescan = staged.filter(col("__rescan") && col("n") > 0)
+        .select(col(groupCol))
+      val rescanList = boundedValues(rescan, maxGroupValueList)
       val withScan =
-        if (rescanGroups.isEmpty)
+        if (rescanList.exists(_.isEmpty))
           staged.withColumn("__smin", lit(null).cast("double"))
             .withColumn("__smax", lit(null).cast("double"))
         else {
@@ -173,14 +207,19 @@ object IncrementalAgg {
               "affected groups can be rescanned"))
           val m = CommittedTable.manifestAt(spark, srcPath)
           // manifest-pruned when the source is partitioned by the group
-          // column; a pushed-down filter scan otherwise
-          val srcRows =
-            if (m.partitionCol.contains(groupCol))
-              CommittedTable.read(spark, srcPath,
-                Some(rescanGroups.toIndexedSeq))
-            else CommittedTable.read(spark, srcPath)
-              .filter(col(groupCol).cast("string")
-                .isin(rescanGroups.toIndexedSeq: _*))
+          // column and the rescan set is driver-small; a pushed-down
+          // filter scan / distributed semi-join otherwise
+          val srcRows = rescanList match {
+            case Some(vs) if m.partitionCol.contains(groupCol) =>
+              CommittedTable.read(spark, srcPath, Some(vs))
+            case Some(vs) =>
+              CommittedTable.read(spark, srcPath)
+                .filter(col(groupCol).cast("string").isin(vs: _*))
+            case None =>
+              CommittedTable.read(spark, srcPath).join(
+                rescan.select(col(groupCol).as("__rg")),
+                col(groupCol).cast("string") === col("__rg"), "left_semi")
+          }
           val scan = srcRows
             .groupBy(col(groupCol).cast("string").as(groupCol))
             .agg(min(vraw).as("__smin"), max(vraw).as("__smax"))

@@ -255,4 +255,60 @@ class IncrementalAggSpec extends SparkSpec {
     assert(viewRows(dst) === Map(
       "A" -> ((2L, 35.0)), "B" -> ((1L, 30.0)), "C" -> ((1L, 40.0))))
   }
+
+  test("boundedValues never materializes a high-cardinality group set " +
+      "on the driver: 100k distinct values -> None via a LIMIT probe") {
+    // the driver-safety contract behind MaxGroupValueList: the probe is
+    // LIMIT max+1, so even a 100k-group batch hands the driver at most
+    // max+1 strings before the fold switches to the semi-join path
+    val wide = spark.range(100000)
+      .select(($"id" % 100000).cast("string").as("g")).distinct()
+    assert(IncrementalAgg.boundedValues(wide, 10000) === None)
+    assert(IncrementalAgg.boundedValues(wide, 3) === None)
+    // the probe's plan carries the LIMIT — the full distinct set is
+    // never a driver result even when the answer is None
+    val probePlan = wide.limit(4).queryExecution.executedPlan.toString
+    assert(probePlan.contains("Limit") || probePlan.contains("limit"))
+    val small = spark.range(5).select($"id".cast("string").as("g"))
+    assert(IncrementalAgg.boundedValues(small, 10)
+      .map(_.toSet) === Some(Set("0", "1", "2", "3", "4")))
+  }
+
+  test("above the valve the fold semi-joins instead of collecting " +
+      "group values — answers identical to the pruned path, min/max " +
+      "rescans included") {
+    // 60 groups, extreme-retracting updates in EVERY group, valve = 8:
+    // both the touched-group and rescan-group lists exceed the valve, so
+    // the fold must take the distributed semi-join path end to end
+    val src = freshDir("valve-src")
+    val dstJ = freshDir("valve-join")
+    val dstP = freshDir("valve-prune")
+    val rows = (0 until 60).flatMap { g =>
+      Seq((2L * g, f"g$g%02d", g * 1.0), (2L * g + 1, f"g$g%02d", g + 100.0))
+    }.toDF("id", "status", "value").withColumn("version", lit(1L))
+    CommittedTable.write(rows, src, "status", retainGenerations = 8,
+      keyCol = Some("id"), versionCol = Some("version"))
+    IncrementalAgg.init(spark, src, dstJ, "status", "value")
+    IncrementalAgg.init(spark, src, dstP, "status", "value")
+    // gen 2: every group's MAX row drops below its old min — the
+    // preimage retracts the extreme (rescan) and the postimage extends
+    // the min (fold), in all 60 groups at once
+    val upd = (0 until 60).map(g =>
+      (2L * g + 1, f"g$g%02d", g - 50.0, 2L))
+      .toDF("id", "status", "value", "version")
+    CommittedTable.merge(spark, src, upd, "id", "version", "status")
+    val batch = CommittedTable.changesCdf(spark, src, 2L, "id", "version")
+      .withColumn(ChangeFeed.GenColumn, lit(2L))
+    batch.persist()
+    try {
+      IncrementalAgg.apply(batch, dstJ, "status", "value", Some(src),
+        maxGroupValueList = 8)     // join path (60 > 8)
+      IncrementalAgg.apply(batch, dstP, "status", "value", Some(src))
+    } finally { batch.unpersist(); () }
+    assert(liveViewRows(dstJ) === recompute(src))
+    assert(minMaxRows(dstJ) === recomputeMinMax(src))
+    // plan choice is invisible in the answers: both paths agree exactly
+    assert(viewRows(dstJ) === viewRows(dstP))
+    assert(minMaxRows(dstJ) === minMaxRows(dstP))
+  }
 }
