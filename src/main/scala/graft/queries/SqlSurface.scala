@@ -1618,5 +1618,165 @@ object SqlSurface {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         CAST(COUNT(*) AS BIGINT) AS sum_version
       FROM orders
-      GROUP BY o_orderstatus""")))
+      GROUP BY o_orderstatus""")),
+
+    // ---- Generation history as a SQL relation: graft_history() ------------
+    // The audit surface joined to the audit trail: graft_history's one
+    // row per retained generation (verb, live partition count, logical
+    // rows, currency) LEFT-joined to graft_changes' per-generation CDF
+    // on _commit_version — so the gate pins that (a) every publish
+    // recorded its verb, (b) the manifest's logical row accounting
+    // tracks each DML exactly, and (c) the history relation and the
+    // change feed agree on generation identity. The oracle re-derives
+    // all of it from the DML script over the raw table. Driver-side
+    // metadata only: one listing + one small anchor read per retained
+    // generation; the CDF side is manifest-pruned to rewritten
+    // partitions (the q171 contract).
+    Q("q180_sql_history", (s, dir) => {
+      table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+        .createOrReplaceTempView("q180_src")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q180").toString + "/wh"
+      s.sql(
+        s"""CREATE TABLE graft.`$wh`
+            PARTITIONED BY (o_orderstatus)
+            TBLPROPERTIES('keycol'='o_orderkey', 'vercol'='version',
+                          'retain'='6')
+            AS SELECT * FROM q180_src""") // gen 1, op=write
+      s.sql(
+        s"""UPDATE graft.`$wh`
+            SET o_totalprice = o_totalprice + 100.0, version = 2
+            WHERE o_orderkey % 11 = 4""") // gen 2, op=update
+      s.sql(s"DELETE FROM graft.`$wh` WHERE o_orderkey % 19 = 7") // gen 3
+      val out = s.sql(
+        s"""SELECT h.generation, h.operation,
+              CAST(h.partitions AS BIGINT) AS n_partitions,
+              h.`rows` AS n_rows, h.is_current,
+              COALESCE(c.n_changes, CAST(0 AS BIGINT)) AS n_changes,
+              COALESCE(c.sum_keys, CAST(0 AS BIGINT)) AS change_sum_keys
+            FROM graft_history('$wh') h
+            LEFT JOIN (
+              SELECT _commit_version, COUNT(*) AS n_changes,
+                CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+              FROM graft_changes('$wh', 2)
+              GROUP BY _commit_version) c
+            ON h.generation = c._commit_version""")
+      finish(s, out, wh)
+    }, Some("""
+      WITH p AS (
+        SELECT COUNT(DISTINCT o_orderstatus) AS np, COUNT(*) AS n
+        FROM orders),
+      upd AS (
+        SELECT COUNT(*) AS nu, SUM(o_orderkey) AS su
+        FROM orders WHERE o_orderkey % 11 = 4),
+      del AS (
+        SELECT COUNT(*) AS nd, SUM(o_orderkey) AS sd
+        FROM orders WHERE o_orderkey % 19 = 7)
+      SELECT CAST(1 AS BIGINT) AS generation, 'write' AS operation,
+        CAST(np AS BIGINT) AS n_partitions, CAST(n AS BIGINT) AS n_rows,
+        FALSE AS is_current, CAST(0 AS BIGINT) AS n_changes,
+        CAST(0 AS BIGINT) AS change_sum_keys
+      FROM p
+      UNION ALL
+      SELECT 2, 'update', CAST(np AS BIGINT), CAST(n AS BIGINT), FALSE,
+        CAST(2 * nu AS BIGINT), CAST(2 * su AS BIGINT)
+      FROM p, upd
+      UNION ALL
+      SELECT 3, 'delete', CAST(np AS BIGINT), CAST(n - nd AS BIGINT), TRUE,
+        CAST(nd AS BIGINT), CAST(sd AS BIGINT)
+      FROM p, del""")),
+
+    // ---- Merge-on-read endurance: 8-deep delta stack, travel, optimize ----
+    // The maintenance lifecycle as one gate: EIGHT successive mergeMor
+    // generations pile deltas and fold deletion vectors on every
+    // partition (merge i upserts keys ≡ 0 mod i+2 at version i+1 —
+    // strictly increasing versions, so each matching merge supersedes
+    // the stack beneath it), then a MoR DELETE retires keys across base
+    // AND delta files, then a mid-stack `VERSION AS OF` read proves
+    // time travel stays exact under live vectors+deltas, then `CALL
+    // graft.optimize(max_files => 1)` materializes the whole stack back
+    // to one segment per partition — the witness asserts the
+    // post-optimize manifest carries ZERO delta dirs and ZERO live
+    // vectors — and the final read must equal the oracle's full replay.
+    // At 100 TB this is the steady state of a MoR-upserting ingest:
+    // bounded read amplification, self-remediating layout, history
+    // intact throughout (DeltaSegmentSpec pins the 20-deep variant with
+    // crash points; this gates the end-to-end answer).
+    Q("q181_mor_endurance", (s, dir) => {
+      val src = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q181").toString + "/wh"
+      graft.sources.CommittedTable.write(src, wh, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"),
+        bloomCols = Seq("o_orderkey"), retainGenerations = 13)
+      (1 to 8).foreach { i =>
+        graft.sources.CommittedTable.mergeMor(s, wh,
+          src.filter(col("o_orderkey") % (i + 2) === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + i * 1000.0)
+            .withColumn("version", lit(i + 1L)),
+          "o_orderkey", "version", "o_orderstatus") // gens 2..9
+      }
+      graft.sources.CommittedTable.deleteMor(s, wh,
+        col("o_orderkey") % 23 === 1, "o_orderstatus") // gen 10
+      val mid = s.sql(
+        s"""SELECT o_orderstatus, 'mid' AS epoch, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              CAST(SUM(version) AS BIGINT) AS sum_version,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$wh` VERSION AS OF 5
+            GROUP BY o_orderstatus""").collect()
+      s.sql(s"CALL graft.optimize(table => '$wh', max_files => 1)") // gen 11
+      val m = graft.sources.CommittedTable.manifestAt(s, wh)
+      val drained = m.segments.keys.forall(p =>
+        graft.sources.CommittedTable.liveDeltas(m, p).isEmpty &&
+          graft.sources.CommittedTable.liveDv(m, p).isEmpty)
+      val fin = s.sql(
+        s"""SELECT o_orderstatus, 'final' AS epoch, COUNT(*) AS n,
+              CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+              CAST(SUM(version) AS BIGINT) AS sum_version,
+              ${DSUM("o_totalprice")} AS sum_price
+            FROM graft.`$wh`
+            GROUP BY o_orderstatus""")
+      val out = fin.union(s.createDataFrame(
+          java.util.Arrays.asList(mid: _*), fin.schema))
+        .withColumn("drained", lit(drained))
+      finish(s, out, wh)
+    }, Some("""
+      WITH li AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+          CASE WHEN o_orderkey % 10 = 0 THEN 8
+               WHEN o_orderkey % 9 = 0 THEN 7
+               WHEN o_orderkey % 8 = 0 THEN 6
+               WHEN o_orderkey % 7 = 0 THEN 5
+               WHEN o_orderkey % 6 = 0 THEN 4
+               WHEN o_orderkey % 5 = 0 THEN 3
+               WHEN o_orderkey % 4 = 0 THEN 2
+               WHEN o_orderkey % 3 = 0 THEN 1
+               ELSE 0 END AS lfin,
+          CASE WHEN o_orderkey % 6 = 0 THEN 4
+               WHEN o_orderkey % 5 = 0 THEN 3
+               WHEN o_orderkey % 4 = 0 THEN 2
+               WHEN o_orderkey % 3 = 0 THEN 1
+               ELSE 0 END AS lmid
+        FROM orders)
+      SELECT o_orderstatus, 'final' AS epoch, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(lfin + 1) AS BIGINT) AS sum_version,
+        CAST(SUM(CAST(o_totalprice + lfin * 1000.0 AS DECIMAL(18,2)))
+             AS DOUBLE) AS sum_price,
+        TRUE AS drained
+      FROM li WHERE o_orderkey % 23 <> 1
+      GROUP BY o_orderstatus
+      UNION ALL
+      SELECT o_orderstatus, 'mid', COUNT(*),
+        CAST(SUM(o_orderkey) AS BIGINT),
+        CAST(SUM(lmid + 1) AS BIGINT),
+        CAST(SUM(CAST(o_totalprice + lmid * 1000.0 AS DECIMAL(18,2)))
+             AS DOUBLE),
+        TRUE
+      FROM li GROUP BY o_orderstatus""")))
 }
