@@ -1778,5 +1778,77 @@ object SqlSurface {
         CAST(SUM(CAST(o_totalprice + lmid * 1000.0 AS DECIMAL(18,2)))
              AS DOUBLE),
         TRUE
-      FROM li GROUP BY o_orderstatus""")))
+      FROM li GROUP BY o_orderstatus""")),
+
+    // ---- Bucketed layout survives merge-on-read DML -----------------------
+    // q162's write-time shuffle elimination composed with the MoR verbs:
+    // delta files stage through the same pmod(murmur3, n) split and
+    // Spark `_NNNNN` bucket naming as base segments, so after a MoR
+    // merge (vector + deltas) and a MoR delete (vector spanning base and
+    // delta files) the fact–dim join STILL plans with zero shuffle
+    // exchanges under the sort-merge join — `bucket_free` witnesses the
+    // plan (the outer join is pinned to sort-merge by hint so the tiny
+    // dim's auto-broadcast can't mask the evidence; the dv anti-join
+    // inside the scan broadcasts as usual), `mor` witnesses the manifest
+    // (base segments untouched + live deltas present). At 100 TB this is
+    // what keeps a continuously-upserted fact co-located with its dims:
+    // maintenance-free bucket joins that don't decay with ingest.
+    Q("q182_bucketed_mor", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .withColumn("version", lit(1L))
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q182").toString
+      val fPath = s"$wh/fact"; val dPath = s"$wh/dim"
+      graft.sources.CommittedTable.write(o, fPath, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"),
+        bucketBy = Some((8, Seq("o_custkey"))))
+      graft.sources.CommittedTable.write(c, dPath, "c_mktsegment",
+        bucketBy = Some((8, Seq("c_custkey"))))
+      val before = graft.sources.CommittedTable.manifestAt(s, fPath).segments
+      graft.sources.CommittedTable.mergeMor(s, fPath,
+        o.filter(col("o_orderkey") % 13 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 5000.0)
+          .withColumn("version", lit(2L)),
+        "o_orderkey", "version", "o_orderstatus")
+      graft.sources.CommittedTable.deleteMor(s, fPath,
+        col("o_orderkey") % 31 === 2, "o_orderstatus")
+      val mor = morWitness(s, fPath, before)
+      val prevA = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val j = s.sql(
+          s"""SELECT /*+ SHUFFLE_MERGE(c) */ c.c_mktsegment, COUNT(*) AS n,
+                CAST(SUM(f.o_orderkey) AS BIGINT) AS sum_keys,
+                CAST(SUM(f.version) AS BIGINT) AS sum_version,
+                ${DSUM("f.o_totalprice")} AS sum_price
+              FROM graft.`$fPath` f JOIN graft.`$dPath` c
+                ON f.o_custkey = c.c_custkey
+              GROUP BY c.c_mktsegment""")
+        val smj = j.queryExecution.executedPlan.collectFirst {
+          case sm: org.apache.spark.sql.execution.joins.SortMergeJoinExec => sm }
+        val bucketFree = smj.exists(_.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        }.isEmpty)
+        val out = j.withColumn("mor", lit(mor))
+          .withColumn("bucket_free", lit(bucketFree))
+        finish(s, out, fPath)
+      } finally s.conf.set("spark.sql.adaptive.enabled", prevA)
+    }, Some("""
+      WITH f AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 13 = 1 THEN o_totalprice + 5000.0
+               ELSE o_totalprice END AS price,
+          CASE WHEN o_orderkey % 13 = 1 THEN 2 ELSE 1 END AS version
+        FROM orders WHERE o_orderkey % 31 <> 2)
+      SELECT c.c_mktsegment, COUNT(*) AS n,
+        CAST(SUM(f.o_orderkey) AS BIGINT) AS sum_keys,
+        CAST(SUM(f.version) AS BIGINT) AS sum_version,
+        CAST(SUM(CAST(f.price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        TRUE AS mor, TRUE AS bucket_free
+      FROM f JOIN customer c ON f.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment""")))
 }

@@ -3838,9 +3838,10 @@ object CommittedTable {
     * partition (their definition: every unmatched target row must be
     * tested) but write only the claimed rows. Routed from SQL
     * `MERGE INTO` when the table declares TBLPROPERTIES
-    * 'updatemode'='mor'. Bucketed layouts refuse (delta files cannot
-    * honor the bucket-name contract); scan-scoped, loud abort under
-    * contention. */
+    * 'updatemode'='mor'. Bucketed layouts stage their delta files
+    * bucket-split and `_NNNNN`-named like base segments (the
+    * exchange-free join contract survives); scan-scoped, loud abort
+    * under contention. */
   def mergeClausesMor(spark: SparkSession, path: String, source: DataFrame,
       matched: Seq[MatchedClause] = Nil,
       notMatched: Seq[NotMatchedInsert] = Nil,
@@ -3854,10 +3855,6 @@ object CommittedTable {
     collectGarbage(fs, table)
     val (key, pc) =
       validateMergeClauses(m, path, source, matched, notMatched, bySource)
-    require(m.bucketing.isEmpty,
-      "mergeClausesMor on a bucketed table is not supported: a delta file " +
-        "cannot honor the bucket-name contract the exchange-free join " +
-        "plans from — use mergeClauses() (copy-on-write)")
 
     // scope: same rule as the copy-on-write clause merge — bloom-pruned
     // key probe unless BY SOURCE widens to every live partition
@@ -3931,8 +3928,13 @@ object CommittedTable {
 
       crashPoint("before-staging")
       val gen = m.gen + 1
+      // bucketed tables stage their delta files through the SAME
+      // pmod(murmur3, n) split + _NNNNN naming as base segments, so
+      // FileSourceScanExec keeps grouping base ∪ delta files by bucket
+      // id and the exchange-free join contract survives the MoR publish
       val staged = stageSegments(written, path, pc, gen,
-        sortCols = m.clusterBy.map(_._1).getOrElse(Nil))
+        sortCols = m.clusterBy.map(_._1).getOrElse(Nil),
+        bucketing = m.bucketing)
       if (staged.isEmpty && dvPerPart.isEmpty) return // no clause fired
       crashPoint("after-staging")
       val (dStats, dCounts, dFileStats) =
@@ -4410,9 +4412,14 @@ object CommittedTable {
     * as far as they are superseded (merge rewrites whole partitions and
     * collapses everything; a MoR publish touches only changed rows) — a
     * table whose writes all go through the keyed verbs never has
-    * duplicates. Schema widening and bucketed layouts stay on [[merge]]
-    * (a delta file cannot honor the bucket-name contract the
-    * exchange-free join plans from); both are refused loudly. New
+    * duplicates. Schema widening stays on [[merge]] with
+    * allowAddColumns (every file of a partition must agree on its
+    * column set) and is refused loudly here. Bucketed layouts are
+    * honored: delta files stage through the same pmod(murmur3, n)
+    * split and `_NNNNN` naming as base segments, so FileSourceScanExec
+    * keeps grouping base ∪ delta files by bucket id and the
+    * exchange-free join contract survives every MoR publish
+    * (BucketedTableSpec pins the shuffle-free plan post-merge). New
     * partition values stage as ordinary first segments (nothing to
     * extend). Scan-scoped like [[deleteMor]]: never rebases, loud abort
     * under contention.
@@ -4433,10 +4440,6 @@ object CommittedTable {
     require(updates.columns.contains(partitionCol) && updates.columns.contains(key)
         && updates.columns.contains(versionCol),
       s"updates must carry $key, $versionCol, $partitionCol")
-    require(m.bucketing.isEmpty,
-      "mergeMor on a bucketed table is not supported: a delta file cannot " +
-        "honor the bucket-name contract the exchange-free join plans from — " +
-        "use merge() (copy-on-write)")
     val missingCols = m.cols.toSet -- updates.columns.toSet
     require(missingCols.isEmpty,
       s"updates are missing table columns ${missingCols.mkString(",")}: " +
@@ -4495,8 +4498,12 @@ object CommittedTable {
           val gen = m.gen + 1
           // delta files inherit the declared clustering's SORT (zone-map
           // tightness), never its file fan-out — a delta batch is small
+          // bucketed layouts: delta files stage through the same
+          // pmod(murmur3, n) split + _NNNNN naming as base segments —
+          // the exchange-free join survives the MoR publish
           val staged = stageSegments(winners, path, partitionCol, gen,
-            sortCols = m.clusterBy.map(_._1).getOrElse(Nil))
+            sortCols = m.clusterBy.map(_._1).getOrElse(Nil),
+            bucketing = m.bucketing)
           if (staged.isEmpty && dvPerPart.isEmpty) return // no-op batch
           crashPoint("after-staging")
           val (dStats, dCounts, dFileStats) =
@@ -4556,8 +4563,9 @@ object CommittedTable {
     * segments, O(matched rows) written instead of O(affected partitions'
     * bytes) rewritten. Updated images re-validate the table's CHECK
     * constraints (an assignment can violate one; carried rows already
-    * passed). Bucketed layouts refuse (delta files cannot honor the
-    * bucket-name contract); scan-scoped, loud abort under contention. */
+    * passed). Bucketed layouts stage their delta files bucket-split and
+    * `_NNNNN`-named like base segments, so the exchange-free join
+    * contract survives; scan-scoped, loud abort under contention. */
   def updateMor(spark: SparkSession, path: String,
       predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
@@ -4573,10 +4581,6 @@ object CommittedTable {
     if (m.segments.isEmpty || assignments.isEmpty) return
     require(m.cols.contains(partitionCol),
       s"$partitionCol is not a column of the committed table (${m.cols.mkString(",")})")
-    require(m.bucketing.isEmpty,
-      "updateMor on a bucketed table is not supported: a delta file cannot " +
-        "honor the bucket-name contract the exchange-free join plans from — " +
-        "use update() (copy-on-write)")
     val unknown = assignments.keySet -- m.cols.toSet
     require(unknown.isEmpty,
       s"cannot assign columns the table lacks: ${unknown.mkString(",")} " +
@@ -4607,8 +4611,11 @@ object CommittedTable {
       }.toIndexedSeq: _*)
       crashPoint("before-staging")
       val gen = m.gen + 1
+      // bucketed layouts: delta files stage bucket-split and _NNNNN-named
+      // like base segments, keeping the exchange-free join contract
       val staged = stageSegments(images, path, partitionCol, gen,
-        sortCols = m.clusterBy.map(_._1).getOrElse(Nil))
+        sortCols = m.clusterBy.map(_._1).getOrElse(Nil),
+        bucketing = m.bucketing)
       crashPoint("after-staging")
       val (dStats, dCounts, dFileStats) =
         statsFromStaged(spark, table, staged, partitionCol, m.statsCols,

@@ -135,6 +135,91 @@ class BucketedTableSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read preserves the bucketed layout: deltas bucket-parseable, join exchange-free, answers exact") {
+    val dir = freshDir("mor")
+    CommittedTable.write(facts().withColumn("version", lit(1L)), dir, "status",
+      keyCol = Some("id"), versionCol = Some("version"),
+      bucketBy = Some((8, Seq("cust"))))
+    // MoR merge: in-place upserts + brand-new keys (delta segments +
+    // deletion vector on a bucketed table)
+    val newRows = (401L to 410L).map(i =>
+      (i, s"c${i % 40}", if (i % 2 == 0) "A" else "B", i * 1.5, 1L))
+      .toDF("id", "cust", "status", "amount", "version")
+    CommittedTable.mergeMor(spark, dir,
+      facts().filter($"id" % 10 === 1)
+        .withColumn("amount", $"amount" + 100.0)
+        .withColumn("version", lit(2L))
+        .unionByName(newRows),
+      "id", "version", "status")
+    // MoR update: images land as a second delta generation
+    CommittedTable.updateMor(spark, dir, $"id" % 25 === 2,
+      Map("amount" -> lit(-1.0), "version" -> lit(3L)), "status",
+      versionCol = Some("version"))
+    // MoR delete: vector-only generation across base AND delta files
+    CommittedTable.deleteMor(spark, dir, $"id" % 50 === 3, "status")
+    // every live DATA file (base + delta dirs) still parses a bucket id
+    val m = CommittedTable.manifestAt(spark, dir)
+    import org.apache.spark.sql.execution.datasources.BucketingUtils
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = m.segments.toSeq.flatMap { case (pv, seg) =>
+      seg +: CommittedTable.liveDeltas(m, pv).map(_.dir) }.distinct
+    val unparseable = dataDirs.flatMap { d =>
+      fsys.listStatus(new org.apache.hadoop.fs.Path(dir, d)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => !n.startsWith("_") && !n.startsWith("."))
+        .filterNot(n => BucketingUtils.getBucketId(n).isDefined)
+        .map(n => s"$d/$n")
+    }
+    assert(unparseable.isEmpty, s"non-bucketed live files after MoR DML: $unparseable")
+    assert(m.segments.keys.exists(p => CommittedTable.liveDeltas(m, p).nonEmpty),
+      "expected live delta segments (the MoR publishes must not have rewritten)")
+    // post-MoR join: exchange-free under the SMJ (the dv anti-join inside
+    // the scan broadcasts — default threshold stays on; the OUTER join is
+    // forced to sort-merge by hint so the bucket evidence can't be masked
+    // by an auto-broadcast of the tiny dim)
+    val dDir = freshDir("mor-d")
+    CommittedTable.write(dims(), dDir, "status", bucketBy = Some((8, Seq("cust"))))
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val j = spark.sql(
+        s"""SELECT /*+ SHUFFLE_MERGE(d) */ d.segment, COUNT(*) AS n,
+              SUM(f.amount) AS amt
+            FROM graft.`$dir` f JOIN graft.`$dDir` d ON f.cust = d.cust
+            GROUP BY d.segment""")
+      j.collect()
+      val smj = finalPlan(j).collectFirst { case s: SortMergeJoinExec => s }
+      assert(smj.isDefined, s"expected SortMergeJoin:\n${finalPlan(j)}")
+      assert(smj.get.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"post-MoR bucketed join must stay exchange-free:\n${finalPlan(j)}")
+      // replay oracle: merge, update, delete folded over the raw input
+      val afterMerge = facts().withColumn("version", lit(1L))
+        .withColumn("amount",
+          when($"id" % 10 === 1, $"amount" + 100.0).otherwise($"amount"))
+        .withColumn("version",
+          when($"id" % 10 === 1, lit(2L)).otherwise($"version"))
+        .unionByName(newRows)
+      val expectDf = afterMerge
+        .withColumn("amount",
+          when($"id" % 25 === 2, lit(-1.0)).otherwise($"amount"))
+        .withColumn("version",
+          when($"id" % 25 === 2, lit(3L)).otherwise($"version"))
+        .filter(!($"id" % 50 === 3))
+      assert(CommittedTable.read(spark, dir)
+          .select($"id", $"cust", $"status", $"amount", $"version")
+          .as[(Long, String, String, Double, Long)].collect().toSet ===
+        expectDf.select($"id", $"cust", $"status", $"amount", $"version")
+          .as[(Long, String, String, Double, Long)].collect().toSet)
+      val expect = expectDf.join(dims(), "cust").groupBy($"segment")
+        .agg(count(lit(1)).as("n"), sum($"amount").as("amt"))
+        .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3)))
+        .toMap
+      assert(j.as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap === expect)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+  }
+
   test("SQL birth: CTAS with buckets/bucketcols plans bucketed scans") {
     val wh = Files.createTempDirectory("graft-bkt-sql").toString
     val f = s"$wh/f"; val d = s"$wh/d"

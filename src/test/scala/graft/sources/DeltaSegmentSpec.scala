@@ -338,17 +338,27 @@ class DeltaSegmentSpec extends SparkSpec {
     assert(rows(dir).map(_._1) === Set(1L, 4L, 5L, 6L))
   }
 
-  test("refusals: bucketed layout and schema widening stay on merge()") {
+  test("schema widening stays on merge(); a bucketed layout takes the MoR path") {
+    // bucketed MoR is supported (delta files stage bucket-split with the
+    // _NNNNN naming — BucketedTableSpec pins the exchange-free plan);
+    // here: the upsert lands as delta state with every base segment intact
     val dir = freshDir("refuse")
     CommittedTable.write(base(), dir, "status",
       keyCol = Some("id"), versionCol = Some("version"),
       bucketBy = Some((4, Seq("id"))))
+    val segsBefore = segDirs(dir)
+    CommittedTable.mergeMor(spark, dir,
+      Seq((2L, "A", 21.0, 2L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    assert(rows(dir).contains((2L, "A", 21.0, 2L)))
+    assert(segsBefore.subsetOf(segDirs(dir)))
     val e = intercept[IllegalArgumentException] {
       CommittedTable.mergeMor(spark, dir,
-        Seq((2L, "A", 21.0, 2L)).toDF("id", "status", "value", "version"),
+        Seq((2L, "A", 21.0, 3L, "x"))
+          .toDF("id", "status", "value", "version", "extra"),
         "id", "version", "status")
     }
-    assert(e.getMessage.contains("bucket"))
+    assert(e.getMessage.contains("extra"))
     val dir2 = freshDir("refuse2")
     CommittedTable.write(base(), dir2, "status",
       keyCol = Some("id"), versionCol = Some("version"))

@@ -330,18 +330,21 @@ class MergeClausesSpec extends SparkSpec {
     assert(manifest(dir).segments.keySet === Set("A", "B", "C", "D"))
   }
 
-  test("mergeClausesMor refuses bucketed layouts; contracts stay loud") {
+  test("mergeClausesMor on a bucketed layout lands as deltas; contracts stay loud") {
+    // bucketed MoR is supported: the clause merge's written rows stage
+    // bucket-split with the _NNNNN naming (BucketedTableSpec pins the
+    // exchange-free plan) and every base segment survives
     val dir = freshDir("mor-refuse")
     CommittedTable.write(base(), dir, "status",
       keyCol = Some("id"), versionCol = Some("version"),
       bucketBy = Some((4, Seq("id"))))
-    val e = intercept[IllegalArgumentException] {
-      CommittedTable.mergeClausesMor(spark, dir,
-        Seq((1L, 11.0)).toDF("id", "sval"),
-        matched = Seq(MatchedUpdate(None,
-          Map("value" -> expr("s.sval"), "version" -> expr("t.version + 1")))))
-    }
-    assert(e.getMessage.contains("bucket"))
+    val segsBefore = segDirs(dir)
+    CommittedTable.mergeClausesMor(spark, dir,
+      Seq((1L, 11.0)).toDF("id", "sval"),
+      matched = Seq(MatchedUpdate(None,
+        Map("value" -> expr("s.sval"), "version" -> expr("t.version + 1")))))
+    assert(content(dir).contains((1L, "A", 11.0, 2L)))
+    assert(segsBefore.subsetOf(segDirs(dir)))
     // the CDC version guard is shared validation: an update that skips
     // the version column is refused before any work
     val dir2 = freshDir("mor-ver")
