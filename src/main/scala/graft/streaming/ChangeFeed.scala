@@ -106,9 +106,21 @@ object ChangeFeed {
     * per-generation loop is metadata-bounded (a micro-batch spans few
     * generations by construction); preimage rows are audit data, not
     * replayed. Bootstrap `dst` with a zero-row [[CommittedTable.write]]
-    * of the source schema. */
+    * of the source schema.
+    *
+    * `mor = true` replays through the merge-on-read verbs
+    * ([[CommittedTable.mergeMor]] / [[CommittedTable.deleteKeysMor]]) —
+    * the replica's per-sync cost becomes O(the batch's own rows)
+    * (deletion vectors + delta segments) instead of rewriting each
+    * touched partition whole; the replica self-remediates through the
+    * same `fragmentedPartitions`/`optimize` loop as any MoR table. The
+    * replay stays idempotent either way: a replayed upsert TIES on
+    * (key, version) and MoR tie keeps the existing row (not even a
+    * generation is burned); a replayed key takedown finds no visible
+    * row. */
   def applyCdf(batch: DataFrame, dst: String, key: String,
-      versionCol: String, partitionCol: String): Unit = {
+      versionCol: String, partitionCol: String,
+      mor: Boolean = false): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val gens = batch.select(col(GenColumn)).distinct()
@@ -119,13 +131,21 @@ object ChangeFeed {
         .filter(col(CommittedTable.ChangeTypeColumn)
           .isin("insert", "update_postimage"))
         .drop(GenColumn, CommittedTable.ChangeTypeColumn)
-      if (!ups.isEmpty)
-        CommittedTable.merge(spark, dst, ups, key, versionCol, partitionCol)
+      if (!ups.isEmpty) {
+        if (mor)
+          CommittedTable.mergeMor(spark, dst, ups, key, versionCol, partitionCol)
+        else
+          CommittedTable.merge(spark, dst, ups, key, versionCol, partitionCol)
+      }
       val dels = b
         .filter(col(CommittedTable.ChangeTypeColumn) === "delete")
         .select(col(key))
-      if (!dels.isEmpty)
-        CommittedTable.deleteKeys(spark, dst, dels, key, partitionCol)
+      if (!dels.isEmpty) {
+        if (mor)
+          CommittedTable.deleteKeysMor(spark, dst, dels, key, partitionCol)
+        else
+          CommittedTable.deleteKeys(spark, dst, dels, key, partitionCol)
+      }
     }
   }
 

@@ -184,6 +184,66 @@ class ChangeFeedSpec extends SparkSpec {
     assert(snap(dst) === snap(src))
   }
 
+  test("CDF replica sync over merge-on-read: vector+delta generations replay exactly into a MoR replica") {
+    // the r17+ steady state: the SOURCE mutates through the MoR verbs
+    // (deltas + deletion vectors, base segments never rewritten) and the
+    // REPLICA applies through them too (applyCdf mor=true) — the signed
+    // change feed must stay exact across vector+delta generations on
+    // both sides, and the replay must stay idempotent under MoR's
+    // tie-keeps-existing arbitration
+    val src = freshDir("morsrc")
+    val dst = freshDir("mordst")
+    val ckpt = Files.createTempDirectory("graft-cdf-mor-ckpt").toString
+    CommittedTable.write(base(), src, "status", retainGenerations = 8,
+      keyCol = Some("id"), versionCol = Some("version"))
+    CommittedTable.write(base().filter(lit(false)), dst, "status")
+
+    def sync(): Unit = {
+      val q = ChangeFeed.readCdf(spark, src, "id", "version")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.persist()
+          try ChangeFeed.applyCdf(b, dst, "id", "version", "status",
+            mor = true)
+          finally { b.unpersist(); () }
+        }.start()
+      q.awaitTermination(120000)
+    }
+    def snap(dir: String) = rows(CommittedTable.read(spark, dir))
+
+    sync() // initial load
+    assert(snap(dst) === snap(src))
+    // MoR merge (vector + delta), MoR update (images as deltas), MoR
+    // delete (vector spanning base and delta files) land on the source
+    CommittedTable.mergeMor(spark, src, upsert(2L, "A", 21.0, 2L),
+      "id", "version", "status")
+    CommittedTable.updateMor(spark, src, $"id" === 1L,
+      Map("value" -> lit(11.0), "version" -> lit(2L)), "status",
+      versionCol = Some("version"))
+    CommittedTable.deleteMor(spark, src, $"id" === 3L, "status")
+    // the source really is merge-on-read: live delta or vector state
+    val mSrc = CommittedTable.manifestAt(spark, src)
+    assert(mSrc.segments.keys.exists(p =>
+      CommittedTable.liveDeltas(mSrc, p).nonEmpty ||
+        CommittedTable.liveDv(mSrc, p).isDefined))
+    sync() // ONE sync replays all three MoR generations
+    assert(snap(dst) === snap(src))
+    assert(snap(dst) === Set((1L, "A", 11.0, 2L), (2L, "A", 21.0, 2L)))
+    // the replica took the MoR path too: deltas/vectors, not rewrites
+    val mDst = CommittedTable.manifestAt(spark, dst)
+    assert(mDst.segments.keys.exists(p =>
+      CommittedTable.liveDeltas(mDst, p).nonEmpty ||
+        CommittedTable.liveDv(mDst, p).isDefined))
+    // idempotent re-sync (MoR replay ties keep existing; no-op publish
+    // doesn't even burn a generation)
+    val genBefore = CommittedTable.manifestAt(spark, dst).gen
+    sync()
+    assert(snap(dst) === snap(src))
+    assert(CommittedTable.manifestAt(spark, dst).gen === genBefore)
+  }
+
   // ---- the streaming Source -----------------------------------------------
 
   private def runFeed(dir: String, out: String, ckpt: String,

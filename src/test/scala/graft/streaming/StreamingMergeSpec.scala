@@ -98,6 +98,56 @@ class StreamingMergeSpec extends SparkSpec {
     assert(m2.gen > m1.gen)
   }
 
+  test("toCommitted(mor = true): micro-batches land as vectors+deltas, base segments untouched, restart exactly-once") {
+    import graft.sources.CommittedTable
+    val root = Files.createTempDirectory("graft-smerge-mor").toString
+    val ct = root + "/ct"; val in = root + "/in"; val cp = root + "/cp"
+    CommittedTable.write(
+      Seq((1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0))
+        .toDF("id", "status", "value").withColumn("version", lit(1L)),
+      ct, "status", keyCol = Some("id"), versionCol = Some("version"))
+    val fs = new org.apache.hadoop.fs.Path(ct)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = CommittedTable
+      .readManifest(fs, new org.apache.hadoop.fs.Path(ct)).get.segments
+    def drop(name: String, rows: Seq[(Long, String, Double, Long)]): Unit =
+      rows.toDF("id", "status", "value", "version")
+        .coalesce(1).write.parquet(s"$in/$name")
+    drop("b1", Seq((2L, "A", 21.0, 2L), (9L, "B", 90.0, 1L)))
+    val schema = spark.read.parquet(s"$in/b1").schema
+    def runOnce(): Unit = {
+      val updates = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "16").parquet(s"$in/*")
+      val q = StreamingMerge.toCommitted(
+        updates, ct, "id", "version", "status", cp, mor = true).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    def content(): Set[(Long, String, Double, Long)] =
+      CommittedTable.read(spark, ct)
+        .select($"id", $"status", $"value", $"version")
+        .as[(Long, String, Double, Long)].collect().toSet
+    runOnce()
+    assert(content() === Set(
+      (1L, "A", 10.0, 1L), (2L, "A", 21.0, 2L), (3L, "B", 30.0, 1L),
+      (9L, "B", 90.0, 1L)))
+    // merge-on-read, not rewrite: every pre-stream base segment survives
+    // in the manifest and the upsert landed as delta state
+    val m1 = CommittedTable.readManifest(fs, new org.apache.hadoop.fs.Path(ct)).get
+    assert(before.forall { case (p, seg) => m1.segments.get(p).contains(seg) })
+    assert(m1.segments.keys.exists(p =>
+      CommittedTable.liveDeltas(m1, p).nonEmpty ||
+        CommittedTable.liveDv(m1, p).isDefined))
+    // restart from checkpoint: only the new file is applied (and the MoR
+    // replay of an already-applied batch would tie → no generation)
+    drop("b2", Seq((2L, "A", 22.0, 3L)))
+    runOnce()
+    assert(content() === Set(
+      (1L, "A", 10.0, 1L), (2L, "A", 22.0, 3L), (3L, "B", 30.0, 1L),
+      (9L, "B", 90.0, 1L)))
+    val m2 = CommittedTable.readManifest(fs, new org.apache.hadoop.fs.Path(ct)).get
+    assert(before.forall { case (p, seg) => m2.segments.get(p).contains(seg) })
+  }
+
   test("a stale late batch cannot clobber a newer row") {
     val root = Files.createTempDirectory("graft-smerge-late").toString
     val wh = root + "/wh"; val in = root + "/in"; val cp = root + "/cp"
