@@ -310,7 +310,19 @@ object CommittedTable {
       // column, set by [[publishOrAbort]] per publish (never carried
       // from the previous generation) and surfaced through
       // history/graft_history/detail. Line: op=<esc verb>.
-      op: Option[String] = None)
+      op: Option[String] = None,
+      // TWO-LEVEL root (see the sharding note): above
+      // [[RootInlineMaxShards]] shard refs the root stops inlining
+      // shard= lines and keeps one shardidx= line per IMMUTABLE index
+      // file (`_msx-*`), each holding a contiguous escaped-range group
+      // of shard= lines — the root stays O(shards / ShardIdxTarget)
+      // lines at any partition count (the Delta
+      // checkpoint-of-checkpoints move). `shardIdx` is the layout this
+      // manifest's root was parsed from; `shardIdxBodies` the raw index
+      // bodies (publish-time carry-forward diff, filled on full
+      // hydration only).
+      shardIdx: Seq[IndexRef] = Nil,
+      shardIdxBodies: Map[String, String] = Map.empty)
 
   /** One manifest shard's root-line record: file name (relative to the
     * table dir), the ESCAPED partition-value range its members span
@@ -320,6 +332,15 @@ object CommittedTable {
     * sizeInBytes / COUNT(*) from the ROOT alone. */
   private[graft] final case class ShardRef(file: String, minEsc: String,
       maxEsc: String, parts: Int, bytes: Long, rows: Option[Long])
+
+  /** One shard-INDEX file's root-line record (two-level roots): the
+    * index file name, the escaped range its member shards span, member
+    * shard count, and the same partition/bytes/rows aggregates a
+    * [[ShardRef]] carries — so root-only sizeInBytes / COUNT(*) stay
+    * O(root) on a two-level table too. */
+  private[graft] final case class IndexRef(file: String, minEsc: String,
+      maxEsc: String, shardsN: Int, parts: Int, bytes: Long,
+      rows: Option[Long])
 
   /** One partition's DELETION VECTOR: `seg` is the leaf name of the
     * segment the positions were computed against (a later rewrite of the
@@ -386,6 +407,21 @@ object CommittedTable {
   private val ShardPrefix = "_ms-"
   private[sources] val InlineMaxParts = 64
   private[sources] val ShardTargetParts = 64
+  // ---- two-level root ----------------------------------------------------
+  // At 100k partitions a one-level sharded root (one shard= line per
+  // shard) is ~86 KB × 3 copies per publish — fine; at 1M partitions the
+  // root's ~15k shard lines are the new O(table) publish term. Above
+  // [[RootInlineMaxShards]] shard refs the root therefore splits again:
+  // one `shardidx=` line per immutable `_msx-*` index file, each holding
+  // [[ShardIdxTarget]] contiguous shard= lines. A publish rewrites only
+  // the index groups whose member shards changed (untouched groups carry
+  // by reference, same diff protocol as shards), so publish metadata is
+  // O(touched shards) + O(touched index groups) + O(shards/target) root
+  // lines. One-way like sharding itself: a two-level table stays
+  // two-level (layout stability beats a few root bytes).
+  private val ShardIdxPrefix = "_msx-"
+  private[sources] val RootInlineMaxShards = 512
+  private[sources] val ShardIdxTarget = 512
 
   private[graft] def readManifest(fs: FileSystem, table: Path): Option[Manifest] =
     readManifestFile(fs, new Path(table, Commit))
@@ -398,11 +434,16 @@ object CommittedTable {
     else throw new java.io.IOException(s"corrupt stat field: $s")
 
   /** Fully hydrated manifest: root + every shard (inline roots need no
-    * shard reads). The publish paths' entry point. */
+    * shard reads; two-level roots resolve their index files first). The
+    * publish paths' entry point. */
   private def readManifestFile(fs: FileSystem, p: Path): Option[Manifest] =
     readRoot(fs, p).map { root =>
-      if (root.shards.isEmpty) root
-      else hydrate(fs, p.getParent, root, root.shards)
+      if (root.shards.isEmpty && root.shardIdx.isEmpty) root
+      else {
+        val (refs, idxBodies) = resolveShards(fs, p.getParent, root, None)
+        hydrate(fs, p.getParent,
+          root.copy(shards = refs, shardIdxBodies = idxBodies), refs)
+      }
     }
 
   /** Root-only parse: header + table metadata + shard refs; partition
@@ -419,12 +460,16 @@ object CommittedTable {
   private[graft] def readManifestPruned(fs: FileSystem, table: Path,
       wanted: Set[String]): Option[Manifest] =
     readRoot(fs, new Path(table, Commit)).map { root =>
-      if (root.shards.isEmpty) root
+      if (root.shards.isEmpty && root.shardIdx.isEmpty) root
       else {
         val wantedEsc = wanted.map(esc)
-        val survivors = root.shards.filter(s =>
+        // two-level roots first prune INDEX files by range (O(surviving
+        // index files) reads), then their shards by the same ranges
+        val (refs, _) = resolveShards(fs, table, root, Some(wantedEsc))
+        val survivors = refs.filter(s =>
           wantedEsc.exists(v => s.minEsc <= v && v <= s.maxEsc))
-        hydrate(fs, table, root, survivors).copy(partial = true)
+        hydrate(fs, table, root.copy(shards = refs), survivors)
+          .copy(partial = true)
       }
     }
 
@@ -436,15 +481,60 @@ object CommittedTable {
     * whose escaped range can contain a value (result is `partial`). */
   private[graft] def hydrateSnapshot(fs: FileSystem, table: Path,
       root: Manifest, wanted: Option[Set[String]]): Manifest =
-    if (root.shards.isEmpty) root.copy(partial = false)
+    if (root.shards.isEmpty && root.shardIdx.isEmpty) root.copy(partial = false)
     else wanted match {
-      case None => hydrate(fs, table, root, root.shards)
+      case None =>
+        val (refs, idxBodies) = resolveShards(fs, table, root, None)
+        hydrate(fs, table,
+          root.copy(shards = refs, shardIdxBodies = idxBodies), refs)
       case Some(vs) =>
         val we = vs.map(esc)
-        hydrate(fs, table, root, root.shards.filter(s =>
+        val (refs, _) = resolveShards(fs, table, root, Some(we))
+        hydrate(fs, table, root.copy(shards = refs), refs.filter(s =>
           we.exists(v => s.minEsc <= v && v <= s.maxEsc)))
           .copy(partial = true)
     }
+
+  /** Resolve shard refs through a two-level root: read the index files
+    * (all, or only those whose escaped range can contain a wanted value)
+    * and parse their shard= lines; one-level roots return their inline
+    * refs untouched. Also returns the raw index bodies for the
+    * publish-time carry-forward diff (full resolution only — pruned
+    * callers never publish). */
+  private def resolveShards(fs: FileSystem, table: Path, root: Manifest,
+      wantedEsc: Option[Set[String]]): (Seq[ShardRef], Map[String, String]) =
+    if (root.shardIdx.isEmpty) (root.shards, Map.empty)
+    else {
+      val survivors = wantedEsc match {
+        case None => root.shardIdx
+        case Some(we) => root.shardIdx.filter(ix =>
+          we.exists(v => ix.minEsc <= v && v <= ix.maxEsc))
+      }
+      val refs = Seq.newBuilder[ShardRef]
+      var bodies = Map.empty[String, String]
+      survivors.foreach { ix =>
+        val body = readRaw(fs, new Path(table, ix.file)).getOrElse(
+          throw new java.io.IOException(
+            s"manifest shard index ${ix.file} of $table is missing — the " +
+              "root references it, so either the table dir was hand-edited " +
+              "or a clone outlived its source's retention"))
+        refs ++= parseShardLines(body.linesIterator.toSeq, s"$table/${ix.file}")
+        bodies += (ix.file -> body)
+      }
+      (refs.result(), bodies)
+    }
+
+  /** Root-only metadata totals: a two-level root aggregates its
+    * shardidx= lines, a one-level sharded root its shard= lines — both
+    * O(root) with zero shard reads. */
+  private[graft] def rootBytes(m: Manifest): Long =
+    if (m.shardIdx.nonEmpty) m.shardIdx.map(_.bytes).sum
+    else m.shards.map(_.bytes).sum
+  private[graft] def rootRows(m: Manifest): Option[Long] = {
+    val rs =
+      if (m.shardIdx.nonEmpty) m.shardIdx.map(_.rows) else m.shards.map(_.rows)
+    if (rs.forall(_.isDefined)) Some(rs.flatten.sum) else None
+  }
 
   /** Merge `survivors`' shard bodies into the root skeleton. */
   private def hydrate(fs: FileSystem, table: Path, root: Manifest,
@@ -561,9 +651,9 @@ object CommittedTable {
 
   private val MetaPrefixes = Seq("retain=", "retainh=", "stats=", "rows=",
     "partcol=", "keycol=", "vercol=", "bloom=", "virtual=", "f=",
-    "dropped=", "check=", "bucketby=", "shard=", "probe=", "was=", "ndv=",
-    "dv=", "dvn=", "delmode=", "fs=", "cluster=", "delta=", "updmode=",
-    "op=")
+    "dropped=", "check=", "bucketby=", "shard=", "shardidx=", "probe=",
+    "was=", "ndv=", "dv=", "dvn=", "delmode=", "fs=", "cluster=", "delta=",
+    "updmode=", "op=")
 
   private def readRoot(fs: FileSystem, p: Path): Option[Manifest] = {
     if (!fs.exists(p)) return None
@@ -642,15 +732,19 @@ object CommittedTable {
           case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
         }
       }
-    val shards = lines.drop(2).filter(_.startsWith("shard="))
+    val shards = parseShardLines(lines.drop(2), p.toString)
+    val shardIdx = lines.drop(2).filter(_.startsWith("shardidx="))
       .map { l =>
-        l.stripPrefix("shard=").split('\t') match {
-          case Array(f, mn, mx, n, b, r) =>
-            ShardRef(unesc(f), mn, mx, n.toInt, b.toLong,
+        l.stripPrefix("shardidx=").split('\t') match {
+          case Array(f, mn, mx, s, n, b, r) =>
+            IndexRef(unesc(f), mn, mx, s.toInt, n.toInt, b.toLong,
               if (r == "-") None else Some(r.toLong))
           case _ => throw new java.io.IOException(s"corrupt manifest line: $l")
         }
       }
+    if (shards.nonEmpty && shardIdx.nonEmpty)
+      throw new java.io.IOException(
+        s"corrupt manifest $p: a root carries inline shard refs AND index refs")
     val probeSeg = lines.drop(2).find(_.startsWith("probe="))
       .map(l => unesc(l.stripPrefix("probe=")))
     val renames = lines.drop(2).filter(_.startsWith("was="))
@@ -673,20 +767,32 @@ object CommittedTable {
     val updateMode = metaLine("updmode=")
     val opLine = metaLine("op=")
     val part = parsePartitionLines(lines.drop(2), statsCols, p.toString)
-    if (shards.nonEmpty && part.segments.nonEmpty)
+    if ((shards.nonEmpty || shardIdx.nonEmpty) && part.segments.nonEmpty)
       throw new java.io.IOException(
         s"corrupt manifest $p: sharded root carries inline partition lines")
     Some(Manifest(gen, cols, part.segments, retain, statsCols, part.stats,
       part.rowCounts, partCol, keyCol, verCol, bloomCols, virtualCols,
       part.files, fileStats = part.fileStats, droppedCols = droppedCols,
       shards = shards, probeSeg = probeSeg,
-      partial = shards.nonEmpty, bucketing = bucketing,
+      partial = shards.nonEmpty || shardIdx.nonEmpty, bucketing = bucketing,
       clusterBy = clusterBy,
       ndv = ndv, renames = renames, retainHours = retainHours,
       checks = checks, dvs = part.dvs, rootDvParts = rootDvParts,
       deleteMode = deleteMode, deltas = part.deltas,
-      updateMode = updateMode, op = opLine))
+      updateMode = updateMode, op = opLine, shardIdx = shardIdx))
   }
+
+  private def parseShardLines(lines: Seq[String], where: String): Seq[ShardRef] =
+    lines.filter(_.startsWith("shard="))
+      .map { l =>
+        l.stripPrefix("shard=").split('\t') match {
+          case Array(f, mn, mx, n, b, r) =>
+            ShardRef(unesc(f), mn, mx, n.toInt, b.toLong,
+              if (r == "-") None else Some(r.toLong))
+          case _ => throw new java.io.IOException(
+            s"corrupt manifest line in $where: $l")
+        }
+      }
 
   /** The one atomic step of every publish: write the new manifest to a tmp
     * name, record an immutable per-generation copy (`_commit.g<n>` — the
@@ -876,12 +982,85 @@ object CommittedTable {
     Some((refs.result(), newFiles.result()))
   }
 
-  private def rootBodySharded(m: Manifest, refs: Seq[ShardRef]): String =
+  private def shardLine(r: ShardRef): String =
+    s"shard=${esc(r.file)}\t${r.minEsc}\t${r.maxEsc}\t" +
+      s"${r.parts}\t${r.bytes}\t${r.rows.map(_.toString).getOrElse("-")}"
+
+  private def idxLine(r: IndexRef): String =
+    s"shardidx=${esc(r.file)}\t${r.minEsc}\t${r.maxEsc}\t${r.shardsN}\t" +
+      s"${r.parts}\t${r.bytes}\t${r.rows.map(_.toString).getOrElse("-")}"
+
+  private def rootBodySharded(m: Manifest, tail: Seq[String]): String =
     (headerLines(m) ++
-      m.probeSeg.map(s => s"probe=${esc(s)}").toSeq ++
-      refs.map(r => s"shard=${esc(r.file)}\t${r.minEsc}\t${r.maxEsc}\t" +
-        s"${r.parts}\t${r.bytes}\t${r.rows.map(_.toString).getOrElse("-")}"))
+      m.probeSeg.map(s => s"probe=${esc(s)}").toSeq ++ tail)
       .mkString("", "\n", "\n")
+
+  /** The published root layout for `refs` (this generation's full shard
+    * list): inline `shard=` lines at or below [[RootInlineMaxShards]],
+    * else a TWO-LEVEL root — `refs` grouped into contiguous
+    * escaped-range index files of [[ShardIdxTarget]] shard lines each,
+    * with the same carry-forward diff as the shards themselves: a group
+    * whose serialized body is byte-identical to its existing index file
+    * is carried BY REFERENCE (zero writes); a dirty group is rewritten
+    * (splitting at 2× the target); new shards route into the
+    * range-owning group. Returns (root tail lines, new index files to
+    * write). One-way: a table whose root went two-level stays two-level. */
+  private[sources] def rootLayout(m: Manifest, refs: Seq[ShardRef],
+      nonce: String): (Seq[String], Seq[(String, String)]) = {
+    if (m.shardIdx.isEmpty && refs.size <= RootInlineMaxShards)
+      return (refs.map(shardLine), Nil)
+    val sorted = refs.sortBy(_.minEsc)
+    val baseIdx = m.shardIdx.sortBy(_.minEsc)
+    val groups: Seq[(Option[IndexRef], Seq[ShardRef])] =
+      if (baseIdx.isEmpty)
+        sorted.grouped(ShardIdxTarget).map(g => (None, g)).toSeq
+      else {
+        // same range-owner assignment as [[shardLayout]]: a shard
+        // belongs to the LAST index group whose minEsc is at or below
+        // its own (below-every-range joins the first group)
+        val mins = baseIdx.map(_.minEsc).toArray
+        def owner(escV: String): Int = {
+          var lo = 0; var hi = mins.length - 1; var ans = 0
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (mins(mid) <= escV) { ans = mid; lo = mid + 1 }
+            else hi = mid - 1
+          }
+          ans
+        }
+        sorted.groupBy(r => owner(r.minEsc)).toSeq.sortBy(_._1)
+          .map { case (i, members) => (Some(baseIdx(i)), members) }
+      }
+    val idxRefs = Seq.newBuilder[IndexRef]
+    val newFiles = Seq.newBuilder[(String, String)]
+    var k = 0
+    groups.foreach { case (baseRef, members) =>
+      if (members.nonEmpty) {
+        val body = members.map(shardLine).mkString("", "\n", "\n")
+        baseRef.filter(r => m.shardIdxBodies.get(r.file).contains(body)) match {
+          case Some(r) => idxRefs += r // untouched group: carried by reference
+          case None =>
+            val chunks =
+              if (members.size > 2 * ShardIdxTarget)
+                members.grouped(ShardIdxTarget).toSeq
+              else Seq(members)
+            chunks.foreach { c =>
+              val b =
+                if (chunks.size == 1) body
+                else c.map(shardLine).mkString("", "\n", "\n")
+              val f = s"${ShardIdxPrefix}g${m.gen}-$k-$nonce"
+              k += 1
+              newFiles += ((f, b))
+              idxRefs += IndexRef(f, c.head.minEsc, c.last.maxEsc, c.size,
+                c.map(_.parts).sum, c.map(_.bytes).sum,
+                if (c.forall(_.rows.isDefined)) Some(c.flatMap(_.rows).sum)
+                else None)
+            }
+        }
+      }
+    }
+    (idxRefs.result().map(idxLine), newFiles.result())
+  }
 
   private[sources] def swapManifest(hconf: org.apache.hadoop.conf.Configuration,
       table: Path, m0: Manifest): Unit = {
@@ -901,9 +1080,12 @@ object CommittedTable {
       case Some((refs, newFiles)) =>
         // shard files land BEFORE any root references them — a crash here
         // leaves unreferenced `_ms-*` debris the age-gated GC sweeps; the
-        // nonce keeps racing writers' files apart
+        // nonce keeps racing writers' files apart. Index files (two-level
+        // roots) follow the same order: shards, then indexes, then root.
         newFiles.foreach { case (f, b) => writeRaw(fs, new Path(table, f), b) }
-        val body = rootBodySharded(m, refs)
+        val (tail, idxFiles) = rootLayout(m, refs, nonce)
+        idxFiles.foreach { case (f, b) => writeRaw(fs, new Path(table, f), b) }
+        val body = rootBodySharded(m, tail)
         p => writeRaw(fs, p, body)
     }
     put(tmp)
@@ -1000,6 +1182,11 @@ object CommittedTable {
     // still be about to reference them
     val protectedShards: Set[String] =
       (curM.toSeq ++ prevM.toSeq ++ retainedMs).flatMap(_.shards.map(_.file)).toSet
+    // two-level roots: index files referenced by any protected manifest
+    // stay (full hydration resolved their shard refs above, so the shard
+    // protection set already covers their members)
+    val protectedIdx: Set[String] =
+      (curM.toSeq ++ prevM.toSeq ++ retainedMs).flatMap(_.shardIdx.map(_.file)).toSet
     // deletion-vector dirs referenced by ANY protected manifest stay
     // (time travel applies the anchor's own vectors); the rest age out
     // like shards — an in-flight MoR publish writes its dir pre-swap
@@ -1027,6 +1214,10 @@ object CommittedTable {
         fs.delete(st.getPath, false)
       else if (!st.isDirectory && n.startsWith(ShardPrefix) &&
           !protectedShards(n) &&
+          now0 - st.getModificationTime > StagingSweepAgeMs)
+        fs.delete(st.getPath, false)
+      else if (!st.isDirectory && n.startsWith(ShardIdxPrefix) &&
+          !protectedIdx(n) &&
           now0 - st.getModificationTime > StagingSweepAgeMs)
         fs.delete(st.getPath, false)
       else if (st.isDirectory && n.startsWith(DvPrefix) &&
@@ -1803,8 +1994,8 @@ object CommittedTable {
       val table = new Path(path)
       val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
       readManifestRoot(fs, table) match {
-        case Some(root) if root.partial && root.shards.forall(_.rows.isDefined) =>
-          return root.shards.flatMap(_.rows).sum
+        case Some(root) if root.partial && rootRows(root).isDefined =>
+          return rootRows(root).get
         case _ => ()
       }
     }

@@ -175,7 +175,7 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
   // a sharded root records per-shard byte totals, so the CBO
   // size estimate (auto-broadcast, q150) costs zero shard reads
   override lazy val sizeInBytes: Long =
-    if (m.partial) m.shards.map(_.bytes).sum
+    if (m.partial) CommittedTable.rootBytes(m)
     else segFiles(m, m.segments.keys.toSeq).map(_.getLen).sum
 
   override def refresh(): Unit = ()
@@ -185,11 +185,9 @@ final class GraftFileIndex(spark: SparkSession, tablePath: Path,
     * answers from its per-shard totals, zero shard reads. */
   def totalRowCount: Option[Long] =
     if (m.partial) {
-      // sharded-root shard totals are LOGICAL (dv removals already
+      // sharded-root shard/index totals are LOGICAL (dv removals already
       // subtracted at serialization)
-      if (m.shards.forall(_.rows.isDefined))
-        Some(m.shards.flatMap(_.rows).sum)
-      else None
+      CommittedTable.rootRows(m)
     }
     else if (m.segments.nonEmpty && m.segments.keys.forall(m.rowCounts.contains))
       // keys is set-like: map-then-sum would DEDUPLICATE equal counts;

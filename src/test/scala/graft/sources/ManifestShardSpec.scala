@@ -12,9 +12,13 @@ import graft.SparkSpec
   * per-partition lines live in immutable `_ms-*` shard files — a publish
   * rewrites only the shards its touched partitions live in (O(touched)
   * metadata writes), and a partition-value read parses the root plus the
-  * surviving shards only (O(survivors) planning). Small tables keep the
-  * single-file inline format, byte-compatible with the pre-sharding
-  * protocol. */
+  * surviving shards only (O(survivors) planning). Above
+  * [[CommittedTable.RootInlineMaxShards]] shard refs the root splits
+  * AGAIN (two-level root): one `shardidx=` line per immutable `_msx-*`
+  * index file of [[CommittedTable.ShardIdxTarget]] shard lines, so the
+  * root stays ~31 lines at 1M partitions and a publish rewrites only the
+  * dirty shards' index groups. Small tables keep the single-file inline
+  * format, byte-compatible with the pre-sharding protocol. */
 class ManifestShardSpec extends SparkSpec {
   import spark.implicits._
 
@@ -35,6 +39,12 @@ class ManifestShardSpec extends SparkSpec {
     val fs = fsOf(dir)
     fs.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("_ms-")).sorted
+  }
+
+  private def idxFiles(dir: String): Seq[String] = {
+    val fs = fsOf(dir)
+    fs.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_msx-")).sorted
   }
 
   // 200 partitions, a handful of rows each — comfortably past the
@@ -142,8 +152,18 @@ class ManifestShardSpec extends SparkSpec {
     val shards1 = shardFiles(dir)
     val totalShardBytes = shards1.map(f =>
       fs.getFileStatus(new Path(dir, f)).getLen).sum
-    assert(shards1.size === math.ceil(
-      n.toDouble / CommittedTable.ShardTargetParts).toInt)
+    val nShards = math.ceil(
+      n.toDouble / CommittedTable.ShardTargetParts).toInt
+    assert(shards1.size === nShards)
+    // 100k partitions ⇒ 1,563 shards > RootInlineMaxShards: the root
+    // goes TWO-LEVEL — shardidx= lines only, one per index group
+    assert(nShards > CommittedTable.RootInlineMaxShards)
+    val root1 = rootLines(dir)
+    assert(!root1.exists(_.startsWith("shard=")),
+      "a two-level root must not inline shard refs")
+    assert(root1.count(_.startsWith("shardidx=")) ===
+      math.ceil(nShards.toDouble / CommittedTable.ShardIdxTarget).toInt)
+    assert(idxFiles(dir).size === root1.count(_.startsWith("shardidx=")))
     // the root is a small fraction of the full metadata
     assert(rootSize < totalShardBytes / 10,
       s"root $rootSize vs shards $totalShardBytes")
@@ -156,12 +176,18 @@ class ManifestShardSpec extends SparkSpec {
       rowCounts = m1.rowCounts + (touched -> 4L),
       files = m1.files +
         (s"seg-g2-bbbbbbbb-$touched" -> Seq(("part-0.parquet", 1100L))))
+    val idx1 = idxFiles(dir)
     CommittedTable.swapManifest(spark.sparkContext.hadoopConfiguration,
       table, m2)
     val shards2 = shardFiles(dir)
     val freshShards = shards2.toSet -- shards1.toSet
     assert(freshShards.size === 1,
       s"one touched partition ⇒ one rewritten shard, got ${freshShards.size}")
+    // …and exactly ONE index group rewritten (the dirty shard's owner);
+    // the other groups carry by reference
+    val freshIdx = idxFiles(dir).toSet -- idx1.toSet
+    assert(freshIdx.size === 1,
+      s"one dirty shard ⇒ one rewritten index group, got ${freshIdx.size}")
     // publish metadata writes = the ONE rewritten shard + the root copies
     // (tmp/anchor/prev — O(#shards) lines each, ~1% of the full
     // manifest); the inline protocol would have rewritten all 9.3 MB
@@ -178,15 +204,71 @@ class ManifestShardSpec extends SparkSpec {
     assert(pruned.partial)
     assert(pruned.segments.size <= 3 * CommittedTable.ShardTargetParts)
     assert(pruned.segments.contains("p050000"))
-    // root-only totals: size and row count without touching one shard
+    // root-only totals: size and row count from the shardidx= aggregates
+    // alone — zero index or shard reads
     val root = CommittedTable.readManifestRoot(fs, table).get
-    assert(root.partial && root.segments.isEmpty)
-    assert(root.shards.map(_.bytes).sum === 1000L * (n - 1) + 1100L)
-    assert(root.shards.flatMap(_.rows).sum === 3L * (n - 1) + 4L)
+    assert(root.partial && root.segments.isEmpty && root.shards.isEmpty)
+    assert(root.shardIdx.nonEmpty)
+    assert(CommittedTable.rootBytes(root) === 1000L * (n - 1) + 1100L)
+    assert(CommittedTable.rootRows(root) === Some(3L * (n - 1) + 4L))
     // full hydration reproduces the whole table
     val full = CommittedTable.readManifest(fs, table).get
     assert(full.segments.size === n)
     assert(full.segments(touched) === s"seg-g2-bbbbbbbb-$touched")
+    // GC: a bogus unreferenced aged index file collects; every
+    // root-referenced one survives
+    val bogus = new Path(dir, "_msx-g0-99-deadbeef")
+    val out = fs.create(bogus, true); out.write("shard=x\ta\tb\t1\t1\t-\n"
+      .getBytes("UTF-8")); out.close()
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    (idxFiles(dir) :+ bogus.getName).foreach(f =>
+      fs.setTimes(new Path(dir, f), old, -1))
+    CommittedTable.vacuum(spark, dir)
+    assert(!fs.exists(bogus), "unreferenced aged index file must collect")
+    val referencedIdx = rootLines(dir).filter(_.startsWith("shardidx="))
+      .map(_.stripPrefix("shardidx=").split('\t').head).toSet
+    assert(referencedIdx.subsetOf(idxFiles(dir).toSet),
+      "every live-root-referenced index file must survive GC")
+  }
+
+  test("the 1M-partition rung: root lines stay O(shards / target); one " +
+      "dirty shard rewrites one index group — pure layout math, no I/O") {
+    // 1M partitions / 64 per shard = 15,625 shard refs — the scale where
+    // a one-level root's shard lines become the O(table) publish term
+    val nShards = 15625
+    val refs = (0 until nShards).map(i =>
+      CommittedTable.ShardRef(f"_ms-g1-$i%05d-aaaaaaaa",
+        f"p$i%05da", f"p$i%05dz", 64, 64000L, Some(192L)))
+    val m = CommittedTable.Manifest(gen = 1L, cols = Seq("id", "part"),
+      segments = Map.empty, retain = 2)
+    val (tail1, files1) = CommittedTable.rootLayout(m, refs, "nonce111")
+    val expectGroups =
+      math.ceil(nShards.toDouble / CommittedTable.ShardIdxTarget).toInt
+    assert(tail1.forall(_.startsWith("shardidx=")))
+    assert(tail1.size === expectGroups) // 31 root lines for 1M partitions
+    assert(files1.size === expectGroups)
+    // aggregates survive the grouping exactly
+    def parseIdx(l: String): CommittedTable.IndexRef = {
+      val a = l.stripPrefix("shardidx=").split('\t')
+      CommittedTable.IndexRef(a(0), a(1), a(2), a(3).toInt, a(4).toInt,
+        a(5).toLong, if (a(6) == "-") None else Some(a(6).toLong))
+    }
+    val idxRefs = tail1.map(parseIdx)
+    assert(idxRefs.map(_.shardsN).sum === nShards)
+    assert(idxRefs.map(_.parts).sum === 64 * nShards)
+    assert(idxRefs.flatMap(_.rows).sum === 192L * nShards)
+    // publish #2: ONE shard rewritten — 30 groups carry by reference,
+    // exactly one index file is written, the root stays 31 lines
+    val m2 = m.copy(gen = 2L, shardIdx = idxRefs,
+      shardIdxBodies = files1.toMap)
+    val refs2 = refs.updated(7777,
+      refs(7777).copy(file = "_ms-g2-00000-bbbbbbbb", bytes = 65000L))
+    val (tail2, files2) = CommittedTable.rootLayout(m2, refs2, "nonce222")
+    assert(files2.size === 1,
+      s"one dirty shard ⇒ one rewritten index group, wrote ${files2.size}")
+    assert(tail2.size === expectGroups)
+    assert(tail2.toSet.intersect(tail1.toSet).size === expectGroups - 1,
+      "all untouched index groups must carry by reference")
   }
 
   test("small tables stay inline — byte-compatible with the pre-sharding " +
