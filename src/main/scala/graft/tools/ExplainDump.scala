@@ -1690,6 +1690,99 @@ object ExplainDump {
           s"""SELECT o_orderstatus, COUNT(*) AS n,
                 CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
               FROM graft.`$cpDir` GROUP BY o_orderstatus"""))
+
+      // q180: the history TVF joined to the change feed — like q179, the
+      // history side's "plan" evidence is the absence of one
+      section("q180_sql_history (generation history TVF × change feed)",
+        """Wants: the graft_history side is a LocalRelation/LocalTableScan
+          |— one row per retained generation materialized on the driver
+          |from one listing plus one small anchor read each, zero data
+          |files at any table size. The joined graft_changes side is the
+          |q171 shape: per-generation batches manifest-pruned to the
+          |partitions that generation touched. The shrink-audit and verb
+          |attribution queries are ordinary SQL over this relation.""".stripMargin,
+        spark.sql(
+          s"""SELECT h.generation, h.operation, h.`rows`,
+                COALESCE(c.n, 0) AS n_changes
+              FROM graft_history('$mmDir') h
+              LEFT JOIN (SELECT _commit_version, COUNT(*) AS n
+                         FROM graft_changes('$mmDir', 2)
+                         GROUP BY _commit_version) c
+              ON h.generation = c._commit_version"""))
+
+      // q181: the MoR endurance end state — after CALL graft.optimize
+      // the read plan must show the stack fully materialized
+      val enDir = s"$tmp/endurance"
+      graft.sources.CommittedTable.write(mmSrc, enDir, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"),
+        bloomCols = Seq("o_orderkey"), retainGenerations = 8)
+      (1 to 3).foreach { i =>
+        graft.sources.CommittedTable.mergeMor(spark, enDir,
+          mmSrc.filter(col("o_orderkey") % (i + 2) === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + i * 1000.0)
+            .withColumn("version", lit(i + 1L)),
+          "o_orderkey", "version", "o_orderstatus")
+      }
+      graft.sources.CommittedTable.deleteMor(spark, enDir,
+        col("o_orderkey") % 23 === 1, "o_orderstatus")
+      spark.sql(s"CALL graft.optimize(table => '$enDir', max_files => 1)")
+      section("q181_mor_endurance (post-optimize: the stack materialized)",
+        """Wants: after the delta stack (three MoR merges + a MoR delete)
+          |and ONE CALL graft.optimize(max_files => 1), the scan is a
+          |PLAIN pruned parquet read again — the Location lists exactly
+          |one fresh compacted segment per partition, NO delta dirs, and
+          |there is NO dv anti-join wrap (the no-dv fast path returns the
+          |bare plan). Self-remediation closed the loop: read
+          |amplification accrues O(merges) and is paid down to zero by
+          |one bounded rewrite, while time travel keeps serving the
+          |mid-stack generations from their anchors.""".stripMargin,
+        spark.sql(
+          s"""SELECT o_orderstatus, COUNT(*) AS n,
+                CAST(SUM(version) AS BIGINT) AS sv
+              FROM graft.`$enDir` GROUP BY o_orderstatus"""))
+
+      // q182: bucketed MoR — the exchange-free join must survive the
+      // delta publish
+      val bmDir = s"$tmp/bktmor"; val bdDir = s"$tmp/bktdim"
+      graft.sources.CommittedTable.write(
+        Registry.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice")).withColumn("version", lit(1L)),
+        bmDir, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"),
+        bucketBy = Some((8, Seq("o_custkey"))))
+      graft.sources.CommittedTable.write(
+        Registry.table(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        bdDir, "c_mktsegment", bucketBy = Some((8, Seq("c_custkey"))))
+      graft.sources.CommittedTable.mergeMor(spark, bmDir,
+        Registry.table(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .filter(col("o_orderkey") % 13 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 5000.0)
+          .withColumn("version", lit(2L)),
+        "o_orderkey", "version", "o_orderstatus")
+      val prevAqeBm = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try section("q182_bucketed_mor (exchange-free join survives MoR DML)",
+        """Wants: a SortMergeJoin on the bucket column with ZERO
+          |ShuffleExchange under it — after a merge-on-read upsert. The
+          |fact side's Location lists the original bucketed base files
+          |AND the merge's delta files, both carrying the _NNNNN bucket
+          |suffix (delta staging splits by the same pmod(murmur3, n)), so
+          |FileSourceScanExec groups base ∪ delta per bucket; the dv
+          |anti-join inside the streamed side is a BroadcastHashJoin
+          |(LeftAnti) that preserves the bucket distribution. At 100 TB
+          |this keeps a continuously-upserted fact co-located with its
+          |dims — the write-time shuffle elimination does not decay with
+          |ingest.""".stripMargin,
+        spark.sql(
+          s"""SELECT /*+ SHUFFLE_MERGE(c) */ c.c_mktsegment, COUNT(*) AS n
+              FROM graft.`$bmDir` f JOIN graft.`$bdDir` c
+                ON f.o_custkey = c.c_custkey
+              GROUP BY c.c_mktsegment"""))
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqeBm)
     }
 
     Files.write(Paths.get("EXPLAIN.md"), sb.toString.getBytes("UTF-8"))
