@@ -1850,5 +1850,66 @@ object SqlSurface {
         CAST(SUM(CAST(f.price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         TRUE AS mor, TRUE AS bucket_free
       FROM f JOIN customer c ON f.o_custkey = c.c_custkey
-      GROUP BY c.c_mktsegment""")))
+      GROUP BY c.c_mktsegment""")),
+
+    // ---- Incremental view over MERGE-ON-READ DML ---------------------------
+    // q153's exact lifecycle and oracle, but the source declares
+    // deletemode/updatemode = 'mor': the routed DELETE publishes a
+    // deletion vector (zero rewrites), the routed UPDATE publishes
+    // vector + delta segments — and the CDF feed driving sync_agg_view
+    // must read those generations identically to rewrites (tombstones
+    // from vectored rows, pre/postimages across base∪delta), folding
+    // the view to the same converged state. The `mor` witness pins that
+    // the source really held live vector+delta state at sync time (a
+    // silent CoW fallback would fail it). Three tiers composed under
+    // one oracle: MoR storage, signed CDF, incremental maintenance —
+    // at 100 TB this IS the steady state: an upserting ingest that
+    // never rewrites hot partitions, feeding views that never rescan
+    // the table.
+    Q("q183_sql_incremental_view_mor", (s, dir) => {
+      val o = table(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+        .withColumn("version", lit(1L))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sql-q183").toString
+      val src = s"$tmp/src"; val vw = s"$tmp/view"
+      graft.sources.CommittedTable.write(o, src, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      s.sql(s"CALL graft.set_retention(table => '$src', retain => 10)")
+      graft.sources.CommittedTable.setDeleteMode(s, src, Some("mor"))
+      graft.sources.CommittedTable.setUpdateMode(s, src, Some("mor"))
+      s.sql(s"CALL graft.init_agg_view(source => '$src', view => '$vw', " +
+        "group_by => 'o_orderpriority', value => 'o_orderkey')")
+      s.sql(s"DELETE FROM graft.`$src` WHERE o_orderkey % 7 = 0") // deleteMor
+      s.sql(s"UPDATE graft.`$src` SET o_orderpriority = '9-MOVED', " +
+        s"version = version + 1 WHERE o_orderkey % 11 = 0") // updateMor
+      // witness BEFORE sync: live vector + delta state on the source
+      val m = graft.sources.CommittedTable.manifestAt(s, src)
+      val mor = m.segments.keys.exists(p =>
+        graft.sources.CommittedTable.liveDv(m, p).isDefined) &&
+        m.segments.keys.exists(p =>
+          graft.sources.CommittedTable.liveDeltas(m, p).nonEmpty)
+      s.sql(s"CALL graft.sync_agg_view(source => '$src', view => '$vw', " +
+        "group_by => 'o_orderpriority', value => 'o_orderkey')")
+      val out = s.sql(
+        s"""SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+              CAST(sum_value AS BIGINT) AS sum_value,
+              CAST(min_value AS BIGINT) AS min_value,
+              CAST(max_value AS BIGINT) AS max_value, $mor AS mor
+            FROM graft.`$vw`""")
+      finish(s, out, src)
+    }, Some("""
+      WITH final AS (
+        SELECT CASE WHEN o_orderkey % 11 = 0 THEN '9-MOVED'
+                    ELSE o_orderpriority END AS o_orderpriority,
+               o_orderkey
+        FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 <> 0)
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_value,
+        CAST(MIN(o_orderkey) AS BIGINT) AS min_value,
+        CAST(MAX(o_orderkey) AS BIGINT) AS max_value,
+        TRUE AS mor
+      FROM final GROUP BY o_orderpriority""")))
 }
