@@ -210,6 +210,128 @@ object Multimodal {
   def withFeatures(media: DataFrame): DataFrame =
     media.join(extractFeatures(media).drop("n_bytes"), Seq("media_id"))
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint over a decoded
+    * raster — the classic public perceptual-hash family's simplest
+    * member: integer luma per pixel (the BT.601 299/587/114 weights,
+    * ×1000-scaled so no per-pixel division happens), box-summed onto the
+    * fixed 8×8 grid ([[pixelFeature]]'s cell walk), each cell reduced to
+    * its integer mean, and bit (cy·8 + cx) set iff the cell mean exceeds
+    * the integer mean of the 64 cell means. Pure integer arithmetic end
+    * to end — bit-reproducible across JVMs, so ORACLES recompute it from
+    * construction-formula rasters — and scale-invariant by the same
+    * argument as the feature grid: a resized copy box-averages to nearly
+    * identical cell means, which is the property that catches re-encoded
+    * and thumbnailed duplicates embedding-cosine dedup misses. */
+  def aHash64(rgb: Array[Int], w: Int, h: Int): Long = {
+    require(rgb.length == w * h && w > 0 && h > 0, "raster shape mismatch")
+    val g = featureGrid
+    val cellMean = new Array[Long](g * g)
+    var cy = 0
+    while (cy < g) {
+      val y0 = cy * h / g
+      val y1 = math.max(y0 + 1, (cy + 1) * h / g)
+      var cx = 0
+      while (cx < g) {
+        val x0 = cx * w / g
+        val x1 = math.max(x0 + 1, (cx + 1) * w / g)
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val p = rgb(y * w + x)
+            sum += 299L * ((p >>> 16) & 0xff) + 587L * ((p >>> 8) & 0xff) +
+              114L * (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(1L,
+          (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0))
+        cellMean(cy * g + cx) = sum / n
+        cx += 1
+      }
+      cy += 1
+    }
+    var total = 0L
+    var i = 0
+    while (i < cellMean.length) { total += cellMean(i); i += 1 }
+    val mean = total / cellMean.length
+    var hash = 0L
+    i = 0
+    while (i < cellMean.length) {
+      if (cellMean(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  val phashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("phash", LongType)))
+
+  /** payload → [[aHash64]] fingerprint, map-side (same bounded decode as
+    * [[extractFeatures]]); rows whose payload does not decode as an image
+    * keep their row with a NULL hash — the never-drop contract. */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(phashSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          val h = decodeImageBounded(bytes, maxDecodePixels).map { img =>
+            val w = img.getWidth; val hh = img.getHeight
+            Long.box(aHash64(img.getRGB(0, 0, w, hh, null, 0, w), w, hh))
+          }.orNull
+          Row(id, h)
+        }
+      }(outEnc)
+  }
+
+  /** Banded perceptual near-dup over [[perceptualHash]] fingerprints: the
+    * 64 bits split into `bands` contiguous slices, candidates = pairs
+    * sharing at least one (band_no, slice) key, exact
+    * bit_count(a XOR b) ≤ maxHamming filters. With the default
+    * bands = maxHamming + 1 the pigeonhole guarantees a pair within the
+    * threshold leaves SOME band untouched — the candidate set is a
+    * superset of every true pair, so banding changes cost, never
+    * answers. Cost: one decode pass (persisted), linear explode to
+    * `bands` keys per image, equi-join quadratic only inside equal-band
+    * buckets — the SimHash/q57 shape on pixels instead of text; never an
+    * all-pairs join. Non-image rows carry NULL hashes and never pair. */
+  def phashNearDups(media: DataFrame, maxHamming: Int = 7,
+      bands: Int = 0): DataFrame = {
+    val b = if (bands > 0) bands else maxHamming + 1
+    require(b >= 1 && b <= 64, s"bands must be in [1, 64], got $b")
+    require(maxHamming >= 0 && maxHamming < b,
+      s"banding guarantee needs maxHamming < bands, got $maxHamming / $b")
+    val hashed = perceptualHash(media).filter(col("phash").isNotNull)
+      .persist()
+    val slices = (0 until b).map { i =>
+      val lo = i * 64 / b
+      val width = (i + 1) * 64 / b - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("band_no"),
+        shiftrightunsigned(col("phash"), lo).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val banded = hashed
+      .select(col("media_id"), col("phash"), explode(array(slices: _*)).as("bd"))
+      .select(col("media_id"), col("phash"),
+        col("bd.band_no").as("band_no"), col("bd.bits").as("bits"))
+    val left = banded.alias("a")
+    val right = banded.alias("c")
+    left.join(right,
+        col("a.band_no") === col("c.band_no") &&
+          col("a.bits") === col("c.bits") &&
+          col("a.media_id") < col("c.media_id"))
+      .select(col("a.media_id").as("id_a"), col("c.media_id").as("id_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("c.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Schema of [[decodeMedia]]: recovered intrinsic metadata. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

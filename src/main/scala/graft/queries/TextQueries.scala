@@ -352,7 +352,45 @@ object TextQueries {
         CAST(SUM(s * s) AS BIGINT) AS sum_sq,
         CAST(SUM(CASE WHEN prev * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
           AS n_zero_cross
-      FROM lagged GROUP BY media_id, frame_no"""))
+      FROM lagged GROUP BY media_id, frame_no""")),
+
+    // ---- Perceptual-hash image near-dup (REAL, bytes → 64-bit aHash) ------
+    // perceptualHash decodes each payload and computes the integer-exact
+    // 64-bit average hash (BT.601 luma, 8×8 box means, bit = cell > mean);
+    // phashNearDups bands the hash (pigeonhole: bands = maxHamming+1 ⇒ a
+    // pair within threshold shares some band — candidates are a SUPERSET,
+    // never an all-pairs join) and filters exact bit_count(XOR). The
+    // corpus: a gradient base, a cell-blackout perturbation (re-encoded
+    // near-dup), the SAME image at half size (the resized copy aHash
+    // exists to catch — embedding-cosine dedup has no pixel path), an
+    // inverted gradient (far), and an audio payload (NULL hash, never
+    // pairs). The oracle recomputes every hash from the CONSTRUCTION
+    // formulas through the same pure kernel (the q92 convention) and
+    // brute-forces ALL pairs — a pass proves bytes→pixels→hash end to end
+    // AND that banding lost nothing.
+    Q("q184_image_phash_neardup", (s, _) => {
+      graft.operators.Multimodal
+        .phashNearDups(graft.fixtures.MediaFixture.phashFrame(s),
+          maxHamming = 7)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+    }, Some {
+      import graft.fixtures.MediaFixture
+      import graft.operators.Multimodal
+      val hs = MediaFixture.phashRasters.map { case (id, rgb, w, h) =>
+        id -> Multimodal.aHash64(rgb, w, h) }
+      val pairs = for {
+        (a, ha) <- hs
+        (b, hb) <- hs
+        if a < b
+        d = java.lang.Long.bitCount(ha ^ hb)
+        if d <= 7
+      } yield s"(CAST($a AS BIGINT), CAST($b AS BIGINT), CAST($d AS INT))"
+      s"""
+      SELECT * FROM (VALUES
+        ${pairs.mkString(",\n        ")}
+      ) AS t(id_a, id_b, hamming)"""
+    })
   ) ++ samplingQueries ++ Seq(
 
     // ---- Line-level boilerplate dedup (CCNet/RefinedWeb pass) -------------

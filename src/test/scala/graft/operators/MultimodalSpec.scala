@@ -139,6 +139,43 @@ class MultimodalSpec extends SparkSpec {
     assert(out(6L) === ((None, None, None)))          // undecodable, row kept
   }
 
+  test("perceptual hash: decode == formula, banding == brute force, near/far/NULL classified") {
+    import graft.fixtures.MediaFixture
+    val frame = MediaFixture.phashFrame(spark)
+    // 1) the distributed hash of every PNG equals the pure kernel over the
+    //    construction-formula raster (bytes → pixels → hash, bit-exact)
+    val got = Multimodal.perceptualHash(frame).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val expected = MediaFixture.phashRasters.map { case (id, rgb, w, h) =>
+      id -> Multimodal.aHash64(rgb, w, h) }.toMap
+    expected.foreach { case (id, e) =>
+      assert(got(id) === Some(e), s"hash mismatch for media $id") }
+    // 2) the audio payload keeps its row with a NULL hash
+    assert(got(45L) === None)
+    // 3) banded near-dups == brute force over all pairs (pigeonhole: with
+    //    bands = maxHamming + 1 the candidate set is a superset)
+    val brute = (for {
+      (a, ha) <- expected.toSeq
+      (b, hb) <- expected.toSeq
+      if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 7
+    } yield (a, b, d)).toSet
+    assert(brute.nonEmpty, "fixture must contain at least one near-dup pair")
+    val banded = Multimodal.phashNearDups(frame, maxHamming = 7)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2, t._3)).toSet
+    assert(banded === brute)
+    // 4) design intent: the cell-blackout perturbation and the half-size
+    //    copy both pair with the base; the inverted gradient never does
+    assert(banded.exists(p => p._1 == 41L && p._2 == 42L),
+      s"perturbed copy must be a near-dup: $banded")
+    assert(banded.exists(p => p._1 == 41L && p._2 == 43L),
+      s"resized copy must be a near-dup: $banded")
+    assert(!banded.exists(p => p._1 == 44L || p._2 == 44L),
+      s"the inverted gradient must stay far: $banded")
+  }
+
   test("resize really rescales images; non-images pass through untouched") {
     import org.apache.spark.sql.Row
     val base = graft.fixtures.MediaFixture.frame(spark)
