@@ -300,15 +300,17 @@ object Multimodal {
     * answers. Cost: one decode pass (persisted), linear explode to
     * `bands` keys per image, equi-join quadratic only inside equal-band
     * buckets — the SimHash/q57 shape on pixels instead of text; never an
-    * all-pairs join. Non-image rows carry NULL hashes and never pair. */
+    * all-pairs join. Non-image rows carry NULL hashes and never pair.
+    * The hash table persists through `scope` (both join sides + the
+    * decode pass share one cache; release via [[CacheScope]]). */
   def phashNearDups(media: DataFrame, maxHamming: Int = 7,
-      bands: Int = 0): DataFrame = {
+      bands: Int = 0, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
     val b = if (bands > 0) bands else maxHamming + 1
     require(b >= 1 && b <= 64, s"bands must be in [1, 64], got $b")
     require(maxHamming >= 0 && maxHamming < b,
       s"banding guarantee needs maxHamming < bands, got $maxHamming / $b")
-    val hashed = perceptualHash(media).filter(col("phash").isNotNull)
-      .persist()
+    val hashed = scope.persist(
+      perceptualHash(media).filter(col("phash").isNotNull))
     val slices = (0 until b).map { i =>
       val lo = i * 64 / b
       val width = (i + 1) * 64 / b - lo
