@@ -761,6 +761,74 @@ object Multimodal {
       }(outEnc)
   }
 
+  private val frameHashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("fhash", LongType, nullable = false)))
+
+  /** Video near-dup via per-frame perceptual hashes: sample every Nth
+    * frame ([[sampleFrames]]), [[aHash64]] each decoded frame, band the
+    * FRAME hashes exactly like [[phashNearDups]] (pigeonhole superset,
+    * exact bit_count filter), and pair VIDEOS sharing at least
+    * `minSharedFrames` distinct near-matching frame pairs — the
+    * re-encoded/re-muxed duplicate-clip detector (a clip re-containered
+    * or re-stamped keeps its frames' pixels, which is all the hash
+    * sees). Undecodable frames and non-video rows contribute nothing.
+    * Cost: linear decode + the banded equi-join — frame hashes never
+    * all-pairs, video pairs aggregated from matched frames only. The
+    * frame-hash table persists through `scope`. */
+  def videoNearDups(media: DataFrame, everyNth: Int = 4, maxHamming: Int = 7,
+      minSharedFrames: Int = 2, bands: Int = 0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val b = if (bands > 0) bands else maxHamming + 1
+    require(b >= 1 && b <= 64, s"bands must be in [1, 64], got $b")
+    require(maxHamming >= 0 && maxHamming < b,
+      s"banding guarantee needs maxHamming < bands, got $maxHamming / $b")
+    require(minSharedFrames >= 1,
+      s"minSharedFrames ($minSharedFrames) must be >= 1")
+    val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(frameHashSchema)
+    val hashed = scope.persist(
+      sampleFrames(media, everyNth)
+        .select(col("media_id"), col("frame_no"), col("frame"))
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            val bytes =
+              if (r.isNullAt(2)) Array.emptyByteArray
+              else r.getAs[Array[Byte]](2)
+            decodeImageBounded(bytes, maxDecodePixels).map { img =>
+              val w = img.getWidth; val h = img.getHeight
+              Row(r.getLong(0), r.getInt(1),
+                aHash64(img.getRGB(0, 0, w, h, null, 0, w), w, h))
+            }
+          }
+        }(outEnc))
+    val slices = (0 until b).map { i =>
+      val lo = i * 64 / b
+      val width = (i + 1) * 64 / b - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("band_no"),
+        shiftrightunsigned(col("fhash"), lo).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val banded = hashed
+      .select(col("media_id"), col("frame_no"), col("fhash"),
+        explode(array(slices: _*)).as("bd"))
+      .select(col("media_id"), col("frame_no"), col("fhash"),
+        col("bd.band_no").as("band_no"), col("bd.bits").as("bits"))
+    val left = banded.alias("a")
+    val right = banded.alias("c")
+    left.join(right,
+        col("a.band_no") === col("c.band_no") &&
+          col("a.bits") === col("c.bits") &&
+          col("a.media_id") < col("c.media_id"))
+      .filter(bit_count(col("a.fhash").bitwiseXOR(col("c.fhash")))
+        <= maxHamming)
+      .groupBy(col("a.media_id").as("id_a"), col("c.media_id").as("id_b"))
+      .agg(countDistinct(col("a.frame_no"), col("c.frame_no"))
+        .as("n_shared"))
+      .filter(col("n_shared") >= minSharedFrames)
+  }
+
   private val audioFrameSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("frame_no", IntegerType),

@@ -390,7 +390,29 @@ object TextQueries {
       SELECT * FROM (VALUES
         ${pairs.mkString(",\n        ")}
       ) AS t(id_a, id_b, hamming)"""
-    })
+    }),
+
+    // ---- Video near-dup via per-frame perceptual hashes -------------------
+    // sampleFrames walks the real MP4 sample tables, each JPEG frame
+    // decodes to a 64-bit aHash, frame hashes pair through the banded
+    // join (never all-pairs), and videos pair on >= minSharedFrames
+    // matched frames. The corpus is HAND-DERIVABLE (the q91 fixture-
+    // oracle pattern): frames paint target bit patterns (4x4 white/black
+    // blocks -> the hash reproduces the pattern through JPEG loss), video
+    // 52 shares exactly two of 51's frames byte-identically (the re-muxed
+    // clip case), 53 is all-different, 54 undecodable — so the ONLY
+    // expected row is (51, 52, 2), written as literal VALUES with no
+    // kernel in the oracle.
+    Q("q185_video_phash_neardup", (s, _) => {
+      graft.operators.Multimodal
+        .videoNearDups(graft.fixtures.MediaFixture.videoNearDupFrame(s),
+          everyNth = 1, maxHamming = 7, minSharedFrames = 2)
+        .select(col("id_a"), col("id_b"),
+          col("n_shared").cast("long").as("n_shared"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(51 AS BIGINT), CAST(52 AS BIGINT), CAST(2 AS BIGINT))
+      ) AS t(id_a, id_b, n_shared)"""))
   ) ++ samplingQueries ++ Seq(
 
     // ---- Line-level boilerplate dedup (CCNet/RefinedWeb pass) -------------

@@ -176,6 +176,38 @@ class MultimodalSpec extends SparkSpec {
       s"the inverted gradient must stay far: $banded")
   }
 
+  test("video near-dup: shared pattern frames pair videos; distinct/undecodable never") {
+    import graft.fixtures.MediaFixture
+    val frame = MediaFixture.videoNearDupFrame(spark)
+    // the full walk: only (51, 52) pair, on exactly their 2 shared frames
+    val got = Multimodal.videoNearDups(frame, everyNth = 1,
+        maxHamming = 7, minSharedFrames = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((51L, 52L, 2L)))
+    // distinct patterns are mutually FAR: the frame hashes recover the
+    // painted bit patterns through JPEG loss, so every cross-pattern
+    // hamming is far above the threshold
+    val hs = MediaFixture.videoPatterns.map { p =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MediaFixture.patternJpeg(p)))
+      val w = img.getWidth; val h = img.getHeight
+      p -> Multimodal.aHash64(img.getRGB(0, 0, w, h, null, 0, w), w, h)
+    }
+    hs.foreach { case (p, h) =>
+      assert(java.lang.Long.bitCount(p ^ h) <= 1,
+        f"hash must recover the painted pattern: $p%016x vs $h%016x") }
+    for ((pa, ha) <- hs; (pb, hb) <- hs if pa != pb)
+      assert(java.lang.Long.bitCount(ha ^ hb) > 7,
+        f"distinct patterns must stay far: $pa%016x vs $pb%016x")
+    // frame subsampling composes: every 2nd frame keeps one shared frame,
+    // so minSharedFrames = 2 finds nothing and 1 finds the pair
+    assert(Multimodal.videoNearDups(frame, everyNth = 2,
+      maxHamming = 7, minSharedFrames = 2).isEmpty)
+    assert(Multimodal.videoNearDups(frame, everyNth = 2,
+        maxHamming = 7, minSharedFrames = 1)
+      .as[(Long, Long, Long)].collect().toSet === Set((51L, 52L, 1L)))
+  }
+
   test("resize really rescales images; non-images pass through untouched") {
     import org.apache.spark.sql.Row
     val base = graft.fixtures.MediaFixture.frame(spark)
