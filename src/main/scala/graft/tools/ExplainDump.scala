@@ -1763,6 +1763,20 @@ object ExplainDump {
           .withColumn("o_totalprice", col("o_totalprice") + 5000.0)
           .withColumn("version", lit(2L)),
         "o_orderkey", "version", "o_orderstatus")
+      // q184/q185: the perceptual-hash near-dup joins — the scale claim
+      // is the ABSENCE of any all-pairs operator
+      section("q184_image_phash_neardup (banded perceptual-hash join)",
+        """Wants: ONE decode pass (the persisted hash table feeds both
+          |join sides), a linear explode to (band_no, bits) keys, a plain
+          |EQUI-join on those keys (broadcast at fixture scale,
+          |shuffle-hash at corpus scale) with the exact
+          |bit_count(XOR) ≤ maxHamming filter post-join, and NO
+          |CartesianProduct / BroadcastNestedLoopJoin anywhere — the
+          |SimHash/§q57 shape on pixels: linear + bucket-quadratic,
+          |never all-pairs.""".stripMargin,
+        graft.operators.Multimodal.phashNearDups(
+          graft.fixtures.MediaFixture.phashFrame(spark), maxHamming = 7))
+
       val prevAqeBm = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       try section("q182_bucketed_mor (exchange-free join survives MoR DML)",
