@@ -889,4 +889,100 @@ object Multimodal {
         }
       }(outEnc)
   }
+
+  /** 64-bit audio fingerprint over 16-bit mono PCM: the samples split
+    * into 64 equal windows, window energies as EXACT integer sums of
+    * squares, bit i set iff E(i) > E(i−1) (E(−1) = 0) — the classic
+    * energy-delta fingerprint. Pure integer arithmetic (oracles
+    * recompute it from PCM construction formulas) and GAIN-INVARIANT by
+    * construction: a uniformly amplified copy scales every energy by the
+    * same square factor, so every comparison — including the equality
+    * case — lands identically (the re-leveled re-encode is audio's
+    * resized-thumbnail). Payloads that are not 16-bit mono PCM, or
+    * carry fewer than 64 samples, fingerprint NULL. */
+  def audioFingerprint64(samples: Int => Int, n: Int): Long = {
+    require(n >= 64, s"audio fingerprint needs >= 64 samples, got $n")
+    var hash = 0L
+    var prevE = 0L
+    var w = 0
+    while (w < 64) {
+      val lo = (w.toLong * n / 64).toInt
+      val hi = ((w + 1).toLong * n / 64).toInt
+      var e = 0L
+      var i = lo
+      while (i < hi) { val s = samples(i); e += s.toLong * s; i += 1 }
+      if (e > prevE) hash |= (1L << w)
+      prevE = e
+      w += 1
+    }
+    hash
+  }
+
+  private val audioHashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ahash", LongType)))
+
+  /** payload → [[audioFingerprint64]], map-side off [[Wav]]'s bounded
+    * parse; non-audio/short/stereo/24-bit rows keep their row with a
+    * NULL fingerprint (the never-drop contract). */
+  def audioFingerprints(media: DataFrame): DataFrame = {
+    val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioHashSchema)
+    media.select(col("media_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload =
+            if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
+          val h = Wav.parse(payload) match {
+            case Some(m) if m.bitsPerSample == 16 && m.channels == 1 &&
+                m.dataLen >= 2 * 64 =>
+              val n = m.dataLen / 2
+              Long.box(audioFingerprint64(i => {
+                val o = m.dataOff + 2 * i
+                ((payload(o) & 0xff) | (payload(o + 1) << 8)).toShort.toInt
+              }, n))
+            case _ => null
+          }
+          Row(r.getLong(0), h)
+        }
+      }(outEnc)
+  }
+
+  /** Banded audio near-dup over [[audioFingerprints]] — identical
+    * machinery to [[phashNearDups]] (pigeonhole superset with
+    * bands = maxHamming + 1, exact bit_count filter, never all-pairs),
+    * completing the perceptual near-dup family across modalities:
+    * winnow/MinHash/SimHash for text, aHash for images, frame hashes for
+    * video, energy-delta fingerprints for audio. The fingerprint table
+    * persists through `scope`. */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 7,
+      bands: Int = 0, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val b = if (bands > 0) bands else maxHamming + 1
+    require(b >= 1 && b <= 64, s"bands must be in [1, 64], got $b")
+    require(maxHamming >= 0 && maxHamming < b,
+      s"banding guarantee needs maxHamming < bands, got $maxHamming / $b")
+    val hashed = scope.persist(
+      audioFingerprints(media).filter(col("ahash").isNotNull))
+    val slices = (0 until b).map { i =>
+      val lo = i * 64 / b
+      val width = (i + 1) * 64 / b - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("band_no"),
+        shiftrightunsigned(col("ahash"), lo).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val banded = hashed
+      .select(col("media_id"), col("ahash"), explode(array(slices: _*)).as("bd"))
+      .select(col("media_id"), col("ahash"),
+        col("bd.band_no").as("band_no"), col("bd.bits").as("bits"))
+    val left = banded.alias("a")
+    val right = banded.alias("c")
+    left.join(right,
+        col("a.band_no") === col("c.band_no") &&
+          col("a.bits") === col("c.bits") &&
+          col("a.media_id") < col("c.media_id"))
+      .select(col("a.media_id").as("id_a"), col("c.media_id").as("id_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("c.ahash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -412,7 +412,41 @@ object TextQueries {
     }, Some("""
       SELECT * FROM (VALUES
         (CAST(51 AS BIGINT), CAST(52 AS BIGINT), CAST(2 AS BIGINT))
-      ) AS t(id_a, id_b, n_shared)"""))
+      ) AS t(id_a, id_b, n_shared)""")),
+
+    // ---- Audio near-dup via energy-delta fingerprints ---------------------
+    // audioFingerprints splits each WAV's PCM into 64 windows and sets
+    // bit i iff the EXACT integer energy rose from window i−1 — gain-
+    // invariant by construction, so the 2×-amplified copy fingerprints
+    // IDENTICALLY (audio's resized-thumbnail case); audioNearDups is the
+    // q184 banded join on the fingerprint. The oracle recomputes every
+    // fingerprint from the PCM construction formulas through the same
+    // pure kernel (the q92/q123 convention) and brute-forces all pairs —
+    // bytes→samples→fingerprint end to end, banding lossless, the image
+    // payload NULL and pairless.
+    Q("q186_audio_neardup", (s, _) => {
+      graft.operators.Multimodal
+        .audioNearDups(graft.fixtures.MediaFixture.audioNearDupFrame(s),
+          maxHamming = 7)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+    }, Some {
+      import graft.fixtures.MediaFixture
+      import graft.operators.Multimodal
+      val hs = MediaFixture.audioNearDupFormulas.map { case (id, f, n) =>
+        id -> Multimodal.audioFingerprint64(f, n) }
+      val pairs = for {
+        (a, ha) <- hs
+        (b, hb) <- hs
+        if a < b
+        d = java.lang.Long.bitCount(ha ^ hb)
+        if d <= 7
+      } yield s"(CAST($a AS BIGINT), CAST($b AS BIGINT), CAST($d AS INT))"
+      s"""
+      SELECT * FROM (VALUES
+        ${pairs.mkString(",\n        ")}
+      ) AS t(id_a, id_b, hamming)"""
+    })
   ) ++ samplingQueries ++ Seq(
 
     // ---- Line-level boilerplate dedup (CCNet/RefinedWeb pass) -------------

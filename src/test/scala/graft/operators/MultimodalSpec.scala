@@ -208,6 +208,36 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet === Set((51L, 52L, 1L)))
   }
 
+  test("audio near-dup: gain-invariant fingerprints, banding == brute force, non-audio NULL") {
+    import graft.fixtures.MediaFixture
+    val frame = MediaFixture.audioNearDupFrame(spark)
+    // distributed fingerprints == the pure kernel over the PCM formulas
+    val got = Multimodal.audioFingerprints(frame).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val expected = MediaFixture.audioNearDupFormulas.map { case (id, f, n) =>
+      id -> Multimodal.audioFingerprint64(f, n) }.toMap
+    expected.foreach { case (id, e) =>
+      assert(got(id) === Some(e), s"fingerprint mismatch for media $id") }
+    assert(got(64L) === None) // the image payload
+    // gain invariance is EXACT: the 2x copy fingerprints identically
+    assert(expected(61L) === expected(62L))
+    // and the alternating signal is far (well past the threshold)
+    assert(java.lang.Long.bitCount(expected(61L) ^ expected(63L)) > 7)
+    // banded pairs == brute force
+    val brute = (for {
+      (a, ha) <- expected.toSeq
+      (b, hb) <- expected.toSeq
+      if a < b
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 7
+    } yield (a, b, d)).toSet
+    assert(brute === Set((61L, 62L, 0)))
+    val banded = Multimodal.audioNearDups(frame, maxHamming = 7)
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2, t._3)).toSet
+    assert(banded === brute)
+  }
+
   test("resize really rescales images; non-images pass through untouched") {
     import org.apache.spark.sql.Row
     val base = graft.fixtures.MediaFixture.frame(spark)
