@@ -290,6 +290,53 @@ object Multimodal {
       }(outEnc)
   }
 
+  /** The shared banded 64-bit-hash pair core: both sides are
+    * (media_id, `hashCol`) tables; each explodes to `b` contiguous
+    * (band_no, bits) slices, candidates come from the band equi-join,
+    * exact bit_count(XOR) ≤ maxHamming filters. `fullCorpus = true`
+    * joins one table against itself (id < id halves the pairs);
+    * `false` is the INCREMENTAL shape — left = the new batch only,
+    * right = existing ∪ new, id ≠ id with least/greatest canonicalizing
+    * — so per-batch runs unioned reproduce exactly the full-corpus pair
+    * set without ever re-pairing existing × existing. */
+  private def bandedHashPairs(newSide: DataFrame, allSide: DataFrame,
+      hashCol: String, b: Int, maxHamming: Int,
+      fullCorpus: Boolean): DataFrame = {
+    val slices = (0 until b).map { i =>
+      val lo = i * 64 / b
+      val width = (i + 1) * 64 / b - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("band_no"),
+        shiftrightunsigned(col(hashCol), lo).bitwiseAND(lit(mask)).as("bits"))
+    }
+    def band(df: DataFrame) = df
+      .select(col("media_id"), col(hashCol), explode(array(slices: _*)).as("bd"))
+      .select(col("media_id"), col(hashCol),
+        col("bd.band_no").as("band_no"), col("bd.bits").as("bits"))
+    val left = band(newSide).alias("a")
+    val right = band(allSide).alias("c")
+    val idCond =
+      if (fullCorpus) col("a.media_id") < col("c.media_id")
+      else col("a.media_id") =!= col("c.media_id")
+    left.join(right,
+        col("a.band_no") === col("c.band_no") &&
+          col("a.bits") === col("c.bits") && idCond)
+      .select(least(col("a.media_id"), col("c.media_id")).as("id_a"),
+        greatest(col("a.media_id"), col("c.media_id")).as("id_b"),
+        bit_count(col(s"a.$hashCol").bitwiseXOR(col(s"c.$hashCol")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  private def bandCount(maxHamming: Int, bands: Int): Int = {
+    val b = if (bands > 0) bands else maxHamming + 1
+    require(b >= 1 && b <= 64, s"bands must be in [1, 64], got $b")
+    require(maxHamming >= 0 && maxHamming < b,
+      s"banding guarantee needs maxHamming < bands, got $maxHamming / $b")
+    b
+  }
+
   /** Banded perceptual near-dup over [[perceptualHash]] fingerprints: the
     * 64 bits split into `bands` contiguous slices, candidates = pairs
     * sharing at least one (band_no, slice) key, exact
@@ -305,33 +352,33 @@ object Multimodal {
     * decode pass share one cache; release via [[CacheScope]]). */
   def phashNearDups(media: DataFrame, maxHamming: Int = 7,
       bands: Int = 0, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val b = if (bands > 0) bands else maxHamming + 1
-    require(b >= 1 && b <= 64, s"bands must be in [1, 64], got $b")
-    require(maxHamming >= 0 && maxHamming < b,
-      s"banding guarantee needs maxHamming < bands, got $maxHamming / $b")
+    val b = bandCount(maxHamming, bands)
     val hashed = scope.persist(
       perceptualHash(media).filter(col("phash").isNotNull))
-    val slices = (0 until b).map { i =>
-      val lo = i * 64 / b
-      val width = (i + 1) * 64 / b - lo
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(i).as("band_no"),
-        shiftrightunsigned(col("phash"), lo).bitwiseAND(lit(mask)).as("bits"))
-    }
-    val banded = hashed
-      .select(col("media_id"), col("phash"), explode(array(slices: _*)).as("bd"))
-      .select(col("media_id"), col("phash"),
-        col("bd.band_no").as("band_no"), col("bd.bits").as("bits"))
-    val left = banded.alias("a")
-    val right = banded.alias("c")
-    left.join(right,
-        col("a.band_no") === col("c.band_no") &&
-          col("a.bits") === col("c.bits") &&
-          col("a.media_id") < col("c.media_id"))
-      .select(col("a.media_id").as("id_a"), col("c.media_id").as("id_b"),
-        bit_count(col("a.phash").bitwiseXOR(col("c.phash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    bandedHashPairs(hashed, hashed, "phash", b, maxHamming, fullCorpus = true)
+  }
+
+  /** Incremental ingest: a NEW media batch near-dup'd against an
+    * ACCUMULATED fingerprint table ([[perceptualHash]]'s (media_id,
+    * phash) shape — typically a stored parquet/committed table the
+    * caller appends each batch's hashes to) WITHOUT re-decoding one
+    * existing image: only the batch decodes, the join is new ×
+    * (existing ∪ new) on the band keys, and per-batch runs unioned
+    * reproduce exactly the full-corpus pair set (existing × existing
+    * pairs were already emitted by the batches that introduced them —
+    * the [[graft.operators.Dedup.minhashCandidatesAgainst]] contract on
+    * pixels). At 100 TB this is THE shape: a day's crawl pairs against
+    * years of corpus for the cost of hashing the day. */
+  def phashNearDupsAgainst(newMedia: DataFrame, existingHashes: DataFrame,
+      maxHamming: Int = 7, bands: Int = 0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val b = bandCount(maxHamming, bands)
+    val newHashed = scope.persist(
+      perceptualHash(newMedia).filter(col("phash").isNotNull))
+    val all = existingHashes.select(col("media_id"), col("phash"))
+      .unionByName(newHashed)
+    bandedHashPairs(newHashed, all, "phash", b, maxHamming,
+      fullCorpus = false)
   }
 
   /** Schema of [[decodeMedia]]: recovered intrinsic metadata. */
@@ -957,32 +1004,24 @@ object Multimodal {
     * persists through `scope`. */
   def audioNearDups(media: DataFrame, maxHamming: Int = 7,
       bands: Int = 0, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val b = if (bands > 0) bands else maxHamming + 1
-    require(b >= 1 && b <= 64, s"bands must be in [1, 64], got $b")
-    require(maxHamming >= 0 && maxHamming < b,
-      s"banding guarantee needs maxHamming < bands, got $maxHamming / $b")
+    val b = bandCount(maxHamming, bands)
     val hashed = scope.persist(
       audioFingerprints(media).filter(col("ahash").isNotNull))
-    val slices = (0 until b).map { i =>
-      val lo = i * 64 / b
-      val width = (i + 1) * 64 / b - lo
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(i).as("band_no"),
-        shiftrightunsigned(col("ahash"), lo).bitwiseAND(lit(mask)).as("bits"))
-    }
-    val banded = hashed
-      .select(col("media_id"), col("ahash"), explode(array(slices: _*)).as("bd"))
-      .select(col("media_id"), col("ahash"),
-        col("bd.band_no").as("band_no"), col("bd.bits").as("bits"))
-    val left = banded.alias("a")
-    val right = banded.alias("c")
-    left.join(right,
-        col("a.band_no") === col("c.band_no") &&
-          col("a.bits") === col("c.bits") &&
-          col("a.media_id") < col("c.media_id"))
-      .select(col("a.media_id").as("id_a"), col("c.media_id").as("id_b"),
-        bit_count(col("a.ahash").bitwiseXOR(col("c.ahash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    bandedHashPairs(hashed, hashed, "ahash", b, maxHamming, fullCorpus = true)
+  }
+
+  /** [[phashNearDupsAgainst]] for audio: a new batch against a stored
+    * (media_id, ahash) fingerprint table — only the batch's PCM parses,
+    * per-batch unions reproduce the full-corpus pair set. */
+  def audioNearDupsAgainst(newMedia: DataFrame, existingHashes: DataFrame,
+      maxHamming: Int = 7, bands: Int = 0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val b = bandCount(maxHamming, bands)
+    val newHashed = scope.persist(
+      audioFingerprints(newMedia).filter(col("ahash").isNotNull))
+    val all = existingHashes.select(col("media_id"), col("ahash"))
+      .unionByName(newHashed)
+    bandedHashPairs(newHashed, all, "ahash", b, maxHamming,
+      fullCorpus = false)
   }
 }

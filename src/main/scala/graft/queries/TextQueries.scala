@@ -392,6 +392,44 @@ object TextQueries {
       ) AS t(id_a, id_b, hamming)"""
     }),
 
+    // ---- Incremental perceptual-hash ingest --------------------------------
+    // The 100 TB shape (the q117 winnow-incremental pattern on pixels):
+    // batch 1 pairs within itself and stores its (media_id, phash) table;
+    // batch 2 decodes ONLY ITSELF and joins against existing ∪ new — so a
+    // day's crawl pairs against years of corpus for the cost of hashing
+    // the day, and per-batch unions must reproduce EXACTLY the
+    // full-corpus pair set (the oracle is q184's brute force over all
+    // construction-formula hashes — same expected rows, reached without
+    // ever re-decoding or re-pairing the stored side).
+    Q("q187_image_phash_incremental", (s, _) => {
+      val frame = graft.fixtures.MediaFixture.phashFrame(s)
+      val b1 = frame.filter(col("media_id").isin(41L, 44L))
+      val b2 = frame.filter(col("media_id").isin(42L, 43L, 45L))
+      val stored = graft.operators.Multimodal.perceptualHash(b1)
+        .filter(col("phash").isNotNull)
+      graft.operators.Multimodal.phashNearDups(b1, maxHamming = 7)
+        .unionByName(graft.operators.Multimodal
+          .phashNearDupsAgainst(b2, stored, maxHamming = 7))
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+    }, Some {
+      import graft.fixtures.MediaFixture
+      import graft.operators.Multimodal
+      val hs = MediaFixture.phashRasters.map { case (id, rgb, w, h) =>
+        id -> Multimodal.aHash64(rgb, w, h) }
+      val pairs = for {
+        (a, ha) <- hs
+        (b, hb) <- hs
+        if a < b
+        d = java.lang.Long.bitCount(ha ^ hb)
+        if d <= 7
+      } yield s"(CAST($a AS BIGINT), CAST($b AS BIGINT), CAST($d AS INT))"
+      s"""
+      SELECT * FROM (VALUES
+        ${pairs.mkString(",\n        ")}
+      ) AS t(id_a, id_b, hamming)"""
+    }),
+
     // ---- Video near-dup via per-frame perceptual hashes -------------------
     // sampleFrames walks the real MP4 sample tables, each JPEG frame
     // decodes to a 64-bit aHash, frame hashes pair through the banded

@@ -208,6 +208,37 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet === Set((51L, 52L, 1L)))
   }
 
+  test("incremental phash ingest: per-batch pairs union to the full-corpus set; existing never re-decoded or re-paired") {
+    import graft.fixtures.MediaFixture
+    val frame = MediaFixture.phashFrame(spark)
+    val batch1 = frame.filter($"media_id".isin(41L, 44L))
+    val batch2 = frame.filter($"media_id".isin(42L, 43L, 45L))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int)].collect().map(t => (t._1, t._2, t._3)).toSet
+    val full = pairs(Multimodal.phashNearDups(frame, maxHamming = 7))
+    // the deployment shape: batch 1 pairs within itself, its hashes are
+    // stored; batch 2 decodes ONLY ITSELF and pairs against the store
+    val stored = Multimodal.perceptualHash(batch1)
+      .filter($"phash".isNotNull)
+    val p1 = pairs(Multimodal.phashNearDups(batch1, maxHamming = 7))
+    val p2 = pairs(Multimodal.phashNearDupsAgainst(batch2, stored,
+      maxHamming = 7))
+    assert((p1 ++ p2) === full)
+    // the against-join never re-emits existing × existing: every batch-2
+    // pair involves at least one batch-2 id
+    assert(p2.forall(p => Set(42L, 43L).contains(p._1) ||
+      Set(42L, 43L).contains(p._2)), s"existing pair re-emitted: $p2")
+    // audio twin: same contract on the fingerprint table
+    val aframe = MediaFixture.audioNearDupFrame(spark)
+    val a1 = aframe.filter($"media_id" === 61L)
+    val a2 = aframe.filter($"media_id".isin(62L, 63L, 64L))
+    val afull = pairs(Multimodal.audioNearDups(aframe, maxHamming = 7))
+    val astored = Multimodal.audioFingerprints(a1).filter($"ahash".isNotNull)
+    val ap = pairs(Multimodal.audioNearDupsAgainst(a2, astored,
+      maxHamming = 7))
+    assert(ap === afull) // batch 1 is a single row: no pairs of its own
+  }
+
   test("audio near-dup: gain-invariant fingerprints, banding == brute force, non-audio NULL") {
     import graft.fixtures.MediaFixture
     val frame = MediaFixture.audioNearDupFrame(spark)
