@@ -375,10 +375,34 @@ object Multimodal {
     val b = bandCount(maxHamming, bands)
     val newHashed = scope.persist(
       perceptualHash(newMedia).filter(col("phash").isNotNull))
+    phashPairsAgainstHashes(newHashed, existingHashes, maxHamming, bands)
+  }
+
+  /** [[phashNearDups]] over an ALREADY-COMPUTED (media_id, phash)
+    * table — the store-centric entry: pair a stored fingerprint corpus
+    * without touching one payload byte (re-thresholding a 100 TB corpus
+    * costs the fingerprint table's scan, not the decode). */
+  def phashNearDupsFromHashes(hashes: DataFrame, maxHamming: Int = 7,
+      bands: Int = 0): DataFrame = {
+    val b = bandCount(maxHamming, bands)
+    val h = hashes.select(col("media_id"), col("phash"))
+      .filter(col("phash").isNotNull)
+    bandedHashPairs(h, h, "phash", b, maxHamming, fullCorpus = true)
+  }
+
+  /** The incremental join at the HASH level (both sides pre-computed):
+    * new batch hashes × (existing ∪ new) — [[phashNearDupsAgainst]]
+    * without the decode, for callers that already persisted the batch's
+    * fingerprints. */
+  def phashPairsAgainstHashes(newHashes: DataFrame,
+      existingHashes: DataFrame, maxHamming: Int = 7,
+      bands: Int = 0): DataFrame = {
+    val b = bandCount(maxHamming, bands)
+    val nh = newHashes.select(col("media_id"), col("phash"))
+      .filter(col("phash").isNotNull)
     val all = existingHashes.select(col("media_id"), col("phash"))
-      .unionByName(newHashed)
-    bandedHashPairs(newHashed, all, "phash", b, maxHamming,
-      fullCorpus = false)
+      .filter(col("phash").isNotNull).unionByName(nh)
+    bandedHashPairs(nh, all, "phash", b, maxHamming, fullCorpus = false)
   }
 
   /** Schema of [[decodeMedia]]: recovered intrinsic metadata. */

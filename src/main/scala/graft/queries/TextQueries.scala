@@ -430,6 +430,51 @@ object TextQueries {
       ) AS t(id_a, id_b, hamming)"""
     }),
 
+    // ---- SQL CALL: perceptual-hash near-dup as a runbook verb -------------
+    // The q164 convention for the multimodal tier: the media table lands
+    // as parquet, `CALL graft.phash_neardups(hashes_out => …)` decodes
+    // ONCE (the pairs join reads back the written fingerprint table),
+    // and the output must equal q184's brute-force oracle — proving the
+    // SQL front end routes into the one Scala implementation AND that
+    // the persisted fingerprint round-trip loses nothing. The
+    // fingerprint store it writes is exactly what the incremental CALL
+    // (`existing => …`) consumes next batch.
+    Q("q188_sql_call_phash", (s, _) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q188").toString
+      graft.fixtures.MediaFixture.phashFrame(s)
+        .write.mode("overwrite").parquet(s"$wh/media")
+      s.sql(s"CALL graft.phash_neardups(input => '$wh/media', " +
+        s"output => '$wh/pairs', hashes_out => '$wh/hashes')")
+      val out = s.sql(
+        s"""SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+            FROM parquet.`$wh/pairs`""")
+      val rows = out.collect()
+      val schema = out.schema
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }, Some {
+      import graft.fixtures.MediaFixture
+      import graft.operators.Multimodal
+      val hs = MediaFixture.phashRasters.map { case (id, rgb, w, h) =>
+        id -> Multimodal.aHash64(rgb, w, h) }
+      val pairs = for {
+        (a, ha) <- hs
+        (b, hb) <- hs
+        if a < b
+        d = java.lang.Long.bitCount(ha ^ hb)
+        if d <= 7
+      } yield s"(CAST($a AS BIGINT), CAST($b AS BIGINT), CAST($d AS INT))"
+      s"""
+      SELECT * FROM (VALUES
+        ${pairs.mkString(",\n        ")}
+      ) AS t(id_a, id_b, hamming)"""
+    }),
+
     // ---- Video near-dup via per-frame perceptual hashes -------------------
     // sampleFrames walks the real MP4 sample tables, each JPEG frame
     // decodes to a 64-bit aHash, frame hashes pair through the banded

@@ -525,6 +525,56 @@ private[sql] object GraftProcedures {
       }
     }
 
+  /** `CALL graft.phash_neardups(input => …, output => … [, max_hamming,
+    * existing, hashes_out])`: perceptual-hash image near-dup through
+    * pure SQL over any table carrying (media_id, payload). Default is
+    * the full-corpus banded join ([[graft.operators.Multimodal
+    * .phashNearDups]] — q184's shape, never all-pairs); pass
+    * `existing => '<stored (media_id, phash) table>'` for the
+    * INCREMENTAL shape (only the input decodes — q187's contract), and
+    * `hashes_out => <path>` to also persist the input's fingerprints
+    * for appending to that store (the decode runs ONCE: pairs join from
+    * the written table). Output rows: (id_a, id_b, hamming). */
+  def phashNearDupsProc(resolve: String => String): UnboundProcedure =
+    new Proc("phash_neardups", Array(
+      ProcedureParameter.in("input", StringType).build(),
+      ProcedureParameter.in("output", StringType).build(),
+      ProcedureParameter.in("max_hamming", IntegerType).defaultValue("7").build(),
+      ProcedureParameter.in("existing", StringType).defaultValue("NULL")
+        .comment("stored (media_id, phash) table; incremental when present")
+        .build(),
+      ProcedureParameter.in("hashes_out", StringType).defaultValue("NULL")
+        .comment("also write the input's fingerprints here (one decode)")
+        .build())) {
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val spark = SparkSession.active
+        val in = resolve(str(input, 0).getOrElse(
+          throw new IllegalArgumentException("input must not be NULL")))
+        val out = resolve(str(input, 1).getOrElse(
+          throw new IllegalArgumentException("output must not be NULL")))
+        val maxHamming = input.getInt(2)
+        import org.apache.spark.sql.functions.col
+        val hashed = graft.operators.Multimodal
+          .perceptualHash(readAny(spark, in))
+          .filter(col("phash").isNotNull)
+        val batch = str(input, 4) match {
+          case Some(ho) =>
+            val p = resolve(ho)
+            hashed.write.mode("overwrite").parquet(p)
+            spark.read.parquet(p)
+          case None => hashed
+        }
+        val pairs = str(input, 3) match {
+          case Some(ex) => graft.operators.Multimodal
+            .phashPairsAgainstHashes(batch, readAny(spark, resolve(ex)),
+              maxHamming)
+          case None => graft.operators.Multimodal
+            .phashNearDupsFromHashes(batch, maxHamming)
+        }
+        opResult(out, writeOut(pairs, out))
+      }
+    }
+
   private val historySchema = StructType(Seq(
     StructField("generation", LongType, nullable = false),
     StructField("published_at", TimestampType, nullable = false),
@@ -661,5 +711,6 @@ private[sql] object GraftProcedures {
     "analyze" -> analyzeProc(resolve),
     "dedup_minhash" -> dedupMinhash(resolve),
     "decontaminate" -> decontaminateProc(resolve),
-    "ann_topk" -> annTopK(resolve))
+    "ann_topk" -> annTopK(resolve),
+    "phash_neardups" -> phashNearDupsProc(resolve))
 }
