@@ -302,19 +302,8 @@ object Multimodal {
   private def bandedHashPairs(newSide: DataFrame, allSide: DataFrame,
       hashCol: String, b: Int, maxHamming: Int,
       fullCorpus: Boolean): DataFrame = {
-    val slices = (0 until b).map { i =>
-      val lo = i * 64 / b
-      val width = (i + 1) * 64 / b - lo
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(i).as("band_no"),
-        shiftrightunsigned(col(hashCol), lo).bitwiseAND(lit(mask)).as("bits"))
-    }
-    def band(df: DataFrame) = df
-      .select(col("media_id"), col(hashCol), explode(array(slices: _*)).as("bd"))
-      .select(col("media_id"), col(hashCol),
-        col("bd.band_no").as("band_no"), col("bd.bits").as("bits"))
-    val left = band(newSide).alias("a")
-    val right = band(allSide).alias("c")
+    val left = bandExplode(newSide, hashCol, b, Seq("media_id")).alias("a")
+    val right = bandExplode(allSide, hashCol, b, Seq("media_id")).alias("c")
     val idCond =
       if (fullCorpus) col("a.media_id") < col("c.media_id")
       else col("a.media_id") =!= col("c.media_id")
@@ -327,6 +316,28 @@ object Multimodal {
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The shared band-slicing step: `hashCol`'s 64 bits split into `b`
+    * contiguous (band_no, bits) slices, one output row per (input row,
+    * band). `carry` names the columns to keep alongside — (media_id)
+    * for whole-media hashes, (media_id, frame_no) for per-frame video
+    * hashes — so every banded near-dup path ([[bandedHashPairs]],
+    * [[videoNearDups]]) shares ONE slice/mask implementation and a fix
+    * here reaches all of them. */
+  private def bandExplode(df: DataFrame, hashCol: String, b: Int,
+      carry: Seq[String]): DataFrame = {
+    val slices = (0 until b).map { i =>
+      val lo = i * 64 / b
+      val width = (i + 1) * 64 / b - lo
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(i).as("band_no"),
+        shiftrightunsigned(col(hashCol), lo).bitwiseAND(lit(mask)).as("bits"))
+    }
+    val kept = carry.map(col) :+ col(hashCol)
+    df.select(kept :+ explode(array(slices: _*)).as("bd"): _*)
+      .select(kept :+ col("bd.band_no").as("band_no")
+        :+ col("bd.bits").as("bits"): _*)
   }
 
   private def bandCount(maxHamming: Int, bands: Int): Int = {
@@ -372,7 +383,7 @@ object Multimodal {
   def phashNearDupsAgainst(newMedia: DataFrame, existingHashes: DataFrame,
       maxHamming: Int = 7, bands: Int = 0,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val b = bandCount(maxHamming, bands)
+    // validation happens in phashPairsAgainstHashes (same bandCount call)
     val newHashed = scope.persist(
       perceptualHash(newMedia).filter(col("phash").isNotNull))
     phashPairsAgainstHashes(newHashed, existingHashes, maxHamming, bands)
@@ -851,10 +862,7 @@ object Multimodal {
   def videoNearDups(media: DataFrame, everyNth: Int = 4, maxHamming: Int = 7,
       minSharedFrames: Int = 2, bands: Int = 0,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val b = if (bands > 0) bands else maxHamming + 1
-    require(b >= 1 && b <= 64, s"bands must be in [1, 64], got $b")
-    require(maxHamming >= 0 && maxHamming < b,
-      s"banding guarantee needs maxHamming < bands, got $maxHamming / $b")
+    val b = bandCount(maxHamming, bands)
     require(minSharedFrames >= 1,
       s"minSharedFrames ($minSharedFrames) must be >= 1")
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -874,18 +882,9 @@ object Multimodal {
             }
           }
         }(outEnc))
-    val slices = (0 until b).map { i =>
-      val lo = i * 64 / b
-      val width = (i + 1) * 64 / b - lo
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(i).as("band_no"),
-        shiftrightunsigned(col("fhash"), lo).bitwiseAND(lit(mask)).as("bits"))
-    }
-    val banded = hashed
-      .select(col("media_id"), col("frame_no"), col("fhash"),
-        explode(array(slices: _*)).as("bd"))
-      .select(col("media_id"), col("frame_no"), col("fhash"),
-        col("bd.band_no").as("band_no"), col("bd.bits").as("bits"))
+    // the shared slice/explode core; only the frame-pair aggregation to
+    // video pairs is local to this operator
+    val banded = bandExplode(hashed, "fhash", b, Seq("media_id", "frame_no"))
     val left = banded.alias("a")
     val right = banded.alias("c")
     left.join(right,
@@ -1043,7 +1042,11 @@ object Multimodal {
     val b = bandCount(maxHamming, bands)
     val newHashed = scope.persist(
       audioFingerprints(newMedia).filter(col("ahash").isNotNull))
+    // same contract as phashPairsAgainstHashes' stored side: a NULL
+    // fingerprint can never band-match (NULL bits never equi-join), so
+    // filtering here saves the store's NULL rows their pointless explode
     val all = existingHashes.select(col("media_id"), col("ahash"))
+      .filter(col("ahash").isNotNull)
       .unionByName(newHashed)
     bandedHashPairs(newHashed, all, "ahash", b, maxHamming,
       fullCorpus = false)

@@ -1051,7 +1051,14 @@ object CommittedTable {
               val f = s"${ShardIdxPrefix}g${m.gen}-$k-$nonce"
               k += 1
               newFiles += ((f, b))
-              idxRefs += IndexRef(f, c.head.minEsc, c.last.maxEsc, c.size,
+              // range computed over ALL members, not positionally: the
+              // chunk is sorted by minEsc, so c.head.minEsc is the true
+              // min, but c.last.maxEsc is only the group max while shard
+              // ranges happen to be non-overlapping — a future publish
+              // path that violates that would make index-level pruning
+              // (resolveShards) silently skip a covered shard
+              idxRefs += IndexRef(f, c.head.minEsc, c.map(_.maxEsc).max,
+                c.size,
                 c.map(_.parts).sum, c.map(_.bytes).sum,
                 if (c.forall(_.rows.isDefined)) Some(c.flatMap(_.rows).sum)
                 else None)
@@ -1994,8 +2001,11 @@ object CommittedTable {
       val table = new Path(path)
       val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
       readManifestRoot(fs, table) match {
-        case Some(root) if root.partial && rootRows(root).isDefined =>
-          return rootRows(root).get
+        case Some(root) if root.partial =>
+          rootRows(root) match {
+            case Some(n) => return n
+            case None => ()
+          }
         case _ => ()
       }
     }

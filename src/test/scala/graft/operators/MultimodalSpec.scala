@@ -237,6 +237,14 @@ class MultimodalSpec extends SparkSpec {
     val ap = pairs(Multimodal.audioNearDupsAgainst(a2, astored,
       maxHamming = 7))
     assert(ap === afull) // batch 1 is a single row: no pairs of its own
+    // a NULL-laden fingerprint store (failed decodes recorded as NULL)
+    // changes nothing — and the NULL rows are filtered BEFORE the band
+    // explode, matching the image path's contract
+    val nullStore = astored.unionByName(
+      Seq((900L, Option.empty[Long]), (901L, Option.empty[Long]))
+        .toDF("media_id", "ahash"))
+    assert(pairs(Multimodal.audioNearDupsAgainst(a2, nullStore,
+      maxHamming = 7)) === afull)
   }
 
   test("audio near-dup: gain-invariant fingerprints, banding == brute force, non-audio NULL") {
