@@ -45,8 +45,10 @@ object SqlSurface {
     * entry at a fresh dir and publish no delta entries. The witness
     * therefore pins (a) every pre-DML partition still maps to its
     * EXACT pre-DML base segment and (b) at least one partition carries
-    * a live delta segment (the DML's written rows). */
-  private def morWitness(s: org.apache.spark.sql.SparkSession, wh: String,
+    * a live delta segment (the DML's written rows). Falsifiability is
+    * proven in DeltaSegmentSpec: the same predicate flips FALSE when
+    * the DML routes copy-on-write. */
+  private[graft] def morWitness(s: org.apache.spark.sql.SparkSession, wh: String,
       before: Map[String, String]): Boolean = {
     val m = graft.sources.CommittedTable.manifestAt(s, wh)
     before.forall { case (p, seg) => m.segments.get(p).contains(seg) } &&

@@ -481,6 +481,35 @@ class DeltaSegmentSpec extends SparkSpec {
       maxDeadRatio = 0.4) === Nil)
   }
 
+  test("the SQL gates' MoR routing witness is falsifiable: the same " +
+      "manifest predicate flips FALSE under a copy-on-write route") {
+    val dir = freshDir("witness")
+    CommittedTable.write(base(), dir, "status",
+      keyCol = Some("id"), versionCol = Some("version"))
+    // forced CoW: CommittedTable.delete rewrites the touched partition's
+    // base segment and publishes NO delta entries — exactly the silent
+    // regression the q175/q176/q177/q182 witness must catch. Old segment
+    // dirs DO survive on disk (retained anchors), so a directory-survival
+    // witness would pass here; the manifest one must not.
+    val beforeCow = CommittedTable.manifestAt(spark, dir).segments
+    CommittedTable.delete(spark, dir, col("id") === 2L, "status")
+    assert(!graft.queries.SqlSurface.morWitness(spark, dir, beforeCow),
+      "a copy-on-write rewrite must fail the MoR witness")
+    // and from the same starting state the gates' actual route (a MoR
+    // merge: delta segment + vector, bases untouched) satisfies it
+    val beforeMor = CommittedTable.manifestAt(spark, dir).segments
+    CommittedTable.mergeMor(spark, dir,
+      Seq((4L, "B", 44.0, 2L)).toDF("id", "status", "value", "version"),
+      "id", "version", "status")
+    assert(graft.queries.SqlSurface.morWitness(spark, dir, beforeMor))
+    // a compaction (materializes the delta state, repoints bases) is a
+    // rewrite too: the witness correctly refuses to certify it as MoR
+    val beforeOpt = CommittedTable.manifestAt(spark, dir).segments
+    CommittedTable.compactPartitions(spark, dir,
+      CommittedTable.manifestAt(spark, dir).segments.keys.toSeq.sorted)
+    assert(!graft.queries.SqlSurface.morWitness(spark, dir, beforeOpt))
+  }
+
   test("dead ratio is measured against LIVE PHYSICAL rows (base + " +
       "delta), not base alone — delta-heavy partitions are not " +
       "over-selected") {
