@@ -436,6 +436,90 @@ object MediaFixture {
     * a strict zero crossing, so frame-level crossing counts are exactly
     * (frame length − 1). The voiced-signal counterpart of [[wav]]'s
     * non-negative ramp (whose crossing count is exactly 0). */
+  /** 32×32 PNG whose 4×4 pixel blocks paint a TARGET 64-bit cell
+    * pattern — [[patternJpeg]]'s LOSSLESS twin. PNG decodes bit-exactly,
+    * so a white block's cell luma-mean is exactly 255000 (299·255 +
+    * 587·255 + 114·255) and a black block's exactly 0; with
+    * k = popcount(pattern) set bits constrained to 1 ≤ k ≤ 63, the
+    * global cell-mean average k·255000/64 lies STRICTLY between 0 and
+    * 255000, so aHash64's threshold reproduces `pattern` EXACTLY, bit
+    * for bit. The expected hash is read off the hex constant by eye —
+    * no kernel call anywhere in an oracle built on these. */
+  def patternPng(pattern: Long): Array[Byte] = {
+    val k = java.lang.Long.bitCount(pattern)
+    require(k >= 1 && k <= 63,
+      s"pattern needs 1..63 set bits for an exact hash, got $k")
+    val rgb = Array.tabulate(32 * 32) { idx =>
+      val bit = (idx / 32 / 4) * 8 + (idx % 32 / 4)
+      if (((pattern >>> bit) & 1L) == 1L) 0xFFFFFF else 0x000000
+    }
+    encodePng(rgb, 32, 32)
+  }
+
+  /** Literal-oracle image corpus: every aHash IS its painted constant
+    * ([[patternPng]]), so the expected near-dup rows are hand-derived
+    * from the constants alone — 46 and 47 differ by XOR 0x7 (hamming 3,
+    * the only pair at threshold 7), 48 is 46's complement (64 and 61
+    * bits away), 49 is audio (NULL hash, never pairs). */
+  def phashLiteralFrame(spark: SparkSession): DataFrame = {
+    val rows = Seq(
+      Row(46L, "image", "image/png", null, null, null,
+        patternPng(0xF0F0F0F00F0F0F0FL)),
+      Row(47L, "image", "image/png", null, null, null,
+        patternPng(0xF0F0F0F00F0F0F08L)), // 46 ^ 0x7: bits 0,1,2 flipped
+      Row(48L, "image", "image/png", null, null, null,
+        patternPng(0x0F0F0F0FF0F0F0F0L)), // ~46
+      Row(49L, "audio", "audio/wav", null, null, null, wav(8000, 100)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.metadataSchema)
+  }
+
+  /** 16-bit mono WAV whose energy-delta fingerprint IS `pattern`: 64
+    * windows of 25 constant samples each (1600 samples, exact 25-sample
+    * window boundaries). The amplitude climbs one 100-step per
+    * consecutive set bit and drops to SILENCE on a clear bit, so window
+    * energy E(w) = 25·amp² rises exactly at the set bits: a climb is a
+    * strict rise, silence after sound is a strict fall, silence after
+    * silence ties (and a tie is not a rise), and window 0 rises iff it
+    * is not silent (E(−1) = 0). The expected fingerprint is the hex
+    * constant itself — no kernel call in an oracle built on these. */
+  def wavStaircase(pattern: Long): Array[Byte] = {
+    val base = wav(8000, 200) // 1600 zero-able samples, header reused
+    val buf = ByteBuffer.wrap(base).order(ByteOrder.LITTLE_ENDIAN)
+    var amp = 0
+    var w = 0
+    while (w < 64) {
+      amp = if (((pattern >>> w) & 1L) == 1L) amp + 1 else 0
+      var i = 0
+      while (i < 25) {
+        buf.putShort(44 + 2 * (w * 25 + i), (amp * 100).toShort)
+        i += 1
+      }
+      w += 1
+    }
+    base
+  }
+
+  /** Literal-oracle audio corpus: every fingerprint IS its staircase
+    * constant ([[wavStaircase]]), so expected pairs are hand-derived —
+    * 71 and 72 differ by XOR 0x30 (hamming 2, the only pair at
+    * threshold 7), 73 is 71's complement (64 and 62 bits away), 74 is
+    * an image (NULL fingerprint, never pairs). */
+  def audioLiteralFrame(spark: SparkSession): DataFrame = {
+    val rows = Seq(
+      Row(71L, "audio", "audio/wav", null, null, null,
+        wavStaircase(0xA5A5A5A5A5A5A5A5L)),
+      Row(72L, "audio", "audio/wav", null, null, null,
+        wavStaircase(0xA5A5A5A5A5A5A595L)), // 71 ^ 0x30: bits 4,5 flipped
+      Row(73L, "audio", "audio/wav", null, null, null,
+        wavStaircase(0x5A5A5A5A5A5A5A5AL)), // ~71
+      Row(74L, "image", "image/png", null, null, null, image(16, 16, "png")))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.metadataSchema)
+  }
+
   def wavAlt(sampleRate: Int, ms: Int): Array[Byte] = {
     val base = wav(sampleRate, ms)
     val nSamples = sampleRate * ms / 1000

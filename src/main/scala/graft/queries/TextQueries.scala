@@ -529,7 +529,45 @@ object TextQueries {
       SELECT * FROM (VALUES
         ${pairs.mkString(",\n        ")}
       ) AS t(id_a, id_b, hamming)"""
-    })
+    }),
+
+    // ---- Image near-dup with a KERNEL-INDEPENDENT oracle -------------------
+    // q184 proves banding == brute force, but its expected hashes flow
+    // through the same aHash64 kernel the engine runs. Here the corpus is
+    // patternPng: lossless PNGs whose 4×4 blocks paint hex constants the
+    // hash provably equals (white cell mean 255000, black 0, global mean
+    // strictly between — see the fixture's derivation), so the expected
+    // rows are LITERAL VALUES hand-derived from the constants: 46 ^ 47 =
+    // 0x7 → hamming 3; 48 is 46's complement (64/61 away); 49 is audio
+    // (NULL, pairless). The q185 video convention, on still images.
+    Q("q189_image_phash_literal", (s, _) => {
+      graft.operators.Multimodal
+        .phashNearDups(graft.fixtures.MediaFixture.phashLiteralFrame(s),
+          maxHamming = 7)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(46 AS BIGINT), CAST(47 AS BIGINT), CAST(3 AS INT))
+      ) AS t(id_a, id_b, hamming)""")),
+
+    // ---- Audio near-dup with a KERNEL-INDEPENDENT oracle -------------------
+    // q186's twin of the above: wavStaircase paints a target fingerprint
+    // into PCM window energies (amplitude climbs on set bits, drops to
+    // silence on clear bits — the energy rises exactly at the set bits),
+    // so the fingerprints ARE the hex constants and the expected rows are
+    // literal: 71 ^ 72 = 0x30 → hamming 2; 73 is 71's complement; 74 is
+    // an image (NULL, pairless). No audioFingerprint64 call in the oracle.
+    Q("q190_audio_neardup_literal", (s, _) => {
+      graft.operators.Multimodal
+        .audioNearDups(graft.fixtures.MediaFixture.audioLiteralFrame(s),
+          maxHamming = 7)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(71 AS BIGINT), CAST(72 AS BIGINT), CAST(2 AS INT))
+      ) AS t(id_a, id_b, hamming)"""))
   ) ++ samplingQueries ++ Seq(
 
     // ---- Line-level boilerplate dedup (CCNet/RefinedWeb pass) -------------

@@ -139,6 +139,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out(6L) === ((None, None, None)))          // undecodable, row kept
   }
 
+  test("literal fixtures: painted pattern constants ARE the hashes, bit-exact") {
+    import graft.fixtures.MediaFixture
+    // the q189/q190 oracles hand-derive expected rows from these hex
+    // constants with NO kernel call; this pins the exactness claim the
+    // fixtures' derivations make (PNG lossless + strict-interior mean;
+    // staircase energies rise exactly at set bits)
+    val imgs = Multimodal.perceptualHash(MediaFixture.phashLiteralFrame(spark))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(imgs(46L) === Some(0xF0F0F0F00F0F0F0FL))
+    assert(imgs(47L) === Some(0xF0F0F0F00F0F0F08L))
+    assert(imgs(48L) === Some(0x0F0F0F0FF0F0F0F0L))
+    assert(imgs(49L) === None)
+    val auds = Multimodal.audioFingerprints(MediaFixture.audioLiteralFrame(spark))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(auds(71L) === Some(0xA5A5A5A5A5A5A5A5L))
+    assert(auds(72L) === Some(0xA5A5A5A5A5A5A595L))
+    assert(auds(73L) === Some(0x5A5A5A5A5A5A5A5AL))
+    assert(auds(74L) === None)
+  }
+
   test("perceptual hash: decode == formula, banding == brute force, near/far/NULL classified") {
     import graft.fixtures.MediaFixture
     val frame = MediaFixture.phashFrame(spark)
