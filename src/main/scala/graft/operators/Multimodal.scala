@@ -861,30 +861,48 @@ object Multimodal {
     * frame-hash table persists through `scope`. */
   def videoNearDups(media: DataFrame, everyNth: Int = 4, maxHamming: Int = 7,
       minSharedFrames: Int = 2, bands: Int = 0,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged): DataFrame =
+    videoNearDupsFromHashes(scope.persist(videoFrameHashes(media, everyNth)),
+      maxHamming, minSharedFrames, bands)
+
+  /** The decode half of [[videoNearDups]]: every Nth frame of every
+    * video, decoded map-side to a (media_id, frame_no, fhash) table —
+    * the video fingerprint STORE shape (persist it, then re-threshold
+    * or pair incrementally without touching one payload byte). */
+  def videoFrameHashes(media: DataFrame, everyNth: Int = 4): DataFrame = {
+    val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(frameHashSchema)
+    sampleFrames(media, everyNth)
+      .select(col("media_id"), col("frame_no"), col("frame"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes =
+            if (r.isNullAt(2)) Array.emptyByteArray
+            else r.getAs[Array[Byte]](2)
+          decodeImageBounded(bytes, maxDecodePixels).map { img =>
+            val w = img.getWidth; val h = img.getHeight
+            Row(r.getLong(0), r.getInt(1),
+              aHash64(img.getRGB(0, 0, w, h, null, 0, w), w, h))
+          }
+        }
+      }(outEnc)
+  }
+
+  /** The pair half of [[videoNearDups]], over an ALREADY-COMPUTED
+    * (media_id, frame_no, fhash) table: the shared banded frame join,
+    * aggregated to video pairs on >= `minSharedFrames` distinct matched
+    * frame pairs. Re-thresholding a stored corpus costs the fingerprint
+    * table's scan, not the decode. */
+  def videoNearDupsFromHashes(frameHashes: DataFrame, maxHamming: Int = 7,
+      minSharedFrames: Int = 2, bands: Int = 0): DataFrame = {
     val b = bandCount(maxHamming, bands)
     require(minSharedFrames >= 1,
       s"minSharedFrames ($minSharedFrames) must be >= 1")
-    val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(frameHashSchema)
-    val hashed = scope.persist(
-      sampleFrames(media, everyNth)
-        .select(col("media_id"), col("frame_no"), col("frame"))
-        .mapPartitions { rows =>
-          rows.flatMap { r =>
-            val bytes =
-              if (r.isNullAt(2)) Array.emptyByteArray
-              else r.getAs[Array[Byte]](2)
-            decodeImageBounded(bytes, maxDecodePixels).map { img =>
-              val w = img.getWidth; val h = img.getHeight
-              Row(r.getLong(0), r.getInt(1),
-                aHash64(img.getRGB(0, 0, w, h, null, 0, w), w, h))
-            }
-          }
-        }(outEnc))
+    val h = frameHashes.select(col("media_id"), col("frame_no"), col("fhash"))
+      .filter(col("fhash").isNotNull)
     // the shared slice/explode core; only the frame-pair aggregation to
     // video pairs is local to this operator
-    val banded = bandExplode(hashed, "fhash", b, Seq("media_id", "frame_no"))
+    val banded = bandExplode(h, "fhash", b, Seq("media_id", "frame_no"))
     val left = banded.alias("a")
     val right = banded.alias("c")
     left.join(right,
@@ -895,6 +913,46 @@ object Multimodal {
         <= maxHamming)
       .groupBy(col("a.media_id").as("id_a"), col("c.media_id").as("id_b"))
       .agg(countDistinct(col("a.frame_no"), col("c.frame_no"))
+        .as("n_shared"))
+      .filter(col("n_shared") >= minSharedFrames)
+  }
+
+  /** The incremental video shape ([[phashPairsAgainstHashes]] at frame
+    * granularity): a new batch's frame hashes × (existing ∪ new),
+    * aggregated to video pairs. A video pair is emitted by the batch
+    * that introduces its LATER member (both sides' full frame sets are
+    * in existing ∪ new by then), so per-batch runs unioned reproduce
+    * the full-corpus pair set without re-decoding or re-pairing the
+    * store. Frame numbers canonicalize by video-id order before the
+    * distinct count, so a pair matched from both join orientations
+    * counts its frame matches once. */
+  def videoPairsAgainstHashes(newFrameHashes: DataFrame,
+      existingFrameHashes: DataFrame, maxHamming: Int = 7,
+      minSharedFrames: Int = 2, bands: Int = 0): DataFrame = {
+    val b = bandCount(maxHamming, bands)
+    require(minSharedFrames >= 1,
+      s"minSharedFrames ($minSharedFrames) must be >= 1")
+    def clean(df: DataFrame) = df
+      .select(col("media_id"), col("frame_no"), col("fhash"))
+      .filter(col("fhash").isNotNull)
+    val nh = clean(newFrameHashes)
+    val all = clean(existingFrameHashes).unionByName(nh)
+    val left = bandExplode(nh, "fhash", b, Seq("media_id", "frame_no"))
+      .alias("a")
+    val right = bandExplode(all, "fhash", b, Seq("media_id", "frame_no"))
+      .alias("c")
+    val aFirst = col("a.media_id") < col("c.media_id")
+    left.join(right,
+        col("a.band_no") === col("c.band_no") &&
+          col("a.bits") === col("c.bits") &&
+          col("a.media_id") =!= col("c.media_id"))
+      .filter(bit_count(col("a.fhash").bitwiseXOR(col("c.fhash")))
+        <= maxHamming)
+      .groupBy(least(col("a.media_id"), col("c.media_id")).as("id_a"),
+        greatest(col("a.media_id"), col("c.media_id")).as("id_b"))
+      .agg(countDistinct(
+          when(aFirst, col("a.frame_no")).otherwise(col("c.frame_no")),
+          when(aFirst, col("c.frame_no")).otherwise(col("a.frame_no")))
         .as("n_shared"))
       .filter(col("n_shared") >= minSharedFrames)
   }
@@ -1039,16 +1097,35 @@ object Multimodal {
   def audioNearDupsAgainst(newMedia: DataFrame, existingHashes: DataFrame,
       maxHamming: Int = 7, bands: Int = 0,
       scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    val b = bandCount(maxHamming, bands)
     val newHashed = scope.persist(
       audioFingerprints(newMedia).filter(col("ahash").isNotNull))
-    // same contract as phashPairsAgainstHashes' stored side: a NULL
+    // audioPairsAgainstHashes null-filters the stored side too: a NULL
     // fingerprint can never band-match (NULL bits never equi-join), so
-    // filtering here saves the store's NULL rows their pointless explode
-    val all = existingHashes.select(col("media_id"), col("ahash"))
+    // filtering before the explode saves the store's NULL rows their
+    // pointless band rows
+    audioPairsAgainstHashes(newHashed, existingHashes, maxHamming, bands)
+  }
+
+  /** [[phashNearDupsFromHashes]] for audio: pair a stored (media_id,
+    * ahash) fingerprint corpus without parsing one PCM byte. */
+  def audioNearDupsFromHashes(hashes: DataFrame, maxHamming: Int = 7,
+      bands: Int = 0): DataFrame = {
+    val b = bandCount(maxHamming, bands)
+    val h = hashes.select(col("media_id"), col("ahash"))
       .filter(col("ahash").isNotNull)
-      .unionByName(newHashed)
-    bandedHashPairs(newHashed, all, "ahash", b, maxHamming,
-      fullCorpus = false)
+    bandedHashPairs(h, h, "ahash", b, maxHamming, fullCorpus = true)
+  }
+
+  /** [[phashPairsAgainstHashes]] for audio: both sides pre-computed,
+    * new batch fingerprints × (existing ∪ new). */
+  def audioPairsAgainstHashes(newHashes: DataFrame,
+      existingHashes: DataFrame, maxHamming: Int = 7,
+      bands: Int = 0): DataFrame = {
+    val b = bandCount(maxHamming, bands)
+    val nh = newHashes.select(col("media_id"), col("ahash"))
+      .filter(col("ahash").isNotNull)
+    val all = existingHashes.select(col("media_id"), col("ahash"))
+      .filter(col("ahash").isNotNull).unionByName(nh)
+    bandedHashPairs(nh, all, "ahash", b, maxHamming, fullCorpus = false)
   }
 }

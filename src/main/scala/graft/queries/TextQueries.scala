@@ -567,7 +567,69 @@ object TextQueries {
     }, Some("""
       SELECT * FROM (VALUES
         (CAST(71 AS BIGINT), CAST(72 AS BIGINT), CAST(2 AS INT))
-      ) AS t(id_a, id_b, hamming)"""))
+      ) AS t(id_a, id_b, hamming)""")),
+
+    // ---- SQL CALL: audio near-dup as a runbook verb -------------------------
+    // q188's convention for the audio modality: the media table lands as
+    // parquet, `CALL graft.audio_neardups(hashes_out => …)` parses the
+    // PCM once (pairs join from the written fingerprint table), and the
+    // output must equal q190's LITERAL oracle — SQL front end routed into
+    // the one Scala implementation, persisted-fingerprint round trip
+    // lossless, and no kernel call anywhere in the expected rows.
+    Q("q191_sql_call_audio", (s, _) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q191").toString
+      graft.fixtures.MediaFixture.audioLiteralFrame(s)
+        .write.mode("overwrite").parquet(s"$wh/media")
+      s.sql(s"CALL graft.audio_neardups(input => '$wh/media', " +
+        s"output => '$wh/pairs', hashes_out => '$wh/hashes')")
+      val out = s.sql(
+        s"""SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+            FROM parquet.`$wh/pairs`""")
+      val rows = out.collect()
+      val schema = out.schema
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(71 AS BIGINT), CAST(72 AS BIGINT), CAST(2 AS INT))
+      ) AS t(id_a, id_b, hamming)""")),
+
+    // ---- SQL CALL: video near-dup as a runbook verb -------------------------
+    // The duplicate-clip detector end to end through SQL: MP4s land as
+    // parquet, `CALL graft.video_neardups(every_nth => 1,
+    // min_shared_frames => 2, hashes_out => …)` walks the sample tables,
+    // hashes every frame once (the pairs join reads the written
+    // frame-hash store), and the output must equal q185's hand-written
+    // VALUES — video 52 shares exactly two of 51's frames byte-
+    // identically, 53 is all-different, 54 undecodable.
+    Q("q192_sql_call_video", (s, _) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft-sql-q192").toString
+      graft.fixtures.MediaFixture.videoNearDupFrame(s)
+        .write.mode("overwrite").parquet(s"$wh/media")
+      s.sql(s"CALL graft.video_neardups(input => '$wh/media', " +
+        "every_nth => 1, min_shared_frames => 2, " +
+        s"output => '$wh/pairs', hashes_out => '$wh/hashes')")
+      val out = s.sql(
+        s"""SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+            FROM parquet.`$wh/pairs`""")
+      val rows = out.collect()
+      val schema = out.schema
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(51 AS BIGINT), CAST(52 AS BIGINT), CAST(2 AS BIGINT))
+      ) AS t(id_a, id_b, n_shared)"""))
   ) ++ samplingQueries ++ Seq(
 
     // ---- Line-level boilerplate dedup (CCNet/RefinedWeb pass) -------------

@@ -575,6 +575,107 @@ private[sql] object GraftProcedures {
       }
     }
 
+  /** `CALL graft.audio_neardups(input => …, output => … [, max_hamming,
+    * existing, hashes_out])`: [[phashNearDupsProc]]'s contract on the
+    * energy-delta audio fingerprint — default full-corpus banded join
+    * over the input's WAVs (q186/q190's shape), `existing => '<stored
+    * (media_id, ahash) table>'` for the incremental shape (only the
+    * input's PCM parses), `hashes_out => <path>` to persist the input's
+    * fingerprints for the store (one parse: pairs join from the written
+    * table). Output rows: (id_a, id_b, hamming). */
+  def audioNearDupsProc(resolve: String => String): UnboundProcedure =
+    new Proc("audio_neardups", Array(
+      ProcedureParameter.in("input", StringType).build(),
+      ProcedureParameter.in("output", StringType).build(),
+      ProcedureParameter.in("max_hamming", IntegerType).defaultValue("7").build(),
+      ProcedureParameter.in("existing", StringType).defaultValue("NULL")
+        .comment("stored (media_id, ahash) table; incremental when present")
+        .build(),
+      ProcedureParameter.in("hashes_out", StringType).defaultValue("NULL")
+        .comment("also write the input's fingerprints here (one parse)")
+        .build())) {
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val spark = SparkSession.active
+        val in = resolve(str(input, 0).getOrElse(
+          throw new IllegalArgumentException("input must not be NULL")))
+        val out = resolve(str(input, 1).getOrElse(
+          throw new IllegalArgumentException("output must not be NULL")))
+        val maxHamming = input.getInt(2)
+        import org.apache.spark.sql.functions.col
+        val hashed = graft.operators.Multimodal
+          .audioFingerprints(readAny(spark, in))
+          .filter(col("ahash").isNotNull)
+        val batch = str(input, 4) match {
+          case Some(ho) =>
+            val p = resolve(ho)
+            hashed.write.mode("overwrite").parquet(p)
+            spark.read.parquet(p)
+          case None => hashed
+        }
+        val pairs = str(input, 3) match {
+          case Some(ex) => graft.operators.Multimodal
+            .audioPairsAgainstHashes(batch, readAny(spark, resolve(ex)),
+              maxHamming)
+          case None => graft.operators.Multimodal
+            .audioNearDupsFromHashes(batch, maxHamming)
+        }
+        opResult(out, writeOut(pairs, out))
+      }
+    }
+
+  /** `CALL graft.video_neardups(input => …, output => … [, every_nth,
+    * max_hamming, min_shared_frames, existing, hashes_out])`: the
+    * duplicate-clip detector as a runbook verb — every Nth frame of
+    * every MP4 decodes to a perceptual hash, frame hashes pair through
+    * the banded join, videos pair on >= min_shared_frames matched
+    * frames (q185's shape). `hashes_out` persists the (media_id,
+    * frame_no, fhash) store; `existing => '<stored frame-hash table>'`
+    * is the incremental shape (only the input decodes). Output rows:
+    * (id_a, id_b, n_shared). */
+  def videoNearDupsProc(resolve: String => String): UnboundProcedure =
+    new Proc("video_neardups", Array(
+      ProcedureParameter.in("input", StringType).build(),
+      ProcedureParameter.in("output", StringType).build(),
+      ProcedureParameter.in("every_nth", IntegerType).defaultValue("4").build(),
+      ProcedureParameter.in("max_hamming", IntegerType).defaultValue("7").build(),
+      ProcedureParameter.in("min_shared_frames", IntegerType)
+        .defaultValue("2").build(),
+      ProcedureParameter.in("existing", StringType).defaultValue("NULL")
+        .comment("stored (media_id, frame_no, fhash) table; incremental " +
+          "when present")
+        .build(),
+      ProcedureParameter.in("hashes_out", StringType).defaultValue("NULL")
+        .comment("also write the input's frame hashes here (one decode)")
+        .build())) {
+      override def call(input: InternalRow): JIterator[Scan] = {
+        val spark = SparkSession.active
+        val in = resolve(str(input, 0).getOrElse(
+          throw new IllegalArgumentException("input must not be NULL")))
+        val out = resolve(str(input, 1).getOrElse(
+          throw new IllegalArgumentException("output must not be NULL")))
+        val everyNth = input.getInt(2)
+        val maxHamming = input.getInt(3)
+        val minShared = input.getInt(4)
+        val hashed = graft.operators.Multimodal
+          .videoFrameHashes(readAny(spark, in), everyNth)
+        val batch = str(input, 6) match {
+          case Some(ho) =>
+            val p = resolve(ho)
+            hashed.write.mode("overwrite").parquet(p)
+            spark.read.parquet(p)
+          case None => hashed
+        }
+        val pairs = str(input, 5) match {
+          case Some(ex) => graft.operators.Multimodal
+            .videoPairsAgainstHashes(batch, readAny(spark, resolve(ex)),
+              maxHamming, minShared)
+          case None => graft.operators.Multimodal
+            .videoNearDupsFromHashes(batch, maxHamming, minShared)
+        }
+        opResult(out, writeOut(pairs, out))
+      }
+    }
+
   private val historySchema = StructType(Seq(
     StructField("generation", LongType, nullable = false),
     StructField("published_at", TimestampType, nullable = false),
@@ -712,5 +813,7 @@ private[sql] object GraftProcedures {
     "dedup_minhash" -> dedupMinhash(resolve),
     "decontaminate" -> decontaminateProc(resolve),
     "ann_topk" -> annTopK(resolve),
-    "phash_neardups" -> phashNearDupsProc(resolve))
+    "phash_neardups" -> phashNearDupsProc(resolve),
+    "audio_neardups" -> audioNearDupsProc(resolve),
+    "video_neardups" -> videoNearDupsProc(resolve))
 }

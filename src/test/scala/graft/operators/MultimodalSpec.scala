@@ -269,6 +269,73 @@ class MultimodalSpec extends SparkSpec {
       maxHamming = 7)) === afull)
   }
 
+  test("incremental video ingest: per-batch pairs union to the full-corpus set; stored frames never re-decoded") {
+    import graft.fixtures.MediaFixture
+    val frame = MediaFixture.videoNearDupFrame(spark)
+    def vpairs(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val full = vpairs(Multimodal.videoNearDups(frame, everyNth = 1,
+      maxHamming = 7, minSharedFrames = 2))
+    assert(full === Set((51L, 52L, 2L)))
+    // batch 1 introduces 51 and 53; batch 2 brings 52 and 54 and pairs
+    // against the stored frame-hash table only — the (51, 52) pair is
+    // found by batch 2 with batch 1's payloads never touched again
+    val b1 = frame.filter($"media_id".isin(51L, 53L))
+    val b2 = frame.filter($"media_id".isin(52L, 54L))
+    val stored = Multimodal.videoFrameHashes(b1, everyNth = 1)
+    val p1 = vpairs(Multimodal.videoNearDups(b1, everyNth = 1,
+      maxHamming = 7, minSharedFrames = 2))
+    val p2 = vpairs(Multimodal.videoPairsAgainstHashes(
+      Multimodal.videoFrameHashes(b2, everyNth = 1), stored,
+      maxHamming = 7, minSharedFrames = 2))
+    assert((p1 ++ p2) === full)
+    // frame counting canonicalizes across join orientations: n_shared
+    // is exactly 2, not double-counted from both sides of the id≠id join
+    assert(p2 === Set((51L, 52L, 2L)))
+    // re-thresholding a stored corpus never touches a payload byte
+    val all = stored.unionByName(Multimodal.videoFrameHashes(b2, everyNth = 1))
+    assert(vpairs(Multimodal.videoNearDupsFromHashes(all, maxHamming = 7,
+      minSharedFrames = 1)) === Set((51L, 52L, 2L)))
+  }
+
+  test("CALL graft.audio_neardups / video_neardups: incremental existing-store contract through SQL") {
+    import graft.fixtures.MediaFixture
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft-callinc").toString
+    // audio: batch 1 = 71 alone (hashes persisted), batch 2 pairs against
+    // the store — the literal fixture's only pair is (71, 72, hamming 2)
+    val aframe = MediaFixture.audioLiteralFrame(spark)
+    aframe.filter($"media_id" === 71L)
+      .write.mode("overwrite").parquet(s"$wh/a1")
+    aframe.filter($"media_id".isin(72L, 73L, 74L))
+      .write.mode("overwrite").parquet(s"$wh/a2")
+    spark.sql(s"CALL graft.audio_neardups(input => '$wh/a1', " +
+      s"output => '$wh/ap1', hashes_out => '$wh/astore')")
+    assert(spark.read.parquet(s"$wh/ap1").isEmpty)
+    spark.sql(s"CALL graft.audio_neardups(input => '$wh/a2', " +
+      s"existing => '$wh/astore', output => '$wh/ap2')")
+    assert(spark.read.parquet(s"$wh/ap2").as[(Long, Long, Int)]
+      .collect().toSet === Set((71L, 72L, 2)))
+    // video: 51+53 stored first, 52+54 pair against the frame-hash store
+    val vframe = MediaFixture.videoNearDupFrame(spark)
+    vframe.filter($"media_id".isin(51L, 53L))
+      .write.mode("overwrite").parquet(s"$wh/v1")
+    vframe.filter($"media_id".isin(52L, 54L))
+      .write.mode("overwrite").parquet(s"$wh/v2")
+    spark.sql(s"CALL graft.video_neardups(input => '$wh/v1', " +
+      s"every_nth => 1, output => '$wh/vp1', hashes_out => '$wh/vstore')")
+    assert(spark.read.parquet(s"$wh/vp1").isEmpty)
+    spark.sql(s"CALL graft.video_neardups(input => '$wh/v2', " +
+      s"every_nth => 1, existing => '$wh/vstore', output => '$wh/vp2')")
+    assert(spark.read.parquet(s"$wh/vp2").as[(Long, Long, Long)]
+      .collect().toSet === Set((51L, 52L, 2L)))
+    import scala.jdk.CollectionConverters._
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(wh))
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
   test("audio near-dup: gain-invariant fingerprints, banding == brute force, non-audio NULL") {
     import graft.fixtures.MediaFixture
     val frame = MediaFixture.audioNearDupFrame(spark)
