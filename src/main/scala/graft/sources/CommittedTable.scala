@@ -1795,8 +1795,19 @@ object CommittedTable {
       val rangeKeys: Seq[org.apache.spark.sql.Column] =
         if (sortExprs.nonEmpty) sortExprs
         else sortCols.map(col)
+      // EXPLICIT partition counts on the staging exchanges: AQE sizes
+      // shuffle coalescing by BYTES and folds a small-byte batch into
+      // one writer task — correct for a narrow batch, but a WIDE one
+      // (tens of thousands of partition values, few rows each) pays a
+      // per-FILE create/commit cost AQE cannot see, serialized onto
+      // that one task (the 33k-partition two-level-root spec measured
+      // the whole write there). Hash clustering still puts each
+      // partition value on exactly one task, so file counts and layout
+      // are unchanged — only the per-file work spreads.
+      val shuffleN = spark.sessionState.conf.numShufflePartitions
       val arranged =
-        if (filesPerPartition <= 1) keyed.repartition(col(partitionCol))
+        if (filesPerPartition <= 1)
+          keyed.repartition(shuffleN, col(partitionCol))
         else rangeClusterParts match {
           case Some(p) if rangeKeys.nonEmpty =>
             keyed.repartitionByRange(
@@ -1805,7 +1816,7 @@ object CommittedTable {
           case _ => keyed
             .withColumn("__salt",
               pmod(spark_partition_id(), lit(filesPerPartition)))
-            .repartition(col(partitionCol), col("__salt"))
+            .repartition(shuffleN, col(partitionCol), col("__salt"))
             .drop("__salt")
         }
       // the sort must LEAD with __part: FileFormatWriter requires an
@@ -1829,7 +1840,12 @@ object CommittedTable {
       // leaves this nonce's segments alone
       if (parts.nonEmpty)
         fs.create(new Path(table, s"$IntentPrefix$nonce"), true).close()
-      parts.map { st =>
+      // renames run PARALLEL: a wide batch stages tens of thousands of
+      // segment dirs, and a sequential driver loop of per-dir metadata
+      // calls is minutes on an object store (the 33k-partition spec
+      // measured it locally too). Order is irrelevant — each rename is
+      // an independent move into a distinct destination.
+      parMap(parts) { st =>
           val escaped = st.getPath.getName.stripPrefix("__part=")
           if (escaped == NullPartName)
             throw new IllegalArgumentException(
@@ -1846,6 +1862,25 @@ object CommittedTable {
     } finally { fs.delete(staging, true); () }
     // a failure after SOME renames leaves nonce-named segments in the
     // table dir that no manifest references — ordinary orphans for GC
+  }
+
+  /** Bounded-parallel driver-side map for per-partition filesystem
+    * metadata calls (staging renames, bucketed segment moves): at tens
+    * of thousands of touched partitions a sequential loop of ~per-call
+    * round trips dominates publish latency on an object store. Hadoop
+    * FileSystem instances are thread-safe for independent-path
+    * operations; failures propagate to the caller exactly like the
+    * sequential loop's (first exception wins, staged orphans are GC'd). */
+  private def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    if (xs.size <= 8) return xs.map(f)
+    import scala.collection.parallel.CollectionConverters._
+    val pool = new java.util.concurrent.ForkJoinPool(
+      math.min(32, Runtime.getRuntime.availableProcessors * 2))
+    try {
+      val p = xs.par
+      p.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      p.map(f).seq
+    } finally pool.shutdown()
   }
 
   /** Bucketed staging: every segment's rows are split by
@@ -1870,12 +1905,16 @@ object CommittedTable {
         .withColumn("__part", col(partitionCol))
         .withColumn("__bucket",
           pmod(hash(bucketCols.map(col): _*), lit(nBuckets)))
+      // explicit count for the same wide-batch reason as stageFlat: AQE
+      // coalesces by bytes and would serialize a many-(partition, bucket)
+      // batch's file creations onto one writer task
+      val shuffleN = spark.sessionState.conf.numShufflePartitions
       val ordered =
         if (sortCols.nonEmpty)
-          keyed.repartition(col(partitionCol), col("__bucket"))
+          keyed.repartition(shuffleN, col(partitionCol), col("__bucket"))
             .sortWithinPartitions(
               ("__part" +: "__bucket" +: sortCols).map(col): _*)
-        else keyed.repartition(col(partitionCol), col("__bucket"))
+        else keyed.repartition(shuffleN, col(partitionCol), col("__bucket"))
           .sortWithinPartitions(col("__part"), col("__bucket"))
       ordered
         .write.partitionBy("__part", "__bucket")
@@ -1886,7 +1925,7 @@ object CommittedTable {
       // nonce's segments until the writer publishes or aborts
       if (parts.nonEmpty)
         fs.create(new Path(table, s"$IntentPrefix$nonce"), true).close()
-      parts.map { st =>
+      parMap(parts) { st =>
           val escaped = st.getPath.getName.stripPrefix("__part=")
           if (escaped == NullPartName)
             throw new IllegalArgumentException(

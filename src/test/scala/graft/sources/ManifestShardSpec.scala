@@ -271,6 +271,71 @@ class ManifestShardSpec extends SparkSpec {
       "all untouched index groups must carry by reference")
   }
 
+  test("two-level root end to end over a REAL table: >512 shards from " +
+      "real data files; a one-partition publish writes 1 shard + 1 " +
+      "index group; reads route through the index path") {
+    // 33,024 partitions (1 row each) ⇒ 516 shards > RootInlineMaxShards
+    // ⇒ the root is born two-level — the smallest REAL table at the
+    // rung the synthetic 1M-partition cases exercise metadata-only
+    val n = 33024
+    val dir = freshDir("real2lvl")
+    val t0 = System.nanoTime()
+    CommittedTable.write(
+      spark.range(n).select(
+        col("id"),
+        format_string("p%05d", col("id")).as("part"),
+        (col("id") * 10).cast("double").as("value")),
+      dir, "part")
+    val writeSec = (System.nanoTime() - t0) / 1e9
+    val nShards = math.ceil(n.toDouble / CommittedTable.ShardTargetParts).toInt
+    assert(nShards > CommittedTable.RootInlineMaxShards)
+    val root1 = rootLines(dir)
+    assert(!root1.exists(_.startsWith("shard=")),
+      "a two-level root must not inline shard refs")
+    assert(root1.count(_.startsWith("shardidx=")) ===
+      math.ceil(nShards.toDouble / CommittedTable.ShardIdxTarget).toInt)
+    val fs = fsOf(dir)
+    val shards1 = shardFiles(dir)
+    assert(shards1.size === nShards)
+    val idx1 = idxFiles(dir)
+    val totalShardBytes = shards1.map(f =>
+      fs.getFileStatus(new Path(dir, f)).getLen).sum
+
+    // a REAL one-partition publish: data + metadata both O(touched)
+    val touched = "p00777"
+    CommittedTable.overwritePartitions(
+      Seq((777L, touched, 9999.0)).toDF("id", "part", "value"), dir)
+    val freshShards = shardFiles(dir).toSet -- shards1.toSet
+    val freshIdx = idxFiles(dir).toSet -- idx1.toSet
+    assert(freshShards.size === 1,
+      s"one touched partition ⇒ one rewritten shard, got $freshShards")
+    assert(freshIdx.size === 1,
+      s"one dirty shard ⇒ one rewritten index group, got $freshIdx")
+    val publishMetaBytes = (freshShards ++ freshIdx).toSeq.map(f =>
+      fs.getFileStatus(new Path(dir, f)).getLen).sum +
+      3 * fs.getFileStatus(new Path(dir, "_commit")).getLen
+    assert(publishMetaBytes < totalShardBytes / 20,
+      s"publish wrote $publishMetaBytes metadata bytes; " +
+        s"full manifest is $totalShardBytes")
+    info(f"write $writeSec%.1f s; full shard metadata $totalShardBytes " +
+      f"bytes; one-partition publish metadata $publishMetaBytes bytes " +
+      f"(${100.0 * publishMetaBytes / totalShardBytes}%.2f%%)")
+
+    // reads route through the index: a one-value probe resolves its
+    // index group, hydrates ONE shard, and serves the updated row
+    val pruned = CommittedTable.readManifestPruned(fs, new Path(dir),
+      Set(touched)).get
+    assert(pruned.partial)
+    assert(pruned.segments.size <= CommittedTable.ShardTargetParts)
+    assert(CommittedTable.read(spark, dir, Some(Seq(touched)))
+      .select("id", "value").as[(Long, Double)].collect().toSet ===
+      Set((777L, 9999.0)))
+    // root-only totals answer the whole-table count with zero shard reads
+    assert(CommittedTable.count(spark, dir) === n.toLong)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft.`$dir`")
+      .collect().head.getLong(0) === n.toLong)
+  }
+
   test("small tables stay inline — byte-compatible with the pre-sharding " +
       "format; GC collects unreferenced aged shards, keeps referenced ones") {
     val dir = freshDir("inline")
