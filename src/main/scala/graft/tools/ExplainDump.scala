@@ -1779,6 +1779,93 @@ object ExplainDump {
 
       val prevAqeBm = spark.conf.get("spark.sql.adaptive.enabled")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // q183: the MoR-fed incremental view — the differentiator vs §q153
+      // is the SOURCE side: the sync's CDF batch must fold MoR delta
+      // state (base ∪ delta minus vector), manifest-pruned to touched
+      // partitions, never a full-table diff
+      val mfDir = s"$tmp/morfeed"
+      graft.sources.CommittedTable.write(mmSrc, mfDir, "o_orderstatus",
+        keyCol = Some("o_orderkey"), versionCol = Some("version"))
+      graft.sources.CommittedTable.mergeMor(spark, mfDir,
+        mmSrc.filter(col("o_orderkey") % 7 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+          .withColumn("version", lit(2L)),
+        "o_orderkey", "version", "o_orderstatus")
+      section("q183_sql_incremental_view_mor (the MoR-fed CDF batch)",
+        """Wants: the sync's source diff for a merge-on-read generation.
+          |The scan's Location lists the touched partitions' BASE segments
+          |plus the merge's DELTA dirs only (untouched partitions are
+          |manifest-pruned out entirely); the live deletion vector applies
+          |as a BroadcastHashJoin LeftAnti wrap (retired base rows drop,
+          |their delta replacements survive), so the batch is exactly the
+          |upserted keys' latest rows. The view fold downstream is §q153's
+          |signed partial aggregation over this batch — its cost is the
+          |BATCH + affected groups, never source or view size, which is
+          |why q153 measured exponent 0.08 and q183 inherits it.""".stripMargin,
+        spark.sql(s"SELECT * FROM graft_changes('$mfDir', 2)"))
+
+      // q185/q186/q187/q188: the rest of the perceptual family — same
+      // banded core as §q184, each with its own differentiator. (q189–
+      // q192 are the literal-oracle and CALL-verb twins of these exact
+      // plans: q189 ≡ q184's shape, q190/q191 ≡ q186's, q192 ≡ q185's.)
+      section("q185_video_phash_neardup (banded FRAME join, aggregated to video pairs)",
+        """Wants: one MapPartitions decode pass over the sampled frames
+          |(MP4 sample-table walk + JPEG decode, map-side), the §q184
+          |banded equi-join on (band_no, bits) FRAME keys — no
+          |CartesianProduct / BroadcastNestedLoopJoin anywhere — then a
+          |HashAggregate counting DISTINCT matched frame pairs per video
+          |pair with the >= minSharedFrames filter on top. Frame payloads
+          |never shuffle; only (media_id, frame_no, fhash) rows do.""".stripMargin,
+        graft.operators.Multimodal.videoNearDups(
+          graft.fixtures.MediaFixture.videoNearDupFrame(spark),
+          everyNth = 1, maxHamming = 7, minSharedFrames = 2))
+
+      section("q186_audio_neardup (banded energy-delta fingerprint join)",
+        """Wants: §q184's exact shape on the audio fingerprint — one
+          |map-side PCM parse (MapPartitions), linear band explode, plain
+          |equi-join with the bit_count(XOR) <= maxHamming post-filter,
+          |no all-pairs operator. The fingerprint is gain-invariant by
+          |construction, so the re-leveled copy pairs at hamming 0
+          |without any FP tolerance in the plan.""".stripMargin,
+        graft.operators.Multimodal.audioNearDups(
+          graft.fixtures.MediaFixture.audioNearDupFrame(spark),
+          maxHamming = 7))
+
+      val pfFrame = graft.fixtures.MediaFixture.phashFrame(spark)
+      val pfStored = graft.operators.Multimodal.perceptualHash(
+          pfFrame.filter(col("media_id").isin(41L, 44L)))
+        .filter(col("phash").isNotNull)
+      section("q187_image_phash_incremental (batch decodes; store never does)",
+        """Wants: the NEW side alone carries the decode (MapPartitions →
+          |aHash64); the stored side enters as a plain (media_id, phash)
+          |relation with NO decode operator anywhere above it, null-
+          |filtered before its band explode, unioned with the new batch
+          |as the join's right side. The join keys and post-filter are
+          |§q184's; id != id with least/greatest canonicalization makes
+          |per-batch unions reproduce the full-corpus pair set without
+          |re-pairing existing × existing. At 100 TB: a day's crawl pairs
+          |against years of corpus for the cost of hashing the day.""".stripMargin,
+        graft.operators.Multimodal.phashNearDupsAgainst(
+          pfFrame.filter(col("media_id").isin(42L, 43L, 45L)), pfStored,
+          maxHamming = 7))
+
+      val q188Dir = s"$tmp/q188"
+      pfFrame.write.mode("overwrite").parquet(s"$q188Dir/media")
+      spark.sql(s"CALL graft.phash_neardups(input => '$q188Dir/media', " +
+        s"output => '$q188Dir/pairs', hashes_out => '$q188Dir/hashes')")
+      section("q188_sql_call_phash (the store-centric join: zero decode)",
+        """Wants: the CALL's hashes_out contract means the pairs join
+          |reads the WRITTEN fingerprint table back — so the pair plan is
+          |two parquet scans of (media_id, phash) with the banded
+          |equi-join between them and NO MapPartitions decode anywhere:
+          |re-thresholding a stored corpus costs the fingerprint table's
+          |scan, not one payload byte. (graft.audio_neardups and
+          |graft.video_neardups are the same contract on ahash and the
+          |frame-hash store.) This dump runs the CALL, then plans exactly
+          |the store-centric join it executes internally.""".stripMargin,
+        graft.operators.Multimodal.phashNearDupsFromHashes(
+          spark.read.parquet(s"$q188Dir/hashes"), maxHamming = 7))
+
       try section("q182_bucketed_mor (exchange-free join survives MoR DML)",
         """Wants: a SortMergeJoin on the bucket column with ZERO
           |ShuffleExchange under it — after a merge-on-read upsert. The
