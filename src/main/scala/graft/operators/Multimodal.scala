@@ -895,26 +895,9 @@ object Multimodal {
     * table's scan, not the decode. */
   def videoNearDupsFromHashes(frameHashes: DataFrame, maxHamming: Int = 7,
       minSharedFrames: Int = 2, bands: Int = 0): DataFrame = {
-    val b = bandCount(maxHamming, bands)
-    require(minSharedFrames >= 1,
-      s"minSharedFrames ($minSharedFrames) must be >= 1")
-    val h = frameHashes.select(col("media_id"), col("frame_no"), col("fhash"))
-      .filter(col("fhash").isNotNull)
-    // the shared slice/explode core; only the frame-pair aggregation to
-    // video pairs is local to this operator
-    val banded = bandExplode(h, "fhash", b, Seq("media_id", "frame_no"))
-    val left = banded.alias("a")
-    val right = banded.alias("c")
-    left.join(right,
-        col("a.band_no") === col("c.band_no") &&
-          col("a.bits") === col("c.bits") &&
-          col("a.media_id") < col("c.media_id"))
-      .filter(bit_count(col("a.fhash").bitwiseXOR(col("c.fhash")))
-        <= maxHamming)
-      .groupBy(col("a.media_id").as("id_a"), col("c.media_id").as("id_b"))
-      .agg(countDistinct(col("a.frame_no"), col("c.frame_no"))
-        .as("n_shared"))
-      .filter(col("n_shared") >= minSharedFrames)
+    val h = cleanFrameHashes(frameHashes)
+    bandedFramePairs(h, h, maxHamming, minSharedFrames, bands,
+      fullCorpus = true)
   }
 
   /** The incremental video shape ([[phashPairsAgainstHashes]] at frame
@@ -923,29 +906,44 @@ object Multimodal {
     * that introduces its LATER member (both sides' full frame sets are
     * in existing ∪ new by then), so per-batch runs unioned reproduce
     * the full-corpus pair set without re-decoding or re-pairing the
-    * store. Frame numbers canonicalize by video-id order before the
-    * distinct count, so a pair matched from both join orientations
-    * counts its frame matches once. */
+    * store. */
   def videoPairsAgainstHashes(newFrameHashes: DataFrame,
       existingFrameHashes: DataFrame, maxHamming: Int = 7,
       minSharedFrames: Int = 2, bands: Int = 0): DataFrame = {
+    val nh = cleanFrameHashes(newFrameHashes)
+    val all = cleanFrameHashes(existingFrameHashes).unionByName(nh)
+    bandedFramePairs(nh, all, maxHamming, minSharedFrames, bands,
+      fullCorpus = false)
+  }
+
+  private def cleanFrameHashes(df: DataFrame): DataFrame = df
+    .select(col("media_id"), col("frame_no"), col("fhash"))
+    .filter(col("fhash").isNotNull)
+
+  /** [[bandedHashPairs]] at FRAME granularity, shared by the full-corpus
+    * and incremental video paths: the §bandExplode banded equi-join on
+    * frame hashes, aggregated to video pairs on >= `minSharedFrames`
+    * DISTINCT matched frame pairs. `fullCorpus = true` halves the join
+    * with id < id; `false` is the incremental shape (left = new batch
+    * only, id ≠ id) — there frame numbers canonicalize by video-id
+    * order before the distinct count, so a pair matched from both join
+    * orientations counts its frame matches once. */
+  private def bandedFramePairs(newSide: DataFrame, allSide: DataFrame,
+      maxHamming: Int, minSharedFrames: Int, bands: Int,
+      fullCorpus: Boolean): DataFrame = {
     val b = bandCount(maxHamming, bands)
     require(minSharedFrames >= 1,
       s"minSharedFrames ($minSharedFrames) must be >= 1")
-    def clean(df: DataFrame) = df
-      .select(col("media_id"), col("frame_no"), col("fhash"))
-      .filter(col("fhash").isNotNull)
-    val nh = clean(newFrameHashes)
-    val all = clean(existingFrameHashes).unionByName(nh)
-    val left = bandExplode(nh, "fhash", b, Seq("media_id", "frame_no"))
-      .alias("a")
-    val right = bandExplode(all, "fhash", b, Seq("media_id", "frame_no"))
-      .alias("c")
+    val carry = Seq("media_id", "frame_no")
+    val left = bandExplode(newSide, "fhash", b, carry).alias("a")
+    val right = bandExplode(allSide, "fhash", b, carry).alias("c")
+    val idCond =
+      if (fullCorpus) col("a.media_id") < col("c.media_id")
+      else col("a.media_id") =!= col("c.media_id")
     val aFirst = col("a.media_id") < col("c.media_id")
     left.join(right,
         col("a.band_no") === col("c.band_no") &&
-          col("a.bits") === col("c.bits") &&
-          col("a.media_id") =!= col("c.media_id"))
+          col("a.bits") === col("c.bits") && idCond)
       .filter(bit_count(col("a.fhash").bitwiseXOR(col("c.fhash")))
         <= maxHamming)
       .groupBy(least(col("a.media_id"), col("c.media_id")).as("id_a"),

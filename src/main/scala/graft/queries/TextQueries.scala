@@ -629,7 +629,56 @@ object TextQueries {
     }, Some("""
       SELECT * FROM (VALUES
         (CAST(51 AS BIGINT), CAST(52 AS BIGINT), CAST(2 AS BIGINT))
-      ) AS t(id_a, id_b, n_shared)"""))
+      ) AS t(id_a, id_b, n_shared)""")),
+
+    // ---- Incremental video ingest (the q187 contract on frame hashes) -----
+    // Batch 1 (videos 51, 53) pairs within itself and stores its frame-
+    // hash table; batch 2 (52, 54) decodes ONLY ITSELF and pairs against
+    // existing ∪ new. The (51, 52) pair is found by batch 2 with batch
+    // 1's payloads never touched again, and the per-batch union must
+    // equal q185's full-corpus literal: exactly (51, 52, 2) — n_shared
+    // counts canonically so both join orientations agree.
+    Q("q193_video_phash_incremental", (s, _) => {
+      val frame = graft.fixtures.MediaFixture.videoNearDupFrame(s)
+      val b1 = frame.filter(col("media_id").isin(51L, 53L))
+      val b2 = frame.filter(col("media_id").isin(52L, 54L))
+      val stored = graft.operators.Multimodal.videoFrameHashes(b1,
+        everyNth = 1)
+      graft.operators.Multimodal
+        .videoNearDups(b1, everyNth = 1, maxHamming = 7,
+          minSharedFrames = 2)
+        .unionByName(graft.operators.Multimodal.videoPairsAgainstHashes(
+          graft.operators.Multimodal.videoFrameHashes(b2, everyNth = 1),
+          stored, maxHamming = 7, minSharedFrames = 2))
+        .select(col("id_a"), col("id_b"),
+          col("n_shared").cast("long").as("n_shared"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(51 AS BIGINT), CAST(52 AS BIGINT), CAST(2 AS BIGINT))
+      ) AS t(id_a, id_b, n_shared)""")),
+
+    // ---- Incremental audio ingest (literal oracle) --------------------------
+    // q190's staircase corpus through the q187 contract: batch 1 stores
+    // fingerprints for 71 and 73, batch 2 (72 + the image decoy) parses
+    // only itself and pairs against the store — the only pair is the
+    // hand-derived (71, 72, hamming 2), reached without re-parsing one
+    // stored PCM byte.
+    Q("q194_audio_neardup_incremental", (s, _) => {
+      val frame = graft.fixtures.MediaFixture.audioLiteralFrame(s)
+      val b1 = frame.filter(col("media_id").isin(71L, 73L))
+      val b2 = frame.filter(col("media_id").isin(72L, 74L))
+      val stored = graft.operators.Multimodal.audioFingerprints(b1)
+        .filter(col("ahash").isNotNull)
+      graft.operators.Multimodal
+        .audioNearDups(b1, maxHamming = 7)
+        .unionByName(graft.operators.Multimodal.audioNearDupsAgainst(
+          b2, stored, maxHamming = 7))
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(71 AS BIGINT), CAST(72 AS BIGINT), CAST(2 AS INT))
+      ) AS t(id_a, id_b, hamming)"""))
   ) ++ samplingQueries ++ Seq(
 
     // ---- Line-level boilerplate dedup (CCNet/RefinedWeb pass) -------------
