@@ -557,23 +557,41 @@ private[sql] object GraftProcedures {
         val hashed = graft.operators.Multimodal
           .perceptualHash(readAny(spark, in))
           .filter(col("phash").isNotNull)
-        val batch = str(input, 4) match {
-          case Some(ho) =>
-            val p = resolve(ho)
-            hashed.write.mode("overwrite").parquet(p)
-            spark.read.parquet(p)
-          case None => hashed
-        }
-        val pairs = str(input, 3) match {
-          case Some(ex) => graft.operators.Multimodal
-            .phashPairsAgainstHashes(batch, readAny(spark, resolve(ex)),
-              maxHamming)
-          case None => graft.operators.Multimodal
-            .phashNearDupsFromHashes(batch, maxHamming)
-        }
+        val pairs = nearDupPairs(spark, resolve, hashed,
+          str(input, 4), str(input, 3),
+          b => graft.operators.Multimodal
+            .phashNearDupsFromHashes(b, maxHamming),
+          (b, ex) => graft.operators.Multimodal
+            .phashPairsAgainstHashes(b, ex, maxHamming))
         opResult(out, writeOut(pairs, out))
       }
     }
+
+  /** The near-dup CALL family's shared plumbing (phash / audio / video
+    * share one contract): optionally persist the batch's fingerprints to
+    * `hashesOut` and read them back (so the decode runs ONCE — the pairs
+    * join reads the written store), then pair incrementally against
+    * `existing` when present, full-corpus otherwise. */
+  private def nearDupPairs(spark: SparkSession, resolve: String => String,
+      hashed: org.apache.spark.sql.DataFrame,
+      hashesOut: Option[String], existing: Option[String],
+      pairsFromAll: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame,
+      pairsAgainst: (org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val batch = hashesOut match {
+      case Some(ho) =>
+        val p = resolve(ho)
+        hashed.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None => hashed
+    }
+    existing match {
+      case Some(ex) => pairsAgainst(batch, readAny(spark, resolve(ex)))
+      case None => pairsFromAll(batch)
+    }
+  }
 
   /** `CALL graft.audio_neardups(input => …, output => … [, max_hamming,
     * existing, hashes_out])`: [[phashNearDupsProc]]'s contract on the
@@ -605,20 +623,12 @@ private[sql] object GraftProcedures {
         val hashed = graft.operators.Multimodal
           .audioFingerprints(readAny(spark, in))
           .filter(col("ahash").isNotNull)
-        val batch = str(input, 4) match {
-          case Some(ho) =>
-            val p = resolve(ho)
-            hashed.write.mode("overwrite").parquet(p)
-            spark.read.parquet(p)
-          case None => hashed
-        }
-        val pairs = str(input, 3) match {
-          case Some(ex) => graft.operators.Multimodal
-            .audioPairsAgainstHashes(batch, readAny(spark, resolve(ex)),
-              maxHamming)
-          case None => graft.operators.Multimodal
-            .audioNearDupsFromHashes(batch, maxHamming)
-        }
+        val pairs = nearDupPairs(spark, resolve, hashed,
+          str(input, 4), str(input, 3),
+          b => graft.operators.Multimodal
+            .audioNearDupsFromHashes(b, maxHamming),
+          (b, ex) => graft.operators.Multimodal
+            .audioPairsAgainstHashes(b, ex, maxHamming))
         opResult(out, writeOut(pairs, out))
       }
     }
@@ -658,20 +668,12 @@ private[sql] object GraftProcedures {
         val minShared = input.getInt(4)
         val hashed = graft.operators.Multimodal
           .videoFrameHashes(readAny(spark, in), everyNth)
-        val batch = str(input, 6) match {
-          case Some(ho) =>
-            val p = resolve(ho)
-            hashed.write.mode("overwrite").parquet(p)
-            spark.read.parquet(p)
-          case None => hashed
-        }
-        val pairs = str(input, 5) match {
-          case Some(ex) => graft.operators.Multimodal
-            .videoPairsAgainstHashes(batch, readAny(spark, resolve(ex)),
-              maxHamming, minShared)
-          case None => graft.operators.Multimodal
-            .videoNearDupsFromHashes(batch, maxHamming, minShared)
-        }
+        val pairs = nearDupPairs(spark, resolve, hashed,
+          str(input, 6), str(input, 5),
+          b => graft.operators.Multimodal
+            .videoNearDupsFromHashes(b, maxHamming, minShared),
+          (b, ex) => graft.operators.Multimodal
+            .videoPairsAgainstHashes(b, ex, maxHamming, minShared))
         opResult(out, writeOut(pairs, out))
       }
     }
