@@ -1,0 +1,208 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.operators.Multimodal
+import graft.sources.CommittedTable
+
+/** Streaming perceptual near-dup ingest: a stream of (media_id, payload)
+  * rows fingerprints ONLY its own micro-batches, pairs each batch against
+  * the accumulated fingerprint store (existing ∪ batch — the
+  * [[Multimodal.phashPairsAgainstHashes]] contract, so per-batch pair
+  * sets union to exactly the full-corpus set), appends the pairs to a
+  * committed pairs table, and upserts the batch's fingerprints into the
+  * committed store. The 100 TB crawl loop: each day's media decodes once,
+  * pairs against years of corpus for the cost of hashing the day, and
+  * both tables stay atomically-published committed tables a concurrent
+  * reader can poll without ever seeing a mid-publish mix.
+  *
+  * Delivery semantics (the [[StreamingMerge]] argument, made exactly-once
+  * here the same way): foreachBatch is at-least-once, but every write is
+  * an IDEMPOTENT keyed merge —
+  *   - pairs are keyed by `id_a:id_b` with a constant version, and a
+  *     given pair is only ever emitted by the batch that introduces its
+  *     LATER member (both sides' complete fingerprints are in
+  *     existing ∪ new by then), so a replay re-derives the identical row
+  *     and the merge keeps the existing one;
+  *   - fingerprints are keyed by media id (frame hashes by
+  *     `media_id:frame_no`), constant version, same argument.
+  * Crash ordering is safe in both directions: pairs merge BEFORE store
+  * merge, so a crash between them replays against a store without the
+  * batch (same pairs re-derived); a crash after the store merge but
+  * before the checkpoint commit replays against a store that already
+  * contains the batch — the batch's own rows match only themselves there
+  * (same media_id, excluded by id ≠ id) and duplicate candidates
+  * collapse in the banded join's distinct, so the pair set is again
+  * identical. MediaIngestSpec pins both replay directions by invoking
+  * the batch body twice.
+  *
+  * Both tables hash-partition on `pmod(id, storeParts)` — the store
+  * grows without ever rewriting untouched buckets (merge touches the
+  * batch's buckets only), and `storeParts` bounds publish metadata. */
+object MediaIngest {
+
+  /** Image ingest: [[Multimodal.perceptualHash]] per batch, pairs =
+    * batch × (store ∪ batch) at `maxHamming`. Store rows:
+    * (media_id, phash, bucket, version); pair rows:
+    * (pair_key, id_a, id_b, hamming, bucket, version). */
+  def phashIngest(media: DataFrame, storePath: String, pairsPath: String,
+      checkpoint: String, maxHamming: Int = 7, bands: Int = 0,
+      storeParts: Int = 16, availableNow: Boolean = true,
+      interval: String = "30 seconds"): DataStreamWriter[Row] =
+    writer(media, checkpoint, availableNow, interval)(b =>
+      applyPhashBatch(b, storePath, pairsPath, maxHamming, bands,
+        storeParts))
+
+  /** Audio ingest: [[Multimodal.audioFingerprints]] per batch, same
+    * shapes on the `ahash` column. */
+  def audioIngest(media: DataFrame, storePath: String, pairsPath: String,
+      checkpoint: String, maxHamming: Int = 7, bands: Int = 0,
+      storeParts: Int = 16, availableNow: Boolean = true,
+      interval: String = "30 seconds"): DataStreamWriter[Row] =
+    writer(media, checkpoint, availableNow, interval)(b =>
+      applyAudioBatch(b, storePath, pairsPath, maxHamming, bands,
+        storeParts))
+
+  /** Video ingest: [[Multimodal.videoFrameHashes]] per batch (frame
+    * granularity, keyed `media_id:frame_no` in the store), pairs =
+    * videos sharing >= `minSharedFrames` matched frames. */
+  def videoIngest(media: DataFrame, storePath: String, pairsPath: String,
+      checkpoint: String, everyNth: Int = 4, maxHamming: Int = 7,
+      minSharedFrames: Int = 2, bands: Int = 0, storeParts: Int = 16,
+      availableNow: Boolean = true,
+      interval: String = "30 seconds"): DataStreamWriter[Row] =
+    writer(media, checkpoint, availableNow, interval)(b =>
+      applyVideoBatch(b, storePath, pairsPath, everyNth, maxHamming,
+        minSharedFrames, bands, storeParts))
+
+  private def writer(media: DataFrame, checkpoint: String,
+      availableNow: Boolean, interval: String)(
+      apply: DataFrame => Unit): DataStreamWriter[Row] = {
+    val trigger =
+      if (availableNow) Trigger.AvailableNow()
+      else Trigger.ProcessingTime(interval)
+    media.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        try if (!batch.isEmpty) apply(batch)
+        finally batch.unpersist()
+      }
+  }
+
+  private[streaming] def applyPhashBatch(batch: DataFrame,
+      storePath: String, pairsPath: String, maxHamming: Int, bands: Int,
+      storeParts: Int): Unit = {
+    val hashed = Multimodal.perceptualHash(batch)
+      .filter(col("phash").isNotNull)
+    mediaLevelBatch(hashed, "phash", storePath, pairsPath, storeParts)(
+      (nh, ex) => Multimodal.phashPairsAgainstHashes(nh, ex, maxHamming,
+        bands))
+  }
+
+  private[streaming] def applyAudioBatch(batch: DataFrame,
+      storePath: String, pairsPath: String, maxHamming: Int, bands: Int,
+      storeParts: Int): Unit = {
+    val hashed = Multimodal.audioFingerprints(batch)
+      .filter(col("ahash").isNotNull)
+    mediaLevelBatch(hashed, "ahash", storePath, pairsPath, storeParts)(
+      (nh, ex) => Multimodal.audioPairsAgainstHashes(nh, ex, maxHamming,
+        bands))
+  }
+
+  /** Shared media-level (one hash per item) batch body: pairs first,
+    * then the store upsert — see the crash-ordering argument above. */
+  private def mediaLevelBatch(hashed: DataFrame, hashCol: String,
+      storePath: String, pairsPath: String, storeParts: Int)(
+      pairsAgainst: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val spark = hashed.sparkSession
+    val h = hashed.persist()
+    try {
+      if (h.isEmpty) return
+      val existing = readStore(spark, storePath,
+        Seq(("media_id", "bigint"), (hashCol, "bigint")))
+      val pairs = pairsAgainst(h.select("media_id", hashCol), existing)
+      upsert(spark, pairsPath, keyedPairs(pairs, storeParts), "pair_key",
+        storeParts)
+      upsert(spark, storePath,
+        h.select("media_id", hashCol)
+          .withColumn("bucket", bucketOf(col("media_id"), storeParts))
+          .withColumn("version", lit(1L)),
+        "media_id", storeParts)
+    } finally { h.unpersist(); () }
+  }
+
+  private[streaming] def applyVideoBatch(batch: DataFrame,
+      storePath: String, pairsPath: String, everyNth: Int,
+      maxHamming: Int, minSharedFrames: Int, bands: Int,
+      storeParts: Int): Unit = {
+    val spark = batch.sparkSession
+    val hashed = Multimodal.videoFrameHashes(batch, everyNth).persist()
+    try {
+      if (hashed.isEmpty) return
+      val existing = readStore(spark, storePath,
+        Seq(("media_id", "bigint"), ("frame_no", "int"),
+          ("fhash", "bigint")))
+      val pairs = Multimodal.videoPairsAgainstHashes(hashed, existing,
+        maxHamming, minSharedFrames, bands)
+      upsert(spark, pairsPath, keyedPairs(pairs, storeParts), "pair_key",
+        storeParts)
+      upsert(spark, storePath,
+        hashed
+          .withColumn("fkey",
+            concat_ws(":", col("media_id"), col("frame_no")))
+          .withColumn("bucket", bucketOf(col("media_id"), storeParts))
+          .withColumn("version", lit(1L)),
+        "fkey", storeParts)
+    } finally { hashed.unpersist(); () }
+  }
+
+  private def bucketOf(id: org.apache.spark.sql.Column, storeParts: Int) =
+    pmod(id, lit(storeParts.toLong)).cast("string")
+
+  private def keyedPairs(pairs: DataFrame, storeParts: Int): DataFrame =
+    pairs
+      .withColumn("pair_key", concat_ws(":", col("id_a"), col("id_b")))
+      .withColumn("bucket", bucketOf(col("id_a"), storeParts))
+      .withColumn("version", lit(1L))
+
+  /** The store's current fingerprints; a typed EMPTY frame before the
+    * first publish (the first batch pairs only within itself). */
+  private def readStore(spark: SparkSession, path: String,
+      cols: Seq[(String, String)]): DataFrame =
+    if (exists(spark, path))
+      CommittedTable.read(spark, path)
+        .select(cols.map(c => col(c._1)): _*)
+    else
+      spark.sql(s"SELECT ${cols.map(c => s"CAST(NULL AS ${c._2}) AS ${c._1}")
+        .mkString(", ")}").limit(0)
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val t = new org.apache.hadoop.fs.Path(path)
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    CommittedTable.readManifestRoot(fs, t).isDefined
+  }
+
+  /** First batch creates the table (keyed, bucket-partitioned); later
+    * batches keyed-merge — latest-version-wins with a CONSTANT version,
+    * so replays keep the existing rows (idempotent). Empty frames write
+    * nothing (and create nothing — readers treat an absent table as
+    * empty, exactly like [[readStore]]). */
+  private def upsert(spark: SparkSession, path: String, df: DataFrame,
+      key: String, storeParts: Int): Unit = {
+    // persisted: the emptiness probe and the merge's own jobs must not
+    // re-run the banded join that produced the frame
+    val d = df.persist()
+    try {
+      if (d.isEmpty) return
+      if (exists(spark, path))
+        CommittedTable.merge(spark, path, d, key, "version", "bucket")
+      else
+        CommittedTable.write(d, path, "bucket", keyCol = Some(key),
+          versionCol = Some("version"))
+    } finally { d.unpersist(); () }
+  }
+}

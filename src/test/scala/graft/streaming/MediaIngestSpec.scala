@@ -1,0 +1,129 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.fixtures.MediaFixture
+import graft.operators.Multimodal
+import graft.sources.CommittedTable
+
+/** [[MediaIngest]] — streaming perceptual near-dup ingest: per-batch
+  * pair sets union to the full-corpus set, the store accumulates
+  * fingerprints without ever re-decoding a payload, both tables are
+  * committed (atomic generations per micro-batch), and replayed batches
+  * (at-least-once foreachBatch) converge — in BOTH crash orderings. */
+class MediaIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsOf(path: String): Set[(Long, Long)] =
+    if (!Files.exists(java.nio.file.Paths.get(path, "_commit"))) Set.empty
+    else CommittedTable.read(spark, path)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+  private def drop(in: String, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit =
+    df.coalesce(1).write.parquet(s"$in/$name")
+
+  test("streamed image ingest: per-batch unions == full corpus; store accumulates; restart is exactly-once") {
+    val root = Files.createTempDirectory("graft-mingest").toString
+    val in = s"$root/in"; val cp = s"$root/cp"
+    val store = s"$root/store"; val pairs = s"$root/pairs"
+    val frame = MediaFixture.phashFrame(spark)
+      .select($"media_id", $"payload")
+    val expected = Multimodal
+      .phashNearDups(MediaFixture.phashFrame(spark), maxHamming = 7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    drop(in, "b1", frame.filter($"media_id".isin(41L, 44L)))
+    val schema = spark.read.parquet(s"$in/b1").schema
+    def runOnce(): Unit = {
+      val media = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "16").parquet(s"$in/*")
+      val q = MediaIngest.phashIngest(media, store, pairs, cp,
+        maxHamming = 7).start()
+      q.awaitTermination(120000); q.stop()
+    }
+    runOnce()
+    // batch 1 (41, 44) holds no near pair; its fingerprints are stored
+    assert(pairsOf(pairs) === Set.empty)
+    assert(CommittedTable.read(spark, store).count() === 2L)
+    // batch 2 after a RESTART from the same checkpoint: pairs against
+    // the store complete the full-corpus set; 41/44 never re-decode
+    drop(in, "b2", frame.filter($"media_id".isin(42L, 43L, 45L)))
+    runOnce()
+    assert(pairsOf(pairs) === expected)
+    assert(CommittedTable.read(spark, store).count() === 4L) // 45 is audio: NULL, never stored
+    // a third run with nothing new is a no-op
+    runOnce()
+    assert(pairsOf(pairs) === expected)
+    assert(CommittedTable.read(spark, store).count() === 4L)
+  }
+
+  test("replay convergence: the batch body is idempotent in both crash orderings") {
+    val root = Files.createTempDirectory("graft-mingest-rp").toString
+    val store = s"$root/store"; val pairs = s"$root/pairs"
+    val frame = MediaFixture.phashFrame(spark)
+      .select($"media_id", $"payload")
+    val b1 = frame.filter($"media_id".isin(41L, 44L))
+    val b2 = frame.filter($"media_id".isin(42L, 43L, 45L))
+    val expected = Multimodal
+      .phashNearDups(MediaFixture.phashFrame(spark), maxHamming = 7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    MediaIngest.applyPhashBatch(b1, store, pairs, 7, 0, 16)
+    MediaIngest.applyPhashBatch(b2, store, pairs, 7, 0, 16)
+    val storeGen = CommittedTable.manifestAt(spark, store).gen
+    assert(pairsOf(pairs) === expected)
+    // crash AFTER the store merge, BEFORE the checkpoint commit: the
+    // replayed batch pairs against a store that already contains it —
+    // its rows match only themselves there (id != id excludes them) and
+    // the keyed merges keep the existing rows
+    MediaIngest.applyPhashBatch(b2, store, pairs, 7, 0, 16)
+    assert(pairsOf(pairs) === expected)
+    assert(CommittedTable.read(spark, store).count() === 4L)
+    // the replays burned generations but changed no content
+    assert(CommittedTable.read(spark, store)
+      .select($"media_id").as[Long].collect().toSet ===
+      Set(41L, 42L, 43L, 44L))
+    assert(CommittedTable.manifestAt(spark, store).gen >= storeGen)
+  }
+
+  test("streamed video ingest: frame-level store, pair completed by the batch introducing the later clip") {
+    val root = Files.createTempDirectory("graft-vingest").toString
+    val store = s"$root/store"; val pairs = s"$root/pairs"
+    val frame = MediaFixture.videoNearDupFrame(spark)
+      .select($"media_id", $"payload")
+    // batch 1: videos 51, 53 — no pair, 6 frame hashes stored
+    MediaIngest.applyVideoBatch(frame.filter($"media_id".isin(51L, 53L)),
+      store, pairs, 1, 7, 2, 0, 16)
+    assert(pairsOf(pairs) === Set.empty)
+    assert(CommittedTable.read(spark, store).count() === 6L)
+    // batch 2: video 52 shares two of 51's frames; 54 is undecodable
+    MediaIngest.applyVideoBatch(frame.filter($"media_id".isin(52L, 54L)),
+      store, pairs, 1, 7, 2, 0, 16)
+    assert(CommittedTable.read(spark, pairs)
+      .select($"id_a", $"id_b", $"n_shared")
+      .as[(Long, Long, Long)].collect().toSet === Set((51L, 52L, 2L)))
+    assert(CommittedTable.read(spark, store).count() === 10L)
+    // replay of batch 2 converges
+    MediaIngest.applyVideoBatch(frame.filter($"media_id".isin(52L, 54L)),
+      store, pairs, 1, 7, 2, 0, 16)
+    assert(CommittedTable.read(spark, pairs).count() === 1L)
+    assert(CommittedTable.read(spark, store).count() === 10L)
+  }
+
+  test("streamed audio ingest: the literal staircase corpus through the audio path") {
+    val root = Files.createTempDirectory("graft-aingest").toString
+    val store = s"$root/store"; val pairs = s"$root/pairs"
+    val frame = MediaFixture.audioLiteralFrame(spark)
+      .select($"media_id", $"payload")
+    MediaIngest.applyAudioBatch(frame.filter($"media_id".isin(71L, 73L)),
+      store, pairs, 7, 0, 16)
+    MediaIngest.applyAudioBatch(frame.filter($"media_id".isin(72L, 74L)),
+      store, pairs, 7, 0, 16)
+    assert(CommittedTable.read(spark, pairs)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet === Set((71L, 72L, 2)))
+    assert(CommittedTable.read(spark, store).count() === 3L) // 74 is an image
+  }
+}
