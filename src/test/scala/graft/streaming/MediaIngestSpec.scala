@@ -60,6 +60,28 @@ class MediaIngestSpec extends SparkSpec {
     assert(CommittedTable.read(spark, store).count() === 4L)
   }
 
+  test("composition: CALL graft.phash_neardups(existing => <streaming store>) consumes the ingest's committed table") {
+    val root = Files.createTempDirectory("graft-mingest-call").toString
+    val store = s"$root/store"; val pairs = s"$root/pairs"
+    val frame = MediaFixture.phashFrame(spark)
+      .select($"media_id", $"payload")
+    // the stream ingested 41 and 44; an ad-hoc batch arrives through the
+    // SQL verb and pairs against the stream's committed store directly
+    // (readAny resolves committed tables and plain parquet alike)
+    MediaIngest.applyPhashBatch(frame.filter($"media_id".isin(41L, 44L)),
+      store, pairs, 7, 0, 16)
+    frame.filter($"media_id".isin(42L, 43L, 45L))
+      .write.parquet(s"$root/batch")
+    spark.sql(s"CALL graft.phash_neardups(input => '$root/batch', " +
+      s"existing => '$store', output => '$root/adhoc')")
+    val expected = Multimodal
+      .phashNearDups(MediaFixture.phashFrame(spark), maxHamming = 7)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(spark.read.parquet(s"$root/adhoc")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet ===
+      expected) // batch 1 alone had no pairs, so ad-hoc == full corpus
+  }
+
   test("replay convergence: the batch body is idempotent in both crash orderings") {
     val root = Files.createTempDirectory("graft-mingest-rp").toString
     val store = s"$root/store"; val pairs = s"$root/pairs"
