@@ -1806,8 +1806,9 @@ object ExplainDump {
 
       // q185/q186/q187/q188: the rest of the perceptual family — same
       // banded core as §q184, each with its own differentiator. (q189–
-      // q192 are the literal-oracle and CALL-verb twins of these exact
-      // plans: q189 ≡ q184's shape, q190/q191 ≡ q186's, q192 ≡ q185's.)
+      // q194 are the literal-oracle, CALL-verb, and incremental twins of
+      // these exact plans: q189 ≡ q184's shape, q190/q191/q194 ≡ q186's,
+      // q192 ≡ q185's, q193 ≡ q187's at frame granularity.)
       section("q185_video_phash_neardup (banded FRAME join, aggregated to video pairs)",
         """Wants: one MapPartitions decode pass over the sampled frames
           |(MP4 sample-table walk + JPEG decode, map-side), the §q184
@@ -1844,7 +1845,9 @@ object ExplainDump {
           |§q184's; id != id with least/greatest canonicalization makes
           |per-batch unions reproduce the full-corpus pair set without
           |re-pairing existing × existing. At 100 TB: a day's crawl pairs
-          |against years of corpus for the cost of hashing the day.""".stripMargin,
+          |against years of corpus for the cost of hashing the day —
+          |streaming/MediaIngest runs exactly this shape per micro-batch
+          |with keyed-merge exactly-once on both tables.""".stripMargin,
         graft.operators.Multimodal.phashNearDupsAgainst(
           pfFrame.filter(col("media_id").isin(42L, 43L, 45L)), pfStored,
           maxHamming = 7))
