@@ -190,7 +190,11 @@ object MediaIngest {
     * batches keyed-merge — latest-version-wins with a CONSTANT version,
     * so replays keep the existing rows (idempotent). Empty frames write
     * nothing (and create nothing — readers treat an absent table as
-    * empty, exactly like [[readStore]]). */
+    * empty, exactly like [[readStore]]). The merge goes through
+    * [[StreamingMerge.mergeWithRetry]]: an ad-hoc maintenance publish
+    * on the store (a `CALL graft.optimize`, a compaction) racing the
+    * micro-batch costs one fence loss + an idempotent re-apply on top
+    * of the winner, not the stream. */
   private def upsert(spark: SparkSession, path: String, df: DataFrame,
       key: String, storeParts: Int): Unit = {
     // persisted: the emptiness probe and the merge's own jobs must not
@@ -199,7 +203,8 @@ object MediaIngest {
     try {
       if (d.isEmpty) return
       if (exists(spark, path))
-        CommittedTable.merge(spark, path, d, key, "version", "bucket")
+        StreamingMerge.mergeWithRetry(d, path, key, "version", "bucket",
+          maxMergeRetries = 3)
       else
         CommittedTable.write(d, path, "bucket", keyCol = Some(key),
           versionCol = Some("version"))

@@ -120,6 +120,10 @@ class MediaIngestSpec extends SparkSpec {
       store, pairs, 1, 7, 2, 0, 16)
     assert(pairsOf(pairs) === Set.empty)
     assert(CommittedTable.read(spark, store).count() === 6L)
+    // ad-hoc maintenance between batches (the deployment reality the
+    // fence-retry route exists for): the store stays a normal committed
+    // table, so optimize composes with the stream
+    spark.sql(s"CALL graft.optimize(table => '$store', max_files => 1)")
     // batch 2: video 52 shares two of 51's frames; 54 is undecodable
     MediaIngest.applyVideoBatch(frame.filter($"media_id".isin(52L, 54L)),
       store, pairs, 1, 7, 2, 0, 16)
