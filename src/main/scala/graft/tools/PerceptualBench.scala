@@ -169,6 +169,26 @@ object PerceptualBench {
             Multimodal.phashPairsAgainstHashes(hashes, stored, maxHamming,
               bands).count())
           hashes.unpersist(); stored.unpersist()
+        case "stream" =>
+          // the MediaIngest batch body (hash + pair + MoR keyed merges)
+          // at a FIXED 1,000-image batch against a store of n images —
+          // the flat-per-day claim measured end to end, merges included
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft-pb-stream-$n").toString
+          val store = s"$root/store"; val prs = s"$root/pairs"
+          graft.streaming.MediaIngest.applyPhashBatch(
+            mediaDf(n, i => MediaFixture.patternPng(pat(i))),
+            store, prs, maxHamming, b, 16)
+          val batch = spark.range(n, n + 1000L).repartition(32)
+            .map(i => (i, MediaFixture.patternPng(pat(i))))
+            .toDF("media_id", "payload")
+          val (_, batchSec) = time(graft.streaming.MediaIngest
+            .applyPhashBatch(batch, store, prs, maxHamming, b, 16))
+          val storeRows = graft.sources.CommittedTable
+            .count(spark, store)
+          println(s"""{"mode":"stream","store_n":$n,"batch_n":1000,""" +
+            s""""maxHamming":$maxHamming,"bands":$b,""" +
+            s""""batch_sec":${f"$batchSec%.2f"},"store_rows":$storeRows}""")
         case other => sys.error(s"unknown mode $other")
       }
     }

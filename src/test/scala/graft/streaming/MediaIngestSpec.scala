@@ -92,15 +92,24 @@ class MediaIngestSpec extends SparkSpec {
     val expected = Multimodal
       .phashNearDups(MediaFixture.phashFrame(spark), maxHamming = 7)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
-    MediaIngest.applyPhashBatch(b1, store, pairs, 7, 0, 16)
-    MediaIngest.applyPhashBatch(b2, store, pairs, 7, 0, 16)
+    // storeParts = 2 so batch 2's buckets already exist after batch 1
+    // (41→1, 44→0; 42→0, 43→1): the store merge must then route
+    // MERGE-ON-READ — base segments untouched + live deltas present,
+    // the same falsifiable manifest predicate the q175 gates use. (Ids
+    // landing in BRAND-NEW buckets correctly become fresh base
+    // segments instead — nothing existed to rewrite.)
+    MediaIngest.applyPhashBatch(b1, store, pairs, 7, 0, 2)
+    val beforeB2 = CommittedTable.manifestAt(spark, store).segments
+    MediaIngest.applyPhashBatch(b2, store, pairs, 7, 0, 2)
+    assert(graft.queries.SqlSurface.morWitness(spark, store, beforeB2),
+      "the streaming store upsert must stage deltas, not rewrite buckets")
     val storeGen = CommittedTable.manifestAt(spark, store).gen
     assert(pairsOf(pairs) === expected)
     // crash AFTER the store merge, BEFORE the checkpoint commit: the
     // replayed batch pairs against a store that already contains it —
     // its rows match only themselves there (id != id excludes them) and
     // the keyed merges keep the existing rows
-    MediaIngest.applyPhashBatch(b2, store, pairs, 7, 0, 16)
+    MediaIngest.applyPhashBatch(b2, store, pairs, 7, 0, 2)
     assert(pairsOf(pairs) === expected)
     assert(CommittedTable.read(spark, store).count() === 4L)
     // the replays burned generations but changed no content
