@@ -520,6 +520,156 @@ object MediaFixture {
       Multimodal.metadataSchema)
   }
 
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Textured gray raster for the DCT-vs-aHash gate (q195), built from
+    * two orthogonal ingredients:
+    *
+    *  1. a LOW-FREQUENCY texture: every coefficient of the pHashDct
+    *     window (the top-left 8×8 DCT block, DC excluded) gets a
+    *     distinct seeded amplitude in ±[2, 8], so all 63 hashed
+    *     coefficients are well separated from their median — the
+    *     full-spectrum property natural photographs have and smooth
+    *     synthetic gradients lack (near-median coefficients are what
+    *     make a DCT hash flip under ANY perturbation);
+    *  2. a WITHIN-CELL dither: on the aHash grid's checkerboard cells
+    *     ((cx+cy) even), a ±`ditherAmp` pixel-granularity alternation —
+    *     zero mean per cell (aHash cell means untouched in the base)
+    *     and pure high-frequency (far outside the DCT window).
+    *
+    * Under a concave tone edit (gamma < 1) the dither is what breaks
+    * aHash: E[f(m ± A)] < f(m) by Jensen, so every dithered cell's mean
+    * drops ~18 luma relative to undithered cells, dragging the cells
+    * that hug the global mean across it — 16 of 64 bits flip at
+    * ditherAmp 100 / γ 0.5 — while the DCT window sees neither the
+    * dither nor its gamma residue (both live at pixel frequency) and
+    * moves 2 bits. Gray (r = g = b), so luma equals the channel value. */
+  def texturedDitherRaster(seed: Long, w: Int, h: Int,
+      ditherAmp: Int): Array[Int] = {
+    val rgb = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var s = 128.0
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            if (u != 0 || v != 0) {
+              val r = mix64(seed ^ (v * 8L + u))
+              val amp = (2 + java.lang.Math.floorMod(r, 7L)).toDouble *
+                (if (((r >> 40) & 1L) == 0L) 1 else -1)
+              s += amp *
+                StrictMath.cos((2.0 * x / w * 32 + 1) * u * StrictMath.PI / 64) *
+                StrictMath.cos((2.0 * y / h * 32 + 1) * v * StrictMath.PI / 64)
+            }
+            u += 1
+          }
+          v += 1
+        }
+        val cx = x * 8 / w; val cy = y * 8 / h
+        if (((cx + cy) & 1) == 0) {
+          val px = x / math.max(1, w / 32); val py = y / math.max(1, h / 32)
+          s += (if (((px + py) & 1) == 0) ditherAmp else -ditherAmp).toDouble
+        }
+        val vv = math.max(0L, math.min(255L, StrictMath.round(s)))
+        rgb(y * w + x) = ((vv << 16) | (vv << 8) | vv).toInt
+        x += 1
+      }
+      y += 1
+    }
+    rgb
+  }
+
+  /** Pixelwise γ = 0.5 tone edit (v → round(√(255·v)) per channel) —
+    * the brightening gamma curve image re-encoders apply; 0 and 255 are
+    * its fixed points. Concave, so dithered cells' means drop by the
+    * Jensen penalty relative to smooth cells' — the aHash breaker. */
+  def gammaHalf(rgb: Array[Int]): Array[Int] =
+    rgb.map { p =>
+      def g(c: Int): Long =
+        StrictMath.round(StrictMath.sqrt(255.0 * c))
+      ((g((p >>> 16) & 0xff) << 16) | (g((p >>> 8) & 0xff) << 8) |
+        g(p & 0xff)).toInt
+    }
+
+  /** The DCT-robustness corpus's construction rasters, for oracles and
+    * specs: the textured base (101), its γ-0.5 copy (102 — the tone
+    * edit aHash provably misses at 16 flipped bits and pHashDct pairs
+    * at hamming 2), and a different-seed far image (103). */
+  def dctRasters: Seq[(Long, Array[Int], Int, Int)] = {
+    val base = texturedDitherRaster(42L, 32, 32, 100)
+    Seq(
+      (101L, base, 32, 32),
+      (102L, gammaHalf(base), 32, 32),
+      (103L, texturedDitherRaster(777L, 32, 32, 100), 32, 32))
+  }
+
+  /** DCT-kernel near-dup corpus: [[dctRasters]] PNG-encoded (bit-exact
+    * decode) plus an audio decoy (104 — NULL hash, never pairs). */
+  def dctNearDupFrame(spark: SparkSession): DataFrame = {
+    val rows = dctRasters.map { case (id, rgb, w, h) =>
+      Row(id, "image", "image/png", null, null, null, encodePng(rgb, w, h))
+    } :+ Row(104L, "audio", "audio/wav", null, null, null, wav(8000, 100))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.metadataSchema)
+  }
+
+  /** [[wavStaircase]] padded with `padMs` of DIGITAL SILENCE (zero
+    * samples) before and after — the re-edit that breaks the raw
+    * energy-delta fingerprint (all 64 window boundaries shift) and that
+    * the silence-trimmed kernel is invariant to: provided the pattern's
+    * bits 0 and 63 are SET (the staircase then starts and ends loud),
+    * trimming at floor 0 strips exactly the padding and the trimmed
+    * span is byte-identical to the unpadded staircase, so the
+    * fingerprint is the hex constant again. */
+  def wavStaircasePadded(pattern: Long, padMs: Int): Array[Byte] = {
+    require((pattern & 1L) != 0 && (pattern >>> 63) != 0,
+      "padding-exactness needs bits 0 and 63 set (loud edges)")
+    val inner = wavStaircase(pattern)
+    val pad = 8000 * padMs / 1000
+    val nSamples = 1600 + 2 * pad
+    val dataSize = nSamples * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000)
+      .putInt(8000 * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    buf.position(44 + 2 * pad)
+    buf.put(inner, 44, 1600 * 2)
+    buf.array()
+  }
+
+  /** Time-shift audio corpus (q196, literal oracle): 81 = the staircase
+    * constant A, 82 = the near-twin B = A ^ 0x30 with 100 ms of silence
+    * padded on BOTH ends (the re-edited copy — raw fingerprints miss
+    * it, trimmed fingerprints recover exactly B), 83 = a far constant
+    * (~62 bits from both), 84 = an image (NULL, never pairs). All three
+    * patterns have bits 0 and 63 set, so floor-0 trimming strips
+    * nothing but 82's padding and every fingerprint IS its constant. */
+  def audioShiftFrame(spark: SparkSession): DataFrame = {
+    val rows = Seq(
+      Row(81L, "audio", "audio/wav", null, null, null,
+        wavStaircase(0xA5A5A5A5A5A5A5A5L)),
+      Row(82L, "audio", "audio/wav", null, null, null,
+        wavStaircasePadded(0xA5A5A5A5A5A5A595L, 100)), // 81 ^ 0x30
+      Row(83L, "audio", "audio/wav", null, null, null,
+        wavStaircase(0xDA5A5A5A5A5A5A5BL)), // ~81 with loud edges forced
+      Row(84L, "image", "image/png", null, null, null, image(16, 16, "png")))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.metadataSchema)
+  }
+
   def wavAlt(sampleRate: Int, ms: Int): Array[Byte] = {
     val base = wav(sampleRate, ms)
     val nSamples = sampleRate * ms / 1000

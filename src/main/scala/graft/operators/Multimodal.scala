@@ -266,24 +266,139 @@ object Multimodal {
     hash
   }
 
+  /** 64-bit DCT perceptual hash (the classic public pHash recipe) — the
+    * robustness upgrade over [[aHash64]] for global TONE edits: luma
+    * box-averaged onto a 32×32 grid (same cell walk, finer grid), 2D
+    * DCT-II of the grid, the top-left 8×8 coefficient block kept (the
+    * image's lowest spatial frequencies), the DC coefficient DROPPED,
+    * and bit (v·8+u) set iff coefficient (u,v) exceeds the median of the
+    * 63 AC coefficients (bit 0, the DC slot, is always clear).
+    *
+    * Why it survives what aHash doesn't: an affine luma edit
+    * l′ = a·l + b (brightness/contrast, a > 0) sends the +b entirely to
+    * the discarded DC and scales every AC coefficient — and their
+    * median — by the same positive a, so every comparison lands
+    * identically. Gamma and clipped edits are approximately affine
+    * around the luma bulk, and their non-affine residue mostly lands
+    * OUTSIDE the low-frequency window; aHash's cell-vs-global-mean bits
+    * have no such separation (a gamma edit moves high-variance cells'
+    * means relative to low-variance cells' — Jensen — flipping every
+    * bit whose cell hugs the global mean; MultimodalSpec pins a
+    * 16-bit aHash miss the DCT hash survives at hamming 2). StrictMath
+    * throughout, so the hash is bit-reproducible across JVMs and
+    * platforms and oracles can recompute it from construction rasters. */
+  def pHashDct64(rgb: Array[Int], w: Int, h: Int): Long = {
+    require(rgb.length == w * h && w > 0 && h > 0, "raster shape mismatch")
+    val g = 32
+    val cell = new Array[Double](g * g)
+    var cy = 0
+    while (cy < g) {
+      val y0 = cy * h / g
+      val y1 = math.max(y0 + 1, (cy + 1) * h / g)
+      var cx = 0
+      while (cx < g) {
+        val x0 = cx * w / g
+        val x1 = math.max(x0 + 1, (cx + 1) * w / g)
+        var sum = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val p = rgb(y * w + x)
+            sum += 299L * ((p >>> 16) & 0xff) + 587L * ((p >>> 8) & 0xff) +
+              114L * (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(1L,
+          (math.min(y1, h) - y0).toLong * (math.min(x1, w) - x0))
+        cell(cy * g + cx) = sum.toDouble / n
+        cx += 1
+      }
+      cy += 1
+    }
+    // separable DCT-II, top-left 8×8 block only: rows first (32×8 dot
+    // products of length 32), then columns (8×8 of length 32) — ~10k
+    // multiplies per image, negligible next to the decode
+    val cosT = Array.tabulate(8, g)((u, x) =>
+      StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * g)))
+    val rowT = Array.ofDim[Double](g, 8)
+    var y = 0
+    while (y < g) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < g) { s += cell(y * g + x) * cosT(u)(x); x += 1 }
+        rowT(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    val coef = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var u = 0
+      while (u < 8) {
+        var s = 0.0
+        var yy = 0
+        while (yy < g) { s += rowT(yy)(u) * cosT(v)(yy); yy += 1 }
+        coef(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val ac = java.util.Arrays.copyOfRange(coef, 1, 64)
+    java.util.Arrays.sort(ac)
+    val med = ac(31) // lower median of the 63 AC coefficients
+    var hash = 0L
+    var i = 1
+    while (i < 64) {
+      if (coef(i) > med) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** The image perceptual-hash kernel registry: `"ahash"` →
+    * [[aHash64]] (cheapest, catches re-encodes and resizes), `"dct"` →
+    * [[pHashDct64]] (additionally survives brightness/contrast/gamma
+    * edits). One resolution point so every caller — DataFrame ops, the
+    * SQL CALL verb's `kernel =>` param, streaming ingest — names
+    * kernels identically. */
+  def hashKernel(kernel: String): (Array[Int], Int, Int) => Long =
+    kernel match {
+      case "ahash" => aHash64
+      case "dct"   => pHashDct64
+      case other => throw new IllegalArgumentException(
+        s"unknown perceptual-hash kernel '$other' (ahash | dct)")
+    }
+
   val phashSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("phash", LongType)))
 
-  /** payload → [[aHash64]] fingerprint, map-side (same bounded decode as
-    * [[extractFeatures]]); rows whose payload does not decode as an image
-    * keep their row with a NULL hash — the never-drop contract. */
-  def perceptualHash(media: DataFrame): DataFrame = {
+  /** payload → perceptual fingerprint ([[hashKernel]]: [[aHash64]] by
+    * default, [[pHashDct64]] via `kernel = "dct"`), map-side (same
+    * bounded decode as [[extractFeatures]]); rows whose payload does not
+    * decode as an image keep their row with a NULL hash — the never-drop
+    * contract. */
+  def perceptualHash(media: DataFrame, kernel: String = "ahash"): DataFrame = {
+    hashKernel(kernel) // validate driver-side (fail fast on a typo)
+    val kernelName = kernel // capture the NAME: a resolved method value
+    // would drag closure-serialization questions into every task
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(phashSchema)
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
+        val k = hashKernel(kernelName)
         rows.map { r =>
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) Array.emptyByteArray else r.getAs[Array[Byte]](1)
           val h = decodeImageBounded(bytes, maxDecodePixels).map { img =>
             val w = img.getWidth; val hh = img.getHeight
-            Long.box(aHash64(img.getRGB(0, 0, w, hh, null, 0, w), w, hh))
+            Long.box(k(img.getRGB(0, 0, w, hh, null, 0, w), w, hh))
           }.orNull
           Row(id, h)
         }
@@ -362,10 +477,11 @@ object Multimodal {
     * The hash table persists through `scope` (both join sides + the
     * decode pass share one cache; release via [[CacheScope]]). */
   def phashNearDups(media: DataFrame, maxHamming: Int = 7,
-      bands: Int = 0, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      bands: Int = 0, scope: CacheScope = CacheScope.unmanaged,
+      kernel: String = "ahash"): DataFrame = {
     val b = bandCount(maxHamming, bands)
     val hashed = scope.persist(
-      perceptualHash(media).filter(col("phash").isNotNull))
+      perceptualHash(media, kernel).filter(col("phash").isNotNull))
     bandedHashPairs(hashed, hashed, "phash", b, maxHamming, fullCorpus = true)
   }
 
@@ -382,10 +498,14 @@ object Multimodal {
     * years of corpus for the cost of hashing the day. */
   def phashNearDupsAgainst(newMedia: DataFrame, existingHashes: DataFrame,
       maxHamming: Int = 7, bands: Int = 0,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
-    // validation happens in phashPairsAgainstHashes (same bandCount call)
+      scope: CacheScope = CacheScope.unmanaged,
+      kernel: String = "ahash"): DataFrame = {
+    // validation happens in phashPairsAgainstHashes (same bandCount call);
+    // the caller's store must of course have been hashed with the SAME
+    // kernel — the hash table carries no kernel tag, by the same
+    // convention as maxHamming/bands
     val newHashed = scope.persist(
-      perceptualHash(newMedia).filter(col("phash").isNotNull))
+      perceptualHash(newMedia, kernel).filter(col("phash").isNotNull))
     phashPairsAgainstHashes(newHashed, existingHashes, maxHamming, bands)
   }
 
@@ -1044,14 +1164,53 @@ object Multimodal {
     hash
   }
 
+  /** Leading/trailing-silence trim bounds: the largest prefix and suffix
+    * whose samples all satisfy |s| ≤ noiseFloor are dropped, returning
+    * the [lo, hi) span of what remains (possibly empty). INTERNAL
+    * silence — clear-bit windows inside the signal — is untouched: only
+    * the edges trim, so a fingerprint over the trimmed span is invariant
+    * to padding the clip with silence, which is exactly the edit the
+    * untrimmed energy-delta fingerprint breaks on (every one of the 64
+    * window boundaries shifts; MultimodalSpec pins the miss). */
+  def trimmedSpan(samples: Int => Int, n: Int, noiseFloor: Int): (Int, Int) = {
+    require(noiseFloor >= 0, s"noiseFloor ($noiseFloor) must be >= 0")
+    var lo = 0
+    while (lo < n && math.abs(samples(lo)) <= noiseFloor) lo += 1
+    var hi = n
+    while (hi > lo && math.abs(samples(hi - 1)) <= noiseFloor) hi -= 1
+    (lo, hi)
+  }
+
+  /** [[audioFingerprint64]] over the silence-trimmed span — the
+    * TIME-SHIFT-ROBUST variant: a copy that gained or lost leading /
+    * trailing silence (the re-edit that breaks the raw fingerprint)
+    * trims back to the identical sample span and fingerprints
+    * identically, bit for bit. None when fewer than 64 samples survive
+    * the trim (all-silence or near-empty clips have no fingerprintable
+    * signal). */
+  def audioFingerprint64Trimmed(samples: Int => Int, n: Int,
+      noiseFloor: Int): Option[Long] = {
+    val (lo, hi) = trimmedSpan(samples, n, noiseFloor)
+    if (hi - lo < 64) None
+    else Some(audioFingerprint64(i => samples(lo + i), hi - lo))
+  }
+
   private val audioHashSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("ahash", LongType)))
 
   /** payload → [[audioFingerprint64]], map-side off [[Wav]]'s bounded
     * parse; non-audio/short/stereo/24-bit rows keep their row with a
-    * NULL fingerprint (the never-drop contract). */
-  def audioFingerprints(media: DataFrame): DataFrame = {
+    * NULL fingerprint (the never-drop contract).
+    *
+    * `trimNoiseFloor >= 0` switches to the silence-normalized kernel
+    * ([[audioFingerprint64Trimmed]]): edge samples with |s| ≤ the floor
+    * are trimmed before windowing, making the fingerprint invariant to
+    * leading/trailing-silence edits. The default (−1) is the raw
+    * boundary-sensitive fingerprint — existing stores were built with
+    * it, and a store must be paired with the kernel that built it. */
+  def audioFingerprints(media: DataFrame, trimNoiseFloor: Int = -1): DataFrame = {
+    val floor = trimNoiseFloor
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(audioHashSchema)
     media.select(col("media_id"), col("payload"))
@@ -1063,10 +1222,14 @@ object Multimodal {
             case Some(m) if m.bitsPerSample == 16 && m.channels == 1 &&
                 m.dataLen >= 2 * 64 =>
               val n = m.dataLen / 2
-              Long.box(audioFingerprint64(i => {
+              val sample = (i: Int) => {
                 val o = m.dataOff + 2 * i
                 ((payload(o) & 0xff) | (payload(o + 1) << 8)).toShort.toInt
-              }, n))
+              }
+              if (floor >= 0)
+                audioFingerprint64Trimmed(sample, n, floor)
+                  .map(Long.box).orNull
+              else Long.box(audioFingerprint64(sample, n))
             case _ => null
           }
           Row(r.getLong(0), h)
@@ -1082,21 +1245,25 @@ object Multimodal {
     * video, energy-delta fingerprints for audio. The fingerprint table
     * persists through `scope`. */
   def audioNearDups(media: DataFrame, maxHamming: Int = 7,
-      bands: Int = 0, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      bands: Int = 0, scope: CacheScope = CacheScope.unmanaged,
+      trimNoiseFloor: Int = -1): DataFrame = {
     val b = bandCount(maxHamming, bands)
     val hashed = scope.persist(
-      audioFingerprints(media).filter(col("ahash").isNotNull))
+      audioFingerprints(media, trimNoiseFloor).filter(col("ahash").isNotNull))
     bandedHashPairs(hashed, hashed, "ahash", b, maxHamming, fullCorpus = true)
   }
 
   /** [[phashNearDupsAgainst]] for audio: a new batch against a stored
     * (media_id, ahash) fingerprint table — only the batch's PCM parses,
-    * per-batch unions reproduce the full-corpus pair set. */
+    * per-batch unions reproduce the full-corpus pair set. The store must
+    * have been fingerprinted with the SAME `trimNoiseFloor`. */
   def audioNearDupsAgainst(newMedia: DataFrame, existingHashes: DataFrame,
       maxHamming: Int = 7, bands: Int = 0,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+      scope: CacheScope = CacheScope.unmanaged,
+      trimNoiseFloor: Int = -1): DataFrame = {
     val newHashed = scope.persist(
-      audioFingerprints(newMedia).filter(col("ahash").isNotNull))
+      audioFingerprints(newMedia, trimNoiseFloor)
+        .filter(col("ahash").isNotNull))
     // audioPairsAgainstHashes null-filters the stored side too: a NULL
     // fingerprint can never band-match (NULL bits never equi-join), so
     // filtering before the explode saves the store's NULL rows their

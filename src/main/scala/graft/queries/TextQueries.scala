@@ -678,6 +678,113 @@ object TextQueries {
     }, Some("""
       SELECT * FROM (VALUES
         (CAST(71 AS BIGINT), CAST(72 AS BIGINT), CAST(2 AS INT))
+      ) AS t(id_a, id_b, hamming)""")),
+
+    // ---- DCT perceptual hash: the tone-edit-robust kernel ------------------
+    // aHash flips bits under global brightness/contrast/gamma edits (a
+    // concave tone curve moves high-variance cells' means relative to
+    // low-variance cells' — Jensen — and every cell hugging the global
+    // mean crosses it); pHashDct64 compares the top-left 8×8 DCT block
+    // (DC dropped) against its median, where an affine tone edit lands
+    // entirely in the discarded DC + a uniform AC scale. The corpus
+    // (MediaFixture.dctRasters): a full-spectrum textured base with
+    // within-cell dither, its γ-0.5 copy — aHash 16 bits away
+    // (MultimodalSpec pins the miss), pHashDct 2 — and a far image.
+    // The oracle recomputes every DCT hash from the construction
+    // rasters through the same pure kernel and brute-forces all pairs
+    // (the q184 convention): a pass proves bytes→pixels→DCT→hash end
+    // to end AND that the shared banded core lost nothing on the new
+    // kernel.
+    Q("q195_image_dct_neardup", (s, _) => {
+      graft.operators.Multimodal
+        .phashNearDups(graft.fixtures.MediaFixture.dctNearDupFrame(s),
+          maxHamming = 7, kernel = "dct")
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+    }, Some {
+      import graft.fixtures.MediaFixture
+      import graft.operators.Multimodal
+      val hs = MediaFixture.dctRasters.map { case (id, rgb, w, h) =>
+        id -> Multimodal.pHashDct64(rgb, w, h) }
+      val pairs = for {
+        (a, ha) <- hs
+        (b, hb) <- hs
+        if a < b
+        d = java.lang.Long.bitCount(ha ^ hb)
+        if d <= 7
+      } yield s"(CAST($a AS BIGINT), CAST($b AS BIGINT), CAST($d AS INT))"
+      s"""
+      SELECT * FROM (VALUES
+        ${pairs.mkString(",\n        ")}
+      ) AS t(id_a, id_b, hamming)"""
+    }),
+
+    // ---- Time-shift-robust audio near-dup (literal oracle) -----------------
+    // The raw energy-delta fingerprint breaks when a copy gains leading
+    // silence (every window boundary shifts — MultimodalSpec pins the
+    // miss); the silence-trimmed kernel strips sub-floor edges before
+    // windowing, so the 100 ms-padded staircase copy trims back to the
+    // EXACT original samples and its fingerprint is the painted hex
+    // constant again. Expected rows are hand-derived from the constants
+    // (the q190 convention): 81 ^ 82 = 0x30 → hamming 2; 83 is ~62 bits
+    // from both; 84 is an image (NULL, pairless). No kernel call in the
+    // oracle.
+    Q("q196_audio_neardup_timeshift", (s, _) => {
+      graft.operators.Multimodal
+        .audioNearDups(graft.fixtures.MediaFixture.audioShiftFrame(s),
+          maxHamming = 7, trimNoiseFloor = 0)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(81 AS BIGINT), CAST(82 AS BIGINT), CAST(2 AS INT))
+      ) AS t(id_a, id_b, hamming)""")),
+
+    // ---- STREAMING perceptual ingest, oracle-gated --------------------------
+    // The battery's first streaming entry: MediaIngest.phashIngest runs
+    // the q189 literal corpus as TWO AvailableNow file-drops against one
+    // checkpoint (run 2 processes only the new files — exactly-once per
+    // file), fingerprinting each batch once, pairing batch 2 against the
+    // COMMITTED store batch 1 published, and keyed-merging both tables
+    // MERGE-ON-READ. The committed pairs table must equal q189's
+    // hand-derived literal: exactly (46, 47, hamming 3), found by the
+    // batch that introduced 47 without re-decoding 46.
+    Q("q197_streaming_phash_ingest", (s, _) => {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q197").toString
+      val in = s"$root/in"; val store = s"$root/store"
+      val pairs = s"$root/pairs"; val cp = s"$root/cp"
+      val frame = graft.fixtures.MediaFixture.phashLiteralFrame(s)
+        .select(col("media_id"), col("payload"))
+      def drop(name: String, ids: Long*): Unit =
+        frame.filter(col("media_id").isin(ids.map(Long.box): _*))
+          .coalesce(1).write.parquet(s"$in/$name")
+      drop("b1", 46L, 48L)
+      val schema = s.read.parquet(s"$in/b1").schema
+      def runOnce(): Unit = {
+        val media = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "16").parquet(s"$in/*")
+        val q = graft.streaming.MediaIngest
+          .phashIngest(media, store, pairs, cp, maxHamming = 7).start()
+        q.awaitTermination(120000); q.stop()
+      }
+      runOnce()                 // batch 1: 46 vs 48 — 61 bits apart, no pair
+      drop("b2", 47L, 49L)
+      runOnce()                 // batch 2: 47 pairs against the stored 46
+      val out = graft.sources.CommittedTable.read(s, pairs)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+      val rows = out.collect()
+      val outSchema = out.schema
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), outSchema)
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(46 AS BIGINT), CAST(47 AS BIGINT), CAST(3 AS INT))
       ) AS t(id_a, id_b, hamming)"""))
   ) ++ samplingQueries ++ Seq(
 

@@ -1869,8 +1869,11 @@ object CommittedTable {
     * of thousands of touched partitions a sequential loop of ~per-call
     * round trips dominates publish latency on an object store. Hadoop
     * FileSystem instances are thread-safe for independent-path
-    * operations; failures propagate to the caller exactly like the
-    * sequential loop's (first exception wins, staged orphans are GC'd). */
+    * operations; failures still propagate to the caller (one exception
+    * wins; others are suppressed), but unlike the sequential loop,
+    * in-flight renames may COMPLETE after the first failure — a failed
+    * publish can leave more staged orphans behind, all of which the
+    * ordinary orphan-GC collects. */
   private def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
     if (xs.size <= 8) return xs.map(f)
     import scala.collection.parallel.CollectionConverters._

@@ -534,7 +534,10 @@ private[sql] object GraftProcedures {
     * INCREMENTAL shape (only the input decodes — q187's contract), and
     * `hashes_out => <path>` to also persist the input's fingerprints
     * for appending to that store (the decode runs ONCE: pairs join from
-    * the written table). Output rows: (id_a, id_b, hamming). */
+    * the written table), and `kernel => 'dct'` for the tone-edit-robust
+    * DCT hash ([[graft.operators.Multimodal.pHashDct64]] — q195's
+    * kernel; a store and its batches must use ONE kernel). Output rows:
+    * (id_a, id_b, hamming). */
   def phashNearDupsProc(resolve: String => String): UnboundProcedure =
     new Proc("phash_neardups", Array(
       ProcedureParameter.in("input", StringType).build(),
@@ -545,6 +548,9 @@ private[sql] object GraftProcedures {
         .build(),
       ProcedureParameter.in("hashes_out", StringType).defaultValue("NULL")
         .comment("also write the input's fingerprints here (one decode)")
+        .build(),
+      ProcedureParameter.in("kernel", StringType).defaultValue("'ahash'")
+        .comment("perceptual-hash kernel: ahash (default) | dct")
         .build())) {
       override def call(input: InternalRow): JIterator[Scan] = {
         val spark = SparkSession.active
@@ -553,9 +559,10 @@ private[sql] object GraftProcedures {
         val out = resolve(str(input, 1).getOrElse(
           throw new IllegalArgumentException("output must not be NULL")))
         val maxHamming = input.getInt(2)
+        val kernel = str(input, 5).getOrElse("ahash")
         import org.apache.spark.sql.functions.col
         val hashed = graft.operators.Multimodal
-          .perceptualHash(readAny(spark, in))
+          .perceptualHash(readAny(spark, in), kernel)
           .filter(col("phash").isNotNull)
         val pairs = nearDupPairs(spark, resolve, hashed,
           str(input, 4), str(input, 3),
@@ -600,7 +607,9 @@ private[sql] object GraftProcedures {
     * (media_id, ahash) table>'` for the incremental shape (only the
     * input's PCM parses), `hashes_out => <path>` to persist the input's
     * fingerprints for the store (one parse: pairs join from the written
-    * table). Output rows: (id_a, id_b, hamming). */
+    * table), and `trim_floor => <n >= 0>` for the time-shift-robust
+    * silence-trimmed kernel (q196's; a store and its batches must use
+    * ONE floor). Output rows: (id_a, id_b, hamming). */
   def audioNearDupsProc(resolve: String => String): UnboundProcedure =
     new Proc("audio_neardups", Array(
       ProcedureParameter.in("input", StringType).build(),
@@ -611,6 +620,10 @@ private[sql] object GraftProcedures {
         .build(),
       ProcedureParameter.in("hashes_out", StringType).defaultValue("NULL")
         .comment("also write the input's fingerprints here (one parse)")
+        .build(),
+      ProcedureParameter.in("trim_floor", IntegerType).defaultValue("-1")
+        .comment("trim edge samples with |s| <= floor before windowing; " +
+          "-1 (default) = raw boundary-sensitive fingerprint")
         .build())) {
       override def call(input: InternalRow): JIterator[Scan] = {
         val spark = SparkSession.active
@@ -619,9 +632,10 @@ private[sql] object GraftProcedures {
         val out = resolve(str(input, 1).getOrElse(
           throw new IllegalArgumentException("output must not be NULL")))
         val maxHamming = input.getInt(2)
+        val trimFloor = input.getInt(5)
         import org.apache.spark.sql.functions.col
         val hashed = graft.operators.Multimodal
-          .audioFingerprints(readAny(spark, in))
+          .audioFingerprints(readAny(spark, in), trimFloor)
           .filter(col("ahash").isNotNull)
         val pairs = nearDupPairs(spark, resolve, hashed,
           str(input, 4), str(input, 3),

@@ -50,39 +50,79 @@ object MediaIngest {
   /** Image ingest: [[Multimodal.perceptualHash]] per batch, pairs =
     * batch × (store ∪ batch) at `maxHamming`. Store rows:
     * (media_id, phash, bucket, version); pair rows:
-    * (pair_key, id_a, id_b, hamming, bucket, version). */
+    * (pair_key, id_a, id_b, hamming, bucket, version).
+    *
+    * PRECONDITION — new ids only: each micro-batch must carry media ids
+    * the store has never seen (the crawl-ingest contract; replays of the
+    * SAME batch are of course fine — that is what the constant-version
+    * keyed merges make idempotent). Re-ingesting an ALREADY-STORED id
+    * with a changed payload is silently ignored: the replayed key ties
+    * on version and loses, so stale fingerprints and pair rows survive.
+    * Changed payloads are an update flow — route them through a keyed
+    * merge with a real version (e.g. [[StreamingMerge]]), not this
+    * insert-only ingest.
+    *
+    * `compactEvery = n > 0` runs the store-maintenance pass (the
+    * `CALL graft.optimize` body: compact fragmented / read-amplified
+    * partitions) on BOTH tables after every n-th micro-batch, bounding
+    * the MoR delta chain a long-running ingest accrues: a bucket's
+    * live-file count (base + deltas) can exceed `compactMaxFiles` (the
+    * `CALL graft.optimize` `max_files` knob) by at most one inter-pass
+    * accrual, so the chain is provably ≤ compactMaxFiles + compactEvery
+    * (MediaIngestSpec pins it at the tight compactMaxFiles = 1 point).
+    * compactEvery = 0 (default) = external maintenance (the
+    * spec-composed ad-hoc `CALL graft.optimize`).
+    *
+    * `kernel` picks the image fingerprint ([[Multimodal.hashKernel]]:
+    * `ahash` default, `dct` for tone-edit robustness); a store and
+    * every batch ingested into it must use ONE kernel — same for
+    * [[audioIngest]]'s `trimNoiseFloor`. */
   def phashIngest(media: DataFrame, storePath: String, pairsPath: String,
       checkpoint: String, maxHamming: Int = 7, bands: Int = 0,
       storeParts: Int = 16, availableNow: Boolean = true,
-      interval: String = "30 seconds"): DataStreamWriter[Row] =
-    writer(media, checkpoint, availableNow, interval)(b =>
+      interval: String = "30 seconds", compactEvery: Int = 0,
+      compactMaxFiles: Int = 8,
+      kernel: String = "ahash"): DataStreamWriter[Row] = {
+    Multimodal.hashKernel(kernel) // fail fast before the stream starts
+    writer(media, checkpoint, availableNow, interval, compactEvery,
+      compactMaxFiles, Seq(storePath, pairsPath))(b =>
       applyPhashBatch(b, storePath, pairsPath, maxHamming, bands,
-        storeParts))
+        storeParts, kernel = kernel))
+  }
 
   /** Audio ingest: [[Multimodal.audioFingerprints]] per batch, same
-    * shapes on the `ahash` column. */
+    * shapes on the `ahash` column — and the same new-ids-only
+    * precondition and `compactEvery` cadence as [[phashIngest]]. */
   def audioIngest(media: DataFrame, storePath: String, pairsPath: String,
       checkpoint: String, maxHamming: Int = 7, bands: Int = 0,
       storeParts: Int = 16, availableNow: Boolean = true,
-      interval: String = "30 seconds"): DataStreamWriter[Row] =
-    writer(media, checkpoint, availableNow, interval)(b =>
+      interval: String = "30 seconds", compactEvery: Int = 0,
+      compactMaxFiles: Int = 8,
+      trimNoiseFloor: Int = -1): DataStreamWriter[Row] =
+    writer(media, checkpoint, availableNow, interval, compactEvery,
+      compactMaxFiles, Seq(storePath, pairsPath))(b =>
       applyAudioBatch(b, storePath, pairsPath, maxHamming, bands,
-        storeParts))
+        storeParts, trimNoiseFloor = trimNoiseFloor))
 
   /** Video ingest: [[Multimodal.videoFrameHashes]] per batch (frame
     * granularity, keyed `media_id:frame_no` in the store), pairs =
-    * videos sharing >= `minSharedFrames` matched frames. */
+    * videos sharing >= `minSharedFrames` matched frames — same
+    * new-ids-only precondition and `compactEvery` cadence as
+    * [[phashIngest]]. */
   def videoIngest(media: DataFrame, storePath: String, pairsPath: String,
       checkpoint: String, everyNth: Int = 4, maxHamming: Int = 7,
       minSharedFrames: Int = 2, bands: Int = 0, storeParts: Int = 16,
       availableNow: Boolean = true,
-      interval: String = "30 seconds"): DataStreamWriter[Row] =
-    writer(media, checkpoint, availableNow, interval)(b =>
+      interval: String = "30 seconds", compactEvery: Int = 0,
+      compactMaxFiles: Int = 8): DataStreamWriter[Row] =
+    writer(media, checkpoint, availableNow, interval, compactEvery,
+      compactMaxFiles, Seq(storePath, pairsPath))(b =>
       applyVideoBatch(b, storePath, pairsPath, everyNth, maxHamming,
         minSharedFrames, bands, storeParts))
 
   private def writer(media: DataFrame, checkpoint: String,
-      availableNow: Boolean, interval: String)(
+      availableNow: Boolean, interval: String, compactEvery: Int,
+      compactMaxFiles: Int, maintainPaths: Seq[String])(
       apply: DataFrame => Unit): DataStreamWriter[Row] = {
     val trigger =
       if (availableNow) Trigger.AvailableNow()
@@ -90,37 +130,69 @@ object MediaIngest {
     media.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
-        try if (!batch.isEmpty) apply(batch)
-        finally batch.unpersist()
+        try {
+          if (!batch.isEmpty) apply(batch)
+          // maintenance rides the batch callback AFTER the merges: a
+          // replayed batch re-runs it harmlessly (compaction is
+          // content-idempotent), and the fence-retry route absorbs any
+          // race with an external optimize
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            maintainPaths.foreach(p =>
+              maintain(batch.sparkSession, p, compactMaxFiles))
+        } finally batch.unpersist()
       }
   }
 
+  /** The in-stream maintenance pass — the `CALL graft.optimize` body on
+    * one table: compact partitions fragmented past `maxFiles` live
+    * files or read-amplified past the default dead ratio. No-op before
+    * the table's first publish. */
+  private[graft] def maintain(spark: SparkSession, path: String,
+      maxFiles: Int = 8): Unit =
+    if (exists(spark, path)) {
+      val targets = (CommittedTable.fragmentedPartitions(spark, path,
+        maxFiles = maxFiles) ++
+        CommittedTable.readAmplifiedPartitions(spark, path,
+          maxDeadRatio = 0.5)).distinct.sorted
+      if (targets.nonEmpty)
+        CommittedTable.compactPartitions(spark, path, targets)
+    }
+
   private[graft] def applyPhashBatch(batch: DataFrame,
       storePath: String, pairsPath: String, maxHamming: Int, bands: Int,
-      storeParts: Int): Unit = {
-    val hashed = Multimodal.perceptualHash(batch)
+      storeParts: Int, crashPoint: String => Unit = _ => (),
+      kernel: String = "ahash"): Unit = {
+    val hashed = Multimodal.perceptualHash(batch, kernel)
       .filter(col("phash").isNotNull)
-    mediaLevelBatch(hashed, "phash", storePath, pairsPath, storeParts)(
+    mediaLevelBatch(hashed, "phash", storePath, pairsPath, storeParts,
+      crashPoint)(
       (nh, ex) => Multimodal.phashPairsAgainstHashes(nh, ex, maxHamming,
         bands))
   }
 
   private[graft] def applyAudioBatch(batch: DataFrame,
       storePath: String, pairsPath: String, maxHamming: Int, bands: Int,
-      storeParts: Int): Unit = {
-    val hashed = Multimodal.audioFingerprints(batch)
+      storeParts: Int, crashPoint: String => Unit = _ => (),
+      trimNoiseFloor: Int = -1): Unit = {
+    val hashed = Multimodal.audioFingerprints(batch, trimNoiseFloor)
       .filter(col("ahash").isNotNull)
-    mediaLevelBatch(hashed, "ahash", storePath, pairsPath, storeParts)(
+    mediaLevelBatch(hashed, "ahash", storePath, pairsPath, storeParts,
+      crashPoint)(
       (nh, ex) => Multimodal.audioPairsAgainstHashes(nh, ex, maxHamming,
         bands))
   }
 
   /** Shared media-level (one hash per item) batch body: pairs first,
-    * then the store upsert — see the crash-ordering argument above. */
+    * then the store upsert — see the crash-ordering argument above.
+    * `crashPoint` is [[StreamingMerge.mergeWithRetry]]'s test seam,
+    * fired at `"between-merges"` after the pairs merge and before the
+    * store merge so specs can kill THAT exact ordering and prove the
+    * replay converges. */
   private def mediaLevelBatch(hashed: DataFrame, hashCol: String,
-      storePath: String, pairsPath: String, storeParts: Int)(
+      storePath: String, pairsPath: String, storeParts: Int,
+      crashPoint: String => Unit)(
       pairsAgainst: (DataFrame, DataFrame) => DataFrame): Unit = {
     val spark = hashed.sparkSession
     val h = hashed.persist()
@@ -129,20 +201,20 @@ object MediaIngest {
       val existing = readStore(spark, storePath,
         Seq(("media_id", "bigint"), (hashCol, "bigint")))
       val pairs = pairsAgainst(h.select("media_id", hashCol), existing)
-      upsert(spark, pairsPath, keyedPairs(pairs, storeParts), "pair_key",
-        storeParts)
+      upsert(spark, pairsPath, keyedPairs(pairs, storeParts), "pair_key")
+      crashPoint("between-merges")
       upsert(spark, storePath,
         h.select("media_id", hashCol)
           .withColumn("bucket", bucketOf(col("media_id"), storeParts))
           .withColumn("version", lit(1L)),
-        "media_id", storeParts)
+        "media_id")
     } finally { h.unpersist(); () }
   }
 
   private[graft] def applyVideoBatch(batch: DataFrame,
       storePath: String, pairsPath: String, everyNth: Int,
       maxHamming: Int, minSharedFrames: Int, bands: Int,
-      storeParts: Int): Unit = {
+      storeParts: Int, crashPoint: String => Unit = _ => ()): Unit = {
     val spark = batch.sparkSession
     val hashed = Multimodal.videoFrameHashes(batch, everyNth).persist()
     try {
@@ -152,15 +224,15 @@ object MediaIngest {
           ("fhash", "bigint")))
       val pairs = Multimodal.videoPairsAgainstHashes(hashed, existing,
         maxHamming, minSharedFrames, bands)
-      upsert(spark, pairsPath, keyedPairs(pairs, storeParts), "pair_key",
-        storeParts)
+      upsert(spark, pairsPath, keyedPairs(pairs, storeParts), "pair_key")
+      crashPoint("between-merges")
       upsert(spark, storePath,
         hashed
           .withColumn("fkey",
             concat_ws(":", col("media_id"), col("frame_no")))
           .withColumn("bucket", bucketOf(col("media_id"), storeParts))
           .withColumn("version", lit(1L)),
-        "fkey", storeParts)
+        "fkey")
     } finally { hashed.unpersist(); () }
   }
 
@@ -181,8 +253,9 @@ object MediaIngest {
       CommittedTable.read(spark, path)
         .select(cols.map(c => col(c._1)): _*)
     else
-      spark.sql(s"SELECT ${cols.map(c => s"CAST(NULL AS ${c._2}) AS ${c._1}")
-        .mkString(", ")}").limit(0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType
+          .fromDDL(cols.map(c => s"${c._1} ${c._2}").mkString(", ")))
 
   private def exists(spark: SparkSession, path: String): Boolean = {
     val t = new org.apache.hadoop.fs.Path(path)
@@ -209,7 +282,7 @@ object MediaIngest {
     * by the ordinary `CALL graft.optimize` maintenance pass the spec
     * composes in-stream. */
   private def upsert(spark: SparkSession, path: String, df: DataFrame,
-      key: String, storeParts: Int): Unit = {
+      key: String): Unit = {
     // persisted: the emptiness probe and the merge's own jobs must not
     // re-run the banded join that produced the frame
     val d = df.persist()

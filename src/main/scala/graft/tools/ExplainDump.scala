@@ -1869,6 +1869,32 @@ object ExplainDump {
         graft.operators.Multimodal.phashNearDupsFromHashes(
           spark.read.parquet(s"$q188Dir/hashes"), maxHamming = 7))
 
+      // the plan-twin note is EMITTED (not a source comment) so the
+      // published document itself carries the per-gate plan mapping
+      sb.append(
+        """
+          |## Perceptual-family plan twins (q189–q197)
+          |
+          |The literal-oracle, CALL-verb, incremental, kernel-option, and
+          |streaming perceptual gates run the SAME physical plans as the
+          |five dumped sections above — they differ only in fixture,
+          |map-side kernel, or front end, none of which change the plan:
+          |
+          |- q189 (literal-oracle images) and q195 (DCT kernel — the same
+          |  banded core with a different map-side hash function inside
+          |  the one MapPartitions decode) ≡ §q184's plan;
+          |- q190 (literal-oracle audio), q191 (CALL graft.audio_neardups,
+          |  §q188's store-centric contract on `ahash`), q194 (incremental
+          |  audio), and q196 (silence-trimmed kernel — trim happens
+          |  inside the same MapPartitions PCM parse) ≡ §q186's plan;
+          |- q192 (CALL graft.video_neardups) ≡ §q185's plan;
+          |- q193 (incremental video) ≡ §q187's plan at frame granularity;
+          |- q197 (streaming ingest) runs §q187's incremental join per
+          |  micro-batch inside MediaIngest's foreachBatch, plus the two
+          |  keyed MERGE-ON-READ upserts whose plan shape §q175/§q181
+          |  dump.
+          |""".stripMargin)
+
       try section("q182_bucketed_mor (exchange-free join survives MoR DML)",
         """Wants: a SortMergeJoin on the bucket column with ZERO
           |ShuffleExchange under it — after a merge-on-read upsert. The

@@ -26,8 +26,17 @@ import graft.operators.Multimodal
   * Patterns paint EXACT hashes ([[MediaFixture.patternPng]] /
   * [[MediaFixture.wavStaircase]]), so pair counts are verifiable.
   *
-  * Usage: runMain graft.tools.PerceptualBench <image|audio|video|incr>
-  *          <n1[,n2,…]> [maxHamming] [bands]
+  * The `stream` / `streamaudio` / `streamvideo` modes measure the
+  * [[graft.streaming.MediaIngest]] batch body instead (decode + pair +
+  * both committed MERGE-ON-READ merges) at a FIXED batch size against a
+  * store of n items — the flat-per-day claim, end to end per modality.
+  *
+  * Usage: runMain graft.tools.PerceptualBench
+  *          <image|audio|video|incr|stream|streamaudio|streamvideo>
+  *          <n1[,n2,…]> [maxHamming] [bands] [kernel]
+  *
+  * `kernel` (image mode only): ahash (default) | dct — times the DCT
+  * hash pass against the same corpus and banding.
   */
 object PerceptualBench {
   private def mix(z0: Long): Long = {
@@ -66,6 +75,7 @@ object PerceptualBench {
     val sizes = args.lift(1).getOrElse("2500,10000").split(",").map(_.toInt)
     val maxHamming = args.lift(2).map(_.toInt).getOrElse(7)
     val bands = args.lift(3).map(_.toInt).getOrElse(0)
+    val kernel = args.lift(4).getOrElse("ahash")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -116,7 +126,7 @@ object PerceptualBench {
         case "image" =>
           val media = mediaDf(n, i => MediaFixture.patternPng(pat(i)))
           val (hashes, hashSec) = time {
-            val h = Multimodal.perceptualHash(media)
+            val h = Multimodal.perceptualHash(media, kernel)
               .filter($"phash".isNotNull).cache()
             h.count(); h
           }
@@ -169,24 +179,39 @@ object PerceptualBench {
             Multimodal.phashPairsAgainstHashes(hashes, stored, maxHamming,
               bands).count())
           hashes.unpersist(); stored.unpersist()
-        case "stream" =>
+        case "stream" | "streamaudio" | "streamvideo" =>
           // the MediaIngest batch body (hash + pair + MoR keyed merges)
-          // at a FIXED 1,000-image batch against a store of n images —
-          // the flat-per-day claim measured end to end, merges included
+          // at a FIXED batch against a store of n items — the
+          // flat-per-day claim measured end to end per modality, merges
+          // included. Video uses a smaller batch (4 frames decode+hash
+          // per item) so all three modes run in comparable wall time.
+          val batchN = if (mode == "streamvideo") 250 else 1000
           val root = java.nio.file.Files
-            .createTempDirectory(s"graft-pb-stream-$n").toString
+            .createTempDirectory(s"graft-pb-$mode-$n").toString
           val store = s"$root/store"; val prs = s"$root/pairs"
-          graft.streaming.MediaIngest.applyPhashBatch(
-            mediaDf(n, i => MediaFixture.patternPng(pat(i))),
-            store, prs, maxHamming, b, 16)
-          val batch = spark.range(n, n + 1000L).repartition(32)
-            .map(i => (i, MediaFixture.patternPng(pat(i))))
+          def ingest(df: DataFrame): Unit = mode match {
+            case "stream" => graft.streaming.MediaIngest
+              .applyPhashBatch(df, store, prs, maxHamming, b, 16)
+            case "streamaudio" => graft.streaming.MediaIngest
+              .applyAudioBatch(df, store, prs, maxHamming, b, 16)
+            case _ => graft.streaming.MediaIngest.applyVideoBatch(
+              df, store, prs, 1, maxHamming, 2, b, 16)
+          }
+          def make(i: Long): Array[Byte] = mode match {
+            case "stream" => MediaFixture.patternPng(pat(i))
+            case "streamaudio" => MediaFixture.wavStaircase(pat(i))
+            case _ => MediaFixture.mjpegMp4(
+              (0 until 4).map(f => MediaFixture.patternJpeg(vpat(i, f))),
+              30, 3)
+          }
+          ingest(mediaDf(n, make))
+          val batch = spark.range(n, n + batchN.toLong).repartition(32)
+            .map(i => (i, make(i)))
             .toDF("media_id", "payload")
-          val (_, batchSec) = time(graft.streaming.MediaIngest
-            .applyPhashBatch(batch, store, prs, maxHamming, b, 16))
+          val (_, batchSec) = time(ingest(batch))
           val storeRows = graft.sources.CommittedTable
             .count(spark, store)
-          println(s"""{"mode":"stream","store_n":$n,"batch_n":1000,""" +
+          println(s"""{"mode":"$mode","store_n":$n,"batch_n":$batchN,""" +
             s""""maxHamming":$maxHamming,"bands":$b,""" +
             s""""batch_sec":${f"$batchSec%.2f"},"store_rows":$storeRows}""")
         case other => sys.error(s"unknown mode $other")

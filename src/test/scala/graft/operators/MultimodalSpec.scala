@@ -668,6 +668,94 @@ class MultimodalSpec extends SparkSpec {
     assert(zc === Seq((0, 400L, 399L), (1, 100L, 99L)), zc)
   }
 
+  test("pHashDct64 survives the gamma edit aHash provably misses") {
+    import graft.fixtures.MediaFixture
+    val Seq((_, base, w, h), (_, copy, _, _), (_, far, _, _)) =
+      MediaFixture.dctRasters
+    // the honest miss first: the γ-0.5 copy is 16 aHash bits from its
+    // original — FAR past any sane threshold (q184's gates run 7), so
+    // an aHash near-dup pass silently drops this duplicate
+    val aBase = Multimodal.aHash64(base, w, h)
+    val aCopy = Multimodal.aHash64(copy, w, h)
+    assert(java.lang.Long.bitCount(aBase ^ aCopy) === 16)
+    // the DCT hash holds the pair at hamming 2: the tone edit lands in
+    // the discarded DC + a near-uniform AC scale, and the dither that
+    // broke aHash lives outside the low-frequency window
+    val dBase = Multimodal.pHashDct64(base, w, h)
+    val dCopy = Multimodal.pHashDct64(copy, w, h)
+    assert(java.lang.Long.bitCount(dBase ^ dCopy) === 2)
+    // and it still separates genuinely different images
+    val dFar = Multimodal.pHashDct64(far, w, h)
+    assert(java.lang.Long.bitCount(dBase ^ dFar) > 20)
+    assert(java.lang.Long.bitCount(dCopy ^ dFar) > 20)
+    // affine tone edits (brightness/contrast, no clipping) are EXACT
+    // invariants: +b rides the discarded DC, ×a scales ACs and median
+    val bright = base.map { p =>
+      val v = math.min(255, (p & 0xff) + 40); (v << 16) | (v << 8) | v }
+    val contrast = base.map { p =>
+      val v = math.max(0, math.min(255, ((p & 0xff) - 128) * 3 / 4 + 128))
+      (v << 16) | (v << 8) | v }
+    assert(Multimodal.pHashDct64(bright, w, h) === dBase)
+    assert(Multimodal.pHashDct64(contrast, w, h) === dBase)
+    // resize robustness carries over from the box-average front end
+    val big = MediaFixture.texturedDitherRaster(42L, 64, 64, 100)
+    assert(java.lang.Long.bitCount(
+      Multimodal.pHashDct64(big, 64, 64) ^ dBase) <= 2)
+    // the end-to-end kernel option: bytes → pixels → DCT through the
+    // banded join finds exactly the (base, copy) pair; the same corpus
+    // through aHash finds nothing (the recall gap, measured end to end)
+    val frame = MediaFixture.dctNearDupFrame(spark)
+    val dct = Multimodal.phashNearDups(frame, maxHamming = 7, kernel = "dct")
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(dct === Set((101L, 102L, 2L)))
+    assert(Multimodal.phashNearDups(frame, maxHamming = 7).count() === 0L)
+    // unknown kernels fail fast, driver-side
+    intercept[IllegalArgumentException] {
+      Multimodal.perceptualHash(frame, "md5")
+    }
+  }
+
+  test("silence-trimmed audio fingerprint survives the padding edit the raw kernel misses") {
+    import graft.fixtures.MediaFixture
+    val a = 0xA5A5A5A5A5A5A5A5L
+    val b = 0xA5A5A5A5A5A5A595L
+    def samplesOf(bytes: Array[Byte]): (Int => Int, Int) = {
+      val m = Multimodal.Wav.parse(bytes).get
+      ((i: Int) => {
+        val o = m.dataOff + 2 * i
+        ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+      }, m.dataLen / 2)
+    }
+    val (orig, nOrig) = samplesOf(MediaFixture.wavStaircase(b))
+    val (padded, nPadded) = samplesOf(MediaFixture.wavStaircasePadded(b, 100))
+    assert(nPadded === nOrig + 1600) // 100 ms = 800 samples each side
+    // the honest miss: the raw fingerprint of the padded copy is far
+    // from the original's constant (every window boundary shifted)
+    val raw = Multimodal.audioFingerprint64(padded, nPadded)
+    assert(java.lang.Long.bitCount(raw ^ a) > 7)
+    // trimming at floor 0 strips exactly the padding: the trimmed span
+    // is byte-identical to the unpadded staircase, so the fingerprint
+    // is the painted constant again — exact, not approximate
+    assert(Multimodal.trimmedSpan(padded, nPadded, 0) === ((800, 800 + 1600)))
+    assert(Multimodal.audioFingerprint64Trimmed(padded, nPadded, 0)
+      === Some(b))
+    assert(Multimodal.audioFingerprint64Trimmed(orig, nOrig, 0) === Some(b))
+    // internal silence (clear-bit windows) is untouched by the trim:
+    // bit 1 of A is clear, yet the fingerprint still equals A
+    val (aS, aN) = samplesOf(MediaFixture.wavStaircase(a))
+    assert(Multimodal.audioFingerprint64Trimmed(aS, aN, 0) === Some(a))
+    // an all-silence clip has nothing to fingerprint
+    assert(Multimodal.audioFingerprint64Trimmed(_ => 0, 1600, 0) === None)
+    // end to end: raw fingerprints miss the padded pair, trimmed ones
+    // find exactly (81, 82) at the hand-derived hamming 2
+    val frame = MediaFixture.audioShiftFrame(spark)
+    assert(Multimodal.audioNearDups(frame, maxHamming = 7).count() === 0L)
+    assert(Multimodal.audioNearDups(frame, maxHamming = 7, trimNoiseFloor = 0)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)]
+      .collect().toSet === Set((81L, 82L, 2L)))
+  }
+
   /** Locate the byte offset of a box tag in a fixture (test helper). */
   private def indexOfTag(b: Array[Byte], tag: String): Int = {
     val t = tag.getBytes("US-ASCII")

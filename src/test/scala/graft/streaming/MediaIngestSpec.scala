@@ -147,6 +147,85 @@ class MediaIngestSpec extends SparkSpec {
     assert(CommittedTable.read(spark, store).count() === 10L)
   }
 
+  test("crash-point seam: a kill BETWEEN the pairs merge and the store merge converges on replay") {
+    val root = Files.createTempDirectory("graft-mingest-seam").toString
+    val frame = MediaFixture.phashFrame(spark)
+      .select($"media_id", $"payload")
+    val b1 = frame.filter($"media_id".isin(41L, 44L))
+    val b2 = frame.filter($"media_id".isin(42L, 43L, 45L))
+    // twin A: the clean run
+    val cleanStore = s"$root/cs"; val cleanPairs = s"$root/cp"
+    MediaIngest.applyPhashBatch(b1, cleanStore, cleanPairs, 7, 0, 2)
+    MediaIngest.applyPhashBatch(b2, cleanStore, cleanPairs, 7, 0, 2)
+    // twin B: batch 2 dies at the exact seam — pairs merged, store NOT
+    val store = s"$root/store"; val pairs = s"$root/pairs"
+    MediaIngest.applyPhashBatch(b1, store, pairs, 7, 0, 2)
+    final class Kill extends RuntimeException("crash at seam")
+    intercept[Kill] {
+      MediaIngest.applyPhashBatch(b2, store, pairs, 7, 0, 2,
+        crashPoint = p => if (p == "between-merges") throw new Kill)
+    }
+    // the half-applied state is exactly as argued: the pairs table has
+    // batch 2's pairs, the store still lacks batch 2's fingerprints
+    assert(pairsOf(pairs) === pairsOf(cleanPairs))
+    assert(CommittedTable.read(spark, store).count() === 2L)
+    // the replay (foreachBatch is at-least-once) pairs against a store
+    // WITHOUT the batch — re-deriving identical pair rows that tie on
+    // (key, version) — then completes the store merge: both tables
+    // converge on the clean twin's content
+    MediaIngest.applyPhashBatch(b2, store, pairs, 7, 0, 2)
+    assert(pairsOf(pairs) === pairsOf(cleanPairs))
+    assert(CommittedTable.read(spark, store)
+      .select($"media_id", $"phash").as[(Long, Long)].collect().toSet ===
+      CommittedTable.read(spark, cleanStore)
+        .select($"media_id", $"phash").as[(Long, Long)].collect().toSet)
+  }
+
+  test("compactEvery bounds the delta chain across 3x the hook interval") {
+    val root = Files.createTempDirectory("graft-mingest-cad").toString
+    val in = s"$root/in"; val cp = s"$root/cp"
+    val store = s"$root/store"; val pairs = s"$root/pairs"
+    // six one-image batches into a ONE-bucket store: every batch after
+    // the first stages a delta segment on the same bucket, so without
+    // maintenance the chain grows one delta per batch
+    val rasters = (0 until 6).map(i =>
+      MediaFixture.patternPng(1L << (i * 9 + 1) | 1L << (i * 7 + 3)))
+    def maxDeltaChain(): Int = {
+      val m = CommittedTable.manifestAt(spark, store)
+      if (m.segments.isEmpty) 0
+      else m.segments.keysIterator
+        .map(p => CommittedTable.liveDeltas(m, p).size).max
+    }
+    var schema: org.apache.spark.sql.types.StructType = null
+    (0 until 6).foreach { i =>
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
+            org.apache.spark.sql.Row(100L + i, rasters(i)))).asJava),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "media_id bigint, payload binary"))
+      df.coalesce(1).write.parquet(s"$in/b$i")
+      if (schema == null) schema = spark.read.parquet(s"$in/b$i").schema
+      val media = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$in/*")
+      // compactEvery = 2: batches 1, 3, 5 (0-based) end with a pass;
+      // compactMaxFiles = 1 is the tight point — any base + delta pair
+      // (2 live files) is already past the threshold, so every pass
+      // folds the bucket back to one base segment
+      val q = MediaIngest.phashIngest(media, store, pairs, cp,
+        maxHamming = 7, storeParts = 1, compactEvery = 2,
+        compactMaxFiles = 1).start()
+      q.awaitTermination(120000); q.stop()
+      // the provable bound: at most compactEvery deltas accrue between
+      // passes, and a pass folds its targets to zero — the chain never
+      // exceeds the interval no matter how long the stream runs
+      assert(maxDeltaChain() <= 2,
+        s"after batch $i the delta chain is ${maxDeltaChain()}")
+    }
+    // all six fingerprints are present and correct despite the rewrites
+    assert(CommittedTable.read(spark, store).count() === 6L)
+  }
+
   test("streamed audio ingest: the literal staircase corpus through the audio path") {
     val root = Files.createTempDirectory("graft-aingest").toString
     val store = s"$root/store"; val pairs = s"$root/pairs"
