@@ -670,6 +670,51 @@ object MediaFixture {
       Multimodal.metadataSchema)
   }
 
+  private def encodeJpeg(rgb: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(y * w + x)); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Tone-shifted re-encode video corpus (q198): video 111 carries two
+    * textured frames ([[texturedDitherRaster]] seeds 42 / 43,
+    * JPEG-encoded), video 112 the SAME two frames γ-0.5 tone-shifted
+    * and re-encoded — the re-upload that also ran a brightness curve.
+    * Through JPEG loss the per-frame aHash distance is 16–17 bits (no
+    * pair at any sane threshold — the measured miss MultimodalSpec
+    * pins) while pHashDct holds both frame pairs at hamming 2, so with
+    * `kernel = "dct"` the ONLY video pair is the hand-derivable
+    * (111, 112, 2). Video 113 is two different-seed frames (far under
+    * both kernels); 114 is undecodable bytes. */
+  def videoDctFrame(spark: SparkSession): DataFrame = {
+    val t42 = texturedDitherRaster(42L, 32, 32, 100)
+    val t43 = texturedDitherRaster(43L, 32, 32, 100)
+    val rows = Seq(
+      Row(111L, "video", "video/mp4", null, null, null,
+        mjpegMp4(Seq(encodeJpeg(t42, 32, 32), encodeJpeg(t43, 32, 32)),
+          30, 3)),
+      Row(112L, "video", "video/mp4", null, null, null,
+        mjpegMp4(Seq(encodeJpeg(gammaHalf(t42), 32, 32),
+          encodeJpeg(gammaHalf(t43), 32, 32)), 30, 3)),
+      Row(113L, "video", "video/mp4", null, null, null,
+        mjpegMp4(Seq(
+          encodeJpeg(texturedDitherRaster(777L, 32, 32, 100), 32, 32),
+          encodeJpeg(texturedDitherRaster(888L, 32, 32, 100), 32, 32)),
+          30, 3)),
+      Row(114L, "video", "video/mp4", null, null, null,
+        Array.tabulate[Byte](512)(i => (i * 31).toByte)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.metadataSchema)
+  }
+
   def wavAlt(sampleRate: Int, ms: Int): Array[Byte] = {
     val base = wav(sampleRate, ms)
     val nSamples = sampleRate * ms / 1000

@@ -975,26 +975,35 @@ object Multimodal {
     * `minSharedFrames` distinct near-matching frame pairs — the
     * re-encoded/re-muxed duplicate-clip detector (a clip re-containered
     * or re-stamped keeps its frames' pixels, which is all the hash
-    * sees). Undecodable frames and non-video rows contribute nothing.
+    * sees); `kernel = "dct"` swaps in [[pHashDct64]] per frame, so a
+    * re-encode that ALSO tone-shifts (brightness/contrast/gamma) still
+    * pairs — q198's case. Undecodable frames and non-video rows
+    * contribute nothing.
     * Cost: linear decode + the banded equi-join — frame hashes never
     * all-pairs, video pairs aggregated from matched frames only. The
     * frame-hash table persists through `scope`. */
   def videoNearDups(media: DataFrame, everyNth: Int = 4, maxHamming: Int = 7,
       minSharedFrames: Int = 2, bands: Int = 0,
-      scope: CacheScope = CacheScope.unmanaged): DataFrame =
-    videoNearDupsFromHashes(scope.persist(videoFrameHashes(media, everyNth)),
+      scope: CacheScope = CacheScope.unmanaged,
+      kernel: String = "ahash"): DataFrame =
+    videoNearDupsFromHashes(
+      scope.persist(videoFrameHashes(media, everyNth, kernel)),
       maxHamming, minSharedFrames, bands)
 
   /** The decode half of [[videoNearDups]]: every Nth frame of every
     * video, decoded map-side to a (media_id, frame_no, fhash) table —
     * the video fingerprint STORE shape (persist it, then re-threshold
     * or pair incrementally without touching one payload byte). */
-  def videoFrameHashes(media: DataFrame, everyNth: Int = 4): DataFrame = {
+  def videoFrameHashes(media: DataFrame, everyNth: Int = 4,
+      kernel: String = "ahash"): DataFrame = {
+    hashKernel(kernel) // fail fast driver-side
+    val kernelName = kernel
     val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(frameHashSchema)
     sampleFrames(media, everyNth)
       .select(col("media_id"), col("frame_no"), col("frame"))
       .mapPartitions { rows =>
+        val k = hashKernel(kernelName)
         rows.flatMap { r =>
           val bytes =
             if (r.isNullAt(2)) Array.emptyByteArray
@@ -1002,7 +1011,7 @@ object Multimodal {
           decodeImageBounded(bytes, maxDecodePixels).map { img =>
             val w = img.getWidth; val h = img.getHeight
             Row(r.getLong(0), r.getInt(1),
-              aHash64(img.getRGB(0, 0, w, h, null, 0, w), w, h))
+              k(img.getRGB(0, 0, w, h, null, 0, w), w, h))
           }
         }
       }(outEnc)

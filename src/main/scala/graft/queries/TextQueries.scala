@@ -740,6 +740,26 @@ object TextQueries {
         (CAST(81 AS BIGINT), CAST(82 AS BIGINT), CAST(2 AS INT))
       ) AS t(id_a, id_b, hamming)""")),
 
+    // ---- Video near-dup under the DCT kernel (tone-shifted re-encode) -----
+    // The duplicate-clip case aHash frames miss: video 112 is video 111's
+    // two frames γ-0.5 tone-shifted and JPEG re-encoded (the re-upload
+    // that also ran a brightness curve) — per-frame aHash lands 16–17
+    // bits away through JPEG loss (MultimodalSpec pins the miss), while
+    // pHashDct holds both frame pairs at hamming 2. With kernel = 'dct'
+    // the only video pair is the hand-derivable literal (111, 112, 2);
+    // 113 is far under both kernels, 114 undecodable.
+    Q("q198_video_dct_neardup", (s, _) => {
+      graft.operators.Multimodal
+        .videoNearDups(graft.fixtures.MediaFixture.videoDctFrame(s),
+          everyNth = 1, maxHamming = 7, minSharedFrames = 2,
+          kernel = "dct")
+        .select(col("id_a"), col("id_b"),
+          col("n_shared").cast("long").as("n_shared"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(111 AS BIGINT), CAST(112 AS BIGINT), CAST(2 AS BIGINT))
+      ) AS t(id_a, id_b, n_shared)""")),
+
     // ---- STREAMING perceptual ingest, oracle-gated --------------------------
     // The battery's first streaming entry: MediaIngest.phashIngest runs
     // the q189 literal corpus as TWO AvailableNow file-drops against one

@@ -654,7 +654,9 @@ private[sql] object GraftProcedures {
     * the banded join, videos pair on >= min_shared_frames matched
     * frames (q185's shape). `hashes_out` persists the (media_id,
     * frame_no, fhash) store; `existing => '<stored frame-hash table>'`
-    * is the incremental shape (only the input decodes). Output rows:
+    * is the incremental shape (only the input decodes), and
+    * `kernel => 'dct'` hashes each frame with the tone-edit-robust DCT
+    * kernel (q198's case; one kernel per store). Output rows:
     * (id_a, id_b, n_shared). */
   def videoNearDupsProc(resolve: String => String): UnboundProcedure =
     new Proc("video_neardups", Array(
@@ -670,6 +672,9 @@ private[sql] object GraftProcedures {
         .build(),
       ProcedureParameter.in("hashes_out", StringType).defaultValue("NULL")
         .comment("also write the input's frame hashes here (one decode)")
+        .build(),
+      ProcedureParameter.in("kernel", StringType).defaultValue("'ahash'")
+        .comment("per-frame perceptual-hash kernel: ahash (default) | dct")
         .build())) {
       override def call(input: InternalRow): JIterator[Scan] = {
         val spark = SparkSession.active
@@ -680,8 +685,9 @@ private[sql] object GraftProcedures {
         val everyNth = input.getInt(2)
         val maxHamming = input.getInt(3)
         val minShared = input.getInt(4)
+        val kernel = str(input, 7).getOrElse("ahash")
         val hashed = graft.operators.Multimodal
-          .videoFrameHashes(readAny(spark, in), everyNth)
+          .videoFrameHashes(readAny(spark, in), everyNth, kernel)
         val pairs = nearDupPairs(spark, resolve, hashed,
           str(input, 6), str(input, 5),
           b => graft.operators.Multimodal

@@ -42,9 +42,10 @@ import graft.sources.CommittedTable
   * MERGE-ON-READ (see [[upsert]]): a batch's ids hash across every
   * bucket, so the CoW route would rewrite the whole store per batch —
   * the MoR route stages each insert-only batch as pure delta segments,
-  * O(batch rows) written at any store size (PerceptualBench's `stream`
-  * mode measures a fixed 1,000-image batch flat at ~4 s from a 10k to
-  * a 160k store, both committed merges included). */
+  * O(batch rows) written at any store size (PerceptualBench's
+  * `stream`/`streamaudio`/`streamvideo` modes measure fixed batches
+  * flat through 16× store growth in all three modalities — BENCH_NOTES
+  * r19/r20 — both committed merges included). */
 object MediaIngest {
 
   /** Image ingest: [[Multimodal.perceptualHash]] per batch, pairs =
@@ -114,11 +115,14 @@ object MediaIngest {
       minSharedFrames: Int = 2, bands: Int = 0, storeParts: Int = 16,
       availableNow: Boolean = true,
       interval: String = "30 seconds", compactEvery: Int = 0,
-      compactMaxFiles: Int = 8): DataStreamWriter[Row] =
+      compactMaxFiles: Int = 8,
+      kernel: String = "ahash"): DataStreamWriter[Row] = {
+    Multimodal.hashKernel(kernel) // fail fast before the stream starts
     writer(media, checkpoint, availableNow, interval, compactEvery,
       compactMaxFiles, Seq(storePath, pairsPath))(b =>
       applyVideoBatch(b, storePath, pairsPath, everyNth, maxHamming,
-        minSharedFrames, bands, storeParts))
+        minSharedFrames, bands, storeParts, kernel = kernel))
+  }
 
   private def writer(media: DataFrame, checkpoint: String,
       availableNow: Boolean, interval: String, compactEvery: Int,
@@ -214,9 +218,11 @@ object MediaIngest {
   private[graft] def applyVideoBatch(batch: DataFrame,
       storePath: String, pairsPath: String, everyNth: Int,
       maxHamming: Int, minSharedFrames: Int, bands: Int,
-      storeParts: Int, crashPoint: String => Unit = _ => ()): Unit = {
+      storeParts: Int, crashPoint: String => Unit = _ => (),
+      kernel: String = "ahash"): Unit = {
     val spark = batch.sparkSession
-    val hashed = Multimodal.videoFrameHashes(batch, everyNth).persist()
+    val hashed = Multimodal.videoFrameHashes(batch, everyNth, kernel)
+      .persist()
     try {
       if (hashed.isEmpty) return
       val existing = readStore(spark, storePath,

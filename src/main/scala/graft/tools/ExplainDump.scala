@@ -1873,7 +1873,7 @@ object ExplainDump {
       // published document itself carries the per-gate plan mapping
       sb.append(
         """
-          |## Perceptual-family plan twins (q189–q197)
+          |## Perceptual-family plan twins (q189–q198)
           |
           |The literal-oracle, CALL-verb, incremental, kernel-option, and
           |streaming perceptual gates run the SAME physical plans as the
@@ -1887,7 +1887,9 @@ object ExplainDump {
           |  §q188's store-centric contract on `ahash`), q194 (incremental
           |  audio), and q196 (silence-trimmed kernel — trim happens
           |  inside the same MapPartitions PCM parse) ≡ §q186's plan;
-          |- q192 (CALL graft.video_neardups) ≡ §q185's plan;
+          |- q192 (CALL graft.video_neardups) and q198 (per-frame DCT
+          |  kernel — same banded frame join, different hash function
+          |  inside the one MapPartitions frame decode) ≡ §q185's plan;
           |- q193 (incremental video) ≡ §q187's plan at frame granularity;
           |- q197 (streaming ingest) runs §q187's incremental join per
           |  micro-batch inside MediaIngest's foreachBatch, plus the two

@@ -716,6 +716,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video DCT kernel pairs the tone-shifted re-encode the aHash frames miss") {
+    import graft.fixtures.MediaFixture
+    val frame = MediaFixture.videoDctFrame(spark)
+    // the honest miss: per-frame aHash distances between 111's frames
+    // and 112's tone-shifted re-encodes are FAR past threshold 7, so
+    // the default kernel finds no video pair at all
+    val aHashes = Multimodal.videoFrameHashes(frame, everyNth = 1)
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, f, h) => (id, f) -> h }.toMap
+    Seq(0, 1).foreach { f =>
+      val d = java.lang.Long.bitCount(aHashes((111L, f)) ^ aHashes((112L, f)))
+      assert(d > 7, s"frame $f aHash distance $d should be a miss")
+    }
+    assert(Multimodal.videoNearDups(frame, everyNth = 1, maxHamming = 7,
+      minSharedFrames = 2).count() === 0L)
+    // the DCT kernel holds both frame pairs through JPEG loss AND the
+    // gamma shift, so the videos pair on exactly the two shared frames
+    val dHashes = Multimodal.videoFrameHashes(frame, everyNth = 1, "dct")
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, f, h) => (id, f) -> h }.toMap
+    Seq(0, 1).foreach { f =>
+      val d = java.lang.Long.bitCount(dHashes((111L, f)) ^ dHashes((112L, f)))
+      assert(d <= 7, s"frame $f DCT distance $d should pair")
+    }
+    val pairs = Multimodal.videoNearDups(frame, everyNth = 1,
+      maxHamming = 7, minSharedFrames = 2, kernel = "dct")
+      .select($"id_a", $"id_b", $"n_shared").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(pairs === Set((111L, 112L, 2L)))
+    // and the SQL verb routes the kernel through to the same answer
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-videodct").toString
+    frame.write.parquet(s"$root/media")
+    spark.sql(s"CALL graft.video_neardups(input => '$root/media', " +
+      "every_nth => 1, min_shared_frames => 2, kernel => 'dct', " +
+      s"output => '$root/pairs')")
+    assert(spark.read.parquet(s"$root/pairs")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet ===
+      Set((111L, 112L)))
+  }
+
   test("silence-trimmed audio fingerprint survives the padding edit the raw kernel misses") {
     import graft.fixtures.MediaFixture
     val a = 0xA5A5A5A5A5A5A5A5L
