@@ -445,15 +445,123 @@ object MediaFixture {
     * 255000, so aHash64's threshold reproduces `pattern` EXACTLY, bit
     * for bit. The expected hash is read off the hex constant by eye —
     * no kernel call anywhere in an oracle built on these. */
-  def patternPng(pattern: Long): Array[Byte] = {
+  def patternPng(pattern: Long): Array[Byte] =
+    encodePng(patternRaster(pattern), 32, 32)
+
+  /** The construction raster [[patternPng]] paints (for oracles and for
+    * raster-level transforms like [[rotate90]]). */
+  def patternRaster(pattern: Long): Array[Int] = {
     val k = java.lang.Long.bitCount(pattern)
     require(k >= 1 && k <= 63,
       s"pattern needs 1..63 set bits for an exact hash, got $k")
-    val rgb = Array.tabulate(32 * 32) { idx =>
+    Array.tabulate(32 * 32) { idx =>
       val bit = (idx / 32 / 4) * 8 + (idx % 32 / 4)
       if (((pattern >>> bit) & 1L) == 1L) 0xFFFFFF else 0x000000
     }
-    encodePng(rgb, 32, 32)
+  }
+
+  /** Square raster rotated 90° clockwise — the re-upload transform the
+    * oriented near-dup (q199) exists to catch. */
+  def rotate90(rgb: Array[Int], n: Int): Array[Int] = {
+    require(rgb.length == n * n, "square raster required")
+    val out = new Array[Int](n * n)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) { out(x * n + (n - 1 - y)) = rgb(y * n + x); x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** Oriented near-dup corpus (q199): P is an ASYMMETRIC pattern (its
+    * own nontrivial orbit stays ≥22 bits away, so nothing self-pairs
+    * spuriously). 141 = patternPng(P); 142 = the SAME raster rotated
+    * 90° (plain aHash 30 bits away — the miss — oriented hamming 0);
+    * 143 paints mirror(P) with bits 0 and 2 flipped (a mirrored
+    * re-encode with a small perturbation: oriented hamming 2 to both
+    * 141 and 142, plain 28); 144 = Q, orbit-distance ≥24 from all;
+    * 145 = audio (NULL, never pairs). Construction rasters exposed via
+    * [[orientedRasters]] so the oracle brute-forces oriented distances
+    * through the same pure kernels. */
+  val orientedP: Long = 0x910A2DEC89025CC1L
+  val orientedQ: Long = 0x975835DE1C9756CEL
+  def orientedRasters: Seq[(Long, Array[Int])] = {
+    // mirror(P): orientation 4 of the hash constant == the hash of the
+    // mirrored raster; paint the permuted constant directly
+    val mirrorP = {
+      var v = 0L
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          v |= ((orientedP >>> (cy * 8 + (7 - cx))) & 1L) << (cy * 8 + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      v
+    }
+    Seq(
+      (141L, patternRaster(orientedP)),
+      (142L, rotate90(patternRaster(orientedP), 32)),
+      (143L, patternRaster(mirrorP ^ 0x5L)),
+      (144L, patternRaster(orientedQ)))
+  }
+  def orientedFrame(spark: SparkSession): DataFrame = {
+    val rows = orientedRasters.map { case (id, rgb) =>
+      Row(id, "image", "image/png", null, null, null, encodePng(rgb, 32, 32))
+    } :+ Row(145L, "audio", "audio/wav", null, null, null, wav(8000, 100))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.metadataSchema)
+  }
+
+  /** [[wavStaircase]] nearest-neighbor-upsampled to 16 kHz: every
+    * sample written TWICE at double the declared rate — same duration,
+    * same waveform, twice the samples. The energy-delta fingerprint is
+    * EXACTLY invariant: windows are fractions of the total sample
+    * count, so window w covers the duplicated copies of the original
+    * window w's samples and every energy doubles — every comparison,
+    * ties included, lands identically. */
+  def wavStaircaseUpsampled2x(pattern: Long): Array[Byte] = {
+    val inner = wavStaircase(pattern)
+    val nSamples = 2 * 1600
+    val dataSize = nSamples * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(16000)
+      .putInt(16000 * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < 1600) {
+      val lo = inner(44 + 2 * i); val hi = inner(44 + 2 * i + 1)
+      buf.put(lo).put(hi).put(lo).put(hi)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Resample-invariance corpus (q200): 151 = the staircase constant A
+    * at 8 kHz, 152 = its near-twin B = A ^ 0x30 nearest-neighbor
+    * upsampled to 16 kHz (the re-encoded-at-a-different-rate copy —
+    * fingerprint exactly B by the window-fraction argument), 153 = a
+    * far constant, 154 = an image (NULL). Expected pairs are literal:
+    * only (151, 152, 2). */
+  def audioResampleFrame(spark: SparkSession): DataFrame = {
+    val rows = Seq(
+      Row(151L, "audio", "audio/wav", null, null, null,
+        wavStaircase(0xA5A5A5A5A5A5A5A5L)),
+      Row(152L, "audio", "audio/wav", null, null, null,
+        wavStaircaseUpsampled2x(0xA5A5A5A5A5A5A595L)), // 151 ^ 0x30
+      Row(153L, "audio", "audio/wav", null, null, null,
+        wavStaircase(0x5A5A5A5A5A5A5A5AL)), // ~151
+      Row(154L, "image", "image/png", null, null, null, image(16, 16, "png")))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.metadataSchema)
   }
 
   /** Literal-oracle image corpus: every aHash IS its painted constant

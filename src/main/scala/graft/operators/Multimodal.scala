@@ -536,6 +536,136 @@ object Multimodal {
     bandedHashPairs(nh, all, "phash", b, maxHamming, fullCorpus = false)
   }
 
+  /** The 8 dihedral orientation variants of an [[aHash64]] — rotations
+    * and mirrors as PURE BIT PERMUTATIONS of the hash, no re-decode:
+    * an aHash bit is "cell mean > global mean", rotating or mirroring a
+    * (square) image permutes its 8×8 grid cells and leaves the global
+    * mean unchanged, so hash(transform(image)) == permute(hash(image))
+    * exactly. The returned orbit is closed under the group, so two
+    * images that are rotations/mirrors of each other have EQUAL orbits
+    * — which is what makes [[phashNearDupsOriented]]'s one-sided
+    * explode complete. aHash only: DCT coefficients pick up sign flips
+    * under mirroring, not a bit permutation. */
+  def hashOrientations(h: Long): Array[Long] = {
+    val out = new Array[Long](8)
+    var o = 0
+    while (o < 8) {
+      var v = 0L
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 8) {
+          val (cx0, cy0) = (o: @unchecked) match {
+            case 0 => (cx, cy)         // identity
+            case 1 => (cy, 7 - cx)     // rot 90
+            case 2 => (7 - cx, 7 - cy) // rot 180
+            case 3 => (7 - cy, cx)     // rot 270
+            case 4 => (7 - cx, cy)     // mirror x
+            case 5 => (cx, 7 - cy)     // flip y
+            case 6 => (cy, cx)         // transpose
+            case 7 => (7 - cy, 7 - cx) // anti-transpose
+          }
+          v |= ((h >>> (cy0 * 8 + cx0)) & 1L) << (cy * 8 + cx)
+          cx += 1
+        }
+        cy += 1
+      }
+      out(o) = v
+      o += 1
+    }
+    out
+  }
+
+  private val orientedHashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ohash", LongType, nullable = false)))
+
+  /** (media_id, phash) → one row per DISTINCT orbit element (≤ 8; a
+    * symmetric image's orbit collapses). Map-side, n-row input — the
+    * oriented join's only extra cost is this ≤8× explode on ONE side. */
+  private def orientedHashes(hashes: DataFrame): DataFrame = {
+    val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(orientedHashSchema)
+    hashes.select(col("media_id"), col("phash"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          hashOrientations(r.getLong(1)).distinct
+            .map(o => Row(id, java.lang.Long.valueOf(o)))
+        }
+      }(outEnc)
+  }
+
+  /** The oriented banded core: LEFT = the ≤8-variant orbit explode of
+    * `newSide`, RIGHT = `allSide`'s plain hashes, banded equi-join,
+    * then MIN over matched orientations of the exact bit distance —
+    * i.e. the pair's ORIENTED hamming, min_d bit_count(d(h_a) XOR h_b).
+    * Exploding one side suffices: the dihedral group is closed under
+    * inversion, so min_d ham(d(h_a), h_b) = min_d ham(h_a, d(h_b)), and
+    * the pigeonhole guarantee applies to the achieving orientation's
+    * banded row. `fullCorpus`/incremental semantics mirror
+    * [[bandedHashPairs]]. */
+  private def orientedBandedPairs(newSide: DataFrame, allSide: DataFrame,
+      b: Int, maxHamming: Int, fullCorpus: Boolean): DataFrame = {
+    val left = bandExplode(orientedHashes(newSide), "ohash", b,
+      Seq("media_id")).alias("a")
+    val right = bandExplode(allSide, "phash", b, Seq("media_id")).alias("c")
+    val idCond =
+      if (fullCorpus) col("a.media_id") < col("c.media_id")
+      else col("a.media_id") =!= col("c.media_id")
+    left.join(right,
+        col("a.band_no") === col("c.band_no") &&
+          col("a.bits") === col("c.bits") && idCond)
+      .groupBy(least(col("a.media_id"), col("c.media_id")).as("id_a"),
+        greatest(col("a.media_id"), col("c.media_id")).as("id_b"))
+      .agg(min(bit_count(col("a.ohash").bitwiseXOR(col("c.phash"))))
+        .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** ROTATION/MIRROR-robust image near-dup: pairs whose ORIENTED
+    * hamming — min over the 8 dihedral orientations of one side — is
+    * within `maxHamming`. The rotated/mirrored re-upload is the image
+    * edit both aHash and pHashDct miss outright (every grid cell moves;
+    * q199 pins a rot-90 copy 30 plain bits away pairing at 0); the
+    * orbit is a pure bit permutation of the already-computed hash, so
+    * the cost over [[phashNearDups]] is a ≤8× explode of the n-row
+    * HASH table on one join side — payloads decode once, never again.
+    * aHash kernel only (see [[hashOrientations]]). */
+  def phashNearDupsOriented(media: DataFrame, maxHamming: Int = 7,
+      bands: Int = 0, scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val b = bandCount(maxHamming, bands)
+    val hashed = scope.persist(
+      perceptualHash(media).filter(col("phash").isNotNull))
+    orientedBandedPairs(hashed, hashed, b, maxHamming, fullCorpus = true)
+  }
+
+  /** [[phashNearDupsOriented]] over an already-computed (media_id,
+    * phash) table — the store-centric entry (re-orienting a stored
+    * corpus costs the fingerprint scan, not one decode). */
+  def phashNearDupsOrientedFromHashes(hashes: DataFrame,
+      maxHamming: Int = 7, bands: Int = 0): DataFrame = {
+    val b = bandCount(maxHamming, bands)
+    val h = hashes.select(col("media_id"), col("phash"))
+      .filter(col("phash").isNotNull)
+    orientedBandedPairs(h, h, b, maxHamming, fullCorpus = true)
+  }
+
+  /** The incremental oriented shape ([[phashPairsAgainstHashes]]'s
+    * contract): the new batch's orbit explode × (existing ∪ new) plain
+    * hashes — per-batch unions reproduce the full-corpus oriented pair
+    * set, the stored side never re-decodes OR re-orients. */
+  def phashPairsOrientedAgainstHashes(newHashes: DataFrame,
+      existingHashes: DataFrame, maxHamming: Int = 7,
+      bands: Int = 0): DataFrame = {
+    val b = bandCount(maxHamming, bands)
+    val nh = newHashes.select(col("media_id"), col("phash"))
+      .filter(col("phash").isNotNull)
+    val all = existingHashes.select(col("media_id"), col("phash"))
+      .filter(col("phash").isNotNull).unionByName(nh)
+    orientedBandedPairs(nh, all, b, maxHamming, fullCorpus = false)
+  }
+
   /** Schema of [[decodeMedia]]: recovered intrinsic metadata. */
   val decodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

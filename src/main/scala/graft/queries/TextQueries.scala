@@ -760,6 +760,63 @@ object TextQueries {
         (CAST(111 AS BIGINT), CAST(112 AS BIGINT), CAST(2 AS BIGINT))
       ) AS t(id_a, id_b, n_shared)""")),
 
+    // ---- Rotation/mirror-robust image near-dup (dihedral orbit) ------------
+    // The rotated/mirrored re-upload moves every grid cell, so BOTH
+    // plain kernels miss it outright (the rot-90 copy is 30 aHash bits
+    // from its original — MultimodalSpec pins the miss). The oriented
+    // join explodes ONE side's already-computed hashes to their 8
+    // dihedral bit-permutations (hashOrientations — a pure Long
+    // permutation, no re-decode) and reports min-over-orbit hamming.
+    // Corpus: asymmetric P (141), the same raster rotated 90° (142 —
+    // oriented 0), a mirrored 2-bit-perturbed re-encode (143 — oriented
+    // 2 to both), far Q (144), audio decoy (145). Oracle brute-forces
+    // the oriented distances from construction rasters through the same
+    // pure kernels (the q184 convention).
+    Q("q199_image_oriented_neardup", (s, _) => {
+      graft.operators.Multimodal
+        .phashNearDupsOriented(graft.fixtures.MediaFixture.orientedFrame(s),
+          maxHamming = 7)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+    }, Some {
+      import graft.fixtures.MediaFixture
+      import graft.operators.Multimodal
+      val hs = MediaFixture.orientedRasters.map { case (id, rgb) =>
+        id -> Multimodal.aHash64(rgb, 32, 32) }
+      val pairs = for {
+        (a, ha) <- hs
+        (b, hb) <- hs
+        if a < b
+        d = Multimodal.hashOrientations(ha)
+          .map(o => java.lang.Long.bitCount(o ^ hb)).min
+        if d <= 7
+      } yield s"(CAST($a AS BIGINT), CAST($b AS BIGINT), CAST($d AS INT))"
+      s"""
+      SELECT * FROM (VALUES
+        ${pairs.mkString(",\n        ")}
+      ) AS t(id_a, id_b, hamming)"""
+    }),
+
+    // ---- Audio near-dup is resample-invariant (literal oracle) -------------
+    // A copy re-encoded at a different sample rate keeps its duration
+    // and waveform but not its sample count; the energy-delta
+    // fingerprint windows are FRACTIONS of the sample count, so a
+    // nearest-neighbor 2× upsample doubles every window energy and the
+    // fingerprint is EXACTLY the original's — invariance the kernel has
+    // by construction, pinned here with hand-derived literal rows:
+    // 151 ^ 152 = 0x30 → hamming 2; 153 is ~62 bits from both; 154 is
+    // an image (NULL, pairless).
+    Q("q200_audio_neardup_resample", (s, _) => {
+      graft.operators.Multimodal
+        .audioNearDups(graft.fixtures.MediaFixture.audioResampleFrame(s),
+          maxHamming = 7)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("int").as("hamming"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(151 AS BIGINT), CAST(152 AS BIGINT), CAST(2 AS INT))
+      ) AS t(id_a, id_b, hamming)""")),
+
     // ---- STREAMING perceptual ingest, oracle-gated --------------------------
     // The battery's first streaming entry: MediaIngest.phashIngest runs
     // the q189 literal corpus as TWO AvailableNow file-drops against one

@@ -534,10 +534,12 @@ private[sql] object GraftProcedures {
     * INCREMENTAL shape (only the input decodes — q187's contract), and
     * `hashes_out => <path>` to also persist the input's fingerprints
     * for appending to that store (the decode runs ONCE: pairs join from
-    * the written table), and `kernel => 'dct'` for the tone-edit-robust
+    * the written table), `kernel => 'dct'` for the tone-edit-robust
     * DCT hash ([[graft.operators.Multimodal.pHashDct64]] — q195's
-    * kernel; a store and its batches must use ONE kernel). Output rows:
-    * (id_a, id_b, hamming). */
+    * kernel; a store and its batches must use ONE kernel), and
+    * `oriented => true` for rotation/mirror-robust pairing
+    * (min-over-dihedral-orbit hamming — q199's shape; aHash kernel
+    * only). Output rows: (id_a, id_b, hamming). */
   def phashNearDupsProc(resolve: String => String): UnboundProcedure =
     new Proc("phash_neardups", Array(
       ProcedureParameter.in("input", StringType).build(),
@@ -551,6 +553,10 @@ private[sql] object GraftProcedures {
         .build(),
       ProcedureParameter.in("kernel", StringType).defaultValue("'ahash'")
         .comment("perceptual-hash kernel: ahash (default) | dct")
+        .build(),
+      ProcedureParameter.in("oriented", BooleanType).defaultValue("false")
+        .comment("rotation/mirror-robust: min-over-dihedral-orbit " +
+          "hamming (ahash kernel only)")
         .build())) {
       override def call(input: InternalRow): JIterator[Scan] = {
         val spark = SparkSession.active
@@ -560,16 +566,27 @@ private[sql] object GraftProcedures {
           throw new IllegalArgumentException("output must not be NULL")))
         val maxHamming = input.getInt(2)
         val kernel = str(input, 5).getOrElse("ahash")
+        val oriented = !input.isNullAt(6) && input.getBoolean(6)
+        if (oriented && kernel != "ahash")
+          throw new IllegalArgumentException(
+            "oriented pairing permutes aHash grid cells; kernel must be " +
+              s"'ahash', got '$kernel'")
         import org.apache.spark.sql.functions.col
         val hashed = graft.operators.Multimodal
           .perceptualHash(readAny(spark, in), kernel)
           .filter(col("phash").isNotNull)
         val pairs = nearDupPairs(spark, resolve, hashed,
           str(input, 4), str(input, 3),
-          b => graft.operators.Multimodal
-            .phashNearDupsFromHashes(b, maxHamming),
-          (b, ex) => graft.operators.Multimodal
-            .phashPairsAgainstHashes(b, ex, maxHamming))
+          b =>
+            if (oriented) graft.operators.Multimodal
+              .phashNearDupsOrientedFromHashes(b, maxHamming)
+            else graft.operators.Multimodal
+              .phashNearDupsFromHashes(b, maxHamming),
+          (b, ex) =>
+            if (oriented) graft.operators.Multimodal
+              .phashPairsOrientedAgainstHashes(b, ex, maxHamming)
+            else graft.operators.Multimodal
+              .phashPairsAgainstHashes(b, ex, maxHamming))
         opResult(out, writeOut(pairs, out))
       }
     }

@@ -1869,11 +1869,25 @@ object ExplainDump {
         graft.operators.Multimodal.phashNearDupsFromHashes(
           spark.read.parquet(s"$q188Dir/hashes"), maxHamming = 7))
 
+      section("q199_image_oriented_neardup (dihedral-orbit join: rotations as bit permutations)",
+        """Wants: ONE MapPartitions decode pass (the same perceptualHash
+          |scan every image gate shares), then a second n-row
+          |MapPartitions over the HASH table exploding each hash to its
+          |<=8 dihedral orbit variants — pure Long bit permutations, no
+          |payload ever touched again — banded like §q184 on the
+          |oriented side vs the plain side, with min-over-matched-
+          |orientations bit_count in a HashAggregate and the threshold
+          |filter on top. No CartesianProduct / BroadcastNestedLoopJoin;
+          |the only cost over §q184 is <=8x rows on ONE side of the
+          |equi-join, and payload bytes never shuffle.""".stripMargin,
+        graft.operators.Multimodal.phashNearDupsOriented(
+          graft.fixtures.MediaFixture.orientedFrame(spark), maxHamming = 7))
+
       // the plan-twin note is EMITTED (not a source comment) so the
       // published document itself carries the per-gate plan mapping
       sb.append(
         """
-          |## Perceptual-family plan twins (q189–q198)
+          |## Perceptual-family plan twins (q189–q200)
           |
           |The literal-oracle, CALL-verb, incremental, kernel-option, and
           |streaming perceptual gates run the SAME physical plans as the
@@ -1885,8 +1899,10 @@ object ExplainDump {
           |  the one MapPartitions decode) ≡ §q184's plan;
           |- q190 (literal-oracle audio), q191 (CALL graft.audio_neardups,
           |  §q188's store-centric contract on `ahash`), q194 (incremental
-          |  audio), and q196 (silence-trimmed kernel — trim happens
-          |  inside the same MapPartitions PCM parse) ≡ §q186's plan;
+          |  audio), q196 (silence-trimmed kernel — trim happens inside
+          |  the same MapPartitions PCM parse), and q200 (resample
+          |  invariance — a fixture property of the same kernel, not a
+          |  plan change) ≡ §q186's plan;
           |- q192 (CALL graft.video_neardups) and q198 (per-frame DCT
           |  kernel — same banded frame join, different hash function
           |  inside the one MapPartitions frame decode) ≡ §q185's plan;

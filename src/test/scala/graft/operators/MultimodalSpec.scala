@@ -757,6 +757,97 @@ class MultimodalSpec extends SparkSpec {
       Set((111L, 112L)))
   }
 
+  test("dihedral orbit: rotations/mirrors are exact hash permutations; oriented join finds the rotated copy") {
+    import graft.fixtures.MediaFixture
+    // property: for an asymmetric textured raster, the hash of EVERY
+    // raster-level transform lands in hashOrientations' orbit, and the
+    // orbit is transform-invariant (equal sets) — the exactness the
+    // one-sided explode relies on
+    val base = MediaFixture.texturedDitherRaster(42L, 32, 32, 100)
+    def mirror(a: Array[Int], n: Int): Array[Int] = {
+      val o = new Array[Int](n * n)
+      for (y <- 0 until n; x <- 0 until n) o(y * n + (n - 1 - x)) = a(y * n + x)
+      o
+    }
+    val h = Multimodal.aHash64(base, 32, 32)
+    val orbit = Multimodal.hashOrientations(h).toSet
+    val r1 = MediaFixture.rotate90(base, 32)
+    val r2 = MediaFixture.rotate90(r1, 32)
+    val r3 = MediaFixture.rotate90(r2, 32)
+    Seq(base, r1, r2, r3, mirror(base, 32), mirror(r1, 32),
+      mirror(r2, 32), mirror(r3, 32)).foreach { t =>
+      val ht = Multimodal.aHash64(t, 32, 32)
+      assert(orbit.contains(ht), "transform hash must be in the orbit")
+      assert(Multimodal.hashOrientations(ht).toSet === orbit)
+    }
+    // the honest miss: the rot-90 copy is 30 PLAIN aHash bits away —
+    // both plain kernels drop the rotated re-upload entirely
+    val frame = MediaFixture.orientedFrame(spark)
+    val hs = Multimodal.perceptualHash(frame).filter($"phash".isNotNull)
+      .as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(hs(141L) ^ hs(142L)) === 30)
+    assert(Multimodal.phashNearDups(frame, maxHamming = 7).count() === 0L)
+    // oriented: exactly the three hand-derived pairs at min-over-orbit
+    // hammings 0 / 2 / 2
+    val got = Multimodal.phashNearDupsOriented(frame, maxHamming = 7)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got === Set((141L, 142L, 0L), (141L, 143L, 2L), (142L, 143L, 2L)))
+    // incremental contract: per-batch unions == the full-corpus set,
+    // the stored side never re-orients
+    val b1 = frame.filter($"media_id".isin(141L, 144L))
+    val b2 = frame.filter($"media_id".isin(142L, 143L, 145L))
+    val stored = Multimodal.perceptualHash(b1).filter($"phash".isNotNull)
+    val h2 = Multimodal.perceptualHash(b2).filter($"phash".isNotNull)
+    val union = Multimodal.phashNearDupsOriented(b1, maxHamming = 7)
+      .unionByName(Multimodal.phashPairsOrientedAgainstHashes(h2, stored,
+        maxHamming = 7))
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(union === got)
+    // the SQL verb routes oriented => true into the same answer and
+    // rejects the meaningless dct composition
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-oriented").toString
+    frame.write.parquet(s"$root/media")
+    spark.sql(s"CALL graft.phash_neardups(input => '$root/media', " +
+      s"oriented => true, output => '$root/pairs')")
+    assert(spark.read.parquet(s"$root/pairs")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet ===
+      got.map(p => (p._1, p._2)))
+    val err = intercept[Exception] {
+      spark.sql(s"CALL graft.phash_neardups(input => '$root/media', " +
+        s"oriented => true, kernel => 'dct', output => '$root/p2')")
+    }
+    assert(err.getMessage.contains("ahash"))
+  }
+
+  test("audio fingerprint is exactly invariant to nearest-neighbor resampling") {
+    import graft.fixtures.MediaFixture
+    val b = 0xA5A5A5A5A5A5A595L
+    def samplesOf(bytes: Array[Byte]): (Int => Int, Int) = {
+      val m = Multimodal.Wav.parse(bytes).get
+      ((i: Int) => {
+        val o = m.dataOff + 2 * i
+        ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+      }, m.dataLen / 2)
+    }
+    // the kernel-level exactness: 2x the samples, same fingerprint —
+    // windows are sample-count fractions, every energy doubles
+    val (up, nUp) = samplesOf(MediaFixture.wavStaircaseUpsampled2x(b))
+    assert(nUp === 3200)
+    assert(Multimodal.audioFingerprint64(up, nUp) === b)
+    // and the duration metadata stays honest (same 200 ms at 16 kHz)
+    val meta = Multimodal.Wav.parse(MediaFixture.wavStaircaseUpsampled2x(b)).get
+    assert(meta.sampleRate === 16000 && meta.durationMs === 200L)
+    // end to end through the banded join: only the hand-derived pair
+    val got = Multimodal
+      .audioNearDups(MediaFixture.audioResampleFrame(spark), maxHamming = 7)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got === Set((151L, 152L, 2L)))
+  }
+
   test("silence-trimmed audio fingerprint survives the padding edit the raw kernel misses") {
     import graft.fixtures.MediaFixture
     val a = 0xA5A5A5A5A5A5A5A5L
