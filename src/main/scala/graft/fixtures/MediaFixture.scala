@@ -517,6 +517,46 @@ object MediaFixture {
       Multimodal.metadataSchema)
   }
 
+  /** Rotated-clip corpus (q201): video 121 carries two asymmetric
+    * pattern frames (P = [[orientedP]], Q = [[orientedQ]] — self-orbit
+    * ≥20 bits, orbit-distance 24 apart, so frames never cross-pair);
+    * 122 is the SAME two frames each rotated 90° and re-encoded (the
+    * portrait/landscape re-upload — every grid cell moves, so the
+    * plain frame join finds nothing while the oriented join matches
+    * both frames at orbit hamming ~0 through JPEG loss); 123 carries
+    * two fresh asymmetric patterns ≥18 orbit-bits from everything;
+    * 124 is undecodable. Expected oriented output is literal:
+    * exactly (121, 122, 2). */
+  def videoOrientedFrame(spark: SparkSession): DataFrame = {
+    def jpeg(rgb: Array[Int]) = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 32) {
+        var x = 0
+        while (x < 32) { img.setRGB(x, y, rgb(y * 32 + x)); x += 1 }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    val p = patternRaster(orientedP)
+    val q = patternRaster(orientedQ)
+    val rows = Seq(
+      Row(121L, "video", "video/mp4", null, null, null,
+        mjpegMp4(Seq(jpeg(p), jpeg(q)), 30, 3)),
+      Row(122L, "video", "video/mp4", null, null, null,
+        mjpegMp4(Seq(jpeg(rotate90(p, 32)), jpeg(rotate90(q, 32))), 30, 3)),
+      Row(123L, "video", "video/mp4", null, null, null,
+        mjpegMp4(Seq(jpeg(patternRaster(0x0EFEB38E6132B439L)),
+          jpeg(patternRaster(0xF4A610C9A2C009C3L))), 30, 3)),
+      Row(124L, "video", "video/mp4", null, null, null,
+        Array.tabulate[Byte](512)(i => (i * 31).toByte)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      Multimodal.metadataSchema)
+  }
+
   /** [[wavStaircase]] nearest-neighbor-upsampled to 16 kHz: every
     * sample written TWICE at double the declared rate — same duration,
     * same waveform, twice the samples. The energy-delta fingerprint is

@@ -1214,6 +1214,105 @@ object Multimodal {
       .filter(col("n_shared") >= minSharedFrames)
   }
 
+  private val orientedFrameHashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("ofhash", LongType, nullable = false)))
+
+  /** (media_id, frame_no, fhash) → one row per distinct orbit element
+    * of each frame hash — [[orientedHashes]] at frame granularity. */
+  private def orientedFrameHashes(frameHashes: DataFrame): DataFrame = {
+    val outEnc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(orientedFrameHashSchema)
+    frameHashes.select(col("media_id"), col("frame_no"), col("fhash"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0); val f = r.getInt(1)
+          hashOrientations(r.getLong(2)).distinct
+            .map(o => Row(id, Integer.valueOf(f), java.lang.Long.valueOf(o)))
+        }
+      }(outEnc)
+  }
+
+  /** ROTATION/MIRROR-robust video near-dup: [[videoNearDups]] with each
+    * FRAME pair matched at min-over-dihedral-orbit hamming — the
+    * portrait/landscape-rotated clip re-upload, whose every frame moves
+    * every grid cell past the plain join (q201 pins the miss). Orbit
+    * explode on one side of the frame-hash table only (≤8× rows, no
+    * re-decode — [[hashOrientations]]' argument); videos still pair on
+    * >= `minSharedFrames` DISTINCT matched frame pairs. aHash frames
+    * only. */
+  def videoNearDupsOriented(media: DataFrame, everyNth: Int = 4,
+      maxHamming: Int = 7, minSharedFrames: Int = 2, bands: Int = 0,
+      scope: CacheScope = CacheScope.unmanaged): DataFrame = {
+    val h = scope.persist(
+      cleanFrameHashes(videoFrameHashes(media, everyNth)))
+    orientedFramePairs(h, h, maxHamming, minSharedFrames, bands,
+      fullCorpus = true)
+  }
+
+  /** [[videoNearDupsOriented]] over an already-computed (media_id,
+    * frame_no, fhash) table — the store-centric entry. */
+  def videoNearDupsOrientedFromHashes(frameHashes: DataFrame,
+      maxHamming: Int = 7, minSharedFrames: Int = 2,
+      bands: Int = 0): DataFrame = {
+    val h = cleanFrameHashes(frameHashes)
+    orientedFramePairs(h, h, maxHamming, minSharedFrames, bands,
+      fullCorpus = true)
+  }
+
+  /** The incremental oriented video shape: the new batch's frame-hash
+    * orbit explode × (existing ∪ new) plain frame hashes — per-batch
+    * unions reproduce the full-corpus oriented pair set; the store
+    * never re-decodes or re-orients. */
+  def videoPairsOrientedAgainstHashes(newFrameHashes: DataFrame,
+      existingFrameHashes: DataFrame, maxHamming: Int = 7,
+      minSharedFrames: Int = 2, bands: Int = 0): DataFrame = {
+    val nh = cleanFrameHashes(newFrameHashes)
+    val all = cleanFrameHashes(existingFrameHashes).unionByName(nh)
+    orientedFramePairs(nh, all, maxHamming, minSharedFrames, bands,
+      fullCorpus = false)
+  }
+
+  /** [[orientedBandedPairs]] at FRAME granularity: banded equi-join of
+    * the oriented explode vs plain frame hashes, per-FRAME-PAIR
+    * min-over-matched-orientations hamming (exact by the same
+    * closure + pigeonhole argument), threshold filter, then the
+    * [[bandedFramePairs]] distinct-matched-frame-pair count per video
+    * pair. Frame numbers canonicalize by video-id order, so both join
+    * orientations of the incremental shape count a matched frame pair
+    * once. */
+  private def orientedFramePairs(newSide: DataFrame, allSide: DataFrame,
+      maxHamming: Int, minSharedFrames: Int, bands: Int,
+      fullCorpus: Boolean): DataFrame = {
+    val b = bandCount(maxHamming, bands)
+    require(minSharedFrames >= 1,
+      s"minSharedFrames ($minSharedFrames) must be >= 1")
+    val left = bandExplode(orientedFrameHashes(newSide), "ofhash", b,
+      Seq("media_id", "frame_no")).alias("a")
+    val right = bandExplode(allSide, "fhash", b,
+      Seq("media_id", "frame_no")).alias("c")
+    val idCond =
+      if (fullCorpus) col("a.media_id") < col("c.media_id")
+      else col("a.media_id") =!= col("c.media_id")
+    val aFirst = col("a.media_id") < col("c.media_id")
+    left.join(right,
+        col("a.band_no") === col("c.band_no") &&
+          col("a.bits") === col("c.bits") && idCond)
+      .groupBy(least(col("a.media_id"), col("c.media_id")).as("id_a"),
+        greatest(col("a.media_id"), col("c.media_id")).as("id_b"),
+        when(aFirst, col("a.frame_no")).otherwise(col("c.frame_no"))
+          .as("fa"),
+        when(aFirst, col("c.frame_no")).otherwise(col("a.frame_no"))
+          .as("fb"))
+      .agg(min(bit_count(col("a.ofhash").bitwiseXOR(col("c.fhash"))))
+        .as("fham"))
+      .filter(col("fham") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minSharedFrames)
+  }
+
   private val audioFrameSchema = StructType(Seq(
     StructField("media_id", LongType),
     StructField("frame_no", IntegerType),

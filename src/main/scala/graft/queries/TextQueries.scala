@@ -797,6 +797,27 @@ object TextQueries {
       ) AS t(id_a, id_b, hamming)"""
     }),
 
+    // ---- Rotation-robust video near-dup (dihedral orbit on frames) ---------
+    // The portrait/landscape-rotated clip re-upload: video 122 is 121's
+    // two frames each rotated 90° and re-encoded — every grid cell
+    // moves, so the plain frame join finds nothing (MultimodalSpec pins
+    // the miss), while the oriented frame join (the q199 orbit explode
+    // at frame granularity, min-over-orbit hamming per FRAME pair, then
+    // the distinct-matched-frames count) recovers exactly the
+    // hand-derived literal (121, 122, 2). Frames are asymmetric
+    // patterns ≥20 self-orbit bits apart, so nothing self-pairs.
+    Q("q201_video_oriented_neardup", (s, _) => {
+      graft.operators.Multimodal
+        .videoNearDupsOriented(
+          graft.fixtures.MediaFixture.videoOrientedFrame(s),
+          everyNth = 1, maxHamming = 7, minSharedFrames = 2)
+        .select(col("id_a"), col("id_b"),
+          col("n_shared").cast("long").as("n_shared"))
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(121 AS BIGINT), CAST(122 AS BIGINT), CAST(2 AS BIGINT))
+      ) AS t(id_a, id_b, n_shared)""")),
+
     // ---- Audio near-dup is resample-invariant (literal oracle) -------------
     // A copy re-encoded at a different sample rate keeps its duration
     // and waveform but not its sample count; the energy-delta

@@ -671,9 +671,11 @@ private[sql] object GraftProcedures {
     * the banded join, videos pair on >= min_shared_frames matched
     * frames (q185's shape). `hashes_out` persists the (media_id,
     * frame_no, fhash) store; `existing => '<stored frame-hash table>'`
-    * is the incremental shape (only the input decodes), and
+    * is the incremental shape (only the input decodes),
     * `kernel => 'dct'` hashes each frame with the tone-edit-robust DCT
-    * kernel (q198's case; one kernel per store). Output rows:
+    * kernel (q198's case; one kernel per store), and `oriented => true`
+    * matches frame pairs at min-over-dihedral-orbit hamming (the
+    * rotated-clip case, q201; ahash frames only). Output rows:
     * (id_a, id_b, n_shared). */
   def videoNearDupsProc(resolve: String => String): UnboundProcedure =
     new Proc("video_neardups", Array(
@@ -692,6 +694,10 @@ private[sql] object GraftProcedures {
         .build(),
       ProcedureParameter.in("kernel", StringType).defaultValue("'ahash'")
         .comment("per-frame perceptual-hash kernel: ahash (default) | dct")
+        .build(),
+      ProcedureParameter.in("oriented", BooleanType).defaultValue("false")
+        .comment("rotation/mirror-robust frame matching via the dihedral " +
+          "orbit (ahash kernel only)")
         .build())) {
       override def call(input: InternalRow): JIterator[Scan] = {
         val spark = SparkSession.active
@@ -703,14 +709,25 @@ private[sql] object GraftProcedures {
         val maxHamming = input.getInt(3)
         val minShared = input.getInt(4)
         val kernel = str(input, 7).getOrElse("ahash")
+        val oriented = !input.isNullAt(8) && input.getBoolean(8)
+        if (oriented && kernel != "ahash")
+          throw new IllegalArgumentException(
+            "oriented pairing permutes aHash grid cells; kernel must be " +
+              s"'ahash', got '$kernel'")
         val hashed = graft.operators.Multimodal
           .videoFrameHashes(readAny(spark, in), everyNth, kernel)
         val pairs = nearDupPairs(spark, resolve, hashed,
           str(input, 6), str(input, 5),
-          b => graft.operators.Multimodal
-            .videoNearDupsFromHashes(b, maxHamming, minShared),
-          (b, ex) => graft.operators.Multimodal
-            .videoPairsAgainstHashes(b, ex, maxHamming, minShared))
+          b =>
+            if (oriented) graft.operators.Multimodal
+              .videoNearDupsOrientedFromHashes(b, maxHamming, minShared)
+            else graft.operators.Multimodal
+              .videoNearDupsFromHashes(b, maxHamming, minShared),
+          (b, ex) =>
+            if (oriented) graft.operators.Multimodal
+              .videoPairsOrientedAgainstHashes(b, ex, maxHamming, minShared)
+            else graft.operators.Multimodal
+              .videoPairsAgainstHashes(b, ex, maxHamming, minShared))
         opResult(out, writeOut(pairs, out))
       }
     }

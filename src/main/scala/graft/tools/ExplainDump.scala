@@ -1887,7 +1887,7 @@ object ExplainDump {
       // published document itself carries the per-gate plan mapping
       sb.append(
         """
-          |## Perceptual-family plan twins (q189–q200)
+          |## Perceptual-family plan twins (q189–q201)
           |
           |The literal-oracle, CALL-verb, incremental, kernel-option, and
           |streaming perceptual gates run the SAME physical plans as the
@@ -1907,6 +1907,9 @@ object ExplainDump {
           |  kernel — same banded frame join, different hash function
           |  inside the one MapPartitions frame decode) ≡ §q185's plan;
           |- q193 (incremental video) ≡ §q187's plan at frame granularity;
+          |- q201 (rotated-clip oriented video) ≡ §q199's orbit-explode
+          |  join at frame granularity with §q185's distinct-matched-
+          |  frames aggregation on top;
           |- q197 (streaming ingest) runs §q187's incremental join per
           |  micro-batch inside MediaIngest's foreachBatch, plus the two
           |  keyed MERGE-ON-READ upserts whose plan shape §q175/§q181

@@ -822,6 +822,58 @@ class MultimodalSpec extends SparkSpec {
     assert(err.getMessage.contains("ahash"))
   }
 
+  test("oriented video join finds the rotated clip the plain frame join misses") {
+    import graft.fixtures.MediaFixture
+    val frame = MediaFixture.videoOrientedFrame(spark)
+    // the honest miss: every frame of the rotated clip is far from its
+    // original under PLAIN frame hamming, so no video pair exists
+    val hs = Multimodal.videoFrameHashes(frame, everyNth = 1)
+      .as[(Long, Int, Long)].collect()
+      .map { case (id, f, h) => (id, f) -> h }.toMap
+    Seq(0, 1).foreach { f =>
+      val d = java.lang.Long.bitCount(hs((121L, f)) ^ hs((122L, f)))
+      assert(d > 7, s"frame $f plain distance $d should be a miss")
+    }
+    assert(Multimodal.videoNearDups(frame, everyNth = 1, maxHamming = 7,
+      minSharedFrames = 2).count() === 0L)
+    // oriented: both frame pairs match at orbit hamming ~0 (JPEG noise
+    // only) and the videos pair on exactly the two shared frames
+    val got = Multimodal.videoNearDupsOriented(frame, everyNth = 1,
+      maxHamming = 7, minSharedFrames = 2)
+      .select($"id_a", $"id_b", $"n_shared").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got === Set((121L, 122L, 2L)))
+    // incremental contract: batch 2 (the rotated clip + the decoy)
+    // pairs against batch 1's stored frame hashes; unions == full set
+    val b1 = frame.filter($"media_id".isin(121L, 123L))
+    val b2 = frame.filter($"media_id".isin(122L, 124L))
+    val stored = Multimodal.videoFrameHashes(b1, everyNth = 1)
+    val union = Multimodal.videoNearDupsOriented(b1, everyNth = 1,
+        maxHamming = 7, minSharedFrames = 2)
+      .unionByName(Multimodal.videoPairsOrientedAgainstHashes(
+        Multimodal.videoFrameHashes(b2, everyNth = 1), stored,
+        maxHamming = 7, minSharedFrames = 2))
+      .select($"id_a", $"id_b", $"n_shared").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(union === got)
+    // SQL verb route + the meaningless dct composition rejected
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-voriented").toString
+    frame.write.parquet(s"$root/media")
+    spark.sql(s"CALL graft.video_neardups(input => '$root/media', " +
+      "every_nth => 1, min_shared_frames => 2, oriented => true, " +
+      s"output => '$root/pairs')")
+    assert(spark.read.parquet(s"$root/pairs")
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet ===
+      Set((121L, 122L)))
+    val err = intercept[Exception] {
+      spark.sql(s"CALL graft.video_neardups(input => '$root/media', " +
+        "oriented => true, kernel => 'dct', " +
+        s"output => '$root/p2')")
+    }
+    assert(err.getMessage.contains("ahash"))
+  }
+
   test("audio fingerprint is exactly invariant to nearest-neighbor resampling") {
     import graft.fixtures.MediaFixture
     val b = 0xA5A5A5A5A5A5A595L
