@@ -75,20 +75,28 @@ object MediaIngest {
     * spec-composed ad-hoc `CALL graft.optimize`).
     *
     * `kernel` picks the image fingerprint ([[Multimodal.hashKernel]]:
-    * `ahash` default, `dct` for tone-edit robustness); a store and
-    * every batch ingested into it must use ONE kernel — same for
-    * [[audioIngest]]'s `trimNoiseFloor`. */
+    * `ahash` default, `dct` for tone-edit robustness) and
+    * `oriented = true` pairs at min-over-dihedral-orbit hamming (the
+    * rotated re-upload; ahash only — the stored hashes stay PLAIN, the
+    * orbit explode rides each batch, so flipping the flag needs no
+    * store migration); a store and every batch ingested into it must
+    * use ONE kernel — same for [[audioIngest]]'s `trimNoiseFloor`. */
   def phashIngest(media: DataFrame, storePath: String, pairsPath: String,
       checkpoint: String, maxHamming: Int = 7, bands: Int = 0,
       storeParts: Int = 16, availableNow: Boolean = true,
       interval: String = "30 seconds", compactEvery: Int = 0,
       compactMaxFiles: Int = 8,
-      kernel: String = "ahash"): DataStreamWriter[Row] = {
+      kernel: String = "ahash",
+      oriented: Boolean = false): DataStreamWriter[Row] = {
     Multimodal.hashKernel(kernel) // fail fast before the stream starts
+    if (oriented && kernel != "ahash")
+      throw new IllegalArgumentException(
+        "oriented pairing permutes aHash grid cells; kernel must be " +
+          s"'ahash', got '$kernel'")
     writer(media, checkpoint, availableNow, interval, compactEvery,
       compactMaxFiles, Seq(storePath, pairsPath))(b =>
       applyPhashBatch(b, storePath, pairsPath, maxHamming, bands,
-        storeParts, kernel = kernel))
+        storeParts, kernel = kernel, oriented = oriented))
   }
 
   /** Audio ingest: [[Multimodal.audioFingerprints]] per batch, same
@@ -167,13 +175,16 @@ object MediaIngest {
   private[graft] def applyPhashBatch(batch: DataFrame,
       storePath: String, pairsPath: String, maxHamming: Int, bands: Int,
       storeParts: Int, crashPoint: String => Unit = _ => (),
-      kernel: String = "ahash"): Unit = {
+      kernel: String = "ahash", oriented: Boolean = false): Unit = {
     val hashed = Multimodal.perceptualHash(batch, kernel)
       .filter(col("phash").isNotNull)
     mediaLevelBatch(hashed, "phash", storePath, pairsPath, storeParts,
       crashPoint)(
-      (nh, ex) => Multimodal.phashPairsAgainstHashes(nh, ex, maxHamming,
-        bands))
+      (nh, ex) =>
+        if (oriented) Multimodal.phashPairsOrientedAgainstHashes(nh, ex,
+          maxHamming, bands)
+        else Multimodal.phashPairsAgainstHashes(nh, ex, maxHamming,
+          bands))
   }
 
   private[graft] def applyAudioBatch(batch: DataFrame,

@@ -32,7 +32,7 @@ import graft.operators.Multimodal
   * store of n items — the flat-per-day claim, end to end per modality.
   *
   * Usage: runMain graft.tools.PerceptualBench
-  *          <image|audio|video|incr|stream|streamaudio|streamvideo>
+  *          <image|audio|video|incr|oriented|stream|streamaudio|streamvideo>
   *          <n1[,n2,…]> [maxHamming] [bands] [kernel]
   *
   * `kernel` (image mode only): ahash (default) | dct — times the DCT
@@ -133,6 +133,28 @@ object PerceptualBench {
           report(n, hashSec, hashes, "phash",
             Multimodal.phashNearDupsFromHashes(hashes, maxHamming, bands)
               .count())
+          hashes.unpersist()
+        case "oriented" =>
+          // the dihedral-orbit join on the same corpus: the <=8x-rows
+          // claim measured — hash pass identical to image mode, the
+          // oriented join's cost vs the plain join's on equal banding
+          val media = mediaDf(n, i => MediaFixture.patternPng(pat(i)))
+          val (hashes, hashSec) = time {
+            val h = Multimodal.perceptualHash(media)
+              .filter($"phash".isNotNull).cache()
+            h.count(); h
+          }
+          val (plainPairs, plainSec) = time(
+            Multimodal.phashNearDupsFromHashes(hashes, maxHamming, bands)
+              .count())
+          val (orPairs, orSec) = time(
+            Multimodal.phashNearDupsOrientedFromHashes(hashes, maxHamming,
+              bands).count())
+          println(s"""{"mode":"oriented","n":$n,"maxHamming":$maxHamming,""" +
+            s""""bands":$b,"hash_sec":${f"$hashSec%.2f"},""" +
+            s""""plain_join_sec":${f"$plainSec%.2f"},""" +
+            s""""oriented_join_sec":${f"$orSec%.2f"},""" +
+            s""""plain_pairs":$plainPairs,"oriented_pairs":$orPairs}""")
           hashes.unpersist()
         case "audio" =>
           val media = mediaDf(n, i => MediaFixture.wavStaircase(pat(i)))

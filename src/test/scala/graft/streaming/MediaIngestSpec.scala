@@ -226,6 +226,42 @@ class MediaIngestSpec extends SparkSpec {
     assert(CommittedTable.read(spark, store).count() === 6L)
   }
 
+  test("oriented ingest: the rotated re-upload pairs against the PLAIN store batches later") {
+    val root = Files.createTempDirectory("graft-mingest-or").toString
+    val store = s"$root/store"; val pairs = s"$root/pairs"
+    val frame = MediaFixture.orientedFrame(spark)
+      .select($"media_id", $"payload")
+    // batch 1 stores the original (141) and the far image (144) —
+    // plain hashes, no orbit in the store
+    MediaIngest.applyPhashBatch(frame.filter($"media_id".isin(141L, 144L)),
+      store, pairs, 7, 0, 16, oriented = true)
+    assert(pairsOf(pairs) === Set.empty)
+    // batch 2 brings the rot-90 copy (142), the mirrored perturbation
+    // (143), and the audio decoy: the orbit explode rides the BATCH,
+    // so 142 pairs with the stored 141 without any store migration,
+    // and 142/143 pair within the batch
+    MediaIngest.applyPhashBatch(
+      frame.filter($"media_id".isin(142L, 143L, 145L)),
+      store, pairs, 7, 0, 16, oriented = true)
+    assert(pairsOf(pairs) ===
+      Set((141L, 142L), (141L, 143L), (142L, 143L)))
+    // replay converges (the keyed-merge argument is orientation-blind)
+    MediaIngest.applyPhashBatch(
+      frame.filter($"media_id".isin(142L, 143L, 145L)),
+      store, pairs, 7, 0, 16, oriented = true)
+    assert(pairsOf(pairs) ===
+      Set((141L, 142L), (141L, 143L), (142L, 143L)))
+    assert(CommittedTable.read(spark, store).count() === 4L)
+    // the meaningless dct composition is rejected before the stream
+    frame.coalesce(1).write.parquet(s"$root/in")
+    val schema = spark.read.parquet(s"$root/in").schema
+    intercept[IllegalArgumentException] {
+      MediaIngest.phashIngest(
+        spark.readStream.schema(schema).parquet(s"$root/in"),
+        store, pairs, s"$root/cp", kernel = "dct", oriented = true)
+    }
+  }
+
   test("streamed audio ingest: the literal staircase corpus through the audio path") {
     val root = Files.createTempDirectory("graft-aingest").toString
     val store = s"$root/store"; val pairs = s"$root/pairs"
