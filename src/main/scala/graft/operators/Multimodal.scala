@@ -541,7 +541,13 @@ object Multimodal {
     * an aHash bit is "cell mean > global mean", rotating or mirroring a
     * (square) image permutes its 8×8 grid cells and leaves the global
     * mean unchanged, so hash(transform(image)) == permute(hash(image))
-    * exactly. The returned orbit is closed under the group, so two
+    * — EXACT when both sides are multiples of 8 (the proportional 8-cell
+    * partition is then reversal-symmetric); for other sizes the cell
+    * boundaries shift by at most a pixel under reversal (a 100-px side
+    * partitions 12,13,12,… whose reverse is not itself), so a rotated
+    * copy lands a few bits off orbit hamming 0 — absorbed by the
+    * caller's hamming budget, not exact. The returned orbit is closed
+    * under the group, so two
     * images that are rotations/mirrors of each other have EQUAL orbits
     * — which is what makes [[phashNearDupsOriented]]'s one-sided
     * explode complete. aHash only: DCT coefficients pick up sign flips

@@ -865,7 +865,12 @@ object TextQueries {
           .option("maxFilesPerTrigger", "16").parquet(s"$in/*")
         val q = graft.streaming.MediaIngest
           .phashIngest(media, store, pairs, cp, maxHamming = 7).start()
-        q.awaitTermination(120000); q.stop()
+        // a silent stop() after an expired wait would read a PARTIAL pairs
+        // table and fail the battery as a false regression — fail loudly
+        val finished = q.awaitTermination(120000)
+        if (!finished) { q.stop(); throw new IllegalStateException(
+          "q197: AvailableNow ingest did not drain within 120 s") }
+        q.stop()
       }
       runOnce()                 // batch 1: 46 vs 48 — 61 bits apart, no pair
       drop("b2", 47L, 49L)

@@ -2913,97 +2913,25 @@ object CommittedTable {
     * per value — the same metadata-bounded collect class as merge's
     * affected-set). Counts ride every manifest (the O(1) COUNT path);
     * stats only when `statsCols` is set. */
-  private def computeStats(df: DataFrame, partitionCol: String,
-      statsCols: Seq[String], perFile: Boolean = false)
-      : (Map[String, Seq[(Option[String], Option[String])]], Map[String, Long],
-         Map[String, Seq[(Option[String], Option[String])]]) = {
-    import org.apache.spark.sql.types._
-    statsCols.foreach(c => require(df.columns.contains(c),
-      s"stats column $c absent from the batch (${df.columns.mkString(",")})"))
-    def canon(c: String, agg: org.apache.spark.sql.Column)
-        : org.apache.spark.sql.Column = df.schema(c).dataType match {
-      case TimestampType => unix_micros(agg).cast("string")
-      case _ => agg.cast("string")
-    }
-    if (!perFile || statsCols.isEmpty) {
-      val aggs = org.apache.spark.sql.functions.count(lit(1)).as("__cnt") +:
-        statsCols.flatMap(c => Seq(
-        canon(c, min(col(c))).as(s"__mn_$c"), canon(c, max(col(c))).as(s"__mx_$c")))
-      val rows = df.groupBy(col(partitionCol).cast("string").as("__pv"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
-      val stats =
-        if (statsCols.isEmpty) Map.empty[String, Seq[(Option[String], Option[String])]]
-        else rows.map { r =>
-          r.getString(0) -> statsCols.indices.map(i =>
-            (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i)))).toSeq
-        }.toMap
-      return (stats, rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
-        Map.empty)
-    }
-    // per-FILE zone maps in the SAME pass: group one level finer (the
-    // `<segLeaf>/<file>` key a dv entry uses too), then fold the file
-    // extremes back to partition level IN SPARK — both levels run the
-    // identical canonical encoding, so a partition's entry is exactly
-    // the fold of its files'. The intermediate is one row per staged
-    // FILE (metadata-bounded: files per partition × touched partitions).
-    val typedAggs = org.apache.spark.sql.functions.count(lit(1)).as("__cnt") +:
-      statsCols.flatMap(c => Seq(
-        min(col(c)).as(s"__tmn_$c"), max(col(c)).as(s"__tmx_$c")))
-    val perFileDf = df
-      .withColumn("__pv", col(partitionCol).cast("string"))
-      .withColumn("__fk",
-        expr("substring_index(_metadata.file_path, '/', -2)"))
-      .groupBy(col("__pv"), col("__fk"))
-      .agg(typedAggs.head, typedAggs.tail: _*)
-      .persist()
-    try {
-      val fileRows = perFileDf.select(col("__fk") +: statsCols.flatMap(c =>
-        Seq(canon(c, col(s"__tmn_$c")), canon(c, col(s"__tmx_$c")))): _*)
-        .collect()
-      val fileStats = fileRows.map { r =>
-        r.getString(0) -> statsCols.indices.map(i =>
-          (Option(r.getString(1 + 2 * i)), Option(r.getString(2 + 2 * i)))).toSeq
-      }.toMap
-      val partRows = perFileDf.groupBy(col("__pv"))
-        .agg(sum(col("__cnt")).as("__cnt"),
-          statsCols.flatMap(c => Seq(
-            canon(c, min(col(s"__tmn_$c"))).as(s"__mn_$c"),
-            canon(c, max(col(s"__tmx_$c"))).as(s"__mx_$c"))): _*)
-        .collect()
-      val stats = partRows.map { r =>
-        r.getString(0) -> statsCols.indices.map(i =>
-          (Option(r.getString(2 + 2 * i)), Option(r.getString(3 + 2 * i)))).toSeq
-      }.toMap
-      (stats, partRows.map(r => r.getString(0) -> r.getLong(1)).toMap,
-        fileStats)
-    } finally perFileDf.unpersist()
-  }
-
-  /** CHECK enforcement over freshly staged rows: ONE aggregate counting
-    * violations of every declared check (SQL semantics — NULL passes,
-    * FALSE fails), thrown loudly BEFORE the manifest swap so the table
-    * can never hold a rejected row; the orphaned staging is swept by the
-    * next GC like any crashed publish. Cost is one pass over the staged
-    * (new/modified) files only — never the table. */
-  private def validateChecks(fresh: DataFrame,
-      checks: Seq[(String, String)], table: Path): Unit = {
-    if (checks.isEmpty) return
-    import org.apache.spark.sql.functions.{count => fcount, expr => fexpr}
-    val aggs = checks.zipWithIndex.map { case ((_, e), i) =>
-      fcount(when(!coalesce(fexpr(e), lit(true)), 1)).as(s"__c$i") }
-    val row = fresh.agg(aggs.head, aggs.tail: _*).head()
-    val bad = checks.zipWithIndex.collect {
-      case ((n, e), i) if row.getLong(i) > 0 => s"$n ($e): ${row.getLong(i)} row(s)" }
-    if (bad.nonEmpty) throw new IllegalStateException(
-      s"CHECK constraint violation publishing to $table: " +
-        bad.mkString("; ") + " — publish aborted, the table is unchanged " +
-        "(staged segments are orphans, swept by the next GC)")
-  }
-
-  /** [[computeStats]] over segments ALREADY staged on disk: reads back
-    * only the fresh files (which carry the partition column as data)
-    * instead of re-running the caller's merge/compact plan. */
+  /** Publish-time read-back over segments ALREADY staged on disk (which
+    * carry the partition column as data, so no per-segment value
+    * reattachment): counts, per-file zone maps, partition zone maps and
+    * CHECK enforcement all come out of ONE aggregate pass — group by
+    * (partition value, `<segLeaf>/<file>`), per-group count + typed
+    * min/max per stats column + violation count per declared check, the
+    * canonical string encoding applied to the aggregate's output inside
+    * the same job. The collected intermediate is one row per staged FILE
+    * (metadata-bounded: files per partition × touched partitions); the
+    * partition-level fold runs on the driver through [[widenStats]] —
+    * the same canonical-string comparator ([[statCompare]]) zone pruning
+    * and the MoR stat-widening already define, so both levels agree by
+    * construction. Checks keep SQL semantics (NULL passes, FALSE fails)
+    * and throw BEFORE the manifest swap; per-group violation counts sum
+    * to exactly the old whole-batch count. Versus the previous
+    * three-job shape (separate check scan, per-file aggregate + cached
+    * partition fold, then blooms) this charges the staged bytes exactly
+    * one pass — plus [[writeBloomSidecars]]' one extra pass only when
+    * the table blooms (sidecar sizing needs the partition counts first). */
   private def statsFromStaged(spark: SparkSession, table: Path,
       staged: Map[String, String], partitionCol: String,
       statsCols: Seq[String], bloomCols: Seq[String] = Nil,
@@ -3012,13 +2940,71 @@ object CommittedTable {
          Map[String, Seq[(Option[String], Option[String])]]) =
     if (staged.isEmpty) (Map.empty, Map.empty, Map.empty)
     else try {
-      val fresh = spark.read.parquet(
-        staged.values.toSeq.sorted.map(d => new Path(table, d).toString): _*)
-      validateChecks(fresh, checks, table)
-      val res = computeStats(fresh, partitionCol, statsCols, perFile = true)
+      import org.apache.spark.sql.types._
+      val stagedDirs = staged.values.toSeq.sorted
+        .map(d => new Path(table, d).toString)
+      // all staged segments come from ONE write job: the first dir's
+      // footer types the whole read-back, skipping the per-publish
+      // schema-inference footer sweep
+      val fresh = spark.read
+        .schema(dirSchema(spark, new Path(stagedDirs.head)))
+        .parquet(stagedDirs: _*)
+      statsCols.foreach(c => require(fresh.columns.contains(c),
+        s"stats column $c absent from the batch (${fresh.columns.mkString(",")})"))
+      def canon(c: String, agg: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column = fresh.schema(c).dataType match {
+        case TimestampType => unix_micros(agg).cast("string")
+        case _ => agg.cast("string")
+      }
+      // per-file grouping only when zone maps are wanted: a stats-less
+      // table needs no _metadata column and no file-level rows
+      val perFile = statsCols.nonEmpty
+      val keys =
+        if (perFile) Seq(col(partitionCol).cast("string").as("__pv"),
+          expr("substring_index(_metadata.file_path, '/', -2)").as("__fk"))
+        else Seq(col(partitionCol).cast("string").as("__pv"))
+      val aggs = org.apache.spark.sql.functions.count(lit(1)).as("__cnt") +:
+        (statsCols.flatMap(c => Seq(
+          canon(c, min(col(c))).as(s"__mn_$c"),
+          canon(c, max(col(c))).as(s"__mx_$c"))) ++
+         checks.zipWithIndex.map { case ((_, e), i) =>
+           org.apache.spark.sql.functions.count(
+             when(!coalesce(expr(e), lit(true)), 1)).as(s"__ck$i") })
+      val rows = fresh.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*).collect()
+      val statBase = (if (perFile) 2 else 1) + 1 // keys, then __cnt
+      val checkBase = statBase + 2 * statsCols.size
+      if (checks.nonEmpty) {
+        val bad = checks.zipWithIndex.flatMap { case ((n, e), i) =>
+          val viol = rows.iterator.map(_.getLong(checkBase + i)).sum
+          if (viol > 0) Some(s"$n ($e): $viol row(s)") else None }
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"CHECK constraint violation publishing to $table: " +
+            bad.mkString("; ") + " — publish aborted, the table is unchanged " +
+            "(staged segments are orphans, swept by the next GC)")
+      }
+      val counts = rows.groupBy(_.getString(0)).view
+        .mapValues(_.iterator.map(_.getLong(statBase - 1)).sum).toMap
+      val (stats, fileStats) =
+        if (!perFile)
+          (Map.empty[String, Seq[(Option[String], Option[String])]],
+           Map.empty[String, Seq[(Option[String], Option[String])]])
+        else {
+          def bounds(r: org.apache.spark.sql.Row)
+              : Seq[(Option[String], Option[String])] =
+            statsCols.indices.map(i =>
+              (Option(r.getString(statBase + 2 * i)),
+               Option(r.getString(statBase + 2 * i + 1)))).toSeq
+          val fileStats = rows.map(r => r.getString(1) -> bounds(r)).toMap
+          val stats = rows.groupBy(_.getString(0)).flatMap { case (pv, rs) =>
+            rs.iterator.map(r => Option(bounds(r)))
+              .reduce((a, b) => widenStats(a, b, fresh.schema, statsCols))
+              .map(pv -> _)
+          }
+          (stats, fileStats)
+        }
       writeBloomSidecars(spark, table, staged, partitionCol, bloomCols,
-        res._2, fresh)
-      res
+        counts, fresh)
+      (stats, counts, fileStats)
     }
     catch {
       case e: Exception =>
@@ -3581,6 +3567,10 @@ object CommittedTable {
   private val DvFileCol = "__gdv_file"
   private val DvPosCol = "__gdv_pos"
 
+  /** The deletion-vector file schema — fixed by [[stageDvDir]]. */
+  private val DvSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "file STRING, pos BIGINT")
+
   private def dvDirPath(table: Path, dir: String): Path =
     if (dir.contains("/")) new Path(dir) else new Path(table, dir)
 
@@ -3603,7 +3593,9 @@ object CommittedTable {
     val filtered =
       if (live.isEmpty) withMeta
       else {
-        val dv = spark.read.parquet(live.map(_.dir).distinct
+        // dv files carry exactly (file, pos) — typed statically, no
+        // per-read schema-inference footer sweep
+        val dv = spark.read.schema(DvSchema).parquet(live.map(_.dir).distinct
             .map(d => dvDirPath(table, d).toString): _*)
           .select(col("file").as("__gdv_f2"), col("pos").as("__gdv_p2"))
         withMeta.join(dv,
@@ -3649,9 +3641,32 @@ object CommittedTable {
     schemaFromProbe(spark, table, m, m.segments.values.maxBy(genOf))
   }
 
+  /** Physical schema of an immutable segment/staging dir from ONE
+    * parquet footer read driver-side (every file of a dir is written by
+    * one job, so all footers agree): replaces the
+    * `spark.read.parquet(dir).schema` probe, whose DataSource
+    * resolution + footer-merge pass over every file was the
+    * second-hottest driver frame in the multi-publish gates (one probe
+    * per read × one read per DML generation). Falls back to the full
+    * inference on any footer surprise — never a different answer, only
+    * fewer footers read. */
+  private def dirSchema(spark: SparkSession, dir: Path)
+      : org.apache.spark.sql.types.StructType = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFile = fs.listStatus(dir).iterator.collectFirst {
+      case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") => st.getPath
+    }
+    dataFile.flatMap { f =>
+      scala.util.Try(
+        org.apache.spark.sql.graft.bridge.parquetFooterSchema(spark, f))
+        .toOption
+    }.getOrElse(spark.read.parquet(dir.toString).schema)
+  }
+
   private def schemaFromProbe(spark: SparkSession, table: Path, m: Manifest,
       newestDir: String): org.apache.spark.sql.types.StructType = {
-    val probed = spark.read.parquet(new Path(table, newestDir).toString).schema
+    val probed = dirSchema(spark, new Path(table, newestDir))
     val declared = m.virtualCols.toMap
     org.apache.spark.sql.types.StructType(
       m.cols.map(c => probed.find(_.name == c).orElse(
@@ -4411,7 +4426,8 @@ object CommittedTable {
     val allEntries = priors.values.map(_.dir).toSeq.distinct match {
       case Nil => newEntries
       case dirs =>
-        spark.read.parquet(dirs.map(d => dvDirPath(table, d).toString): _*)
+        spark.read.schema(DvSchema)
+          .parquet(dirs.map(d => dvDirPath(table, d).toString): _*)
           .filter(expr("substring_index(file, '/', 1)")
             .isin(affectedLeafs: _*))
           .select(col("file"), col("pos"))

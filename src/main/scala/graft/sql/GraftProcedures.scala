@@ -649,7 +649,9 @@ private[sql] object GraftProcedures {
         val out = resolve(str(input, 1).getOrElse(
           throw new IllegalArgumentException("output must not be NULL")))
         val maxHamming = input.getInt(2)
-        val trimFloor = input.getInt(5)
+        // an explicit trim_floor => NULL must fall back to the raw default
+        // (-1), not decode as floor-0 trimming (getInt on NULL reads 0)
+        val trimFloor = if (input.isNullAt(5)) -1 else input.getInt(5)
         import org.apache.spark.sql.functions.col
         val hashed = graft.operators.Multimodal
           .audioFingerprints(readAny(spark, in), trimFloor)

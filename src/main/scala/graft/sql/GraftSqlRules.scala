@@ -604,7 +604,12 @@ final case class GraftAnalysis(spark: SparkSession) extends Rule[LogicalPlan] {
           .withColumn("__gdv_file",
             fexpr("substring_index(_metadata.file_path, '/', -2)"))
           .withColumn("__gdv_pos", fcol("_metadata.row_index"))
-        val dv = spark.read.parquet(index.liveDvPaths: _*)
+        // dv files carry exactly (file, pos) — typed statically, no
+        // schema-inference footer sweep per SQL read of a dv'd table
+        val dv = spark.read
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "file STRING, pos BIGINT"))
+          .parquet(index.liveDvPaths: _*)
           .select(fcol("file").as("__gdv_f2"), fcol("pos").as("__gdv_p2"))
         inner.join(dv,
             inner("__gdv_file") === dv("__gdv_f2") &&

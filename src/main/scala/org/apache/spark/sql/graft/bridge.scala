@@ -34,6 +34,40 @@ object bridge {
       cdf.queryExecution.toRdd, cdf.schema, isStreaming = false)
   }
 
+  /** Schema of ONE parquet file from its footer, read driver-side —
+    * what `spark.read.parquet(dir).schema` computes by listing the dir,
+    * resolving the DataSource and running a footer-merge pass over
+    * every file (ParquetFileFormat.mergeSchemasInParallel — measured as
+    * the second-hottest driver frame in a multi-publish lakehouse gate).
+    * For segment dirs written by ONE Spark job all footers agree, so
+    * one footer IS the answer: prefer the Spark schema the writer
+    * embedded under the standard metadata key (exact round trip,
+    * including nullability and timestamp variants), fall back to the
+    * parquet→Catalyst conversion with the session's inference flags. */
+  def parquetFooterSchema(spark: org.apache.spark.sql.SparkSession,
+      file: org.apache.hadoop.fs.Path)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.execution.datasources.parquet.{
+      ParquetFooterReader, ParquetToSparkSchemaConverter}
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val conf = cs.sessionState.newHadoopConf()
+    val footer = ParquetFooterReader.readFooter(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.SKIP_ROW_GROUPS)
+    val meta = footer.getFileMetaData
+    val s = Option(meta.getKeyValueMetaData
+        .get("org.apache.spark.sql.parquet.row.metadata"))
+      .flatMap(s => scala.util.Try(
+        org.apache.spark.sql.types.DataType.fromJson(s)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+      .getOrElse(new ParquetToSparkSchemaConverter(cs.sessionState.conf)
+        .convert(meta.getSchema))
+    // inference returns everything nullable (FileSourceScan NULL-fills a
+    // column a file lacks); the writer-embedded schema may record
+    // required fields — match inference or mixed-generation reads throw
+    s.asNullable
+  }
+
   /** Re-tag a batch DataFrame as STREAMING — the contract a DSv1
     * streaming `Source.getBatch` must satisfy (the same
     * internalCreateDataFrame(isStreaming = true) call FileStreamSource
