@@ -18,6 +18,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing floor: Spark's 1 MB default sizes post-shuffle
+      // partitions for shuffle-bound work; the text/vector kernel stages
+      // here are CPU-bound at small bytes (hashing, window sorts), and a
+      // sub-MB shuffle coalescing to ONE partition serializes them. The
+      // floor stays an operational knob (env-overridable); production
+      // shuffles dwarf either value, so the setting is inert at scale.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_PARTITION", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")

@@ -53,7 +53,18 @@ object Curation {
       resultScope: Option[CacheScope] = None): Result = {
     val scope = new CacheScope
     try {
-      val exact = scope.persist(Dedup.exact(docs, textCol, idCol))
+      // explicit-count spread of the survivors before the CPU-bound stages:
+      // AQE's byte-based coalescing folds the exact-dedup window's output
+      // to one partition at small corpus sizes (bytes ≪ the 1 MB floor),
+      // which then runs the MinHash signature kernels, the shingle verify
+      // and the quality scoring on ONE core (measured: most of q74's
+      // wall). defaultParallelism is cluster-derived; the exchange moves
+      // exactly the deduped survivors once. At warehouse scale this
+      // pipeline is the small-corpus convenience anyway (the signature
+      // table is WRITTEN bucketed by band key — see signatureTable's doc).
+      val exact = scope.persist(Dedup.exact(docs, textCol, idCol)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+          col(idCol)))
 
       val nearPairs = Dedup.minhashNearDups(exact, textCol, idCol,
         jaccardThreshold, bands = bands, rows = rows, scope = scope)

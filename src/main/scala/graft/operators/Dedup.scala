@@ -145,7 +145,15 @@ object Dedup {
       .select(col(idCol), col(bucketCol),
         sortedShingleHashesOfTokens(col("__toks"), n).as("__sh"))
       .withColumn("__nsh", size(col("__sh")))
-    val a = d.as("a"); val b = d.as("b")
+    // probe-side parallelism (the q25 fix): a single-file, single-row-group
+    // corpus scans as ONE task, and the broadcast self-join fuses the whole
+    // pairwise kernel into it. The explicit-count repartition spreads the
+    // probe across the cluster; scale-safe for this shape — a broadcast
+    // self-join's side fits in a broadcast by construction, so the
+    // exchange is bounded and the per-pair kernel dominates it.
+    val a = d.repartition(
+      df.sparkSession.sparkContext.defaultParallelism, col(idCol)).as("a")
+    val b = d.as("b")
     a.join(b, col(s"a.$bucketCol") === col(s"b.$bucketCol") &&
         col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("__ni", sortedIntersectCount(col("a.__sh"), col("b.__sh")))

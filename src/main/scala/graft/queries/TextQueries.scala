@@ -168,7 +168,19 @@ object TextQueries {
         // session-lifetime cache per call is the exact leak class
         // CacheScope exists to prevent — operators that CAN release
         // (Dedup/Curation) persist; fire-and-return queries must not
-      val a = d.as("a"); val b = d.as("b")
+      // probe-side parallelism: the corpus is one parquet file with ONE
+      // row group, so scan→shingle→probe would fuse into a single task
+      // (measured: the whole query on one core). The explicit-count
+      // repartition spreads the pairwise kernel across the cluster
+      // (defaultParallelism — cluster-derived, never a local constant;
+      // explicit so AQE's byte-based coalescing can't fold the tiny
+      // exchange back to one task). Scale-safe for THIS join shape: a
+      // broadcast self-join's sides fit in a broadcast by construction,
+      // so the exchanged bytes are bounded and the per-pair kernel they
+      // unlock is the dominant term at any corpus size.
+      val a = d.repartition(
+        s.sparkContext.defaultParallelism, col("doc_id")).as("a")
+      val b = d.as("b")
       a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
         .withColumn("ni", sortedIntersectCount(col("a.sh"), col("b.sh")))
         .withColumn("jac",
