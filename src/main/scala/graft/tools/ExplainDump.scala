@@ -31,7 +31,9 @@ object ExplainDump {
       """Wants: shingle hashing in a projection per side, equi-join on
         |source (broadcast at this scale; shuffle-hash at 100 TB), the
         |sortedintersectcount kernel inside the join condition so
-        |non-candidates die before projection.""".stripMargin,
+        |non-candidates die before projection, and (r21) an explicit-count
+        |probe-side Exchange (REPARTITION_BY_NUM, defaultParallelism) so a
+        |single-split scan cannot serialize the pairwise kernel.""".stripMargin,
     "q56_minhash_lsh_pairs" ->
       """Wants: explode to (band_no, band_key) then an equi-join — candidate
         |generation is linear + bucket-quadratic; the oracle's OR-join
