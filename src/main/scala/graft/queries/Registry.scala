@@ -80,8 +80,36 @@ object Registry {
   private val contracts =
     new java.util.WeakHashMap[SparkSession, SparkSession]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    table0(contractSession(spark), dir, name)
+  /** Base-table DataFrame, memoized per (contract session, dir, name).
+    *
+    * What is cached: the ANALYZED FRAME — i.e. the parquet footer schema
+    * and the resolved plan. Never data, never results: every action
+    * against the frame re-reads the parquet files (Spark plans the scan
+    * at execution), and the memo dies with the session (weak-keyed, one
+    * JVM). This is the metastore analogue: a real deployment types
+    * `orders` once in its catalog; only this harness was re-running
+    * DataSource resolution + a footer-inference job per table() call —
+    * measured 40–80 ms per query at sf0.1 (a schema-inference job plus
+    * driver-side `mergeSchemasInParallel`), ~187× per battery pass, with
+    * zero information gained after the first call: the files are
+    * immutable for the life of the run. First touch per session still
+    * infers from the actual parquet inputs. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val s = contractSession(spark)
+    val byTable = tables.synchronized {
+      var m = tables.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        tables.put(s, m)
+      }
+      m
+    }
+    byTable.computeIfAbsent((dir, name), _ => table0(s, dir, name))
+  }
+
+  private val tables = new java.util.WeakHashMap[
+    SparkSession,
+    java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
 
   private def table0(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

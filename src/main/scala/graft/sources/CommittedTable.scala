@@ -3147,8 +3147,12 @@ object CommittedTable {
     require(m.cols.contains(key),
       s"$key is not a column of the committed table (${m.cols.mkString(",")})")
     val keySet = keys.select(col(key)).distinct()
-    val pruned = probeHashes(keySet, key)
-      .flatMap(hs => bloomSurvivors(spark, table, m, key, hs))
+    // same guard as deleteKeys: no sidecar on `key` ⇒ skip the probe
+    // collect outright instead of discarding its result
+    val pruned =
+      if (!m.bloomCols.contains(key)) None
+      else probeHashes(keySet, key)
+        .flatMap(hs => bloomSurvivors(spark, table, m, key, hs))
     readFrom(spark, table, m, pruned).join(keySet, Seq(key), "left_semi")
   }
 
@@ -4433,6 +4437,12 @@ object CommittedTable {
           .select(col("file"), col("pos"))
           .unionByName(newEntries)
     }
+    // NOT resized: an A/B (OPTIMIZATION_r21.md "dv write sizing") measured
+    // coalesce(1) here serializing the entire upstream (prior-dv scan +
+    // union + the caller's join output) into one task — the classic
+    // coalesce trap — costing the MoR gates ~9% while saving only a
+    // handful of tiny file commits; a shuffle-based resize adds a job.
+    // The write keeps the upstream's partitioning.
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(table.toString + StagingInfix + nonce)
     allEntries.write.mode(SaveMode.Overwrite)
@@ -4728,9 +4738,13 @@ object CommittedTable {
     try {
       val updKeys = upd.select(col(key)).distinct()
       // matched existing rows WITH (file, pos) provenance, partition set
-      // bloom-pruned when the key carries sidecars
-      val pruned = probeHashes(updKeys, key)
-        .flatMap(hs => bloomSurvivors(spark, table, m, key, hs))
+      // bloom-pruned when the key carries sidecars — guard BEFORE the
+      // probe collect: an unbloomed key made every mergeMor pay a full
+      // distinct+collect job whose result bloomSurvivors then discarded
+      val pruned =
+        if (!m.bloomCols.contains(key)) None
+        else probeHashes(updKeys, key)
+          .flatMap(hs => bloomSurvivors(spark, table, m, key, hs))
       val existing = readFrom(spark, table, m, pruned, keepPos = true)
         .join(updKeys, Seq(key), "left_semi").persist()
       try {

@@ -28,7 +28,15 @@ object JobProfile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      // A/B knob for profiling only (the bench always runs AQE on):
+      // SPARK_GRAFT_ADAPTIVE=false isolates how much of a multi-publish
+      // gate's wall is AQE's per-stage job machinery vs the work itself
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_ADAPTIVE", "true"))
+      // mirror Bench's session exactly — a profile under different AQE
+      // coalescing reads a different plan than the one being timed
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCED_PARTITION", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -47,9 +55,25 @@ object JobProfile {
 
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Double, String)]()
+    // execution-id → triggering callsite: AQE materializes its query
+    // stages through a thread pool, so those jobs' own stage names all
+    // read `withThreadLocalCaptured at CompletableFuture` — the SQL
+    // execution that SUBMITTED them carries the real call site
+    val execSites = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val sqlListener = new SparkListener {
+      override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent)
+          : Unit = e match {
+        case s: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          execSites.put(s.executionId, s.description.takeWhile(_ != '\n'))
+        case _ => ()
+      }
+    }
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
-        val site = js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n'))
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .flatMap(id => Option(execSites.get(id.toLong)))
+          .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
           .getOrElse("?")
         starts.put(js.jobId, (System.nanoTime(), site))
       }
@@ -84,11 +108,14 @@ object JobProfile {
       }
     })
     sampler.setDaemon(true)
+    spark.sparkContext.addSparkListener(sqlListener)
     spark.sparkContext.addSparkListener(listener)
     sampler.start()
     val t0 = System.nanoTime()
-    (1 to reps).foreach { _ =>
-      materialize(q.run(spark, sfDir)); spark.catalog.clearCache() }
+    val repWalls = (1 to reps).map { _ =>
+      val r0 = System.nanoTime()
+      materialize(q.run(spark, sfDir)); spark.catalog.clearCache()
+      (System.nanoTime() - r0) / 1e9 }
     val wall = (System.nanoTime() - t0) / 1e9
     sampling = false
     spark.sparkContext.removeSparkListener(listener)
@@ -100,8 +127,9 @@ object JobProfile {
     val bySite = all.groupBy(_._2).view
       .mapValues(v => (v.size, v.map(_._1).sum)).toSeq
       .sortBy(-_._2._2)
-    println(f"== $name: $reps rep(s), wall ${wall}%.3f s, " +
-      f"${all.size} jobs, ${all.map(_._1).sum}%.3f s inside jobs ==")
+    println(f"== $name: $reps rep(s), wall ${wall}%.3f s " +
+      repWalls.map(w => f"$w%.2f").mkString("(", ", ", ")") +
+      f", ${all.size} jobs, ${all.map(_._1).sum}%.3f s inside jobs ==")
     bySite.take(40).foreach { case (site, (n, t)) =>
       println(f"  $t%8.3f s  $n%4d jobs  $site")
     }
