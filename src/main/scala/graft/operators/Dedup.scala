@@ -657,9 +657,17 @@ object Dedup {
     * self-join) executes exactly once and the returned frame stays valid
     * with no pinned cache to leak. */
   def canonicalLabels(pairs: DataFrame, maxIters: Int = 32): DataFrame = {
+    // both edge orientations from ONE pass over `pairs`: the union form
+    // (pairs ∪ pairs.swapped) plants the pair-generation subtree twice in
+    // the plan, and the LSH self-join feeding it executed twice inside
+    // this checkpoint — measured as the largest single cost in q74
+    // (2.5 s/run at sf0.1, half of it the duplicate). explode keeps
+    // row multiplicities identical to the union.
     val edges = pairs
-      .select(col("doc_a").as("x"), col("doc_b").as("y"))
-      .union(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+      .select(explode(array(
+        struct(col("doc_a").as("x"), col("doc_b").as("y")),
+        struct(col("doc_b").as("x"), col("doc_a").as("y")))).as("__e"))
+      .select(col("__e.x").as("x"), col("__e.y").as("y"))
       .localCheckpoint()
     var curChk = edges.groupBy(col("x"))
       .agg(least(col("x"), min(col("y"))).as("lbl"))
