@@ -229,7 +229,10 @@ object Warehouse {
     val sidecar = new org.apache.hadoop.fs.Path(live, SchemaSidecar)
     val tableDataCols: Set[String] =
       if (fs.exists(sidecar)) readSidecar(fs, sidecar).toSet
-      else spark.read.parquet(probeFile).schema.fieldNames.toSet
+      else scala.util.Try(org.apache.spark.sql.graft.bridge
+          .parquetFooterSchema(spark,
+            new org.apache.hadoop.fs.Path(probeFile)).fieldNames.toSet)
+        .getOrElse(spark.read.parquet(probeFile).schema.fieldNames.toSet)
     val updCols = updates.schema.fieldNames.toSet
     val dropped = (tableDataCols + partitionCol) -- updCols
     require(dropped.isEmpty,
@@ -351,8 +354,14 @@ object Warehouse {
     val it = fs.listFiles(live, true)
     while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) files += f }
     val newestFirst = files.sortBy(-_.getModificationTime)
+    // driver-side footer reads (the CommittedTable.dirSchema shape): a
+    // `spark.read.parquet(file).schema` per probe paid DataSource
+    // resolution + an inference pass per file — 8 of them per evolved
+    // read; one footer RPC each is the same answer
     val full = newestFirst.iterator
-      .map(f => spark.read.parquet(f.getPath.toString).schema)
+      .map(f => scala.util.Try(org.apache.spark.sql.graft.bridge
+        .parquetFooterSchema(spark, f.getPath))
+        .getOrElse(spark.read.parquet(f.getPath.toString).schema))
       .take(8) // bounded probe: 8 footers, then give up to the sweep
       .find(sc => wanted.forall(sc.fieldNames.contains))
     full match {

@@ -110,6 +110,7 @@ object JobProfile {
     sampler.setDaemon(true)
     spark.sparkContext.addSparkListener(sqlListener)
     spark.sparkContext.addSparkListener(listener)
+    org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
     sampler.start()
     val t0 = System.nanoTime()
     val repWalls = (1 to reps).map { _ =>
@@ -138,6 +139,11 @@ object JobProfile {
     samples.asScala.toSeq.sortBy(-_._2).take(25).foreach { case (f, n) =>
       println(f"  ${n * 100.0 / total}%5.1f%%  $n%5d  $f")
     }
+    // per-rule planning time (cumulative since reset — the warm run's
+    // rules were reset away, so this is the timed reps' share only)
+    println("== top Catalyst rules by effective time ==")
+    org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent()
+      .linesIterator.drop(2).take(26).foreach(l => println("  " + l))
     spark.stop()
   }
 }
